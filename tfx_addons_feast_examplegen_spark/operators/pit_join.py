@@ -1,0 +1,250 @@
+"""Point-in-time (as-of) historical feature join — the engine's core.
+
+Rebuilds, as a native DataFrame composition, the single most important
+operator of the reference: ``fs.get_historical_features(entity_df=query,
+features=refs)`` (``executor.py:87``), which Feast's BigQuery offline store
+compiles to one SQL statement (recoverable at ``executor.py:128-129``).
+The compiled template's shape (SURVEY.md §2.3) is:
+
+1. entity spine (arbitrary SQL) + synthesized per-row id,
+2. per view: candidate rows with ``feature.ts <= entity.ts`` and, with a
+   TTL, ``feature.ts >= entity.ts - ttl`` (as-of / interval predicate),
+3. latest-wins dedup: ``ROW_NUMBER() OVER (PARTITION BY row_id ORDER BY
+   event_ts DESC, created_ts DESC) = 1``,
+4. LEFT JOIN each deduped view back to the spine (entities with no match
+   survive with NULL features),
+5. final projection dropping helper columns.
+
+Spark-first design decisions (scale rationale):
+
+- **``max_by`` hash-aggregate instead of ``row_number`` window** for the
+  latest-wins dedup. A window function forces a full sort of every
+  candidate group; ``max_by(struct(features), struct(ts, created))`` is a
+  streaming hash aggregate with map-side partial aggregation — no sort, and
+  the shuffle moves one row per (entity, ts) group instead of all
+  candidates. At 100 TB of feature rows this is the difference between a
+  spill-heavy sort and a single partial-agg shuffle.
+- **Join on the natural composite key** (entity keys + entity event time)
+  rather than a synthesized row id. The reference's row id is itself just
+  ``concat(join_keys, event_ts)``, so semantics are identical (duplicate
+  spine rows sharing keys+ts receive identical features, as in the
+  reference); skipping the synthetic column keeps the join key equi-only
+  + range, which lets Catalyst drive the shuffle from the equi conjuncts.
+- **Distinct spine projection before the candidate join** so a wide spine
+  (many non-key columns) or duplicated spine rows never inflate the
+  candidate set. The distinct's shuffle partitioning on (keys, ts) is
+  reused by the following aggregate (Catalyst sees matching partitioning),
+  so it costs one shuffle, not two.
+- **Equi-conjuncts drive the shuffle; the time predicate stays a post-join
+  filter** inside the sort-merge/shuffled-hash join. For very hot entities
+  at extreme scale, callers can pre-bucket time (``time_bucket`` option)
+  to turn the range predicate into an additional equi key — a standard
+  interval-join technique (see SURVEY.md §4.2).
+- Small feature views broadcast automatically (AQE); no hints needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import Registry, RegistryError
+
+
+def _apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """View-level source-column -> feature-name renames (SURVEY.md P3)."""
+    for src, dst in mapping.items():
+        df = df.withColumnRenamed(src, dst)
+    return df
+
+
+def _normalize_ts(df: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce an int64-nanos event-time column to TimestampType.
+
+    Parquet TIMESTAMP(NANOS) surfaces as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``; the registry declares which
+    column is event time, so the coercion is schema-driven, not guessed.
+    """
+    if ts_col and dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def point_in_time_join(
+    entity_df: DataFrame,
+    feature_df: DataFrame,
+    *,
+    join_keys: list[str],
+    entity_ts_col: str,
+    feature_ts_col: str,
+    features: list[str],
+    created_col: str | None = None,
+    ttl_seconds: int | None = None,
+    output_prefix: str = "",
+) -> DataFrame:
+    """As-of join one feature table onto an entity spine (J1-J4, J6).
+
+    For each entity row, attaches the feature values of the single newest
+    feature row with the same join keys and ``feature_ts <= entity_ts``
+    (and ``feature_ts >= entity_ts - ttl`` when a TTL bounds staleness),
+    ties broken by newest ``created_col``. Entities with no candidate keep
+    their row with NULL features (left-outer semantics).
+    """
+    if not features:
+        raise RegistryError("point_in_time_join: empty feature list")
+
+    # Distinct (keys, ts) spine: the reference's synthesized row id is
+    # concat(keys, ts), so this is the same grain. Helper names are unique
+    # across both join sides so every later reference resolves by name
+    # (avoids self-join attribute ambiguity — the spine derives from
+    # entity_df).
+    ent_ts = F.col("__ent_ts")
+    spine = (
+        entity_df.select(
+            *[F.col(k).alias(f"__ek_{k}") for k in join_keys],
+            F.col(entity_ts_col).alias("__ent_ts"),
+        )
+        .distinct()
+    )
+
+    feat_cols: list[Column] = [F.col(k).alias(f"__fk_{k}") for k in join_keys]
+    feat_cols.append(F.col(feature_ts_col).alias("__f_ts"))
+    if created_col:
+        feat_cols.append(F.col(created_col).alias("__f_created"))
+    out_names = {f: f"{output_prefix}{f}" for f in features}
+    feat_cols.extend(F.col(f).alias(f"__fv_{f}") for f in features)
+    feat = feature_df.select(*feat_cols)
+
+    cond = None
+    for k in join_keys:
+        c = F.col(f"__ek_{k}") == F.col(f"__fk_{k}")
+        cond = c if cond is None else (cond & c)
+    time_cond = F.col("__f_ts") <= ent_ts
+    if ttl_seconds:
+        # Interval lower bound: feature row valid only within
+        # [entity_ts - ttl, entity_ts] (J2).
+        lower = ent_ts - F.expr(f"INTERVAL {int(ttl_seconds)} SECOND")
+        time_cond = time_cond & (F.col("__f_ts") >= lower)
+    cond = cond & time_cond
+
+    candidates = spine.join(feat, cond, "inner")
+
+    # Latest-wins dedup via max_by hash-agg (no sort; see module docstring).
+    ordering = (
+        F.struct(F.col("__f_ts"), F.col("__f_created"))
+        if created_col
+        else F.struct(F.col("__f_ts"))
+    )
+    payload = F.struct(*[F.col(f"__fv_{f}").alias(f) for f in features])
+    latest = (
+        candidates.groupBy(*[F.col(f"__ek_{k}") for k in join_keys], F.col("__ent_ts"))
+        .agg(F.max_by(payload, ordering).alias("__payload"))
+        .select(
+            *[F.col(f"__ek_{k}") for k in join_keys],
+            F.col("__ent_ts"),
+            *[F.col(f"__payload.{f}").alias(out_names[f]) for f in features],
+        )
+    )
+
+    join_cond = None
+    for k in join_keys:
+        c = entity_df[k] == F.col(f"__ek_{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    join_cond = join_cond & (entity_df[entity_ts_col] == F.col("__ent_ts"))
+
+    helper_cols = [f"__ek_{k}" for k in join_keys] + ["__ent_ts"]
+    return entity_df.join(latest, join_cond, "left").drop(*helper_cols)
+
+
+def _static_join(
+    entity_df: DataFrame,
+    feature_df: DataFrame,
+    *,
+    join_keys: list[str],
+    features: list[str],
+    output_prefix: str = "",
+) -> DataFrame:
+    """Left equi-join a static (no event time) dimension view.
+
+    Extension beyond the reference (Feast views always carry event time);
+    small dims broadcast automatically via AQE.
+    """
+    feat = feature_df.select(
+        *[F.col(k).alias(f"__fk_{k}") for k in join_keys],
+        *[F.col(f).alias(f"{output_prefix}{f}") for f in features],
+    ).dropDuplicates([f"__fk_{k}" for k in join_keys])
+    cond = None
+    for k in join_keys:
+        c = entity_df[k] == feat[f"__fk_{k}"]
+        cond = c if cond is None else (cond & c)
+    out = entity_df.join(feat, cond, "left")
+    return out.select(
+        *[entity_df[c] for c in entity_df.columns],
+        *[feat[f"{output_prefix}{f}"] for f in features],
+    )
+
+
+def materialize_features(
+    spark: SparkSession,
+    *,
+    entity_query: str | DataFrame,
+    features: list[str] | str,
+    registry: Registry,
+    sf_dir: str,
+    entity_ts_col: str = "event_timestamp",
+    full_feature_names: bool = False,
+) -> DataFrame:
+    """End-to-end historical retrieval: the engine's ``get_historical_features``.
+
+    Mirrors the reference chain ``executor.py:76-87`` + the compiled SQL of
+    ``executor.py:128-129``: resolve feature refs or a feature-service name
+    through the registry (P1/P2/P5), run the entity SQL (S1), then chain
+    one as-of join per referenced view onto the spine (J5 multi-view
+    composition — each view deduped independently, all LEFT onto the
+    spine). ``full_feature_names=True`` prefixes outputs ``view__feature``
+    (Feast's naming option; default unprefixed like the reference).
+    """
+    resolved = registry.resolve_features(features)
+
+    entity_df = (
+        spark.sql(entity_query) if isinstance(entity_query, str) else entity_query
+    )
+    if entity_ts_col not in entity_df.columns:
+        raise RegistryError(
+            f"entity query result lacks timestamp column {entity_ts_col!r}"
+        )
+
+    out = entity_df
+    for view_name, feats in resolved.items():
+        view = registry.views[view_name]
+        fdf = spark.read.parquet(view.resolve_path(sf_dir))
+        fdf = _apply_field_mapping(fdf, view.field_mapping)
+        fdf = _normalize_ts(fdf, view.timestamp_col)
+        prefix = f"{view_name}__" if full_feature_names else ""
+        missing = [k for k in view.entities if k not in out.columns]
+        if missing:
+            raise RegistryError(
+                f"entity dataframe lacks join key(s) {missing} for view "
+                f"{view_name!r}"
+            )
+        if view.timestamp_col:
+            out = point_in_time_join(
+                out,
+                fdf,
+                join_keys=list(view.entities),
+                entity_ts_col=entity_ts_col,
+                feature_ts_col=view.timestamp_col,
+                features=feats,
+                created_col=view.created_col,
+                ttl_seconds=view.ttl_seconds,
+                output_prefix=prefix,
+            )
+        else:
+            out = _static_join(
+                out,
+                fdf,
+                join_keys=list(view.entities),
+                features=feats,
+                output_prefix=prefix,
+            )
+    return out

@@ -1,0 +1,112 @@
+"""Deterministic hash-based train/eval splits (SURVEY.md D1).
+
+The reference delegates splitting to TFX's ``BaseExampleGenExecutor``
+(``executor.py:181``): each serialized record is hashed and routed to a
+bucket, buckets are assigned to named splits per ``SplitConfig`` (e.g.
+train=2, eval=1 → hash % 3 < 2 ⇒ train).
+
+Spark-native rebuild: a narrow (no-shuffle) projection adding a split
+column via ``xxhash64`` — JVM-side, codegen'd, deterministic across runs
+and cluster sizes. Writing with ``partitionBy("split")`` (or per-split
+paths) reproduces the reference's ``Split-{name}/`` directory layout.
+
+Two hash sources are provided:
+
+- ``hash_split(...)`` hashes chosen key columns with ``xxhash64`` —
+  the production path (fast, stable, well mixed).
+- ``fingerprint_split(...)`` hashes with an explicit arithmetic
+  (Knuth multiplicative) scheme expressible in ANSI SQL, so the exact
+  bucket assignment can be cross-checked by an external SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(bucket: Column, splits: list[tuple[str, int]]) -> Column:
+    """bucket-index -> split-name CASE chain."""
+    total = sum(n for _, n in splits)
+    expr = None
+    lo = 0
+    for name, n in splits:
+        hi = lo + n
+        cond = (bucket >= F.lit(lo)) & (bucket < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    assert lo == total
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: list[tuple[str, int]] | None = None,
+    *,
+    split_col: str = "split",
+    seed: int = 42,
+) -> DataFrame:
+    """Add a deterministic split column: ``xxhash64(keys) % total_buckets``.
+
+    ``splits`` is a SplitConfig-style list of (name, bucket_count);
+    default ``[("train", 2), ("eval", 1)]`` (the TFX default).
+    """
+    splits = splits or [("train", 2), ("eval", 1)]
+    total = sum(n for _, n in splits)
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(total))
+    return df.withColumn(split_col, _assign(bucket, splits))
+
+
+# 64-bit Knuth multiplicative constant; arithmetic below stays within
+# signed-64 semantics identically in Spark and ANSI SQL engines.
+_KNUTH = 2654435761
+
+
+def fingerprint_bucket(key: Column, total: int) -> Column:
+    """Oracle-expressible bucket: ``abs((key * K) % M) % total``.
+
+    Uses a modulus small enough (2^31) that ``key * K`` stays exact for
+    fixture key ranges and the same expression evaluates identically in
+    any ANSI SQL engine (no 64-bit overflow wrap to reason about).
+    """
+    return F.pmod(F.pmod(key.cast("long") * F.lit(_KNUTH), F.lit(2**31)), F.lit(total))
+
+
+def fingerprint_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    *,
+    split_col: str = "split",
+) -> DataFrame:
+    """Split on an integer key with the SQL-portable fingerprint hash."""
+    splits = splits or [("train", 2), ("eval", 1)]
+    total = sum(n for _, n in splits)
+    bucket = fingerprint_bucket(F.col(key_col), total)
+    return df.withColumn(split_col, _assign(bucket, splits))
+
+
+def split_counts(df: DataFrame, split_col: str = "split") -> DataFrame:
+    """Per-split row counts — the checkable projection of a split."""
+    return df.groupBy(split_col).agg(F.count(F.lit(1)).alias("n")).orderBy(split_col)
+
+
+def write_splits(
+    df: DataFrame,
+    out_dir: str,
+    split_col: str = "split",
+    format: str = "parquet",
+) -> None:
+    """Write one directory per split: ``{out_dir}/Split-{name}/`` —
+    the reference's output layout (``executor.py:186-188`` [delegated]).
+
+    Single pass, partitioned write (no per-split job); directory names
+    are normalized afterwards by readers that expect ``Split-``.
+    """
+    (
+        df.write.mode("overwrite")
+        .partitionBy(split_col)
+        .format(format)
+        .save(out_dir)
+    )

@@ -1,0 +1,96 @@
+"""SparkSession construction and test-table registration.
+
+The reference delegates session/context management to the TFX/Beam runtime
+(``executor.py:166-188``); here a tuned local session plays that role.
+Configs are chosen for the driver's local[32] harness but are the same
+knobs that matter on a 1000-executor cluster: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), shuffle partitions sized to
+cores, Arrow enabled for the pandas-UDF edge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "tfx_addons_feast_examplegen_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the local test harness.
+
+    At cluster scale the same settings apply; only master/memory change.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is not a Spark type; read it
+        # as long nanos and normalize in load_table (lossless: fixture data
+        # is microsecond-granular).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): surfaced by Spark as long
+# nanos (nanosAsLong), converted here to TimestampType (micros).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table (columnar parquet scan; pruning/pushdown free)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view named after itself.
+
+    Mirrors the reference's implicit catalog (BigQuery datasets resolved by
+    Feast, ``executor.py:87``): after this, arbitrary entity SQL runs via
+    ``spark.sql`` (SURVEY.md S1/A2).
+
+    Pins the session timezone to UTC so timestamp literals and formatting
+    are deterministic even when the caller's session (e.g. the driver's)
+    was built without an explicit timezone.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime-settable; required to read events.parquet (TIMESTAMP NANOS)
+    # on sessions not built by get_spark (e.g. the driver's).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
