@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is executed to completion
+with a no-op sink (``format("noop")``) so timing measures the full plan —
+scan, shuffles, aggregation — without driver-side row materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tfx_addons_feast_examplegen_spark import queries as qmod
+from tfx_addons_feast_examplegen_spark.session import get_spark, register_tables
+
+# Headline set: the engine's core operator (PIT joins) + the heaviest
+# SQL-corpus queries. Extensions (dedup/similarity) are appended as they
+# land so the bench tracks the whole surface.
+HEADLINE = [
+    "pit_join",
+    "pit_join_ttl",
+    "pit_join_multiview",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "window_topk_running",
+    "json_events_daily",
+]
+
+
+def _run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+
+    qs = qmod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm-up: run every headline query once at the smallest scale so JVM
+    # JIT / codegen / parquet reader init don't pollute the timed runs.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        _run(qs[name](spark, warm_dir))
+    # Re-register the benchmark-scale tables outside the timed region
+    # (footer reads + schema inference are one-time catalog setup).
+    register_tables(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        _run(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

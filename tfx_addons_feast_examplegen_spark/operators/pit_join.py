@@ -17,13 +17,17 @@ The compiled template's shape (SURVEY.md §2.3) is:
 
 Spark-first design decisions (scale rationale):
 
-- **``max_by`` hash-aggregate instead of ``row_number`` window** for the
-  latest-wins dedup. A window function forces a full sort of every
-  candidate group; ``max_by(struct(features), struct(ts, created))`` is a
-  streaming hash aggregate with map-side partial aggregation — no sort, and
-  the shuffle moves one row per (entity, ts) group instead of all
-  candidates. At 100 TB of feature rows this is the difference between a
-  spill-heavy sort and a single partial-agg shuffle.
+- **``max_by`` aggregate instead of ``row_number`` window** for the
+  latest-wins dedup. A window function must shuffle *every* candidate row
+  and sort each partition by (keys, ts DESC, created DESC);
+  ``max_by(struct(features), struct(ts, created))`` runs map-side partial
+  aggregation first, so the shuffle moves at most one row per (entity, ts)
+  group per mapper instead of all candidates — at 100 TB of feature rows
+  the shuffle-volume difference dominates. (With a struct payload Spark
+  compiles max_by to SortAggregate rather than HashAggregate, but that
+  sort is by group keys only — cheaper than the window's composite sort —
+  and in the observed plan it is reused verbatim by the downstream
+  sort-merge join back onto the spine, making its marginal cost ~zero.)
 - **Join on the natural composite key** (entity keys + entity event time)
   rather than a synthesized row id. The reference's row id is itself just
   ``concat(join_keys, event_ts)``, so semantics are identical (duplicate

@@ -60,6 +60,9 @@ def get_spark(app_name: str = "tfx_addons_feast_examplegen_spark") -> SparkSessi
 # nanos (nanosAsLong), converted here to TimestampType (micros).
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# session id -> sf_dir currently registered (see register_tables).
+_REGISTERED: dict[int, str] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table (columnar parquet scan; pruning/pushdown free)."""
@@ -85,6 +88,15 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # Runtime-settable; required to read events.parquet (TIMESTAMP NANOS)
     # on sessions not built by get_spark (e.g. the driver's).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    # Registration reads 10 parquet footers (~seconds); memoize per
+    # session+dir so every query callable can call this idempotently.
+    if _REGISTERED.get(id(spark)) == sf_dir:
+        return {
+            name: spark.table(name)
+            for name in TABLES
+            if spark.catalog.tableExists(name)
+        }
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -93,4 +105,5 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    _REGISTERED[id(spark)] = sf_dir
     return out
