@@ -1,0 +1,179 @@
+"""tf.Example codec + TFRecord framing + end-to-end ExampleGen pipeline."""
+
+import datetime as dt
+import glob
+import math
+import os
+
+import pytest
+
+from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+    decode_example,
+    encode_example,
+    encode_sequence_example,
+)
+from tfx_addons_feast_examplegen_spark.sources.tfrecord import (
+    crc32c,
+    read_tfrecords,
+    write_tfrecords,
+)
+
+
+def test_roundtrip_scalars():
+    row = {
+        "i": 7,
+        "f": 2.5,
+        "s": "héllo",
+        "b": b"\x00\x01",
+        "flag": True,
+        "neg": -3,
+    }
+    out = decode_example(encode_example(row))
+    assert out["i"] == [7]
+    assert out["f"] == [2.5]
+    assert out["s"] == ["héllo".encode()]
+    assert out["b"] == [b"\x00\x01"]
+    assert out["flag"] == [1]
+    assert out["neg"] == [-3]
+
+
+def test_roundtrip_lists_and_null():
+    row = {"xs": [1, 2, 3], "fs": [0.5, 1.5], "empty": None}
+    out = decode_example(encode_example(row))
+    assert out["xs"] == [1, 2, 3]
+    assert out["fs"] == [0.5, 1.5]
+    assert out["empty"] is None  # NULL -> empty feature (§1.2)
+
+
+def test_timestamp_encodes_as_seconds_float():
+    ts = dt.datetime(2024, 1, 15, 12, 0, 0)
+    out = decode_example(encode_example({"t": ts}))
+    expected = ts.replace(tzinfo=dt.timezone.utc).timestamp()
+    assert math.isclose(out["t"][0], expected, rel_tol=1e-7)
+
+
+def test_deterministic_bytes():
+    row = {"b": 1, "a": 2}
+    assert encode_example(row) == encode_example({"a": 2, "b": 1})
+
+
+def test_sequence_example_parity_stub():
+    with pytest.raises(NotImplementedError):
+        encode_sequence_example({"x": 1})
+
+
+def test_crc32c_known_vectors():
+    # Public test vectors (rfc3720 / google crc32c).
+    assert crc32c(b"") == 0
+    assert crc32c(b"a") == 0xC1D04330
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+    recs = [b"alpha", b"", b"x" * 1000]
+    p = str(tmp_path / "f.tfrecord.gz")
+    assert write_tfrecords(recs, p) == 3
+    assert list(read_tfrecords(p)) == recs
+
+
+def test_tfrecord_detects_corruption(tmp_path):
+    p = str(tmp_path / "f.tfrecord")
+    write_tfrecords([b"payload"], p, compress=False)
+    data = bytearray(open(p, "rb").read())
+    data[14] ^= 0xFF  # flip a payload byte
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(IOError):
+        list(read_tfrecords(p, compressed=False))
+
+
+def test_generate_examples_end_to_end(spark, sf_dir, tmp_path):
+    from tfx_addons_feast_examplegen_spark.registry import testdata_registry
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        FORMAT_TF_EXAMPLE,
+        generate_examples,
+    )
+
+    register_tables(spark, sf_dir)
+    out_dir = str(tmp_path / "examples")
+    df = generate_examples(
+        spark,
+        registry=testdata_registry(),
+        entity_query="""
+            SELECT c_custkey AS user_id, @snapshot AS event_timestamp
+            FROM customer WHERE c_custkey < 50
+        """,
+        features=["user_events:value", "user_events:event_type"],
+        sf_dir=sf_dir,
+        output_dir=out_dir,
+        params={"snapshot": dt.datetime(2024, 1, 15)},
+        output_format=FORMAT_TF_EXAMPLE,
+    )
+    assert df.count() == 50
+    files = glob.glob(os.path.join(out_dir, "Split-*", "*.tfrecord.gz"))
+    assert files, "no TFRecord files written"
+    n = 0
+    seen_users = set()
+    for f in files:
+        for rec in read_tfrecords(f):
+            ex = decode_example(rec)
+            assert set(ex) == {"user_id", "event_timestamp", "value", "event_type"}
+            seen_users.add(ex["user_id"][0])
+            n += 1
+    assert n == 50
+    assert seen_users == set(range(50))
+    # both splits materialized with the default 2:1 config
+    assert {os.path.basename(os.path.dirname(f)) for f in files} == {
+        "Split-train",
+        "Split-eval",
+    }
+
+
+def test_param_substitution_quotes_strings():
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        substitute_params,
+    )
+
+    q = substitute_params(
+        "SELECT * FROM t WHERE a = @name AND b >= @lo",
+        {"name": "o'brien", "lo": 5},
+    )
+    assert q == "SELECT * FROM t WHERE a = 'o''brien' AND b >= 5"
+
+
+def test_unknown_format_rejected(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.registry import (
+        RegistryError,
+        testdata_registry,
+    )
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        generate_examples,
+    )
+
+    with pytest.raises(RegistryError):
+        generate_examples(
+            spark,
+            registry=testdata_registry(),
+            entity_query="SELECT 1 AS user_id, TIMESTAMP '2024-01-01' AS event_timestamp",
+            features=["user_events:value"],
+            sf_dir=sf_dir,
+            output_format="avro",
+        )
+
+
+def test_sequence_format_not_implemented(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.registry import testdata_registry
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        FORMAT_TF_SEQUENCE_EXAMPLE,
+        generate_examples,
+    )
+
+    with pytest.raises(NotImplementedError):
+        generate_examples(
+            spark,
+            registry=testdata_registry(),
+            entity_query="SELECT 1",
+            features=["user_events:value"],
+            sf_dir=sf_dir,
+            output_format=FORMAT_TF_SEQUENCE_EXAMPLE,
+        )

@@ -1,0 +1,165 @@
+"""End-to-end ExampleGen pipeline: the engine's public facade.
+
+The complete reference chain, Spark-first: entity SQL (S1) -> point-in-time
+feature join (J1-J6) -> optional range/span param substitution (D2) ->
+output-format dispatch (S9) -> tf.Example encode (S7) -> deterministic
+hash split (D1) -> TFRecord or parquet sink (S6) under ``Split-{name}/``.
+
+A user of the reference calls::
+
+    FeastExampleGen(repo_config=..., entity_query=sql, features=[...])
+
+The engine equivalent::
+
+    generate_examples(spark, registry=reg, entity_query=sql,
+                      features=[...], sf_dir=..., output_dir=...)
+
+Encoding runs in ``mapInPandas`` (Arrow-batched; the per-row proto encode
+is the same per-row map the reference runs in ``beam.Map`` at
+``executor.py:156-160``, but batched). Everything upstream of the encode
+is pure DataFrame — Catalyst-optimized, shuffle-minimal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.tfexample import encode_example, encode_sequence_example
+from ..operators.pit_join import materialize_features
+from ..operators.split import hash_split
+from ..registry import Registry, RegistryError
+from .tfrecord import write_partitioned_tfrecords
+
+# Output-format enum, mirroring the reference's dispatch values
+# (executor.py:142-153: FORMAT_TF_EXAMPLE / FORMAT_TF_SEQUENCE_EXAMPLE).
+FORMAT_TF_EXAMPLE = "tf_example"
+FORMAT_TF_SEQUENCE_EXAMPLE = "tf_sequence_example"
+FORMAT_PARQUET = "parquet"  # engine-native default (no proto roundtrip)
+
+
+def substitute_params(query: str, params: dict[str, Any] | None) -> str:
+    """Span/range bind-parameter substitution (SURVEY.md D2).
+
+    The reference's TFX driver substitutes ``@begin_timestamp`` /
+    ``@end_timestamp`` tokens into the entity query per ``range_config``
+    (``usage_prototype.py:46-48``). Same contract: ``@name`` tokens are
+    replaced with SQL literals (strings quoted, others verbatim).
+    """
+    if not params:
+        return query
+    import datetime as dt
+
+    out = query
+    for name, value in sorted(params.items(), key=lambda kv: -len(kv[0])):
+        token = f"@{name}"
+        if isinstance(value, dt.datetime):
+            lit = f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
+        elif isinstance(value, dt.date):
+            lit = f"DATE '{value.isoformat()}'"
+        elif isinstance(value, str):
+            lit = "'" + value.replace("'", "''") + "'"
+        else:
+            lit = str(value)
+        out = out.replace(token, lit)
+    return out
+
+
+def encode_examples(df: DataFrame, bytes_col: str = "example") -> DataFrame:
+    """DataFrame -> single binary column of serialized tf.Example bytes.
+
+    Arrow-batched ``mapInPandas``; per-batch Python loop only at this
+    terminal stage (parity with the reference's beam.Map encode).
+    """
+    names = df.columns
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                encode_example(
+                    {n: _py(v) for n, v in zip(names, row)}
+                )
+                for row in pdf.itertuples(index=False, name=None)
+            ]
+            yield pd.DataFrame({bytes_col: recs})
+
+    return df.mapInPandas(_encode, schema=f"{bytes_col} binary")
+
+
+def _py(v: Any) -> Any:
+    """numpy/pandas scalar -> plain Python for the codec."""
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, float) and pd.isna(v):
+        return None
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [_py(x) for x in v]
+    return v
+
+
+def generate_examples(
+    spark: SparkSession,
+    *,
+    registry: Registry,
+    entity_query: str,
+    features: list[str] | str,
+    sf_dir: str,
+    output_dir: str | None = None,
+    entity_ts_col: str = "event_timestamp",
+    params: dict[str, Any] | None = None,
+    splits: list[tuple[str, int]] | None = None,
+    split_keys: list[str] | None = None,
+    output_format: str = FORMAT_PARQUET,
+    seed: int = 42,
+) -> DataFrame:
+    """Run the full ExampleGen chain; returns the split-annotated DataFrame.
+
+    When ``output_dir`` is set the result is also written out:
+    ``FORMAT_PARQUET`` -> parquet partitioned by split;
+    ``FORMAT_TF_EXAMPLE`` -> gzipped TFRecords under ``Split-{name}/``;
+    ``FORMAT_TF_SEQUENCE_EXAMPLE`` -> NotImplementedError (reference
+    parity: converters.py:55-57); anything else -> RegistryError
+    (executor.py:150-153 rejects unknown formats).
+    """
+    if output_format == FORMAT_TF_SEQUENCE_EXAMPLE:
+        encode_sequence_example({})  # raises NotImplementedError (S8)
+    if output_format not in (FORMAT_TF_EXAMPLE, FORMAT_PARQUET):
+        raise RegistryError(f"unsupported output format: {output_format!r}")
+
+    query = substitute_params(entity_query, params)
+    df = materialize_features(
+        spark,
+        entity_query=query,
+        features=features,
+        registry=registry,
+        sf_dir=sf_dir,
+        entity_ts_col=entity_ts_col,
+    )
+
+    keys = split_keys or df.columns
+    out = hash_split(df, keys, splits, seed=seed)
+
+    if output_dir:
+        if output_format == FORMAT_PARQUET:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("split")
+                .parquet(output_dir)
+            )
+        else:
+            # The reference's base executor buckets on the hash of the
+            # serialized record (D1); encode first, split on the bytes.
+            encoded = hash_split(
+                encode_examples(df), ["example"], splits, seed=seed
+            )
+            write_partitioned_tfrecords(
+                encoded, output_dir, bytes_col="example", split_col="split"
+            )
+    return out

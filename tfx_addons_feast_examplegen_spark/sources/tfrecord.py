@@ -1,0 +1,126 @@
+"""TFRecord file sink for serialized example bytes.
+
+The reference's terminal stage ([delegated] to TFX's
+``BaseExampleGenExecutor`` at ``executor.py:163,181``) writes gzipped
+TFRecord files of serialized ``tf.Example`` under ``Split-{name}/``.
+Rebuilt here without TensorFlow: the TFRecord framing is public and tiny —
+
+    uint64 length (LE) | uint32 masked_crc32c(length) |
+    bytes  data        | uint32 masked_crc32c(data)
+
+crc32c (Castagnoli) is implemented with a precomputed table; the mask is
+``((crc >> 15) | (crc << 17)) + 0xa282ead8``.
+
+Scale note: writing happens per-partition on executors via
+``foreachPartition`` — embarrassingly parallel, no shuffle, one file per
+partition per split (the same layout a FileFormat sink would produce).
+This is imperative I/O at the serialization edge, the one place the
+SURVEY sanctions mapPartitions-style code.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+import uuid
+
+_CRC_TABLE = []
+_POLY = 0x82F63B78  # Castagnoli, reflected
+
+
+def _build_table() -> None:
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ _POLY if c & 1 else c >> 1
+        _CRC_TABLE.append(c)
+
+
+_build_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def write_tfrecords(records, path: str, compress: bool = True) -> int:
+    """Write an iterable of bytes records as one TFRecord file. Returns count."""
+    opener = gzip.open if compress else open
+    n = 0
+    with opener(path, "wb") as f:
+        for rec in records:
+            length = struct.pack("<Q", len(rec))
+            f.write(length)
+            f.write(struct.pack("<I", _masked_crc(length)))
+            f.write(rec)
+            f.write(struct.pack("<I", _masked_crc(rec)))
+            n += 1
+    return n
+
+
+def read_tfrecords(path: str, compressed: bool = True):
+    """Iterate serialized records from a TFRecord file (verifies CRCs)."""
+    opener = gzip.open if compressed else open
+    with opener(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                return
+            (length,) = struct.unpack("<Q", header)
+            (lcrc,) = struct.unpack("<I", f.read(4))
+            if lcrc != _masked_crc(header):
+                raise IOError(f"corrupt TFRecord length crc in {path}")
+            data = f.read(length)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            if dcrc != _masked_crc(data):
+                raise IOError(f"corrupt TFRecord data crc in {path}")
+            yield data
+
+
+def write_partitioned_tfrecords(
+    bytes_df,
+    out_dir: str,
+    *,
+    bytes_col: str = "example",
+    split_col: str | None = None,
+    compress: bool = True,
+) -> None:
+    """Executor-parallel TFRecord write, ``Split-{name}/`` layout.
+
+    ``bytes_df``: DataFrame with a binary column (and optionally a split
+    column). Each task writes its partition's records into one file per
+    split it sees — no shuffle, mirroring the reference's per-split
+    TFRecord dirs (``executor.py:186-188`` [delegated]).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    splits = []
+    if split_col is not None:
+        splits = [r[0] for r in bytes_df.select(split_col).distinct().collect()]
+        for s in splits:
+            os.makedirs(os.path.join(out_dir, f"Split-{s}"), exist_ok=True)
+
+    suffix = ".gz" if compress else ""
+
+    def _write_partition(rows):
+        handles: dict[str, list] = {}
+        for row in rows:
+            key = row[split_col] if split_col else ""
+            handles.setdefault(key, []).append(row[bytes_col])
+        fid = uuid.uuid4().hex[:12]
+        for key, recs in handles.items():
+            sub = os.path.join(out_dir, f"Split-{key}") if split_col else out_dir
+            os.makedirs(sub, exist_ok=True)
+            write_tfrecords(
+                recs, os.path.join(sub, f"part-{fid}.tfrecord{suffix}"), compress
+            )
+
+    bytes_df.foreachPartition(_write_partition)
