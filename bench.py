@@ -30,6 +30,12 @@ HEADLINE = [
     "q5_region_revenue",
     "window_topk_running",
     "json_events_daily",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "similarity_topk",
+    "similarity_ann_lsh",
 ]
 
 

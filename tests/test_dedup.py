@@ -1,0 +1,110 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash LSH, SimHash."""
+
+from pyspark.sql import Row
+
+from tfx_addons_feast_examplegen_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_exact_dedup_collapses_identical(spark):
+    df = _docs(spark, ["a b c", "a b c", "x y z"])
+    rows = {r.keep_id: r.n_dupes for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert rows == {0: 2, 2: 1}  # min id kept, dup counted
+
+
+def test_exact_dedup_normalize(spark):
+    df = _docs(spark, ["  Hello World ", "hello world"])
+    out = exact_dedup(df, ["text"], "doc_id", normalize=True).collect()
+    assert len(out) == 1 and out[0].n_dupes == 2
+
+
+def test_shingles_are_distinct_ngrams(spark):
+    df = _docs(spark, ["a b c d"])
+    got = {r.shingle for r in shingles(df, "doc_id", "text", 3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, ["a b"])  # shorter than n=3
+    assert shingles(df, "doc_id", "text", 3).count() == 0
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    df = _docs(spark, [BASE, BASE, "совершенно другой текст здесь и сейчас"])
+    rows = jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.jaccard) == (0, 1, 1.0)
+
+
+def test_jaccard_near_dup_detected(spark):
+    near = BASE.replace("dog", "cat")  # one word changed
+    df = _docs(spark, [BASE, near])
+    [r] = jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    assert 0.3 < r.jaccard < 1.0
+
+
+def test_minhash_lsh_matches_exact_on_fixture(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify=True
+        ).collect()
+    }
+    assert lsh == exact  # full recall at fixture similarity levels
+    assert len(exact) > 0  # fixture has planted near-dups
+
+
+def test_minhash_no_verify_is_superset(spark):
+    near = BASE.replace("dog", "cat")
+    df = _docs(spark, [BASE, near, "unrelated words entirely different content here now"])
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", verify=False).collect()
+    }
+    assert (0, 1) in cands
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = _docs(spark, [BASE, BASE])
+    [a, b] = sorted(simhash(df, "doc_id", "text").collect(), key=lambda r: r.doc_id)
+    assert a.simhash == b.simhash
+
+
+def test_simhash_near_docs_close_far_docs_far(spark):
+    near = BASE.replace("dog", "cat")
+    far = "metric space embedding vector quantization product index search"
+    df = _docs(spark, [BASE, near, far])
+    h = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_simhash_pairs_finds_identical(spark):
+    df = _docs(spark, [BASE, BASE, "qq ww ee rr tt yy uu ii oo pp aa ss"])
+    rows = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 1)}
+    assert rows[0].hamming == 0

@@ -1,0 +1,121 @@
+"""Text analysis + embedding similarity operators."""
+
+import math
+
+from pyspark.sql import Row
+
+from tfx_addons_feast_examplegen_spark.operators import text as tx
+from tfx_addons_feast_examplegen_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_topk,
+)
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts, langs=None):
+    langs = langs or ["xx"] * len(texts)
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=l) for i, (t, l) in enumerate(zip(texts, langs))],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_token_count(spark):
+    df = _docs(spark, ["one  two   three", ""])
+    out = df.select("doc_id", tx.token_count("text").alias("n")).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got == {0: 3, 1: 0}
+
+
+def test_bpe_ish_counts_punct_separately(spark):
+    df = _docs(spark, ["hello, world!"])
+    [r] = df.select(tx.bpe_ish_token_count("text").alias("n")).collect()
+    assert r.n == 4  # hello , world !
+
+
+def test_lang_id_profiles(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat is in the house and it is warm",
+            "el gato que vive en la casa con los perros",
+            "der hund und die katze sind nicht mit den kindern",
+            "zzz qqq www",  # no profile hits
+        ],
+    )
+    out = {r.doc_id: r.p for r in df.select("doc_id", tx.lang_id("text").alias("p")).collect()}
+    assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_quality_score_range_and_signals(spark):
+    good = "the data engine processes many diverse records " + " ".join(
+        f"tok{i}" for i in range(100)
+    )
+    repetitive = "spam " * 50
+    df = _docs(spark, [good, repetitive.strip()])
+    out = {r.doc_id: r for r in tx.quality_score(df).collect()}
+    assert 0.0 <= out[0].quality_score <= 1.0
+    assert out[0].quality_score > out[1].quality_score  # repetition penalized
+    assert out[1].uniq_token_ratio < 0.05
+
+
+def test_fingerprint_normalization(spark):
+    df = _docs(spark, ["Hello   World", "hello world"])
+    rows = tx.doc_fingerprints(df).collect()
+    fps = {r.doc_id: (r.fp_exact, r.fp_normalized) for r in rows}
+    assert fps[0][0] != fps[1][0]
+    assert fps[0][1] == fps[1][1]
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_exact_small(spark):
+    vecs = [[1, 0], [0.9, 0.1], [0, 1], [-1, 0]]
+    out = cosine_topk(_emb(spark, vecs), query_filter="vec_id = 0", k=2).collect()
+    ranked = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 1), (2, 2)]
+    top = sorted(out, key=lambda r: r.rank)[0]
+    assert math.isclose(top.cos, 0.9 / math.hypot(0.9, 0.1), abs_tol=1e-5)
+
+
+def test_cosine_pairs_threshold(spark):
+    vecs = [[1, 0], [1, 0.01], [0, 1]]
+    rows = cosine_pairs(_emb(spark, vecs), threshold=0.9).collect()
+    assert {(r.vec_a, r.vec_b) for r in rows} == {(0, 1)}
+
+
+def test_lsh_topk_recall_on_fixture(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    exact = cosine_topk(emb, query_filter="vec_id < 10", k=5).collect()
+    approx = lsh_topk(emb, query_filter="vec_id < 10", k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # LSH is approximate: require nonzero overlap and sane shape, plus
+    # every approx neighbor must be a real corpus member with rank<=k.
+    assert len(approx_set & exact_set) > 0
+    assert all(1 <= r.rank <= 5 for r in approx)
+    # determinism: same call twice -> same result
+    again = {(r.query_id, r.neighbor_id) for r in
+             lsh_topk(emb, query_filter="vec_id < 10", k=5).collect()}
+    assert approx_set == again
+
+
+def test_stats_artifacts(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+    docs = register_tables(spark, sf_dir)["documents"]
+    qf = tx.quality_features(docs)
+    # every signal column materialized and non-null
+    row = qf.select(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+          for c in ["n_tokens", "mean_token_len", "stopword_ratio",
+                    "punct_ratio", "uniq_token_ratio"]]
+    ).collect()[0]
+    assert all(v == 0 for v in row.asDict().values())

@@ -1,0 +1,371 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference extension (BASELINE.md north star): the operations a
+100 TB corpus-prep pipeline needs, each expressed as native DataFrame
+compositions so Catalyst drives the physical plan.
+
+Operators:
+
+- :func:`exact_dedup` — content-hash group-by, keep one deterministic
+  representative per group. One shuffle on the content key.
+- :func:`content_fingerprint` — md5 fingerprint column (engine-portable,
+  so an external SQL oracle can reproduce it byte-for-byte).
+- :func:`jaccard_pairs` — exact word-n-gram Jaccard similarity pairs via
+  shingle explode + self-equi-join on shingle. The verifier of record for
+  near-dup candidates.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: the 100 TB path. Signatures are 64 universal-hash mins computed
+  as columnar aggregates (no UDF); banding turns O(n²) pair search into
+  an equi-join on (band_id, band_hash); exact Jaccard then verifies only
+  the candidates.
+- :func:`simhash` / :func:`simhash_pairs` — 64-bit SimHash with
+  Hamming-distance candidate join on 16-bit chunks (a Hamming-ball
+  pigeonhole join: distance <= 3 implies at least one of 4 chunks equal).
+
+Scale notes: every pair-producing operator is LSH/band-bucketed so the
+shuffle key is (bucket), never a cross join; skewed buckets (very common
+shingles) are capped with a per-bucket size guard. Exact Jaccard on
+candidates joins only the candidate pair ids back to shingle sets.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(
+    df: DataFrame, cols: list[str], out_col: str = "fingerprint"
+) -> DataFrame:
+    """md5 fingerprint of the concatenated (unit-separated) columns.
+
+    md5 rather than xxhash64 so external engines can reproduce it; for
+    pure-Spark pipelines xxhash64 is cheaper (see hash_split).
+    """
+    concat = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    return df.withColumn(out_col, F.md5(concat))
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    *,
+    normalize: bool = False,
+) -> DataFrame:
+    """Exact deduplication: one row per distinct content, keep min(id).
+
+    Returns (kept id, n_dupes, fingerprint). Single hash-partition shuffle
+    on the fingerprint; min/count are map-side-combinable so at 100 TB the
+    shuffle carries one row per distinct content per mapper.
+    """
+    cols = [
+        F.trim(F.lower(F.col(c).cast("string"))) if normalize else F.col(c)
+        for c in content_cols
+    ]
+    concat = F.concat_ws("\x1f", *[c.cast("string") for c in cols])
+    return (
+        df.select(F.col(id_col), F.md5(concat).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure SQL expression chain (split -> index sequence -> slice ->
+    concat), exploded; stays in whole-stage codegen until the explode.
+    """
+    # NB: Spark's sequence(1, 0) counts DOWN ([1, 0]) — guard short docs
+    # with an explicit CASE instead of clamping the upper bound.
+    grams = F.expr(
+        f"CASE WHEN size(split(lower({text_col}), ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(lower({text_col}), ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
+        f" ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    Shingle self-equi-join: documents sharing no shingle never meet (the
+    join key IS the shingle), so the quadratic blowup is bounded by
+    shingle co-occurrence. ``max_bucket`` drops degenerate shingles shared
+    by more than that many docs (stopword-like shingles contribute
+    candidates quadratically but little Jaccard evidence — standard
+    guard; dropped shingles still count in each doc's set size, so
+    Jaccard for surviving pairs shifts at most by the dropped overlap).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    common_sh = freq.filter(F.col("df_") <= max_bucket).select("shingle")
+    sh_f = sh.join(common_sh, "shingle")
+
+    a = sh_f.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh_f.select(F.col(id_col).alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1
+
+
+def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: (id, sig array<long>).
+
+    Universal hash family h_i(x) = (a_i*x + b_i) mod (2^31-1) over a
+    31-bit fold of xxhash64(shingle); each signature slot is a plain
+    ``min`` aggregate — map-side combinable, one shuffle on doc id, no
+    UDFs. num_hashes=64 keeps the signature a single cache line pair.
+    """
+    fam = _hash_family(num_hashes, seed)
+    sh = shingles(df, id_col, text_col, n)
+    h32 = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h32")
+    sh = sh.select(F.col(id_col), h32)
+    mins = [
+        F.min(F.pmod(F.col("h32") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(fam)
+    ]
+    out = sh.groupBy(id_col).agg(*mins)
+    return out.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding, optionally verified.
+
+    bands=16 × rows=4 over 64 hashes → candidate-capture probability
+    1-(1-j^4)^16 (≈0.97 at j=0.7, ≈0.33 at j=0.4): the classic S-curve.
+    Candidates come from an equi-join on (band_id, band_hash) — the only
+    shuffle key; no cross join anywhere. With ``verify`` the candidates'
+    exact n-gram Jaccard is computed (join back to shingles) and
+    thresholded, so false positives are eliminated and the output matches
+    :func:`jaccard_pairs` up to LSH recall.
+
+    Output: (doc_a, doc_b[, jaccard]) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.col("sig")[bi * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_cols).alias("b")).select(
+        F.col(id_col), F.col("b.band_id"), F.col("b.band_hash")
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    cands = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        return cands
+    # Exact-Jaccard verification restricted to the candidate pairs: join
+    # candidates back to shingle sets, count common shingles per pair.
+    # This is the point of LSH — the expensive exact computation touches
+    # |candidates| pairs, not O(n²).
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document over distinct word tokens.
+
+    Per-bit weighted vote folded into two 32-bit halves of sum
+    aggregates; all bit arithmetic is JVM-side integer ops inside
+    whole-stage codegen. Output: (id, simhash long).
+    """
+    tokens = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"__v{j}")
+        for j in range(64)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    # OR-fold the 64 per-bit votes into one long
+    acc = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.when(F.col(f"__v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(F.shiftleft(bit, j))
+    return agg.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs with SimHash Hamming distance <= k.
+
+    Pigeonhole band join: split the 64-bit hash into 4 × 16-bit chunks;
+    any pair within Hamming distance 3 shares at least one exact chunk, so
+    candidates come from 4 equi-joins (union), then the true distance
+    filter runs only on candidates. Output: (doc_a, doc_b, hamming).
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.expr(f"(simhash >> {16 * c}) & 65535").alias("chunk"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        F.col(id_col), F.col("simhash"), F.col("c.chunk_id"), F.col("c.chunk")
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

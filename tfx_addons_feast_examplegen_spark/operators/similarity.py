@@ -1,0 +1,221 @@
+"""Embedding similarity search (approximate-nearest-neighbor).
+
+North-star extension: top-k cosine neighbors over an embedding column
+(``array<float>``).
+
+Two strategies:
+
+- :func:`cosine_topk` — brute-force exact baseline: query-batch ×
+  corpus join with JVM-side ``aggregate``/``zip_with`` dot products, then
+  per-query top-k via ``row_number``. The join broadcasts the (small)
+  query batch, so the corpus side never shuffles — it streams one pass.
+  At 100 TB-scale corpora this is the correct *exact* plan: one corpus
+  scan per query batch, embarrassingly parallel.
+- :func:`lsh_topk` — random-hyperplane (sign) LSH: 16-bit bucket
+  signatures from deterministic pseudo-random planes; candidates meet via
+  an equi-join on any matching band, exact cosine re-ranks candidates
+  only. Sub-linear candidate volume; recall measured in tests against
+  the brute-force baseline.
+
+Vectors are cast to double before arithmetic: fp32 accumulation drifts
+across engines/orders, fp64 keeps the oracle comparable at 1e-6.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with cosine similarity >= threshold (embedding near-dup).
+
+    O(n²/2) comparisons — the exact verifier / small-corpus path; LSH
+    (below) is the scale path. Output: (vec_a, vec_b, cos), vec_a < vec_b.
+    """
+    a = emb.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str | None = None,
+    queries: DataFrame | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (or ``emb.filter(query_filter)``) is broadcast against the
+    corpus; ranking uses round(cos, 6) with neighbor-id tie-break so the
+    result set is engine-portable. Self-matches are excluded.
+
+    Output: (query_id, neighbor_id, cos, rank).
+    """
+    q = queries if queries is not None else emb.filter(query_filter)
+    qs = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def lsh_signature(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach a random-hyperplane sign signature column ``lsh_sig`` (int).
+
+    Planes are seeded constants shipped as literal arrays — pure
+    expressions, no UDF, no shuffle (a narrow projection).
+    """
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = (
+            F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return emb.withColumn("lsh_sig", sig)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str | None = None,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH signature band.
+
+    The 16-bit signature splits into 4 × 4-bit bands; query-corpus
+    candidate generation is an equi-join on (band_id, band_value) instead
+    of a cross join, then exact cosine ranks candidates. Queries with
+    fewer than k candidates return fewer rows (the recall/efficiency
+    trade — measured against :func:`cosine_topk` in tests).
+    """
+    sigs = lsh_signature(
+        emb, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    )
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.expr(f"(lsh_sig >> {i * bits_per_band}) & {mask}").alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_arr).alias("b")
+    ).select(id_col, vec_col, "b.band_id", "b.band_val")
+
+    q = banded.filter(query_filter) if query_filter else banded
+    qs = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "band_id",
+        "band_val",
+    )
+    corpus = banded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "band_id",
+        "band_val",
+    )
+    cands = (
+        qs.join(corpus, ["band_id", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("cos", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

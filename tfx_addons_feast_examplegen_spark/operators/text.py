@@ -1,0 +1,154 @@
+"""Text-analysis operators for corpus preparation.
+
+North-star extension (BASELINE.md): language ID, quality scoring, token
+counting, and document fingerprinting over a documents table. Everything
+is built from ``pyspark.sql.functions`` expressions — no Python UDFs —
+so the whole pipeline stays inside whole-stage codegen and scales as a
+single narrow projection + aggregation.
+
+DuckDB-oracle compatibility drives two choices: md5 for fingerprints
+(portable, unlike xxhash64) and explicit stopword-list arithmetic for
+language ID (expressible as the same CASE/array expressions in ANSI SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword profiles (public, common function words).
+# Deliberately tiny: the operator contract is the scoring mechanism
+# (profile-hit argmax), not lexicon quality; swap in real profiles at
+# deployment.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+}
+
+_EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization of lowercased text (array<string>)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), " "), lambda t: t != "")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Subword-ish token count: split on word boundaries AND digits/punct.
+
+    A regex approximation of BPE tokenizer counts (useful for budgeting
+    LLM training tokens without shipping a tokenizer to executors).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.split(c, r"\s+|(?=[^\w\s])|(?<=[^\w\s])")
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def _profile_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    profile = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, profile))
+
+
+def lang_id(text_col: str | Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword-profile hits.
+
+    Deterministic tie-break: language order as listed (en first), 'und'
+    (undetermined) when no profile matches at all.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    langs = list(LANG_PROFILES)
+    hits = {lang: _profile_hits(toks, LANG_PROFILES[lang]) for lang in langs}
+    # Sequential when-chain: the first language whose hits are >= all
+    # others wins, so listing order IS the tie-break.
+    best = None
+    for lang in langs:
+        cond = hits[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(
+            cond, F.lit(lang)
+        )
+    return best.otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-signal columns (all codegen'd expressions):
+
+    - n_tokens, n_chars
+    - mean_token_len
+    - stopword_ratio (English profile)
+    - punct_ratio (non-alnum, non-space chars / chars)
+    - uniq_token_ratio (type/token ratio — crude repetition signal)
+    """
+    toks = tokens(text_col)
+    c = F.col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", F.round(
+            (F.length(F.regexp_replace(c, r"\s+", ""))) / F.greatest(n_tok, F.lit(1)), 4
+        ))
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.size(F.array_intersect(F.array_distinct(toks),
+                       F.array(*[F.lit(w) for w in _EN_STOPWORDS])))
+                / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn(
+            "uniq_token_ratio",
+            F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: weighted blend of the signals.
+
+    The blend is a transparent linear heuristic (length saturation,
+    repetition penalty, punctuation penalty) — the operator contract is
+    the *pipeline shape* (pure-expression scoring at scan time, no UDF,
+    filterable/pushdownable), not the exact weights.
+    """
+    qf = quality_features(df, text_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    uniq_term = F.col("uniq_token_ratio")
+    punct_pen = F.least(F.col("punct_ratio") * 5, F.lit(1.0))
+    score = 0.5 * length_term + 0.5 * uniq_term - 0.2 * punct_pen
+    clamped = F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+    # floor(x*1e4+0.5)/1e4 instead of round(): arithmetic on 4-decimal
+    # inputs lands exactly on .xxxx5 boundaries, where engines' round()
+    # implementations disagree; floor of identical doubles is portable.
+    return qf.withColumn(
+        "quality_score", F.floor(clamped * 10000 + F.lit(0.5)) / 10000
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content fingerprints: exact md5 + normalized-text md5.
+
+    The normalized variant (lowercase, collapsed whitespace) catches
+    trivially-reformatted duplicates; both are portable across engines.
+    """
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(c).alias("fp_exact"),
+        F.md5(norm).alias("fp_normalized"),
+    )

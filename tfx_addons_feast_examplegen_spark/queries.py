@@ -24,6 +24,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
 from .operators.pit_join import materialize_features
 from .operators.split import fingerprint_split, split_counts
 from .registry import Registry, testdata_registry
@@ -298,6 +301,248 @@ ORDER BY spend DESC, o_custkey
 
 
 # ---------------------------------------------------------------------------
+# North-star extensions: dedup / similarity / text analysis (BASELINE.md)
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return dd.exact_dedup(t["documents"], ["text"], "doc_id")
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return dd.jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
+
+
+# Exact 3-gram Jaccard, independently derived in DuckDB (list slices +
+# lateral unnest instead of Spark's transform/sequence/explode).
+_JACCARD_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.nsh + sb.nsh - common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
+"""
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-banded candidates + exact-Jaccard verification. At the fixture's
+    # similarity levels (planted near-dups at j>=0.9) LSH recall is
+    # 1-(1-j^4)^16 ~= 1-4e-8, so the verified output equals the exact
+    # jaccard_pairs result and shares its oracle.
+    t = register_tables(spark, sf_dir)
+    return dd.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.5, verify=True
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based bit votes are not portable SQL -> rows-only check;
+    # semantic properties are pytest-verified (tests/test_dedup.py).
+    t = register_tables(spark, sf_dir)
+    return dd.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=8)
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return tx.quality_score(t["documents"]).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+        "punct_ratio", "uniq_token_ratio", "quality_score",
+    )
+
+
+def _dd_profile(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_TEXT_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+          / greatest(len(toks), 1), 4) AS mean_token_len,
+    round(len(list_intersect(list_distinct(toks),
+              {_dd_profile(tx.LANG_PROFILES["en"])})) * 1.0
+          / greatest(len(list_distinct(toks)), 1), 4) AS stopword_ratio,
+    round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
+          / greatest(length(text), 1), 4) AS punct_ratio,
+    round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
+      AS uniq_token_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+       uniq_token_ratio,
+       floor(greatest(least(
+         0.5 * least(n_tokens / 100.0, 1.0)
+         + 0.5 * uniq_token_ratio
+         - 0.2 * least(punct_ratio * 5, 1.0), 1.0), 0.0) * 10000 + 0.5) / 10000
+         AS quality_score
+FROM f
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("predicted", tx.lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_case() -> str:
+    langs = list(tx.LANG_PROFILES)
+    hit_defs = ",\n    ".join(
+        f"len(list_intersect(toks, {_dd_profile(tx.LANG_PROFILES[lang])})) AS h_{lang}"
+        for lang in langs
+    )
+    branches = []
+    for lang in langs:
+        conds = [f"h_{lang} > 0"] + [
+            f"h_{lang} >= h_{o}" for o in langs if o != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT lang,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), h AS (
+  SELECT lang,
+    {hit_defs}
+  FROM t
+)
+SELECT lang, {case} AS predicted, CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY 1, 2
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "source",
+            tx.token_count("text").alias("n_tok"),
+            F.length("text").alias("len_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("len_chars").alias("total_chars"),
+        )
+    )
+
+
+_TOKEN_STATS_ORACLE = """
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       CAST(sum(len_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok,
+         length(text) AS len_chars
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return tx.doc_fingerprints(t["documents"])
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_normalized
+FROM documents
+"""
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    out = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SIM_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos6
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos6, 4) AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return sim.cosine_pairs(t["embeddings"], threshold=0.4)
+
+
+_EMB_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate variant: recall-vs-cost trade is measured in pytest
+    # against cosine_topk; rows-only check here (rank set depends on LSH
+    # bucketing, not SQL-expressible portably).
+    t = register_tables(spark, sf_dir)
+    return sim.lsh_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+
+
+# ---------------------------------------------------------------------------
 # Registry: name -> (spark_fn, oracle_sql | None)
 # ---------------------------------------------------------------------------
 
@@ -322,6 +567,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "setop_intersect": (_sql_query(_QSETOPS), _QSETOPS),
     "json_events_daily": (_sql_query(_QJSON_SPARK), _QJSON_ORACLE),
     "having_subquery": (_sql_query(_QHAVING), _QHAVING),
+    # north-star extensions
+    "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
+    "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
+    "dedup_minhash_lsh": (_q_minhash, _JACCARD_ORACLE),
+    "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 not portable)
+    "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
+    "text_lang_id": (_q_lang_id, _langid_case()),
+    "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
+    "text_fingerprint": (_q_fingerprints, _FINGERPRINT_ORACLE),
+    "similarity_topk": (_q_similarity_topk, _SIM_TOPK_ORACLE),
+    "embedding_neardup": (_q_embedding_neardup, _EMB_NEARDUP_ORACLE),
+    "similarity_ann_lsh": (_q_ann_lsh, None),  # rows-only (approx variant)
 }
 
 
