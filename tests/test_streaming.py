@@ -1,0 +1,100 @@
+"""Structured Streaming: windowed aggs, stream dedup, latest-state upserts.
+
+Driven with the file source + availableNow trigger so streaming plans run
+to completion; results cross-checked against the equivalent batch plans
+over the same parquet.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfx_addons_feast_examplegen_spark.session import load_table
+from tfx_addons_feast_examplegen_spark.streaming.events import (
+    dedup_events_stream,
+    latest_feature_state,
+    read_events_stream,
+    run_to_completion,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def test_stream_matches_batch_windowed_counts(spark, sf_dir, events_path):
+    stream = read_events_stream(spark, events_path)
+    out = run_to_completion(
+        windowed_event_counts(stream), query_name="win_counts"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    expected = (
+        batch.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in expected.collect()
+    }
+    # Append mode only emits windows the watermark has closed: the final
+    # day's window stays open (watermark trails max event time), so the
+    # stream result is the batch result minus the last open window.
+    last_open = max(k[0] for k in want)
+    closed_want = {k: v for k, v in want.items() if k[0] < last_open}
+    assert got == closed_want
+    assert all(k[0] == last_open for k in want.keys() - got.keys())
+    assert len(got) > 100  # ~29 closed days x 5 event types
+
+
+def test_stream_dedup_drops_duplicate_ids(spark, events_path, tmp_path):
+    # Duplicate the input file so every event_id appears twice.
+    src = str(tmp_path / "dup_events")
+    spark.read.parquet(events_path).write.mode("overwrite").parquet(src)
+    spark.read.parquet(events_path).write.mode("append").parquet(src)
+
+    stream = read_events_stream(spark, src)
+    out = run_to_completion(
+        dedup_events_stream(stream, watermark_delay="40 days"),
+        query_name="dedup_stream",
+    )
+    n_unique = spark.read.parquet(events_path).count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_latest_state_matches_batch_asof_now(spark, sf_dir, events_path):
+    stream = read_events_stream(spark, events_path)
+    out = run_to_completion(
+        latest_feature_state(stream),
+        output_mode="complete",
+        query_name="latest_state",
+    )
+    batch = load_table(spark, sf_dir, "events")
+    expected = (
+        batch.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("value", "event_type"), F.struct("ts", "event_id")).alias("l"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .select("user_id", F.col("l.value").alias("value"), "latest_ts")
+    )
+    got = {r.user_id: (r.value, r.latest_ts) for r in out.collect()}
+    want = {r.user_id: (r.value, r.latest_ts) for r in expected.collect()}
+    assert got == want
+    assert len(got) > 0

@@ -1,0 +1,151 @@
+"""Structured Streaming ingestion of the events table.
+
+The reference is batch-only (a bounded Beam PCollection over a BigQuery
+export, ``executor.py:103-108,156-160``); its event-time semantics exist
+only logically (point-in-time join, TTL). This module is the SURVEY.md §7
+extension: the same event-time semantics expressed over an unbounded
+stream with Structured Streaming —
+
+- TTL -> watermark delay (`withWatermark`)
+- latest-wins dedup -> `dropDuplicatesWithinWatermark`
+- snapshot aggregation -> tumbling/sliding `window()` aggregates
+
+Tests drive these with a file source + ``trigger(availableNow=True)`` so
+the streaming plans execute to completion deterministically; the same
+transformations run unchanged against kafka/rate sources in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of the events table (schema locked from batch).
+
+    Parquet NANOS timestamps are normalized exactly as in batch
+    (nanosAsLong + ``timestamp_micros``), so stream and batch plans share
+    every downstream transformation.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # The streaming file source monitors directories; a single-file table
+    # is read via its parent dir + a glob filter on the file name.
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 day",
+    slide: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation with watermark.
+
+    Output: (window_start, window_end, event_type, n_events, total_value).
+    Late rows beyond ``watermark_delay`` are dropped; state for closed
+    windows is evicted — bounded memory on unbounded input.
+    """
+    w = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (state is GC'd as the watermark advances —
+    the streaming analog of the batch latest-wins dedup J3).
+    """
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def latest_feature_state(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Continuously-updated per-key latest feature values.
+
+    The streaming materialization of the PIT join's "latest at-or-before
+    now" semantics: max_by over an update-mode aggregate. Downstream
+    sinks receive upserts per key (update output mode).
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct("value", "event_type"), F.struct("ts", "event_id")
+            ).alias("latest"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .select(
+            key_col,
+            F.col("latest.value").alias("value"),
+            F.col("latest.event_type").alias("event_type"),
+            "latest_ts",
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, *, output_mode: str = "append", query_name: str = "q"
+):
+    """Execute a streaming plan over all currently-available input
+    (``availableNow`` trigger) into an in-memory sink; returns the
+    resulting batch DataFrame. Test/backfill harness — production uses a
+    durable sink with checkpointing instead.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
