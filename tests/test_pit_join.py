@@ -143,3 +143,79 @@ def test_empty_features_rejected(spark):
 
     with pytest.raises(RegistryError):
         _join(ent, feat, features=[])
+
+
+def test_field_mapping_renames(spark, sf_dir):
+    # P3: view-level source-column -> feature-name renames via registry.
+    from tfx_addons_feast_examplegen_spark.operators.pit_join import (
+        materialize_features,
+    )
+    from tfx_addons_feast_examplegen_spark.registry import FeatureView, Registry
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    reg = Registry(
+        views={
+            "ev": FeatureView(
+                name="ev",
+                path="events.parquet",
+                entities=("user_id",),
+                timestamp_col="ts",
+                features=("amount", "kind"),
+                created_col="event_id",
+                field_mapping={"value": "amount", "event_type": "kind"},
+            )
+        }
+    )
+    df = materialize_features(
+        spark,
+        entity_query="""
+            SELECT c_custkey AS user_id,
+                   TIMESTAMP '2024-01-20 00:00:00' AS event_timestamp
+            FROM customer WHERE c_custkey < 20
+        """,
+        features=["ev:amount", "ev:kind"],
+        registry=reg,
+        sf_dir=sf_dir,
+    )
+    assert {"amount", "kind"} <= set(df.columns)
+    rows = df.filter("amount IS NOT NULL").collect()
+    assert len(rows) > 0
+
+
+def test_time_bucketed_equivalence(spark, sf_dir):
+    # The bucketed interval join must produce byte-identical results to
+    # the naive range join (SURVEY.md §4.2 scale technique).
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    t = register_tables(spark, sf_dir)
+    spine = spark.sql("""
+        SELECT c_custkey AS user_id, event_timestamp
+        FROM customer CROSS JOIN (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+            (TIMESTAMP '2024-01-15 00:00:00'), (TIMESTAMP '2024-01-22 12:34:56'),
+            (TIMESTAMP '2024-01-29 00:00:00')) AS v(event_timestamp)
+    """)
+    kw = dict(
+        join_keys=["user_id"],
+        entity_ts_col="event_timestamp",
+        feature_ts_col="ts",
+        features=["value", "event_type"],
+        created_col="event_id",
+        ttl_seconds=7 * 24 * 3600,
+    )
+    plain = point_in_time_join(spine, t["events"], **kw)
+    bucketed = point_in_time_join(spine, t["events"], time_bucketed=True, **kw)
+    key = lambda r: (r.user_id, r.event_timestamp)
+    a = sorted(((key(r), r.value, r.event_type) for r in plain.collect()))
+    b = sorted(((key(r), r.value, r.event_type) for r in bucketed.collect()))
+    assert a == b
+    assert len(a) == plain.count()
+
+
+def test_time_bucketed_requires_ttl(spark):
+    from tfx_addons_feast_examplegen_spark.registry import RegistryError
+
+    ent = _entities(spark, [(1, T(2024, 1, 10))])
+    feat = _features(spark, [(1, T(2024, 1, 5), 1, 1.0)])
+    with pytest.raises(RegistryError):
+        _join(ent, feat, time_bucketed=True)

@@ -85,6 +85,7 @@ def point_in_time_join(
     created_col: str | None = None,
     ttl_seconds: int | None = None,
     output_prefix: str = "",
+    time_bucketed: bool = False,
 ) -> DataFrame:
     """As-of join one feature table onto an entity spine (J1-J4, J6).
 
@@ -93,9 +94,22 @@ def point_in_time_join(
     (and ``feature_ts >= entity_ts - ttl`` when a TTL bounds staleness),
     ties broken by newest ``created_col``. Entities with no candidate keep
     their row with NULL features (left-outer semantics).
+
+    ``time_bucketed=True`` (requires a TTL) adds ``floor(ts / ttl)`` as an
+    extra equi-join key: each feature row lands in one bucket, each entity
+    probes its own bucket and the previous one (covering the full
+    ``[ts-ttl, ts]`` interval), and the original range predicate still
+    filters inside the match. This is the 100 TB interval-join technique
+    (SURVEY.md §4.2): a hot entity key with years of history no longer
+    pairs every entity row with every historical feature row — candidates
+    are bounded by two TTL windows regardless of history depth. Cost: the
+    entity side duplicates 2× before the shuffle. Results are identical
+    to the unbucketed join (equivalence is test-enforced).
     """
     if not features:
         raise RegistryError("point_in_time_join: empty feature list")
+    if time_bucketed and not ttl_seconds:
+        raise RegistryError("time_bucketed requires ttl_seconds")
 
     # Distinct (keys, ts) spine: the reference's synthesized row id is
     # concat(keys, ts), so this is the same grain. Helper names are unique
@@ -119,10 +133,29 @@ def point_in_time_join(
     feat_cols.extend(F.col(f).alias(f"__fv_{f}") for f in features)
     feat = feature_df.select(*feat_cols)
 
+    if time_bucketed:
+        # One bucket per feature row; entity probes bucket(ts) and
+        # bucket(ts)-1 (posexplode of the two offsets) so every feature
+        # in [ts-ttl, ts] shares a bucket with the probe.
+        bucket = lambda ts_col: F.floor(  # noqa: E731
+            F.unix_timestamp(ts_col) / F.lit(int(ttl_seconds))
+        ).cast("long")
+        feat = feat.withColumn("__f_bucket", bucket(F.col("__f_ts")))
+        spine = spine.select(
+            "*",
+            F.explode(
+                F.array(
+                    bucket(ent_ts), bucket(ent_ts) - F.lit(1)
+                )
+            ).alias("__e_bucket"),
+        )
+
     cond = None
     for k in join_keys:
         c = F.col(f"__ek_{k}") == F.col(f"__fk_{k}")
         cond = c if cond is None else (cond & c)
+    if time_bucketed:
+        cond = cond & (F.col("__e_bucket") == F.col("__f_bucket"))
     time_cond = F.col("__f_ts") <= ent_ts
     if ttl_seconds:
         # Interval lower bound: feature row valid only within
@@ -132,6 +165,11 @@ def point_in_time_join(
     cond = cond & time_cond
 
     candidates = spine.join(feat, cond, "inner")
+    if time_bucketed:
+        # A feature row can match the same (entity, ts) through both
+        # probed buckets only if buckets collide — impossible (one bucket
+        # per feature row), so no dedup needed; drop the helper column.
+        candidates = candidates.drop("__e_bucket", "__f_bucket")
 
     # Latest-wins dedup via max_by hash-agg (no sort; see module docstring).
     ordering = (

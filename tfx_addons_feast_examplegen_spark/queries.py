@@ -534,6 +534,114 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch form of the streaming tumbling-window aggregation (§2.7
+    # extension); day windows align with date_trunc so the oracle is SQL.
+    t = register_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_ts"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_WINDOWED_EVENTS_ORACLE = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start_ts,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_split_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.examplegen import route_split_patterns
+
+    register_tables(spark, sf_dir)
+    out = route_split_patterns(
+        spark,
+        {
+            "train": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+            "eval": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
+        },
+    )
+    return out
+
+
+_SPLIT_ROUTING_ORACLE = """
+SELECT o_orderkey, o_totalprice, 'train' AS split FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'eval' AS split FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def _q_pit_prefixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1 full_feature_names: outputs prefixed view__feature columns.
+    register_tables(spark, sf_dir)
+    df = materialize_features(
+        spark,
+        entity_query=_SPINE_SQL,
+        features=["user_events:value", "user_events:event_type"],
+        registry=testdata_registry(),
+        sf_dir=sf_dir,
+        full_feature_names=True,
+    )
+    return df.select(
+        F.col("user_id"),
+        F.unix_timestamp("event_timestamp").alias("snapshot_ts"),
+        F.col("user_events__value"),
+        F.col("user_events__event_type"),
+    )
+
+
+_PIT_PREFIXED_ORACLE = _pit_oracle().replace(
+    "c.value, c.event_type", "c.value AS user_events__value, c.event_type AS user_events__event_type"
+)
+
+
+def _q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.stats import column_stats
+
+    t = register_tables(spark, sf_dir)
+    return column_stats(
+        t["lineitem"],
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"],
+    )
+
+
+def _stats_oracle() -> str:
+    def one(col: str, numeric: bool) -> str:
+        mean = f"round(avg({col}), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+        std = f"round(stddev_samp({col}), 4)" if numeric else "CAST(NULL AS DOUBLE)"
+        return f"""
+SELECT '{col}' AS "column", CAST(count({col}) AS BIGINT) AS count,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_val,
+       CAST(max({col}) AS VARCHAR) AS max_val,
+       {mean} AS mean_val, {std} AS stddev_val
+FROM lineitem"""
+
+    parts = [
+        one("l_orderkey", True),
+        one("l_quantity", True),
+        one("l_extendedprice", True),
+        one("l_returnflag", False),
+        one("l_shipdate", False),
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: recall-vs-cost trade is measured in pytest
     # against cosine_topk; rows-only check here (rank set depends on LSH
@@ -579,6 +687,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_topk": (_q_similarity_topk, _SIM_TOPK_ORACLE),
     "embedding_neardup": (_q_embedding_neardup, _EMB_NEARDUP_ORACLE),
     "similarity_ann_lsh": (_q_ann_lsh, None),  # rows-only (approx variant)
+    "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
+    "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),
+    "pit_join_prefixed": (_q_pit_prefixed, _PIT_PREFIXED_ORACLE),
+    "dataset_stats": (_q_dataset_stats, _stats_oracle()),
 }
 
 

@@ -27,6 +27,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.tfexample import encode_example, encode_sequence_example
 from ..operators.pit_join import materialize_features
@@ -65,6 +66,25 @@ def substitute_params(query: str, params: dict[str, Any] | None) -> str:
         else:
             lit = str(value)
         out = out.replace(token, lit)
+    return out
+
+
+def route_split_patterns(
+    spark: SparkSession, patterns: dict[str, str]
+) -> DataFrame:
+    """Split-pattern routing (SURVEY.md D3): each input split's pattern is
+    its own entity query; one pipeline branch per split, unioned with a
+    ``split`` label column (the reference's base executor fans out one
+    Beam branch per split at ``executor.py:186-188``).
+
+    All branch queries must produce union-compatible schemas.
+    """
+    branches = []
+    for name, q in patterns.items():
+        branches.append(spark.sql(q).withColumn("split", F.lit(name)))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
     return out
 
 
