@@ -290,6 +290,81 @@ GROUP BY event_type, strftime(ts, '%Y-%m-%d')
 ORDER BY event_type, day
 """
 
+# ROLLUP aggregation (grouping-sets surface; D5-adjacent).
+_QROLLUP = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+# Anti-join via NOT EXISTS: customers who ordered but never status 'F'.
+_QANTI = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+# String-function surface over part names.
+_QSTRING = """
+SELECT upper(substr(p_type, 1, 5)) AS type_prefix,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(length(p_name)) AS BIGINT) AS total_name_len,
+       min(concat(p_brand, ':', p_name)) AS first_branded,
+       CAST(sum(CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gold
+FROM part
+GROUP BY upper(substr(p_type, 1, 5))
+"""
+
+# Date arithmetic + lag window: month-over-month order volume.
+_QMONTHLY = """
+SELECT mon_ts, n_orders,
+       n_orders - lag(n_orders) OVER (ORDER BY mon_ts) AS delta
+FROM (
+  SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS mon_ts,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+"""
+
+# Sessionization: 30-minute-gap sessions per user (lag + running sum),
+# the classic event-stream pattern expressed in portable window SQL.
+_QSESSION = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+         AS duration_s
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+# DuckDB's epoch() keeps fractional seconds (so it is floored above);
+# Spark's unix_timestamp() already floors to whole seconds.
+_QSESSION_SPARK = _QSESSION.replace(
+    "CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)",
+    "CAST(unix_timestamp(max(ts)) - unix_timestamp(min(ts)) AS BIGINT)",
+)
+
 # Correlated/uncorrelated subquery + HAVING (declared-SQL breadth).
 _QHAVING = """
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
@@ -675,6 +750,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "setop_intersect": (_sql_query(_QSETOPS), _QSETOPS),
     "json_events_daily": (_sql_query(_QJSON_SPARK), _QJSON_ORACLE),
     "having_subquery": (_sql_query(_QHAVING), _QHAVING),
+    "rollup_region_nation": (_sql_query(_QROLLUP), _QROLLUP),
+    "anti_join_exists": (_sql_query(_QANTI), _QANTI),
+    "string_funcs_parts": (_sql_query(_QSTRING), _QSTRING),
+    "monthly_order_delta": (
+        _sql_query(
+            _QMONTHLY.replace("epoch(date_trunc", "unix_timestamp(date_trunc")
+        ),
+        _QMONTHLY,
+    ),
+    "sessionization": (_sql_query(_QSESSION_SPARK), _QSESSION),
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
