@@ -50,6 +50,11 @@ def get_spark(app_name: str = "tfx_addons_feast_examplegen_spark") -> SparkSessi
         # as long nanos and normalize in load_table (lossless: fixture data
         # is microsecond-granular).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Managed-table home for bucketed feature tables (static conf).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
