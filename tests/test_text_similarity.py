@@ -119,3 +119,29 @@ def test_stats_artifacts(spark, sf_dir):
                     "punct_ratio", "uniq_token_ratio"]]
     ).collect()[0]
     assert all(v == 0 for v in row.asDict().values())
+
+
+def test_ivf_topk_shape_and_determinism(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    approx = ivf_topk(emb, query_filter="vec_id < 10", k=5, n_probe=4)
+    rows = approx.collect()
+    assert all(1 <= r.rank <= 5 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    again = {(r.query_id, r.neighbor_id) for r in
+             ivf_topk(emb, query_filter="vec_id < 10", k=5, n_probe=4).collect()}
+    assert {(r.query_id, r.neighbor_id) for r in rows} == again
+    # probing more cells monotonically improves overlap with exact top-k
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, query_filter="vec_id < 10", k=5).collect()}
+    few = {(r.query_id, r.neighbor_id) for r in
+           ivf_topk(emb, query_filter="vec_id < 10", k=5, n_probe=1).collect()}
+    many = {(r.query_id, r.neighbor_id) for r in
+            ivf_topk(emb, query_filter="vec_id < 10", k=5, n_probe=16).collect()}
+    assert len(many & exact) >= len(few & exact)
+    assert many == exact  # probing every cell == exhaustive search

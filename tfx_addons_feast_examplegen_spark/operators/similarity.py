@@ -152,6 +152,103 @@ def lsh_signature(
     return emb.withColumn("lsh_sig", sig)
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: deterministic random init — a
+    hash-ordered sample of the corpus (k-means refinement plugs in
+    offline without changing the plumbing). Tiny driver-side result
+    (``n_cells`` vectors) shipped to assignment as literals.
+    """
+    rows = (
+        emb.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest IVF cells (by dot
+    product against the shared centroid set). Narrow projection — no
+    shuffle, one pass. Output: input columns + ``cell``, one row per
+    probed cell.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                (-_dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))).alias(
+                    "neg_sim"
+                ),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.slice(F.array_sort(scored), 1, n_probe)
+    return emb.select(
+        "*", F.explode(F.transform(ranked, lambda s: s["cell"])).alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors live in 1 cell each,
+    queries probe their ``n_probe`` nearest cells; exact cosine ranks the
+    candidates. Candidate generation is an equi-join on ``cell`` — the
+    scale path when the corpus is too large for per-query full scans.
+    """
+    # One quantizer, trained on the corpus, shared by both sides — cells
+    # are only comparable within a single centroid set.
+    cents = ivf_centroids(
+        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+    )
+    corpus_cells = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    query_cells = ivf_assign(
+        emb.filter(query_filter), cents, vec_col=vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell")
+
+    cands = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("cos", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     *,

@@ -772,6 +772,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_topk": (_q_similarity_topk, _SIM_TOPK_ORACLE),
     "embedding_neardup": (_q_embedding_neardup, _EMB_NEARDUP_ORACLE),
     "similarity_ann_lsh": (_q_ann_lsh, None),  # rows-only (approx variant)
+    "similarity_ann_ivf": (
+        lambda spark, sf_dir: sim.ivf_topk(
+            register_tables(spark, sf_dir)["embeddings"],
+            query_filter="vec_id < 20",
+            k=5,
+            n_probe=4,
+        ),
+        None,  # rows-only: cell membership isn't portable SQL; recall
+        # properties pytest-verified (n_probe=all == exhaustive search)
+    ),
     "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
     "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),
     "pit_join_prefixed": (_q_pit_prefixed, _PIT_PREFIXED_ORACLE),
