@@ -177,3 +177,50 @@ def test_sequence_format_not_implemented(spark, sf_dir):
             sf_dir=sf_dir,
             output_format=FORMAT_TF_SEQUENCE_EXAMPLE,
         )
+
+
+def test_component_facade_end_to_end(spark, sf_dir, tmp_path):
+    import datetime as dt
+
+    from tfx_addons_feast_examplegen_spark.component import FeastExampleGenSpark
+    from tfx_addons_feast_examplegen_spark.registry import (
+        RegistryError,
+        testdata_registry,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    # YAML round-trip through the constructor, like the reference packs
+    # feature_store.yaml into its config proto.
+    yaml_cfg = testdata_registry().to_yaml()
+    gen = FeastExampleGenSpark(
+        repo_config=yaml_cfg,
+        features="user_activity",
+        entity_query="""
+            SELECT c_custkey AS user_id, @cutoff AS event_timestamp
+            FROM customer
+        """,
+        output_config={
+            "splits": [("train", 3), ("eval", 1)],
+            "output_dir": str(tmp_path / "out"),
+        },
+        range_params={"cutoff": dt.datetime(2024, 1, 20)},
+    )
+    df = gen.run(spark, sf_dir=sf_dir)
+    assert df.count() == 150
+    assert set(df.select("split").distinct().toPandas()["split"]) == {
+        "train",
+        "eval",
+    }
+    # parquet written partitioned by split
+    import glob
+
+    assert glob.glob(str(tmp_path / "out" / "split=train" / "*.parquet"))
+
+    # invalid refs rejected at CONSTRUCTION (component.py:98-102 analog)
+    import pytest as _pytest
+
+    with _pytest.raises(RegistryError):
+        FeastExampleGenSpark(
+            repo_config=yaml_cfg, features=["nope:x"], entity_query="SELECT 1"
+        )
