@@ -138,12 +138,72 @@ def encode_example(row: dict[str, Any]) -> bytes:
 def encode_sequence_example(row: dict[str, Any]) -> bytes:
     """Declared-but-unimplemented in the reference (``converters.py:55-57``
     raises NotImplementedError; dispatched at ``executor.py:148-149``).
-    Kept as the same explicit stub so the format dispatch surface matches.
+    Kept as the same explicit stub so the format dispatch surface matches;
+    the working beyond-parity encoder is
+    :func:`encode_sequence_example_full`.
     """
     raise NotImplementedError(
         "tf.SequenceExample output is not implemented (parity with "
-        "reference converters.py:55-57)"
+        "reference converters.py:55-57); see encode_sequence_example_full"
     )
+
+
+def encode_sequence_example_full(
+    context: dict[str, Any], feature_lists: dict[str, list[Any]]
+) -> bytes:
+    """Working tf.train.SequenceExample encoder (beyond-parity).
+
+    Proto (public): SequenceExample { Features context = 1;
+    FeatureLists feature_lists = 2; }; FeatureLists { map<string,
+    FeatureList> feature_list = 1; }; FeatureList { repeated Feature
+    feature = 1; }. ``context`` is scalar features; each
+    ``feature_lists[name]`` is a time-ordered list whose steps each
+    encode as one Feature.
+    """
+    ctx_entries = []
+    for name in sorted(context):
+        feature = _encode_value(context[name])
+        entry = _len_delim(1, name.encode("utf-8")) + _len_delim(2, feature)
+        ctx_entries.append(_len_delim(1, entry))
+    ctx_msg = b"".join(ctx_entries)
+
+    fl_entries = []
+    for name in sorted(feature_lists):
+        steps = b"".join(
+            _len_delim(1, _encode_value(step)) for step in feature_lists[name]
+        )
+        entry = _len_delim(1, name.encode("utf-8")) + _len_delim(2, steps)
+        fl_entries.append(_len_delim(1, entry))
+    fl_msg = b"".join(fl_entries)
+
+    return _len_delim(1, ctx_msg) + _len_delim(2, fl_msg)
+
+
+def decode_sequence_example(data: bytes) -> tuple[dict, dict]:
+    """serialized SequenceExample -> (context, feature_lists)."""
+    context: dict[str, Any] = {}
+    feature_lists: dict[str, list] = {}
+    for f, msg in _fields(data):
+        if f == 1:  # context Features: reuse Example featuremap decoding
+            context.update(decode_example(_len_delim(1, msg)))
+        elif f == 2:  # FeatureLists
+            for f2, entry in _fields(msg):
+                if f2 != 1:
+                    continue
+                name, steps = None, []
+                for f3, v in _fields(entry):
+                    if f3 == 1:
+                        name = v.decode("utf-8")
+                    elif f3 == 2:  # FeatureList
+                        for f4, feat in _fields(v):
+                            if f4 == 1:
+                                wrapped = _len_delim(
+                                    1,
+                                    _len_delim(1, _len_delim(1, b"x") + _len_delim(2, feat)),
+                                )
+                                steps.append(decode_example(wrapped)["x"])
+                feature_lists[name] = steps
+    return context, feature_lists
 
 
 # ---------------------------------------------------------------------------

@@ -267,7 +267,7 @@ def materialize_features(
     out = entity_df
     for view_name, feats in resolved.items():
         view = registry.views[view_name]
-        fdf = spark.read.parquet(view.resolve_path(sf_dir))
+        fdf = view.read(spark, sf_dir)
         fdf = _apply_field_mapping(fdf, view.field_mapping)
         fdf = _normalize_ts(fdf, view.timestamp_col)
         prefix = f"{view_name}__" if full_feature_names else ""

@@ -51,13 +51,30 @@ class FeatureView:
     """
 
     name: str
-    path: str  # parquet path, possibly with {sf_dir} placeholder
+    path: str  # table path, possibly with {sf_dir} placeholder
     entities: tuple[str, ...]  # entity join key column(s)
     timestamp_col: str  # event_timestamp column in the table
     features: tuple[str, ...]  # selectable feature columns (post-mapping)
     created_col: str | None = None  # tie-break column (created_timestamp)
     ttl_seconds: int | None = None  # None/0 = no TTL bound
     field_mapping: dict[str, str] = field(default_factory=dict)  # src -> feature
+    format: str = "parquet"  # parquet | csv | json | orc
+
+    def read(self, spark, sf_dir: str):
+        """Load the physical table (format-dispatched; CSV/JSON get
+        header+schema inference — at scale, declare schemas instead)."""
+        path = self.resolve_path(sf_dir)
+        if self.format == "parquet":
+            return spark.read.parquet(path)
+        if self.format == "csv":
+            return spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(path)
+        if self.format == "json":
+            return spark.read.json(path)
+        if self.format == "orc":
+            return spark.read.orc(path)
+        raise RegistryError(f"unsupported view format: {self.format!r}")
 
     def resolve_path(self, sf_dir: str) -> str:
         if "{sf_dir}" in self.path:
@@ -102,6 +119,7 @@ class Registry:
                 created_col=v.get("created_col"),
                 ttl_seconds=v.get("ttl_seconds"),
                 field_mapping=dict(v.get("field_mapping", {})),
+                format=v.get("format", "parquet"),
             )
             views[fv.name] = fv
         services: dict[str, FeatureService] = {}
@@ -132,6 +150,7 @@ class Registry:
                     "created_col": v.created_col,
                     "ttl_seconds": v.ttl_seconds,
                     "field_mapping": dict(v.field_mapping),
+                    "format": v.format,
                 }
                 for v in self.views.values()
             ],

@@ -109,6 +109,55 @@ def encode_examples(df: DataFrame, bytes_col: str = "example") -> DataFrame:
     return df.mapInPandas(_encode, schema=f"{bytes_col} binary")
 
 
+def encode_sequence_examples(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    sequence_cols: list[str],
+    context_cols: list[str] | None = None,
+    bytes_col: str = "sequence_example",
+) -> DataFrame:
+    """Beyond-parity S8: rows -> per-key tf.SequenceExample bytes.
+
+    Groups rows by ``key_cols``, orders each group by ``order_col``
+    (sequence time), packs ``sequence_cols`` as per-step feature lists and
+    the keys (+ optional ``context_cols``, taken from the first step) as
+    context features. The grouping/ordering runs as a native
+    ``sort_array(collect_list(struct(...)))`` aggregate — one shuffle on
+    the key — and only the terminal proto encode is Python (mapInPandas).
+    """
+    from ..functions.tfexample import encode_sequence_example_full
+
+    context_cols = context_cols or []
+    step = F.struct(
+        F.col(order_col).alias("__ord"),
+        *[F.col(c).alias(c) for c in sequence_cols],
+        *[F.col(c).alias(c) for c in context_cols],
+    )
+    grouped = df.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(step)).alias("__steps")
+    )
+    names = key_cols + ["__steps"]
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False, name=None):
+                rec = dict(zip(names, row))
+                steps = rec["__steps"]
+                context = {k: _py(rec[k]) for k in key_cols}
+                for c in context_cols:
+                    context[c] = _py(steps[0][c]) if len(steps) else None
+                fls = {
+                    c: [_py(s[c]) for s in steps] for c in sequence_cols
+                }
+                out.append(encode_sequence_example_full(context, fls))
+            yield pd.DataFrame({bytes_col: out})
+
+    return grouped.mapInPandas(_encode, schema=f"{bytes_col} binary")
+
+
 def _py(v: Any) -> Any:
     """numpy/pandas scalar -> plain Python for the codec."""
     if v is None or v is pd.NaT:
