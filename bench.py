@@ -30,6 +30,8 @@ HEADLINE = [
     "q5_region_revenue",
     "window_topk_running",
     "json_events_daily",
+    "sessionization",
+    "windowed_event_counts",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -62,11 +64,17 @@ def main() -> None:
     # (footer reads + schema inference are one-time catalog setup).
     register_tables(spark, sf_dir)
 
+    # min of two timed executions per query: the first pass pays one-time
+    # costs (page cache, cache() population, plan-specific JIT) that a
+    # steady-state engine comparison should exclude.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        _run(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _run(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
