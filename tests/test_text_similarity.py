@@ -145,3 +145,34 @@ def test_ivf_topk_shape_and_determinism(spark, sf_dir):
             ivf_topk(emb, query_filter="vec_id < 10", k=5, n_probe=16).collect()}
     assert len(many & exact) >= len(few & exact)
     assert many == exact  # probing every cell == exhaustive search
+
+
+def test_ivf_kmeans_refinement_improves_balance(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+
+    def cost(cents):
+        # mean best-centroid (negative) similarity as a clustering cost proxy
+        assigned = ivf_assign(emb, cents, n_probe=1)
+        from tfx_addons_feast_examplegen_spark.operators.similarity import (
+            _dot,
+        )
+        import pyspark.sql.functions as F
+
+        lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
+        best = F.greatest(*[_dot(F.col("embedding"), p) for p in lits])
+        return emb.select(F.avg(best)).collect()[0][0]
+
+    init = ivf_centroids(emb, refine_iters=0)
+    refined = ivf_centroids(emb, refine_iters=2)
+    assert len(refined) == len(init) == 16
+    assert len(refined[0]) == 64
+    # refinement is deterministic
+    assert refined == ivf_centroids(emb, refine_iters=2)
+    # Lloyd iterations should not make the quantizer worse
+    assert cost(refined) >= cost(init) - 1e-9

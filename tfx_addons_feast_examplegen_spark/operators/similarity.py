@@ -159,19 +159,55 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> list[list[float]]:
-    """Train the IVF coarse quantizer: deterministic random init — a
-    hash-ordered sample of the corpus (k-means refinement plugs in
-    offline without changing the plumbing). Tiny driver-side result
-    (``n_cells`` vectors) shipped to assignment as literals.
+    """Train the IVF coarse quantizer.
+
+    Deterministic random init — a hash-ordered sample of the corpus —
+    optionally refined with ``refine_iters`` Lloyd (k-means) iterations.
+    Each iteration is two distributed steps: assignment (narrow
+    projection against broadcast centroid literals) and an element-wise
+    mean per cell computed as ``posexplode`` -> ``groupBy(cell, pos)`` ->
+    ``avg`` — one shuffle keyed on (cell, dim), no UDFs, scales to any
+    corpus size. Only the (n_cells × dim) centroid matrix ever reaches
+    the driver. Empty cells keep their previous centroid.
+
+    Spherical k-means: centroids are L2-normalized after init and after
+    every mean update, so dot-product assignment equals cosine
+    assignment and the mean cannot shrink centroids toward the origin
+    (which would collapse the dot-product objective for near-random
+    vectors).
     """
+
+    def _unit(v: list[float]) -> list[float]:
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / s for x in v]
+
     rows = (
         emb.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(n_cells)
         .select(vec_col)
         .collect()
     )
-    return [[float(x) for x in r[0]] for r in rows]
+    cents = [_unit([float(x) for x in r[0]]) for r in rows]
+    for _ in range(refine_iters):
+        assigned = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: list(v) for c, v in enumerate(cents)}  # keep empty cells
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, dims in by_cell.items():
+            new[cell] = _unit([dims[i] for i in range(len(dims))])
+        cents = [new[c] for c in range(n_cells)]
+    return cents
 
 
 def ivf_assign(
@@ -213,6 +249,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus vectors live in 1 cell each,
     queries probe their ``n_probe`` nearest cells; exact cosine ranks the
@@ -222,7 +259,12 @@ def ivf_topk(
     # One quantizer, trained on the corpus, shared by both sides — cells
     # are only comparable within a single centroid set.
     cents = ivf_centroids(
-        emb, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        seed=seed,
+        refine_iters=refine_iters,
     )
     corpus_cells = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"

@@ -365,6 +365,40 @@ _QSESSION_SPARK = _QSESSION.replace(
     "CAST(unix_timestamp(max(ts)) - unix_timestamp(min(ts)) AS BIGINT)",
 )
 
+# Percentiles (ordered-set aggregates; linear interpolation both engines).
+_QPERCENTILE = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+         AS p50_price,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+         AS p90_price,
+       round(median(l_quantity), 4) AS med_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# CUBE over two dimensions (full grouping-set lattice).
+_QCUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# Manual (CASE-based) pivot: portable across engines, the declarative
+# form of df.groupBy().pivot() for a fixed column set.
+_QPIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+         AS purchase_value
+FROM events GROUP BY user_id
+"""
+
 # Correlated/uncorrelated subquery + HAVING (declared-SQL breadth).
 _QHAVING = """
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
@@ -760,6 +794,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _QMONTHLY,
     ),
     "sessionization": (_sql_query(_QSESSION_SPARK), _QSESSION),
+    "percentiles": (_sql_query(_QPERCENTILE), _QPERCENTILE),
+    "cube_lattice": (_sql_query(_QCUBE), _QCUBE),
+    "case_pivot": (_sql_query(_QPIVOT), _QPIVOT),
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
