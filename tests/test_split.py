@@ -51,3 +51,46 @@ def test_fingerprint_split_matches_formula(spark):
     for k, split in rows.items():
         bucket = ((k * 2654435761) % (2**31)) % 3
         assert split == ("train" if bucket < 2 else "eval")
+
+
+def test_salted_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.skew import salted_agg
+
+    # skewed: 90% of rows on key 0
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    got = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("count", "v"), "total": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_non_mergeable(spark):
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.skew import salted_agg
+
+    df = spark.range(10).selectExpr("id AS k", "id AS v")
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"m": ("avg", "v")})

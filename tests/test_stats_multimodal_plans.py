@@ -103,3 +103,27 @@ def test_pit_join_plan_shape(spark, sf_dir):
     # snapshot list may nested-loop (broadcast cross of 4 literals)
     assert s["nested_loop_joins"] <= 2
     assert s["sort_merge_joins"] + s["broadcast_hash_joins"] >= 1
+
+
+def test_sketch_distinct_within_tolerance(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.queries import queries
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    approx = {
+        r.l_returnflag: (r.approx_orders, r.approx_parts)
+        for r in queries()["sketch_distinct_counts"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.o, r.p)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("o"),
+            F.countDistinct("l_partkey").alias("p"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / e < 0.05  # rsd 0.02, generous bound

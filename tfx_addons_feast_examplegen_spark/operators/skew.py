@@ -1,0 +1,63 @@
+"""Skew mitigation helpers for hot-key aggregations.
+
+AQE handles skewed sort-merge JOINs automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in :mod:`..session`), and
+all of this engine's aggregates use map-side partial aggregation — the
+first line of defense. But a groupBy whose per-group state is large
+(``collect_list``, big structs) concentrates one hot key's entire state
+in a single reducer. The standard fix is two-stage salted aggregation:
+
+    stage 1: groupBy(key, salt)  — hot key spreads over N reducers
+    stage 2: groupBy(key)        — merge the N partial states
+
+which works for any aggregate with an associative merge. The helper
+covers the common count/sum/min/max family; custom merges follow the
+same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGEABLE = {"count", "sum", "min", "max"}
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs``: {output_name: (fn, column)} with fn in count/sum/min/max.
+    Stage-1 shuffle key is (group_cols, salt) with a random-but-
+    deterministic salt from ``xxhash64`` of a monotonic row id — uniform
+    over salts, stable within a job run; stage-2 merges per group
+    (count merges via sum).
+    """
+    bad = {f for f, _ in aggs.values()} - _MERGEABLE
+    if bad:
+        raise ValueError(f"unsupported salted aggregate fns: {sorted(bad)}")
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salted = df.withColumn("__salt", salt)
+
+    def _fn(name: str, col: str) -> Column:
+        return getattr(F, name)(F.col(col) if name != "count" else F.lit(1))
+
+    stage1 = salted.groupBy(*group_cols, "__salt").agg(
+        *[_fn(fn, col).alias(f"__p_{out}") for out, (fn, col) in aggs.items()]
+    )
+    merge = {
+        out: ("sum" if fn == "count" else fn) for out, (fn, _) in aggs.items()
+    }
+    stage2 = stage1.groupBy(*group_cols).agg(
+        *[
+            getattr(F, merge[out])(F.col(f"__p_{out}")).alias(out)
+            for out in aggs
+        ]
+    )
+    return stage2

@@ -751,6 +751,37 @@ FROM lineitem"""
     return "\nUNION ALL\n".join(parts)
 
 
+def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog++ sketches: the 100 TB path for distinct counting —
+    # constant memory per group vs countDistinct's exact shuffle. Sketch
+    # estimates aren't bit-portable across engines -> rows-only check;
+    # pytest bounds the relative error against exact counts.
+    t = register_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+    )
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Subword-ish token budget per source (lookahead regex not portable
+    # to RE2 -> rows-only; semantics pytest-verified).
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", tx.bpe_ish_token_count("text").alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 2).alias("avg_bpe_tokens"),
+        )
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: recall-vs-cost trade is measured in pytest
     # against cosine_topk; rows-only check here (rank set depends on LSH
@@ -797,6 +828,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percentiles": (_sql_query(_QPERCENTILE), _QPERCENTILE),
     "cube_lattice": (_sql_query(_QCUBE), _QCUBE),
     "case_pivot": (_sql_query(_QPIVOT), _QPIVOT),
+    "sketch_distinct_counts": (_q_sketch_distinct, None),  # rows-only (HLL)
+    "text_bpe_token_budget": (_q_bpe_tokens, None),  # rows-only (regex)
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
