@@ -394,6 +394,8 @@ def simhash_pairs(
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
+        # filter BEFORE the dedup shuffle: the hamming test is a cheap
+        # row-local predicate, the distinct is a shuffle — shrink first
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -60,15 +60,19 @@ def cosine_pairs(
     O(n²/2) comparisons — the exact verifier / small-corpus path; LSH
     (below) is the scale path. Output: (vec_a, vec_b, cos), vec_a < vec_b.
     """
+    # Norms are precomputed per vector (bit-identical to recomputing
+    # them per pair, but O(n) instead of O(n²) norm work).
     a = emb.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
     )
     b = emb.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", cos)
@@ -95,13 +99,17 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos, rank).
     """
     q = queries if queries is not None else emb.filter(query_filter)
-    qs = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qs = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
     corpus = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cos, 6))

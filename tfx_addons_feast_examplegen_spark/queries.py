@@ -467,8 +467,9 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64-based bit votes are not portable SQL -> rows-only check;
     # semantic properties are pytest-verified (tests/test_dedup.py).
+    # max_hamming=3: within the 4x16-bit pigeonhole completeness bound.
     t = register_tables(spark, sf_dir)
-    return dd.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=8)
+    return dd.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,7 +801,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pit_join_multiview": (_q_pit_multiview, _PIT_MULTIVIEW_ORACLE),
     "feature_service": (_q_feature_service, _pit_oracle()),
     "hash_split_counts": (_q_split_counts, _SPLIT_ORACLE),
-    "q1_pricing_summary": (_sql_query(_Q1), _Q1.replace("TIMESTAMP '1998-09-02 00:00:00'", "TIMESTAMP '1998-09-02 00:00:00'")),
+    "q1_pricing_summary": (_sql_query(_Q1), _Q1),
     "q3_top_revenue": (
         _sql_query(
             _Q3.replace(
