@@ -98,3 +98,29 @@ def test_latest_state_matches_batch_asof_now(spark, sf_dir, events_path):
     want = {r.user_id: (r.value, r.latest_ts) for r in expected.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_to_tfrecords(spark, events_path, tmp_path):
+    import glob
+
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        decode_example,
+    )
+    from tfx_addons_feast_examplegen_spark.sources.tfrecord import read_tfrecords
+    from tfx_addons_feast_examplegen_spark.streaming.events import (
+        stream_examples_to_tfrecords,
+    )
+
+    stream = read_events_stream(spark, events_path).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = str(tmp_path / "stream_examples")
+    stream_examples_to_tfrecords(
+        stream, out, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    files = glob.glob(f"{out}/Split-*/*.tfrecord.gz")
+    assert files
+    n = sum(1 for f in files for _ in read_tfrecords(f))
+    assert n == spark.read.parquet(events_path).count()
+    ex = decode_example(next(read_tfrecords(files[0])))
+    assert set(ex) == {"event_id", "user_id", "value", "event_type"}

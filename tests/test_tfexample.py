@@ -314,3 +314,36 @@ def test_csv_feature_view(spark, sf_dir, tmp_path):
         sf_dir=sf_dir,
     )
     assert df.filter("value IS NOT NULL").count() > 0
+
+
+def test_generate_examples_artifacts(spark, sf_dir, tmp_path):
+    import json
+
+    from tfx_addons_feast_examplegen_spark.registry import testdata_registry
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        generate_examples,
+    )
+
+    register_tables(spark, sf_dir)
+    out = str(tmp_path / "with_artifacts")
+    generate_examples(
+        spark,
+        registry=testdata_registry(),
+        entity_query="""
+            SELECT c_custkey AS user_id,
+                   TIMESTAMP '2024-01-15 00:00:00' AS event_timestamp
+            FROM customer WHERE c_custkey < 30
+        """,
+        features=["user_events:value"],
+        sf_dir=sf_dir,
+        output_dir=out,
+        emit_artifacts=True,
+    )
+    stats = json.load(open(f"{out}/statistics.json"))
+    cols = {s["column"] for s in stats}
+    assert {"user_id", "value", "event_timestamp"} <= cols
+    by_col = {s["column"]: s for s in stats}
+    assert by_col["user_id"]["count"] == 30
+    schema = json.load(open(f"{out}/schema.json"))
+    assert {f["name"] for f in schema["fields"]} >= {"user_id", "value"}

@@ -187,6 +187,7 @@ def generate_examples(
     split_keys: list[str] | None = None,
     output_format: str = FORMAT_PARQUET,
     seed: int = 42,
+    emit_artifacts: bool = False,
 ) -> DataFrame:
     """Run the full ExampleGen chain; returns the split-annotated DataFrame.
 
@@ -231,4 +232,20 @@ def generate_examples(
             write_partitioned_tfrecords(
                 encoded, output_dir, bytes_col="example", split_col="split"
             )
+        if emit_artifacts:
+            # The reference's usage sketch declares statistics + schema
+            # outputs (usage_prototype.py:60-61, commented out — A3/A4).
+            # Written AFTER the data sink: mode("overwrite") clears the
+            # output directory.
+            import json as _json
+            import os as _os
+
+            from ..operators.stats import column_stats, schema_artifact
+
+            _os.makedirs(output_dir, exist_ok=True)
+            stats_rows = [r.asDict() for r in column_stats(df).collect()]
+            with open(_os.path.join(output_dir, "statistics.json"), "w") as f:
+                _json.dump(stats_rows, f, indent=2, default=str)
+            with open(_os.path.join(output_dir, "schema.json"), "w") as f:
+                f.write(schema_artifact(df))
     return out

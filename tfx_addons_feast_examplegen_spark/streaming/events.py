@@ -132,6 +132,45 @@ def latest_feature_state(
     )
 
 
+def stream_examples_to_tfrecords(
+    stream_df: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    query_name: str = "examples_sink",
+    available_now: bool = True,
+):
+    """Continuous ExampleGen: stream rows -> tf.Example TFRecords.
+
+    ``foreachBatch`` bridges the streaming plan to the batch encode+split
+    +sink chain (the standard pattern for sinks Spark lacks a streaming
+    writer for). Each micro-batch is hash-split on its serialized bytes
+    and appended under ``Split-{name}/``; the checkpoint gives
+    exactly-once per micro-batch on restart.
+    """
+    from ..operators.split import hash_split
+    from ..sources.examplegen import encode_examples
+    from ..sources.tfrecord import write_partitioned_tfrecords
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        encoded = hash_split(encode_examples(batch_df), ["example"])
+        write_partitioned_tfrecords(
+            encoded, out_dir, bytes_col="example", split_col="split"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def run_to_completion(
     stream_df: DataFrame, *, output_mode: str = "append", query_name: str = "q"
 ):
