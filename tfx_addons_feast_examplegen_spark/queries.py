@@ -783,6 +783,34 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal plumbing surfaced as a query: binary payloads + typed
+    # metadata -> Arrow-batched feature extraction (deterministic fake
+    # codec) -> per-format aggregation. The decode kernel is the stubbed
+    # boundary (no codec libs in this env); everything around it is the
+    # real pipeline. Rows-only: sha256-derived features aren't practical
+    # to mirror in the oracle's SQL dialect.
+    from .operators.multimodal import (
+        StubImageCodec,
+        attach_binary_payloads,
+        extract_features,
+    )
+
+    t = register_tables(spark, sf_dir)
+    media = attach_binary_payloads(t["documents"])
+    feats = extract_features(
+        media, StubImageCodec(feat_dim=8, deterministic_fake=True)
+    )
+    return (
+        feats.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg(F.col("feat")[0]), 4).alias("avg_feat0"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+        )
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: recall-vs-cost trade is measured in pytest
     # against cosine_topk; rows-only check here (rank set depends on LSH
@@ -831,6 +859,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "case_pivot": (_sql_query(_QPIVOT), _QPIVOT),
     "sketch_distinct_counts": (_q_sketch_distinct, None),  # rows-only (HLL)
     "text_bpe_token_budget": (_q_bpe_tokens, None),  # rows-only (regex)
+    "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
