@@ -106,13 +106,15 @@ def point_in_time_join(
     entity side duplicates 2× before the shuffle. Results are identical
     to the unbucketed join (equivalence is test-enforced).
 
-    Measured (scripts/scale_experiment.py, local[32], 10M events / 10k
-    users / 36 snapshots / 10% of events on one hot key, ttl=7d): plain
-    range join 8.7s vs bucketed 5.1s; the gap grows linearly with history
-    depth since plain candidates scale with full per-key history while
-    bucketed candidates are capped at two TTL windows. With shallow
-    history ((≲100 events/key) the bucket arithmetic and 2× probe
-    overhead make the plain join marginally faster — choose per table.
+    Measured (scripts/scale_experiment.py, local[32], ttl=7d, 10% of
+    events on one hot key): 10M events / 10k users / 36 snapshots —
+    plain 8.7s vs bucketed 5.1s (1.7×); 50M events / 100k users / 24
+    snapshots (5M-event hot key) — plain 75.4s vs bucketed 17.3s
+    (4.4×). The gap grows with history depth since plain candidates
+    scale with full per-key history while bucketed candidates are capped
+    at two TTL windows. With shallow history (≲100 events/key) the
+    bucket arithmetic and 2× probe overhead make the plain join
+    marginally faster — choose per table.
     """
     if not features:
         raise RegistryError("point_in_time_join: empty feature list")
