@@ -127,3 +127,36 @@ def test_sketch_distinct_within_tolerance(spark, sf_dir):
     for flag in exact:
         for a, e in zip(approx[flag], exact[flag]):
             assert abs(a - e) / e < 0.05  # rsd 0.02, generous bound
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        StubImageCodec,
+        attach_binary_payloads,
+        extract_features,
+        resize_media,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(10)
+    media = attach_binary_payloads(docs)
+    resized = resize_media(
+        media,
+        target_width=32,
+        target_height=32,
+        codec=StubImageCodec(deterministic_fake=True),
+    )
+    rows = resized.collect()
+    assert len(rows) == 10
+    assert all(r.width == 32 and r.height == 32 for r in rows)
+    assert all(len(bytes(r.payload)) >= 1 for r in rows)
+    # resized output flows through the downstream feature stage unchanged
+    feats = extract_features(
+        resized, StubImageCodec(feat_dim=4, deterministic_fake=True)
+    )
+    assert feats.count() == 10
+    # stub boundary: default codec refuses
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|resampling|codec"):
+        resize_media(media, target_width=8, target_height=8).collect()

@@ -108,6 +108,49 @@ def extract_features(
     return media_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    media_df: DataFrame,
+    *,
+    target_width: int,
+    target_height: int,
+    codec: StubImageCodec | None = None,
+) -> DataFrame:
+    """Resize plumbing: recompute typed metadata, re-emit payload through
+    the codec boundary via ``mapInPandas``.
+
+    The actual pixel resampling is the stubbed kernel (same boundary as
+    :func:`extract_features`); with the deterministic fake the "resized"
+    payload is a proportional byte slice — wrong pixels, right plumbing:
+    schema, metadata recomputation, Arrow batch flow, and downstream
+    writability are all real.
+    """
+    codec = codec or StubImageCodec()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not codec.deterministic_fake:
+                raise NotImplementedError(
+                    "real resampling needs codec libs; use "
+                    "StubImageCodec(deterministic_fake=True) for plumbing"
+                )
+            outs = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                b = bytes(p)
+                frac = min(1.0, (target_width * target_height) / max(w * h, 1))
+                outs.append(b[: max(1, int(len(b) * frac))])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": outs,
+                    "format": pdf["format"],
+                    "width": target_width,
+                    "height": target_height,
+                }
+            )
+
+    return media_df.mapInPandas(_resize, schema=IMAGE_SCHEMA)
+
+
 def sample_frames(
     media_df: DataFrame,
     *,
