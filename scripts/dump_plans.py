@@ -1,0 +1,70 @@
+"""Regenerate docs/PLANS.md: annotated physical plans for key operators.
+
+Usage: python scripts/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tfx_addons_feast_examplegen_spark.plans.explain import plan_summary, plan_text
+from tfx_addons_feast_examplegen_spark.queries import queries
+from tfx_addons_feast_examplegen_spark.session import get_spark, register_tables
+
+COMMENT = {
+    "pit_join": """The core operator. Reading the plan bottom-up: the spine's distinct
+lands ONE Exchange on (user_id, ts); the candidate as-of join is a
+BroadcastHashJoin at this scale (AQE picks SMJ on large feature tables —
+the equi conjunct on user_id drives that shuffle); latest-wins dedup is
+partial_max_by -> max_by back-to-back with NO intervening Exchange
+(Catalyst reuses the spine partitioning), and its key-only Sort is reused
+verbatim by the final SortMergeJoin back onto the entity rows. Filters
+(IsNotNull) are pushed to the parquet scans; only needed columns are read
+(ReadSchema).""",
+    "q5_region_revenue": """Star join: region/nation/supplier are auto-broadcast (no shuffle on the
+fact side until the aggregation); the lineitem scan prunes to 4 columns.""",
+    "dedup_ngram_jaccard": """Shingle self-join: the join key IS the (hashed) shingle, so documents
+sharing no shingle never pair; frequency guard drops degenerate hot
+shingles before the join. All aggregates are partial/final pairs.""",
+    "similarity_topk": """Query batch broadcast against the corpus scan: the corpus never
+shuffles for scoring; the only Exchange is the per-query top-k window.""",
+}
+
+HDR = """# Physical plans (generated)
+
+Operator trees captured from `df.explain(\"formatted\")` at sf0.1 on
+local[32] with AQE enabled, with commentary on why each shape is the one
+we want at 100 TB. Regenerate with `python scripts/dump_plans.py`.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("dump_plans")
+    register_tables(spark, sf_dir)
+    qs = queries()
+    sections = []
+    for name, comment in COMMENT.items():
+        df = qs[name](spark, sf_dir)
+        tree = plan_text(df).split("\n\n", 1)[0]
+        s = plan_summary(df)
+        sections.append(
+            f"## {name}\n\n{comment}\n\n"
+            f"Summary: {s['exchanges']} exchanges, "
+            f"{s['broadcast_hash_joins']} broadcast joins, "
+            f"{s['sort_merge_joins']} sort-merge joins, "
+            f"pushed filters: {s['pushed_filters']}\n\n"
+            f"```\n{tree.strip()}\n```\n"
+        )
+    out = os.path.join(os.path.dirname(os.path.dirname(__file__)), "docs", "PLANS.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write(HDR + "\n" + "\n".join(sections))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
