@@ -219,3 +219,31 @@ def test_time_bucketed_requires_ttl(spark):
     feat = _features(spark, [(1, T(2024, 1, 5), 1, 1.0)])
     with pytest.raises(RegistryError):
         _join(ent, feat, time_bucketed=True)
+
+
+def test_empty_feature_table(spark):
+    # Entities survive with NULLs when the feature table is empty.
+    ent = _entities(spark, [(1, T(2024, 1, 10)), (2, T(2024, 1, 11))])
+    feat = _features(spark, [])
+    rows = _join(ent, feat).collect()
+    assert len(rows) == 2
+    assert all(r.val is None for r in rows)
+
+
+def test_empty_entity_spine(spark):
+    ent = _entities(spark, [])
+    feat = _features(spark, [(1, T(2024, 1, 5), 1, 1.0)])
+    assert _join(ent, feat).count() == 0
+
+
+def test_null_entity_key_keeps_row_with_null_features(spark):
+    # NULL join keys never match (SQL equality semantics) but the entity
+    # row itself survives the left join.
+    ent = spark.createDataFrame(
+        [(None, T(2024, 1, 10)), (1, T(2024, 1, 10))],
+        "uid long, ts timestamp",
+    )
+    feat = _features(spark, [(1, T(2024, 1, 5), 1, 5.0)])
+    rows = {r.uid: r.val for r in _join(ent, feat).collect()}
+    assert rows[1] == 5.0
+    assert rows[None] is None

@@ -108,6 +108,32 @@ def _q_pit_join_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pit_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB scale path (time_bucketed=True) against the SAME oracle
+    # as the plain TTL join — result equivalence is part of the contract.
+    from .operators.pit_join import point_in_time_join
+
+    t = register_tables(spark, sf_dir)
+    spine = spark.sql(_SPINE_SQL)
+    out = point_in_time_join(
+        spine,
+        t["events"],
+        join_keys=["user_id"],
+        entity_ts_col="event_timestamp",
+        feature_ts_col="ts",
+        features=["value", "event_type"],
+        created_col="event_id",
+        ttl_seconds=7 * 24 * 3600,
+        time_bucketed=True,
+    )
+    return out.select(
+        F.col("user_id"),
+        F.unix_timestamp("event_timestamp").alias("snapshot_ts"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+
+
 def _q_feature_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Feature-service expansion (P2): service name -> stored refs.
     return _pit_query("user_activity")(spark, sf_dir)
@@ -826,6 +852,7 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pit_join": (_q_pit_join, _pit_oracle()),
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
+    "pit_join_time_bucketed": (_q_pit_join_bucketed, _pit_oracle(ttl_days=7)),
     "pit_join_multiview": (_q_pit_multiview, _PIT_MULTIVIEW_ORACLE),
     "feature_service": (_q_feature_service, _pit_oracle()),
     "hash_split_counts": (_q_split_counts, _SPLIT_ORACLE),
