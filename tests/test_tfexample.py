@@ -347,3 +347,43 @@ def test_generate_examples_artifacts(spark, sf_dir, tmp_path):
     assert by_col["user_id"]["count"] == 30
     schema = json.load(open(f"{out}/schema.json"))
     assert {f["name"] for f in schema["fields"]} >= {"user_id", "value"}
+
+
+def test_json_feature_view(spark, sf_dir, tmp_path):
+    # Registry format dispatch for JSON-lines feature tables.
+    from tfx_addons_feast_examplegen_spark.operators.pit_join import (
+        materialize_features,
+    )
+    from tfx_addons_feast_examplegen_spark.registry import FeatureView, Registry
+    from tfx_addons_feast_examplegen_spark.session import load_table, register_tables
+
+    register_tables(spark, sf_dir)
+    json_dir = str(tmp_path / "events_json")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    ).write.mode("overwrite").json(json_dir)
+    reg = Registry(
+        views={
+            "ev_json": FeatureView(
+                name="ev_json",
+                path=json_dir,
+                entities=("user_id",),
+                timestamp_col="ts",
+                features=("value",),
+                created_col="event_id",
+                format="json",
+            )
+        }
+    )
+    df = materialize_features(
+        spark,
+        entity_query="""
+            SELECT c_custkey AS user_id,
+                   TIMESTAMP '2024-01-20 00:00:00' AS event_timestamp
+            FROM customer WHERE c_custkey < 15
+        """,
+        features=["ev_json:value"],
+        registry=reg,
+        sf_dir=sf_dir,
+    )
+    assert df.filter("value IS NOT NULL").count() > 0
