@@ -32,3 +32,29 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS events_bucketed")
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    # Date-partitioned feature-table layout: a filter on the partition
+    # column must prune at planning time (PartitionFilters in the scan),
+    # reading only matching directories — the other half of data-skipping
+    # alongside bucketing.
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.plans.explain import plan_text
+
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_day")
+    (
+        events.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("day") == "2024-01-15")
+    txt = plan_text(df)
+    assert "PartitionFilters" in txt
+    assert "2024-01-15" in txt.replace("19737", "2024-01-15")  # date literal or epoch-day
+    n = df.count()
+    expected = events.filter(F.to_date("ts") == "2024-01-15").count()
+    assert n == expected > 0

@@ -94,3 +94,30 @@ def test_salted_agg_rejects_non_mergeable(spark):
     df = spark.range(10).selectExpr("id AS k", "id AS v")
     with _pytest.raises(ValueError):
         salted_agg(df, ["k"], {"m": ("avg", "v")})
+
+
+def test_split_properties_hypothesis(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        splits=st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c", "d"]),
+                      st.integers(min_value=1, max_value=5)),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        ),
+        seed=st.integers(min_value=0, max_value=1000),
+    )
+    def check(splits, seed):
+        df = _df(spark, 200)
+        out = hash_split(df, ["k"], splits, seed=seed).collect()
+        names = {s for s, _ in splits}
+        # total function: every row lands in exactly one declared split
+        assert len(out) == 200
+        assert {r.split for r in out} <= names
+        # determinism under the same seed
+        again = hash_split(_df(spark, 200), ["k"], splits, seed=seed).collect()
+        assert {(r.k, r.split) for r in out} == {(r.k, r.split) for r in again}
+
+    check()

@@ -425,6 +425,23 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+# Window-function breadth: lead/lag/first/last/ntile with explicit frames
+# over per-user event sequences.
+_QWINDOW_FULL = """
+SELECT user_id, event_id,
+       round(value, 2) AS value,
+       round(lag(value) OVER w, 2) AS prev_value,
+       round(lead(value) OVER w, 2) AS next_value,
+       round(first_value(value) OVER w, 2) AS first_value_seen,
+       round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS final_value,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+         AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
 # Correlated/uncorrelated subquery + HAVING (declared-SQL breadth).
 _QHAVING = """
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
@@ -881,6 +898,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _QMONTHLY,
     ),
     "sessionization": (_sql_query(_QSESSION_SPARK), _QSESSION),
+    "window_lead_lag_ntile": (_sql_query(_QWINDOW_FULL), _QWINDOW_FULL),
     "percentiles": (_sql_query(_QPERCENTILE), _QPERCENTILE),
     "cube_lattice": (_sql_query(_QCUBE), _QCUBE),
     "case_pivot": (_sql_query(_QPIVOT), _QPIVOT),
