@@ -387,3 +387,46 @@ def test_json_feature_view(spark, sf_dir, tmp_path):
         sf_dir=sf_dir,
     )
     assert df.filter("value IS NOT NULL").count() > 0
+
+
+def test_generate_sequence_examples_full(spark, sf_dir, tmp_path):
+    import glob
+
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        decode_sequence_example,
+    )
+    from tfx_addons_feast_examplegen_spark.registry import testdata_registry
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        FORMAT_TF_SEQUENCE_EXAMPLE_FULL,
+        generate_examples,
+    )
+
+    register_tables(spark, sf_dir)
+    out = str(tmp_path / "seq_out")
+    generate_examples(
+        spark,
+        registry=testdata_registry(),
+        entity_query="""
+            SELECT e.user_id, e.ts AS event_timestamp, e.event_id
+            FROM events e
+        """,
+        features=["user_events:value", "user_events:event_type"],
+        sf_dir=sf_dir,
+        output_dir=out,
+        output_format=FORMAT_TF_SEQUENCE_EXAMPLE_FULL,
+        sequence_config={
+            "key_cols": ["user_id"],
+            "order_col": "event_id",
+            "sequence_cols": ["value", "event_type"],
+        },
+    )
+    files = glob.glob(f"{out}/Split-*/*.tfrecord.gz")
+    assert files
+    n_users = spark.table("events").select("user_id").distinct().count()
+    recs = [r for f in files for r in read_tfrecords(f)]
+    assert len(recs) == n_users
+    ctx, fls = decode_sequence_example(recs[0])
+    assert "user_id" in ctx
+    assert set(fls) == {"value", "event_type"}
+    assert len(fls["value"]) > 0

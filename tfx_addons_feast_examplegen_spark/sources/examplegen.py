@@ -38,7 +38,8 @@ from .tfrecord import write_partitioned_tfrecords
 # Output-format enum, mirroring the reference's dispatch values
 # (executor.py:142-153: FORMAT_TF_EXAMPLE / FORMAT_TF_SEQUENCE_EXAMPLE).
 FORMAT_TF_EXAMPLE = "tf_example"
-FORMAT_TF_SEQUENCE_EXAMPLE = "tf_sequence_example"
+FORMAT_TF_SEQUENCE_EXAMPLE = "tf_sequence_example"  # reference parity: raises
+FORMAT_TF_SEQUENCE_EXAMPLE_FULL = "tf_sequence_example_full"  # working impl
 FORMAT_PARQUET = "parquet"  # engine-native default (no proto roundtrip)
 
 
@@ -188,6 +189,7 @@ def generate_examples(
     output_format: str = FORMAT_PARQUET,
     seed: int = 42,
     emit_artifacts: bool = False,
+    sequence_config: dict | None = None,
 ) -> DataFrame:
     """Run the full ExampleGen chain; returns the split-annotated DataFrame.
 
@@ -195,13 +197,26 @@ def generate_examples(
     ``FORMAT_PARQUET`` -> parquet partitioned by split;
     ``FORMAT_TF_EXAMPLE`` -> gzipped TFRecords under ``Split-{name}/``;
     ``FORMAT_TF_SEQUENCE_EXAMPLE`` -> NotImplementedError (reference
-    parity: converters.py:55-57); anything else -> RegistryError
-    (executor.py:150-153 rejects unknown formats).
+    parity: converters.py:55-57);
+    ``FORMAT_TF_SEQUENCE_EXAMPLE_FULL`` (beyond-parity) -> per-key
+    SequenceExample TFRecords, configured by ``sequence_config`` =
+    ``{"key_cols": [...], "order_col": ..., "sequence_cols": [...]}``;
+    anything else -> RegistryError (executor.py:150-153 rejects unknown
+    formats).
     """
     if output_format == FORMAT_TF_SEQUENCE_EXAMPLE:
         encode_sequence_example({})  # raises NotImplementedError (S8)
-    if output_format not in (FORMAT_TF_EXAMPLE, FORMAT_PARQUET):
+    if output_format not in (
+        FORMAT_TF_EXAMPLE,
+        FORMAT_PARQUET,
+        FORMAT_TF_SEQUENCE_EXAMPLE_FULL,
+    ):
         raise RegistryError(f"unsupported output format: {output_format!r}")
+    if output_format == FORMAT_TF_SEQUENCE_EXAMPLE_FULL and not sequence_config:
+        raise RegistryError(
+            "tf_sequence_example_full requires sequence_config="
+            "{'key_cols', 'order_col', 'sequence_cols'}"
+        )
 
     query = substitute_params(entity_query, params)
     df = materialize_features(
@@ -222,6 +237,21 @@ def generate_examples(
                 out.write.mode("overwrite")
                 .partitionBy("split")
                 .parquet(output_dir)
+            )
+        elif output_format == FORMAT_TF_SEQUENCE_EXAMPLE_FULL:
+            seqs = encode_sequence_examples(
+                df,
+                key_cols=list(sequence_config["key_cols"]),
+                order_col=sequence_config["order_col"],
+                sequence_cols=list(sequence_config["sequence_cols"]),
+                context_cols=list(sequence_config.get("context_cols", [])),
+            )
+            encoded = hash_split(seqs, ["sequence_example"], splits, seed=seed)
+            write_partitioned_tfrecords(
+                encoded,
+                output_dir,
+                bytes_col="sequence_example",
+                split_col="split",
             )
         else:
             # The reference's base executor buckets on the hash of the
