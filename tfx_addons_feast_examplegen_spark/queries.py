@@ -826,6 +826,35 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The stateful applyInPandasWithState sessionizer, driven to
+    # completion over time-sliced micro-batches. Rows-only: the emission
+    # horizon depends on the final watermark; equality with the batch
+    # sessionization below that horizon is asserted in
+    # tests/test_stateful_sessions.py.
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F2
+
+    from .session import load_table
+    from .streaming.events import read_events_stream, run_to_completion
+    from .streaming.sessions import sessionize_stream
+
+    register_tables(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sessionize_stream_") + "/ev"
+    mid = "2024-01-16 00:00:00"
+    for cond in [F2.col("ts") < mid, F2.col("ts") >= mid]:
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> chronological batches
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    return run_to_completion(
+        sessionize_stream(stream, gap_seconds=1800, watermark_delay="1 hour"),
+        query_name="q_sessionization_streaming",
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal plumbing surfaced as a query: binary payloads + typed
     # metadata -> Arrow-batched feature extraction (deterministic fake
@@ -905,6 +934,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sketch_distinct_counts": (_q_sketch_distinct, None),  # rows-only (HLL)
     "text_bpe_token_budget": (_q_bpe_tokens, None),  # rows-only (regex)
     "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
+    "sessionization_streaming": (_q_sessionization_streaming, None),  # rows-only
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
