@@ -160,3 +160,26 @@ def test_resize_media_plumbing(spark, sf_dir):
 
     with _pytest.raises(Exception, match="NotImplementedError|resampling|codec"):
         resize_media(media, target_width=8, target_height=8).collect()
+
+
+def test_sketch_quantiles_within_tolerance(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.queries import queries
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p90_approx)
+        for r in queries()["sketch_quantiles"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / e < 0.02  # accuracy=1000 -> ~0.1% rank error

@@ -811,6 +811,21 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable quantile sketches (percentile_approx/KLL-style): the
+    # 100 TB alternative to the exact ordered-set aggregates in the
+    # `percentiles` query. Rows-only; pytest bounds error vs exact.
+    t = register_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_approx"),
+        )
+    )
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Subword-ish token budget per source (lookahead regex not portable
     # to RE2 -> rows-only; semantics pytest-verified).
@@ -932,6 +947,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cube_lattice": (_sql_query(_QCUBE), _QCUBE),
     "case_pivot": (_sql_query(_QPIVOT), _QPIVOT),
     "sketch_distinct_counts": (_q_sketch_distinct, None),  # rows-only (HLL)
+    "sketch_quantiles": (_q_sketch_quantiles, None),  # rows-only (approx)
     "text_bpe_token_budget": (_q_bpe_tokens, None),  # rows-only (regex)
     "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
     "sessionization_streaming": (_q_sessionization_streaming, None),  # rows-only
