@@ -1,0 +1,84 @@
+"""Composed corpus-prep pipeline + connected-components dup clustering."""
+
+from pyspark.sql import Row
+
+from tfx_addons_feast_examplegen_spark.operators.corpus import (
+    duplicate_clusters,
+    prepare_corpus,
+    survivorship_report,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_prepare_corpus_stages(spark):
+    long_ok = " ".join(f"tok{i}" for i in range(60))
+    df = _docs(
+        spark,
+        [
+            long_ok,                       # 0: survives
+            long_ok,                       # 1: exact dup of 0 -> dropped
+            long_ok + " extra trailing",   # 2: near-dup of 0 -> dropped
+            "spam " * 60,                  # 3: low quality -> dropped
+            " ".join(f"other{i}" for i in range(60)),  # 4: survives
+        ],
+    )
+    kept = prepare_corpus(df, min_quality=0.35, jaccard_threshold=0.5)
+    assert {r.doc_id for r in kept.collect()} == {0, 4}
+    rep = survivorship_report(df, kept).collect()[0]
+    assert (rep.n_input, rep.n_kept, rep.n_dropped) == (5, 2, 3)
+
+
+def test_prepare_corpus_on_fixture(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    kept = prepare_corpus(docs, min_quality=0.35, jaccard_threshold=0.5)
+    n_in, n_kept = docs.count(), kept.count()
+    assert 0 < n_kept < n_in  # both filters bite on the fixture
+    # near-dup planted pairs: loser of every pair is gone
+    from tfx_addons_feast_examplegen_spark.operators.dedup import jaccard_pairs
+
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for p in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect():
+        assert not (p.doc_a in kept_ids and p.doc_b in kept_ids)
+
+
+def test_duplicate_clusters_transitive(spark):
+    a = BASE
+    b = BASE.replace("dog", "cat")      # near a
+    c = BASE.replace("dog", "cat").replace("quick", "slow")  # near b
+    other = " ".join(f"x{i}" for i in range(20))
+    df = _docs(spark, [a, b, c, other])
+    clusters = {
+        r.doc_id: r.cluster
+        for r in duplicate_clusters(df, jaccard_threshold=0.3).collect()
+    }
+    # a~b and b~c chain into ONE component labeled min id (0), even if
+    # a~c alone wouldn't pass the threshold (transitivity via b)
+    assert clusters.get(0) == clusters.get(1) == clusters.get(2) == 0
+    assert 3 not in clusters  # no pairs -> not in any cluster
+
+
+def test_duplicate_clusters_on_fixture(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    clusters = duplicate_clusters(docs, jaccard_threshold=0.5)
+    rows = clusters.collect()
+    labels = {r.doc_id: r.cluster for r in rows}
+    # every clustered doc's label is a real member <= its own id
+    assert all(c <= d for d, c in labels.items())
+    # endpoints of every near-dup pair share a component
+    for p in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect():
+        assert labels[p.doc_a] == labels[p.doc_b]

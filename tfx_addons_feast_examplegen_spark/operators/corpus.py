@@ -1,0 +1,145 @@
+"""Composed corpus-preparation pipeline for training data.
+
+The north-star use case end-to-end: documents -> quality gate -> exact
+dedup -> near-duplicate removal -> surviving corpus (+ survivorship
+report). Pure composition of the engine's operators, so the whole
+pipeline is one Catalyst plan — filters push into the scan, each dedup
+stage shuffles on its own key, nothing materializes in between.
+
+Near-duplicate policy options:
+
+- :func:`prepare_corpus` (default): greedy id-based — drop any document
+  that pairs (Jaccard >= threshold) with ANY lower-id document. Simple,
+  deterministic, single anti-join; the rule an external SQL oracle can
+  replicate exactly.
+- :func:`duplicate_clusters`: principled connected components over the
+  near-dup pair graph via distributed min-label propagation (iterative;
+  converges in O(log n) rounds on real dup clusters, which are tiny).
+  Keep one representative (min id) per cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import jaccard_pairs, minhash_lsh_pairs
+from .text import quality_score
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    ngram: int = 3,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Filter + dedup a documents table; returns surviving rows with
+    quality columns attached.
+
+    Stages: (1) quality gate (pure-expression scoring at scan time);
+    (2) exact dedup — keep min id per md5(text); (3) near-dup removal —
+    drop ids that pair with any smaller id at ``jaccard_threshold``
+    (LSH-accelerated candidate generation by default; exact shingle
+    self-join when ``use_lsh=False``).
+    """
+    scored = quality_score(docs, text_col)
+    quality_ok = scored.filter(F.col("quality_score") >= min_quality)
+
+    # exact dedup: survivors are the min-id representative per content
+    canon = (
+        quality_ok.groupBy(F.md5(F.col(text_col)).alias("__fp"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    exact_kept = quality_ok.join(canon, id_col)
+
+    pair_fn = minhash_lsh_pairs if use_lsh else jaccard_pairs
+    pairs = pair_fn(
+        exact_kept, id_col, text_col, n=ngram, threshold=jaccard_threshold
+    )
+    # greedy near-dup rule: doc_b of every pair dies (doc_a < doc_b)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return exact_kept.join(losers, id_col, "left_anti")
+
+
+def survivorship_report(
+    docs: DataFrame, kept: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row report: input/kept/dropped counts."""
+    n_in = docs.select(F.count(F.lit(1)).alias("n_input"))
+    n_kept = kept.select(F.count(F.lit(1)).alias("n_kept"))
+    return n_in.crossJoin(n_kept).select(
+        "n_input",
+        "n_kept",
+        (F.col("n_input") - F.col("n_kept")).alias("n_dropped"),
+    )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    ngram: int = 3,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components of the near-duplicate graph.
+
+    Distributed min-label propagation: every node starts labeled with its
+    own id; each round, every node adopts the minimum label in its
+    neighborhood (including itself); converged when no label changes.
+    Real duplicate clusters have tiny diameters, so this terminates in a
+    few rounds; ``max_iters`` bounds pathological chains.
+
+    Output: (id, cluster) for every document that appears in at least
+    one near-dup pair; cluster = min doc id of its component.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, n=ngram, threshold=jaccard_threshold
+    ).select("doc_a", "doc_b")
+
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+
+    labels = (
+        edges.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("id"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), "cluster")

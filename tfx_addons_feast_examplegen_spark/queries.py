@@ -841,6 +841,54 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flagship composite: quality gate -> exact dedup -> near-dup removal
+    # as ONE composed Catalyst plan (operators/corpus.py). LSH generates
+    # near-dup candidates; the oracle recomputes the identical survivor
+    # set with exact SQL (LSH recall is ~1 at the fixture's similarity
+    # levels, and verification thresholds exactly).
+    from .operators.corpus import prepare_corpus
+
+    t = register_tables(spark, sf_dir)
+    kept = prepare_corpus(
+        t["documents"], min_quality=0.35, jaccard_threshold=0.5
+    )
+    return kept.select("doc_id", "quality_score")
+
+
+def _corpus_prep_oracle() -> str:
+    return f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+q AS (
+  SELECT d.doc_id, d.text, tq.quality_score
+  FROM documents d JOIN tq ON tq.doc_id = d.doc_id
+  WHERE tq.quality_score >= 0.35
+),
+canon AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+kept AS (SELECT q.* FROM q WHERE q.doc_id IN (SELECT keep_id FROM canon)),
+t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM kept),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t2, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
+)
+SELECT doc_id, quality_score FROM kept k
+WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = k.doc_id)
+"""
+
+
 def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The stateful applyInPandasWithState sessionizer, driven to
     # completion over time-sliced micro-batches. Rows-only: the emission
@@ -951,6 +999,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_bpe_token_budget": (_q_bpe_tokens, None),  # rows-only (regex)
     "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
     "sessionization_streaming": (_q_sessionization_streaming, None),  # rows-only
+    "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_oracle()),
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
