@@ -29,6 +29,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import rebalance_for_compute
+
 
 def _dot(a, b) -> "F.Column":
     return F.aggregate(
@@ -61,7 +63,10 @@ def cosine_pairs(
     (below) is the scale path. Output: (vec_a, vec_b, cos), vec_a < vec_b.
     """
     # Norms are precomputed per vector (bit-identical to recomputing
-    # them per pair, but O(n) instead of O(n²) norm work).
+    # them per pair, but O(n) instead of O(n²) norm work). The streamed
+    # side of the nested-loop join is rebalanced so pair scoring
+    # parallelizes even off a single-split scan.
+    emb = rebalance_for_compute(emb)
     a = emb.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
@@ -99,6 +104,7 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos, rank).
     """
     q = queries if queries is not None else emb.filter(query_filter)
+    emb = rebalance_for_compute(emb)  # corpus side: parallel dot products
     qs = q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -181,7 +187,7 @@ def cosine_topk_blocked(
                 {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
             )
 
-    partial = emb.select(id_col, vec_col).mapInPandas(
+    partial = rebalance_for_compute(emb.select(id_col, vec_col)).mapInPandas(
         _score, schema="query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -335,6 +341,7 @@ def ivf_topk(
     """
     # One quantizer, trained on the corpus, shared by both sides — cells
     # are only comparable within a single centroid set.
+    emb = rebalance_for_compute(emb)  # parallel assignment + scoring
     cents = ivf_centroids(
         emb,
         id_col=id_col,
@@ -389,7 +396,8 @@ def lsh_topk(
     trade — measured against :func:`cosine_topk` in tests).
     """
     sigs = lsh_signature(
-        emb, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+        rebalance_for_compute(emb),
+        vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed,
     )
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1

