@@ -247,3 +247,31 @@ def test_null_entity_key_keeps_row_with_null_features(spark):
     rows = {r.uid: r.val for r in _join(ent, feat).collect()}
     assert rows[1] == 5.0
     assert rows[None] is None
+
+
+def test_spine_source_chain_is_linear_and_equivalent(spark):
+    # Chaining N as-of joins with spine_source=base keeps the analyzed
+    # logical tree linear in N (the chained form doubles per level and
+    # pays superlinear compile time on wide feature services); results
+    # are identical either way.
+    ent = _entities(spark, [(1, T(2024, 1, 10)), (2, T(2024, 1, 10))])
+    feat = _features(spark, [(1, T(2024, 1, 5), 1, 5.0)])
+
+    def chain(spine_source):
+        out = ent
+        for i in range(4):
+            out = _join(
+                out,
+                feat.withColumnRenamed("val", f"v{i}"),
+                features=[f"v{i}"],
+                spine_source=spine_source,
+            )
+        return out
+
+    base = chain(ent)
+    chained = chain(None)
+    n_base = base._jdf.queryExecution().analyzed().toString().count("Join")
+    n_chained = chained._jdf.queryExecution().analyzed().toString().count("Join")
+    assert n_base < n_chained  # logical tree no longer doubles per level
+    key = lambda r: (r.uid, r.v0, r.v1, r.v2, r.v3)  # noqa: E731
+    assert sorted(map(key, base.collect())) == sorted(map(key, chained.collect()))
