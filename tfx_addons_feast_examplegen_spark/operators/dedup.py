@@ -88,12 +88,20 @@ def exact_dedup(
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, hashed: bool = False
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Pure SQL expression chain (split -> index sequence -> slice ->
     concat), exploded; stays in whole-stage codegen until the explode.
+
+    ``hashed=True`` folds each shingle to xxhash64 BEFORE the distinct, so
+    the dedup shuffle moves an 8-byte long per shingle instead of the
+    n-gram string (~25-byte average at n=3) — the string never leaves the
+    mapper. Distinct-shingle counts are identical up to hash collisions
+    (~|doc shingles|²/2⁶⁴ per doc — vanishing, deterministic). Use for
+    every consumer that only needs shingle identity (Jaccard, MinHash);
+    the default keeps the human-readable strings.
     """
     # NB: Spark's sequence(1, 0) counts DOWN ([1, 0]) — guard short docs
     # with an explicit CASE instead of clamping the upper bound.
@@ -103,11 +111,12 @@ def shingles(
         f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
         f" ELSE array() END"
     )
-    return (
-        rebalance_for_compute(df)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+    out = rebalance_for_compute(df).select(
+        F.col(id_col), F.explode(grams).alias("shingle")
     )
+    if hashed:
+        out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    return out.distinct()
 
 
 def jaccard_pairs(
@@ -137,11 +146,7 @@ def jaccard_pairs(
     is ~|shingles|²/2^64 — vanishing, and deterministic if it ever
     occurs).
     """
-    sh = (
-        shingles(df, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
+    sh = shingles(df, id_col, text_col, n, hashed=True).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -203,8 +208,8 @@ def minhash_signatures(
     UDFs. num_hashes=64 keeps the signature a single cache line pair.
     """
     fam = _hash_family(num_hashes, seed)
-    sh = shingles(df, id_col, text_col, n)
-    h32 = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h32")
+    sh = shingles(df, id_col, text_col, n, hashed=True)
+    h32 = F.pmod(F.col("shingle"), F.lit(_MERSENNE)).alias("h32")
     sh = sh.select(F.col(id_col), h32)
     mins = [
         F.min(F.pmod(F.col("h32") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
@@ -247,11 +252,7 @@ def minhash_lsh_pairs(
     # One cached hashed-shingle set feeds BOTH signature computation and
     # the exact-Jaccard verification below — shingling/hashing the corpus
     # once, not twice.
-    sh = (
-        shingles(df, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
+    sh = shingles(df, id_col, text_col, n, hashed=True).cache()
     fam = _hash_family(num_hashes, seed)
     h32 = F.pmod(F.col("shingle"), F.lit(_MERSENNE))
     mins = [
@@ -336,14 +337,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # NB: no rebalance here — token explode is cheap enough that the
     # extra round-robin shuffle costs more than single-task explode saves
     # (measured: agg 0.48s one-partition vs 0.90s rebalanced at sf0.1).
+    # Tokens fold to xxhash64 BEFORE the distinct (the bit votes only need
+    # token identity), so the dedup shuffle moves longs, not strings.
     tokens = (
         df.select(
             F.col(id_col),
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .distinct()
         .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+        .distinct()
     )
     votes = [
         F.sum(
