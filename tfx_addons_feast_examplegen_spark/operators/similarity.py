@@ -40,6 +40,27 @@ def _dot(a, b) -> "F.Column":
     )
 
 
+def _sql_vec(v: list[float]) -> str:
+    """A float vector as a SQL double-array literal.
+
+    ``CAST(repr AS DOUBLE)`` rather than a bare literal: Spark parses
+    plain decimal literals as DECIMAL (repr round-trips exactly through
+    decimal38 -> double), and one parsed string replaces a py4j
+    round-trip per element (16 planes x 64 dims = 1024 Column calls
+    otherwise — measured ~1s of query-compile time).
+    """
+    return "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")"
+
+
+def _sql_dot(vec_sql: str, const_sql: str) -> str:
+    """SQL text of _dot(vec, const): identical op order -> identical floats."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {const_sql},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def _norm(a) -> "F.Column":
     return F.sqrt(
         F.aggregate(
@@ -223,16 +244,14 @@ def lsh_signature(
     expressions, no UDF, no shuffle (a narrow projection).
     """
     planes = _planes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bit = (
-            F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        sig = sig.bitwiseOR(F.shiftleft(bit, i))
-    return emb.withColumn("lsh_sig", sig)
+    # One parsed expression for the whole signature (bit positions are
+    # disjoint, so the OR-fold is a plain sum) — see _sql_vec for why.
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_dot(vec_col, _sql_vec(p))} >= 0"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    return emb.withColumn("lsh_sig", F.expr(terms))
 
 
 def ivf_centroids(
@@ -305,21 +324,15 @@ def ivf_assign(
     shuffle, one pass. Output: input columns + ``cell``, one row per
     probed cell.
     """
-    scored = F.array(
-        *[
-            F.struct(
-                (-_dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))).alias(
-                    "neg_sim"
-                ),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, c in enumerate(centroids)
-        ]
+    # Single parsed expression for the scored-cells array (see _sql_vec).
+    scored = "array(" + ", ".join(
+        f"struct(-({_sql_dot(vec_col, _sql_vec(c))}) AS neg_sim, {ci} AS cell)"
+        for ci, c in enumerate(centroids)
+    ) + ")"
+    ranked = (
+        f"transform(slice(array_sort({scored}), 1, {int(n_probe)}), s -> s.cell)"
     )
-    ranked = F.slice(F.array_sort(scored), 1, n_probe)
-    return emb.select(
-        "*", F.explode(F.transform(ranked, lambda s: s["cell"])).alias("cell")
-    )
+    return emb.select("*", F.expr(f"explode({ranked}) AS cell"))
 
 
 def ivf_topk(
