@@ -119,6 +119,40 @@ def shingles(
     return out.distinct()
 
 
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    *,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) of ids sharing a bucket.
+
+    ``collect_list`` per bucket + a local ordered-pair explode: ONE
+    shuffle (the groupBy on the bucket key) where a self-equi-join
+    shuffles both sides. Buckets above ``max_size`` are dropped
+    (degenerate keys contribute pairs quadratically but little
+    evidence); the per-bucket pair array is therefore bounded by
+    C(max_size, 2) before the explode (~8 MB at the default 1000 —
+    sized to executor memory, not data scale).
+    """
+    grouped = df.groupBy(*bucket_cols).agg(F.collect_list(id_col).alias("__ids"))
+    cond = F.size("__ids") >= 2
+    if max_size is not None:
+        cond = cond & (F.size("__ids") <= max_size)
+    return (
+        grouped.filter(cond)
+        .select(
+            F.expr(
+                "explode(flatten(transform(__ids, (a, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids)), b -> "
+                "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))) AS __p"
+            )
+        )
+        .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -130,8 +164,9 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
 
-    Shingle self-equi-join: documents sharing no shingle never meet (the
-    join key IS the shingle), so the quadratic blowup is bounded by
+    Documents sharing no shingle never meet: candidate pairs come from a
+    per-shingle bucket explode (see :func:`_bucket_pairs` — one shuffle,
+    not a two-sided self-join), so the quadratic blowup is bounded by
     shingle co-occurrence. ``max_bucket`` drops degenerate shingles shared
     by more than that many docs (stopword-like shingles contribute
     candidates quadratically but little Jaccard evidence — standard
@@ -149,15 +184,8 @@ def jaccard_pairs(
     sh = shingles(df, id_col, text_col, n, hashed=True).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
 
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    common_sh = freq.filter(F.col("df_") <= max_bucket).select("shingle")
-    sh_f = sh.join(common_sh, "shingle")
-
-    a = sh_f.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh_f.select(F.col(id_col).alias("doc_b"), "shingle")
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pairs(sh, ["shingle"], id_col, max_size=max_bucket)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -232,6 +260,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     verify: bool = True,
+    max_band: int = 2048,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, optionally verified.
 
@@ -274,18 +303,15 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), F.expr(f"explode(array({band_structs})) AS b")
     ).select(F.col(id_col), F.col("b.band_id"), F.col("b.band_hash"))
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
-    )
-    cands = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # A pair can collide in several bands -> distinct. Bucket explode, not
+    # a two-sided self-join (see _bucket_pairs); band buckets are tiny by
+    # construction (only near-dup groups share a band hash). ``max_band``
+    # bounds the per-bucket pair blowup: a bucket that large is an
+    # exact-duplicate cluster, which belongs to exact_dedup upstream
+    # (corpus_prep runs it first), not to LSH pair generation.
+    cands = _bucket_pairs(
+        banded, ["band_id", "band_hash"], id_col, max_size=max_band
+    ).distinct()
     if not verify:
         return cands
     # Exact-Jaccard verification restricted to the candidate pairs: join
