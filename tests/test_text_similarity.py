@@ -90,6 +90,41 @@ def test_cosine_pairs_threshold(spark):
     assert {(r.vec_a, r.vec_b) for r in rows} == {(0, 1)}
 
 
+def test_cosine_pairs_blocked_matches_naive(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    naive = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    # n_blocks > 1 exercises cross-block and same-block pair paths.
+    blocked = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in cosine_pairs_blocked(emb, threshold=0.4, n_blocks=7).collect()
+    }
+    assert blocked == naive and len(naive) > 0
+
+
+def test_cosine_pairs_blocked_plan_is_equi_join(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    plan = (
+        cosine_pairs_blocked(emb, threshold=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_lsh_topk_recall_on_fixture(spark, sf_dir):
     from tfx_addons_feast_examplegen_spark.session import register_tables
 

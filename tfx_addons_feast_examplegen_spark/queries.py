@@ -673,8 +673,12 @@ FROM ranked WHERE rank <= 5
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocked triangle join: equi-join on a block-pair key (no
+    # BroadcastNestedLoopJoin), bit-identical to the naive all-pairs
+    # verifier — the exact-at-scale plan for diffuse embeddings whose
+    # near-threshold pair mass rules out banded-LSH recall=1.
     t = register_tables(spark, sf_dir)
-    return sim.cosine_pairs(t["embeddings"], threshold=0.4)
+    return sim.cosine_pairs_blocked(t["embeddings"], threshold=0.4)
 
 
 _EMB_NEARDUP_ORACLE = """
