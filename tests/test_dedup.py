@@ -53,6 +53,32 @@ def test_jaccard_identical_docs_is_one(spark):
     assert (r.doc_a, r.doc_b, r.jaccard) == (0, 1, 1.0)
 
 
+def test_bucket_cap_not_silent(spark):
+    # "No silent caps": error mode fails the job on the first over-cap
+    # bucket (lazy in-plan assert_true — AQE cannot prune it), and the
+    # Observation metric reports drop counts in the same job.
+    import pytest
+
+    from pyspark.sql import Observation
+
+    common = "alpha beta gamma"  # one shingle shared by every doc
+    df = _docs(spark, [f"{common} unique{i} filler{i} pad{i}" for i in range(6)])
+
+    with pytest.raises(Exception, match="over cap"):
+        jaccard_pairs(
+            df, "doc_id", "text", threshold=0.01, max_bucket=3,
+            on_over_cap="error",
+        ).collect()
+
+    obs = Observation()
+    out = jaccard_pairs(
+        df, "doc_id", "text", threshold=0.01, max_bucket=100, observation=obs
+    ).collect()
+    assert len(out) == 15  # C(6,2): all pairs survive under the cap
+    assert obs.get["dropped_buckets"] == 0
+    assert obs.get["max_bucket_size"] == 6
+
+
 def test_jaccard_near_dup_detected(spark):
     near = BASE.replace("dog", "cat")  # one word changed
     df = _docs(spark, [BASE, near])

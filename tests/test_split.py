@@ -86,6 +86,38 @@ def test_salted_agg_matches_plain(spark):
     assert got == want
 
 
+def test_salted_agg_disperses_identical_hot_rows(spark):
+    # The canonical skew case: a hot key whose rows are byte-identical.
+    # A content-derived salt would send them all to one reducer; the
+    # row-position salt must spread them over many salts.
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.skew import salted_agg
+
+    df = (
+        spark.range(8000)
+        .repartition(8)
+        .select(F.lit(0).alias("k"), F.lit(1.0).alias("v"))
+    )
+    # Reproduce the operator's internal stage-1 key to observe dispersion.
+    n_salts = 16
+    salts = (
+        df.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= n_salts // 2  # duplicate rows spread over many salts
+
+    got = salted_agg(
+        df, ["k"], {"n": ("count", "v"), "total": ("sum", "v")}, n_salts=n_salts
+    ).collect()
+    assert [(r.k, r.n, r.total) for r in got] == [(0, 8000, 8000.0)]
+
+
 def test_salted_agg_rejects_non_mergeable(spark):
     import pytest as _pytest
 

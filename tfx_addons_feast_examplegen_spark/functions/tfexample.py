@@ -109,9 +109,18 @@ def _encode_value(v: Any) -> bytes:
     if isinstance(v, float):
         return _float_list(list(vals))
     if isinstance(v, (dt.datetime,)):
-        # reference: TIMESTAMP -> seconds-since-epoch float (SURVEY.md §1.2)
+        # reference: TIMESTAMP -> seconds-since-epoch float (SURVEY.md §1.2).
+        # tz-aware values already denote an instant (timestamp() converts);
+        # naive values are assumed UTC (replace). Reinterpreting an aware
+        # non-UTC value via replace() would shift it by its zone offset.
         return _float_list(
-            [x.replace(tzinfo=dt.timezone.utc).timestamp() for x in vals]
+            [
+                (
+                    x if x.tzinfo is not None
+                    else x.replace(tzinfo=dt.timezone.utc)
+                ).timestamp()
+                for x in vals
+            ]
         )
     if isinstance(v, str):
         return _bytes_list([x.encode("utf-8") for x in vals])

@@ -125,6 +125,8 @@ def _bucket_pairs(
     id_col: str,
     *,
     max_size: int | None = None,
+    observation=None,
+    on_over_cap: str = "drop",
 ) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) of ids sharing a bucket.
 
@@ -135,11 +137,45 @@ def _bucket_pairs(
     evidence); the per-bucket pair array is therefore bounded by
     C(max_size, 2) before the explode (~8 MB at the default 1000 —
     sized to executor memory, not data scale).
+
+    No silent caps — two mechanisms:
+
+    - ``on_over_cap="error"``: a lazy in-plan ``assert_true`` fails the
+      job on the first over-cap bucket instead of dropping it. Zero extra
+      passes, cannot be optimized away — use when the recall contract
+      forbids drops (e.g. an oracle-checked exact computation).
+    - ``observation`` (a ``pyspark.sql.Observation``): records
+      ``dropped_buckets`` / ``max_bucket_size`` in the same job under
+      ``on_over_cap="drop"``. Caveat: AQE's empty-relation propagation
+      can prune the metrics node when a downstream join collapses to
+      empty — treat a missing metric as "check with error mode", not as
+      zero.
     """
+    if on_over_cap not in ("drop", "error"):
+        raise ValueError(f"on_over_cap must be 'drop' or 'error': {on_over_cap!r}")
     grouped = df.groupBy(*bucket_cols).agg(F.collect_list(id_col).alias("__ids"))
+    if observation is not None and max_size is not None:
+        grouped = grouped.observe(
+            observation,
+            F.sum((F.size("__ids") > max_size).cast("long")).alias(
+                "dropped_buckets"
+            ),
+            F.max(F.size("__ids")).alias("max_bucket_size"),
+        )
     cond = F.size("__ids") >= 2
-    if max_size is not None:
+    if max_size is not None and on_over_cap == "drop":
         cond = cond & (F.size("__ids") <= max_size)
+    elif max_size is not None:
+        # Conjunct the assert into the (always-evaluated) filter predicate
+        # itself — a projected-then-dropped column would be pruned as dead
+        # code by Catalyst and never fire.
+        cond = cond & F.assert_true(
+            F.size("__ids") <= max_size,
+            F.concat(
+                F.lit(f"_bucket_pairs: bucket over cap ({max_size}); size="),
+                F.size("__ids").cast("string"),
+            ),
+        ).isNull()
     return (
         grouped.filter(cond)
         .select(
@@ -161,6 +197,8 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    observation=None,
+    on_over_cap: str = "drop",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
 
@@ -185,7 +223,10 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
 
     pairs = (
-        _bucket_pairs(sh, ["shingle"], id_col, max_size=max_bucket)
+        _bucket_pairs(
+            sh, ["shingle"], id_col, max_size=max_bucket,
+            observation=observation, on_over_cap=on_over_cap,
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -261,6 +302,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify: bool = True,
     max_band: int = 2048,
+    observation=None,
+    on_over_cap: str = "drop",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, optionally verified.
 
@@ -310,7 +353,8 @@ def minhash_lsh_pairs(
     # exact-duplicate cluster, which belongs to exact_dedup upstream
     # (corpus_prep runs it first), not to LSH pair generation.
     cands = _bucket_pairs(
-        banded, ["band_id", "band_hash"], id_col, max_size=max_band
+        banded, ["band_id", "band_hash"], id_col, max_size=max_band,
+        observation=observation, on_over_cap=on_over_cap,
     ).distinct()
     if not verify:
         return cands

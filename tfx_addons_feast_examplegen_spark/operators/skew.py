@@ -37,12 +37,18 @@ def salted_agg(
     deterministic salt from ``xxhash64`` of a monotonic row id — uniform
     over salts, stable within a job run; stage-2 merges per group
     (count merges via sum).
+
+    The salt must come from row *position*, never row *content*: the
+    canonical skew case is a hot key whose rows are identical (repeated
+    events, default values), and a content hash would map them all to
+    one salt — concentrating the hot key on a single reducer, exactly
+    the failure this operator exists to prevent.
     """
     bad = {f for f, _ in aggs.values()} - _MERGEABLE
     if bad:
         raise ValueError(f"unsupported salted aggregate fns: {sorted(bad)}")
 
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     salted = df.withColumn("__salt", salt)
 
     def _fn(name: str, col: str) -> Column:

@@ -950,6 +950,174 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pit_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4 breadth: composite entity key (user_id, event_type) — the as-of
+    # join's equi-conjuncts span both keys plus the created-ts tie-break.
+    register_tables(spark, sf_dir)
+    spine = f"""
+        SELECT user_id, event_type, event_timestamp
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        CROSS JOIN {_SNAPSHOTS}
+    """
+    df = materialize_features(
+        spark,
+        entity_query=spine,
+        features=["user_type_events:value"],
+        registry=testdata_registry(),
+        sf_dir=sf_dir,
+    )
+    return df.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.unix_timestamp("event_timestamp").alias("snapshot_ts"),
+        F.col("value"),
+    )
+
+
+_PIT_COMPOSITE_ORACLE = f"""
+WITH spine AS (
+  SELECT user_id, event_type, event_timestamp
+  FROM (SELECT DISTINCT user_id, event_type FROM events)
+  CROSS JOIN {_SNAPSHOTS}
+),
+cand AS (
+  SELECT s.user_id, s.event_type, s.event_timestamp, e.value,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.user_id, s.event_type, s.event_timestamp
+           ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM spine s
+  JOIN events e ON e.user_id = s.user_id AND e.event_type = s.event_type
+               AND e.ts <= s.event_timestamp
+)
+SELECT s.user_id, s.event_type,
+       CAST(epoch(s.event_timestamp) AS BIGINT) AS snapshot_ts,
+       c.value
+FROM spine s
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON c.user_id = s.user_id AND c.event_type = s.event_type
+ AND c.event_timestamp = s.event_timestamp
+"""
+
+
+def _q_pit_field_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3: registry field_mapping renames source `value` to feature
+    # `activity_value` before selection; same as-of semantics otherwise.
+    register_tables(spark, sf_dir)
+    df = materialize_features(
+        spark,
+        entity_query=_SPINE_SQL,
+        features=["user_events_renamed:activity_value"],
+        registry=testdata_registry(),
+        sf_dir=sf_dir,
+    )
+    return df.select(
+        F.col("user_id"),
+        F.unix_timestamp("event_timestamp").alias("snapshot_ts"),
+        F.col("activity_value"),
+    )
+
+
+_PIT_FIELD_MAPPING_ORACLE = _pit_oracle().replace(
+    "c.value, c.event_type", "c.value AS activity_value"
+)
+
+
+def _q_param_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D2: span/range bind-parameter substitution through the real user
+    # path (sources.examplegen.substitute_params; reference pattern
+    # usage_prototype.py:46-48). The oracle inlines the same literals by
+    # hand, so the substitution engine itself is what's under test.
+    import datetime as dt
+
+    from .sources.examplegen import substitute_params
+
+    register_tables(spark, sf_dir)
+    q = """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        WHERE ts >= @begin_timestamp AND ts < @end_timestamp
+        GROUP BY event_type
+    """
+    sql = substitute_params(
+        q,
+        {
+            "begin_timestamp": dt.datetime(2024, 1, 8),
+            "end_timestamp": dt.datetime(2024, 1, 22),
+        },
+    )
+    return spark.sql(sql)
+
+
+_PARAM_SUBSTITUTION_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+GROUP BY event_type
+"""
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-salted two-stage aggregation vs the plain-groupBy oracle:
+    # result equivalence is the contract (salting changes the shuffle
+    # layout, never the answer). l_returnflag has 3 hot values — each
+    # spreads over n_salts stage-1 reducers.
+    from .operators.skew import salted_agg
+
+    t = register_tables(spark, sf_dir)
+    out = salted_agg(
+        t["lineitem"],
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", "l_quantity"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_price",
+        "max_price",
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN recall made driver-visible: IVF with n_probe = n_cells probes
+    # every cell, so the candidate set is the full corpus and the result
+    # provably equals exact top-k — hash-checked against the same oracle
+    # as similarity_topk. The approximate variants (similarity_ann_lsh /
+    # _ivf) keep their rows-only entries; this locks the ANN machinery
+    # (quantizer, cell equi-join, re-rank) to the exact answer.
+    t = register_tables(spark, sf_dir)
+    out = sim.ivf_topk(
+        t["embeddings"],
+        query_filter="vec_id < 20",
+        k=5,
+        n_cells=16,
+        n_probe=16,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: recall-vs-cost trade is measured in pytest
     # against cosine_topk; rows-only check here (rank set depends on LSH
@@ -1026,9 +1194,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         None,  # rows-only: cell membership isn't portable SQL; recall
         # properties pytest-verified (n_probe=all == exhaustive search)
     ),
+    "similarity_ann_exhaustive": (_q_ann_exhaustive, _SIM_TOPK_ORACLE),
     "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
     "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),
     "pit_join_prefixed": (_q_pit_prefixed, _PIT_PREFIXED_ORACLE),
+    "pit_join_composite_key": (_q_pit_composite_key, _PIT_COMPOSITE_ORACLE),
+    "pit_join_field_mapping": (_q_pit_field_mapping, _PIT_FIELD_MAPPING_ORACLE),
+    "param_substitution": (_q_param_substitution, _PARAM_SUBSTITUTION_ORACLE),
+    "skew_salted_agg": (_q_salted_agg, _SALTED_AGG_ORACLE),
     "dataset_stats": (_q_dataset_stats, _stats_oracle()),
 }
 

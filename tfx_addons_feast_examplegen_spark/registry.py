@@ -236,6 +236,30 @@ def testdata_registry() -> Registry:
                 created_col="event_id",
                 ttl_seconds=7 * 24 * 3600,
             ),
+            "user_type_events": FeatureView(
+                # Composite entity key (SURVEY.md J4 breadth): Feast views
+                # routinely join on multiple entities (executor.py:87
+                # [delegated]); this view keys events on (user, type).
+                name="user_type_events",
+                path="events.parquet",
+                entities=("user_id", "event_type"),
+                timestamp_col="ts",
+                features=("value",),
+                created_col="event_id",
+                ttl_seconds=None,
+            ),
+            "user_events_renamed": FeatureView(
+                # field_mapping rename path (SURVEY.md P3): source column
+                # `value` surfaces as feature `activity_value`.
+                name="user_events_renamed",
+                path="events.parquet",
+                entities=("user_id",),
+                timestamp_col="ts",
+                features=("activity_value", "event_type"),
+                created_col="event_id",
+                ttl_seconds=None,
+                field_mapping={"value": "activity_value"},
+            ),
             "customer_profile": FeatureView(
                 name="customer_profile",
                 path="customer.parquet",

@@ -191,7 +191,11 @@ def generate_examples(
     emit_artifacts: bool = False,
     sequence_config: dict | None = None,
 ) -> DataFrame:
-    """Run the full ExampleGen chain; returns the split-annotated DataFrame.
+    """Run the full ExampleGen chain; returns the split-annotated DataFrame
+    that was (or would be) written — feature rows for ``FORMAT_PARQUET`` /
+    no ``output_dir``, encoded bytes rows for the TFRecord formats (whose
+    split is the hash of the serialized record, matching the files on
+    disk).
 
     When ``output_dir`` is set the result is also written out:
     ``FORMAT_PARQUET`` -> parquet partitioned by split;
@@ -253,6 +257,10 @@ def generate_examples(
                 bytes_col="sequence_example",
                 split_col="split",
             )
+            # The TFRecord formats split on the serialized bytes, so the
+            # frame actually written — not `out` — carries the on-disk
+            # split assignment; return it to keep the contract honest.
+            out = encoded
         else:
             # The reference's base executor buckets on the hash of the
             # serialized record (D1); encode first, split on the bytes.
@@ -262,6 +270,7 @@ def generate_examples(
             write_partitioned_tfrecords(
                 encoded, output_dir, bytes_col="example", split_col="split"
             )
+            out = encoded
         if emit_artifacts:
             # The reference's usage sketch declares statistics + schema
             # outputs (usage_prototype.py:60-61, commented out — A3/A4).

@@ -52,17 +52,22 @@ def _masked_crc(data: bytes) -> int:
     return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
 
 
+def _write_record(f, rec: bytes) -> None:
+    """Append one framed record to an open file handle (streaming)."""
+    length = struct.pack("<Q", len(rec))
+    f.write(length)
+    f.write(struct.pack("<I", _masked_crc(length)))
+    f.write(rec)
+    f.write(struct.pack("<I", _masked_crc(rec)))
+
+
 def write_tfrecords(records, path: str, compress: bool = True) -> int:
     """Write an iterable of bytes records as one TFRecord file. Returns count."""
     opener = gzip.open if compress else open
     n = 0
     with opener(path, "wb") as f:
         for rec in records:
-            length = struct.pack("<Q", len(rec))
-            f.write(length)
-            f.write(struct.pack("<I", _masked_crc(length)))
-            f.write(rec)
-            f.write(struct.pack("<I", _masked_crc(rec)))
+            _write_record(f, rec)
             n += 1
     return n
 
@@ -97,30 +102,55 @@ def write_partitioned_tfrecords(
     """Executor-parallel TFRecord write, ``Split-{name}/`` layout.
 
     ``bytes_df``: DataFrame with a binary column (and optionally a split
-    column). Each task writes its partition's records into one file per
-    split it sees — no shuffle, mirroring the reference's per-split
+    column). Each task streams its partition's records into one open file
+    handle per split it sees — O(1) executor memory per handle regardless
+    of partition size, no shuffle — mirroring the reference's per-split
     TFRecord dirs (``executor.py:186-188`` [delegated]).
+
+    Re-running into the same ``out_dir`` replaces the previous dataset:
+    stale ``Split-*/`` dirs and ``part-*.tfrecord*`` files are cleared
+    first (the parquet path gets this from ``mode("overwrite")``; without
+    it, uuid-named part files from consecutive runs would silently
+    accumulate and duplicate the dataset).
     """
+    import glob
+    import shutil
+
+    if os.path.isdir(out_dir):
+        for p in glob.glob(os.path.join(out_dir, "Split-*")):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        for p in glob.glob(os.path.join(out_dir, "part-*.tfrecord*")):
+            os.remove(p)
     os.makedirs(out_dir, exist_ok=True)
-    splits = []
     if split_col is not None:
-        splits = [r[0] for r in bytes_df.select(split_col).distinct().collect()]
-        for s in splits:
-            os.makedirs(os.path.join(out_dir, f"Split-{s}"), exist_ok=True)
+        for r in bytes_df.select(split_col).distinct().collect():
+            os.makedirs(os.path.join(out_dir, f"Split-{r[0]}"), exist_ok=True)
 
     suffix = ".gz" if compress else ""
+    opener = gzip.open if compress else open
 
     def _write_partition(rows):
-        handles: dict[str, list] = {}
-        for row in rows:
-            key = row[split_col] if split_col else ""
-            handles.setdefault(key, []).append(row[bytes_col])
         fid = uuid.uuid4().hex[:12]
-        for key, recs in handles.items():
-            sub = os.path.join(out_dir, f"Split-{key}") if split_col else out_dir
-            os.makedirs(sub, exist_ok=True)
-            write_tfrecords(
-                recs, os.path.join(sub, f"part-{fid}.tfrecord{suffix}"), compress
-            )
+        handles: dict[str, object] = {}
+        try:
+            for row in rows:
+                key = row[split_col] if split_col else ""
+                f = handles.get(key)
+                if f is None:
+                    sub = (
+                        os.path.join(out_dir, f"Split-{key}")
+                        if split_col
+                        else out_dir
+                    )
+                    os.makedirs(sub, exist_ok=True)
+                    f = opener(
+                        os.path.join(sub, f"part-{fid}.tfrecord{suffix}"), "wb"
+                    )
+                    handles[key] = f
+                _write_record(f, row[bytes_col])
+        finally:
+            for f in handles.values():
+                f.close()
 
     bytes_df.foreachPartition(_write_partition)
