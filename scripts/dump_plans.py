@@ -30,7 +30,18 @@ fact side until the aggregation); the lineitem scan prunes to 4 columns.""",
 sharing no shingle never pair; frequency guard drops degenerate hot
 shingles before the join. All aggregates are partial/final pairs.""",
     "similarity_topk": """Query batch broadcast against the corpus scan: the corpus never
-shuffles for scoring; the only Exchange is the per-query top-k window.""",
+shuffles for scoring; the only Exchange is the per-query top-k window.
+The BroadcastNestedLoopJoin here is intentional and correct: exact
+brute-force scoring IS every (query, corpus) pair, the broadcast side is
+the tiny query batch, and the corpus side streams one pass — unlike a
+pair-search operator, there is no candidate structure to exploit. (The
+pair-search operators — embedding_neardup, dedup_* — use equi-join
+candidates instead; see below.)""",
+    "embedding_neardup": """Exact all-pairs cosine as a blocked triangle join: both sides explode
+to (block_i, block_j) pair keys and meet in a plain hash equi-join on
+the key — NO BroadcastNestedLoopJoin/CartesianProduct anywhere. Work
+spreads evenly over n_blocks*(n_blocks+1)/2 independent key groups;
+per-vector norms are computed once before replication.""",
 }
 
 HDR = """# Physical plans (generated)

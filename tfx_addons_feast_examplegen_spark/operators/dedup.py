@@ -260,6 +260,22 @@ def _hash_family(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def _hash_array_expr(num_hashes: int, seed: int) -> "F.Column":
+    """All universal-hash values of ``shingle`` as one array column.
+
+    A single ``transform`` over a literal (a, b) parameter array: the
+    generated code is one compact loop instead of ``num_hashes`` separate
+    pmod chains, which keeps the projection inside JIT method limits and
+    parses as one expression (one py4j round-trip).
+    """
+    fam = _hash_family(num_hashes, seed)
+    params = ", ".join(f"array({a}L, {b}L)" for a, b in fam)
+    return F.expr(
+        f"transform(array({params}), p -> "
+        f"pmod(pmod(shingle, {_MERSENNE}) * p[0] + p[1], {_MERSENNE}))"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -276,16 +292,12 @@ def minhash_signatures(
     ``min`` aggregate — map-side combinable, one shuffle on doc id, no
     UDFs. num_hashes=64 keeps the signature a single cache line pair.
     """
-    fam = _hash_family(num_hashes, seed)
     sh = shingles(df, id_col, text_col, n, hashed=True)
-    sh = sh.select(F.col(id_col), F.expr(f"pmod(shingle, {_MERSENNE}) AS h32"))
-    # Single parsed SQL string per aggregate / for the array fold — nested
-    # Column construction costs a py4j round-trip per node (see simhash).
-    mins = [
-        F.expr(f"min(pmod(h32 * {a} + {b}, {_MERSENNE})) AS __m{i}")
-        for i, (a, b) in enumerate(fam)
-    ]
-    out = sh.groupBy(id_col).agg(*mins)
+    hashed = sh.select(
+        F.col(id_col), _hash_array_expr(num_hashes, seed).alias("__h")
+    )
+    mins = [F.expr(f"min(__h[{i}]) AS __m{i}") for i in range(num_hashes)]
+    out = hashed.groupBy(id_col).agg(*mins)
     arr = ", ".join(f"__m{i}" for i in range(num_hashes))
     return out.select(F.col(id_col), F.expr(f"array({arr}) AS sig"))
 
@@ -322,18 +334,13 @@ def minhash_lsh_pairs(
     # the exact-Jaccard verification below — shingling/hashing the corpus
     # once, not twice.
     sh = shingles(df, id_col, text_col, n, hashed=True).cache()
-    fam = _hash_family(num_hashes, seed)
-    # Expression strings parse in one py4j call each (see simhash); the
-    # signature is never materialized as an array here — band hashes are
-    # computed straight off the per-slot min columns.
-    mins = [
-        F.expr(
-            f"min(pmod(pmod(shingle, {_MERSENNE}) * {a} + {b}, {_MERSENNE}))"
-            f" AS __m{i}"
-        )
-        for i, (a, b) in enumerate(fam)
-    ]
-    sigs = sh.groupBy(id_col).agg(*mins)
+    # All hash values as one transform loop (see _hash_array_expr), then
+    # plain per-slot min aggregates — map-side combinable, no UDFs.
+    hashed = sh.select(
+        F.col(id_col), _hash_array_expr(num_hashes, seed).alias("__h")
+    )
+    mins = [F.expr(f"min(__h[{i}]) AS __m{i}") for i in range(num_hashes)]
+    sigs = hashed.groupBy(id_col).agg(*mins)
     band_structs = ", ".join(
         "struct({bi} AS band_id, xxhash64({cols}) AS band_hash)".format(
             bi=bi,

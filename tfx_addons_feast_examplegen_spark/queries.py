@@ -899,6 +899,7 @@ def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # horizon depends on the final watermark; equality with the batch
     # sessionization below that horizon is asserted in
     # tests/test_stateful_sessions.py.
+    import os as _os
     import tempfile
     import time as _time
 
@@ -912,9 +913,17 @@ def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="sessionize_stream_") + "/ev"
     mid = "2024-01-16 00:00:00"
-    for cond in [F2.col("ts") < mid, F2.col("ts") >= mid]:
+    # The file stream orders batches by mtime; stamp each slice's files
+    # with explicit increasing mtimes instead of sleeping between writes.
+    base = _time.time() - 60
+    stamped: set[str] = set()
+    for i, cond in enumerate([F2.col("ts") < mid, F2.col("ts") >= mid]):
         ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
-        _time.sleep(1.1)  # distinct mtimes -> chronological batches
+        for fname in _os.listdir(src):
+            p = _os.path.join(src, fname)
+            if p not in stamped:
+                _os.utime(p, (base + 10 * i, base + 10 * i))
+                stamped.add(p)
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
     return run_to_completion(
         sessionize_stream(stream, gap_seconds=1800, watermark_delay="1 hour"),

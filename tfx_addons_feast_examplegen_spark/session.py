@@ -74,6 +74,30 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     tiny raw input, upstream of the expensive work.
     """
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions") or "200")
+    # Estimate the scan's split count from file sizes (footer listing is
+    # already cached by the reader) instead of df.rdd.getNumPartitions(),
+    # which forces a full plan->RDD conversion per call.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        max_bytes = int(
+            str(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            ).rstrip("b")
+        )
+        total = 0
+        for uri in files:
+            path = uri[7:] if uri.startswith("file://") else uri
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                return df  # non-local storage: trust the scan's splits
+        est = max(1, -(-total // max_bytes))
+        return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
