@@ -1,0 +1,108 @@
+"""Curation operators: decontamination, sampling, quotas, packing."""
+
+from pyspark.sql import Row
+
+from tfx_addons_feast_examplegen_spark.operators.curation import (
+    decontaminate,
+    group_quota,
+    pack_sequences,
+    stratified_sample,
+)
+from tfx_addons_feast_examplegen_spark.operators.split import _KNUTH
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_decontaminate_drops_overlap_keeps_clean(spark):
+    corpus = _docs(
+        spark,
+        [
+            "the capital of france is paris today",   # contaminated (3-gram)
+            "completely unrelated text about spark jobs",
+            "tiny",                                   # too short to shingle -> kept
+        ],
+    )
+    bench = spark.createDataFrame(
+        [Row(text="what is the capital of france")], "text string"
+    )
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=3).collect()}
+    assert kept == {1, 2}
+
+
+def test_decontaminate_benchmark_side_not_kept(spark):
+    # Decontamination filters the corpus only; output schema == corpus.
+    corpus = _docs(spark, ["alpha beta gamma delta"])
+    bench = spark.createDataFrame([Row(text="zeta eta theta iota")], "text string")
+    out = decontaminate(corpus, bench, n=3)
+    assert out.columns == ["doc_id", "text"]
+    assert out.count() == 1
+
+
+def test_stratified_sample_matches_arithmetic(spark):
+    rows = [Row(k=i, g="a" if i % 2 == 0 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    fractions = {"a": 0.3, "b": 0.05}
+    got = {r.k for r in stratified_sample(df, "k", "g", fractions).collect()}
+    want = {
+        r.k
+        for r in rows
+        if (r.k * _KNUTH) % (2**31) % 10_000
+        < round(fractions[r.g] * 10_000)
+    }
+    assert got == want and 0 < len(want) < 1000
+
+
+def test_stratified_sample_unlisted_group_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(k=i, g="x") for i in range(100)], "k long, g string"
+    )
+    assert stratified_sample(df, "k", "g", {"other": 1.0}).count() == 0
+    assert stratified_sample(df, "k", "g", {"x": 1.0}).count() == 100
+
+
+def test_group_quota_top_k_with_tiebreak(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", id=i, score=10 - (i % 3)) for i in range(6)]
+        + [Row(g="b", id=i, score=1) for i in range(2)],
+        "g string, id long, score long",
+    )
+    out = group_quota(df, "g", "score", 2, id_col="id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.g, []).append((r.quota_rank, r.id, r.score))
+    # group a: score 10 at ids 0 and 3 -> tie broken by id ascending
+    assert sorted(by_group["a"]) == [(1, 0, 10), (2, 3, 10)]
+    # group b has only 2 rows; both kept, ranked by id
+    assert sorted(by_group["b"]) == [(1, 0, 1), (2, 1, 1)]
+
+
+def test_pack_sequences_layout(spark):
+    # tokens: 300, 300, 300 in one group with budget 512:
+    # starts 0, 300, 600 -> packs 0, 0, 1; offsets 0, 300, 88.
+    df = spark.createDataFrame(
+        [Row(g="s", id=i, n=300) for i in range(3)], "g string, id long, n long"
+    )
+    out = {
+        r.id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(
+            df, group_col="g", id_col="id", token_col="n", budget=512
+        ).collect()
+    }
+    assert out == {0: (0, 0), 1: (0, 300), 2: (1, 88)}
+
+
+def test_pack_sequences_groups_independent(spark):
+    df = spark.createDataFrame(
+        [Row(g=g, id=i, n=400) for g in ("x", "y") for i in range(2)],
+        "g string, id long, n long",
+    )
+    out = pack_sequences(
+        df, group_col="g", id_col="id", token_col="n", budget=512
+    ).collect()
+    for r in out:
+        assert (r.pack_id, r.pack_offset) == ((0, 0) if r.id == 0 else (0, 400))

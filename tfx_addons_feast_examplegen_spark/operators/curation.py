@@ -1,0 +1,180 @@
+"""Corpus-curation operators: decontamination, deterministic sampling,
+per-group quotas, and sequence packing.
+
+Beyond-reference extensions (BASELINE.md north star): the operations that
+sit between a deduplicated document corpus and training batches in a
+large-scale LLM data pipeline. Everything is built from
+``pyspark.sql.functions`` expressions — no Python UDFs — so the operators
+stay inside whole-stage codegen.
+
+Scale shapes (the 100 TB lens):
+
+- :func:`decontaminate` — benchmark suites are tiny (KBs–MBs) next to a
+  100 TB corpus, so the benchmark shingle set broadcasts and the corpus
+  is probed in a narrow scan; the corpus never shuffles.
+- :func:`stratified_sample` — a pure filter on an arithmetic hash of the
+  key: no RNG state, no shuffle, reproducible across runs and cluster
+  sizes, and expressible in ANSI SQL for external verification.
+- :func:`group_quota` — top-k per group via ``row_number``; Spark ≥3.5
+  inserts ``WindowGroupLimit`` so each mapper forwards at most k rows per
+  group into the shuffle (visible in the physical plan).
+- :func:`pack_sequences` — one shuffle on the group key + per-group sort;
+  group by a bounded unit (source shard, date) so per-group state stays
+  executor-sized at any corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .split import fingerprint_bucket
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Drop corpus documents sharing any word n-gram with a benchmark set.
+
+    The standard eval-set decontamination pass (n-gram overlap flagging,
+    as popularized by the GPT-3/PaLM data cards): a corpus document is
+    contaminated iff at least one of its n-grams appears anywhere in the
+    benchmark text. Returns the surviving corpus rows unchanged.
+
+    Plan shape: distinct benchmark shingles (tiny) are broadcast; corpus
+    shingles probe them in a left-semi join; the contaminated-id set
+    anti-joins back onto the corpus. With ``hashed=True`` both sides fold
+    shingles to xxhash64 longs so the broadcast table and probe keys are
+    8 bytes each (see :func:`..dedup.shingles`).
+
+    ``n=8`` is in the conventional 8–13-gram decontamination range;
+    fixture-scale tests/oracles use ``n=3`` so short synthetic docs can
+    overlap at all.
+    """
+    doc_sh = shingles(corpus, id_col, text_col, n, hashed=hashed)
+    bench_sh = (
+        shingles(
+            benchmark.select(
+                F.lit(0).alias("__bid"), F.col(bench_text_col).alias("__btext")
+            ),
+            "__bid",
+            "__btext",
+            n,
+            hashed=hashed,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    *,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-group downsampling by portable fingerprint hash.
+
+    Keeps a row iff ``fingerprint_bucket(key, denom) <
+    round(fractions[group] * denom)``. Groups absent from ``fractions``
+    are dropped (quota semantics — an explicit 1.0 keeps a group whole).
+    Unlike ``df.sampleBy``, the decision is a pure function of the key:
+    re-runs, retries, and different partitionings select the same rows,
+    and the same arithmetic runs in any ANSI SQL engine
+    (see :func:`..split.fingerprint_bucket`).
+
+    Fraction resolution is 1/denom (default 0.01%).
+    """
+    bucket = fingerprint_bucket(F.col(key_col), denom)
+    cut: Column | None = None
+    for group, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {group!r} not in [0, 1]: {frac}")
+        branch = (F.col(group_col) == group, F.lit(int(round(frac * denom))))
+        cut = F.when(*branch) if cut is None else cut.when(*branch)
+    if cut is None:
+        raise ValueError("stratified_sample: empty fractions")
+    return df.filter(bucket < cut.otherwise(F.lit(0)))
+
+
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    *,
+    id_col: str,
+    descending: bool = True,
+    rank_col: str = "quota_rank",
+) -> DataFrame:
+    """Keep the top-``k`` rows per group by ``order_col`` (ties broken by
+    ``id_col`` ascending — total order, so results are deterministic).
+
+    The domain-quota / per-source-cap operator of a data-mixing pipeline
+    ("at most k documents per domain, best first"). Output adds
+    ``rank_col`` (1-based rank within the group).
+
+    Scale: the rank filter is recognized by Spark as a window group
+    limit — each mapper pre-ranks and forwards at most k rows per group
+    into the shuffle, so shuffle volume is bounded by k·|groups|, not by
+    the input.
+    """
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(group_col).orderBy(order, F.asc(id_col))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    token_col: str | Column,
+    budget: int,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the group's documents out in
+    ``id_col`` order and cut the token stream into fixed ``budget``-token
+    packs. Each document is annotated with the pack its first token lands
+    in (``pack_col``) and its offset inside that pack (``offset_col``).
+
+    This is the standard pretraining packing discipline (concatenate,
+    then slice at budget boundaries — documents may straddle packs); the
+    assignment is a pure function of the running token sum:
+
+        start   = sum(tokens) over (group, <= id) - tokens
+        pack_id = start div budget,  pack_offset = start mod budget
+
+    One shuffle (the window partition on ``group_col``), no state beyond
+    the running sum.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tok).over(w) - tok).cast("long")
+    return df.withColumn(pack_col, (start / budget).cast("long")).withColumn(
+        offset_col, F.pmod(start, F.lit(budget)).cast("long")
+    )

@@ -1104,6 +1104,124 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Eval-set decontamination: corpus docs sharing any 3-gram with the
+    # pseudo-benchmark slice (every 20th doc) are dropped. n=3 because
+    # fixture docs are short; production default is 8.
+    from .operators.curation import decontaminate
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, benchmark, n=3).select("doc_id", "source")
+
+
+_DECONTAMINATE_ORACLE = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+cw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM cw, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+bw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM bench),
+bsh AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
+  FROM bw, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+bad AS (SELECT DISTINCT doc_id FROM csh WHERE s IN (SELECT s FROM bsh))
+SELECT doc_id, source FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic domain-mix downsampling: per-status fractions via the
+    # portable fingerprint hash (no RNG — identical row set on any
+    # engine/cluster).
+    from .operators.curation import stratified_sample
+
+    t = register_tables(spark, sf_dir)
+    out = stratified_sample(
+        t["orders"],
+        "o_orderkey",
+        "o_orderstatus",
+        {"F": 0.2, "O": 0.1, "P": 0.5},
+    )
+    return out.select("o_orderkey", "o_orderstatus")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE ((o_orderkey * 2654435761) % 2147483648 + 2147483648) % 2147483648 % 10000
+      < CASE o_orderstatus WHEN 'F' THEN 2000 WHEN 'O' THEN 1000
+                           WHEN 'P' THEN 5000 ELSE 0 END
+"""
+
+
+def _q_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source document cap: keep the 5 longest docs per source
+    # (ties by doc_id) — the data-mixing quota operator.
+    from .operators.curation import group_quota
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("n_chars", F.length("text"))
+    out = group_quota(
+        docs, "source", "n_chars", 5, id_col="doc_id", descending=True
+    )
+    return out.select(
+        "source", "doc_id", "n_chars", F.col("quota_rank").cast("long").alias("quota_rank")
+    )
+
+
+_GROUP_QUOTA_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, length(text) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id) AS quota_rank
+  FROM documents
+)
+SELECT source, doc_id, n_chars, quota_rank FROM ranked WHERE quota_rank <= 5
+"""
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concat-and-chunk packing: per source, docs in id order are cut into
+    # 512-token packs; each doc annotated with (pack_id, pack_offset).
+    from .operators.curation import pack_sequences
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    out = pack_sequences(
+        docs, group_col="source", id_col="doc_id", token_col="n_tokens",
+        budget=512,
+    )
+    return out.select("source", "doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+_SEQUENCE_PACKING_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
 def _q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANN recall made driver-visible: IVF with n_probe = n_cells probes
     # every cell, so the candidate set is the full corpus and the result
@@ -1211,6 +1329,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pit_join_field_mapping": (_q_pit_field_mapping, _PIT_FIELD_MAPPING_ORACLE),
     "param_substitution": (_q_param_substitution, _PARAM_SUBSTITUTION_ORACLE),
     "skew_salted_agg": (_q_salted_agg, _SALTED_AGG_ORACLE),
+    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
+    "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
+    "sequence_packing": (_q_sequence_packing, _SEQUENCE_PACKING_ORACLE),
     "dataset_stats": (_q_dataset_stats, _stats_oracle()),
 }
 
