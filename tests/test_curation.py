@@ -106,3 +106,51 @@ def test_pack_sequences_groups_independent(spark):
     ).collect()
     for r in out:
         assert (r.pack_id, r.pack_offset) == ((0, 0) if r.id == 0 else (0, 400))
+
+
+def test_pack_sequences_properties_hypothesis(spark_prop):
+    # Invariants for arbitrary token streams: offsets stay inside the
+    # budget, pack ids are monotone in document order, and the layout is
+    # gap-free (each doc starts exactly where the previous one ended, in
+    # the concatenated stream).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        tokens=st.lists(st.integers(min_value=0, max_value=700),
+                        min_size=1, max_size=12),
+        budget=st.integers(min_value=1, max_value=600),
+    )
+    def check(tokens, budget):
+        df = spark_prop.createDataFrame(
+            [Row(g="s", id=i, n=t) for i, t in enumerate(tokens)],
+            "g string, id long, n long",
+        )
+        rows = sorted(
+            pack_sequences(
+                df, group_col="g", id_col="id", token_col="n", budget=budget
+            ).collect(),
+            key=lambda r: r.id,
+        )
+        start = 0
+        for r in rows:
+            assert 0 <= r.pack_offset < budget
+            assert r.pack_id == start // budget
+            assert r.pack_offset == start % budget
+            start += tokens[r.id]
+
+    check()
+
+
+def test_stratified_sample_is_stable_subset(spark_prop):
+    # Determinism + subset property: a smaller fraction's selection is a
+    # subset of a larger one's (threshold semantics), and re-runs agree.
+    df = spark_prop.createDataFrame(
+        [Row(k=i, g="a") for i in range(500)], "k long, g string"
+    )
+    small = {r.k for r in stratified_sample(df, "k", "g", {"a": 0.1}).collect()}
+    big = {r.k for r in stratified_sample(df, "k", "g", {"a": 0.4}).collect()}
+    again = {r.k for r in stratified_sample(df, "k", "g", {"a": 0.1}).collect()}
+    assert small <= big
+    assert small == again
