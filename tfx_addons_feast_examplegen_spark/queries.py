@@ -1104,6 +1104,131 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The "materialize to online store" shape (Feast materialize): latest
+    # feature row per entity as of now — max_by agg, one map-side-
+    # combinable shuffle (vs the oracle's full window sort).
+    t = register_tables(spark, sf_dir)
+    ev = t["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("value", "event_type"),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("__p"),
+            F.max("ts").alias("__ts"),
+        )
+        .select(
+            "user_id",
+            # unix_micros, not unix_timestamp: event times are fractional
+            # seconds, and second-granular casts disagree across engines
+            # (Spark truncates, DuckDB's double->BIGINT cast rounds).
+            F.unix_micros("__ts").alias("last_ts_us"),
+            F.col("__p.value").alias("value"),
+            F.col("__p.event_type").alias("event_type"),
+        )
+    )
+
+
+_LATEST_SNAPSHOT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, epoch_us(ts) AS last_ts_us, value, event_type
+FROM ranked WHERE rn = 1
+"""
+
+
+# GROUPING SETS + FILTER-ed aggregates + grouping() markers (A2 breadth).
+_QGROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+# Correlated scalar subquery (decorrelated by Catalyst into a join;
+# integer counts keep membership engine-exact).
+_QCORRELATED = """
+SELECT o_orderkey,
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+FROM orders o
+WHERE (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) >= 6
+"""
+
+
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calendar gap-fill: dense daily spine (sequence/explode) LEFT JOIN
+    # per-day revenue, absent days filled with zeros — the time-series
+    # completion every metrics pipeline needs.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH days AS (
+          SELECT explode(sequence(DATE '2024-01-01', DATE '2024-02-10',
+                                  INTERVAL 1 DAY)) AS d
+        ),
+        rev AS (
+          SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS revenue,
+                 count(*) AS n_events
+          FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(unix_timestamp(CAST(days.d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+               coalesce(rev.revenue, 0.0) AS revenue,
+               coalesce(rev.n_events, 0) AS n_events
+        FROM days LEFT JOIN rev ON rev.d = days.d
+    """)
+
+
+_GAP_FILL_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-10',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+rev AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS revenue,
+         count(*) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(epoch(CAST(days.d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+       coalesce(rev.revenue, 0.0) AS revenue,
+       coalesce(rev.n_events, 0) AS n_events
+FROM days LEFT JOIN rev ON rev.d = days.d
+"""
+
+# Unpivot: Spark's stack() generator vs the oracle's UNION ALL rendering.
+_QUNPIVOT_SPARK = """
+SELECT c_custkey, kind, val FROM (
+  SELECT c_custkey,
+         stack(2, 'acctbal', c_acctbal,
+                  'nationkey', CAST(c_nationkey AS DOUBLE)) AS (kind, val)
+  FROM customer
+)
+"""
+
+_QUNPIVOT_ORACLE = """
+SELECT c_custkey, 'acctbal' AS kind, c_acctbal AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+"""
+
+# Interval RANGE window frame: trailing 7-day per-user running revenue
+# (event-time range frame, peers included deterministically).
+_QRANGE_WINDOW = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS v7d
+FROM events
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Eval-set decontamination: corpus docs sharing any 3-gram with the
     # pseudo-benchmark slice (every 20th doc) are dropped. n=3 because
@@ -1333,6 +1458,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
     "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
     "sequence_packing": (_q_sequence_packing, _SEQUENCE_PACKING_ORACLE),
+    "latest_feature_snapshot": (_q_latest_snapshot, _LATEST_SNAPSHOT_ORACLE),
+    "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
+    "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
+    "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
+    "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
+    "range_interval_window": (_sql_query(_QRANGE_WINDOW), _QRANGE_WINDOW),
     "dataset_stats": (_q_dataset_stats, _stats_oracle()),
 }
 
