@@ -931,6 +931,39 @@ def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming path made hash-checkable: a tumbling-window aggregate
+    # run as a real Structured Streaming query (file source, availableNow)
+    # in COMPLETE output mode — over bounded input the final state equals
+    # the batch aggregation bit-for-bit, so the SAME daily-counts oracle
+    # applies. (Append-mode queries stay rows-only: their emission set
+    # depends on the final watermark.)
+    import os as _os
+    import uuid as _uuid
+
+    from .streaming.events import (
+        read_events_stream,
+        run_to_completion,
+        windowed_event_counts,
+    )
+
+    register_tables(spark, sf_dir)
+    stream = read_events_stream(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    out = run_to_completion(
+        windowed_event_counts(stream, watermark_delay="1 hour"),
+        output_mode="complete",
+        query_name=f"wec_stream_{_uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_ts"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal plumbing surfaced as a query: binary payloads + typed
     # metadata -> Arrow-batched feature extraction (deterministic fake
@@ -1448,6 +1481,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "similarity_ann_exhaustive": (_q_ann_exhaustive, _SIM_TOPK_ORACLE),
     "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
+    "windowed_event_counts_streaming": (
+        _q_windowed_streaming,
+        _WINDOWED_EVENTS_ORACLE,  # complete-mode stream ≡ batch aggregate
+    ),
     "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),
     "pit_join_prefixed": (_q_pit_prefixed, _PIT_PREFIXED_ORACLE),
     "pit_join_composite_key": (_q_pit_composite_key, _PIT_COMPOSITE_ORACLE),
