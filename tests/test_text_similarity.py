@@ -68,6 +68,27 @@ def test_fingerprint_normalization(spark):
     assert fps[0][1] == fps[1][1]
 
 
+def test_intra_doc_repetition_flags_loops(spark):
+    looped = "spam and eggs " * 20
+    varied = " ".join(f"word{i}" for i in range(60))
+    df = _docs(spark, [looped.strip(), varied, "too short"])
+    out = {r.doc_id: r for r in tx.intra_doc_repetition(df, n=3).collect()}
+    assert out[0].rep_ratio > 0.9          # looped text: almost all grams repeat
+    assert out[1].rep_ratio == 0.0         # all grams unique
+    assert out[2].n_grams == 0             # < n words -> no grams, ratio 0
+    assert out[2].rep_ratio == 0.0
+
+
+def test_redact_pii_replaces_all_kinds(spark):
+    df = _docs(
+        spark,
+        ["reach me at jane.doe+spam@corp.example.org or +1 (555) 123-4567, host 10.0.0.7 ok"],
+    )
+    [r] = tx.redact_pii(df).collect()
+    assert "<EMAIL>" in r.text and "<PHONE>" in r.text and "<IPV4>" in r.text
+    assert "jane" not in r.text and "555" not in r.text and "10.0.0.7" not in r.text
+
+
 def _emb(spark, vecs):
     return spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)],

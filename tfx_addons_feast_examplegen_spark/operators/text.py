@@ -137,6 +137,72 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def intra_doc_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    repeated-n-gram filters): total vs distinct word n-grams per doc and
+    the repeated fraction. A doc whose text loops emits the same n-grams
+    many times — ``rep_ratio`` rises toward 1.
+
+    Pure expressions (split -> transform -> size/array_distinct), no
+    explode and no shuffle: each doc scores in place at scan time, so the
+    filter pushes down like any other quality gate.
+    """
+    c = F.col(text_col)
+    words = F.split(F.lower(c), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array())
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct_grams"),
+        F.round(
+            (total - distinct) / F.greatest(total, F.lit(1)), 4
+        ).alias("rep_ratio"),
+    )
+
+
+# Conservative, engine-portable PII patterns (valid in both Java regex
+# and RE2): emails, international-ish phone numbers, IPv4 addresses.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replace PII matches with ``<KIND>`` placeholder tokens.
+
+    Chained ``regexp_replace`` expressions — codegen'd, applied in one
+    projection pass at scan time (the standard pre-training scrub). The
+    default patterns are deliberately conservative and portable; swap in
+    deployment-grade patterns via ``patterns``.
+    """
+    out = F.col(text_col)
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col or text_col, out)
+
+
 def doc_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1137,6 +1137,67 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style within-doc repeated-n-gram signals, as a no-shuffle
+    # scan-time projection.
+    from .operators.text import intra_doc_repetition
+
+    t = register_tables(spark, sf_dir)
+    return intra_doc_repetition(t["documents"], n=3)
+
+
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_grams
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_distinct_grams, 0) AS n_distinct_grams,
+       round((coalesce(a.n_grams, 0) - coalesce(a.n_distinct_grams, 0)) * 1.0
+             / greatest(coalesce(a.n_grams, 0), 1), 4) AS rep_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scrub synthetic PII appended to each doc; output md5 of the
+    # redacted text so the oracle checks byte-identical transformation.
+    from .operators.text import redact_pii
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 123-4567 at 192.168.0."),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return redact_pii(docs).select("doc_id", F.md5("text").alias("redacted_md5"))
+
+
+_PII_REDACTION_ORACLE = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 123-4567 at 192.168.0.'
+              || CAST(doc_id AS VARCHAR),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The "materialize to online store" shape (Feast materialize): latest
     # feature row per entity as of now — max_by agg, one map-side-
@@ -1496,6 +1557,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
     "sequence_packing": (_q_sequence_packing, _SEQUENCE_PACKING_ORACLE),
     "latest_feature_snapshot": (_q_latest_snapshot, _LATEST_SNAPSHOT_ORACLE),
+    "text_repetition": (_q_repetition, _REPETITION_ORACLE),
+    "pii_redaction": (_q_pii_redaction, _PII_REDACTION_ORACLE),
     "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
     "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
     "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
