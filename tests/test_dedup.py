@@ -134,3 +134,31 @@ def test_simhash_pairs_finds_identical(spark):
     rows = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
     assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 1)}
     assert rows[0].hamming == 0
+
+
+def test_containment_short_doc_inside_long(spark):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words before the quote " + quote + " and plenty of trailing "
+        "commentary that makes this document much longer than the quote"
+    )
+    df = _docs(spark, [quote, long_doc, "totally unrelated text here now"])
+    rows = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(0, 1)]
+    assert rows[0].containment == 1.0
+    # symmetric Jaccard misses the same pair at any comparable threshold
+    jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_threshold_excludes_partial_overlap(spark):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import containment_pairs
+
+    df = _docs(spark, ["a b c d e f", "a b c d x y z w q r"])
+    # 2 shared 3-gram shingles ("a b c", "b c d") / min(4, 8) = 0.5
+    rows = containment_pairs(df, "doc_id", "text", n=3, threshold=0.6).collect()
+    assert rows == []
+    rows = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in rows] == [(0, 1, 0.5)]

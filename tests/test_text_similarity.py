@@ -261,3 +261,39 @@ def test_blocked_topk_matches_sql_topk(spark, sf_dir):
     for key in sql_res:
         assert abs(sql_res[key][1] - np_res[key][1]) < 1e-4 or \
             sql_res[key][0] != np_res[key][0]
+
+
+def test_tfidf_top_terms_rare_term_wins(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="common common zebra"),
+            Row(doc_id=1, text="common common yak"),
+            Row(doc_id=2, text="common filler words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: r.term for r in rows}
+    # "common" appears in every doc -> idf = ln(1) = 0; the unique term wins
+    assert top[0] == "zebra" and top[1] == "yak"
+    by_doc0 = [r for r in rows if r.doc_id == 0][0]
+    assert by_doc0.doc_freq == 1 and by_doc0.tf == 1
+
+
+def test_tfidf_k_rows_per_doc_and_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="b a c"), Row(doc_id=1, text="x y z")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    doc0 = sorted(r.term for r in rows if r.doc_id == 0)
+    # all three terms tie on tfidf; term-asc tie-break keeps a and b
+    assert doc0 == ["a", "b"] and len(rows) == 4

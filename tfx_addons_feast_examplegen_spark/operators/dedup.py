@@ -245,6 +245,53 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    observation=None,
+    on_over_cap: str = "drop",
+) -> DataFrame:
+    """Shingle-containment pairs: catches a short document embedded in a
+    long one, which symmetric Jaccard misses (a quote, a boilerplate
+    header, a doc prepended with a licence block).
+
+    Score = |shingles(A) ∩ shingles(B)| / min(|shingles(A)|, |shingles(B)|)
+    — containment of the smaller set in the larger. A 50-shingle doc fully
+    quoted inside a 5000-shingle doc scores 1.0 here but Jaccard ≈ 0.01.
+
+    Same plan shape as :func:`jaccard_pairs` (per-shingle bucket explode,
+    one shuffle, hashed 8-byte shingle keys, ``max_bucket`` degenerate-key
+    guard); only the denominator differs.
+
+    Output: (doc_a, doc_b, containment) with doc_a < doc_b.
+    """
+    sh = shingles(df, id_col, text_col, n, hashed=True).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+
+    pairs = (
+        _bucket_pairs(
+            sh, ["shingle"], id_col, max_size=max_bucket,
+            observation=observation, on_over_cap=on_over_cap,
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nb"))
+    cont = F.col("common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------

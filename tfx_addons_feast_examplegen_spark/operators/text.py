@@ -218,3 +218,59 @@ def doc_fingerprints(
         F.md5(c).alias("fp_exact"),
         F.md5(norm).alias("fp_normalized"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    The classic corpus-characterization / keyword-extraction primitive:
+    tf(term, doc) × ln(N / df(term)), with N = number of documents and
+    df = documents containing the term. Whitespace tokens, lowercased.
+
+    Plan shape (scale notes): one explode over the token arrays feeds
+    BOTH the per-(doc, term) tf aggregation and the per-term df
+    aggregation — Spark schedules two hash aggregations over the same
+    scan. df and N are corpus-level statistics: df joins back on the
+    term key (broadcast when the vocabulary is small), N is a one-row
+    broadcast cross join. The final top-k is a per-document window —
+    partitioned by doc id, so it shuffles on the same key as tf and AQE
+    coalesces the exchange. No UDFs anywhere.
+
+    Determinism: tfidf is rounded to 4 decimals BEFORE ranking and ties
+    break on the term string, so the selected rows are stable across
+    engines (ln differs from a SQL oracle's by ≤1 ulp; post-round
+    collisions resolve identically).
+
+    Output: (doc_id, term, tf, doc_freq, tfidf), ``k`` rows per document
+    that has at least one token.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq")
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("doc_freq")), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf")
+    )

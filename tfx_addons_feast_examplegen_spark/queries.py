@@ -893,6 +893,114 @@ WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = k.doc_id)
 """
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric near-dup: a short doc quoted inside a long one. Same
+    # bucket-explode plan as jaccard_pairs, min-size denominator.
+    t = register_tables(spark, sf_dir)
+    return dd.containment_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+_CONTAINMENT_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / least(sa.nsh, sb.nsh), 4) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / least(sa.nsh, sb.nsh) >= 0.8
+"""
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Connected components over the near-dup graph (distributed min-label
+    # propagation, operators/corpus.py). Edges are LSH candidates
+    # exact-verified at the threshold, so the oracle's exact-Jaccard edge
+    # set is identical; the oracle derives components independently via a
+    # recursive transitive-closure CTE instead of label propagation.
+    from .operators.corpus import duplicate_clusters
+
+    t = register_tables(spark, sf_dir)
+    return duplicate_clusters(
+        t["documents"], jaccard_threshold=0.5, ngram=3
+    )
+
+
+_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e0 AS (
+  SELECT doc_a, doc_b
+  FROM prs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM e0
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM e0
+),
+reach (id, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return tx.tfidf_top_terms(t["documents"], "doc_id", "text", k=3)
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok2 GROUP BY 1
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+         round(t.tf * ln(n.n_docs * 1.0 / d.doc_freq), 4) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
 def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The stateful applyInPandasWithState sessionizer, driven to
     # completion over time-sliced micro-batches. Rows-only: the emission
@@ -1523,6 +1631,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
     "dedup_minhash_lsh": (_q_minhash, _JACCARD_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 not portable)
+    "dedup_containment": (_q_containment, _CONTAINMENT_ORACLE),
+    "dedup_clusters": (_q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
+    "text_tfidf_topterms": (_q_tfidf, _TFIDF_ORACLE),
     "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
     "text_lang_id": (_q_lang_id, _langid_case()),
     "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
