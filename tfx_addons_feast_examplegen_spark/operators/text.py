@@ -40,15 +40,23 @@ def token_count(text_col: str | Column) -> Column:
     return F.size(tokens(text_col))
 
 
+# One token per: letter/underscore run, single digit (BPE tokenizers
+# split numbers), or single non-space symbol. Explicit ASCII classes only
+# — no \w or \s, whose definitions differ between Java regex (Spark) and
+# RE2 (DuckDB/oracle engines) — so counts are engine-portable.
+BPE_ISH_TOKEN_PATTERN = r"[A-Za-z_]+|[0-9]|[^A-Za-z0-9_ \t\n\r]"
+
+
 def bpe_ish_token_count(text_col: str | Column) -> Column:
-    """Subword-ish token count: split on word boundaries AND digits/punct.
+    """Subword-ish token count: letter runs + single digits + punct.
 
     A regex approximation of BPE tokenizer counts (useful for budgeting
     LLM training tokens without shipping a tokenizer to executors).
+    Extraction (``regexp_extract_all``), not lookaround splitting, so the
+    same pattern runs on RE2-based engines for oracle checks.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    pieces = F.split(c, r"\s+|(?=[^\w\s])|(?<=[^\w\s])")
-    return F.size(F.filter(pieces, lambda t: t != ""))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_PATTERN), 0))
 
 
 def _profile_hits(toks: Column, words: tuple[str, ...]) -> Column:

@@ -831,8 +831,9 @@ def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Subword-ish token budget per source (lookahead regex not portable
-    # to RE2 -> rows-only; semantics pytest-verified).
+    # Subword-ish token budget per source. The token pattern uses explicit
+    # ASCII classes (text.BPE_ISH_TOKEN_PATTERN) so the identical regex
+    # runs under Java regex (Spark) and RE2 (DuckDB) -> oracle-checked.
     t = register_tables(spark, sf_dir)
     return (
         t["documents"]
@@ -843,6 +844,19 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_bpe"), 2).alias("avg_bpe_tokens"),
         )
     )
+
+
+_BPE_TOKENS_ORACLE = r"""
+WITH b AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z_]+|[0-9]|[^A-Za-z0-9_ \t\n\r]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT source, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       round(avg(n_bpe), 2) AS avg_bpe_tokens
+FROM b GROUP BY source
+"""
 
 
 def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,7 +1636,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "case_pivot": (_sql_query(_QPIVOT), _QPIVOT),
     "sketch_distinct_counts": (_q_sketch_distinct, None),  # rows-only (HLL)
     "sketch_quantiles": (_q_sketch_quantiles, None),  # rows-only (approx)
-    "text_bpe_token_budget": (_q_bpe_tokens, None),  # rows-only (regex)
+    "text_bpe_token_budget": (_q_bpe_tokens, _BPE_TOKENS_ORACLE),
     "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
     "sessionization_streaming": (_q_sessionization_streaming, None),  # rows-only
     "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_oracle()),
