@@ -124,3 +124,35 @@ def test_stream_to_tfrecords(spark, events_path, tmp_path):
     assert n == spark.read.parquet(events_path).count()
     ex = decode_example(next(read_tfrecords(files[0])))
     assert set(ex) == {"event_id", "user_id", "value", "event_type"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_path):
+    from tfx_addons_feast_examplegen_spark.streaming.events import (
+        interval_join_streams,
+    )
+
+    purchases = read_events_stream(spark, events_path).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, events_path).filter(
+        F.col("event_type") == "click"
+    )
+    out = run_to_completion(
+        interval_join_streams(purchases, clicks, lookback="1 hour"),
+        query_name="ssj_test",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    expected = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+    ).select(
+        F.col("p.event_id").alias("l_event_id"),
+        F.col("c.event_id").alias("r_event_id"),
+    )
+    got = {(r.l_event_id, r.r_event_id) for r in out.collect()}
+    want = {(r.l_event_id, r.r_event_id) for r in expected.collect()}
+    assert got == want and len(want) > 0

@@ -1086,6 +1086,58 @@ def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-stream interval join run as a real Structured Streaming
+    # query: purchases attributed to same-user clicks within the
+    # preceding hour. Inner-join matches emit independently of the final
+    # watermark (it only gates state eviction), so bounded-input replay
+    # equals the batch interval join and the SQL oracle applies.
+    import os as _os
+    import uuid as _uuid
+
+    from .streaming.events import (
+        interval_join_streams,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    register_tables(spark, sf_dir)
+    path = _os.path.join(sf_dir, "events.parquet")
+    purchases = read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, path).filter(
+        F.col("event_type") == "click"
+    )
+    out = run_to_completion(
+        interval_join_streams(purchases, clicks, lookback="1 hour"),
+        query_name=f"ssj_{_uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.unix_timestamp("l_ts").alias("purchase_ts"),
+        F.unix_timestamp("r_ts").alias("click_ts"),
+        F.round("l_value", 2).alias("purchase_value"),
+    )
+
+
+_STREAM_STREAM_JOIN_ORACLE = """
+SELECT a.user_id,
+       a.event_id AS purchase_id,
+       b.event_id AS click_id,
+       CAST(floor(epoch(a.ts)) AS BIGINT) AS purchase_ts,
+       CAST(floor(epoch(b.ts)) AS BIGINT) AS click_ts,
+       round(a.value, 2) AS purchase_value
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+"""
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal plumbing surfaced as a query: binary payloads + typed
     # metadata -> Arrow-batched feature extraction (deterministic fake
@@ -1671,6 +1723,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_windowed_streaming,
         _WINDOWED_EVENTS_ORACLE,  # complete-mode stream ≡ batch aggregate
     ),
+    "stream_stream_join": (_q_stream_stream_join, _STREAM_STREAM_JOIN_ORACLE),
     "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),
     "pit_join_prefixed": (_q_pit_prefixed, _PIT_PREFIXED_ORACLE),
     "pit_join_composite_key": (_q_pit_composite_key, _PIT_COMPOSITE_ORACLE),

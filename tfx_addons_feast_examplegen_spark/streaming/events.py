@@ -188,3 +188,50 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    lookback: str = "1 hour",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: each left event matched to right
+    events of the same key whose timestamp falls in
+    ``[left.ts - lookback, left.ts]`` (the attribution-join shape: a
+    purchase joined to the clicks that preceded it).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can GC join state — the requirement for unbounded
+    stream-stream joins (state held per side is at most
+    ``watermark_delay + lookback`` of input). Inner-join matches emit in
+    the micro-batch where both rows are present; the watermark governs
+    state eviction only, so running to completion over a bounded source
+    yields exactly the batch join's result (the property the oracle
+    checks).
+
+    Output columns are prefixed ``l_`` / ``r_`` (event_id, ts, value);
+    the key keeps its name.
+    """
+    l = left.withWatermark("ts", watermark_delay)
+    r = right.withWatermark("ts", watermark_delay)
+    lsel = l.select(
+        F.col(key_col),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    rsel = r.select(
+        F.col(key_col).alias("__rkey"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (lsel[key_col] == rsel["__rkey"])
+        & (rsel["r_ts"] >= lsel["l_ts"] - F.expr(f"INTERVAL {lookback}"))
+        & (rsel["r_ts"] <= lsel["l_ts"])
+    )
+    return lsel.join(rsel, cond, "inner").drop("__rkey")
