@@ -386,8 +386,13 @@ def minhash_lsh_pairs(
     hashed = sh.select(
         F.col(id_col), _hash_array_expr(num_hashes, seed).alias("__h")
     )
+    # Fold the per-doc shingle count into the SAME aggregation as the
+    # signature mins: one hash-agg pass over the shingle set instead of a
+    # second groupBy just for set sizes (the count feeds verification).
     mins = [F.expr(f"min(__h[{i}]) AS __m{i}") for i in range(num_hashes)]
-    sigs = hashed.groupBy(id_col).agg(*mins)
+    sigs = hashed.groupBy(id_col).agg(
+        *mins, F.count(F.lit(1)).alias("__nsh")
+    ).cache()
     band_structs = ", ".join(
         "struct({bi} AS band_id, xxhash64({cols}) AS band_hash)".format(
             bi=bi,
@@ -416,7 +421,7 @@ def minhash_lsh_pairs(
     # candidates back to the SAME cached shingle set, count common
     # shingles per pair. This is the point of LSH — the expensive exact
     # computation touches |candidates| pairs, not O(n²).
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    sizes = sigs.select(F.col(id_col), F.col("__nsh").alias("nsh"))
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
