@@ -87,6 +87,17 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _grams_expr(text_col: str, n: int) -> "F.Column":
+    # NB: Spark's sequence(1, 0) counts DOWN ([1, 0]) — guard short docs
+    # with an explicit CASE instead of clamping the upper bound.
+    return F.expr(
+        f"CASE WHEN size(split(lower({text_col}), ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(lower({text_col}), ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
+        f" ELSE array() END"
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, *, hashed: bool = False
 ) -> DataFrame:
@@ -103,16 +114,8 @@ def shingles(
     every consumer that only needs shingle identity (Jaccard, MinHash);
     the default keeps the human-readable strings.
     """
-    # NB: Spark's sequence(1, 0) counts DOWN ([1, 0]) — guard short docs
-    # with an explicit CASE instead of clamping the upper bound.
-    grams = F.expr(
-        f"CASE WHEN size(split(lower({text_col}), ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split(lower({text_col}), ' ')) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, {n})))"
-        f" ELSE array() END"
-    )
     out = rebalance_for_compute(df).select(
-        F.col(id_col), F.explode(grams).alias("shingle")
+        F.col(id_col), F.explode(_grams_expr(text_col, n)).alias("shingle")
     )
     if hashed:
         out = out.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
@@ -217,7 +220,10 @@ def jaccard_pairs(
     fixed-width join key shuffles ~20% faster than the shingle strings and
     counts identically (a collision among distinct shingles of one corpus
     is ~|shingles|²/2^64 — vanishing, and deterministic if it ever
-    occurs).
+    occurs). Set sizes aggregate the CACHED shingle set — the sa/sb join
+    branches below each consume sizes, and deriving it from the cache is
+    cheaper than re-running the gram pipeline per branch (Catalyst does
+    not common-subexpression-eliminate across join branches).
     """
     sh = shingles(df, id_col, text_col, n, hashed=True).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
