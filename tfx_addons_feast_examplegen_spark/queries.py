@@ -1086,6 +1086,66 @@ def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Source-format dispatch proven by round-trip identity: documents ->
+    # JSONL on disk -> schema'd JSON reader -> aggregate. The oracle runs
+    # the same aggregate on the original parquet, so any loss in the
+    # JSONL writer/reader (escaping, nulls, unicode) breaks the hash.
+    import tempfile as _tempfile
+
+    from .sources.ingest import FORMAT_JSONL, read_corpus, write_corpus
+
+    t = register_tables(spark, sf_dir)
+    path = _tempfile.mkdtemp(prefix="ingest_jsonl_") + "/documents"
+    write_corpus(t["documents"], path, source_format=FORMAT_JSONL)
+    back = read_corpus(
+        spark, path, source_format=FORMAT_JSONL,
+        schema=t["documents"].schema,
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count_distinct("doc_id").alias("n_ids"),
+    )
+
+
+_JSONL_ROUNDTRIP_ORACLE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+FROM documents GROUP BY source
+"""
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CSV round-trip with quoting/escape symmetry: orders (numerics,
+    # timestamps, free-text priority strings) -> CSV -> schema'd reader
+    # -> aggregate vs the parquet-based oracle.
+    import tempfile as _tempfile
+
+    from .sources.ingest import FORMAT_CSV, read_corpus, write_corpus
+
+    t = register_tables(spark, sf_dir)
+    path = _tempfile.mkdtemp(prefix="ingest_csv_") + "/orders"
+    write_corpus(t["orders"], path, source_format=FORMAT_CSV)
+    back = read_corpus(
+        spark, path, source_format=FORMAT_CSV, schema=t["orders"].schema
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min(F.unix_timestamp("o_orderdate")).alias("first_order_ts"),
+    )
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS first_order_ts
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stream-stream interval join run as a real Structured Streaming
     # query: purchases attributed to same-user clicks within the
@@ -1724,6 +1784,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _WINDOWED_EVENTS_ORACLE,  # complete-mode stream ≡ batch aggregate
     ),
     "stream_stream_join": (_q_stream_stream_join, _STREAM_STREAM_JOIN_ORACLE),
+    "source_jsonl_roundtrip": (_q_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
+    "source_csv_roundtrip": (_q_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
     "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),
     "pit_join_prefixed": (_q_pit_prefixed, _PIT_PREFIXED_ORACLE),
     "pit_join_composite_key": (_q_pit_composite_key, _PIT_COMPOSITE_ORACLE),
