@@ -37,6 +37,19 @@ the tiny query batch, and the corpus side streams one pass — unlike a
 pair-search operator, there is no candidate structure to exploit. (The
 pair-search operators — embedding_neardup, dedup_* — use equi-join
 candidates instead; see below.)""",
+    "dedup_minhash_lsh": """LSH banding: one cached shingle scan feeds signature mins AND the
+exact-Jaccard verification; shingle-set sizes ride the same aggregation
+as the signature (one hash-agg pass). Candidates come from an equi-join
+on (band_id, band_hash) — no cross join anywhere in the tree.""",
+    "dedup_containment": """Same bucket-explode shape as jaccard_pairs (one shuffle on the hashed
+shingle key); only the score denominator differs (min set size instead
+of union size), so the asymmetric short-in-long case adds no new plan
+risk.""",
+    "text_tfidf_topterms": """One token explode feeds both the per-(doc, term) tf aggregation and
+the per-term document frequency; df joins back on the term key and the
+corpus size N arrives as a one-row broadcast. The final top-k window
+partitions by doc id — the same key as tf — so AQE coalesces the
+exchange.""",
     "embedding_neardup": """Exact all-pairs cosine as a blocked triangle join: both sides explode
 to (block_i, block_j) pair keys and meet in a plain hash equi-join on
 the key — NO BroadcastNestedLoopJoin/CartesianProduct anywhere. Work
