@@ -154,3 +154,31 @@ def test_stratified_sample_is_stable_subset(spark_prop):
     again = {r.k for r in stratified_sample(df, "k", "g", {"a": 0.1}).collect()}
     assert small <= big
     assert small == again
+
+
+def test_weighted_sample_extremes_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(k=i, w=1.0) for i in range(50)]
+        + [Row(k=i, w=0.0) for i in range(50, 100)],
+        "k long, w double",
+    )
+    kept = weighted_sample(df, "k", "w").collect()
+    assert sorted(r.k for r in kept) == list(range(50))  # w=1 all, w=0 none
+    again = weighted_sample(df.repartition(7), "k", "w").collect()
+    assert sorted(r.k for r in again) == sorted(r.k for r in kept)
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(k=i, w=0.3) for i in range(2000)], "k long, w double"
+    )
+    n = weighted_sample(df, "k", "w").count()
+    assert 0.25 < n / 2000 < 0.35

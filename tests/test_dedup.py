@@ -162,3 +162,17 @@ def test_containment_threshold_excludes_partial_overlap(spark):
     assert rows == []
     rows = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     assert [(r.doc_a, r.doc_b, r.containment) for r in rows] == [(0, 1, 0.5)]
+
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import minhash_lsh_join
+
+    corpus = _docs(spark, [BASE, "completely different corpus text here ok"])
+    batch = spark.createDataFrame(
+        [(100, BASE + " extra"), (101, "nothing like anything above at all")],
+        "doc_id long, text string",
+    )
+    rows = minhash_lsh_join(batch, corpus, "doc_id", "text", threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(100, 0)]
+    # corpus-internal duplicates are NOT paired (that's the self-join's job)
+    assert all(r.doc_a >= 100 for r in rows)

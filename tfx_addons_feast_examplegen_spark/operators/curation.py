@@ -178,3 +178,31 @@ def pack_sequences(
     return df.withColumn(pack_col, (start / budget).cast("long")).withColumn(
         offset_col, F.pmod(start, F.lit(budget)).cast("long")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    *,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Keep each row with probability equal to its per-row weight
+    (clamped to [0, 1]) — quality-weighted corpus resampling: a document
+    scoring 0.9 survives 9× as often as one scoring 0.1.
+
+    Like :func:`stratified_sample`, the decision is a pure function of
+    the key's portable fingerprint — no RNG state, so re-runs, retries,
+    speculative tasks, and any partitioning select the identical subset,
+    and an external ANSI-SQL engine can replay the selection exactly. A
+    plain filter: no shuffle, pushes to the scan when the weight is a
+    stored column.
+
+    ``floor(w*denom + 0.5)`` (not ``round``) converts the weight to a
+    threshold: 4-decimal weights land exactly on .5 boundaries where
+    engines' round() implementations disagree; floor of identical
+    doubles is portable.
+    """
+    bucket = fingerprint_bucket(F.col(key_col), denom)
+    w = F.greatest(F.least(F.col(weight_col), F.lit(1.0)), F.lit(0.0))
+    return df.filter(bucket < F.floor(w * denom + F.lit(0.5)))

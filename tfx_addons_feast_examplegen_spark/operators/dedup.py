@@ -355,6 +355,44 @@ def minhash_signatures(
     return out.select(F.col(id_col), F.expr(f"array({arr}) AS sig"))
 
 
+def _minhash_sigs(
+    sh: DataFrame, id_col: str, num_hashes: int, seed: int
+) -> DataFrame:
+    """MinHash signature per doc from a hashed-shingle frame.
+
+    All hash values as one transform loop (see _hash_array_expr), then
+    plain per-slot min aggregates — map-side combinable, no UDFs. The
+    per-doc shingle count (``__nsh``) rides the SAME aggregation, so
+    verification needs no second pass over the shingle set.
+    """
+    hashed = sh.select(
+        F.col(id_col), _hash_array_expr(num_hashes, seed).alias("__h")
+    )
+    mins = [F.expr(f"min(__h[{i}]) AS __m{i}") for i in range(num_hashes)]
+    return hashed.groupBy(id_col).agg(
+        *mins, F.count(F.lit(1)).alias("__nsh")
+    )
+
+
+def _band_explode(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_id, band_hash) — one row per LSH band per doc."""
+    rows_per_band = num_hashes // bands
+    band_structs = ", ".join(
+        "struct({bi} AS band_id, xxhash64({cols}) AS band_hash)".format(
+            bi=bi,
+            cols=", ".join(
+                f"__m{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return sigs.select(
+        F.col(id_col), F.expr(f"explode(array({band_structs})) AS b")
+    ).select(F.col(id_col), F.col("b.band_id"), F.col("b.band_hash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -382,35 +420,12 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b[, jaccard]) with doc_a < doc_b.
     """
-    rows_per_band = num_hashes // bands
     # One cached hashed-shingle set feeds BOTH signature computation and
     # the exact-Jaccard verification below — shingling/hashing the corpus
     # once, not twice.
     sh = shingles(df, id_col, text_col, n, hashed=True).cache()
-    # All hash values as one transform loop (see _hash_array_expr), then
-    # plain per-slot min aggregates — map-side combinable, no UDFs.
-    hashed = sh.select(
-        F.col(id_col), _hash_array_expr(num_hashes, seed).alias("__h")
-    )
-    # Fold the per-doc shingle count into the SAME aggregation as the
-    # signature mins: one hash-agg pass over the shingle set instead of a
-    # second groupBy just for set sizes (the count feeds verification).
-    mins = [F.expr(f"min(__h[{i}]) AS __m{i}") for i in range(num_hashes)]
-    sigs = hashed.groupBy(id_col).agg(
-        *mins, F.count(F.lit(1)).alias("__nsh")
-    ).cache()
-    band_structs = ", ".join(
-        "struct({bi} AS band_id, xxhash64({cols}) AS band_hash)".format(
-            bi=bi,
-            cols=", ".join(
-                f"__m{bi * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for bi in range(bands)
-    )
-    banded = sigs.select(
-        F.col(id_col), F.expr(f"explode(array({band_structs})) AS b")
-    ).select(F.col(id_col), F.col("b.band_id"), F.col("b.band_hash"))
+    sigs = _minhash_sigs(sh, id_col, num_hashes, seed).cache()
+    banded = _band_explode(sigs, id_col, num_hashes, bands)
     # A pair can collide in several bands -> distinct. Bucket explode, not
     # a two-sided self-join (see _bucket_pairs); band buckets are tiny by
     # construction (only near-dup groups share a band hash). ``max_band``
@@ -438,6 +453,68 @@ def minhash_lsh_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nsh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nsh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup: match each ``left`` document
+    to near-duplicate ``right`` documents — deduplicating a NEW ingest
+    batch against an EXISTING corpus without re-pairing the corpus with
+    itself (the O(new × corpus) problem reduced to an LSH equi-join).
+
+    Same banding as :func:`minhash_lsh_pairs`, but candidates come from a
+    two-sided equi-join on (band_id, band_hash) instead of a bucket
+    explode. At 100 TB the corpus-side band frame is the big side; the
+    new batch's bands are small and AQE broadcasts them, so the corpus is
+    probed in place and never shuffles. Candidates are exact-verified at
+    ``threshold`` against both shingle sets.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a from ``left``, doc_b from
+    ``right`` (no ordering constraint — the sides are different tables).
+    """
+    sh_l = shingles(left, id_col, text_col, n, hashed=True).cache()
+    sh_r = shingles(right, id_col, text_col, n, hashed=True).cache()
+    sigs_l = _minhash_sigs(sh_l, id_col, num_hashes, seed).cache()
+    sigs_r = _minhash_sigs(sh_r, id_col, num_hashes, seed).cache()
+    banded_l = _band_explode(sigs_l, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_hash"
+    )
+    banded_r = _band_explode(sigs_r, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_hash"
+    )
+    cands = (
+        banded_l.join(banded_r, ["band_id", "band_hash"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    common = (
+        cands.join(sh_l.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh_r.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sigs_l.select(F.col(id_col).alias("doc_a"), F.col("__nsh").alias("na"))
+    sb = sigs_r.select(F.col(id_col).alias("doc_b"), F.col("__nsh").alias("nb"))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
         common.join(sa, "doc_a")

@@ -985,6 +985,65 @@ SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id
 """
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental ingest dedup: a "new batch" (every 10th doc) matched
+    # against the standing corpus (the rest) via the cross-corpus LSH
+    # join. LSH recall is ~1 at the fixture's planted similarity levels
+    # (see _q_minhash), so the exact cross-partition Jaccard oracle
+    # applies.
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.minhash_lsh_join(
+        batch, corpus, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+_DEDUP_INCREMENTAL_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.nsh + sb.nsh - common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
+"""
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-weighted resampling: keep-probability = the document's
+    # quality score, decided by the portable key fingerprint (no RNG) so
+    # the oracle replays the selection exactly.
+    from .operators.curation import weighted_sample
+
+    t = register_tables(spark, sf_dir)
+    scored = tx.quality_score(t["documents"])
+    return weighted_sample(scored, "doc_id", "quality_score").select(
+        "doc_id", "quality_score"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    return f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE})
+SELECT doc_id, quality_score FROM tq
+WHERE ((doc_id * 2654435761) % 2147483648 + 2147483648) % 2147483648 % 10000
+      < floor(greatest(least(quality_score, 1.0), 0.0) * 10000 + 0.5)
+"""
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     return tx.tfidf_top_terms(t["documents"], "doc_id", "text", k=3)
@@ -1759,6 +1818,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 not portable)
     "dedup_containment": (_q_containment, _CONTAINMENT_ORACLE),
     "dedup_clusters": (_q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
+    "dedup_incremental": (_q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
+    "weighted_sample": (_q_weighted_sample, _weighted_sample_oracle()),
     "text_tfidf_topterms": (_q_tfidf, _TFIDF_ORACLE),
     "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
     "text_lang_id": (_q_lang_id, _langid_case()),
