@@ -17,8 +17,15 @@ plan shapes these times correspond to.
 
 Measured (local[32], 2026-08-13):
 
-  n_docs=50k:  minhash 16.6s, jaccard 2.5s   (500 planted dups found)
-  n_docs=200k: minhash 48.3s, jaccard 6.9s   (2000 planted dups found)
+  n_docs=50k:  minhash 13.0s, jaccard 2.5s, containment 1.4s,
+               incremental join (500-doc batch) 5.2s   (500/500 dups found)
+  n_docs=200k: minhash 37.1s, jaccard 11.4s, containment 5.2s,
+               incremental join (2k batch) 36.4s       (2000/2000 found)
+
+The incremental join's cost is dominated by signing the CORPUS side
+(inherent for a one-shot run; a standing pipeline materializes corpus
+band frames once and amortizes them across every ingest batch, leaving
+only the batch-side signing + the band equi-join per run).
   n_vecs=10k:  blocked cosine 32.5s (~50M pairs)
   n_vecs=20k:  blocked cosine 134.6s (~200M pairs; 4.1x for 4x pairs —
                flat-quadratic, evenly distributed, no task skew)
@@ -99,6 +106,18 @@ def main() -> None:
     timed(
         f"jaccard_pairs n={n_docs}",
         dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.5),
+    )
+    # Incremental ingest shape: the planted-dup batch (1% of corpus size,
+    # every doc a near-dup of some corpus doc) against the originals.
+    batch = docs.filter(F.col("doc_id") >= n_docs)
+    corpus = docs.filter(F.col("doc_id") < n_docs)
+    timed(
+        f"minhash_lsh_join batch={n_docs // 100} vs corpus={n_docs}",
+        dd.minhash_lsh_join(batch, corpus, "doc_id", "text", threshold=0.5),
+    )
+    timed(
+        f"containment_pairs n={n_docs}",
+        dd.containment_pairs(docs, "doc_id", "text", threshold=0.8),
     )
 
     vecs = synth_vecs(spark, n_vecs)
