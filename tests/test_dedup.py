@@ -176,3 +176,31 @@ def test_minhash_lsh_join_cross_corpus(spark):
     assert [(r.doc_a, r.doc_b) for r in rows] == [(100, 0)]
     # corpus-internal duplicates are NOT paired (that's the self-join's job)
     assert all(r.doc_a >= 100 for r in rows)
+
+
+def test_minhash_index_join_equals_direct(spark, sf_dir, tmp_path):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_join_indexed,
+        write_minhash_index,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 != 0")
+    direct = {
+        tuple(r)
+        for r in minhash_lsh_join(
+            batch, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, idx, "doc_id", "text")
+    indexed = {
+        tuple(r)
+        for r in minhash_lsh_join_indexed(
+            batch, idx, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert indexed == direct and len(direct) > 0

@@ -1022,6 +1022,24 @@ WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
 """
 
 
+def _q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The amortized form of dedup_incremental: corpus band/shingle/size
+    # artifacts materialized once (write_minhash_index), the batch joined
+    # against the stored index. Output is bit-identical to the direct
+    # join, so the same exact cross-partition oracle applies.
+    import tempfile as _tempfile
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = _tempfile.mkdtemp(prefix="minhash_index_")
+    dd.write_minhash_index(corpus, idx, "doc_id", "text", n=3)
+    return dd.minhash_lsh_join_indexed(
+        batch, idx, "doc_id", "text", n=3, threshold=0.5
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality-weighted resampling: keep-probability = the document's
     # quality score, decided by the portable key fingerprint (no RNG) so
@@ -1819,6 +1837,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_containment": (_q_containment, _CONTAINMENT_ORACLE),
     "dedup_clusters": (_q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "dedup_incremental": (_q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
+    "dedup_incremental_indexed": (
+        _q_dedup_incremental_indexed,
+        _DEDUP_INCREMENTAL_ORACLE,
+    ),
     "weighted_sample": (_q_weighted_sample, _weighted_sample_oracle()),
     "text_tfidf_topterms": (_q_tfidf, _TFIDF_ORACLE),
     "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
