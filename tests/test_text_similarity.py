@@ -297,3 +297,24 @@ def test_tfidf_k_rows_per_doc_and_tiebreak(spark):
     doc0 = sorted(r.term for r in rows if r.doc_id == 0)
     # all three terms tie on tfidf; term-asc tie-break keeps a and b
     assert doc0 == ["a", "b"] and len(rows) == 4
+
+
+def test_udtf_split_sentences_multi(spark):
+    from tfx_addons_feast_examplegen_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "First one. Second two!  Third?"), (2, "no punct"), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.* FROM udtf_docs d, "
+        "LATERAL split_sentences(d.text) s"
+    ).collect()
+    got = {(r.doc_id, r.sent_idx): (r.sentence, r.n_chars) for r in rows}
+    assert got == {
+        (1, 1): ("First one", 9),
+        (1, 2): ("Second two", 10),
+        (1, 3): ("Third?", 6),
+        (2, 1): ("no punct", 8),
+    }

@@ -1163,6 +1163,52 @@ def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Correlated LATERAL subquery with per-key ORDER BY + LIMIT: the SQL-level
+# form of top-k-per-group (the DataFrame form is operators/curation.py's
+# group_quota / WindowGroupLimit). Identical text runs on both engines.
+_QLATERAL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF surface (SURVEY §2.8): one doc row -> N sentence rows
+    # via a registered table function called through SQL LATERAL. The
+    # oracle replays the identical split rule in pure SQL — proving the
+    # UDTF's output, and demonstrating that this logic COULD stay
+    # JVM-side (the UDTF exists to exercise the plug surface).
+    from .functions.udtfs import register_udtfs
+
+    register_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+_UDTF_SENTENCES_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+ +'), x -> x <> '')
+           AS parts
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS sent_idx, parts[i] AS sentence,
+       CAST(length(parts[i]) AS INT) AS n_chars
+FROM s, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
+"""
+
+
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Source-format dispatch proven by round-trip identity: documents ->
     # JSONL on disk -> schema'd JSON reader -> aggregate. The oracle runs
@@ -1884,6 +1930,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pii_redaction": (_q_pii_redaction, _PII_REDACTION_ORACLE),
     "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
     "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
+    "lateral_topk_per_key": (_sql_query(_QLATERAL), _QLATERAL),
+    "udtf_split_sentences": (_q_udtf_sentences, _UDTF_SENTENCES_ORACLE),
     "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
     "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
     "range_interval_window": (_sql_query(_QRANGE_WINDOW), _QRANGE_WINDOW),
