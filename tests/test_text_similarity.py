@@ -318,3 +318,42 @@ def test_udtf_split_sentences_multi(spark):
         (1, 3): ("Third?", 6),
         (2, 1): ("no punct", 8),
     }
+
+
+def test_quantization_roundtrip_error_bound(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(vecs, "vec_id", "embedding")
+    joined = vecs.join(q, "vec_id").selectExpr(
+        "aggregate(zip_with(embedding, q_embedding,"
+        " (x, c) -> abs(CAST(x AS DOUBLE) - c * scale / 127.0)),"
+        " 0D, (acc, e) -> greatest(acc, e)) AS max_err",
+        "scale",
+    )
+    import pyspark.sql.functions as F
+
+    [r] = joined.agg(
+        F.max(F.col("max_err") / F.col("scale")).alias("rel")
+    ).collect()
+    # round-to-nearest: error <= half a quantization step (scale/127),
+    # plus the slack from dequantizing with the 6-decimal-rounded scale
+    assert r.rel <= 0.5 / 127 + 1e-6
+
+
+def test_quantization_zero_vector(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    [r] = quantize_embeddings(df).collect()
+    assert r.scale == 0.0 and r.q_embedding == [0, 0]

@@ -538,3 +538,44 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization of an embedding column.
+
+    The standard ANN memory trade: an int8 vector is 4× smaller than
+    float32 (16× smaller than float64), which at 100 TB of embeddings is
+    the difference between an index that fits executor memory and one
+    that spills. Per-vector max-abs scaling: ``q = round(x / scale * Q)``
+    with ``Q = 2^(bits-1) - 1``; dequantize as ``q * scale / Q``.
+
+    Pure expression chain (``aggregate`` for the max-abs fold,
+    ``transform`` for the element map) — no UDFs, replayable in ANSI SQL.
+    Output: (id, scale, q_embedding array<int>). Zero vectors get
+    scale 0 and all-zero codes.
+    """
+    q = (1 << (bits - 1)) - 1
+    scale = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        scale.alias("__s"),
+        F.col(vec_col).alias("__v"),
+    )
+    codes = F.transform(
+        F.col("__v"),
+        lambda x: F.when(F.col("__s") == 0, F.lit(0))
+        .otherwise(F.round(x / F.col("__s") * q))
+        .cast("int"),
+    )
+    return out.select(F.col(id_col), "scale", codes.alias("q_embedding"))

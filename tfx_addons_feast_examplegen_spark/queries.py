@@ -1163,6 +1163,70 @@ def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return sim.quantize_embeddings(t["embeddings"], "vec_id", "embedding")
+
+
+# Element floats are widened to double on BOTH sides before any
+# arithmetic (float->double widening is exact), so scale and codes are
+# bit-identical across engines.
+_EMB_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_aggregate(
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'
+         ) AS sc
+  FROM embeddings
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       list_transform(embedding, x ->
+         CASE WHEN sc = 0 THEN 0
+              ELSE CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT) END
+       ) AS q_embedding
+FROM s
+"""
+
+
+# Event funnel: per-user earliest view -> click after it -> purchase
+# after that, counted corpus-wide. min(CASE...) conditional aggregates +
+# one self-free pass over events; identical text runs on both engines.
+_QFUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+  FROM events GROUP BY user_id
+),
+steps AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+              THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+                   AND t_buy_any > t_click_any
+              THEN 1 ELSE 0 END AS s3
+  FROM per_user
+)
+SELECT CAST(sum(s1) AS BIGINT) AS n_viewed,
+       CAST(sum(s2) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(s3) AS BIGINT) AS n_full_funnel
+FROM steps
+"""
+
+
+# Pearson correlations between lineitem measures: corr() exists in both
+# engines with the same definition; rounded to 3 decimals to absorb
+# summation-order ulps.
+_QCORR = """
+SELECT round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 3) AS corr_price_discount,
+       round(corr(l_quantity, l_discount), 3) AS corr_qty_discount
+FROM lineitem
+"""
+
+
 # Correlated LATERAL subquery with per-key ORDER BY + LIMIT: the SQL-level
 # form of top-k-per-group (the DataFrame form is operators/curation.py's
 # group_quota / WindowGroupLimit). Identical text runs on both engines.
@@ -1932,6 +1996,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
     "lateral_topk_per_key": (_sql_query(_QLATERAL), _QLATERAL),
     "udtf_split_sentences": (_q_udtf_sentences, _UDTF_SENTENCES_ORACLE),
+    "embedding_quantization": (_q_embedding_quantization, _EMB_QUANT_ORACLE),
+    "event_funnel": (_sql_query(_QFUNNEL), _QFUNNEL),
+    "column_correlations": (_sql_query(_QCORR), _QCORR),
     "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
     "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
     "range_interval_window": (_sql_query(_QRANGE_WINDOW), _QRANGE_WINDOW),
