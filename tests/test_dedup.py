@@ -204,3 +204,11 @@ def test_minhash_index_join_equals_direct(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert indexed == direct and len(direct) > 0
+
+
+def test_simhash_portable_variant_semantics(spark):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import simhash_pairs
+
+    df = _docs(spark, [BASE, BASE, "entirely different words everywhere"])
+    rows = simhash_pairs(df, "doc_id", "text", max_hamming=3, portable=True).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(0, 1, 0)]

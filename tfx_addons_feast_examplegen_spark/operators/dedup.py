@@ -621,17 +621,35 @@ def minhash_lsh_join_indexed(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document over distinct word tokens.
+# Portable 60-bit token hash: the first 15 hex chars of md5, identical
+# arithmetic in Spark (conv) and ANSI engines (hex-literal cast) — the
+# fingerprint trick that lets SimHash be oracle-checked. xxhash64 stays
+# the production default (one JVM intrinsic vs md5+string ops).
+_PORTABLE_BITS = 60
+_PORTABLE_HASH = "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
 
-    Per-bit weighted vote folded into two 32-bit halves of sum
-    aggregates; all bit arithmetic is JVM-side integer ops inside
-    whole-stage codegen. Output: (id, simhash long).
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, portable: bool = False
+) -> DataFrame:
+    """SimHash per document over distinct word tokens (64-bit; 60-bit
+    when ``portable``).
+
+    Per-bit weighted vote folded into sum aggregates; all bit arithmetic
+    is JVM-side integer ops inside whole-stage codegen. Output:
+    (id, simhash long). ``portable=True`` swaps the token hash for an
+    md5-derived 60-bit value whose exact arithmetic replays in any ANSI
+    SQL engine, so an external oracle can verify the full pipeline;
+    xxhash64 (default) is ~2× cheaper and preferred in production.
     """
+    nbits = _PORTABLE_BITS if portable else 64
+    hash_expr = (
+        F.expr(_PORTABLE_HASH) if portable else F.xxhash64("tok")
+    )
     # NB: no rebalance here — token explode is cheap enough that the
     # extra round-robin shuffle costs more than single-task explode saves
     # (measured: agg 0.48s one-partition vs 0.90s rebalanced at sf0.1).
-    # Tokens fold to xxhash64 BEFORE the distinct (the bit votes only need
+    # Tokens fold to the hash BEFORE the distinct (the bit votes only need
     # token identity), so the dedup shuffle moves longs, not strings.
     tokens = (
         df.select(
@@ -639,23 +657,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+        .select(F.col(id_col), hash_expr.alias("h"))
         .distinct()
     )
     # Per-bit ±1 votes reduce to set-bit counts: vote_j = 2*s_j - n where
     # s_j = sum((h >> j) & 1); bit j is set iff 2*s_j > n. Each aggregate
-    # and the 64-term fold are single parsed SQL strings — building them
+    # and the fold are single parsed SQL strings — building them
     # as nested Column objects costs hundreds of py4j round-trips and a
     # deep Catalyst tree (measured: 1.0s -> 0.2s query compile).
     votes = [
         F.expr(f"sum(shiftrightunsigned(h, {j}) & 1) AS __v{j}")
-        for j in range(64)
+        for j in range(nbits)
     ]
     agg = tokens.groupBy(id_col).agg(F.expr("count(1) AS __n"), *votes)
     fold = " + ".join(
         f"(CASE WHEN 2*__v{j} > __n THEN shiftleft(CAST(1 AS BIGINT), {j})"
         f" ELSE CAST(0 AS BIGINT) END)"
-        for j in range(64)
+        for j in range(nbits)
     )
     return agg.select(F.col(id_col), F.expr(fold).alias("simhash"))
 
@@ -666,20 +684,24 @@ def simhash_pairs(
     text_col: str,
     *,
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs with SimHash Hamming distance <= k.
 
-    Pigeonhole band join: split the 64-bit hash into 4 × 16-bit chunks;
-    any pair within Hamming distance 3 shares at least one exact chunk, so
-    candidates come from 4 equi-joins (union), then the true distance
-    filter runs only on candidates. Output: (doc_a, doc_b, hamming).
+    Pigeonhole band join: split the hash into 4 chunks (16 bits each;
+    15 when ``portable`` — see :func:`simhash`); any pair within Hamming
+    distance 3 shares at least one exact chunk, so candidates come from
+    4 equi-joins (union), then the true distance filter runs only on
+    candidates. Output: (doc_a, doc_b, hamming).
     """
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, portable=portable)
+    width = _PORTABLE_BITS // 4 if portable else 16
+    mask = (1 << width) - 1
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_id"),
-                F.expr(f"(simhash >> {16 * c}) & 65535").alias("chunk"),
+                F.expr(f"(simhash >> {width * c}) & {mask}").alias("chunk"),
             )
             for c in range(4)
         ]

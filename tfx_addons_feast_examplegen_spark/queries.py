@@ -515,6 +515,57 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
 
 
+def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle-checkable SimHash variant: md5-derived 60-bit token
+    # hashes replay bit-for-bit in DuckDB, so the WHOLE pipeline —
+    # per-bit votes, hash fold, pigeonhole candidate join, Hamming
+    # filter — is verified externally (the xxhash64 production variant
+    # stays rows-only; semantics are identical by construction).
+    t = register_tables(spark, sf_dir)
+    return dd.simhash_pairs(
+        t["documents"], "doc_id", "text", max_hamming=3, portable=True
+    )
+
+
+def _simhash_portable_oracle() -> str:
+    nbits = dd._PORTABLE_BITS
+    votes = ",\n    ".join(
+        f"sum((h >> {j}) & 1) AS v{j}" for j in range(nbits)
+    )
+    fold = "\n      + ".join(
+        f"(CASE WHEN 2*v{j} > n THEN (CAST(1 AS BIGINT) << {j})"
+        f" ELSE 0 END)"
+        for j in range(nbits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+    {votes}
+  FROM tok GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+    {fold}
+    AS simhash
+  FROM agg
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     return tx.quality_score(t["documents"]).select(
@@ -1943,7 +1994,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
     "dedup_minhash_lsh": (_q_minhash, _JACCARD_ORACLE),
-    "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 not portable)
+    "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
+    "dedup_simhash_portable": (_q_simhash_portable, _simhash_portable_oracle()),
     "dedup_containment": (_q_containment, _CONTAINMENT_ORACLE),
     "dedup_clusters": (_q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "dedup_incremental": (_q_dedup_incremental, _DEDUP_INCREMENTAL_ORACLE),
