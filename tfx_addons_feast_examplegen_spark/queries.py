@@ -1145,10 +1145,13 @@ SELECT doc_id, term, tf, doc_freq, tfidf FROM ranked WHERE rn <= 3
 
 def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The stateful applyInPandasWithState sessionizer, driven to
-    # completion over time-sliced micro-batches. Rows-only: the emission
-    # horizon depends on the final watermark; equality with the batch
-    # sessionization below that horizon is asserted in
-    # tests/test_stateful_sessions.py.
+    # completion over time-sliced micro-batches — ORACLE-CHECKED via the
+    # sentinel-watermark technique: a final one-event micro-batch (user
+    # -1, ts = max + 4h) advances the watermark past every real
+    # session's (end + gap), so the no-data batch that follows finalizes
+    # ALL sessions and bounded replay equals batch sessionization
+    # exactly. The sentinel's own session stays pending (its end + gap
+    # is above the final watermark) and is filtered defensively.
     import os as _os
     import tempfile
     import time as _time
@@ -1163,22 +1166,72 @@ def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="sessionize_stream_") + "/ev"
     mid = "2024-01-16 00:00:00"
+    sentinel = (
+        ev.orderBy(F2.desc("ts"))
+        .limit(1)
+        .select(
+            *[
+                (F2.col("ts") + F2.expr("INTERVAL 4 HOURS")).alias("ts")
+                if c == "ts"
+                else F2.lit(-1).cast("long").alias(c)
+                if c == "user_id"
+                else F2.col(c)
+                for c in ev.columns
+            ]
+        )
+    )
+    slices = [
+        ev.filter(F2.col("ts") < mid),
+        ev.filter(F2.col("ts") >= mid),
+        sentinel,
+    ]
     # The file stream orders batches by mtime; stamp each slice's files
     # with explicit increasing mtimes instead of sleeping between writes.
     base = _time.time() - 60
     stamped: set[str] = set()
-    for i, cond in enumerate([F2.col("ts") < mid, F2.col("ts") >= mid]):
-        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
         for fname in _os.listdir(src):
             p = _os.path.join(src, fname)
             if p not in stamped:
                 _os.utime(p, (base + 10 * i, base + 10 * i))
                 stamped.add(p)
     stream = read_events_stream(spark, src, max_files_per_trigger=1)
-    return run_to_completion(
+    out = run_to_completion(
         sessionize_stream(stream, gap_seconds=1800, watermark_delay="1 hour"),
         query_name="q_sessionization_streaming",
     )
+    return out.filter(F2.col("user_id") >= 0).select(
+        "user_id",
+        F2.unix_timestamp("session_start").alias("session_start_ts"),
+        F2.unix_timestamp("session_end").alias("session_end_ts"),
+        "n_events",
+    )
+
+
+_SESSIONIZATION_STREAM_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_ts,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
 
 
 def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1988,7 +2041,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sketch_quantiles": (_q_sketch_quantiles, None),  # rows-only (approx)
     "text_bpe_token_budget": (_q_bpe_tokens, _BPE_TOKENS_ORACLE),
     "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
-    "sessionization_streaming": (_q_sessionization_streaming, None),  # rows-only
+    "sessionization_streaming": (
+        _q_sessionization_streaming,
+        _SESSIONIZATION_STREAM_ORACLE,  # sentinel-watermark full replay
+    ),
     "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_oracle()),
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
