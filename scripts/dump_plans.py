@@ -50,6 +50,13 @@ the per-term document frequency; df joins back on the term key and the
 corpus size N arrives as a one-row broadcast. The final top-k window
 partitions by doc id — the same key as tf — so AQE coalesces the
 exchange.""",
+    "dedup_incremental": """Cross-corpus ingest dedup: batch and corpus band frames meet in a
+plain equi-join on (band_id, band_hash) — the batch side is small and
+broadcasts, so the corpus probes in place. Verification joins only
+candidate ids back to the two shingle sets. The materialized-index
+variant (dedup_incremental_indexed) replaces the corpus-side subtree
+with parquet scans of the stored artifacts; the probe join is
+identical.""",
     "embedding_neardup": """Exact all-pairs cosine as a blocked triangle join: both sides explode
 to (block_i, block_j) pair keys and meet in a plain hash equi-join on
 the key — NO BroadcastNestedLoopJoin/CartesianProduct anywhere. Work

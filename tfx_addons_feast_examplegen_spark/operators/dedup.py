@@ -534,8 +534,13 @@ def write_minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    target_files: int | None = None,
 ) -> None:
     """Materialize the corpus side of incremental dedup once.
+
+    ``target_files`` coalesces each artifact to that many files — set it
+    for small corpora where per-file overhead dominates; leave ``None``
+    at scale so write parallelism follows the upstream partitioning.
 
     A standing ingest pipeline deduplicates every new batch against the
     same corpus; re-shingling and re-signing 100 TB per batch is the
@@ -547,15 +552,16 @@ def write_minhash_index(
     changes; band parameters are baked into the artifacts, so reads must
     use the same (n, num_hashes, bands, seed).
     """
+    def _w(df: DataFrame, sub: str) -> None:
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        df.write.mode("overwrite").parquet(f"{path}/{sub}")
+
     sh = shingles(corpus, id_col, text_col, n, hashed=True).cache()
     sigs = _minhash_sigs(sh, id_col, num_hashes, seed)
-    _band_explode(sigs, id_col, num_hashes, bands).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/bands")
-    sigs.select(F.col(id_col), F.col("__nsh").alias("nsh")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/sizes")
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    _w(_band_explode(sigs, id_col, num_hashes, bands), "bands")
+    _w(sigs.select(F.col(id_col), F.col("__nsh").alias("nsh")), "sizes")
+    _w(sh, "shingles")
     sh.unpersist()
 
 

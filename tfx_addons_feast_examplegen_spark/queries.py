@@ -1085,7 +1085,7 @@ def _q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     idx = _tempfile.mkdtemp(prefix="minhash_index_")
-    dd.write_minhash_index(corpus, idx, "doc_id", "text", n=3)
+    dd.write_minhash_index(corpus, idx, "doc_id", "text", n=3, target_files=4)
     return dd.minhash_lsh_join_indexed(
         batch, idx, "doc_id", "text", n=3, threshold=0.5
     )
