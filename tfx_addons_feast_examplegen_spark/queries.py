@@ -1331,6 +1331,74 @@ FROM lineitem
 """
 
 
+def _q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward-fill over a dense calendar: days with no purchases carry
+    # the last observed daily average (IGNORE NULLS running window) —
+    # the other half of time-series completion next to gap_fill's
+    # zero-fill. Sparse day selection (WHERE pmod(day(ts), 3) = 0)
+    # guarantees real gaps to fill at every scale factor.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH days AS (
+          SELECT explode(sequence(DATE '2024-01-01', DATE '2024-02-10',
+                                  INTERVAL 1 DAY)) AS d
+        ),
+        rev AS (
+          SELECT CAST(ts AS DATE) AS d, round(avg(value), 2) AS avg_value
+          FROM events
+          WHERE event_type = 'purchase' AND pmod(day(ts), 3) = 0
+          GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(unix_timestamp(CAST(days.d AS TIMESTAMP)) AS BIGINT)
+                 AS day_ts,
+               last_value(rev.avg_value) IGNORE NULLS OVER (
+                 ORDER BY days.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM days LEFT JOIN rev ON rev.d = days.d
+    """)
+
+
+_FORWARD_FILL_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-10',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+rev AS (
+  SELECT CAST(ts AS DATE) AS d, round(avg(value), 2) AS avg_value
+  FROM events
+  WHERE event_type = 'purchase' AND day(ts) % 3 = 0
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(epoch(CAST(days.d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+       last_value(rev.avg_value IGNORE NULLS) OVER (
+         ORDER BY days.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM days LEFT JOIN rev ON rev.d = days.d
+"""
+
+
+# SCD2-style validity intervals: each purchase's value holds from its
+# event time until the key's next purchase (NULL = still current) — the
+# history-table form that makes any point-in-time state reconstructable
+# with a BETWEEN probe (the batch complement of latest_feature_snapshot).
+_QSCD2 = """
+SELECT user_id, event_id, value,
+       CAST(floor(epoch(vf)) AS BIGINT) AS valid_from_ts,
+       CAST(floor(epoch(vt)) AS BIGINT) AS valid_to_ts
+FROM (
+  SELECT user_id, event_id, round(value, 2) AS value, ts AS vf,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM events WHERE event_type = 'purchase'
+)
+"""
+
+_QSCD2_SPARK = _QSCD2.replace(
+    "CAST(floor(epoch(vf)) AS BIGINT)", "unix_timestamp(vf)"
+).replace("CAST(floor(epoch(vt)) AS BIGINT)", "unix_timestamp(vt)")
+
+
 # Correlated LATERAL subquery with per-key ORDER BY + LIMIT: the SQL-level
 # form of top-k-per-group (the DataFrame form is operators/curation.py's
 # group_quota / WindowGroupLimit). Identical text runs on both engines.
@@ -2106,6 +2174,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "udtf_split_sentences": (_q_udtf_sentences, _UDTF_SENTENCES_ORACLE),
     "embedding_quantization": (_q_embedding_quantization, _EMB_QUANT_ORACLE),
     "event_funnel": (_sql_query(_QFUNNEL), _QFUNNEL),
+    "scd2_validity_intervals": (_sql_query(_QSCD2_SPARK), _QSCD2),
+    "forward_fill_timeseries": (_q_forward_fill, _FORWARD_FILL_ORACLE),
     "column_correlations": (_sql_query(_QCORR), _QCORR),
     "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
     "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
