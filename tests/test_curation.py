@@ -182,3 +182,34 @@ def test_weighted_sample_rate_tracks_weight(spark):
     )
     n = weighted_sample(df, "k", "w").count()
     assert 0.25 < n / 2000 < 0.35
+
+
+def test_negative_sample_excludes_positives_and_is_deterministic(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import negative_sample
+
+    users = spark.createDataFrame([Row(u=i) for i in range(20)], "u long")
+    items = spark.createDataFrame([Row(it=i) for i in range(200)], "it long")
+    inter = spark.createDataFrame(
+        [Row(u=u, it=it) for u in range(20) for it in range(0, 200, 3)],
+        "u long, it long",
+    )
+    out = negative_sample(
+        users, items, inter, user_col="u", item_col="it", k=2, n_buckets=4
+    )
+    rows = out.collect()
+    pos = {(r.u, r.it) for r in inter.collect()}
+    assert all((r.u, r.it) not in pos for r in rows)
+    assert all(r.rank in (1, 2) for r in rows)
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.u, []).append(r.it)
+    assert all(len(v) <= 2 for v in per_user.values())
+    again = negative_sample(
+        users.repartition(5), items, inter, user_col="u", item_col="it",
+        k=2, n_buckets=4,
+    ).collect()
+    assert {(r.u, r.it, r.rank) for r in again} == {
+        (r.u, r.it, r.rank) for r in rows
+    }

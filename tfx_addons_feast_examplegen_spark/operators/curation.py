@@ -206,3 +206,56 @@ def weighted_sample(
     bucket = fingerprint_bucket(F.col(key_col), denom)
     w = F.greatest(F.least(F.col(weight_col), F.lit(1.0)), F.lit(0.0))
     return df.filter(bucket < F.floor(w * denom + F.lit(0.5)))
+
+
+def negative_sample(
+    users: DataFrame,
+    items: DataFrame,
+    interactions: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    k: int = 2,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic negative sampling: for each user, ``k`` items they
+    never interacted with — the contrastive/recommendation training
+    primitive.
+
+    The naive form is a user × item cross join. Instead, items hash into
+    ``n_buckets`` by the portable fingerprint and each user draws
+    candidates only from their OWN bucket — an equi-join on the bucket
+    id, shrinking the candidate space to ~|items|/n_buckets per user
+    (tune n_buckets so that exceeds k even after removing positives).
+    Positives are removed by left-anti join, then each user keeps the
+    ``k`` smallest candidates by a pairwise fingerprint — a pure
+    function of (user, item), so the sample is reproducible across runs,
+    partitionings, and engines (no RNG state anywhere).
+
+    Output: (user, item, rank) with rank in 1..k.
+    """
+    u = users.select(
+        F.col(user_col),
+        fingerprint_bucket(F.col(user_col), n_buckets).alias("__b"),
+    )
+    i = items.select(
+        F.col(item_col),
+        fingerprint_bucket(F.col(item_col), n_buckets).alias("__b"),
+    )
+    cands = u.join(i, "__b").drop("__b")
+    negs = cands.join(
+        interactions.select(user_col, item_col).distinct(),
+        [user_col, item_col],
+        "left_anti",
+    )
+    score = fingerprint_bucket(
+        F.col(user_col) * 31 + F.col(item_col), 1 << 30
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        score.asc(), F.col(item_col).asc()
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(user_col, item_col, "rank")
+    )

@@ -1331,6 +1331,74 @@ FROM lineitem
 """
 
 
+def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic negatives: 2 never-purchased parts per customer,
+    # drawn from the customer's fingerprint bucket (equi-join, no cross
+    # join) and ranked by a pairwise fingerprint — RNG-free, so the
+    # oracle replays the identical sample.
+    from .operators.curation import negative_sample
+
+    t = register_tables(spark, sf_dir)
+    interactions = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+    )
+    return negative_sample(
+        t["customer"],
+        t["part"],
+        interactions,
+        user_col="c_custkey",
+        item_col="p_partkey",
+        k=2,
+        n_buckets=16,
+    )
+
+
+_NEGATIVE_SAMPLE_ORACLE = """
+WITH u AS (
+  SELECT c_custkey,
+         ((c_custkey * 2654435761) % 2147483648 + 2147483648)
+           % 2147483648 % 16 AS b
+  FROM customer
+),
+i AS (
+  SELECT p_partkey,
+         ((p_partkey * 2654435761) % 2147483648 + 2147483648)
+           % 2147483648 % 16 AS b
+  FROM part
+),
+inter AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+negs AS (
+  SELECT u.c_custkey, i.p_partkey
+  FROM u JOIN i USING (b)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM inter
+    WHERE inter.c_custkey = u.c_custkey
+      AND inter.p_partkey = i.p_partkey
+  )
+),
+ranked AS (
+  SELECT c_custkey, p_partkey,
+         row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY ((c_custkey * 31 + p_partkey) * 2654435761)
+                      % 2147483648 % 1073741824,
+                    p_partkey
+         ) AS rank
+  FROM negs
+)
+SELECT c_custkey, p_partkey, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 2
+"""
+
+
 def _q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Forward-fill over a dense calendar: days with no purchases carry
     # the last observed daily average (IGNORE NULLS running window) —
@@ -2176,6 +2244,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_funnel": (_sql_query(_QFUNNEL), _QFUNNEL),
     "scd2_validity_intervals": (_sql_query(_QSCD2_SPARK), _QSCD2),
     "forward_fill_timeseries": (_q_forward_fill, _FORWARD_FILL_ORACLE),
+    "negative_sample": (_q_negative_sample, _NEGATIVE_SAMPLE_ORACLE),
     "column_correlations": (_sql_query(_QCORR), _QCORR),
     "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
     "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
