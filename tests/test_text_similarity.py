@@ -357,3 +357,26 @@ def test_quantization_zero_vector(spark):
     )
     [r] = quantize_embeddings(df).collect()
     assert r.scale == 0.0 and r.q_embedding == [0, 0]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.text import chunk_documents
+
+    words = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=words), Row(doc_id=2, text="")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in rows]
+    assert got == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (1, 3, "t9", 1),
+    ]  # empty doc yields no chunks; tail partial window kept

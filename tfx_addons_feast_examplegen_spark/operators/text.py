@@ -282,3 +282,63 @@ def tfidf_top_terms(
         .filter(F.col("__rn") <= k)
         .select(id_col, "term", "tf", "doc_freq", "tfidf")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the RAG/embedding
+    chunking primitive (windows of ``chunk_tokens`` whitespace tokens
+    every ``stride`` tokens; the final partial window is kept so no
+    suffix is dropped).
+
+    Pure expression chain: tokenize once, generate window start indices
+    with ``sequence``, slice + rejoin per window, explode. Stays in
+    whole-stage codegen until the explode; no shuffle at all — chunking
+    is a flat-map over the scan, so it composes with any downstream
+    embedding/dedup stage at full scan parallelism.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens), chunk_idx 0-based.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(text_col)
+    starts = F.expr(
+        f"sequence(0, greatest(size({_toks_sql(text_col)}) - 1, 0), {stride})"
+    )
+    windows = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.slice(toks, s + 1, chunk_tokens).alias("w"),
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(windows).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_idx"),
+            F.col("c.w").alias("w"),
+        )
+        # drop stride-aligned empty tails (possible only for empty docs)
+        .filter(F.size("w") > 0)
+        # a window fully contained in the previous one adds no coverage:
+        # keep starts only while start < n_tokens (guaranteed by the
+        # sequence bound) — nothing further to filter.
+    )
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.array_join("w", " ").alias("chunk_text"),
+        F.size("w").alias("n_tokens"),
+    )
+
+
+def _toks_sql(text_col: str) -> str:
+    """SQL text of the tokens() expression (for use inside F.expr)."""
+    return f"filter(split(lower({text_col}), ' '), x -> x != '')"

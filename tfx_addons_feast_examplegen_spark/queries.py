@@ -1331,6 +1331,34 @@ FROM lineitem
 """
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG-style chunking: overlapping 64-token windows every 32 tokens,
+    # generated as a pure flat-map (no shuffle) over the scan.
+    t = register_tables(spark, sf_dir)
+    return tx.chunk_documents(
+        t["documents"], "doc_id", "text", chunk_tokens=64, stride=32
+    )
+
+
+_CHUNK_DOCUMENTS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(s // 32 AS INT) AS chunk_idx,
+         toks[s + 1 : s + 64] AS w
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+  )
+)
+SELECT doc_id, chunk_idx, array_to_string(w, ' ') AS chunk_text,
+       CAST(len(w) AS INT) AS n_tokens
+FROM c WHERE len(w) > 0
+"""
+
+
 def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic negatives: 2 never-purchased parts per customer,
     # drawn from the customer's fingerprint bucket (equi-join, no cross
@@ -2245,6 +2273,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "scd2_validity_intervals": (_sql_query(_QSCD2_SPARK), _QSCD2),
     "forward_fill_timeseries": (_q_forward_fill, _FORWARD_FILL_ORACLE),
     "negative_sample": (_q_negative_sample, _NEGATIVE_SAMPLE_ORACLE),
+    "chunk_documents": (_q_chunk_documents, _CHUNK_DOCUMENTS_ORACLE),
     "column_correlations": (_sql_query(_QCORR), _QCORR),
     "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
     "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
