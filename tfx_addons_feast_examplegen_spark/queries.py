@@ -1143,6 +1143,106 @@ SELECT doc_id, term, tf, doc_freq, tfidf FROM ranked WHERE rn <= 3
 """
 
 
+def _q_training_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full corpus -> training-sequences composition in ONE Catalyst
+    # plan: quality gate -> exact dedup -> LSH near-dup removal
+    # (prepare_corpus) -> RAG chunking -> per-source sequence packing at
+    # a 512-token budget. Every stage is an engine operator; the oracle
+    # re-derives the whole pipeline in SQL from first principles.
+    from .operators.corpus import prepare_corpus
+    from .operators.curation import pack_sequences
+
+    t = register_tables(spark, sf_dir)
+    kept = prepare_corpus(
+        t["documents"], min_quality=0.35, jaccard_threshold=0.5
+    )
+    chunks = tx.chunk_documents(
+        kept, "doc_id", "text", chunk_tokens=64, stride=32
+    ).join(kept.select("doc_id", "source"), "doc_id")
+    # composite chunk key: document order, then chunk order within it
+    chunks = chunks.withColumn(
+        "cid", F.col("doc_id") * 100000 + F.col("chunk_idx")
+    )
+    packed = pack_sequences(
+        chunks,
+        group_col="source",
+        id_col="cid",
+        token_col="n_tokens",
+        budget=512,
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "pack_id",
+        "pack_offset",
+    )
+
+
+def _training_dataset_oracle() -> str:
+    return f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+q AS (
+  SELECT d.doc_id, d.source, d.text, tq.quality_score
+  FROM documents d JOIN tq ON tq.doc_id = d.doc_id
+  WHERE tq.quality_score >= 0.35
+),
+canon AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+kept0 AS (SELECT q.* FROM q WHERE q.doc_id IN (SELECT keep_id FROM canon)),
+t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM kept0),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t2, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_a, doc_b
+  FROM prs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
+),
+kept AS (
+  SELECT * FROM kept0 k
+  WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = k.doc_id)
+),
+tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM kept
+),
+c AS (
+  SELECT doc_id, source, CAST(s // 32 AS INT) AS chunk_idx,
+         toks[s + 1 : s + 64] AS w
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+  )
+),
+ch AS (
+  SELECT doc_id, source, chunk_idx, CAST(len(w) AS BIGINT) AS n_tokens,
+         doc_id * 100000 + chunk_idx AS cid
+  FROM c WHERE len(w) > 0
+),
+p AS (
+  SELECT doc_id, chunk_idx, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY cid
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start
+  FROM ch
+)
+SELECT doc_id, chunk_idx, source, n_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset
+FROM p
+"""
+
+
 def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The stateful applyInPandasWithState sessionizer, driven to
     # completion over time-sliced micro-batches — ORACLE-CHECKED via the
@@ -2210,6 +2310,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _SESSIONIZATION_STREAM_ORACLE,  # sentinel-watermark full replay
     ),
     "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_oracle()),
+    "training_dataset_pipeline": (
+        _q_training_dataset_pipeline,
+        _training_dataset_oracle(),
+    ),
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
