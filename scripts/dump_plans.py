@@ -50,6 +50,15 @@ the per-term document frequency; df joins back on the term key and the
 corpus size N arrives as a one-row broadcast. The final top-k window
 partitions by doc id — the same key as tf — so AQE coalesces the
 exchange.""",
+    "chunk_documents": """RAG chunking is a pure flat-map: tokenize once, generate window
+starts with sequence, slice + explode — ZERO exchanges, so chunking
+runs at full scan parallelism and composes with any downstream stage
+without a shuffle boundary.""",
+    "negative_sample": """Deterministic negatives without a cross join: users and items meet in
+an equi-join on their shared fingerprint bucket (candidate space =
+|items|/n_buckets per user), positives leave via anti-join, and the
+per-user top-k window ranks by a pairwise fingerprint — RNG-free and
+replayable.""",
     "dedup_incremental": """Cross-corpus ingest dedup: batch and corpus band frames meet in a
 plain equi-join on (band_id, band_hash) — the batch side is small and
 broadcasts, so the corpus probes in place. Verification joins only
