@@ -212,3 +212,19 @@ def test_simhash_portable_variant_semantics(spark):
     df = _docs(spark, [BASE, BASE, "entirely different words everywhere"])
     rows = simhash_pairs(df, "doc_id", "text", max_hamming=3, portable=True).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+def test_minhash_index_param_mismatch_raises(spark, sf_dir, tmp_path):
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        minhash_lsh_join_indexed,
+        write_minhash_index,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(docs, idx, "doc_id", "text", bands=16)
+    with pytest.raises(ValueError, match="was built with"):
+        minhash_lsh_join_indexed(docs, idx, "doc_id", "text", bands=8)

@@ -563,6 +563,13 @@ def write_minhash_index(
     _w(sigs.select(F.col(id_col), F.col("__nsh").alias("nsh")), "sizes")
     _w(sh, "shingles")
     sh.unpersist()
+    # Bake the band parameters into the index: a read with different
+    # (n, num_hashes, bands, seed) would produce silently-wrong
+    # candidates, so the join validates against this row.
+    corpus.sparkSession.createDataFrame(
+        [(n, num_hashes, bands, seed, id_col)],
+        "n int, num_hashes int, bands int, seed int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def minhash_lsh_join_indexed(
@@ -585,8 +592,23 @@ def minhash_lsh_join_indexed(
     exact-Jaccard verification joins only candidate ids back to the
     stored shingle sets. Output matches the non-indexed join
     bit-for-bit.
+
+    Raises ``ValueError`` if the call's (n, num_hashes, bands, seed,
+    id_col) differ from what the index was built with — a mismatch
+    yields silently-wrong candidates otherwise.
     """
     spark = batch.sparkSession
+    [params] = spark.read.parquet(f"{index_path}/params").collect()
+    expected = (n, num_hashes, bands, seed, id_col)
+    stored = (
+        params.n, params.num_hashes, params.bands, params.seed, params.id_col
+    )
+    if stored != expected:
+        raise ValueError(
+            f"minhash index at {index_path!r} was built with "
+            f"(n, num_hashes, bands, seed, id_col)={stored}; "
+            f"call requested {expected}"
+        )
     sh_l = shingles(batch, id_col, text_col, n, hashed=True).cache()
     sigs_l = _minhash_sigs(sh_l, id_col, num_hashes, seed).cache()
     banded_l = _band_explode(sigs_l, id_col, num_hashes, bands).select(
