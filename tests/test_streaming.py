@@ -156,3 +156,15 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_path):
     got = {(r.l_event_id, r.r_event_id) for r in out.collect()}
     want = {(r.l_event_id, r.r_event_id) for r in expected.collect()}
     assert got == want and len(want) > 0
+
+
+def test_interval_join_rejects_unknown_how(spark, events_path):
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.streaming.events import (
+        interval_join_streams,
+    )
+
+    s = read_events_stream(spark, events_path)
+    with pytest.raises(ValueError, match="inner"):
+        interval_join_streams(s, s, how="full_outer")

@@ -1641,6 +1641,86 @@ FROM s, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
 """
 
 
+def _q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Left-outer stream-stream join: purchases with NO qualifying click
+    # emit null click columns — but only once the watermark proves no
+    # match can still arrive. Sentinel rows on BOTH sides (user -1,
+    # ts = max + 4h, one per event_type so each survives its side's
+    # filter) push the final watermark past every join window, so
+    # bounded replay equals the batch LEFT JOIN exactly.
+    import os as _os
+    import tempfile as _tempfile
+
+    from .session import load_table
+    from .streaming.events import (
+        interval_join_streams,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    register_tables(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    sentinels = (
+        ev.orderBy(F.desc("ts"))
+        .limit(1)
+        .crossJoin(
+            spark.createDataFrame(
+                [("purchase",), ("click",)], "sentinel_type string"
+            )
+        )
+        .select(
+            *[
+                (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts")
+                if c == "ts"
+                else F.lit(-1).cast("long").alias(c)
+                if c == "user_id"
+                else F.col("sentinel_type").alias(c)
+                if c == "event_type"
+                else F.col(c)
+                for c in ev.columns
+            ]
+        )
+    )
+    src = _tempfile.mkdtemp(prefix="ssj_left_") + "/ev"
+    ev.unionByName(sentinels).coalesce(2).write.parquet(src)
+    purchases = read_events_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, src).filter(
+        F.col("event_type") == "click"
+    )
+    out = run_to_completion(
+        interval_join_streams(
+            purchases, clicks, lookback="1 hour", how="left_outer"
+        ),
+        query_name=f"ssjl_{_os.path.basename(src) or 'q'}",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.unix_timestamp("l_ts").alias("purchase_ts"),
+        F.unix_timestamp("r_ts").alias("click_ts"),
+        F.round("l_value", 2).alias("purchase_value"),
+    )
+
+
+_STREAM_STREAM_LEFT_JOIN_ORACLE = """
+SELECT a.user_id,
+       a.event_id AS purchase_id,
+       b.event_id AS click_id,
+       CAST(floor(epoch(a.ts)) AS BIGINT) AS purchase_ts,
+       CAST(floor(epoch(b.ts)) AS BIGINT) AS click_ts,
+       round(a.value, 2) AS purchase_value
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'click'
+ AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+WHERE a.event_type = 'purchase'
+"""
+
+
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Source-format dispatch proven by round-trip identity: documents ->
     # JSONL on disk -> schema'd JSON reader -> aggregate. The oracle runs
@@ -2353,6 +2433,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _WINDOWED_EVENTS_ORACLE,  # complete-mode stream ≡ batch aggregate
     ),
     "stream_stream_join": (_q_stream_stream_join, _STREAM_STREAM_JOIN_ORACLE),
+    "stream_stream_left_join": (
+        _q_stream_stream_left_join,
+        _STREAM_STREAM_LEFT_JOIN_ORACLE,
+    ),
     "source_jsonl_roundtrip": (_q_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "source_csv_roundtrip": (_q_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
     "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),

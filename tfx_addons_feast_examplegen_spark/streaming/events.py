@@ -197,8 +197,9 @@ def interval_join_streams(
     key_col: str = "user_id",
     lookback: str = "1 hour",
     watermark_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: each left event matched to right
+    """Stream-stream interval join: each left event matched to right
     events of the same key whose timestamp falls in
     ``[left.ts - lookback, left.ts]`` (the attribution-join shape: a
     purchase joined to the clicks that preceded it).
@@ -212,9 +213,18 @@ def interval_join_streams(
     yields exactly the batch join's result (the property the oracle
     checks).
 
+    ``how="left_outer"`` additionally emits unmatched left rows with
+    null right columns — but only once the watermark proves no matching
+    right row can still arrive, so bounded replay equals the batch left
+    join ONLY if the final watermark passes every left row's join window
+    (append a far-future sentinel to both sides to force that; see
+    queries.py's stream_stream_left_join).
+
     Output columns are prefixed ``l_`` / ``r_`` (event_id, ts, value);
     the key keeps its name.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer': {how!r}")
     l = left.withWatermark("ts", watermark_delay)
     r = right.withWatermark("ts", watermark_delay)
     lsel = l.select(
@@ -234,4 +244,4 @@ def interval_join_streams(
         & (rsel["r_ts"] >= lsel["l_ts"] - F.expr(f"INTERVAL {lookback}"))
         & (rsel["r_ts"] <= lsel["l_ts"])
     )
-    return lsel.join(rsel, cond, "inner").drop("__rkey")
+    return lsel.join(rsel, cond, how).drop("__rkey")
