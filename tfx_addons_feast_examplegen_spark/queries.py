@@ -1705,6 +1705,53 @@ def _q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-static join: each micro-batch of events enriched with the
+    # customer dimension (joined per batch, no watermark/state — the
+    # static side is fixed for the query's lifetime). Bounded replay is
+    # trivially the batch join, which the oracle runs.
+    import os as _os
+    import uuid as _uuid
+
+    from .streaming.events import (
+        enrich_stream_with_dim,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    t = register_tables(spark, sf_dir)
+    stream = read_events_stream(
+        spark, _os.path.join(sf_dir, "events.parquet")
+    )
+    enriched = enrich_stream_with_dim(
+        stream,
+        t["customer"],
+        stream_key="user_id",
+        dim_key="c_custkey",
+        dim_cols=["c_mktsegment", "c_nationkey"],
+        how="inner",
+    )
+    out = run_to_completion(
+        enriched, query_name=f"enrich_{_uuid.uuid4().hex[:8]}"
+    )
+    return (
+        out.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_STREAM_STATIC_ENRICH_ORACLE = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 _STREAM_STREAM_LEFT_JOIN_ORACLE = """
 SELECT a.user_id,
        a.event_id AS purchase_id,
@@ -2436,6 +2483,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stream_stream_left_join": (
         _q_stream_stream_left_join,
         _STREAM_STREAM_LEFT_JOIN_ORACLE,
+    ),
+    "stream_static_enrichment": (
+        _q_stream_static_enrichment,
+        _STREAM_STATIC_ENRICH_ORACLE,
     ),
     "source_jsonl_roundtrip": (_q_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "source_csv_roundtrip": (_q_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),

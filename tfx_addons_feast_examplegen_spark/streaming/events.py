@@ -245,3 +245,27 @@ def interval_join_streams(
         & (rsel["r_ts"] <= lsel["l_ts"])
     )
     return lsel.join(rsel, cond, how).drop("__rkey")
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each streaming event with columns from
+    a static dimension table (the feature-lookup shape: events gain the
+    user's profile attributes on the way in).
+
+    Spark joins each micro-batch against the static side natively — no
+    watermark or state needed because the static side never changes
+    mid-query; small dims broadcast, so the stream never shuffles. At
+    100 TB/day of events this is THE pattern for attaching slowly-
+    changing reference data; pair with `latest_feature_state` when the
+    dimension itself is a stream.
+    """
+    d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    return stream.join(d, stream_key, how)
