@@ -1575,6 +1575,35 @@ FROM days LEFT JOIN rev ON rev.d = days.d
 """
 
 
+# Array aggregation with deterministic ordering: collect_list /
+# list() have engine-defined order, so both sides sort the collected
+# array before emitting (the portable form of ARRAY_AGG ... ORDER BY).
+_QARRAY_AGG = """
+SELECT r.r_name,
+       sort_array(collect_list(n.n_name)) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+_QARRAY_AGG_ORACLE = """
+SELECT r.r_name,
+       list_sort(list(n.n_name)) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# EXCEPT set operation (the INTERSECT sibling of setop_intersect):
+# customers who have never hit an error event.
+_QEXCEPT = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id AS c_custkey FROM events WHERE event_type = 'error'
+"""
+
+
 # SCD2-style validity intervals: each purchase's value holds from its
 # event time until the key's next purchase (NULL = still current) — the
 # history-table form that makes any point-in-time state reconstructable
@@ -2412,6 +2441,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q5_region_revenue": (_sql_query(_Q5), _Q5),
     "window_topk_running": (_sql_query(_QWINDOW), _QWINDOW),
     "setop_intersect": (_sql_query(_QSETOPS), _QSETOPS),
+    "setop_except": (_sql_query(_QEXCEPT), _QEXCEPT),
+    "array_agg_sorted": (_sql_query(_QARRAY_AGG), _QARRAY_AGG_ORACLE),
     "json_events_daily": (_sql_query(_QJSON_SPARK), _QJSON_ORACLE),
     "having_subquery": (_sql_query(_QHAVING), _QHAVING),
     "rollup_region_nation": (_sql_query(_QROLLUP), _QROLLUP),
