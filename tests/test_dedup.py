@@ -136,6 +136,37 @@ def test_simhash_pairs_finds_identical(spark):
     assert rows[0].hamming == 0
 
 
+def test_simhash_pairs_hot_bucket_capped(spark):
+    # The pigeonhole chunk join is a pair-producer like any other: a
+    # degenerate chunk value (identical docs all sharing every chunk)
+    # must hit the _bucket_pairs cap machinery — drop-with-metric under
+    # the default, fail-fast under on_over_cap="error" — instead of
+    # exploding quadratically with no signal.
+    import pytest
+
+    from pyspark.sql import Observation
+
+    df = _docs(spark, [BASE] * 8)  # every chunk bucket has size 8
+
+    with pytest.raises(Exception, match="over cap"):
+        simhash_pairs(
+            df, "doc_id", "text", max_bucket=4, on_over_cap="error"
+        ).collect()
+
+    obs = Observation()
+    dropped = simhash_pairs(
+        df, "doc_id", "text", max_bucket=4, observation=obs
+    ).collect()
+    assert dropped == []  # every bucket over cap -> all candidates dropped
+    assert obs.get["dropped_buckets"] == 4  # one per chunk_id
+    assert obs.get["max_bucket_size"] == 8
+
+    # Under a sufficient cap the full pair set comes back: C(8,2) = 28.
+    full = simhash_pairs(df, "doc_id", "text", max_bucket=100).collect()
+    assert len(full) == 28
+    assert all(r.hamming == 0 for r in full)
+
+
 def test_containment_short_doc_inside_long(spark):
     from tfx_addons_feast_examplegen_spark.operators.dedup import containment_pairs
 

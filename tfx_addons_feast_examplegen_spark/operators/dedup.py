@@ -713,14 +713,27 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     portable: bool = False,
+    max_bucket: int = 1000,
+    observation=None,
+    on_over_cap: str = "drop",
 ) -> DataFrame:
     """Candidate near-dup pairs with SimHash Hamming distance <= k.
 
-    Pigeonhole band join: split the hash into 4 chunks (16 bits each;
-    15 when ``portable`` — see :func:`simhash`); any pair within Hamming
-    distance 3 shares at least one exact chunk, so candidates come from
-    4 equi-joins (union), then the true distance filter runs only on
-    candidates. Output: (doc_a, doc_b, hamming).
+    Pigeonhole banding: split the hash into 4 chunks (16 bits each; 15
+    when ``portable`` — see :func:`simhash`); any pair within Hamming
+    distance 3 shares at least one exact chunk. Candidates come from
+    :func:`_bucket_pairs` on ``(chunk_id, chunk)`` — the same
+    single-shuffle bucket explode every other pair-producer uses, so a
+    degenerate hot chunk (boilerplate/near-empty docs collapsing to one
+    16-bit value) is bounded by ``max_bucket`` instead of blowing up a
+    two-sided self-join quadratically, and over-cap buckets are
+    observable (``observation``) or fail-fast (``on_over_cap="error"``).
+
+    Each pair element is ``struct(id, simhash)`` so the Hamming filter
+    runs directly on the exploded candidates — the simhash aggregate is
+    computed once, with no join back and no recomputation. Struct
+    least/greatest ordering equals id ordering (ids are distinct).
+    Output: (doc_a, doc_b, hamming).
     """
     sh = simhash(df, id_col, text_col, portable=portable)
     width = _PORTABLE_BITS // 4 if portable else 16
@@ -734,22 +747,29 @@ def simhash_pairs(
             for c in range(4)
         ]
     )
-    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
-        F.col(id_col), F.col("simhash"), F.col("c.chunk_id"), F.col("c.chunk")
+    banded = sh.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.col("simhash").alias("sh")
+        ).alias("__idsh"),
+        F.explode(chunks).alias("c"),
+    ).select("__idsh", F.col("c.chunk_id"), F.col("c.chunk"))
+    cand = _bucket_pairs(
+        banded,
+        ["chunk_id", "chunk"],
+        "__idsh",
+        max_size=max_bucket,
+        observation=observation,
+        on_over_cap=on_over_cap,
     )
-    a = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
-    )
-    b = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("doc_a.sh").bitwiseXOR(F.col("doc_b.sh")))
     return (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
         # filter BEFORE the dedup shuffle: the hamming test is a cheap
         # row-local predicate, the distinct is a shuffle — shrink first
-        .filter(F.col("hamming") <= max_hamming)
+        cand.filter(hamming <= max_hamming)
+        .select(
+            F.col("doc_a.id").alias("doc_a"),
+            F.col("doc_b.id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .distinct()
     )

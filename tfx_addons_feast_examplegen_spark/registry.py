@@ -65,7 +65,9 @@ class FeatureView:
         header+schema inference — at scale, declare schemas instead)."""
         path = self.resolve_path(sf_dir)
         if self.format == "parquet":
-            return spark.read.parquet(path)
+            from .session import normalize_timestamps
+
+            return normalize_timestamps(spark.read.parquet(path))
         if self.format == "csv":
             return spark.read.option("header", "true").option(
                 "inferSchema", "true"

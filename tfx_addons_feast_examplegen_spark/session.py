@@ -111,13 +111,30 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 _REGISTERED: dict[int, str] = {}
 
 
+def normalize_timestamps(df: DataFrame, cols: tuple[str, ...] = ()) -> DataFrame:
+    """Normalize fixture time columns to TimestampType (session tz = UTC).
+
+    Handles both physical encodings the fixtures have shipped with:
+    TIMESTAMP(NANOS) read as long nanos under ``nanosAsLong`` (``cols``
+    names them), and naive TIMESTAMP(MICROS) surfaced as TIMESTAMP_NTZ.
+    NTZ wall-clock equals the UTC instant here (generator writes UTC), so
+    the cast is value-preserving — and required: event-time streaming
+    (``withWatermark``) accepts only TIMESTAMP, not NTZ.
+    """
+    dtypes = dict(df.dtypes)
+    for col in cols:
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    for col, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table (columnar parquet scan; pruning/pushdown free)."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    return df
+    return normalize_timestamps(df, _NANOS_TS_COLS.get(name, ()))
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -46,9 +46,9 @@ def read_events_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from ..session import normalize_timestamps
+
+    return normalize_timestamps(df, ("ts",))
 
 
 def windowed_event_counts(
