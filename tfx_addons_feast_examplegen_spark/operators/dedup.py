@@ -133,62 +133,75 @@ def _bucket_pairs(
 ) -> DataFrame:
     """Candidate pairs (doc_a < doc_b) of ids sharing a bucket.
 
-    ``collect_list`` per bucket + a local ordered-pair explode: ONE
-    shuffle (the groupBy on the bucket key) where a self-equi-join
-    shuffles both sides. Buckets above ``max_size`` are dropped
-    (degenerate keys contribute pairs quadratically but little
-    evidence); the per-bucket pair array is therefore bounded by
-    C(max_size, 2) before the explode (~8 MB at the default 1000 —
-    sized to executor memory, not data scale).
+    Capped self-equi-join: per-bucket sizes come from a ``count``
+    aggregate (map-side combinable — the shuffle moves one row per
+    distinct bucket per mapper, not the data); buckets above
+    ``max_size`` form a tiny frame that is BROADCAST as a left-anti
+    prune of the banded input, and the surviving rows self-equi-join on
+    the bucket key. Catalyst reuses the shuffle exchange across the two
+    join sides (identical canonicalized subtrees → ReusedExchange), so
+    the data shuffles once. Per-task memory is flat: no bucket is ever
+    materialized as an array (an earlier ``collect_list`` design held
+    each bucket in memory BEFORE the cap filter could drop it — the
+    exact degenerate-key blowup the cap exists to prevent — and its
+    interpreted lambda pair-explode was ~4× slower than the join).
 
     No silent caps — two mechanisms:
 
-    - ``on_over_cap="error"``: a lazy in-plan ``assert_true`` fails the
-      job on the first over-cap bucket instead of dropping it. Zero extra
-      passes, cannot be optimized away — use when the recall contract
-      forbids drops (e.g. an oracle-checked exact computation).
+    - ``on_over_cap="error"``: a lazy in-plan ``assert_true`` conjunct
+      on the over-cap filter fails the job on the first over-cap bucket
+      instead of dropping it (short-circuit: in-cap rows never evaluate
+      the assert). Cannot be optimized away — the predicate gates the
+      anti-join's build side. Use when the recall contract forbids
+      drops (e.g. an oracle-checked exact computation).
     - ``observation`` (a ``pyspark.sql.Observation``): records
-      ``dropped_buckets`` / ``max_bucket_size`` in the same job under
-      ``on_over_cap="drop"``. Caveat: AQE's empty-relation propagation
-      can prune the metrics node when a downstream join collapses to
-      empty — treat a missing metric as "check with error mode", not as
-      zero.
+      ``dropped_buckets`` / ``max_bucket_size``, filled by a dedicated
+      metrics job run EAGERLY at operator-build time (one extra
+      map-side-combinable aggregate over ``df`` — pass a cached input
+      when observing). In-plan metric collection was abandoned: AQE's
+      empty-relation propagation eliminates whichever join subtree the
+      CollectMetrics node rides whenever a build side or the pair output
+      turns out empty — i.e. precisely the healthy dropped_buckets=0
+      case and the everything-dropped case, the two readings that matter.
+      The eager linear job has nothing AQE can prune, so the metrics are
+      exact and unconditional; diagnostics opt-in only.
     """
     if on_over_cap not in ("drop", "error"):
         raise ValueError(f"on_over_cap must be 'drop' or 'error': {on_over_cap!r}")
-    grouped = df.groupBy(*bucket_cols).agg(F.collect_list(id_col).alias("__ids"))
-    if observation is not None and max_size is not None:
-        grouped = grouped.observe(
-            observation,
-            F.sum((F.size("__ids") > max_size).cast("long")).alias(
-                "dropped_buckets"
-            ),
-            F.max(F.size("__ids")).alias("max_bucket_size"),
-        )
-    cond = F.size("__ids") >= 2
-    if max_size is not None and on_over_cap == "drop":
-        cond = cond & (F.size("__ids") <= max_size)
-    elif max_size is not None:
-        # Conjunct the assert into the (always-evaluated) filter predicate
-        # itself — a projected-then-dropped column would be pruned as dead
-        # code by Catalyst and never fire.
-        cond = cond & F.assert_true(
-            F.size("__ids") <= max_size,
-            F.concat(
-                F.lit(f"_bucket_pairs: bucket over cap ({max_size}); size="),
-                F.size("__ids").cast("string"),
-            ),
-        ).isNull()
+    pruned = df
+    if max_size is not None:
+        sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__n"))
+        if observation is not None:
+            sizes.observe(
+                observation,
+                F.sum((F.col("__n") > max_size).cast("long")).alias(
+                    "dropped_buckets"
+                ),
+                F.max("__n").alias("max_bucket_size"),
+            ).count()
+        over_cond = F.col("__n") > max_size
+        if on_over_cap == "error":
+            # And() short-circuits: rows at-or-under cap fail the left
+            # conjunct and never reach the assert; any over-cap row
+            # evaluates it and fails the job with the bucket size.
+            over_cond = over_cond & F.assert_true(
+                F.col("__n") <= max_size,
+                F.concat(
+                    F.lit(f"_bucket_pairs: bucket over cap ({max_size}); size="),
+                    F.col("__n").cast("string"),
+                ),
+            ).isNull()
+        over = sizes.filter(over_cond).select(*bucket_cols)
+        pruned = df.join(F.broadcast(over), bucket_cols, "left_anti")
+    # Prune ONE side only: a pair from an over-cap bucket needs both ends
+    # in that bucket, so removing the bucket from side a alone removes all
+    # its pairs — and side b skips the anti-join entirely.
+    a = pruned.select(*bucket_cols, F.col(id_col).alias("doc_a"))
+    b = df.select(*bucket_cols, F.col(id_col).alias("doc_b"))
     return (
-        grouped.filter(cond)
-        .select(
-            F.expr(
-                "explode(flatten(transform(__ids, (a, i) -> "
-                "transform(slice(__ids, i + 2, size(__ids)), b -> "
-                "struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))) AS __p"
-            )
-        )
-        .select(F.col("__p.doc_a").alias("doc_a"), F.col("__p.doc_b").alias("doc_b"))
+        a.join(b, bucket_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
     )
 
 
@@ -730,12 +743,14 @@ def simhash_pairs(
     observable (``observation``) or fail-fast (``on_over_cap="error"``).
 
     Each pair element is ``struct(id, simhash)`` so the Hamming filter
-    runs directly on the exploded candidates — the simhash aggregate is
-    computed once, with no join back and no recomputation. Struct
-    least/greatest ordering equals id ordering (ids are distinct).
-    Output: (doc_a, doc_b, hamming).
+    runs directly on the exploded candidates — no join back. The simhash
+    frame is CACHED: the capped pair join consumes it up to three times
+    (bucket sizes + both join sides), and it is tiny relative to the
+    corpus (one ``(id, long)`` row per document), so caching beats
+    re-running the 64-vote aggregation. Struct ordering equals id
+    ordering (ids are distinct). Output: (doc_a, doc_b, hamming).
     """
-    sh = simhash(df, id_col, text_col, portable=portable)
+    sh = simhash(df, id_col, text_col, portable=portable).cache()
     width = _PORTABLE_BITS // 4 if portable else 16
     mask = (1 << width) - 1
     chunks = F.array(
