@@ -862,32 +862,81 @@ FROM lineitem"""
 def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog++ sketches: the 100 TB path for distinct counting —
     # constant memory per group vs countDistinct's exact shuffle. Sketch
-    # estimates aren't bit-portable across engines -> rows-only check;
-    # pytest bounds the relative error against exact counts.
+    # estimates aren't bit-portable across engines, so the oracle-checked
+    # contract is the ERROR BOUND, not the estimate: emit the exact
+    # counts (portable) plus a boolean per sketch asserting the estimate
+    # lies within 3x the configured rsd (0.02); the oracle emits the same
+    # exact counts with literal TRUE. A sketch drifting out of its
+    # accuracy contract hash-mismatches and turns the row red.
     t = register_tables(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        )
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__ap"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    def in_bound(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.col(exact).cast("double") * 0.06
+        )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        in_bound("__ao", "exact_orders").alias("orders_in_bound"),
+        in_bound("__ap", "exact_parts").alias("parts_in_bound"),
+    )
+
+
+_SKETCH_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS orders_in_bound,
+       TRUE AS parts_in_bound
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Mergeable quantile sketches (percentile_approx/KLL-style): the
-    # 100 TB alternative to the exact ordered-set aggregates in the
-    # `percentiles` query. Rows-only; pytest bounds error vs exact.
+    # Mergeable quantile sketches (percentile_approx, Greenwald-Khanna
+    # style): the 100 TB alternative to exact ordered-set aggregates.
+    # Same bound-as-contract oracle as sketch_distinct_counts: at
+    # accuracy=1000 the rank error is 0.1%, so the approx p50/p90 must
+    # land between the exact 45th/55th (resp. 85th/95th) percentiles — a
+    # 50x margin. Output carries the exact interpolated percentiles
+    # (identical (n-1)*q arithmetic in both engines) plus the in-bracket
+    # booleans; the oracle emits TRUE.
     t = register_tables(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_approx"),
-        )
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__a50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("__a90"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))"
+        ).alias("__ex"),
     )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("__ex")[1], 4).alias("exact_p50"),
+        F.round(F.col("__ex")[4], 4).alias("exact_p90"),
+        F.col("__a50").between(F.col("__ex")[0], F.col("__ex")[2]).alias(
+            "p50_in_bound"
+        ),
+        F.col("__a90").between(F.col("__ex")[3], F.col("__ex")[5]).alias(
+            "p90_in_bound"
+        ),
+    )
+
+
+_SKETCH_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+       TRUE AS p50_in_bound,
+       TRUE AS p90_in_bound
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1378,8 +1427,19 @@ def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The int-code array is serialized to a '|'-joined scalar for the
+    # harness: array cells break pandas-based canonicalizers (unhashable
+    # list), and the joined string compares the same values. The operator
+    # itself keeps the real array<int> output.
     t = register_tables(spark, sf_dir)
-    return sim.quantize_embeddings(t["embeddings"], "vec_id", "embedding")
+    q = sim.quantize_embeddings(t["embeddings"], "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q_embedding").cast("array<string>"), "|").alias(
+            "q_embedding"
+        ),
+    )
 
 
 # Element floats are widened to double on BOTH sides before any
@@ -1394,10 +1454,10 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id, round(sc, 6) AS scale,
-       list_transform(embedding, x ->
+       array_to_string(list_transform(embedding, x ->
          CASE WHEN sc = 0 THEN 0
               ELSE CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT) END
-       ) AS q_embedding
+       ), '|') AS q_embedding
 FROM s
 """
 
@@ -2491,8 +2551,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dataset_stats": (_q_dataset_stats, _stats_oracle()),
     # --- fixed or added in round 3 ---
     "array_agg_sorted": (_sql_query(_QARRAY_AGG), _QARRAY_AGG_ORACLE),
-    "sketch_distinct_counts": (_q_sketch_distinct, None),  # rows-only (HLL)
-    "sketch_quantiles": (_q_sketch_quantiles, None),  # rows-only (approx)
+    "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
+    "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
     "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
