@@ -3,23 +3,28 @@
 North-star extension: at 100 TB, image/audio/video columns ride through
 the engine as ``binary`` payloads with typed metadata columns; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` stages on
-executors. The decode kernels themselves need codec libraries that are
-NOT in this container, so the kernel boundary is explicit:
+executors.
 
-- the Spark-side plumbing (schemas, batch iteration, partition sizing,
-  UDF signatures, metadata propagation) is REAL and tested;
-- the pixel/sample decoding is stubbed: :class:`StubImageCodec` raises
-  ``NotImplementedError`` unless ``deterministic_fake=True``, which
-  produces seeded, content-derived fake features so pipelines and tests
-  exercise realistic shapes end-to-end.
+Two codec tiers:
 
-Swap in a real codec by implementing ``decode(payload) -> features`` with
-the same signature; nothing else changes.
+- **Real pure-stdlib decoders for uncompressed container formats**:
+  :func:`decode_bmp_24` (24-bit uncompressed BMP — header parse, row
+  padding, bottom-up/top-down, BGR order) and :func:`decode_wav_pcm16`
+  (RIFF chunk walk, PCM16 mono). These run as the decode kernels of
+  :func:`extract_image_stats` / :func:`extract_audio_stats` and are
+  oracle-checked end-to-end (the fixture payloads carry closed-form
+  pixel/sample values an external SQL engine can re-derive).
+- **Stub boundary for compressed formats** (JPEG/PNG/MP3/H.264 need
+  codec libraries not present in this container):
+  :class:`StubImageCodec` raises ``NotImplementedError`` unless
+  ``deterministic_fake=True``; swap in a real codec by implementing
+  ``decode(payload) -> features`` with the same signature.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -59,6 +64,231 @@ class StubImageCodec:
             )
         digest = hashlib.sha256(payload).digest()
         return [b / 255.0 for b in digest[: self.feat_dim]]
+
+
+# ---------------------------------------------------------------------------
+# Real pure-stdlib codecs: 24-bit uncompressed BMP, PCM16 mono WAV
+# ---------------------------------------------------------------------------
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "r_sum long, g_sum long, b_sum long, px_min int, px_max int"
+)
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, "
+    "sample_sum long, s_min int, s_max int"
+)
+
+
+def encode_bmp_24(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Serialize row-major top-down (r, g, b) pixels as a standard 24-bit
+    uncompressed BMP (BITMAPINFOHEADER, bottom-up rows, BGR byte order,
+    rows padded to 4-byte boundaries)."""
+    row_size = (width * 3 + 3) // 4 * 4
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            rows += bytes((b, g, r))
+        rows += b"\x00" * (row_size - width * 3)
+    return header + info + bytes(rows)
+
+
+def decode_bmp_24(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode any 24-bit uncompressed BMP into per-channel integer stats:
+    (width, height, r_sum, g_sum, b_sum, px_min, px_max).
+
+    Real decoder, not a fixture trick: parses the file header's pixel
+    offset, signed height (negative = top-down), bits-per-pixel and
+    compression fields, and walks padded BGR rows. Integer-only output
+    keeps the stats bit-portable for external oracles.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    height = abs(height)  # sign only flips row order; stats are order-free
+    row_size = (width * 3 + 3) // 4 * 4
+    view = memoryview(payload)
+    r_sum = g_sum = b_sum = 0
+    px_min, px_max = 255, 0
+    for row_i in range(height):
+        row = view[offset + row_i * row_size : offset + row_i * row_size + width * 3]
+        b_sum += sum(row[0::3])
+        g_sum += sum(row[1::3])
+        r_sum += sum(row[2::3])
+        px_min = min(px_min, min(row))
+        px_max = max(px_max, max(row))
+    return width, height, r_sum, g_sum, b_sum, px_min, px_max
+
+
+def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
+    """Serialize int16 samples as a standard PCM16 mono RIFF/WAVE file."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Decode a PCM16 mono WAV into integer sample stats:
+    (sample_rate, n_samples, sample_sum, s_min, s_max).
+
+    Walks RIFF chunks properly (word-aligned sizes, unknown chunks
+    skipped), so files with extra LIST/fact chunks decode too.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code != 1 or bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return rate, len(samples), sum(samples), min(samples), max(samples)
+
+
+# Closed-form fixture content: pixel (x, y, channel c in RGB order) of
+# doc_id's image is (doc_id*7 + y*31 + x*3 + c*11) % 256 at dimensions
+# (doc_id % 13 + 4) x (doc_id % 11 + 4); audio sample i is
+# ((doc_id*13 + i*17) % 65536) - 32768 over (doc_id % 50 + 10) samples.
+# The adapters below ENCODE these into real BMP/WAV containers; the
+# decoders re-derive the stats from the bytes alone, and an external SQL
+# oracle re-derives them from the formulas — meeting in the middle.
+
+
+def attach_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real 24-bit BMP payload per row, content
+    derived from the id by the closed-form formula above."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                base = [
+                    (did * 7 + y * 31 + x * 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                pixels = [(v, (v + 11) % 256, (v + 22) % 256) for v in base]
+                payloads.append(encode_bmp_24(w, h, pixels))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "image/bmp",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+
+
+def attach_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real PCM16 mono WAV payload per row."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, counts = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = did % 50 + 10
+                samples = [
+                    ((did * 13 + i * 17) % 65536) - 32768 for i in range(n)
+                ]
+                payloads.append(encode_wav_pcm16(samples))
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "audio/wav",
+                    "n_samples": counts,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _gen, schema="doc_id long, payload binary, format string, n_samples int"
+    )
+
+
+def extract_image_stats(media_df: DataFrame) -> DataFrame:
+    """Real decode stage: Arrow-batched ``mapInPandas`` over BMP payloads
+    -> per-image integer channel stats. The (huge) payload column is
+    consumed here and dropped — project early, shuffle small."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_bmp_24(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "r_sum": [r[2] for r in rows],
+                    "g_sum": [r[3] for r in rows],
+                    "b_sum": [r[4] for r in rows],
+                    "px_min": [r[5] for r in rows],
+                    "px_max": [r[6] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(_decode, schema=IMAGE_STATS_SCHEMA)
+
+
+def extract_audio_stats(media_df: DataFrame) -> DataFrame:
+    """Real decode stage for PCM16 WAV payloads -> integer sample stats."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav_pcm16(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "sample_sum": [r[2] for r in rows],
+                    "s_min": [r[3] for r in rows],
+                    "s_max": [r[4] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(_decode, schema=AUDIO_STATS_SCHEMA)
 
 
 def attach_binary_payloads(

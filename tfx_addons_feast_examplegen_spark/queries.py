@@ -1983,31 +1983,74 @@ WHERE a.event_type = 'purchase' AND b.event_type = 'click'
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Multimodal plumbing surfaced as a query: binary payloads + typed
-    # metadata -> Arrow-batched feature extraction (deterministic fake
-    # codec) -> per-format aggregation. The decode kernel is the stubbed
-    # boundary (no codec libs in this env); everything around it is the
-    # real pipeline. Rows-only: sha256-derived features aren't practical
-    # to mirror in the oracle's SQL dialect.
-    from .operators.multimodal import (
-        StubImageCodec,
-        attach_binary_payloads,
-        extract_features,
-    )
+    # REAL multimodal decode, fully oracle-checked: real 24-bit BMP
+    # containers are synthesized per document (closed-form pixel values
+    # derived from doc_id), then decoded back by a pure-stdlib BMP parser
+    # (header offsets, row padding, BGR order) inside an Arrow-batched
+    # mapInPandas stage. The oracle re-derives the same integer channel
+    # stats from the pixel formula alone — the decoder must parse the
+    # container bit-exactly for the hashes to meet. Compressed formats
+    # (JPEG/MP3) stay behind the StubImageCodec boundary.
+    from .operators.multimodal import attach_bmp_payloads, extract_image_stats
 
     t = register_tables(spark, sf_dir)
-    media = attach_binary_payloads(t["documents"])
-    feats = extract_features(
-        media, StubImageCodec(feat_dim=8, deterministic_fake=True)
-    )
-    return (
-        feats.groupBy("format")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg(F.col("feat")[0]), 4).alias("avg_feat0"),
-            F.round(F.avg("width"), 2).alias("avg_width"),
-        )
-    )
+    media = attach_bmp_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
+_MULTIMODAL_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS width,
+         CAST(doc_id % 11 + 4 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height, c.c,
+         (d.doc_id*7 + y.y*31 + x.x*3 + c.c*11) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.height)) AS y) y,
+       LATERAL (SELECT unnest(range(0, d.width)) AS x) x,
+       LATERAL (SELECT unnest([0,1,2]) AS c) c
+)
+SELECT doc_id, width, height,
+       CAST(SUM(CASE WHEN c=0 THEN v END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN c=1 THEN v END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN c=2 THEN v END) AS BIGINT) AS b_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, width, height
+"""
+
+
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same meet-in-the-middle check for audio: real PCM16 mono WAV
+    # containers (RIFF/fmt/data chunks) decoded by a chunk-walking
+    # parser; the oracle replays the sample formula.
+    from .operators.multimodal import attach_wav_payloads, extract_audio_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_wav_payloads(t["documents"])
+    return extract_audio_stats(media)
+
+
+_MULTIMODAL_AUDIO_ORACLE = """
+WITH n AS (
+  SELECT doc_id, CAST(doc_id % 50 + 10 AS INT) AS n_samples FROM documents
+),
+s AS (
+  SELECT n.doc_id, n.n_samples,
+         ((n.doc_id*13 + i.i*17) % 65536) - 32768 AS v
+  FROM n, LATERAL (SELECT unnest(range(0, n.n_samples)) AS i) i
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INT) AS s_min,
+       CAST(MAX(v) AS INT) AS s_max
+FROM s GROUP BY doc_id, n_samples
+"""
 
 
 def _q_pit_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2553,7 +2596,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "array_agg_sorted": (_sql_query(_QARRAY_AGG), _QARRAY_AGG_ORACLE),
     "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
-    "multimodal_features": (_q_multimodal, None),  # rows-only (binary UDF stage)
+    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
