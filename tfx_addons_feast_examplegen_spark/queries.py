@@ -2023,6 +2023,90 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def _q_sequence_example_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S8 beyond parity, end-to-end: per-user event sequences (ordered by
+    # (ts, event_id) via sort_array on a struct) are encoded as REAL
+    # tf.train.SequenceExample bytes (hand-rolled wire format,
+    # functions/tfexample.py), decoded back, and the decoded payload's
+    # aggregates are emitted — so a wire-format bug anywhere in
+    # encode/decode breaks the hash against the SQL oracle, which derives
+    # the same aggregates relationally. Values ride int64 centi-units
+    # (floor(value*100)): float_list is float32 and would not replay
+    # exactly in a double-precision oracle.
+    import math
+
+    from .functions.tfexample import (
+        decode_sequence_example,
+        encode_sequence_example_full,
+    )
+
+    t = register_tables(spark, sf_dir)
+    grouped = (
+        t["events"]
+        .select(
+            "user_id",
+            F.struct("ts", "event_id", "event_type", "value").alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("steps"))
+    )
+
+    import pandas as pd
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            uids, n_steps, firsts, lasts, sums = [], [], [], [], []
+            for uid, steps in zip(pdf["user_id"], pdf["steps"]):
+                types = [s["event_type"] for s in steps]
+                cents = [int(math.floor(s["value"] * 100)) for s in steps]
+                payload = encode_sequence_example_full(
+                    {"user_id": int(uid), "n_events": len(types)},
+                    {"event_type": types, "value_c": cents},
+                )
+                ctx, fl = decode_sequence_example(payload)
+                d_types = [step[0].decode("utf-8") for step in fl["event_type"]]
+                d_cents = [step[0] for step in fl["value_c"]]
+                uids.append(ctx["user_id"][0])
+                n_steps.append(ctx["n_events"][0])
+                firsts.append(d_types[0])
+                lasts.append(d_types[-1])
+                sums.append(sum(d_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "n_steps": n_steps,
+                    "first_event_type": firsts,
+                    "last_event_type": lasts,
+                    "value_centisum": sums,
+                }
+            )
+
+    return grouped.mapInPandas(
+        _roundtrip,
+        schema=(
+            "user_id long, n_steps long, first_event_type string, "
+            "last_event_type string, value_centisum long"
+        ),
+    )
+
+
+_SEQUENCE_EXAMPLE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS vc,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_steps,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS first_event_type,
+       MAX(CASE WHEN rn = n THEN event_type END) AS last_event_type,
+       CAST(SUM(vc) AS BIGINT) AS value_centisum
+FROM ordered GROUP BY user_id
+"""
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same meet-in-the-middle check for audio: real PCM16 mono WAV
     # containers (RIFF/fmt/data chunks) decoded by a chunk-walking
@@ -2598,6 +2682,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
+    "sequence_example_roundtrip": (
+        _q_sequence_example_roundtrip,
+        _SEQUENCE_EXAMPLE_ORACLE,
+    ),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),

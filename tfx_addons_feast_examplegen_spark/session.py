@@ -98,8 +98,10 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
                 return df  # non-local storage: trust the scan's splits
         est = max(1, -(-total // max_bytes))
         return df.repartition(target) if est < target else df
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    # Non-file-backed frame (createDataFrame, stream, intermediate): no
+    # cheap split estimate exists, and probing df.rdd.getNumPartitions()
+    # forces the full plan->RDD conversion this helper exists to avoid —
+    # skip the rebalance and keep plan compile cost flat.
     return df
 
 
