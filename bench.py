@@ -64,13 +64,16 @@ def main() -> None:
     # (footer reads + schema inference are one-time catalog setup).
     register_tables(spark, sf_dir)
 
-    # min of two timed executions per query: the first pass pays one-time
-    # costs (page cache, cache() population, plan-specific JIT) that a
-    # steady-state engine comparison should exclude.
+    # min of three timed executions per query: the first pass pays
+    # one-time costs (page cache, cache() population, plan-specific JIT)
+    # that a steady-state engine comparison should exclude, and a third
+    # run guards against a transient machine-load spike polluting both of
+    # two runs (observed once in round 3: a 1.7x outlier on two
+    # back-to-back runs of the same unchanged query).
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _run(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)

@@ -2767,9 +2767,74 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 }
 
 
+# Driver-window ordering: the correctness harness records only the FIRST
+# 50 dict entries, so entries whose implementation changed this round —
+# plus entries whose last driver-green row is oldest — are surfaced ahead
+# of recently-re-verified ones. pit_join stays at position 0 (entry()
+# smoke). Refresh per round; scripts/check_correctness.py still proves
+# the full registry locally regardless of this order.
+_DRIVER_PRIORITY = [
+    "pit_join",
+    # changed in round 4 (capped pair join rework, codecs, new oracles)
+    "embedding_quantization",
+    "sketch_distinct_counts",
+    "sketch_quantiles",
+    "multimodal_features",
+    "multimodal_audio_stats",
+    "sequence_example_roundtrip",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_portable",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_incremental_indexed",
+    "corpus_prep_pipeline",
+    "training_dataset_pipeline",
+    # last driver-green in rounds 1-2 (rotated back into the window)
+    "window_topk_running",
+    "setop_intersect",
+    "setop_except",
+    "json_events_daily",
+    "having_subquery",
+    "rollup_region_nation",
+    "anti_join_exists",
+    "string_funcs_parts",
+    "monthly_order_delta",
+    "sessionization",
+    "window_lead_lag_ntile",
+    "percentiles",
+    "cube_lattice",
+    "case_pivot",
+    "text_bpe_token_budget",
+    "sessionization_streaming",
+    "dedup_exact",
+    "weighted_sample",
+    "text_tfidf_topterms",
+    "text_quality",
+    "text_lang_id",
+    "text_token_stats",
+    "text_fingerprint",
+    "similarity_topk",
+    "embedding_neardup",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+]
+
+
+def _ordered() -> list[str]:
+    prio = [n for n in _DRIVER_PRIORITY if n in _REGISTRY]
+    return prio + [n for n in _REGISTRY if n not in set(prio)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered()
+        if _REGISTRY[name][1] is not None
+    }
