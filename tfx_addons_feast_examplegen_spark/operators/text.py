@@ -95,7 +95,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - stopword_ratio (English profile)
     - punct_ratio (non-alnum, non-space chars / chars)
     - uniq_token_ratio (type/token ratio — crude repetition signal)
+
+    The input is rebalanced first: the regex/array expression chain is
+    CPU-bound per row, and a compacted corpus file scans as one split —
+    without the rebalance every signal computes in a single task
+    (measured 2x at sf0.1; no-op at scale where scans yield many splits).
     """
+    from ..session import rebalance_for_compute
+
+    df = rebalance_for_compute(df)
     toks = tokens(text_col)
     c = F.col(text_col)
     n_tok = F.size(toks)
@@ -159,8 +167,12 @@ def intra_doc_repetition(
 
     Pure expressions (split -> transform -> size/array_distinct), no
     explode and no shuffle: each doc scores in place at scan time, so the
-    filter pushes down like any other quality gate.
+    filter pushes down like any other quality gate. Rebalanced for the
+    same single-split-scan reason as :func:`quality_features`.
     """
+    from ..session import rebalance_for_compute
+
+    df = rebalance_for_compute(df)
     c = F.col(text_col)
     words = F.split(F.lower(c), " ")
     grams = F.when(
