@@ -1426,6 +1426,103 @@ def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z-order (Morton) clustering key, oracle-checked: the bit-interleave
+    # is pure shift/mask integer arithmetic, so DuckDB replays it exactly.
+    # Rows are bucketed by the key's high bits (the file-boundary analog)
+    # and each bucket reports its min-max footprint in BOTH dimensions —
+    # the stats a parquet footer would carry and the reader would prune
+    # on. compact hypercube buckets instead of one-dimensional stripes.
+    from .operators.layout import zorder_key
+
+    t = register_tables(spark, sf_dir)
+    dims = t["orders"].select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("cx"),
+        F.expr("unix_timestamp(o_orderdate) div 86400 % 65536").alias("cy"),
+    )
+    keyed = dims.withColumn("zkey", zorder_key(["cx", "cy"], bits=16))
+    return (
+        keyed.groupBy(F.shiftrightunsigned("zkey", 16).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cx").alias("min_cx"),
+            F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"),
+            F.max("cy").alias("max_cy"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for j in range(16):
+        for i, c in enumerate(("cx", "cy")):
+            out_pos = j * 2 + (1 - i)
+            terms.append(f"(((CAST({c} AS BIGINT) >> {j}) & 1) << {out_pos})")
+    interleave = " + ".join(terms)
+    return f"""
+WITH dims AS (
+  SELECT o_orderkey,
+         o_custkey % 65536 AS cx,
+         (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 65536 AS cy
+  FROM orders
+),
+keyed AS (
+  SELECT o_orderkey, cx, cy, {interleave} AS zkey FROM dims
+)
+SELECT zkey >> 16 AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(cx) AS min_cx, MAX(cx) AS max_cx,
+       MIN(cy) AS min_cy, MAX(cy) AS max_cy
+FROM keyed GROUP BY zkey >> 16
+"""
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming exactly-once dedup (dropDuplicatesWithinWatermark) made
+    # hash-checkable: the event stream is UNIONED WITH ITSELF so every
+    # row arrives exactly twice, then deduped on event_id inside the
+    # streaming query. The injected duplicates are bit-identical rows, so
+    # which copy survives is irrelevant (no arrival-order sensitivity),
+    # and a post-dedup aggregate equals the plain batch aggregate — while
+    # a dedup failure would double every count. Append mode: dedup emits
+    # each first-seen row immediately, so bounded replay is complete
+    # without sentinel tricks.
+    import os as _os
+    import uuid as _uuid
+
+    from .streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    register_tables(spark, sf_dir)
+    path = _os.path.join(sf_dir, "events.parquet")
+    doubled = read_events_stream(spark, path).union(
+        read_events_stream(spark, path)
+    )
+    deduped = dedup_events_stream(doubled, watermark_delay="1 hour")
+    out = run_to_completion(
+        deduped,
+        output_mode="append",
+        query_name=f"dedup_stream_{_uuid.uuid4().hex[:8]}",
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def _q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The int-code array is serialized to a '|'-joined scalar for the
     # harness: array cells break pandas-based canonicalizers (unhashable
@@ -2686,6 +2783,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_sequence_example_roundtrip,
         _SEQUENCE_EXAMPLE_ORACLE,
     ),
+    "stream_dedup": (_q_stream_dedup, _STREAM_DEDUP_ORACLE),
+    "zorder_layout": (_q_zorder_layout, _zorder_oracle()),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -2782,6 +2881,8 @@ _DRIVER_PRIORITY = [
     "multimodal_features",
     "multimodal_audio_stats",
     "sequence_example_roundtrip",
+    "stream_dedup",
+    "zorder_layout",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
