@@ -153,3 +153,35 @@ def test_split_properties_hypothesis(spark):
         assert {(r.k, r.split) for r in out} == {(r.k, r.split) for r in again}
 
     check()
+
+
+def test_salted_join_matches_plain_join(spark):
+    # Hot key 0 owns 90% of the big side; the salted join must equal the
+    # plain join row-for-row for inner and left, including left rows with
+    # no match surviving exactly once.
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.skew import salted_join
+
+    big = spark.range(2000).select(
+        F.when(F.col("id") < 1800, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    small = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.row_id, r.dim)
+            for r in salted_join(big, small, ["k"], n_salts=8, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.row_id, r.dim) for r in big.join(small, ["k"], how).collect()
+        )
+        assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")

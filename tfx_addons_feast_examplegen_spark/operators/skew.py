@@ -67,3 +67,38 @@ def salted_agg(
         ]
     )
     return stage2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side by row position, replicate
+    the small side once per salt value, join on (keys..., salt).
+
+    A hot join key concentrates every matching big-side row in one
+    sort-merge task; AQE's skew-join split helps sort-merge plans but
+    cannot split a hash partition whose single KEY is hot when the
+    downstream requires hash clustering. Salting spreads the hot key over
+    ``n_salts`` reducers unconditionally: the big side's shuffle is
+    unchanged in volume (one extra tiny column), the small side shuffles
+    ``n_salts``x — acceptable by definition of "small". Result is
+    row-identical to the plain join (the `skew_salted_join` oracle checks
+    exactly that).
+
+    Supports inner and left joins (right/full would need unmatched
+    small-side rows, which replication breaks). The salt is positional
+    (monotonically_increasing_id), never content-derived — identical hot
+    rows must land on different salts.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    small_s = small.withColumn("__salt", salts)
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")

@@ -207,6 +207,42 @@ FROM orders GROUP BY 1 ORDER BY split
 """
 
 
+def _q_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SplitConfig generalizes past the TFX train/eval default: an
+    # 8/1/1 train/val/test assignment from the same portable fingerprint
+    # arithmetic, plus a per-split min/max key digest so the oracle locks
+    # membership (not just cardinality) without emitting every row.
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    three = fingerprint_split(
+        orders, "o_orderkey", [("train", 8), ("val", 1), ("test", 1)]
+    )
+    return three.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+_THREE_WAY_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey,
+         ((o_orderkey * 2654435761) % 2147483648 + 2147483648) % 2147483648 % 10
+           AS bucket
+  FROM orders
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM b GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Declared-SQL breadth (S1/A2): the entity-query surface is the whole SQL
 # language; exercise it with star-schema analytics, all via spark.sql.
@@ -1424,6 +1460,34 @@ def _q_windowed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salted skew-join: physically spreads any hot l_suppkey over 8
+    # reducers (positional salt on the big side, replicated small side)
+    # while producing a row-identical result — so the oracle is simply
+    # the PLAIN join+aggregate, proving the rewrite is semantics-free.
+    from .operators.skew import salted_join
+
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_suppkey", "l_extendedprice")
+    sup = t["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, ["l_suppkey"], n_salts=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+_SKEW_SALTED_JOIN_ORACLE = """
+SELECT s.s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round(SUM(l.l_extendedprice), 2) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
 
 
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2785,6 +2849,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "stream_dedup": (_q_stream_dedup, _STREAM_DEDUP_ORACLE),
     "zorder_layout": (_q_zorder_layout, _zorder_oracle()),
+    "skew_salted_join": (_q_skew_salted_join, _SKEW_SALTED_JOIN_ORACLE),
+    "three_way_split_counts": (_q_three_way_split, _THREE_WAY_SPLIT_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -2883,6 +2949,8 @@ _DRIVER_PRIORITY = [
     "sequence_example_roundtrip",
     "stream_dedup",
     "zorder_layout",
+    "skew_salted_join",
+    "three_way_split_counts",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
