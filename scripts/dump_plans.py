@@ -26,9 +26,14 @@ verbatim by the final SortMergeJoin back onto the entity rows. Filters
 (ReadSchema).""",
     "q5_region_revenue": """Star join: region/nation/supplier are auto-broadcast (no shuffle on the
 fact side until the aggregation); the lineitem scan prunes to 4 columns.""",
-    "dedup_ngram_jaccard": """Shingle self-join: the join key IS the (hashed) shingle, so documents
-sharing no shingle never pair; frequency guard drops degenerate hot
-shingles before the join. All aggregates are partial/final pairs.""",
+    "dedup_ngram_jaccard": """Capped shingle self-join: the join key IS the (hashed) shingle, so
+documents sharing no shingle never pair. Over-cap shingle buckets are
+computed by a map-side-combinable count aggregate (the sizes shuffle
+moves one row per distinct shingle per mapper) and removed from ONE join
+side via a broadcast left-anti join — removing a bucket from one side
+removes all its pairs, per-task memory stays flat (no bucket is ever
+materialized as an array), and the other side skips the prune entirely.
+All aggregates are partial/final pairs.""",
     "similarity_topk": """Query batch broadcast against the corpus scan: the corpus never
 shuffles for scoring; the only Exchange is the per-query top-k window.
 The BroadcastNestedLoopJoin here is intentional and correct: exact
@@ -41,10 +46,10 @@ candidates instead; see below.)""",
 exact-Jaccard verification; shingle-set sizes ride the same aggregation
 as the signature (one hash-agg pass). Candidates come from an equi-join
 on (band_id, band_hash) — no cross join anywhere in the tree.""",
-    "dedup_containment": """Same bucket-explode shape as jaccard_pairs (one shuffle on the hashed
-shingle key); only the score denominator differs (min set size instead
-of union size), so the asymmetric short-in-long case adds no new plan
-risk.""",
+    "dedup_containment": """Same capped self-join shape as jaccard_pairs (shuffle on the hashed
+shingle key, broadcast anti-join cap prune); only the score denominator
+differs (min set size instead of union size), so the asymmetric
+short-in-long case adds no new plan risk.""",
     "text_tfidf_topterms": """One token explode feeds both the per-(doc, term) tf aggregation and
 the per-term document frequency; df joins back on the term key and the
 corpus size N arrives as a one-row broadcast. The final top-k window
@@ -71,6 +76,16 @@ to (block_i, block_j) pair keys and meet in a plain hash equi-join on
 the key — NO BroadcastNestedLoopJoin/CartesianProduct anywhere. Work
 spreads evenly over n_blocks*(n_blocks+1)/2 independent key groups;
 per-vector norms are computed once before replication.""",
+    "zorder_layout": """Morton key arithmetic is one flat Project of shift/mask terms inside
+WholeStageCodegen over the scan — zero joins, one Exchange for the
+bucket aggregate. The clustering path (cluster_by_zorder) adds only a
+RangePartitioning exchange on the key: layout costs one shuffle, and
+every later multi-dimensional range scan pays less.""",
+    "skew_salted_join": """The salt rewrite in plan terms: the big side gains one projected
+column (no extra shuffle volume), the small side's explode multiplies
+it n_salts times BEFORE its exchange, and the join key becomes
+(key, salt) — so a hot key hashes to n_salts distinct partitions by
+construction, independent of AQE's runtime skew detection.""",
 }
 
 HDR = """# Physical plans (generated)
