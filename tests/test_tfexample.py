@@ -487,3 +487,30 @@ def test_generate_sequence_examples_full(spark, sf_dir, tmp_path):
     assert "user_id" in ctx
     assert set(fls) == {"value", "event_type"}
     assert len(fls["value"]) > 0
+
+
+def test_read_tfrecord_dataset_roundtrip_and_nulls(spark, tmp_path):
+    # Distributed reader: uncompressed files, typed coercion, and a
+    # feature missing from some records surfacing as null.
+    from pyspark.sql.types import StructType
+
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        encode_example,
+    )
+    from tfx_addons_feast_examplegen_spark.sources.tfrecord import (
+        read_tfrecord_dataset,
+        write_tfrecords,
+    )
+
+    recs = [
+        encode_example({"k": 1, "name": "a", "extra": 10}),
+        encode_example({"k": 2, "name": "b"}),  # no 'extra'
+    ]
+    write_tfrecords(recs, str(tmp_path / "part-0.tfrecord"), compress=False)
+    df = read_tfrecord_dataset(
+        spark,
+        str(tmp_path),
+        StructType.fromDDL("k long, name string, extra long"),
+    )
+    rows = sorted((r.k, r.name, r.extra) for r in df.collect())
+    assert rows == [(1, "a", 10), (2, "b", None)]

@@ -2062,6 +2062,58 @@ FROM documents GROUP BY source
 """
 
 
+def _q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FULL reference output chain, both directions: orders rows ->
+    # tf.Example bytes (S7) -> hash split (D1) -> gzipped TFRecord files
+    # under Split-{name}/ (S6) -> distributed read-back (binaryFile +
+    # CRC-verified deframe + proto decode) -> aggregate. The oracle runs
+    # the aggregate on the original table, so any corruption in framing,
+    # CRC, proto encode/decode, or split routing breaks the hash.
+    # Integer/string columns only: float features are float32 by the
+    # tf.Example contract and would not replay in a double oracle.
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StructType
+
+    from .operators.split import hash_split
+    from .sources.examplegen import encode_examples
+    from .sources.tfrecord import (
+        read_tfrecord_dataset,
+        write_partitioned_tfrecords,
+    )
+
+    t = register_tables(spark, sf_dir)
+    subset = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    encoded = encode_examples(subset)
+    routed = hash_split(encoded, ["example"])
+    out_dir = _tempfile.mkdtemp(prefix="tfrecord_roundtrip_")
+    write_partitioned_tfrecords(routed, out_dir, split_col="split")
+    back = read_tfrecord_dataset(
+        spark, out_dir, StructType.fromDDL(
+            "o_orderkey long, o_custkey long, "
+            "o_orderstatus string, o_orderpriority string"
+        ),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.sum("o_custkey").alias("custkey_sum"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+_TFRECORD_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CSV round-trip with quoting/escape symmetry: orders (numerics,
     # timestamps, free-text priority strings) -> CSV -> schema'd reader
@@ -2851,6 +2903,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "zorder_layout": (_q_zorder_layout, _zorder_oracle()),
     "skew_salted_join": (_q_skew_salted_join, _SKEW_SALTED_JOIN_ORACLE),
     "three_way_split_counts": (_q_three_way_split, _THREE_WAY_SPLIT_ORACLE),
+    "source_tfrecord_roundtrip": (
+        _q_tfrecord_roundtrip,
+        _TFRECORD_ROUNDTRIP_ORACLE,
+    ),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -2951,6 +3007,7 @@ _DRIVER_PRIORITY = [
     "zorder_layout",
     "skew_salted_join",
     "three_way_split_counts",
+    "source_tfrecord_roundtrip",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -72,23 +72,104 @@ def write_tfrecords(records, path: str, compress: bool = True) -> int:
     return n
 
 
+def _iter_framed(f, origin: str):
+    """Yield records from an open TFRecord stream, verifying both CRCs."""
+    while True:
+        header = f.read(8)
+        if not header:
+            return
+        (length,) = struct.unpack("<Q", header)
+        (lcrc,) = struct.unpack("<I", f.read(4))
+        if lcrc != _masked_crc(header):
+            raise IOError(f"corrupt TFRecord length crc in {origin}")
+        data = f.read(length)
+        (dcrc,) = struct.unpack("<I", f.read(4))
+        if dcrc != _masked_crc(data):
+            raise IOError(f"corrupt TFRecord data crc in {origin}")
+        yield data
+
+
 def read_tfrecords(path: str, compressed: bool = True):
     """Iterate serialized records from a TFRecord file (verifies CRCs)."""
     opener = gzip.open if compressed else open
     with opener(path, "rb") as f:
-        while True:
-            header = f.read(8)
-            if not header:
-                return
-            (length,) = struct.unpack("<Q", header)
-            (lcrc,) = struct.unpack("<I", f.read(4))
-            if lcrc != _masked_crc(header):
-                raise IOError(f"corrupt TFRecord length crc in {path}")
-            data = f.read(length)
-            (dcrc,) = struct.unpack("<I", f.read(4))
-            if dcrc != _masked_crc(data):
-                raise IOError(f"corrupt TFRecord data crc in {path}")
-            yield data
+        yield from _iter_framed(f, path)
+
+
+def read_tfrecord_dataset(spark, path: str, schema):
+    """Distributed read of a TFRecord dataset back into a typed DataFrame.
+
+    The source side of the S6 sink: ``binaryFile`` lists and loads whole
+    files in parallel (TFRecord is not splittable without an index, so
+    file granularity is the natural parallel unit — the same contract the
+    TF data loader uses), then an Arrow-batched ``mapInPandas`` stage
+    deframes (CRC-verified), decodes each ``tf.train.Example`` with the
+    hand-rolled wire codec, and coerces features onto ``schema``'s types.
+
+    Supported field types mirror the encode map (SURVEY.md §1.2): int/
+    long, float/double (float32 fidelity — that is the tf.Example
+    contract, not a reader limitation), string, binary, boolean. A
+    feature absent from a record surfaces as null.
+    """
+    import io
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    from ..functions.tfexample import decode_example
+
+    names = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+
+    def _coerce(v0, dt):
+        if v0 is None:
+            return None
+        if isinstance(dt, (LongType, IntegerType)):
+            return int(v0)
+        if isinstance(dt, BooleanType):
+            return bool(v0)
+        if isinstance(dt, (DoubleType, FloatType)):
+            return float(v0)
+        if isinstance(dt, StringType):
+            return v0.decode("utf-8") if isinstance(v0, bytes) else str(v0)
+        if isinstance(dt, BinaryType):
+            return bytes(v0)
+        raise TypeError(f"unsupported TFRecord read type: {dt}")
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tfrecord*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                if p.endswith(".gz"):
+                    blob = gzip.decompress(blob)
+                for rec in _iter_framed(io.BytesIO(blob), p):
+                    ex = decode_example(rec)
+                    for n in names:
+                        v = ex.get(n)
+                        cols[n].append(
+                            _coerce(v[0] if v else None, types[n])
+                        )
+            yield pd.DataFrame(cols, columns=names)
+
+    return files.mapInPandas(_parse, schema=schema)
 
 
 def write_partitioned_tfrecords(
