@@ -302,6 +302,65 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, n_name
 """
 
+# TPC-H Q7-shaped bilateral volume: nation-pair revenue by ship year
+# (6-table join, OR-of-conjuncts pair filter, year() extraction).
+_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# TPC-H Q10-shaped returned-item reporting: top customers by lost
+# revenue in a quarter (join + range filter + top-k). Revenue (here and
+# in Q7) sums exact integer cents — floor(x*100+0.5) of identical
+# per-row doubles — so neither the value nor the top-k cutoff depends on
+# double summation order (a raw round(sum(...), 2) flipped a last cent
+# between engines at a .xx5 boundary).
+_Q10 = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(c.c_acctbal, 2) AS acctbal,
+       round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# TPC-H Q18-shaped large-volume customers: IN-subquery over a grouped
+# HAVING, then join back and re-aggregate.
+_Q18 = """
+SELECT c.c_custkey, o.o_orderkey,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c.c_custkey, o.o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
 # Window functions (A1 surface beyond row_number): rank within group +
 # running aggregate.
 _QWINDOW = """
@@ -2907,6 +2966,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_tfrecord_roundtrip,
         _TFRECORD_ROUNDTRIP_ORACLE,
     ),
+    "q7_nation_volume": (_sql_query(_Q7), _Q7),
+    "q10_returned_items": (_sql_query(_Q10), _Q10),
+    "q18_large_orders": (_sql_query(_Q18), _Q18),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3008,6 +3070,9 @@ _DRIVER_PRIORITY = [
     "skew_salted_join",
     "three_way_split_counts",
     "source_tfrecord_roundtrip",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q18_large_orders",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
