@@ -1,0 +1,71 @@
+"""Snapshot diffing: change-data detection between feature-table versions.
+
+Feature-store lifecycle extension. A standing materialization pipeline
+needs to know, between yesterday's and today's snapshot of a feature
+table, which entities were ADDED, which CHANGED, which are UNCHANGED
+(and optionally which were REMOVED) — both to ship incremental updates
+to an online store (write only added+changed keys, not the full 100 TB
+snapshot) and to monitor feature drift.
+
+One full-outer equi-join on the entity keys, comparing the tracked
+columns null-safely; at scale both snapshots are large, so the join
+shuffles both sides on the keys — co-locate by bucketing both snapshot
+writes on the keys (``sources/bucketing.py``) to make the diff
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    *,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Full-outer diff of two snapshot versions keyed by ``key_cols``.
+
+    Output: key columns, each compare column as ``old_<c>`` / ``new_<c>``,
+    plus ``change_type`` in {'added', 'removed', 'changed', 'unchanged'}.
+    Comparison is null-safe (``eqNullSafe``): a feature flipping to/from
+    NULL counts as changed, NULL==NULL does not.
+    """
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__in_new", F.lit(True))
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn(change_col, change).drop("__in_old", "__in_new")
+
+
+def incremental_upsert_set(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """The rows an online-store sync actually ships: the NEW version of
+    every added or changed key (removed keys are a deletion feed, not an
+    upsert). Project of :func:`snapshot_diff` — Catalyst prunes the old
+    columns from the scan."""
+    d = snapshot_diff(old, new, key_cols, compare_cols)
+    return d.filter(F.col("change_type").isin("added", "changed")).select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+    )

@@ -2615,6 +2615,83 @@ FROM documents
 """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Change-data detection between two feature-snapshot versions; the
+    # diff classifies every user as added / changed / unchanged (no
+    # removals — event logs only append). Counts plus a value digest per
+    # class; the oracle derives both snapshots with window dedup and
+    # replays the null-safe CASE.
+    from .operators.snapshot import snapshot_diff
+
+    t = register_tables(spark, sf_dir)
+    ev = t["events"]
+
+    def latest(df):
+        return df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("value", "event_type"),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("__p")
+        ).select(
+            "user_id",
+            F.col("__p.value").alias("value"),
+            F.col("__p.event_type").alias("event_type"),
+        )
+
+    # Cutoff near the end of data so users whose last event precedes it
+    # come out unchanged; users with later events come out changed; and
+    # entities excluded from the old snapshot (user_id % 10 == 3 — "not
+    # yet onboarded") come out added. All three classes exercised.
+    cutoff = "2024-01-30 12:00:00"
+    old = latest(
+        ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")).filter(
+            F.col("user_id") % 10 != 3
+        )
+    )
+    new = latest(ev)
+    d = snapshot_diff(old, new, ["user_id"], ["value", "event_type"])
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("user_id").alias("user_id_sum"),
+        F.round(F.sum("new_value"), 2).alias("new_value_sum"),
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, value, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+new AS (SELECT user_id, value, event_type FROM ranked WHERE rn = 1),
+ranked_old AS (
+  SELECT user_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-30 12:00:00' AND user_id % 10 <> 3
+),
+old AS (SELECT user_id, value, event_type FROM ranked_old WHERE rn = 1),
+d AS (
+  SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+         n.value AS new_value,
+         CASE WHEN o.user_id IS NULL THEN 'added'
+              WHEN n.user_id IS NULL THEN 'removed'
+              WHEN o.value IS NOT DISTINCT FROM n.value
+               AND o.event_type IS NOT DISTINCT FROM n.event_type
+                   THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+       round(sum(new_value), 2) AS new_value_sum
+FROM d GROUP BY change_type
+"""
+
+
 def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The "materialize to online store" shape (Feast materialize): latest
     # feature row per entity as of now — max_by agg, one map-side-
@@ -2969,6 +3046,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q7_nation_volume": (_sql_query(_Q7), _Q7),
     "q10_returned_items": (_sql_query(_Q10), _Q10),
     "q18_large_orders": (_sql_query(_Q18), _Q18),
+    "snapshot_diff": (_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3073,6 +3151,7 @@ _DRIVER_PRIORITY = [
     "q7_nation_volume",
     "q10_returned_items",
     "q18_large_orders",
+    "snapshot_diff",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
