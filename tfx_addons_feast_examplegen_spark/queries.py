@@ -3183,13 +3183,15 @@ _DRIVER_PRIORITY = [
     "weighted_sample",
     "text_tfidf_topterms",
     "text_quality",
+    "text_repetition",
     "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
     "similarity_topk",
     "embedding_neardup",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
+    # (similarity_ann_lsh / _ivf are rows-only by design and bounded by
+    # the oracled similarity_ann_exhaustive — they don't spend window
+    # slots; the local log still proves them every round.)
 ]
 
 
