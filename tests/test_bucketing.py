@@ -58,3 +58,44 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     n = df.count()
     expected = events.filter(F.to_date("ts") == "2024-01-15").count()
     assert n == expected > 0
+
+
+def test_bucketed_join_plans_no_exchange(spark, sf_dir):
+    # Both sides bucketed on the join key with equal bucket counts: the
+    # sort-merge join must read co-located buckets with ZERO exchanges.
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.plans.explain import plan_summary
+    from tfx_addons_feast_examplegen_spark.session import load_table
+    from tfx_addons_feast_examplegen_spark.sources.bucketing import (
+        register_bucketed_feature_table,
+    )
+
+    li = register_bucketed_feature_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "bkt_join_li",
+        bucket_cols=["l_orderkey"],
+        n_buckets=8,
+    )
+    od = register_bucketed_feature_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "bkt_join_od",
+        bucket_cols=["o_orderkey"],
+        n_buckets=8,
+    )
+    # disable broadcast so the join would otherwise shuffle both sides
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        assert plan_summary(j)["exchanges"] == 0
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert n == load_table(spark, sf_dir, "lineitem").count()

@@ -2615,6 +2615,55 @@ FROM documents
 """
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucketed co-located join: both sides materialized bucketed on the
+    # join key (the one-time layout cost), after which the join plans
+    # with NO exchange on either side — the 100 TB pattern for feature
+    # tables that are joined on every retrieval. The oracle joins the
+    # raw parquet, proving bucketing changed the physical plan only.
+    from .sources.bucketing import register_bucketed_feature_table
+
+    t = register_tables(spark, sf_dir)
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    li = register_bucketed_feature_table(
+        spark,
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        f"bkt_lineitem_{sf_tag}",
+        bucket_cols=["l_orderkey"],
+        n_buckets=16,
+    )
+    od = register_bucketed_feature_table(
+        spark,
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        f"bkt_orders_{sf_tag}",
+        bucket_cols=["o_orderkey"],
+        n_buckets=16,
+    )
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                )
+            ).cast("double")
+            / 100.0,
+            2,
+        ).alias("revenue"),
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Change-data detection between two feature-snapshot versions; the
     # diff classifies every user as added / changed / unchanged (no
@@ -3047,6 +3096,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q10_returned_items": (_sql_query(_Q10), _Q10),
     "q18_large_orders": (_sql_query(_Q18), _Q18),
     "snapshot_diff": (_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
+    "bucketed_join": (_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3152,6 +3202,7 @@ _DRIVER_PRIORITY = [
     "q10_returned_items",
     "q18_large_orders",
     "snapshot_diff",
+    "bucketed_join",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
