@@ -579,3 +579,28 @@ def quantize_embeddings(
         .cast("int"),
     )
     return out.select(F.col(id_col), "scale", codes.alias("q_embedding"))
+
+
+def linear_score(
+    df: DataFrame,
+    weights: list[float],
+    *,
+    bias: float = 0.0,
+    vec_col: str = "embedding",
+    out_col: str = "score",
+) -> DataFrame:
+    """Model inference at scan time: ``w . x + b`` over an embedding
+    column as a pure expression chain — the fasttext-style linear-probe
+    quality classifier a curation pipeline runs over every document, with
+    no UDF and no shuffle, so the score filter pushes down like any other
+    scan predicate.
+
+    The dot product uses the same sequential ``aggregate`` fold as the
+    similarity operators (``_sql_dot``), so an external engine folding in
+    the same order reproduces the doubles; weights are embedded as one
+    parsed array literal (no per-element py4j traffic).
+    """
+    dot = F.expr(_sql_dot(vec_col, _sql_vec(weights)))
+    return df.withColumn(
+        out_col, dot + F.lit(float(bias)).cast("double")
+    )

@@ -2615,6 +2615,51 @@ FROM documents
 """
 
 
+def _q_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model inference at scan time: a seeded linear probe scored over
+    # every embedding as a pure expression (no UDF — the curation-
+    # classifier shape), aggregated per label. Scores round to 6 before
+    # the integer-e4 digest so engine last-ulp float differences are
+    # absorbed (the cosine-oracle precedent); the digest sum is then
+    # order-free BIGINT arithmetic.
+    import random as _random
+
+    rng = _random.Random(7)
+    w = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+    t = register_tables(spark, sf_dir)
+    scored = sim.linear_score(t["embeddings"], w, bias=-0.05)
+    s6 = F.round(F.col("score"), 6)
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((s6 > 0).cast("long")).alias("n_positive"),
+        F.sum(
+            F.floor(s6 * 10000 + F.lit(0.5)).cast("long")
+        ).alias("score_e4_sum"),
+    )
+
+
+def _linear_scorer_oracle() -> str:
+    import random as _random
+
+    rng = _random.Random(7)
+    w = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+    w_sql = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in w) + "]"
+    return f"""
+WITH scored AS (
+  SELECT label,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), {w_sql})
+               + CAST(-0.05 AS DOUBLE), 6) AS s6
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN s6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(sum(CAST(floor(s6 * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS score_e4_sum
+FROM scored GROUP BY label
+"""
+
+
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucketed co-located join: both sides materialized bucketed on the
     # join key (the one-time layout cost), after which the join plans
@@ -3097,6 +3142,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q18_large_orders": (_sql_query(_Q18), _Q18),
     "snapshot_diff": (_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
     "bucketed_join": (_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
+    "embedding_linear_scorer": (_q_linear_scorer, _linear_scorer_oracle()),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3203,6 +3249,7 @@ _DRIVER_PRIORITY = [
     "q18_large_orders",
     "snapshot_diff",
     "bucketed_join",
+    "embedding_linear_scorer",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
