@@ -81,3 +81,45 @@ def schema_artifact(df: DataFrame) -> str:
         for f in df.schema.fields
     ]
     return json.dumps({"fields": fields}, indent=2, sort_keys=True)
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (TFDV-style statistics,
+    drift monitoring between dataset versions): one map-side-combinable
+    aggregation — bin assignment is a scan-time expression, the shuffle
+    moves (group, bin, count) partials only, so 100 TB histograms cost
+    one light shuffle.
+
+    Bins are [lo, hi) in ``n_bins`` equal widths, with underflow clamped
+    to bin 0 and overflow to bin ``n_bins - 1`` (closed histogram — every
+    row lands somewhere, so counts reconcile with the row count).
+    Output: (group_cols..., bin, bin_lo, bin_hi, n). Pure portable
+    arithmetic (floor of a linear map) — SQL-oracle replayable.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    keys = [*(group_cols or []), "bin"]
+    return (
+        df.withColumn("bin", bin_)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )

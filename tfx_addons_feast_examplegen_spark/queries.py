@@ -2615,6 +2615,39 @@ FROM documents
 """
 
 
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TFDV-style feature statistics: fixed-width histogram of order
+    # totals per priority — bin assignment is scan-time arithmetic, the
+    # shuffle carries only (group, bin) partial counts. floor of a linear
+    # map on identical doubles replays exactly in the oracle.
+    from .operators.stats import fixed_width_histogram
+
+    t = register_tables(spark, sf_dir)
+    return fixed_width_histogram(
+        t["orders"],
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        n_bins=12,
+        group_cols=["o_orderpriority"],
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH binned AS (
+  SELECT o_orderpriority,
+         CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0), 11)
+              AS INT) AS bin
+  FROM orders
+)
+SELECT o_orderpriority, bin,
+       round(0.0 + bin * 50000.0, 6) AS bin_lo,
+       round(0.0 + (bin + 1) * 50000.0, 6) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY o_orderpriority, bin
+"""
+
+
 def _q_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Model inference at scan time: a seeded linear probe scored over
     # every embedding as a pure expression (no UDF — the curation-
@@ -3143,6 +3176,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "snapshot_diff": (_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
     "bucketed_join": (_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
     "embedding_linear_scorer": (_q_linear_scorer, _linear_scorer_oracle()),
+    "feature_histogram": (_q_histogram, _HISTOGRAM_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3250,6 +3284,7 @@ _DRIVER_PRIORITY = [
     "snapshot_diff",
     "bucketed_join",
     "embedding_linear_scorer",
+    "feature_histogram",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
