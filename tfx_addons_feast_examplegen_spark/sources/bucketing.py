@@ -33,7 +33,25 @@ def register_bucketed_feature_table(
 
     Sorting within buckets on (entity, event_ts) additionally lets
     sort-merge joins skip their sort phase for as-of retrievals.
+
+    Re-registration is idempotent across sessions: the managed table's
+    files outlive an in-memory catalog, so a fresh session would hit
+    LOCATION_ALREADY_EXISTS on create — the stale table entry AND any
+    orphaned location inside the session's warehouse dir are cleared
+    first.
     """
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = str(spark.conf.get("spark.sql.warehouse.dir", "") or "")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    loc = os.path.join(warehouse, table_name.lower())
+    if warehouse and os.path.isdir(loc):
+        shutil.rmtree(loc)
     writer = (
         source_df.write.mode("overwrite")
         .format("parquet")
