@@ -3295,6 +3295,7 @@ _DRIVER_PRIORITY = [
     "dedup_incremental_indexed",
     "corpus_prep_pipeline",
     "training_dataset_pipeline",
+    "similarity_topk",
     # last driver-green in rounds 1-2 (rotated back into the window)
     "window_topk_running",
     "setop_intersect",
