@@ -64,20 +64,22 @@ def main() -> None:
     # (footer reads + schema inference are one-time catalog setup).
     register_tables(spark, sf_dir)
 
-    # min of three timed executions per query: the first pass pays
-    # one-time costs (page cache, cache() population, plan-specific JIT)
-    # that a steady-state engine comparison should exclude, and a third
-    # run guards against a transient machine-load spike polluting both of
-    # two runs (observed once in round 3: a 1.7x outlier on two
-    # back-to-back runs of the same unchanged query).
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(3):
+    # min over three timed passes per query, ROUND-ROBIN (pass 1 runs
+    # every query, then pass 2, ...): the first pass pays one-time costs
+    # (page cache, cache() population, plan-specific JIT) that a
+    # steady-state comparison should exclude, and round-robin ordering
+    # confines a transient host-load spike (observed: ambient load
+    # average 11 with zero local processes inflating every query ~40%)
+    # to one pass, so each query's min still comes from a clean pass —
+    # consecutive per-query reps would hand a multi-minute spike all
+    # three samples of whichever queries it overlapped.
+    timings: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(3):
+        for name in names:
             t0 = time.time()
             _run(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.time() - t0)
+    timings = {name: round(v, 3) for name, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

