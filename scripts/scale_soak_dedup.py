@@ -15,10 +15,12 @@ chosen by xxhash64 arithmetic — deterministic) plus ~1% planted near-dups
 Prints one timing line per operator; read with docs/PLANS.md for the
 plan shapes these times correspond to.
 
-Measured (local[32], 2026-08-13):
+Measured (local[32], 2026-08-13; re-validated same day after the
+_bucket_pairs rework to the capped anti-join + self-join design —
+same 500/500 planted-dup recall, comparable wall under ambient load):
 
-  n_docs=50k:  minhash 13.0s, jaccard 2.5s, containment 1.4s,
-               incremental join (500-doc batch) 5.2s   (500/500 dups found)
+  n_docs=50k:  minhash 13.6s, jaccard 3.7s, containment 2.7s,
+               incremental join (500-doc batch) 5.3s   (500/500 dups found)
   n_docs=200k: minhash 37.1s, jaccard 11.4s, containment 5.2s,
                incremental join (2k batch) 36.4s       (2000/2000 found)
 
