@@ -503,14 +503,23 @@ def test_read_tfrecord_dataset_roundtrip_and_nulls(spark, tmp_path):
     )
 
     recs = [
-        encode_example({"k": 1, "name": "a", "extra": 10}),
-        encode_example({"k": 2, "name": "b"}),  # no 'extra'
+        encode_example({"k": 1, "name": "a", "extra": 10, "ids": [7, 8]}),
+        encode_example({"k": 2, "name": "b", "ids": [9]}),  # no 'extra'
     ]
     write_tfrecords(recs, str(tmp_path / "part-0.tfrecord"), compress=False)
     df = read_tfrecord_dataset(
         spark,
         str(tmp_path),
-        StructType.fromDDL("k long, name string, extra long"),
+        StructType.fromDDL("k long, name string, extra long, ids array<long>"),
     )
-    rows = sorted((r.k, r.name, r.extra) for r in df.collect())
-    assert rows == [(1, "a", 10), (2, "b", None)]
+    rows = sorted((r.k, r.name, r.extra, tuple(r.ids)) for r in df.collect())
+    assert rows == [(1, "a", 10, (7, 8)), (2, "b", None, (9,))]
+
+    # a repeated feature read into a scalar field must refuse, not truncate
+    import pytest
+
+    bad = read_tfrecord_dataset(
+        spark, str(tmp_path), StructType.fromDDL("k long, ids long")
+    )
+    with pytest.raises(Exception, match="refusing to truncate"):
+        bad.collect()

@@ -137,10 +137,9 @@ def _bucket_pairs(
     aggregate (map-side combinable — the shuffle moves one row per
     distinct bucket per mapper, not the data); buckets above
     ``max_size`` form a tiny frame that is BROADCAST as a left-anti
-    prune of the banded input, and the surviving rows self-equi-join on
-    the bucket key. Catalyst reuses the shuffle exchange across the two
-    join sides (identical canonicalized subtrees → ReusedExchange), so
-    the data shuffles once. Per-task memory is flat: no bucket is ever
+    prune of the banded input, and the pruned frame self-equi-joins on
+    the bucket key. Both join sides are the same subtree, so Catalyst/
+    AQE reuse one shuffle exchange. Per-task memory is flat: no bucket is ever
     materialized as an array (an earlier ``collect_list`` design held
     each bucket in memory BEFORE the cap filter could drop it — the
     exact degenerate-key blowup the cap exists to prevent — and its
@@ -193,11 +192,16 @@ def _bucket_pairs(
             ).isNull()
         over = sizes.filter(over_cond).select(*bucket_cols)
         pruned = df.join(F.broadcast(over), bucket_cols, "left_anti")
-    # Prune ONE side only: a pair from an over-cap bucket needs both ends
-    # in that bucket, so removing the bucket from side a alone removes all
-    # its pairs — and side b skips the anti-join entirely.
+    # Both join sides read the SAME pruned frame: identical subtrees
+    # canonicalize equal, so Catalyst/AQE reuse one shuffle exchange for
+    # both sides (ReusedExchange — verified in docs/PLANS.md). Pruning
+    # one side would suffice semantically (a pair needs both ends in the
+    # bucket) but costs a second exchange of the banded input; sharing
+    # the subtree is only possible because the observation metrics run
+    # as an eager side job instead of a CollectMetrics node that
+    # duplication would break.
     a = pruned.select(*bucket_cols, F.col(id_col).alias("doc_a"))
-    b = df.select(*bucket_cols, F.col(id_col).alias("doc_b"))
+    b = pruned.select(*bucket_cols, F.col(id_col).alias("doc_b"))
     return (
         a.join(b, bucket_cols)
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -525,8 +525,13 @@ def lsh_topk(
     # Query-side probe set: the exact band value plus (optionally) every
     # value one bit-flip away. Perturbation happens BEFORE the explode so
     # it is one array literal per band, and only on the (tiny) query side.
+    if n_probe_bits not in (0, 1):
+        raise ValueError(
+            f"n_probe_bits supports 0 (exact buckets) or 1 (distance-1 "
+            f"probes); got {n_probe_bits}"
+        )
     probes = [0]
-    if n_probe_bits >= 1:
+    if n_probe_bits == 1:
         probes += [1 << b for b in range(bits_per_band)]
     q_band_arr = F.array(
         *[

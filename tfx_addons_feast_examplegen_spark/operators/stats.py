@@ -100,10 +100,17 @@ def fixed_width_histogram(
 
     Bins are [lo, hi) in ``n_bins`` equal widths, with underflow clamped
     to bin 0 and overflow to bin ``n_bins - 1`` (closed histogram — every
-    row lands somewhere, so counts reconcile with the row count).
+    NON-NULL row lands somewhere, so counts reconcile with the non-null
+    row count; NULLs are excluded — count them upstream via
+    :func:`column_stats`, which already reports ``n_null``).
     Output: (group_cols..., bin, bin_lo, bin_hi, n). Pure portable
     arithmetic (floor of a linear map) — SQL-oracle replayable.
     """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive: {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: lo={lo}, hi={hi}")
+    df = df.filter(F.col(col).isNotNull())
     width = (hi - lo) / n_bins
     raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
     bin_ = F.least(

@@ -1534,16 +1534,19 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
     )
     j = salted_join(li, sup, ["l_suppkey"], n_salts=8)
+    # exact integer cents -> order-free sum (see the Q10 comment)
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return j.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.round(F.sum(cents).cast("double") / 100.0, 2).alias("revenue"),
     )
 
 
 _SKEW_SALTED_JOIN_ORACLE = """
 SELECT s.s_nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       round(SUM(l.l_extendedprice), 2) AS revenue
+       round(CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey
 """
@@ -1632,16 +1635,18 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         query_name=f"dedup_stream_{_uuid.uuid4().hex[:8]}",
     )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(cents).cast("double") / 100.0, 2).alias("total_value"),
     )
 
 
 _STREAM_DEDUP_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       round(SUM(value), 2) AS total_value
+       round(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total_value
 FROM events GROUP BY event_type
 """
 
@@ -2780,7 +2785,13 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("user_id").alias("user_id_sum"),
-        F.round(F.sum("new_value"), 2).alias("new_value_sum"),
+        F.round(
+            F.sum(
+                F.floor(F.col("new_value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / 100.0,
+            2,
+        ).alias("new_value_sum"),
     )
 
 
@@ -2814,7 +2825,8 @@ d AS (
 SELECT change_type,
        CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(user_id) AS BIGINT) AS user_id_sum,
-       round(sum(new_value), 2) AS new_value_sum
+       round(CAST(sum(CAST(floor(new_value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS new_value_sum
 FROM d GROUP BY change_type
 """
 
@@ -3302,8 +3314,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # smoke). Refresh per round; scripts/check_correctness.py still proves
 # the full registry locally regardless of this order.
 _DRIVER_PRIORITY = [
+    # round-4 new or changed implementations (driver rows required)
     "pit_join",
-    # changed in round 4 (capped pair join rework, codecs, new oracles)
     "embedding_quantization",
     "sketch_distinct_counts",
     "sketch_quantiles",
@@ -3334,36 +3346,29 @@ _DRIVER_PRIORITY = [
     "corpus_prep_pipeline",
     "training_dataset_pipeline",
     "similarity_topk",
-    # last driver-green in rounds 1-2 (rotated back into the window)
+    "embedding_neardup",
+    "text_quality",
+    "text_repetition",
+    # oldest-green rotation (last driver-checked rounds 1-2); the six
+    # simplest pure-SQL entries (set ops, rollup/cube/pivot, HAVING)
+    # wait outside the window this round - least change risk, and the
+    # committed CORRECTNESS_LOCAL log re-proves them regardless
     "window_topk_running",
-    "setop_intersect",
-    "setop_except",
     "json_events_daily",
-    "having_subquery",
-    "rollup_region_nation",
-    "anti_join_exists",
     "string_funcs_parts",
     "monthly_order_delta",
     "sessionization",
     "window_lead_lag_ntile",
     "percentiles",
-    "cube_lattice",
-    "case_pivot",
     "text_bpe_token_budget",
     "sessionization_streaming",
     "dedup_exact",
     "weighted_sample",
     "text_tfidf_topterms",
-    "text_quality",
-    "text_repetition",
     "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
-    "similarity_topk",
-    "embedding_neardup",
-    # (similarity_ann_lsh / _ivf are rows-only by design and bounded by
-    # the oracled similarity_ann_exhaustive — they don't spend window
-    # slots; the local log still proves them every round.)
+    "anti_join_exists",
 ]
 
 

@@ -38,7 +38,12 @@ def register_bucketed_feature_table(
     files outlive an in-memory catalog, so a fresh session would hit
     LOCATION_ALREADY_EXISTS on create — the stale table entry AND any
     orphaned location inside the session's warehouse dir are cleared
-    first.
+    first. Orphan cleanup covers the harness case only: a LOCAL
+    ``file:`` warehouse and an unqualified table name (a ``db.table``
+    name lives under ``<warehouse>/<db>.db/<table>``, and remote
+    warehouses need their own FS client) — for those, cleanup is skipped
+    and a genuinely orphaned location surfaces as the create-time error
+    it is, rather than this helper guessing at remote deletions.
     """
     import os
     import shutil
@@ -49,9 +54,11 @@ def register_bucketed_feature_table(
         if warehouse.startswith(prefix):
             warehouse = warehouse[len(prefix):]
             break
-    loc = os.path.join(warehouse, table_name.lower())
-    if warehouse and os.path.isdir(loc):
-        shutil.rmtree(loc)
+    local = warehouse.startswith("/") and "://" not in warehouse
+    if local and "." not in table_name:
+        loc = os.path.join(warehouse, table_name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     writer = (
         source_df.write.mode("overwrite")
         .format("parquet")

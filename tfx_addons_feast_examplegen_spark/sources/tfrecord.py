@@ -108,14 +108,17 @@ def read_tfrecord_dataset(spark, path: str, schema):
 
     Supported field types mirror the encode map (SURVEY.md §1.2): int/
     long, float/double (float32 fidelity — that is the tf.Example
-    contract, not a reader limitation), string, binary, boolean. A
-    feature absent from a record surfaces as null.
+    contract, not a reader limitation), string, binary, boolean, and
+    ``ArrayType`` of those for repeated features. A feature absent from
+    a record surfaces as null; a MULTI-VALUED feature read into a scalar
+    schema field raises (silent first-value truncation loses data).
     """
     import io
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.types import (
+        ArrayType,
         BinaryType,
         BooleanType,
         DoubleType,
@@ -130,9 +133,7 @@ def read_tfrecord_dataset(spark, path: str, schema):
     names = [f.name for f in schema.fields]
     types = {f.name: f.dataType for f in schema.fields}
 
-    def _coerce(v0, dt):
-        if v0 is None:
-            return None
+    def _scalar(v0, dt, name):
         if isinstance(dt, (LongType, IntegerType)):
             return int(v0)
         if isinstance(dt, BooleanType):
@@ -143,7 +144,20 @@ def read_tfrecord_dataset(spark, path: str, schema):
             return v0.decode("utf-8") if isinstance(v0, bytes) else str(v0)
         if isinstance(dt, BinaryType):
             return bytes(v0)
-        raise TypeError(f"unsupported TFRecord read type: {dt}")
+        raise TypeError(f"unsupported TFRecord read type for {name!r}: {dt}")
+
+    def _coerce(v, dt, name):
+        if v is None or len(v) == 0:
+            return None
+        if isinstance(dt, ArrayType):
+            return [_scalar(x, dt.elementType, name) for x in v]
+        if len(v) > 1:
+            raise ValueError(
+                f"feature {name!r} holds {len(v)} values but the schema "
+                f"declares scalar {dt}; declare ArrayType to read "
+                f"repeated features (refusing to truncate)"
+            )
+        return _scalar(v[0], dt, name)
 
     files = (
         spark.read.format("binaryFile")
@@ -163,10 +177,7 @@ def read_tfrecord_dataset(spark, path: str, schema):
                 for rec in _iter_framed(io.BytesIO(blob), p):
                     ex = decode_example(rec)
                     for n in names:
-                        v = ex.get(n)
-                        cols[n].append(
-                            _coerce(v[0] if v else None, types[n])
-                        )
+                        cols[n].append(_coerce(ex.get(n), types[n], n))
             yield pd.DataFrame(cols, columns=names)
 
     return files.mapInPandas(_parse, schema=schema)
