@@ -102,6 +102,22 @@ def duplicate_clusters(
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, n=ngram, threshold=jaccard_threshold
     ).select("doc_a", "doc_b")
+    return connected_components(pairs, id_col=id_col, max_iters=max_iters)
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over an undirected pair frame
+    (doc_a, doc_b) — the propagation loop of :func:`duplicate_clusters`,
+    reusable for ANY near-dup edge source (text LSH pairs, embedding
+    cosine pairs, URL-equality pairs). Output: (id_col, cluster) for
+    every node appearing in at least one pair.
+    """
+    pairs = pairs.select("doc_a", "doc_b")
 
     # undirected edge list, both directions
     edges = pairs.union(

@@ -836,6 +836,45 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs_blocked(t["embeddings"], threshold=0.4)
 
 
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-level duplicate clustering: blocked-triangle cosine pairs
+    # feed the SAME min-label-propagation loop the text path uses
+    # (operators/corpus.py connected_components — edge-source agnostic).
+    # The oracle derives the identical edge set with
+    # list_cosine_similarity and closes it with a recursive CTE.
+    from .operators.corpus import connected_components
+
+    t = register_tables(spark, sf_dir)
+    pairs = sim.cosine_pairs_blocked(t["embeddings"], threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs, id_col="vec_id").select(
+        F.col("vec_id"), F.col("cluster")
+    )
+
+
+_EMB_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+e0 AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM e0
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM e0
+),
+reach (id, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b
+)
+SELECT id AS vec_id, min(lab) AS cluster FROM reach GROUP BY id
+"""
+
+
 _EMB_NEARDUP_ORACLE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -3226,6 +3265,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_linear_scorer": (_q_linear_scorer, _linear_scorer_oracle()),
     "feature_histogram": (_q_histogram, _HISTOGRAM_ORACLE),
     "similarity_ann_lsh_recall": (_q_ann_lsh_recall, _ANN_LSH_RECALL_ORACLE),
+    "embedding_dedup_clusters": (_q_embedding_clusters, _EMB_CLUSTERS_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3335,6 +3375,7 @@ _DRIVER_PRIORITY = [
     "embedding_linear_scorer",
     "feature_histogram",
     "similarity_ann_lsh_recall",
+    "embedding_dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -3368,7 +3409,6 @@ _DRIVER_PRIORITY = [
     "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
-    "anti_join_exists",
 ]
 
 
