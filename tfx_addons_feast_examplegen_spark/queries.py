@@ -3172,6 +3172,34 @@ FROM embeddings WHERE vec_id < 20
 """
 
 
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF recall contract (same pattern as the LSH one): probing half the
+    # cells (n_probe=8 of 16) must reach mean recall@5 >= 0.6 against the
+    # exact top-5 (measured 0.81 at sf0.01 / 0.77 at sf0.1 —
+    # deterministic: hash-seeded k-means init over fixed data).
+    t = register_tables(spark, sf_dir)
+    ann = sim.ivf_topk(
+        t["embeddings"], query_filter="vec_id < 20", k=5, n_cells=16, n_probe=8
+    )
+    exact = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.6).alias("recall_ok"),
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: recall-vs-cost trade is measured in pytest
     # against cosine_topk; rows-only check here (rank set depends on LSH
@@ -3266,6 +3294,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "feature_histogram": (_q_histogram, _HISTOGRAM_ORACLE),
     "similarity_ann_lsh_recall": (_q_ann_lsh_recall, _ANN_LSH_RECALL_ORACLE),
     "embedding_dedup_clusters": (_q_embedding_clusters, _EMB_CLUSTERS_ORACLE),
+    "similarity_ann_ivf_recall": (_q_ann_ivf_recall, _ANN_LSH_RECALL_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
@@ -3376,6 +3405,7 @@ _DRIVER_PRIORITY = [
     "feature_histogram",
     "similarity_ann_lsh_recall",
     "embedding_dedup_clusters",
+    "similarity_ann_ivf_recall",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -3408,7 +3438,6 @@ _DRIVER_PRIORITY = [
     "text_tfidf_topterms",
     "text_lang_id",
     "text_token_stats",
-    "text_fingerprint",
 ]
 
 
