@@ -64,7 +64,7 @@ def main() -> None:
     # (footer reads + schema inference are one-time catalog setup).
     register_tables(spark, sf_dir)
 
-    # min over three timed passes per query, ROUND-ROBIN (pass 1 runs
+    # min over four timed passes per query, ROUND-ROBIN (pass 1 runs
     # every query, then pass 2, ...): the first pass pays one-time costs
     # (page cache, cache() population, plan-specific JIT) that a
     # steady-state comparison should exclude, and round-robin ordering
@@ -74,7 +74,7 @@ def main() -> None:
     # consecutive per-query reps would hand a multi-minute spike all
     # three samples of whichever queries it overlapped.
     timings: dict[str, float] = {name: float("inf") for name in names}
-    for _ in range(3):
+    for _ in range(4):
         for name in names:
             t0 = time.time()
             _run(qs[name](spark, sf_dir))
