@@ -102,7 +102,12 @@ def read_tfrecord_dataset(spark, path: str, schema):
     The source side of the S6 sink: ``binaryFile`` lists and loads whole
     files in parallel (TFRecord is not splittable without an index, so
     file granularity is the natural parallel unit — the same contract the
-    TF data loader uses), then an Arrow-batched ``mapInPandas`` stage
+    TF data loader uses). Scale note: each task holds one whole file
+    (plus its gzip expansion) in memory, so size the SINK's partitions —
+    one file per partition from ``write_partitioned_tfrecords`` — to fit
+    executor memory; repartition before writing if a 100 TB dataset
+    would otherwise produce multi-GB files. Decode is an Arrow-batched
+    ``mapInPandas`` stage
     deframes (CRC-verified), decodes each ``tf.train.Example`` with the
     hand-rolled wire codec, and coerces features onto ``schema``'s types.
 
