@@ -29,11 +29,12 @@ fact side until the aggregation); the lineitem scan prunes to 4 columns.""",
     "dedup_ngram_jaccard": """Capped shingle self-join: the join key IS the (hashed) shingle, so
 documents sharing no shingle never pair. Over-cap shingle buckets are
 computed by a map-side-combinable count aggregate (the sizes shuffle
-moves one row per distinct shingle per mapper) and removed from ONE join
-side via a broadcast left-anti join — removing a bucket from one side
-removes all its pairs, per-task memory stays flat (no bucket is ever
-materialized as an array), and the other side skips the prune entirely.
-All aggregates are partial/final pairs.""",
+moves one row per distinct shingle per mapper) and removed via a
+broadcast left-anti join applied to a SINGLE pruned frame that feeds
+BOTH sides of the self-join — the shared subtree becomes a
+ReusedExchange, so the prune (and the scan under it) is paid once, and
+per-task memory stays flat (no bucket is ever materialized as an
+array). All aggregates are partial/final pairs.""",
     "similarity_topk": """Query batch broadcast against the corpus scan: the corpus never
 shuffles for scoring; the only Exchange is the per-query top-k window.
 The BroadcastNestedLoopJoin here is intentional and correct: exact

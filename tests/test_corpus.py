@@ -82,3 +82,29 @@ def test_duplicate_clusters_on_fixture(spark, sf_dir):
     # endpoints of every near-dup pair share a component
     for p in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect():
         assert labels[p.doc_a] == labels[p.doc_b]
+
+
+def test_connected_components_deep_chain(spark):
+    # A 40-node path graph has diameter 39 > max_iters=10 rounds of plain
+    # min-propagation; pointer doubling must converge in O(log n) rounds.
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.corpus import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(39)],
+        "doc_a long, doc_b long",
+    )
+    labels = {
+        r.doc_id: r.cluster
+        for r in connected_components(edges, max_iters=10).collect()
+    }
+    assert set(labels) == set(range(40))
+    assert all(c == 0 for c in labels.values())
+
+    # and when the budget genuinely can't reach convergence, it must
+    # raise rather than return silently-wrong labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)

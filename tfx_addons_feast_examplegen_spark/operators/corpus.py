@@ -124,27 +124,48 @@ def connected_components(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
 
+    # Per-iteration localCheckpoint, NOT cache: each round's plan embeds
+    # the previous round's TWICE (the pointer-doubling hop self-join), so
+    # without lineage truncation the logical plan — and analyzer time —
+    # doubles per round. The checkpoint flattens each round to a
+    # LogicalRDD scan; storage is freed by the ContextCleaner when the
+    # superseded round's frame is garbage-collected.
     labels = (
         edges.select(F.col("doc_a").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.id)
             .groupBy(F.col("doc_a").alias("id"))
             .agg(F.min("cluster").alias("nbr_min"))
         )
+        propagated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # Pointer doubling: every label is itself a node id, and labels
+        # only ever decrease (min-propagation from an identity init), so
+        # hopping once through the label table (cluster -> label(cluster))
+        # compresses chains and convergence needs O(log diameter) rounds
+        # instead of O(diameter) — max_iters=10 covers diameter ~2^10.
+        hop = propagated.select(
+            F.col("id").alias("__hop_id"), F.col("cluster").alias("__hop_cluster")
+        )
         new_labels = (
-            labels.join(neighbor_min, "id", "left")
+            propagated.join(hop, propagated.cluster == hop.__hop_id, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-                ).alias("cluster"),
+                F.coalesce(F.col("__hop_cluster"), F.col("cluster")).alias(
+                    "cluster"
+                ),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -153,9 +174,17 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Unconverged labels are WRONG (nodes may carry a non-minimal
+        # cluster id) — fail loudly rather than ship a silently split
+        # component. With pointer doubling this needs diameter > 2^max_iters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (convergence needs O(log diameter) rounds)"
+        )
     return labels.select(F.col("id").alias(id_col), "cluster")

@@ -37,6 +37,25 @@ from pyspark.sql import functions as F
 
 from ..session import rebalance_for_compute
 
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a small multi-consumer intermediate (shingle sets,
+    minhash signatures, simhash fingerprints) exactly once.
+
+    ``localCheckpoint`` instead of ``cache()``: a cached plan is pinned
+    by the CacheManager until an explicit ``unpersist`` — which a
+    function returning a LAZY DataFrame can never safely issue, so each
+    invocation would leak storage for the session lifetime (bench's
+    round-robin passes multiply this across every dedup query). A local
+    checkpoint's blocks are owned by the materialized RDD and are freed
+    by the ContextCleaner as soon as the returned plan is
+    garbage-collected. Eager: the frame is consumed by every caller, and
+    eager materialization sidesteps lazy-checkpoint + AQE re-plan edge
+    cases.
+    """
+    return df.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -237,12 +256,13 @@ def jaccard_pairs(
     fixed-width join key shuffles ~20% faster than the shingle strings and
     counts identically (a collision among distinct shingles of one corpus
     is ~|shingles|²/2^64 — vanishing, and deterministic if it ever
-    occurs). Set sizes aggregate the CACHED shingle set — the sa/sb join
-    branches below each consume sizes, and deriving it from the cache is
-    cheaper than re-running the gram pipeline per branch (Catalyst does
-    not common-subexpression-eliminate across join branches).
+    occurs). Set sizes aggregate the PINNED (locally checkpointed)
+    shingle set — the sa/sb join branches below each consume sizes, and
+    deriving it from the materialized frame is cheaper than re-running
+    the gram pipeline per branch (Catalyst does not
+    common-subexpression-eliminate across join branches).
     """
-    sh = shingles(df, id_col, text_col, n, hashed=True).cache()
+    sh = _pin(shingles(df, id_col, text_col, n, hashed=True))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
 
     pairs = (
@@ -293,7 +313,7 @@ def containment_pairs(
 
     Output: (doc_a, doc_b, containment) with doc_a < doc_b.
     """
-    sh = shingles(df, id_col, text_col, n, hashed=True).cache()
+    sh = _pin(shingles(df, id_col, text_col, n, hashed=True))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
 
     pairs = (
@@ -437,11 +457,11 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b[, jaccard]) with doc_a < doc_b.
     """
-    # One cached hashed-shingle set feeds BOTH signature computation and
+    # One pinned hashed-shingle set feeds BOTH signature computation and
     # the exact-Jaccard verification below — shingling/hashing the corpus
     # once, not twice.
-    sh = shingles(df, id_col, text_col, n, hashed=True).cache()
-    sigs = _minhash_sigs(sh, id_col, num_hashes, seed).cache()
+    sh = _pin(shingles(df, id_col, text_col, n, hashed=True))
+    sigs = _pin(_minhash_sigs(sh, id_col, num_hashes, seed))
     banded = _band_explode(sigs, id_col, num_hashes, bands)
     # A pair can collide in several bands -> distinct. Bucket explode, not
     # a two-sided self-join (see _bucket_pairs); band buckets are tiny by
@@ -506,10 +526,10 @@ def minhash_lsh_join(
     Output: (doc_a, doc_b, jaccard) with doc_a from ``left``, doc_b from
     ``right`` (no ordering constraint — the sides are different tables).
     """
-    sh_l = shingles(left, id_col, text_col, n, hashed=True).cache()
-    sh_r = shingles(right, id_col, text_col, n, hashed=True).cache()
-    sigs_l = _minhash_sigs(sh_l, id_col, num_hashes, seed).cache()
-    sigs_r = _minhash_sigs(sh_r, id_col, num_hashes, seed).cache()
+    sh_l = _pin(shingles(left, id_col, text_col, n, hashed=True))
+    sh_r = _pin(shingles(right, id_col, text_col, n, hashed=True))
+    sigs_l = _pin(_minhash_sigs(sh_l, id_col, num_hashes, seed))
+    sigs_r = _pin(_minhash_sigs(sh_r, id_col, num_hashes, seed))
     banded_l = _band_explode(sigs_l, id_col, num_hashes, bands).select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )
@@ -626,8 +646,8 @@ def minhash_lsh_join_indexed(
             f"(n, num_hashes, bands, seed, id_col)={stored}; "
             f"call requested {expected}"
         )
-    sh_l = shingles(batch, id_col, text_col, n, hashed=True).cache()
-    sigs_l = _minhash_sigs(sh_l, id_col, num_hashes, seed).cache()
+    sh_l = _pin(shingles(batch, id_col, text_col, n, hashed=True))
+    sigs_l = _pin(_minhash_sigs(sh_l, id_col, num_hashes, seed))
     banded_l = _band_explode(sigs_l, id_col, num_hashes, bands).select(
         F.col(id_col).alias("doc_a"), "band_id", "band_hash"
     )
@@ -748,13 +768,15 @@ def simhash_pairs(
 
     Each pair element is ``struct(id, simhash)`` so the Hamming filter
     runs directly on the exploded candidates — no join back. The simhash
-    frame is CACHED: the capped pair join consumes it up to three times
-    (bucket sizes + both join sides), and it is tiny relative to the
-    corpus (one ``(id, long)`` row per document), so caching beats
-    re-running the 64-vote aggregation. Struct ordering equals id
+    frame is PINNED (``_pin`` — eager localCheckpoint): the capped pair
+    join consumes it up to three times (bucket sizes + both join sides),
+    and it is tiny relative to the corpus (one ``(id, long)`` row per
+    document), so materializing once beats re-running the 64-vote
+    aggregation — and unlike ``cache()`` the storage is released when
+    the plan is garbage-collected, not pinned for the session. Struct ordering equals id
     ordering (ids are distinct). Output: (doc_a, doc_b, hamming).
     """
-    sh = simhash(df, id_col, text_col, portable=portable).cache()
+    sh = _pin(simhash(df, id_col, text_col, portable=portable))
     width = _PORTABLE_BITS // 4 if portable else 16
     mask = (1 << width) - 1
     chunks = F.array(

@@ -3171,6 +3171,10 @@ SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
 FROM embeddings WHERE vec_id < 20
 """
 
+# Textually identical today, but a separate name so an LSH-specific edit
+# (different query_filter / k) can't silently corrupt the IVF contract.
+_ANN_IVF_RECALL_ORACLE = _ANN_LSH_RECALL_ORACLE
+
 
 def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF recall contract (same pattern as the LSH one): probing half the
@@ -3294,7 +3298,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "feature_histogram": (_q_histogram, _HISTOGRAM_ORACLE),
     "similarity_ann_lsh_recall": (_q_ann_lsh_recall, _ANN_LSH_RECALL_ORACLE),
     "embedding_dedup_clusters": (_q_embedding_clusters, _EMB_CLUSTERS_ORACLE),
-    "similarity_ann_ivf_recall": (_q_ann_ivf_recall, _ANN_LSH_RECALL_ORACLE),
+    "similarity_ann_ivf_recall": (_q_ann_ivf_recall, _ANN_IVF_RECALL_ORACLE),
     "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),

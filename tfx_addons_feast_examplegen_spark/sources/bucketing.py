@@ -55,7 +55,13 @@ def register_bucketed_feature_table(
             warehouse = warehouse[len(prefix):]
             break
     local = warehouse.startswith("/") and "://" not in warehouse
-    if local and "." not in table_name:
+    # An unqualified name resolves against the CURRENT database, but the
+    # <warehouse>/<table> path below is the DEFAULT database's layout —
+    # under `USE somedb` the two diverge and rmtree could hit an
+    # unrelated default.<table> directory. Only clean up when the
+    # session is actually on `default`.
+    on_default = spark.catalog.currentDatabase() == "default"
+    if local and on_default and "." not in table_name:
         loc = os.path.join(warehouse, table_name.lower())
         if os.path.isdir(loc):
             shutil.rmtree(loc)
