@@ -45,12 +45,41 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _bench_simhash(spark, sf_dir):
+    # The registry's dedup_simhash became a correctness CONTRACT wrapper
+    # in round 5 (production pairs + exact-dup completeness assertions);
+    # the bench keeps timing the raw production operator so the series
+    # stays comparable across rounds.
+    from tfx_addons_feast_examplegen_spark.operators import dedup as dd
+
+    t = register_tables(spark, sf_dir)
+    return dd.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+
+
+def _bench_ann_lsh(spark, sf_dir):
+    # Same: registry entry is now a per-query recall contract; bench
+    # times the production multi-probe LSH top-k itself.
+    from tfx_addons_feast_examplegen_spark.operators import similarity as sim
+
+    t = register_tables(spark, sf_dir)
+    return sim.lsh_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+
+
+# name -> direct-operator override for entries whose registry form wraps
+# the production workload in contract assertions
+BENCH_IMPLS = {
+    "dedup_simhash": _bench_simhash,
+    "similarity_ann_lsh": _bench_ann_lsh,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
     qs = qmod.queries()
+    qs.update(BENCH_IMPLS)
     names = [n for n in HEADLINE if n in qs]
 
     # Warm-up: run every headline query once at the smallest scale so JVM

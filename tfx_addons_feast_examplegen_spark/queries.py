@@ -611,11 +611,119 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64-based bit votes are not portable SQL -> rows-only check;
-    # semantic properties are pytest-verified (tests/test_dedup.py).
-    # max_hamming=3: within the 4x16-bit pigeonhole completeness bound.
+    # The production (xxhash64) SimHash as an oracle-checkable CONTRACT
+    # (same pattern as the sketch error bounds / ANN recall contracts):
+    # the bit votes themselves aren't portable SQL, but their semantic
+    # guarantees are. The pipeline runs in full (max_hamming=3, within
+    # the 4x16-bit pigeonhole completeness bound, fail-fast cap) and the
+    # output rows assert, per check, values DuckDB reproduces exactly:
+    #
+    # - exact_dup_pairs_total: pairs of docs with IDENTICAL distinct
+    #   token sets — a real, fixture-sized number (hundreds at sf0.01)
+    #   the oracle computes independently.
+    # - exact_dup_pairs_missed_by_prod: identical token sets hash to
+    #   identical simhashes under ANY hash family -> hamming 0 -> all 4
+    #   chunks collide -> the pigeonhole join MUST emit the pair. A
+    #   missed pair means broken vote/fold/band arithmetic; oracle
+    #   asserts literal 0.
+    # - prod_pairs_ge_exact: the hamming<=3 candidate set is a superset
+    #   of the exact-dup pairs.
+    # - prod_pairs_wellformed: every emitted pair has doc_a < doc_b and
+    #   0 <= hamming <= 3.
+    #
+    # The md5 twin (dedup_simhash_portable) hash-verifies the full
+    # arithmetic externally; this entry locks the production hash path
+    # to the same machinery.
     t = register_tables(spark, sf_dir)
-    return dd.simhash_pairs(t["documents"], "doc_id", "text", max_hamming=3)
+    docs = t["documents"]
+    prod = dd.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, on_over_cap="error"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    grp = toks.groupBy("ts").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    exact_pairs = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    n_exact = exact_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    )
+    missed = (
+        exact_pairs.join(
+            prod.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("value"))
+    )
+    n_prod = prod.agg(F.count(F.lit(1)).cast("long").alias("value"))
+    malformed = prod.filter(
+        ~(
+            (F.col("doc_a") < F.col("doc_b"))
+            & F.col("hamming").between(0, 3)
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("value"))
+    row = lambda name, df, val, ok: df.select(  # noqa: E731
+        F.lit(name).alias("check"), val.alias("value"), ok.alias("ok")
+    )
+    v = F.col("value")
+    return (
+        row("exact_dup_pairs_total", n_exact, v, F.lit(True))
+        .unionAll(row("exact_dup_pairs_missed_by_prod", missed, v, v == 0))
+        .unionAll(
+            row(
+                "prod_pairs_ge_exact",
+                n_prod.crossJoin(
+                    n_exact.select(F.col("value").alias("__ne"))
+                ),
+                F.when(v >= F.col("__ne"), F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+                v >= F.col("__ne"),
+            )
+        )
+        .unionAll(row("prod_pairs_wellformed", malformed, v, v == 0))
+    )
+
+
+_SIMHASH_CONTRACT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, list_sort(list(DISTINCT t)) AS ts
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY doc_id
+),
+g AS (SELECT count(*) AS c FROM tok GROUP BY ts),
+n AS (
+  SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_exact
+  FROM g
+)
+SELECT 'exact_dup_pairs_total' AS check, n_exact AS value, TRUE AS ok FROM n
+UNION ALL
+SELECT 'exact_dup_pairs_missed_by_prod', CAST(0 AS BIGINT), TRUE
+UNION ALL
+SELECT 'prod_pairs_ge_exact', CAST(1 AS BIGINT), TRUE
+UNION ALL
+SELECT 'prod_pairs_wellformed', CAST(0 AS BIGINT), TRUE
+"""
 
 
 def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3205,11 +3313,81 @@ def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate variant: recall-vs-cost trade is measured in pytest
-    # against cosine_topk; rows-only check here (rank set depends on LSH
-    # bucketing, not SQL-expressible portably).
+    # The production multi-probe LSH as a PER-QUERY contract (finer than
+    # the aggregate mean-recall twin similarity_ann_lsh_recall): for
+    # EVERY query id, at least one true top-5 neighbor must appear in
+    # the LSH top-5 (measured per-query minimum: 4/5 hits at sf0.001,
+    # 2/5 at sf0.01, 4/5 at sf0.1 — deterministic, seeded hyperplanes).
+    # One query falling to zero hits turns exactly its row red, so the
+    # driver pinpoints which query regressed; the oracle emits the query
+    # id set (portable) with literal TRUE.
     t = register_tables(spark, sf_dir)
-    return sim.lsh_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    emb = t["embeddings"]
+    ann = sim.lsh_topk(emb, query_filter="vec_id < 20", k=5)
+    exact = sim.cosine_topk(emb, query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias("hit_ok"),
+        )
+    )
+
+
+_ANN_LSH_PERQUERY_ORACLE = """
+SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, TRUE AS hit_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production IVF config (n_probe=4 of 16 cells) under its own
+    # aggregate recall contract — distinct from the n_probe=8 twin
+    # (similarity_ann_ivf_recall, floor 0.6): probing a quarter of the
+    # cells must still reach mean recall@5 >= 0.3 (measured 0.48-0.54
+    # across sf0.001/0.01/0.1; per-query floors don't hold at n_probe=4,
+    # the minimum is legitimately 0 for queries whose neighbors live in
+    # unprobed cells). Deterministic: hash-seeded k-means over fixed
+    # data. Oracle: portable query count + literal TRUE.
+    t = register_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    ann = sim.ivf_topk(
+        emb, query_filter="vec_id < 20", k=5, n_cells=16, n_probe=4
+    )
+    exact = sim.cosine_topk(emb, query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.3).alias("recall_ok"),
+    )
+
+
+_ANN_IVF_PROBE4_ORACLE = _ANN_LSH_RECALL_ORACLE  # same portable shape
 
 
 # ---------------------------------------------------------------------------
@@ -3299,7 +3477,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_ann_lsh_recall": (_q_ann_lsh_recall, _ANN_LSH_RECALL_ORACLE),
     "embedding_dedup_clusters": (_q_embedding_clusters, _EMB_CLUSTERS_ORACLE),
     "similarity_ann_ivf_recall": (_q_ann_ivf_recall, _ANN_IVF_RECALL_ORACLE),
-    "dedup_simhash": (_q_simhash, None),  # rows-only (xxhash64 production)
+    "dedup_simhash": (_q_simhash, _SIMHASH_CONTRACT_ORACLE),
     # --- driver-green in rounds 1-2; rotated behind the 50-entry window ---
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
     "pit_join_time_bucketed": (_q_pit_join_bucketed, _pit_oracle(ttl_days=7)),
@@ -3366,17 +3544,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_fingerprint": (_q_fingerprints, _FINGERPRINT_ORACLE),
     "similarity_topk": (_q_similarity_topk, _SIM_TOPK_ORACLE),
     "embedding_neardup": (_q_embedding_neardup, _EMB_NEARDUP_ORACLE),
-    "similarity_ann_lsh": (_q_ann_lsh, None),  # rows-only (approx variant)
-    "similarity_ann_ivf": (
-        lambda spark, sf_dir: sim.ivf_topk(
-            register_tables(spark, sf_dir)["embeddings"],
-            query_filter="vec_id < 20",
-            k=5,
-            n_probe=4,
-        ),
-        None,  # rows-only: cell membership isn't portable SQL; recall
-        # properties pytest-verified (n_probe=all == exhaustive search)
-    ),
+    "similarity_ann_lsh": (_q_ann_lsh, _ANN_LSH_PERQUERY_ORACLE),
+    "similarity_ann_ivf": (_q_ann_ivf, _ANN_IVF_PROBE4_ORACLE),
 }
 
 
@@ -3387,61 +3556,66 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # smoke). Refresh per round; scripts/check_correctness.py still proves
 # the full registry locally regardless of this order.
 _DRIVER_PRIORITY = [
-    # round-4 new or changed implementations (driver rows required)
     "pit_join",
-    "embedding_quantization",
-    "sketch_distinct_counts",
-    "sketch_quantiles",
-    "multimodal_features",
-    "multimodal_audio_stats",
-    "sequence_example_roundtrip",
-    "stream_dedup",
-    "zorder_layout",
-    "skew_salted_join",
-    "three_way_split_counts",
-    "source_tfrecord_roundtrip",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q18_large_orders",
-    "snapshot_diff",
-    "bucketed_join",
-    "embedding_linear_scorer",
-    "feature_histogram",
-    "similarity_ann_lsh_recall",
-    "embedding_dedup_clusters",
-    "similarity_ann_ivf_recall",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # round-5 changed implementations: the three formerly rows-only
+    # entries now carry contract oracles (driver rows required to prove
+    # the no_oracle slots are cleared), plus the new PNG codec entry
     "dedup_simhash",
-    "dedup_simhash_portable",
-    "dedup_containment",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_incremental_indexed",
-    "corpus_prep_pipeline",
-    "training_dataset_pipeline",
-    "similarity_topk",
-    "embedding_neardup",
-    "text_quality",
-    "text_repetition",
-    # oldest-green rotation (last driver-checked rounds 1-2); the six
-    # simplest pure-SQL entries (set ops, rollup/cube/pivot, HAVING)
-    # wait outside the window this round - least change risk, and the
-    # committed CORRECTNESS_LOCAL log re-proves them regardless
-    "window_topk_running",
-    "json_events_daily",
-    "string_funcs_parts",
-    "monthly_order_delta",
-    "sessionization",
-    "window_lead_lag_ntile",
-    "percentiles",
-    "text_bpe_token_budget",
-    "sessionization_streaming",
-    "dedup_exact",
-    "weighted_sample",
-    "text_tfidf_topterms",
-    "text_lang_id",
-    "text_token_stats",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "multimodal_image_png",
+    # everything below sat OUTSIDE the r4 window (last driver-green r1-3)
+    # — surfaced so that r4 ∪ r5 driver rows cover the whole registry.
+    # Exactly six entries stay outside this round (the window holds 50):
+    # pit_join_ttl, pit_join_time_bucketed, pit_join_multiview,
+    # feature_service, hash_split_counts, q1_pricing_summary — each
+    # driver-green in rounds 1 AND 2 AND 3, unchanged since, re-proved by
+    # the committed CORRECTNESS_LOCAL_r05 log; they lead the r6 window.
+    "setop_intersect",
+    "setop_except",
+    "having_subquery",
+    "rollup_region_nation",
+    "anti_join_exists",
+    "cube_lattice",
+    "case_pivot",
+    "text_fingerprint",
+    "similarity_ann_exhaustive",
+    "windowed_event_counts",
+    "windowed_event_counts_streaming",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_static_enrichment",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "split_pattern_routing",
+    "pit_join_prefixed",
+    "pit_join_composite_key",
+    "pit_join_field_mapping",
+    "param_substitution",
+    "skew_salted_agg",
+    "decontaminate",
+    "stratified_sample",
+    "group_quota",
+    "sequence_packing",
+    "latest_feature_snapshot",
+    "pii_redaction",
+    "grouping_sets_filter",
+    "correlated_subquery",
+    "lateral_topk_per_key",
+    "udtf_split_sentences",
+    "event_funnel",
+    "scd2_validity_intervals",
+    "forward_fill_timeseries",
+    "negative_sample",
+    "chunk_documents",
+    "column_correlations",
+    "gap_fill_timeseries",
+    "unpivot_stack",
+    "range_interval_window",
+    "dataset_stats",
+    "array_agg_sorted",
+    "q3_top_revenue",
+    "q5_region_revenue",
 ]
 
 
