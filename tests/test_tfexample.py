@@ -523,3 +523,65 @@ def test_read_tfrecord_dataset_roundtrip_and_nulls(spark, tmp_path):
     )
     with pytest.raises(Exception, match="refusing to truncate"):
         bad.collect()
+
+
+def test_read_tfrecord_dataset_chunked_matches_whole(spark, tmp_path):
+    # The record-aligned chunk index: a tiny target_chunk_bytes forces
+    # many chunks per file, and the chunked read must equal the
+    # single-chunk read exactly (no dropped/duplicated boundary records).
+    from pyspark.sql.types import StructType
+
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        encode_example,
+    )
+    from tfx_addons_feast_examplegen_spark.sources.tfrecord import (
+        _scan_chunks,
+        read_tfrecord_dataset,
+        write_tfrecords,
+    )
+
+    recs = [
+        encode_example({"k": i, "payload": "x" * (i % 37)}) for i in range(500)
+    ]
+    f = str(tmp_path / "part-0.tfrecord")
+    write_tfrecords(recs, f, compress=False)
+
+    chunks = _scan_chunks(f, f, 1 << 10)  # ~1 KB chunks
+    assert len(chunks) > 5  # genuinely split
+    import os as _os
+
+    assert sum(nb for _, nb in chunks) == _os.path.getsize(f)
+
+    schema = StructType.fromDDL("k long, payload string")
+    small = read_tfrecord_dataset(
+        spark, str(tmp_path), schema, target_chunk_bytes=1 << 10
+    )
+    assert sorted(r.k for r in small.collect()) == list(range(500))
+
+
+def test_read_tfrecord_gzip_size_guard(spark, tmp_path):
+    # Oversized gzip shards are a single non-seekable streaming task each
+    # — the reader must fail fast with an actionable message, and accept
+    # the same file when the limit is raised.
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        encode_example,
+    )
+    from tfx_addons_feast_examplegen_spark.sources.tfrecord import (
+        read_tfrecord_dataset,
+        write_tfrecords,
+    )
+
+    recs = [encode_example({"k": i, "t": "y" * 100}) for i in range(200)]
+    write_tfrecords(recs, str(tmp_path / "part-0.tfrecord.gz"), compress=True)
+    schema = StructType.fromDDL("k long, t string")
+
+    with pytest.raises(ValueError, match="max_compressed_file_bytes"):
+        read_tfrecord_dataset(
+            spark, str(tmp_path), schema, max_compressed_file_bytes=64
+        )
+
+    ok = read_tfrecord_dataset(spark, str(tmp_path), schema)
+    assert ok.count() == 200
