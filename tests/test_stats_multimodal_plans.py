@@ -262,3 +262,56 @@ def test_real_multimodal_stats_match_formula(spark, sf_dir):
         s = [((did * 13 + i * 17) % 65536) - 32768 for i in range(n)]
         assert (r.sample_rate, r.n_samples) == (8000, n)
         assert (r.sample_sum, r.s_min, r.s_max) == (sum(s), min(s), max(s))
+
+
+def test_png_roundtrip_all_filters():
+    # The encoder cycles filter types 0-4 by row; 7 rows covers every
+    # unfilter path. Stats must equal the BMP decode of the same pixels.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_bmp_24,
+        decode_png_rgb8,
+        encode_bmp_24,
+        encode_png_rgb8,
+    )
+
+    w, h = 5, 7
+    pixels = [((x * 37 + y * 91) % 256, (x + y) % 256, (x * y) % 256)
+              for y in range(h) for x in range(w)]
+    png_stats = decode_png_rgb8(encode_png_rgb8(w, h, pixels))
+    bmp_stats = decode_bmp_24(encode_bmp_24(w, h, pixels))
+    assert png_stats == bmp_stats
+    assert png_stats[0:2] == (w, h)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+    )
+
+    blob = bytearray(encode_png_rgb8(4, 4, [(9, 8, 7)] * 16))
+    blob[30] ^= 0xFF  # flip a byte inside IHDR -> chunk CRC mismatch
+    with pytest.raises(ValueError, match="crc"):
+        decode_png_rgb8(bytes(blob))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_rgb8(b"BM" + bytes(blob))
+
+
+def test_image_stats_sniffs_mixed_bmp_png(spark, sf_dir):
+    # One decode stage over a MIXED corpus: BMP and PNG payloads of the
+    # same closed-form content must produce identical stats per doc_id.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_bmp_payloads,
+        attach_png_payloads,
+        extract_image_stats,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(40)
+    bmp = attach_bmp_payloads(docs)
+    png = attach_png_payloads(docs)
+    mixed = bmp.filter("doc_id % 2 = 0").unionAll(png.filter("doc_id % 2 = 1"))
+    got = {r.doc_id: r for r in extract_image_stats(mixed).collect()}
+    want = {r.doc_id: r for r in extract_image_stats(bmp).collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k]

@@ -7,15 +7,17 @@ executors.
 
 Two codec tiers:
 
-- **Real pure-stdlib decoders for uncompressed container formats**:
-  :func:`decode_bmp_24` (24-bit uncompressed BMP — header parse, row
-  padding, bottom-up/top-down, BGR order) and :func:`decode_wav_pcm16`
-  (RIFF chunk walk, PCM16 mono). These run as the decode kernels of
-  :func:`extract_image_stats` / :func:`extract_audio_stats` and are
+- **Real pure-stdlib decoders**: :func:`decode_bmp_24` (24-bit
+  uncompressed BMP — header parse, row padding, bottom-up/top-down,
+  BGR order), :func:`decode_png_rgb8` (8-bit RGB PNG — chunk CRC walk,
+  zlib inflate, all five scanline filters reconstructed) and
+  :func:`decode_wav_pcm16` (RIFF chunk walk, PCM16 mono). These run as
+  the decode kernels of :func:`extract_image_stats` (content-sniffing
+  BMP/PNG dispatch) / :func:`extract_audio_stats` and are
   oracle-checked end-to-end (the fixture payloads carry closed-form
   pixel/sample values an external SQL engine can re-derive).
-- **Stub boundary for compressed formats** (JPEG/PNG/MP3/H.264 need
-  codec libraries not present in this container):
+- **Stub boundary for formats needing codec libraries** (JPEG/MP3/
+  H.264 are not decodable with the stdlib):
   :class:`StubImageCodec` raises ``NotImplementedError`` unless
   ``deterministic_fake=True``; swap in a real codec by implementing
   ``decode(payload) -> features`` with the same signature.
@@ -132,6 +134,153 @@ def decode_bmp_24(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     return width, height, r_sum, g_sum, b_sum, px_min, px_max
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png_rgb8(
+    width: int, height: int, pixels: list[tuple[int, int, int]]
+) -> bytes:
+    """Serialize row-major top-down (r, g, b) pixels as a standard 8-bit
+    RGB PNG (pure stdlib — zlib for IDAT, zlib.crc32 for chunk CRCs).
+
+    Scanline filters CYCLE through all five PNG filter types
+    (None/Sub/Up/Average/Paeth by row index mod 5), so a decoder must
+    implement real unfiltering — not just inflate — to reconstruct the
+    pixels. That keeps the meet-in-the-middle oracle honest end-to-end.
+    """
+    import zlib
+
+    bpp = 3
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixels[y * width + x])
+        ft = y % 5
+        filt = bytearray(len(row))
+        for i in range(len(row)):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                filt[i] = row[i]
+            elif ft == 1:
+                filt[i] = (row[i] - left) & 0xFF
+            elif ft == 2:
+                filt[i] = (row[i] - up) & 0xFF
+            elif ft == 3:
+                filt[i] = (row[i] - (left + up) // 2) & 0xFF
+            else:
+                filt[i] = (row[i] - _paeth(left, up, ul)) & 0xFF
+        raw += bytes((ft,)) + bytes(filt)
+        prev = bytes(row)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode an 8-bit RGB non-interlaced PNG into the same integer stat
+    tuple as :func:`decode_bmp_24`:
+    (width, height, r_sum, g_sum, b_sum, px_min, px_max).
+
+    Real decoder: verifies the signature and every chunk CRC, parses
+    IHDR, concatenates multi-chunk IDAT streams, inflates, and
+    reconstructs all five scanline filter types (None/Sub/Up/Average/
+    Paeth). Only bit-depth 8 / color type 2 / non-interlaced is
+    supported (the same single-variant honesty as the 24-bit BMP
+    decoder); anything else raises.
+    """
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"corrupt PNG chunk crc ({ctype!r})")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_i, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit RGB non-interlaced PNG supported "
+                    f"(depth={depth}, color={ctype_i}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    inflated = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(inflated) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    r_sum = g_sum = b_sum = 0
+    px_min, px_max = 255, 0
+    prev = bytes(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = inflated[off]
+        row = bytearray(inflated[off + 1 : off + 1 + stride])
+        if ft == 1:
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        r_sum += sum(row[0::3])
+        g_sum += sum(row[1::3])
+        b_sum += sum(row[2::3])
+        px_min = min(px_min, min(row))
+        px_max = max(px_max, max(row))
+        prev = bytes(row)
+    return width, height, r_sum, g_sum, b_sum, px_min, px_max
+
+
 def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
     """Serialize int16 samples as a standard PCM16 mono RIFF/WAVE file."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -219,6 +368,39 @@ def attach_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
+def attach_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real 8-bit RGB PNG payload per row — SAME
+    closed-form pixel content as :func:`attach_bmp_payloads`, different
+    container, so the two decoders share one external oracle."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                base = [
+                    (did * 7 + y * 31 + x * 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                pixels = [(v, (v + 11) % 256, (v + 22) % 256) for v in base]
+                payloads.append(encode_png_rgb8(w, h, pixels))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "image/png",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+
+
 def attach_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: one real PCM16 mono WAV payload per row."""
 
@@ -247,14 +429,26 @@ def attach_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Content-sniffing image decode: dispatch on magic bytes (the way a
+    real mixed-corpus decode stage must — the format column is metadata,
+    the bytes are the truth)."""
+    if payload[:2] == b"BM":
+        return decode_bmp_24(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png_rgb8(payload)
+    raise ValueError("unrecognized image payload (not BMP or PNG)")
+
+
 def extract_image_stats(media_df: DataFrame) -> DataFrame:
-    """Real decode stage: Arrow-batched ``mapInPandas`` over BMP payloads
-    -> per-image integer channel stats. The (huge) payload column is
-    consumed here and dropped — project early, shuffle small."""
+    """Real decode stage: Arrow-batched ``mapInPandas`` over image
+    payloads (BMP or PNG, sniffed per record) -> per-image integer
+    channel stats. The (huge) payload column is consumed here and
+    dropped — project early, shuffle small."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_bmp_24(bytes(p)) for p in pdf["payload"]]
+            rows = [_decode_image(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -2447,6 +2447,22 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Third real codec behind the multimodal boundary: 8-bit RGB PNG,
+    # pure stdlib (zlib inflate + chunk CRC verification + all five
+    # scanline filters reconstructed — the encoder cycles filter types
+    # per row, so unfiltering is genuinely on the checked path). Same
+    # closed-form pixel content as the BMP entry, so the SAME oracle
+    # re-derives the stats from the formula; the decode stage sniffs the
+    # container from magic bytes. JPEG/MP3/H.264 remain behind the
+    # explicit StubImageCodec boundary (no stdlib codec exists).
+    from .operators.multimodal import attach_png_payloads, extract_image_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_png_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
 def _q_sequence_example_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S8 beyond parity, end-to-end: per-user event sequences (ordered by
     # (ts, event_id) via sort_array on a struct) are encoded as REAL
@@ -3454,6 +3470,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "sequence_example_roundtrip": (
         _q_sequence_example_roundtrip,
