@@ -326,14 +326,21 @@ def lsh_signature(
     expressions, no UDF, no shuffle (a narrow projection).
     """
     planes = _planes(dim, n_planes, seed)
-    # One parsed expression for the whole signature (bit positions are
-    # disjoint, so the OR-fold is a plain sum) — see _sql_vec for why.
-    terms = " + ".join(
-        f"(CASE WHEN {_sql_dot(vec_col, _sql_vec(p))} >= 0"
-        f" THEN shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END)"
-        for i, p in enumerate(planes)
+    # The plane matrix is ONE nested-array literal scored with
+    # higher-order functions, so the expression tree is constant-size in
+    # both n_planes and dim (the earlier unrolled CASE-per-plane form was
+    # ~2k nodes at 16x64 and its per-query analysis+codegen measurably
+    # outweighed interpreted lambda evaluation — same finding as
+    # ivf_assign). Bit positions are disjoint, so the OR-fold is a sum.
+    matrix = "array(" + ", ".join(_sql_vec(p) for p in planes) + ")"
+    sig = (
+        f"aggregate(transform({matrix}, (p, i) -> "
+        f"CASE WHEN aggregate(zip_with({vec_col}, p, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, b) -> acc + b)"
     )
-    return emb.withColumn("lsh_sig", F.expr(terms))
+    return emb.withColumn("lsh_sig", F.expr(sig))
 
 
 def ivf_centroids(
