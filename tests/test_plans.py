@@ -1,0 +1,86 @@
+"""Plan-regression guards for the most expensive bench queries.
+
+A plan regression (new shuffle, lost broadcast, a join degrading to
+nested-loop, an unpushed filter) costs bench seconds before any test
+notices — these assertions fail CI at plan-build time instead. Bounds
+are deliberately loose upper limits: they catch structural regressions,
+not cosmetic AQE differences.
+"""
+
+import pytest
+
+from tfx_addons_feast_examplegen_spark import queries as qmod
+from tfx_addons_feast_examplegen_spark.plans.explain import plan_summary
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return qmod.queries()
+
+
+def _summary(qs, spark, sf_dir, name):
+    return plan_summary(qs[name](spark, sf_dir))
+
+
+def test_pit_join_plan(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "pit_join")
+    # data x data cartesians never; the only NestedLoops allowed are the
+    # tiny literal snapshot-grid crossJoins (LocalTableScan build sides,
+    # one per joined side)
+    assert s["nested_loop_joins"] <= 2
+    assert s["exchanges"] <= 6, s
+    # entity scan filter pushes to parquet
+    assert any(s["pushed_filters"]), s
+
+
+def test_dedup_ngram_jaccard_plan(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "dedup_ngram_jaccard")
+    assert s["nested_loop_joins"] == 0, s
+    # capped bucket self-join + jaccard verify: 17 shuffle exchanges
+    # today (bucket sizes, anti-prune, pair join, set-size joins, all
+    # partial/final agg pairs); a jump past 20 means exchange reuse broke
+    assert s["exchanges"] <= 20, s
+
+
+def test_dedup_minhash_lsh_plan(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "dedup_minhash_lsh")
+    assert s["nested_loop_joins"] == 0, s
+    # 25 today (signature aggs + banding + verify join chain)
+    assert s["exchanges"] <= 28, s
+
+
+def test_dedup_simhash_operator_plan(spark, sf_dir):
+    # the raw production operator (what bench times), not the contract
+    from tfx_addons_feast_examplegen_spark.operators import dedup as dd
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    s = plan_summary(dd.simhash_pairs(docs, "doc_id", "text", max_hamming=3))
+    assert s["nested_loop_joins"] == 0, s
+    # 11 today (vote agg + capped chunk pair join)
+    assert s["exchanges"] <= 14, s
+
+
+def test_similarity_ann_lsh_operator_plan(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators import similarity as sim
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    emb = register_tables(spark, sf_dir)["embeddings"]
+    s = plan_summary(sim.lsh_topk(emb, query_filter="vec_id < 20", k=5))
+    # candidate generation must stay an equi-join on (band_id, band_val)
+    assert s["nested_loop_joins"] == 0, s
+    assert s["exchanges"] <= 8, s
+
+
+def test_q5_region_revenue_plan(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "q5_region_revenue")
+    # star dims broadcast; the fact side must not shuffle pre-aggregation
+    assert s["broadcast_hash_joins"] >= 3, s
+    assert s["sort_merge_joins"] <= 2, s
+
+
+def test_sessionization_plan(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "sessionization")
+    # one window over (user_id, ts): a single shuffle + sorts, no joins
+    assert s["exchanges"] <= 2, s
+    assert s["nested_loop_joins"] == 0, s
