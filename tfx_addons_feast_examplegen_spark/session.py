@@ -110,7 +110,7 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 # session id -> sf_dir currently registered (see register_tables).
-_REGISTERED: dict[int, str] = {}
+_REGISTERED: dict[int, tuple[str, dict[str, DataFrame]]] = {}
 
 
 def normalize_timestamps(df: DataFrame, cols: tuple[str, ...] = ()) -> DataFrame:
@@ -157,12 +157,13 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     # Registration reads 10 parquet footers (~seconds); memoize per
     # session+dir so every query callable can call this idempotently.
-    if _REGISTERED.get(id(spark)) == sf_dir:
-        return {
-            name: spark.table(name)
-            for name in TABLES
-            if spark.catalog.tableExists(name)
-        }
+    # The hit path returns the cached frame dict directly (plans are
+    # immutable) — even per-table catalog existence probes are ~10 py4j
+    # round-trips that showed up as constant overhead on sub-second
+    # benched queries.
+    cached = _REGISTERED.get(id(spark))
+    if cached is not None and cached[0] == sf_dir:
+        return dict(cached[1])
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -171,5 +172,5 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    _REGISTERED[id(spark)] = sf_dir
+    _REGISTERED[id(spark)] = (sf_dir, out)
     return out
