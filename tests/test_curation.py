@@ -1,6 +1,7 @@
 """Curation operators: decontamination, sampling, quotas, packing."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from tfx_addons_feast_examplegen_spark.operators.curation import (
     decontaminate,
@@ -213,3 +214,35 @@ def test_negative_sample_excludes_positives_and_is_deterministic(spark):
     assert {(r.u, r.it, r.rank) for r in again} == {
         (r.u, r.it, r.rank) for r in rows
     }
+
+
+def test_temperature_mix_upweights_tail(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        temperature_mix,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    out = temperature_mix(docs, "doc_id", "lang", alpha=0.5, target_rows=300)
+    taken = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(taken.values())
+    assert abs(total - 300) <= 60  # hash-grid sampling noise
+    # alpha<1 compresses ratios: the head/tail TAKE ratio must be far
+    # below the head/tail SIZE ratio
+    head = max(sizes, key=sizes.get)
+    tail = min(sizes, key=sizes.get)
+    assert sizes[head] / sizes[tail] > 2.5
+    assert taken[head] / taken[tail] < sizes[head] / sizes[tail] * 0.75
+    # determinism: rerun selects the same rows
+    again = temperature_mix(docs, "doc_id", "lang", alpha=0.5, target_rows=300)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+    # alpha=1 keeps natural proportions (rate identical across groups)
+    nat = temperature_mix(docs, "doc_id", "lang", alpha=1.0, target_rows=300)
+    nt = {r.lang: r.n for r in nat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    rates = [nt[g] / sizes[g] for g in nt]
+    assert max(rates) - min(rates) < 0.25

@@ -380,3 +380,33 @@ def test_chunk_documents_windows_and_tail(spark):
         (1, 2, "t6 t7 t8 t9", 4),
         (1, 3, "t9", 1),
     ]  # empty doc yields no chunks; tail partial window kept
+
+
+def test_heavy_hitters_exact_and_mg_bounded(spark, sf_dir):
+    # The sketch-then-verify output must EQUAL the exact relational
+    # answer, and the Misra-Gries stage must emit a bounded candidate
+    # set (the scale contract: candidates, not the token space).
+    from tfx_addons_feast_examplegen_spark.operators.text import heavy_hitters
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"]
+    k = 50
+    got = heavy_hitters(docs, "lang", "text", k=k)
+
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    totals = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    exact = (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(totals, "lang")
+        .filter(F.col("cnt") * k > F.col("n_g"))
+        .select("lang", "token", "cnt")
+    )
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+    assert got.count() > 0

@@ -259,3 +259,66 @@ def negative_sample(
         .filter(F.col("rank") <= k)
         .select(user_col, item_col, "rank")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    target_rows: int,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Temperature-based dataset mixing: sample each group with rate
+    proportional to ``n_g^(alpha-1)`` so the mixed dataset draws group g
+    with probability proportional to ``n_g^alpha`` (the standard
+    multilingual/multi-domain LLM mixing rule: ``alpha=1`` keeps natural
+    proportions, ``alpha -> 0`` approaches uniform over groups,
+    upweighting tail domains/languages).
+
+    Expected output size is ~``target_rows`` (exact per-group takes are
+    ``target_rows * n_g^alpha / sum_h n_h^alpha``, capped at ``n_g``).
+    Selection reuses the portable fingerprint hash, so the sample is a
+    pure function of the key — reproducible across runs, partitionings,
+    and engines, and replayable by an external SQL oracle (the per-group
+    cut is rounded onto the 1/denom grid in BOTH engines, so the float
+    ``pow`` arithmetic only has to agree to ~1e-5 relative, far coarser
+    than cross-engine double rounding).
+
+    Plan: one count aggregate per group (map-side combinable), a 1-row
+    total, and a broadcast join of the per-group cut onto the corpus —
+    the corpus itself never shuffles. Output: input rows of the sample.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = sizes.withColumn(
+        "__w", F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    tot = w.agg(F.sum("__w").alias("__tot"))
+    cuts = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.round(
+                F.lit(denom)
+                * F.least(
+                    F.lit(1.0),
+                    F.lit(int(target_rows))
+                    * F.col("__w")
+                    / F.col("__tot")
+                    / F.col("__n"),
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("__cut"),
+        )
+    )
+    bucket = fingerprint_bucket(F.col(key_col), denom)
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(bucket < F.col("__cut"))
+        .drop("__cut")
+    )

@@ -354,3 +354,85 @@ def chunk_documents(
 def _toks_sql(text_col: str) -> str:
     """SQL text of the tokens() expression (for use inside F.expr)."""
     return f"filter(split(lower({text_col}), ' '), x -> x != '')"
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    k: int = 50,
+) -> DataFrame:
+    """Per-group heavy-hitter tokens — every token whose in-group
+    frequency strictly exceeds ``n_g / k`` — with EXACT counts.
+
+    The 100 TB shape is sketch-then-verify (the same design language as
+    MinHash->exact-Jaccard): a per-partition Misra-Gries pass (k
+    counters per group, cross-Arrow-batch state inside ``mapInPandas``)
+    emits a tiny candidate set, and only candidate tokens are counted
+    exactly. The full (group, token) space never shuffles — the
+    aggregate shuffle carries candidate rows plus one count row per
+    group.
+
+    No false negatives, provably: Misra-Gries with k counters keeps any
+    token whose partition frequency exceeds n_p/(k+1), and if a token's
+    GLOBAL frequency exceeds n_g/k then by averaging its frequency
+    exceeds n_p/(k+1) in at least one partition. False positives are
+    eliminated by the exact verify, so the output equals the exact
+    relational answer (integer threshold compare: cnt * k > n_g — no
+    float arithmetic anywhere).
+
+    Output: (group_col, token, cnt), exactly the true heavy hitters.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.expr(_toks_sql(text_col))).alias("token"),
+    )
+
+    def _mg(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        state: dict[object, dict[str, int]] = {}
+        for pdf in batches:
+            # pre-aggregate the batch, then weighted-MG merge: one dict
+            # op per DISTINCT (group, token) in the batch, not per token
+            for (g, t), w in (
+                pdf.groupby(["__g", "token"], sort=False).size().items()
+            ):
+                d = state.setdefault(g, {})
+                if t in d:
+                    d[t] += w
+                elif len(d) < k:
+                    d[t] = w
+                else:
+                    m = min(min(d.values()), w)
+                    for key in list(d):
+                        d[key] -= m
+                        if d[key] == 0:
+                            del d[key]
+                    if w > m:
+                        d[t] = w - m
+        yield pd.DataFrame(
+            {
+                "__g": [g for g, d in state.items() for _ in d],
+                "token": [t for d in state.values() for t in d],
+            }
+        )
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    cands = toks.mapInPandas(
+        _mg, schema=f"__g {g_type}, token string"
+    ).distinct()
+    totals = toks.groupBy("__g").agg(F.count(F.lit(1)).alias("__n_g"))
+    verified = (
+        toks.join(F.broadcast(cands), ["__g", "token"])
+        .groupBy("__g", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        verified.join(F.broadcast(totals), "__g")
+        .filter(F.col("cnt") * F.lit(int(k)) > F.col("__n_g"))
+        .select(F.col("__g").alias(group_col), "token", "cnt")
+    )
