@@ -2447,6 +2447,114 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def _q_interpolate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear interpolation onto a dense daily grid — the third leg of
+    # time-series completion next to gap_fill (zeros) and forward_fill
+    # (last-observation-carried-forward). Per user: daily spine LEFT
+    # JOIN per-day observed value, then bracketing neighbors via
+    # last/first IGNORE NULLS window frames and a linear blend. All
+    # arithmetic is order-free: per-row integer cents before the sum,
+    # integer day arithmetic for the blend fraction, one deterministic
+    # double expression rounded back to cents — identical IEEE ops in
+    # both engines.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+WITH samples AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE user_id < 100
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+grid AS (
+  SELECT user_id, explode(sequence(DATE '2024-01-05', DATE '2024-02-10',
+                                   INTERVAL 1 DAY)) AS d
+  FROM (SELECT DISTINCT user_id FROM samples)
+),
+j AS (
+  SELECT g.user_id, g.d, s.cents
+  FROM grid g LEFT JOIN samples s ON g.user_id = s.user_id AND g.d = s.d
+),
+w AS (
+  SELECT user_id, d, cents,
+    last(cents, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+    last(CASE WHEN cents IS NOT NULL THEN d END, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+    first(cents, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+    first(CASE WHEN cents IS NOT NULL THEN d END, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+  FROM j
+)
+SELECT user_id, CAST(unix_timestamp(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+  CASE
+    WHEN cents IS NOT NULL THEN cents
+    WHEN v_prev IS NULL OR v_next IS NULL THEN NULL
+    ELSE CAST(floor(
+      CAST(v_prev AS DOUBLE)
+      + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))
+        * (CAST(datediff(d, d_prev) AS DOUBLE)
+           / CAST(datediff(d_next, d_prev) AS DOUBLE))
+      + 0.5) AS BIGINT)
+  END AS cents_interp,
+  (cents IS NOT NULL) AS observed
+FROM w
+""")
+
+
+_INTERPOLATE_ORACLE = """
+WITH samples AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE user_id < 100
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+grid AS (
+  SELECT user_id, unnest(CAST(generate_series(DATE '2024-01-05',
+                              DATE '2024-02-10', INTERVAL 1 DAY) AS DATE[]))
+         AS d
+  FROM (SELECT DISTINCT user_id FROM samples)
+),
+j AS (
+  SELECT g.user_id, g.d, s.cents
+  FROM grid g LEFT JOIN samples s ON g.user_id = s.user_id AND g.d = s.d
+),
+w AS (
+  SELECT user_id, d, cents,
+    last_value(cents IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+    last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+    first_value(cents IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+    first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+  FROM j
+)
+SELECT user_id, CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+  CASE
+    WHEN cents IS NOT NULL THEN cents
+    WHEN v_prev IS NULL OR v_next IS NULL THEN NULL
+    ELSE CAST(floor(
+      CAST(v_prev AS DOUBLE)
+      + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))
+        * (CAST((d - d_prev) AS DOUBLE)
+           / CAST((d_next - d_prev) AS DOUBLE))
+      + 0.5) AS BIGINT)
+  END AS cents_interp,
+  (cents IS NOT NULL) AS observed
+FROM w
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LLM data mixing: sample language g with probability ~ n_g^alpha
     # (alpha=0.5 upweights tail languages). Deterministic portable-hash
@@ -3529,6 +3637,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
     "temperature_mix": (_q_temperature_mix, _TEMPERATURE_MIX_ORACLE),
     "text_heavy_hitters": (_q_heavy_hitters, _HEAVY_HITTERS_ORACLE),
+    # new in r5 but OUTSIDE the r5 window (it is full): locally proven,
+    # leads the r6 window with the eight deferred triple-proven entries
+    "interpolate_timeseries": (
+        _q_interpolate_timeseries,
+        _INTERPOLATE_ORACLE,
+    ),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "sequence_example_roundtrip": (
         _q_sequence_example_roundtrip,
