@@ -410,3 +410,29 @@ def test_heavy_hitters_exact_and_mg_bounded(spark, sf_dir):
     assert got.exceptAll(exact).count() == 0
     assert exact.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_unigram_logprob_ranks_rare_tokens(spark):
+    # A doc of corpus-unique tokens must carry a higher mean NLL than a
+    # doc of corpus-common tokens; counts must be exact.
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    common = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=common) for i in range(9)]
+        + [Row(doc_id=9, text="zeta1 zeta2 zeta3 zeta4")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs, "doc_id", "text").collect()}
+    assert all(out[i].n_tokens == 4 for i in range(10))
+    mean_common = out[0].nll_micro_nats / out[0].n_tokens
+    mean_rare = out[9].nll_micro_nats / out[9].n_tokens
+    assert mean_rare > mean_common
+    # exact cost check: common tokens appear 9 times in 40 -> -ln(9/40)
+    import math
+
+    assert out[0].nll_micro_nats == 4 * math.floor(-math.log(9 / 40) * 1e6)

@@ -436,3 +436,50 @@ def heavy_hitters(
         .filter(F.col("cnt") * F.lit(int(k)) > F.col("__n_g"))
         .select(F.col("__g").alias(group_col), "token", "cnt")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-document unigram negative log-likelihood under the corpus's
+    OWN unigram distribution — the perplexity-proxy quality signal
+    (CCNet-style): documents full of globally-rare tokens score high
+    (gibberish/noise candidates), boilerplate scores low. No external
+    language model needed; the corpus is its own reference.
+
+    Integer-portable arithmetic: each token costs
+    ``floor(-ln(c_t / T) * scale)`` (BIGINT micro-nats) and per-doc
+    costs are INTEGER sums, so summation order cannot move the result
+    across engines. Plan: one map-side-combinable vocab count, a 1-row
+    total, one join of the token stream against the costed vocab (AQE
+    picks broadcast vs shuffle by vocab size), one per-doc aggregate.
+
+    Output: (id_col, n_tokens, nll_micro_nats) — mean cost is
+    ``nll_micro_nats / n_tokens / scale`` nats/token.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_toks_sql(text_col))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__t"))
+    costed = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            -F.log(F.col("__c").cast("double") / F.col("__t").cast("double"))
+            * F.lit(int(scale))
+        )
+        .cast("long")
+        .alias("__cost"),
+    )
+    return (
+        toks.join(costed, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__cost").alias("nll_micro_nats"),
+        )
+    )

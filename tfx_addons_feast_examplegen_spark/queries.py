@@ -2555,6 +2555,40 @@ FROM w
 """
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perplexity-proxy curation signal: per-doc unigram NLL under the
+    # corpus's own token distribution (no external LM). Costs are
+    # floor(-ln(c/T)*1e6) micro-nat BIGINTs summed per doc — integer
+    # sums, so summation order can't move the hash across engines.
+    from .operators.text import unigram_logprob
+
+    t = register_tables(spark, sf_dir)
+    return unigram_logprob(t["documents"], "doc_id", "text")
+
+
+_UNIGRAM_LOGPROB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+v AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+t AS (SELECT count(*) AS t FROM tok),
+costed AS (
+  SELECT token,
+         CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000)
+              AS BIGINT) AS cost
+  FROM v, t
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(cost) AS BIGINT) AS nll_micro_nats
+FROM tok JOIN costed USING (token)
+GROUP BY tok.doc_id
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LLM data mixing: sample language g with probability ~ n_g^alpha
     # (alpha=0.5 upweights tail languages). Deterministic portable-hash
@@ -3643,6 +3677,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_interpolate_timeseries,
         _INTERPOLATE_ORACLE,
     ),
+    "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "sequence_example_roundtrip": (
         _q_sequence_example_roundtrip,
