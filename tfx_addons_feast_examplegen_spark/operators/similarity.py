@@ -671,3 +671,68 @@ def linear_score(
     return df.withColumn(
         out_col, dot + F.lit(float(bias)).cast("double")
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    micro: int = 10**6,
+    out_scale: int = 10**4,
+    threshold_e4: int = 0,
+) -> DataFrame:
+    """Embedding-space curation gate: cosine of every vector against its
+    LABEL's centroid, flagged as an outlier below ``threshold_e4`` (in
+    ``1/out_scale`` units). Mislabeled / corrupted / off-distribution
+    embeddings sit far from their group's mean direction.
+
+    Engine-portable by construction: coordinates are integer-ized to
+    micro-units first (``floor(x * micro + 0.5)`` — cosine is scale
+    invariant), so the per-label per-dimension centroid sums are INTEGER
+    sums (order-free), and every double op downstream is the same
+    deterministic expression in Spark and the oracle.
+
+    Plan: posexplode -> (label, pos) integer-sum aggregate (map-side
+    combinable, one shuffle of label x dim rows), centroid arrays
+    rebuilt with sort_array(collect_list) per label, broadcast back onto
+    the corpus, cosine via zip_with/aggregate — the corpus itself never
+    shuffles. Output: (id, label, cos_e4, is_outlier).
+    """
+    v_micro = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(x * {micro} + 0.5) AS DOUBLE))"
+    )
+    rows = emb.select(
+        F.col(id_col), F.col(label_col), v_micro.alias("__v")
+    )
+    sums = (
+        rows.select(
+            label_col, F.posexplode(F.col("__v")).alias("__pos", "__x")
+        )
+        .groupBy(label_col, "__pos")
+        .agg(
+            F.sum(F.col("__x").cast("long")).alias("__s"),
+        )
+    )
+    cents = sums.groupBy(label_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(__pos, __s))), "
+            "p -> CAST(p.__s AS DOUBLE))"
+        ).alias("__c")
+    )
+    dot = "aggregate(zip_with(__v, __c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    n1 = "sqrt(aggregate(transform(__v, x -> x * x), CAST(0 AS DOUBLE), (a, v) -> a + v))"
+    n2 = "sqrt(aggregate(transform(__c, x -> x * x), CAST(0 AS DOUBLE), (a, v) -> a + v))"
+    cos_e4 = F.expr(
+        f"CAST(floor(({dot}) / (({n1}) * ({n2})) * {out_scale} + 0.5) AS BIGINT)"
+    )
+    return (
+        rows.join(F.broadcast(cents), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            cos_e4.alias("cos_e4"),
+            (cos_e4 < F.lit(int(threshold_e4))).alias("is_outlier"),
+        )
+    )

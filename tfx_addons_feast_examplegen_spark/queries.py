@@ -2555,6 +2555,47 @@ FROM w
 """
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space curation gate: cosine against the own-label
+    # centroid, integer micro-unit coordinates so every cross-engine sum
+    # is an integer sum (order-free) and the double arithmetic downstream
+    # is the same deterministic expression on both sides.
+    from .operators.similarity import embedding_outliers
+
+    t = register_tables(spark, sf_dir)
+    return embedding_outliers(t["embeddings"], threshold_e4=0)
+
+
+_EMBEDDING_OUTLIERS_ORACLE = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT label, i AS pos, CAST(sum(v[i]) AS BIGINT) AS s
+  FROM m, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+  GROUP BY label, i
+),
+c AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+  FROM e GROUP BY label
+),
+scored AS (
+  SELECT m.vec_id, m.label,
+    CAST(floor(
+      list_sum(list_transform(generate_series(1, len(v)),
+                              i -> v[i] * cvec[i]))
+      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+         * sqrt(list_sum(list_transform(cvec, x -> x * x))))
+      * 10000 + 0.5) AS BIGINT) AS cos_e4
+  FROM m JOIN c USING (label)
+)
+SELECT vec_id, label, cos_e4, (cos_e4 < 0) AS is_outlier FROM scored
+"""
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Perplexity-proxy curation signal: per-doc unigram NLL under the
     # corpus's own token distribution (no external LM). Costs are
@@ -3678,6 +3719,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _INTERPOLATE_ORACLE,
     ),
     "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
+    "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "sequence_example_roundtrip": (
         _q_sequence_example_roundtrip,
