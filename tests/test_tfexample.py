@@ -585,3 +585,46 @@ def test_read_tfrecord_gzip_size_guard(spark, tmp_path):
 
     ok = read_tfrecord_dataset(spark, str(tmp_path), schema)
     assert ok.count() == 200
+
+
+def test_tfrecord_index_sidecar_roundtrip(spark, tmp_path):
+    # An indexed shard must split from the sidecar (no header hop), read
+    # back identically, and a STALE sidecar must be distrusted.
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        encode_example,
+    )
+    from tfx_addons_feast_examplegen_spark.sources.tfrecord import (
+        _read_index_chunks,
+        read_tfrecord_dataset,
+        write_tfrecords,
+    )
+
+    recs = [encode_example({"k": i}) for i in range(1000)]
+    f = str(tmp_path / "part-0.tfrecord")
+    write_tfrecords(recs, f, compress=False, write_index=True, index_every=64)
+    assert os.path.exists(f + ".idx")
+
+    chunks = _read_index_chunks(f, 1 << 10)
+    assert chunks and len(chunks) > 3
+    assert sum(nb for _, nb in chunks) == os.path.getsize(f)
+
+    schema = StructType.fromDDL("k long")
+    df = read_tfrecord_dataset(
+        spark, str(tmp_path), schema, target_chunk_bytes=1 << 10
+    )
+    assert sorted(r.k for r in df.collect()) == list(range(1000))
+
+    # stale sidecar (file grew after indexing) -> ignored, not trusted
+    with open(f, "ab") as fh:
+        fh.write(b"")  # size unchanged; now fake a bad index instead
+    with open(f + ".idx", "w") as fh:
+        fh.write("0\n17\n")  # wrong final size
+    assert _read_index_chunks(f, 1 << 10) is None
+    df2 = read_tfrecord_dataset(
+        spark, str(tmp_path), schema, target_chunk_bytes=1 << 10
+    )
+    assert df2.count() == 1000  # header-hop fallback still reads fine

@@ -102,3 +102,51 @@ def salted_join(
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     small_s = small.withColumn("__salt", salts)
     return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-skew diagnostics: the top-``top_n`` hottest keys with their
+    row counts, share of the table, and skew factor (count / mean count
+    over distinct keys). Run this BEFORE choosing a mitigation — a skew
+    factor near 1 needs nothing, moderate factors are AQE's job
+    (skew-join splitting), triple digits call for :func:`salted_agg` /
+    :func:`salted_join` or the time-bucketed as-of join.
+
+    One map-side-combinable count aggregate + a 1-row global summary
+    broadcast — the diagnostic costs one shuffle of (distinct keys)
+    rows, never the data. Deterministic output order (count desc, then
+    keys) so results are comparable run-to-run. ``pct_e4`` is
+    integer basis points; ``skew_x_e2`` is the skew factor in
+    hundredths — integer outputs, portable everywhere.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    summary = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    order = [F.col("cnt").desc()] + [F.col(k).asc() for k in key_cols]
+    return (
+        counts.crossJoin(F.broadcast(summary))
+        .select(
+            *key_cols,
+            "cnt",
+            F.floor(
+                F.col("cnt") * 10000 / F.col("__total") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pct_e4"),
+            F.floor(
+                F.col("cnt") * 100 * F.col("__nkeys") / F.col("__total")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("skew_x_e2"),
+        )
+        .orderBy(*order)
+        .limit(top_n)
+    )

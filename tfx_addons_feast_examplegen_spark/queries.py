@@ -2555,6 +2555,28 @@ FROM w
 """
 
 
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The diagnostics half of skew mitigation: hottest keys + integer
+    # basis-point share + skew factor, so the mitigation choice (none /
+    # AQE / salting / time-bucketing) is measured, not guessed.
+    from .operators.skew import skew_report
+
+    t = register_tables(spark, sf_dir)
+    return skew_report(t["documents"], ["lang"], top_n=10)
+
+
+_SKEW_REPORT_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+s AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c)
+SELECT lang, CAST(cnt AS BIGINT) AS cnt,
+       CAST(floor(cnt * 10000 / total + 0.5) AS BIGINT) AS pct_e4,
+       CAST(floor(cnt * 100 * nkeys / total + 0.5) AS BIGINT) AS skew_x_e2
+FROM c, s
+ORDER BY cnt DESC, lang ASC
+LIMIT 10
+"""
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding-space curation gate: cosine against the own-label
     # centroid, integer micro-unit coordinates so every cross-engine sum
@@ -3720,6 +3742,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
+    "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "sequence_example_roundtrip": (
         _q_sequence_example_roundtrip,
