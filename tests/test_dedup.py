@@ -259,3 +259,58 @@ def test_minhash_index_param_mismatch_raises(spark, sf_dir, tmp_path):
     write_minhash_index(docs, idx, "doc_id", "text", bands=16)
     with pytest.raises(ValueError, match="was built with"):
         minhash_lsh_join_indexed(docs, idx, "doc_id", "text", bands=8)
+
+
+def test_shared_run_pairs_finds_longest_run(spark):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        shared_run_pairs,
+    )
+
+    # docs 0/1 share a verbatim 10-token run; doc 2 shares nothing long.
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(
+        spark,
+        [
+            "x y " + run + " p q",
+            run + " completely different tail here now",
+            "unrelated words that never chain into anything shared",
+        ],
+    )
+    rows = shared_run_pairs(
+        df, "doc_id", "text", seed_n=5, min_run=8
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.longest_run, r.n_runs) for r in rows] == [
+        (0, 1, 10, 1)
+    ]
+
+
+def test_shared_run_pairs_two_disjoint_runs(spark):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        shared_run_pairs,
+    )
+
+    r1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    r2 = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    df = _docs(
+        spark,
+        [r1 + " xx " + r2, r2 + " yy zz ww vv uu tt ss rr qq " + r1],
+    )
+    rows = shared_run_pairs(
+        df, "doc_id", "text", seed_n=5, min_run=8
+    ).collect()
+    # both runs found as separate maximal islands; longest is the 9-token
+    assert [(r.doc_a, r.doc_b, r.longest_run, r.n_runs) for r in rows] == [
+        (0, 1, 9, 2)
+    ]
+
+
+def test_shared_run_min_run_below_seed_raises(spark):
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        shared_run_pairs,
+    )
+
+    df = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="min_run"):
+        shared_run_pairs(df, "doc_id", "text", seed_n=5, min_run=4)

@@ -436,3 +436,30 @@ def test_unigram_logprob_ranks_rare_tokens(spark):
     import math
 
     assert out[0].nll_micro_nats == 4 * math.floor(-math.log(9 / 40) * 1e6)
+
+
+def test_bpe_pair_merges_counts_and_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.text import (
+        bpe_pair_merges,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b a b c"),
+            Row(doc_id=1, text="a b x"),
+            Row(doc_id=2, text="solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bpe_pair_merges(df, "doc_id", "text", top_n=3).collect()
+    # ("a","b") appears 3x across 2 docs; overlapping pairs both count.
+    assert (rows[0].left_tok, rows[0].right_tok) == ("a", "b")
+    assert rows[0].pair_count == 3 and rows[0].doc_freq == 2
+    assert rows[0].merged_tok == "ab"
+    # remaining ties (count 1) break lexicographically
+    assert [(r.left_tok, r.right_tok) for r in rows[1:]] == [
+        ("b", "a"),
+        ("b", "c"),
+    ]

@@ -33,7 +33,7 @@ from __future__ import annotations
 import random
 from collections import deque
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import rebalance_for_compute
@@ -344,6 +344,99 @@ def containment_pairs(
         .join(sb, "doc_b")
         .filter(cont >= threshold)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
+def shared_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seed_n: int = 5,
+    min_run: int = 8,
+    max_bucket: int = 1000,
+    on_over_cap: str = "drop",
+) -> DataFrame:
+    """Exact-substring dedup: for every document pair, the longest run of
+    consecutive tokens the two share VERBATIM (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array ExactSubstr criterion, re-expressed relationally).
+
+    A shared verbatim run of L >= ``seed_n`` tokens appears as
+    L - seed_n + 1 consecutive matching positional seed-grams on one
+    alignment diagonal (pa - pb constant), so the suffix array is
+    replaced by three shuffle-friendly steps:
+
+    1. positional seed-grams (posexplode, xxhash64-folded key — the
+       gram string never leaves the mapper);
+    2. capped self-equi-join on the gram key (broadcast anti-prune of
+       degenerate grams, same no-silent-caps contract as
+       :func:`_bucket_pairs` — a stopword-run gram shared by thousands
+       of docs contributes candidates quadratically but evidence of
+       nothing);
+    3. islands-and-gaps run assembly: within (doc_a, doc_b, diagonal),
+       consecutive pa values chain via the pa - row_number() trick, and
+       each island of length c is a maximal shared run of c + seed_n - 1
+       tokens. The window partitions by pair+diagonal, so state per task
+       is one partition of matched grams — spillable, never a per-pair
+       array in memory.
+
+    Output: (doc_a, doc_b, longest_run, n_runs) with doc_a < doc_b,
+    filtered to longest_run >= ``min_run`` (which must be >= seed_n —
+    shorter shared runs produce no matching seed-gram at all).
+    """
+    if min_run < seed_n:
+        raise ValueError(
+            f"min_run ({min_run}) must be >= seed_n ({seed_n}): runs "
+            "shorter than the seed gram are invisible to the join"
+        )
+    pos = (
+        rebalance_for_compute(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(_grams_expr(text_col, seed_n)).alias("pos", "gram"),
+        )
+        .select(F.col(id_col), "pos", F.xxhash64("gram").alias("gram"))
+    )
+    # Degenerate-gram prune, inlined from _bucket_pairs (which emits
+    # distinct id pairs; here the positions must survive the join).
+    sizes = pos.groupBy("gram").agg(F.count(F.lit(1)).alias("__n"))
+    over_cond = F.col("__n") > max_bucket
+    if on_over_cap == "error":
+        over_cond = over_cond & F.assert_true(
+            F.col("__n") <= max_bucket,
+            F.concat(
+                F.lit(f"shared_run_pairs: gram over cap ({max_bucket}); size="),
+                F.col("__n").cast("string"),
+            ),
+        ).isNull()
+    elif on_over_cap != "drop":
+        raise ValueError(f"on_over_cap must be 'drop' or 'error': {on_over_cap!r}")
+    over = sizes.filter(over_cond).select("gram")
+    pruned = pos.join(F.broadcast(over), "gram", "left_anti")
+
+    a = pruned.select("gram", F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"))
+    b = pruned.select("gram", F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"))
+    matches = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(seed_n - 1)).alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_tokens").alias("longest_run"),
+            F.sum((F.col("run_tokens") >= min_run).cast("long")).alias("n_runs"),
+        )
+        .filter(F.col("longest_run") >= min_run)
     )
 
 

@@ -483,3 +483,57 @@ def unigram_logprob(
             F.sum("__cost").alias("nll_micro_nats"),
         )
     )
+
+
+def bpe_pair_merges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """One distributed BPE merge step: count every ADJACENT token pair
+    across the corpus and return the ``top_n`` merge candidates.
+
+    This is the inner loop of byte-pair-encoding tokenizer training
+    (Sennrich et al. 2016) re-expressed as a Spark aggregation: the
+    highest-count pair is the next merge rule. Adjacency is materialized
+    with ``transform(sequence(...))`` over the token array (no UDF), and
+    the count is a plain map-side-combinable groupBy — at 100 TB the
+    shuffle carries one partial count per distinct pair per partition,
+    not one row per token. Top-n selection is ``orderBy + limit``
+    (TakeOrdered — no global sort materialization); ties at the boundary
+    break on (left_tok, right_tok) so the selected set is deterministic
+    across engines.
+
+    Output: (left_tok, right_tok, merged_tok, pair_count, doc_freq).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.expr(_toks_sql(text_col)).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(ts[i-1] AS left_tok, ts[i] AS right_tok))"
+            )
+        ).alias("p"),
+    ).select("__id", "p.left_tok", "p.right_tok")
+    counted = pairs.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).alias("pair_count"),
+        F.countDistinct("__id").alias("doc_freq"),
+    )
+    return (
+        counted.orderBy(
+            F.col("pair_count").desc(), F.col("left_tok"), F.col("right_tok")
+        )
+        .limit(int(top_n))
+        .select(
+            "left_tok",
+            "right_tok",
+            F.concat("left_tok", "right_tok").alias("merged_tok"),
+            "pair_count",
+            "doc_freq",
+        )
+    )

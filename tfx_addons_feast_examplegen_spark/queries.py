@@ -2708,6 +2708,83 @@ WHERE c.cnt * 50 > n.n_g
 """
 
 
+def _q_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One distributed BPE merge step (Sennrich et al. 2016): corpus-wide
+    # adjacent-token-pair counts, top-20 merge candidates. Map-side
+    # combinable aggregation; tie-break on (left, right) makes the
+    # selected set deterministic across engines.
+    t = register_tables(spark, sf_dir)
+    return tx.bpe_pair_merges(t["documents"], "doc_id", "text", top_n=20)
+
+
+_BPE_PAIR_MERGES_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+p AS (
+  SELECT doc_id, w[i] AS left_tok, w[i+1] AS right_tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+),
+c AS (
+  SELECT left_tok, right_tok,
+         CAST(count(*) AS BIGINT) AS pair_count,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM p GROUP BY 1, 2
+)
+SELECT left_tok, right_tok, left_tok || right_tok AS merged_tok,
+       pair_count, doc_freq
+FROM c
+ORDER BY pair_count DESC, left_tok, right_tok
+LIMIT 20
+"""
+
+
+def _q_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-substring dedup (Lee et al. 2022 ExactSubstr): longest
+    # verbatim shared token run per pair via positional seed-grams +
+    # diagonal islands — the distributed stand-in for their suffix
+    # array. on_over_cap="error": gated by an uncapped exact oracle.
+    t = register_tables(spark, sf_dir)
+    return dd.shared_run_pairs(
+        t["documents"], "doc_id", "text",
+        seed_n=5, min_run=8, on_over_cap="error",
+    )
+
+
+# Independent DuckDB derivation: string seed-grams (no hash fold),
+# lateral generate_series positions, same diagonal islands-and-gaps.
+_SHARED_RUN_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+  WHERE len(w) >= 5
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, CAST(count(*) + 4 AS BIGINT) AS run_tokens
+  FROM r GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, max(run_tokens) AS longest_run,
+       CAST(count(*) FILTER (WHERE run_tokens >= 8) AS BIGINT) AS n_runs
+FROM runs GROUP BY doc_a, doc_b
+HAVING max(run_tokens) >= 8
+"""
+
+
 def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Third real codec behind the multimodal boundary: 8-bit RGB PNG,
     # pure stdlib (zlib inflate + chunk CRC verification + all five
@@ -3741,6 +3818,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _INTERPOLATE_ORACLE,
     ),
     "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
+    "bpe_pair_merges": (_q_bpe_pair_merges, _BPE_PAIR_MERGES_ORACLE),
+    "dedup_exact_substring": (_q_shared_run, _SHARED_RUN_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
