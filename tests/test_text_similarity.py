@@ -463,3 +463,43 @@ def test_bpe_pair_merges_counts_and_tiebreak(spark):
         ("b", "a"),
         ("b", "c"),
     ]
+
+
+def test_pq_encode_codes_shape_and_range(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    books = pq_train(emb, m=8, n_codes=16, refine_iters=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    rows = pq_encode(emb, books).select("vec_id", "codes").collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_topk_self_duplicate_is_top1(spark):
+    import pyspark.sql.functions as F
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        pq_topk,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    # plant an exact duplicate of vec 0 under a new id: ADC distance 0,
+    # exact re-rank cos 1.0 -> must be rank 1 for query 0.
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dup = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    out = pq_topk(
+        emb.unionByName(dup), query_filter="vec_id = 0", k=5, shortlist=30
+    )
+    top = [r for r in out.collect() if r.rank == 1]
+    assert top and top[0].neighbor_id == 100000 and top[0].cos == 1.0

@@ -233,6 +233,65 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_filter: str | None = None,
+    queries: DataFrame | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the top-k
+    most-similar vectors carrying a DIFFERENT label (DPR / SimCSE-style
+    training-pair construction — in-batch negatives are easy, the
+    negatives worth shipping to the trainer are the near-misses).
+
+    Same plan shape as :func:`cosine_topk` (broadcast query batch against
+    the rebalanced corpus, JVM-side fold dot products, per-query window
+    top-k with round(cos, 6) + neighbor-id tie-break); the label
+    inequality rides the broadcast-join condition, so mismatched-label
+    pairs are dropped before the window shuffle.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, cos,
+    rank).
+    """
+    q = queries if queries is not None else emb.filter(query_filter)
+    emb = rebalance_for_compute(emb)
+    qs = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = corpus.join(
+        F.broadcast(qs), F.col("query_label") != F.col("neighbor_label")
+    ).withColumn("cos", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos",
+            "rank",
+        )
+    )
+
+
 def cosine_topk_blocked(
     emb: DataFrame,
     *,
@@ -489,6 +548,188 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("cos", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _pq_cb_sql(codebooks: list[list[list[float]]]) -> str:
+    """Nested literal: array(sub -> array(code -> array(dim -> float)))."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_sql_vec(c) for c in book) + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    refine_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011): the
+    vector is split into ``m`` contiguous subvectors and each subspace
+    gets its own ``n_codes``-entry k-means codebook (L2 metric).
+
+    Deterministic init (hash-ordered corpus sample, sliced per
+    subspace), refined with distributed Lloyd iterations over the
+    EXPLODED subvector frame — all m subspaces train in one pass per
+    iteration: assignment is a narrow HOF projection against the nested
+    codebook literal (constant-size expression tree regardless of
+    m × n_codes), means are one (sub, code, pos)-keyed aggregate. Only
+    the m × n_codes × d_sub codebook matrix reaches the driver.
+    """
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    rows = (
+        emb.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r[0][s * d_sub : (s + 1) * d_sub]] for r in rows]
+        for s in range(m)
+    ]
+    if len(rows) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+
+    subs = emb.select(
+        F.expr(
+            f"explode(transform(sequence(0, {m - 1}), s -> "
+            f"struct(s AS sub, slice({vec_col}, s * {d_sub} + 1, {d_sub}) "
+            f"AS sv)))"
+        ).alias("e")
+    ).select("e.sub", "e.sv")
+    for _ in range(refine_iters):
+        cb = _pq_cb_sql(books)
+        assigned = subs.select(
+            "sub",
+            "sv",
+            F.expr(
+                f"array_sort(transform(element_at({cb}, sub + 1), (c, i) -> "
+                f"struct(aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), "
+                f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS dist, i AS code)"
+                f"))[0].code"
+            ).alias("code"),
+        )
+        means = (
+            assigned.select(
+                "sub", "code", F.posexplode(F.col("sv")).alias("pos", "x")
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mval"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault((r.sub, r.code), {})[r.pos] = r.mval
+        for (s, c), dims in upd.items():
+            books[s][c] = [dims[i] for i in range(d_sub)]  # empty codes keep
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices (array<int> —
+    m × log2(n_codes) bits of payload instead of dim × 4 bytes). Narrow
+    projection, constant-size HOF expression, no shuffle."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _pq_cb_sql(codebooks)
+    codes = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_sort(transform(element_at({cb}, s + 1), (c, i) -> "
+        f"struct(aggregate(zip_with(slice({vec_col}, s * {d_sub} + 1, "
+        f"{d_sub}), c, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v) AS dist, i AS code)))[0].code)"
+    )
+    return emb.select("*", F.expr(codes).alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 20,
+    seed: int = 42,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric-distance search: the corpus is
+    scanned as compact codes, each query scores a code row by summing
+    per-subspace L2 distances between its OWN full-precision subvector
+    and the centroid the code names (ADC — the query side is never
+    quantized), the best ``shortlist`` candidates per query are re-ranked
+    with exact cosine, and the top ``k`` survive.
+
+    Scale shape: the ADC scan reads m small ints per corpus row (the
+    codes column — at dim=64/m=8 that is ~16× less than the float
+    vector), the codebook rides along as a constant-size nested literal,
+    and only shortlist × n_queries rows reach the exact re-rank. At
+    100 TB the re-rank would join the shortlist back to the vector store
+    by id; here the vector column rides the scan for simplicity.
+    """
+    emb = rebalance_for_compute(emb)
+    books = pq_train(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        n_codes=n_codes,
+        seed=seed,
+        refine_iters=refine_iters,
+    )
+    d_sub = len(books[0][0])
+    cb = _pq_cb_sql(books)
+    corpus = pq_encode(emb, books, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes"
+    )
+    qs = emb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), (acc, s) -> "
+        f"acc + aggregate(zip_with(slice(qv, s * {d_sub} + 1, {d_sub}), "
+        f"element_at(element_at({cb}, s + 1), element_at(codes, s + 1) + 1), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v))"
+    )
+    scored = corpus.join(
+        F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("adc", F.round(F.expr(adc), 9))
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    cands = scored.withColumn("srank", F.row_number().over(w_short)).filter(
+        F.col("srank") <= shortlist
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (
         _norm(F.col("qv")) * _norm(F.col("cv"))

@@ -935,6 +935,47 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contrastive hard-negative mining: per query, the top-5 nearest
+    # OTHER-label vectors (the near-misses a contrastive trainer needs).
+    # Label inequality rides the broadcast-join condition.
+    t = register_tables(spark, sf_dir)
+    out = sim.hard_negatives(
+        t["embeddings"], query_filter="vec_id < 20", k=5
+    )
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_HARD_NEGATIVES_ORACLE = """
+WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
+         c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS neighbor_label,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos6
+  FROM q JOIN c ON q.label <> c.label
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos6, 4) AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked triangle join: equi-join on a block-pair key (no
     # BroadcastNestedLoopJoin), bit-identical to the naive all-pairs
@@ -3636,6 +3677,40 @@ FROM embeddings WHERE vec_id < 20
 # Textually identical today, but a separate name so an LSH-specific edit
 # (different query_filter / k) can't silently corrupt the IVF contract.
 _ANN_IVF_RECALL_ORACLE = _ANN_LSH_RECALL_ORACLE
+_ANN_PQ_RECALL_ORACLE = _ANN_LSH_RECALL_ORACLE  # same portable shape
+
+
+def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ADC recall contract (same pattern as the
+    # LSH/IVF contracts): m=8 subspaces x 16 codes (8 bits -> 4 bytes of
+    # code per 256-byte vector), ADC shortlist of 150 re-ranked exactly,
+    # mean recall@5 >= 0.6 vs the exact top-5. Measured 0.95 at sf0.01 /
+    # 0.70 at sf0.1 — deterministic (hash-seeded init over fixed data).
+    # The fixture's near-random 64-dim embeddings are PQ's hard case
+    # (little subspace structure to exploit); real text embeddings
+    # cluster and quantize far better.
+    t = register_tables(spark, sf_dir)
+    ann = sim.pq_topk(
+        t["embeddings"], query_filter="vec_id < 20", k=5,
+        m=8, n_codes=16, shortlist=150,
+    )
+    exact = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.6).alias("recall_ok"),
+    )
 
 
 def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3820,6 +3895,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "bpe_pair_merges": (_q_bpe_pair_merges, _BPE_PAIR_MERGES_ORACLE),
     "dedup_exact_substring": (_q_shared_run, _SHARED_RUN_ORACLE),
+    "contrastive_hard_negatives": (_q_hard_negatives, _HARD_NEGATIVES_ORACLE),
+    "similarity_ann_pq_recall": (_q_ann_pq_recall, _ANN_PQ_RECALL_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
