@@ -2488,6 +2488,58 @@ FROM px GROUP BY doc_id, width, height
 """
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image resize, fully oracle-checked end-to-end: a mixed-
+    # container corpus (BMP for even doc_ids, PNG for odd — the resize
+    # stage must sniff both) is nearest-neighbor resampled to 6x5 with
+    # the explicit index map sx = x*w//6, sy = y*h//5, re-encoded as
+    # BMP, and decoded AGAIN for channel stats. The oracle replays the
+    # index map against the closed-form pixel formula — four codec
+    # passes (encode, decode, encode, decode) must all be bit-exact for
+    # the hashes to meet.
+    from .operators.multimodal import (
+        attach_bmp_payloads,
+        attach_png_payloads,
+        extract_image_stats,
+        resize_images,
+    )
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    media = attach_bmp_payloads(docs.filter("doc_id % 2 = 0")).unionByName(
+        attach_png_payloads(docs.filter("doc_id % 2 = 1"))
+    )
+    return extract_image_stats(
+        resize_images(media, target_width=6, target_height=5)
+    )
+
+
+_MULTIMODAL_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(doc_id % 11 + 4 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, c.c,
+         (d.doc_id*7 + ((y.y * d.h) // 5)*31 + ((x.x * d.w) // 6)*3
+          + c.c*11) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, 5)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 6)) AS x) x,
+       LATERAL (SELECT unnest([0,1,2]) AS c) c
+)
+SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+       CAST(SUM(CASE WHEN c=0 THEN v END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN c=1 THEN v END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN c=2 THEN v END) AS BIGINT) AS b_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id
+"""
+
+
 def _q_interpolate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Linear interpolation onto a dense daily grid — the third leg of
     # time-series completion next to gap_fill (zeros) and forward_fill
@@ -3897,6 +3949,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact_substring": (_q_shared_run, _SHARED_RUN_ORACLE),
     "contrastive_hard_negatives": (_q_hard_negatives, _HARD_NEGATIVES_ORACLE),
     "similarity_ann_pq_recall": (_q_ann_pq_recall, _ANN_PQ_RECALL_ORACLE),
+    "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
