@@ -246,3 +246,25 @@ def test_temperature_mix_upweights_tail(spark, sf_dir):
         F.count(F.lit(1)).alias("n")).collect()}
     rates = [nt[g] / sizes[g] for g in nt]
     assert max(rates) - min(rates) < 0.25
+
+
+def test_length_bucketing_padding_waste(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        length_bucketing,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (i + 1))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = sorted(length_bucketing(df, n_buckets=4).collect(),
+                  key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == [1, 2, 3, 4]
+    assert all(r.n_docs == 2 for r in rows)
+    # lengths 1..8 in order: buckets (1,2),(3,4),(5,6),(7,8)
+    assert [(r.min_len, r.max_len) for r in rows] == [
+        (1, 2), (3, 4), (5, 6), (7, 8)
+    ]
+    assert all(r.padding_waste == 1 for r in rows)

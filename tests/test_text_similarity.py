@@ -503,3 +503,27 @@ def test_pq_topk_self_duplicate_is_top1(spark):
     )
     top = [r for r in out.collect() if r.rank == 1]
     assert top and top[0].neighbor_id == 100000 and top[0].cos == 1.0
+
+
+def test_bigram_logprob_flags_unusual_transitions(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    # doc 2 uses common TOKENS in an order never seen elsewhere
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat sat on the mat"),
+            Row(doc_id=1, text="the cat sat on the rug"),
+            Row(doc_id=2, text="mat the on sat cat the"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert rows[0].n_bigrams == 5
+    per_tok = {
+        i: rows[i].nll_micro_nats / rows[i].n_bigrams for i in range(3)
+    }
+    assert per_tok[2] > per_tok[0] and per_tok[2] > per_tok[1]

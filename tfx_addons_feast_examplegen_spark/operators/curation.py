@@ -322,3 +322,54 @@ def temperature_mix(
         .filter(bucket < F.col("__cut"))
         .drop("__cut")
     )
+
+
+def length_bucketing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Length-bucketed batching stats: docs are split into ``n_buckets``
+    equal-population buckets by token count (the standard padding-waste
+    reducer for sequence training — batch similar lengths together) and
+    each bucket reports the padding cost of batching it as-is.
+
+    ``padding_waste = max_len * n_docs - sum_len`` — the pad tokens a
+    naive per-bucket rectangular batch would burn; summed over buckets
+    this quantifies the win over one global batch. Bucketing uses exact
+    NTILE over (n_tokens, id) — deterministic, portable. At 100 TB the
+    bucket BOUNDARIES would come from a quantile sketch instead of a
+    global sort (see the sketch_quantiles entry for that machinery);
+    NTILE here keeps the semantics exact and oracle-checkable — the
+    sketch path is the approximate twin, same downstream contract.
+
+    Output: (bucket, n_docs, min_len, max_len, sum_len, padding_waste).
+    """
+    lens = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.asc("n_tokens"), F.asc("__id"))
+    bucketed = lens.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_len"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+            (
+                F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")
+            ).alias("padding_waste"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs", "min_len", "max_len", "sum_len", "padding_waste",
+        )
+    )

@@ -485,6 +485,78 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-document bigram negative log-likelihood under the corpus's own
+    add-1-smoothed bigram model — the second-order companion to
+    :func:`unigram_logprob`: text whose token TRANSITIONS are globally
+    unusual scores high even when every individual token is common
+    (shuffled/templated/keyword-stuffed text).
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = vocab size.
+    Integer-portable arithmetic as in the unigram scorer: per-bigram
+    cost ``floor(-ln(p) * scale)`` in BIGINT micro-nats, per-doc costs
+    are integer sums — order-free across engines. Plan: two map-side-
+    combinable count aggregates (bigrams, unigrams) + a 1-row vocab
+    count, one join of the bigram stream against the costed table (AQE
+    broadcast), one per-doc aggregate.
+
+    Output: (id_col, n_bigrams, nll_micro_nats).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.expr(_toks_sql(text_col)).alias("ts")
+    )
+    stream = toks.select(
+        "__id", F.explode(F.col("ts")).alias("token")
+    )
+    uni = stream.groupBy("token").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    pairs = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("__id", "p.w1", "p.w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    costed = (
+        bi.join(uni.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log(
+                    (F.col("__c2") + F.lit(1)).cast("double")
+                    / (F.col("__c1") + F.col("__v")).cast("double")
+                )
+                * F.lit(int(scale))
+            )
+            .cast("long")
+            .alias("__cost"),
+        )
+    )
+    return (
+        pairs.join(costed, ["w1", "w2"])
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__cost").alias("nll_micro_nats"),
+        )
+    )
+
+
 def bpe_pair_merges(
     df: DataFrame,
     id_col: str = "doc_id",

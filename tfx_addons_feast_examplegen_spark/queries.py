@@ -2745,6 +2745,79 @@ GROUP BY tok.doc_id
 """
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Second-order perplexity proxy: add-1-smoothed bigram NLL under the
+    # corpus's own transition counts — flags text whose token TRANSITIONS
+    # are unusual even when every token is common. Same integer
+    # micro-nat portability contract as text_unigram_logprob.
+    t = register_tables(spark, sf_dir)
+    return tx.bigram_logprob(t["documents"], "doc_id", "text")
+
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+v AS (SELECT count(*) AS v FROM uni),
+p AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2),
+costed AS (
+  SELECT bi.w1, bi.w2,
+         CAST(floor(-ln(CAST(bi.c2 + 1 AS DOUBLE)
+                        / CAST(uni.c1 + v.v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS cost
+  FROM bi JOIN uni ON uni.token = bi.w1, v
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(cost) AS BIGINT) AS nll_micro_nats
+FROM p JOIN costed USING (w1, w2)
+GROUP BY p.doc_id
+"""
+
+
+def _q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Length-bucketed batching stats (padding-waste reducer): exact
+    # NTILE(8) over (token count, doc_id); per-bucket rectangular-batch
+    # padding cost. At 100 TB boundaries come from the quantile sketch
+    # twin; NTILE keeps the oracle exact.
+    from .operators.curation import length_bucketing
+
+    t = register_tables(spark, sf_dir)
+    return length_bucketing(t["documents"], "doc_id", "text", n_buckets=8)
+
+
+_LENGTH_BUCKETING_ORACLE = """
+WITH lens AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         NTILE(8) OVER (ORDER BY n_tokens, id) AS bucket
+  FROM lens
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_len,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+         AS padding_waste
+FROM b GROUP BY bucket
+"""
+
+
 def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LLM data mixing: sample language g with probability ~ n_g^alpha
     # (alpha=0.5 upweights tail languages). Deterministic portable-hash
@@ -3950,6 +4023,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "contrastive_hard_negatives": (_q_hard_negatives, _HARD_NEGATIVES_ORACLE),
     "similarity_ann_pq_recall": (_q_ann_pq_recall, _ANN_PQ_RECALL_ORACLE),
     "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
+    "text_bigram_logprob": (_q_bigram_logprob, _BIGRAM_LOGPROB_ORACLE),
+    "length_bucketing": (_q_length_bucketing, _LENGTH_BUCKETING_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
