@@ -87,6 +87,19 @@ column (no extra shuffle volume), the small side's explode multiplies
 it n_salts times BEFORE its exchange, and the join key becomes
 (key, salt) — so a hot key hashes to n_salts distinct partitions by
 construction, independent of AQE's runtime skew detection.""",
+    "dedup_exact_substring": """ExactSubstr without a suffix array: positional seed-grams meet in a
+capped self-equi-join on the hashed gram key (both sides are the SAME
+pruned subtree — the degenerate-gram broadcast anti-prune and the scan
+under it are paid once via ReusedExchange, exactly the jaccard shape),
+then runs assemble with ONE window shuffle on (doc_a, doc_b, diagonal)
+and map-side-combinable aggregates. No nested-loop joins anywhere; the
+quadratic blowup is bounded by gram co-occurrence and the cap.""",
+    "contrastive_hard_negatives": """Same intentional BroadcastNestedLoopJoin as similarity_topk: the
+build side is the tiny query batch (with labels), the corpus streams
+one pass, and the label-inequality predicate rides the join so
+same-label rows die before the per-query top-k window — the only
+Exchange in the tree. Exact scoring IS every (query, corpus) pair;
+there is no candidate structure to exploit.""",
 }
 
 HDR = """# Physical plans (generated)

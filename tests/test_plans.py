@@ -84,3 +84,27 @@ def test_sessionization_plan(qs, spark, sf_dir):
     # one window over (user_id, ts): a single shuffle + sorts, no joins
     assert s["exchanges"] <= 2, s
     assert s["nested_loop_joins"] == 0, s
+
+
+def test_dedup_exact_substring_plan(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "dedup_exact_substring")
+    # capped equi-join + one window shuffle; never a nested loop
+    assert s["nested_loop_joins"] == 0, s
+    assert s["sort_merge_joins"] == 0, s
+    assert s["exchanges"] <= 9, s
+
+
+def test_contrastive_hard_negatives_plan(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "contrastive_hard_negatives")
+    # exactly the similarity_topk exception: ONE BNLJ whose build side is
+    # the broadcast query batch; no shuffle beyond the top-k window
+    assert s["nested_loop_joins"] == 1, s
+    assert s["broadcasts"] >= 1, s
+    assert s["exchanges"] <= 2, s
+
+
+def test_multimodal_resize_plan_no_shuffle(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "multimodal_image_resize")
+    # payload->payload->stats is a pure narrow chain
+    assert s["exchanges"] == 0, s
+    assert all("doc_id" in rs for rs in s["read_schemas"]), s
