@@ -15,12 +15,13 @@ Measured (local[32], 2026-08-14, round 5; ambient load average ~10-17
 from host neighbors, so these are upper bounds):
 
   query                 1x (sf0.1)   10x (sf1)   wall ratio
-  pit_join                 1.08s        2.32s        2.1x
-  dedup_ngram_jaccard      1.87s       10.56s        5.7x
-  dedup_minhash_lsh        1.42s        5.17s        3.6x
-  similarity_ann_lsh       0.96s        1.51s        1.6x
+  pit_join                 1.06s        2.28s        2.1x
+  dedup_ngram_jaccard      2.15s        7.84s        3.6x
+  dedup_minhash_lsh        1.51s        7.47s        4.9x
+  similarity_ann_lsh       0.99s        2.16s        2.2x
+  dedup_exact_substring    1.40s        7.96s        5.7x
 
-All four scale SUBLINEARLY in wall clock for 10x data on 32 cores (the
+All five scale SUBLINEARLY in wall clock for 10x data on 32 cores (the
 1x runs underutilize the machine; the 10x runs amortize fixed costs),
 i.e. no quadratic term surfaced at sf1. Two methodology notes baked
 into the script, both of which previously produced FALSE superlinear
@@ -183,6 +184,10 @@ def main():
         r["similarity_ann_lsh"] = timeit(
             "similarity_ann_lsh",
             sim.lsh_topk(em, query_filter="vec_id < 20", k=5),
+        )
+        r["dedup_exact_substring"] = timeit(
+            "dedup_exact_substring",
+            dd.shared_run_pairs(dc, "doc_id", "text", seed_n=5, min_run=8),
         )
         results[scale] = r
 

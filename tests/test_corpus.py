@@ -108,3 +108,31 @@ def test_connected_components_deep_chain(spark):
     # raise rather than return silently-wrong labels
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=1)
+
+
+def test_corpus_report_metrics(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.corpus import (
+        corpus_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c", lang="en", source="s0"),
+            Row(doc_id=1, text="a b c", lang="en", source="s0"),
+            Row(doc_id=2, text="d e", lang="de", source="s1"),
+            Row(doc_id=3, text="f", lang="de", source="s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    m = {r.metric: r.value for r in corpus_report(df).collect()}
+    assert m["n_docs"] == 4
+    assert m["n_tokens"] == 9
+    assert m["vocab_size"] == 6
+    assert m["n_langs"] == 2 and m["n_sources"] == 2
+    assert m["exact_dup_docs"] == 1
+    assert m["mean_doc_len_centitokens"] == 225
+    # uniform 2-lang split: entropy = ln(2) nats ~= 693147 micro-nats
+    # (per-lang floor: 2 * floor(346573.59) = 693146)
+    assert m["lang_entropy_micro_nats"] == 693146

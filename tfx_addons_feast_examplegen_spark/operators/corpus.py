@@ -188,3 +188,82 @@ def connected_components(
             "raise max_iters (convergence needs O(log diameter) rounds)"
         )
     return labels.select(F.col("id").alias(id_col), "cluster")
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Corpus data card: one (metric, value) row per headline statistic —
+    the summary block a dataset release ships with (size, vocabulary,
+    provenance spread, duplication, language balance).
+
+    All values are BIGINT with explicit fixed-point scaling so the card
+    is bit-portable across engines: mean length in centi-tokens,
+    language entropy in micro-nats with the floor applied PER LANGUAGE
+    before the sum (integer summation — order-free). Three distributed
+    passes: one multi-aggregate scan (counts + distincts), one token
+    explode for vocabulary, one lang groupBy for entropy.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.countDistinct(text_col).alias("n_distinct_texts"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.countDistinct(source_col).alias("n_sources"),
+    )
+    vocab = df.select(
+        F.explode(toks).alias("token")
+    ).agg(F.countDistinct("token").alias("vocab_size"))
+    # per-language floor BEFORE the integer sum: order-free entropy
+    lang_counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_l"))
+    entropy = (
+        lang_counts.crossJoin(
+            F.broadcast(base.select(F.col("n_docs").alias("__n")))
+        )
+        .select(
+            F.floor(
+                -F.log(F.col("n_l").cast("double") / F.col("__n").cast("double"))
+                * F.lit(int(scale))
+                * F.col("n_l").cast("double")
+                / F.col("__n").cast("double")
+            )
+            .cast("long")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("lang_entropy_micro_nats"))
+    )
+    metric = lambda name, col: F.struct(  # noqa: E731
+        F.lit(name).alias("metric"), col.cast("long").alias("value")
+    )
+    wide = base.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(entropy))
+    rows = wide.select(
+        F.explode(
+            F.array(
+                metric("n_docs", F.col("n_docs")),
+                metric("n_tokens", F.col("n_tokens")),
+                metric("vocab_size", F.col("vocab_size")),
+                metric("n_langs", F.col("n_langs")),
+                metric("n_sources", F.col("n_sources")),
+                metric(
+                    "exact_dup_docs",
+                    F.col("n_docs") - F.col("n_distinct_texts"),
+                ),
+                metric(
+                    "mean_doc_len_centitokens",
+                    F.floor(F.col("n_tokens") * 100 / F.col("n_docs")),
+                ),
+                metric(
+                    "lang_entropy_micro_nats",
+                    F.col("lang_entropy_micro_nats"),
+                ),
+            )
+        ).alias("m")
+    )
+    return rows.select("m.metric", "m.value")

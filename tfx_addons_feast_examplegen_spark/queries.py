@@ -2745,6 +2745,95 @@ GROUP BY tok.doc_id
 """
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dataset data card: (metric, value) BIGINT rows — size, vocabulary,
+    # provenance spread, exact-dup mass, language balance. Fixed-point
+    # scaling everywhere; entropy floors per language BEFORE the integer
+    # sum, so the card is bit-portable.
+    from .operators.corpus import corpus_report
+
+    t = register_tables(spark, sf_dir)
+    return corpus_report(t["documents"])
+
+
+_CORPUS_REPORT_ORACLE = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token FROM documents)
+),
+ent AS (
+  SELECT CAST(sum(term) AS BIGINT) AS lang_entropy_micro_nats
+  FROM (
+    SELECT CAST(floor(-ln(CAST(n_l AS DOUBLE) / b.n_docs) * 1000000
+                      * n_l / b.n_docs) AS BIGINT) AS term
+    FROM (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang), base b
+  )
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+  UNION ALL SELECT 'vocab_size', vocab_size FROM vocab
+  UNION ALL SELECT 'n_langs', n_langs FROM base
+  UNION ALL SELECT 'n_sources', n_sources FROM base
+  UNION ALL SELECT 'exact_dup_docs', n_docs - n_distinct_texts FROM base
+  UNION ALL SELECT 'mean_doc_len_centitokens',
+                   CAST(floor(n_tokens * 100 / n_docs) AS BIGINT) FROM base
+  UNION ALL SELECT 'lang_entropy_micro_nats', lang_entropy_micro_nats
+            FROM ent
+)
+"""
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-source contamination audit: containment_pairs with the
+    # SOURCE as the identity — distinct shingles per source, pairwise
+    # shared-shingle containment (shared / min set size). The operator
+    # is id-agnostic by design; the same capped bucket join that pairs
+    # documents pairs provenance groups.
+    t = register_tables(spark, sf_dir)
+    out = dd.containment_pairs(
+        t["documents"], "source", "text", n=3, threshold=0.01,
+        on_over_cap="error", max_bucket=100000,
+    )
+    return out.select(
+        F.col("doc_a").alias("source_a"),
+        F.col("doc_b").alias("source_b"),
+        "containment",
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH t AS (SELECT source, string_split(lower(text), ' ') AS w
+           FROM documents),
+sh AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT source, count(*) AS nsh FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       round(common * 1.0 / least(sa.nsh, sb.nsh), 4) AS containment
+FROM pairs
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+WHERE common * 1.0 / least(sa.nsh, sb.nsh) >= 0.01
+"""
+
+
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Second-order perplexity proxy: add-1-smoothed bigram NLL under the
     # corpus's own transition counts — flags text whose token TRANSITIONS
@@ -4025,6 +4114,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
     "text_bigram_logprob": (_q_bigram_logprob, _BIGRAM_LOGPROB_ORACLE),
     "length_bucketing": (_q_length_bucketing, _LENGTH_BUCKETING_ORACLE),
+    "corpus_report": (_q_corpus_report, _CORPUS_REPORT_ORACLE),
+    "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
