@@ -2745,6 +2745,105 @@ GROUP BY tok.doc_id
 """
 
 
+# Retention cohort matrix: users cohorted by first-activity week, one
+# row per (cohort_week, week_offset) with distinct active users. Two
+# map-side-combinable aggregates + one equi-join on user_id (AQE
+# broadcasts the cohort side when small); integer week arithmetic —
+# epoch seconds div 604800 — so offsets are bit-portable.
+_QRETENTION = """
+WITH fw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT CAST(fw.cw AS DATE) AS cohort_week,
+       CAST((unix_timestamp(act.w) - unix_timestamp(fw.cw)) div 604800
+            AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+FROM act JOIN fw ON act.user_id = fw.user_id
+GROUP BY 1, 2
+"""
+
+_QRETENTION_ORACLE = """
+WITH fw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT CAST(fw.cw AS DATE) AS cohort_week,
+       CAST((epoch(act.w) - epoch(fw.cw)) // 604800 AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+FROM act JOIN fw ON act.user_id = fw.user_id
+GROUP BY 1, 2
+"""
+
+
+def _q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population-stability-index drift between two order cohorts (1995
+    # split point): fixed-width value bins, add-1 Laplace smoothing so
+    # empty bins stay finite, per-bin micro-nat floor BEFORE the integer
+    # sum (order-free). The monitoring primitive a feature platform runs
+    # per feature per day; one scan, two conditional aggregates.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+WITH binned AS (
+  SELECT least(9, CAST(floor(o_totalprice / 60000) AS INT)) AS bin,
+         CASE WHEN o_orderdate < DATE'1995-01-01' THEN 0 ELSE 1 END AS era
+  FROM orders
+),
+counts AS (
+  SELECT b.bin,
+         sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS c_new
+  FROM binned b GROUP BY b.bin
+),
+tot AS (SELECT sum(c_ref) AS n_ref, sum(c_new) AS n_new FROM counts),
+terms AS (
+  SELECT bin,
+         CAST(c_ref AS BIGINT) AS c_ref, CAST(c_new AS BIGINT) AS c_new,
+         CAST(floor(
+           ((c_ref + 1) / (n_ref + 10) - (c_new + 1) / (n_new + 10)) *
+           ln(((c_ref + 1) / (n_ref + 10)) / ((c_new + 1) / (n_new + 10)))
+           * 1000000) AS BIGINT) AS psi_term_micro
+  FROM counts, tot
+)
+SELECT bin, c_ref, c_new, psi_term_micro FROM terms
+""")
+
+
+# Same text modulo dialect: DuckDB divides BIGINTs to DOUBLE with '/'
+# exactly like Spark, so the oracle is near-verbatim.
+_FEATURE_DRIFT_PSI_ORACLE = """
+WITH binned AS (
+  SELECT least(9, CAST(floor(o_totalprice / 60000) AS INT)) AS bin,
+         CASE WHEN o_orderdate < DATE'1995-01-01' THEN 0 ELSE 1 END AS era
+  FROM orders
+),
+counts AS (
+  SELECT b.bin,
+         sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS c_new
+  FROM binned b GROUP BY b.bin
+),
+tot AS (SELECT sum(c_ref) AS n_ref, sum(c_new) AS n_new FROM counts),
+terms AS (
+  SELECT bin,
+         CAST(c_ref AS BIGINT) AS c_ref, CAST(c_new AS BIGINT) AS c_new,
+         CAST(floor(
+           ((c_ref + 1) / (n_ref + 10) - (c_new + 1) / (n_new + 10)) *
+           ln(((c_ref + 1) / (n_ref + 10)) / ((c_new + 1) / (n_new + 10)))
+           * 1000000) AS BIGINT) AS psi_term_micro
+  FROM counts, tot
+)
+SELECT bin, c_ref, c_new, psi_term_micro FROM terms
+"""
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dataset data card: (metric, value) BIGINT rows — size, vocabulary,
     # provenance spread, exact-dup mass, language balance. Fixed-point
@@ -4116,6 +4215,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "length_bucketing": (_q_length_bucketing, _LENGTH_BUCKETING_ORACLE),
     "corpus_report": (_q_corpus_report, _CORPUS_REPORT_ORACLE),
     "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
+    "retention_cohorts": (_sql_query(_QRETENTION), _QRETENTION_ORACLE),
+    "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
