@@ -527,3 +527,19 @@ def test_bigram_logprob_flags_unusual_transitions(spark):
         i: rows[i].nll_micro_nats / rows[i].n_bigrams for i in range(3)
     }
     assert per_tok[2] > per_tok[0] and per_tok[2] > per_tok[1]
+
+
+def test_ann_index_param_mismatch_raises(spark, sf_dir, tmp_path):
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        lsh_topk_indexed,
+        write_ann_index,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    idx = str(tmp_path / "ann_idx")
+    write_ann_index(emb, idx, bands=4, target_files=2)
+    with pytest.raises(ValueError, match="was built with"):
+        lsh_topk_indexed(emb.filter("vec_id < 5"), idx, bands=2)

@@ -743,6 +743,36 @@ def pq_topk(
     )
 
 
+def _query_band_probes(
+    bands: int, bits_per_band: int, n_probe_bits: int
+) -> "F.Column":
+    """Query-side probe set over a ``lsh_sig`` column: the exact band
+    value plus (optionally) every value one bit-flip away. Perturbation
+    happens BEFORE the explode so it is one array literal per band, and
+    only on the (tiny) query side."""
+    if n_probe_bits not in (0, 1):
+        raise ValueError(
+            f"n_probe_bits supports 0 (exact buckets) or 1 (distance-1 "
+            f"probes); got {n_probe_bits}"
+        )
+    mask = (1 << bits_per_band) - 1
+    probes = [0]
+    if n_probe_bits == 1:
+        probes += [1 << b for b in range(bits_per_band)]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.expr(
+                    f"((lsh_sig >> {i * bits_per_band}) & {mask}) ^ {m}"
+                ).alias("band_val"),
+            )
+            for i in range(bands)
+            for m in probes
+        ]
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     *,
@@ -795,29 +825,7 @@ def lsh_topk(
         F.col(id_col), F.col(vec_col), F.explode(band_arr).alias("b")
     ).select(id_col, vec_col, "b.band_id", "b.band_val")
 
-    # Query-side probe set: the exact band value plus (optionally) every
-    # value one bit-flip away. Perturbation happens BEFORE the explode so
-    # it is one array literal per band, and only on the (tiny) query side.
-    if n_probe_bits not in (0, 1):
-        raise ValueError(
-            f"n_probe_bits supports 0 (exact buckets) or 1 (distance-1 "
-            f"probes); got {n_probe_bits}"
-        )
-    probes = [0]
-    if n_probe_bits == 1:
-        probes += [1 << b for b in range(bits_per_band)]
-    q_band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.expr(
-                    f"((lsh_sig >> {i * bits_per_band}) & {mask}) ^ {m}"
-                ).alias("band_val"),
-            )
-            for i in range(bands)
-            for m in probes
-        ]
-    )
+    q_band_arr = _query_band_probes(bands, bits_per_band, n_probe_bits)
     q_sigs = sigs.filter(query_filter) if query_filter else sigs
     qs = q_sigs.select(
         F.col(id_col).alias("query_id"),
@@ -842,6 +850,136 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         cands.withColumn("cos", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    target_files: int | None = None,
+) -> None:
+    """Materialize the corpus side of LSH ANN search once (the vector
+    twin of :func:`..dedup.write_minhash_index`).
+
+    A standing retrieval service answers query batches against a mostly
+    static corpus; re-signing 100 TB of vectors per batch is the
+    dominant cost of one-shot :func:`lsh_topk`. Two parquet artifacts:
+
+    - ``banded``: (id, band_id, band_val) — the candidate-join index,
+      4 small ints per vector per band, NO vector payload;
+    - ``vectors``: (id, vec) — fetched by id only for the shortlist
+      re-rank, so the wide column never rides the candidate shuffle.
+
+    Hyperplane parameters are baked into a ``params`` artifact; probes
+    with different (dim, n_planes, bands, seed) fail fast instead of
+    silently probing the wrong buckets.
+    """
+
+    def _w(df: DataFrame, sub: str) -> None:
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        df.write.mode("overwrite").parquet(f"{path}/{sub}")
+
+    sigs = lsh_signature(
+        rebalance_for_compute(emb),
+        vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed,
+    )
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.expr(
+                    f"(lsh_sig >> {i * bits_per_band}) & {mask}"
+                ).alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    _w(
+        sigs.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
+            id_col, "b.band_id", "b.band_val"
+        ),
+        "banded",
+    )
+    _w(emb.select(F.col(id_col), F.col(vec_col)), "vectors")
+    emb.sparkSession.createDataFrame(
+        [(dim, n_planes, bands, seed, id_col, vec_col)],
+        "dim int, n_planes int, bands int, seed int, "
+        "id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def lsh_topk_indexed(
+    queries: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    n_probe_bits: int = 1,
+) -> DataFrame:
+    """:func:`lsh_topk` against a pre-built corpus index: only the query
+    batch is signed per run; candidates come from the probe-exploded
+    query side equi-joined to the stored ``banded`` artifact, and ONLY
+    shortlisted neighbor ids fetch their vectors from the ``vectors``
+    artifact for exact re-ranking — the wide embedding column never
+    rides the candidate shuffle. Validates the baked-in hyperplane
+    parameters and fails fast on mismatch.
+    """
+    spark = queries.sparkSession
+    p = spark.read.parquet(f"{index_path}/params").collect()[0]
+    got = (dim, n_planes, bands, seed)
+    want = (p["dim"], p["n_planes"], p["bands"], p["seed"])
+    if got != want:
+        raise ValueError(
+            f"ann index at {index_path} was built with (dim, n_planes, "
+            f"bands, seed)={want}; probe requested {got}"
+        )
+    banded = spark.read.parquet(f"{index_path}/banded").select(
+        F.col(p["id_col"]).alias("neighbor_id"), "band_id", "band_val"
+    )
+    vectors = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col(p["id_col"]).alias("neighbor_id"),
+        F.col(p["vec_col"]).alias("cv"),
+    )
+    q_sigs = lsh_signature(
+        queries, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    )
+    q_band_arr = _query_band_probes(bands, n_planes // bands, n_probe_bits)
+    qs = q_sigs.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(q_band_arr).alias("b"),
+    ).select("query_id", "qv", "b.band_id", "b.band_val")
+    cands = (
+        qs.join(banded, ["band_id", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id")
+        .distinct()
+    )
+    scored = cands.join(vectors, "neighbor_id")
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("cos", F.round(cos, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")

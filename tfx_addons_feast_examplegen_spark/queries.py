@@ -3993,6 +3993,43 @@ _ANN_IVF_RECALL_ORACLE = _ANN_LSH_RECALL_ORACLE
 _ANN_PQ_RECALL_ORACLE = _ANN_LSH_RECALL_ORACLE  # same portable shape
 
 
+def _q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized-index ANN as an equivalence CONTRACT: the corpus is
+    # signed/banded once into parquet artifacts (write_ann_index), the
+    # query batch probes the stored index with shortlist-then-fetch
+    # vector retrieval, and the output row asserts the probe result is
+    # ROW-IDENTICAL to the in-memory lsh_topk at the same parameters
+    # (symmetric difference on (query_id, neighbor_id, rank) = 0). The
+    # oracle emits the query count and literal TRUE.
+    import tempfile as _tempfile
+
+    t = register_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    idx = _tempfile.mkdtemp(prefix="ann_index_")
+    sim.write_ann_index(emb, idx, target_files=4)
+    qbatch = emb.filter("vec_id < 20")
+    via_index = sim.lsh_topk_indexed(qbatch, idx, k=5)
+    in_mem = sim.lsh_topk(emb, query_filter="vec_id < 20", k=5)
+    key = ["query_id", "neighbor_id", "rank"]
+    a, b = via_index.select(*key), in_mem.select(*key)
+    sym_diff = (
+        a.join(b, key, "left_anti").unionByName(b.join(a, key, "left_anti"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_q = qbatch.agg(F.countDistinct("vec_id").alias("nq"))
+    return n_q.crossJoin(F.broadcast(sym_diff)).select(
+        F.col("nq").cast("long").alias("n_queries"),
+        (F.col("n") == 0).alias("identical"),
+    )
+
+
+_ANN_INDEXED_ORACLE = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS identical
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Product-quantization ADC recall contract (same pattern as the
     # LSH/IVF contracts): m=8 subspaces x 16 codes (8 bits -> 4 bytes of
@@ -4216,6 +4253,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_report": (_q_corpus_report, _CORPUS_REPORT_ORACLE),
     "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "retention_cohorts": (_sql_query(_QRETENTION), _QRETENTION_ORACLE),
+    "similarity_ann_indexed": (_q_ann_indexed, _ANN_INDEXED_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
