@@ -300,3 +300,70 @@ def test_spine_source_chain_is_linear_and_equivalent(spark):
     assert n_base < n_chained  # logical tree no longer doubles per level
     key = lambda r: (r.uid, r.v0, r.v1, r.v2, r.v3)  # noqa: E731
     assert sorted(map(key, base.collect())) == sorted(map(key, chained.collect()))
+
+
+def test_nearest_event_join_picks_closest_either_side(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.pit_join import (
+        nearest_event_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    entities = spark.createDataFrame(
+        [Row(k=1, ts=s(0)), Row(k=1, ts=s(1000)), Row(k=2, ts=s(0))],
+        "k long, ts timestamp",
+    )
+    feats = spark.createDataFrame(
+        [
+            Row(k=1, fts=s(-30), v=1.0, cid=1),   # 30s back
+            Row(k=1, fts=s(20), v=2.0, cid=2),    # 20s forward -> closest
+            Row(k=1, fts=s(1599), v=3.0, cid=3),  # 599s from 1000 - within
+            # k=2 candidate exactly AT the tolerance boundary (inclusive)
+            Row(k=2, fts=s(600), v=4.0, cid=4),
+        ],
+        "k long, fts timestamp, v double, cid long",
+    )
+    out = nearest_event_join(
+        entities, feats, join_keys=["k"], entity_ts_col="ts",
+        feature_ts_col="fts", features=["v"], tolerance_seconds=600,
+        created_col="cid",
+    )
+    rows = {(r.k, r.ts): r for r in out.collect()}
+    assert rows[(1, s(0))].v == 2.0          # forward 20s beats back 30s
+    assert rows[(1, s(1000))].v == 3.0       # within tolerance
+    assert rows[(2, s(0))].v == 4.0          # boundary is inclusive
+
+
+def test_nearest_event_join_tie_breaks_backward(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.pit_join import (
+        nearest_event_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    entities = spark.createDataFrame(
+        [Row(k=1, ts=t0)], "k long, ts timestamp"
+    )
+    feats = spark.createDataFrame(
+        [
+            Row(k=1, fts=t0 - dt.timedelta(seconds=10), v=1.0, cid=1),
+            Row(k=1, fts=t0 + dt.timedelta(seconds=10), v=2.0, cid=2),
+        ],
+        "k long, fts timestamp, v double, cid long",
+    )
+    out = nearest_event_join(
+        entities, feats, join_keys=["k"], entity_ts_col="ts",
+        feature_ts_col="fts", features=["v"], tolerance_seconds=60,
+        created_col="cid",
+    ).collect()
+    assert out[0].v == 1.0  # equal distance -> backward wins

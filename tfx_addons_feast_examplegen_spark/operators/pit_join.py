@@ -49,7 +49,7 @@ Spark-first design decisions (scale rationale):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import Registry, RegistryError
@@ -334,3 +334,73 @@ def materialize_features(
                 output_prefix=prefix,
             )
     return out
+
+
+def nearest_event_join(
+    entity_df: DataFrame,
+    feature_df: DataFrame,
+    *,
+    join_keys: list[str],
+    entity_ts_col: str,
+    feature_ts_col: str,
+    features: list[str],
+    tolerance_seconds: int,
+    created_col: str | None = None,
+) -> DataFrame:
+    """Nearest-in-time join (pandas ``merge_asof(direction='nearest')``):
+    for each entity row, the single feature row with the same keys
+    minimizing ``|feature_ts - entity_ts|``, bounded by a mandatory
+    ``tolerance_seconds`` window either direction. Complements the
+    backward-only :func:`point_in_time_join` for sensor alignment and
+    event attribution where the closest reading wins regardless of side.
+
+    Always time-bucketed — the tolerance is mandatory precisely so the
+    candidate set is bounded: each feature row lands in bucket
+    ``floor(us / tol_us)``, each entity probes its own bucket and both
+    neighbors (covering the full ±tolerance interval), and the exact
+    range predicate filters inside the match. A hot key pairs each
+    entity row with at most three tolerance windows of history — the
+    same 100 TB interval-join shape as ``time_bucketed`` pit_join, made
+    non-optional because "nearest" without a bound is a full-history
+    scan per row.
+
+    Ties (equal distance both sides) break backward-first, then newest
+    ``created_col`` — deterministic and replayable in ANSI SQL.
+    Microsecond integer arithmetic throughout; entities with no
+    candidate keep NULL features (left-outer).
+    """
+    tol_us = int(tolerance_seconds) * 1_000_000
+    e_us = F.unix_micros(F.col(entity_ts_col))
+    f_us = F.unix_micros(F.col(feature_ts_col))
+    extra = [created_col] if created_col else []
+    spine = entity_df.select(*join_keys, entity_ts_col).distinct()
+    probes = spine.select(
+        "*",
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("__d"),
+    ).withColumn("__b", F.floor(e_us / tol_us) + F.col("__d"))
+    fb = feature_df.select(
+        *join_keys, feature_ts_col, *features, *extra
+    ).withColumn("__b", F.floor(f_us / tol_us))
+    dist = F.abs(f_us - e_us)
+    order = [
+        F.asc(dist),
+        # backward-first on exact-distance ties
+        F.asc(F.when(f_us <= e_us, 0).otherwise(1)),
+        F.asc(feature_ts_col),
+    ]
+    if created_col:
+        order.append(F.desc(created_col))
+    w = Window.partitionBy(*join_keys, entity_ts_col).orderBy(*order)
+    best = (
+        probes.join(fb, [*join_keys, "__b"])
+        .filter(dist <= tol_us)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *join_keys,
+            entity_ts_col,
+            F.col(feature_ts_col).alias("matched_ts"),
+            *features,
+        )
+    )
+    return entity_df.join(best, [*join_keys, entity_ts_col], "left")

@@ -2745,6 +2745,62 @@ GROUP BY tok.doc_id
 """
 
 
+def _q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # merge_asof(direction='nearest'): each purchase attaches its
+    # closest click within ±10 min — always time-bucketed (the mandatory
+    # tolerance bounds candidates to three windows per row), ties break
+    # backward-first then newest event_id, microsecond integer
+    # arithmetic end-to-end.
+    from .operators.pit_join import nearest_event_join
+
+    t = register_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("cts"), "value", "event_id"
+    )
+    out = nearest_event_join(
+        purchases,
+        clicks,
+        join_keys=["user_id"],
+        entity_ts_col="ts",
+        feature_ts_col="cts",
+        features=["value"],
+        tolerance_seconds=600,
+        created_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "matched_ts",
+        F.round("value", 2).alias("click_value"),
+    )
+
+
+_NEAREST_EVENT_ORACLE = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts AS cts, value, event_id
+      FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT sp.user_id, sp.ts, c.cts, c.value, c.event_id,
+         abs(epoch_us(c.cts) - epoch_us(sp.ts)) AS dist,
+         CASE WHEN c.cts <= sp.ts THEN 0 ELSE 1 END AS fwd
+  FROM (SELECT DISTINCT user_id, ts FROM p) sp
+  JOIN c USING (user_id)
+  WHERE abs(epoch_us(c.cts) - epoch_us(sp.ts)) <= 600000000
+),
+best AS (
+  SELECT user_id, ts, cts, value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY dist, fwd, cts, event_id DESC) AS rn
+  FROM cand
+)
+SELECT p.user_id, p.ts AS purchase_ts, b.cts AS matched_ts,
+       round(b.value, 2) AS click_value
+FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (user_id, ts)
+"""
+
+
 # Retention cohort matrix: users cohorted by first-activity week, one
 # row per (cohort_week, week_offset) with distinct active users. Two
 # map-side-combinable aggregates + one equi-join on user_id (AQE
@@ -4254,6 +4310,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "retention_cohorts": (_sql_query(_QRETENTION), _QRETENTION_ORACLE),
     "similarity_ann_indexed": (_q_ann_indexed, _ANN_INDEXED_ORACLE),
+    "nearest_event_join": (_q_nearest_event_join, _NEAREST_EVENT_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
