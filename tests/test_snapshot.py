@@ -44,3 +44,34 @@ def test_incremental_upsert_set_ships_new_versions_only(spark):
         for r in incremental_upsert_set(old, new, ["k"], ["v", "tag"]).collect()
     )
     assert rows == [(2, 25.0, "b"), (5, 50.0, "e")]
+
+
+def test_merge_upsert_seq_and_tombstones(spark):
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.snapshot import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")],
+        "k long, v string",
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(k=1, v="a1", seq=1, dead=False),
+            Row(k=1, v="a2", seq=2, dead=False),  # newest seq wins
+            Row(k=2, v="x", seq=1, dead=True),    # tombstone
+            Row(k=4, v="d", seq=1, dead=False),   # insert
+        ],
+        "k long, v string, seq long, dead boolean",
+    )
+    out = {
+        r.k: r.v
+        for r in merge_upsert(
+            base, updates, ["k"], seq_col="seq", delete_col="dead"
+        )
+        .select("k", "v")
+        .collect()
+    }
+    assert out == {1: "a2", 3: "c", 4: "d"}

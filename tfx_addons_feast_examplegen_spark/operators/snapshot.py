@@ -69,3 +69,45 @@ def incremental_upsert_set(
         *key_cols,
         *[F.col(f"new_{c}").alias(c) for c in compare_cols],
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    seq_col: str | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC batch to a base table — the MERGE INTO of a lakehouse
+    sync, as two shuffle-friendly relational steps: keys present in the
+    batch leave the base (left-anti join), then the batch's surviving
+    rows union in. Updates therefore win on key collision; with
+    ``delete_col`` set, rows whose flag is true act as tombstones
+    (removed, not re-inserted); with ``seq_col`` set, only the
+    newest-per-key batch row applies (late/duplicated CDC events
+    collapse deterministically — ties break on the full sort of
+    ``seq_col`` descending then key order, so pass a unique sequence).
+
+    Both steps shuffle on the merge keys; bucket the base table on the
+    keys (``sources/bucketing.py``) and the anti-join co-locates with
+    zero base-side exchange — the standing-sync layout at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    up = updates
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+        up = (
+            up.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    survivors = base.join(
+        up.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    if delete_col is not None:
+        up = up.filter(~F.col(delete_col)).drop(delete_col)
+    if seq_col is not None and seq_col not in base.columns:
+        up = up.drop(seq_col)  # ordering-only column, not payload
+    return survivors.unionByName(up)

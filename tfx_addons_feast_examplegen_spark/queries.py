@@ -2745,6 +2745,62 @@ GROUP BY tok.doc_id
 """
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lakehouse MERGE INTO: a January per-user state table absorbs a
+    # February CDC batch — newest-per-key update wins (seq = event_id),
+    # 'error'-typed rows act as tombstones. Anti-join + union; at scale
+    # the base side is bucketed so the anti-join is exchange-free.
+    from .operators.snapshot import merge_upsert
+
+    register_tables(spark, sf_dir)
+    base = spark.sql("""
+        SELECT user_id,
+               max_by(round(value, 2), struct(ts, event_id)) AS value,
+               max(ts) AS state_ts,
+               CAST(NULL AS BIGINT) AS seq
+        FROM events WHERE ts < TIMESTAMP'2024-02-01 00:00:00'
+        GROUP BY user_id
+    """)
+    updates = spark.sql("""
+        SELECT user_id, round(value, 2) AS value, ts AS state_ts,
+               event_id, event_type = 'error' AS is_delete
+        FROM events
+        WHERE ts >= TIMESTAMP'2024-02-01 00:00:00'
+          AND ts < TIMESTAMP'2024-03-01 00:00:00'
+    """)
+    return merge_upsert(
+        base, updates.withColumnRenamed("event_id", "seq"),
+        ["user_id"], seq_col="seq", delete_col="is_delete",
+    ).select("user_id", "value", "state_ts", "seq")
+
+
+_MERGE_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT user_id, round(value, 2) AS value, ts AS state_ts,
+         CAST(NULL AS BIGINT) AS seq
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS brn
+    FROM events WHERE ts < TIMESTAMP'2024-02-01 00:00:00'
+  ) WHERE brn = 1
+),
+up AS (
+  SELECT user_id, round(value, 2) AS value, ts AS state_ts,
+         event_id AS seq, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+  WHERE ts >= TIMESTAMP'2024-02-01 00:00:00'
+    AND ts < TIMESTAMP'2024-03-01 00:00:00'
+)
+SELECT b.user_id, b.value, b.state_ts, b.seq
+FROM base b ANTI JOIN (SELECT DISTINCT user_id FROM up) u USING (user_id)
+UNION ALL
+SELECT user_id, value, state_ts, seq
+FROM up WHERE rn = 1 AND NOT is_delete
+"""
+
+
 def _q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge_asof(direction='nearest'): each purchase attaches its
     # closest click within ±10 min — always time-bucketed (the mandatory
@@ -4311,6 +4367,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "retention_cohorts": (_sql_query(_QRETENTION), _QRETENTION_ORACLE),
     "similarity_ann_indexed": (_q_ann_indexed, _ANN_INDEXED_ORACLE),
     "nearest_event_join": (_q_nearest_event_join, _NEAREST_EVENT_ORACLE),
+    "merge_upsert_cdc": (_q_merge_upsert, _MERGE_UPSERT_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
