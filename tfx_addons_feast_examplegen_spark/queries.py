@@ -2857,6 +2857,41 @@ FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (user_id, ts)
 """
 
 
+# Recency-weighted activity score (feature-engineering primitive): each
+# event contributes value * 2^(-age/7d) — a 7-day half-life exponential
+# decay — floored to integer centi-units PER EVENT before the integer
+# sum, so engine summation order cannot move the result. One map-side-
+# combinable aggregate over the scan; age arithmetic in integer micros
+# against a fixed reference instant.
+_QDECAYED_SPARK = """
+SELECT user_id,
+       CAST(sum(CAST(floor(exp(-(ln(2) / 7) * age_days) * value * 100)
+                     AS BIGINT)) AS BIGINT) AS score_centi,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, value,
+         (unix_micros(TIMESTAMP'2024-04-01 00:00:00') - unix_micros(ts))
+           / 86400000000.0 AS age_days
+  FROM events
+)
+GROUP BY user_id
+"""
+
+_QDECAYED_ORACLE = """
+SELECT user_id,
+       CAST(sum(CAST(floor(exp(-(ln(2) / 7) * age_days) * value * 100)
+                     AS BIGINT)) AS BIGINT) AS score_centi,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, value,
+         (epoch_us(TIMESTAMP '2024-04-01 00:00:00') - epoch_us(ts))
+           / 86400000000.0 AS age_days
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
 # Retention cohort matrix: users cohorted by first-activity week, one
 # row per (cohort_week, week_offset) with distinct active users. Two
 # map-side-combinable aggregates + one equi-join on user_id (AQE
@@ -4368,6 +4403,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similarity_ann_indexed": (_q_ann_indexed, _ANN_INDEXED_ORACLE),
     "nearest_event_join": (_q_nearest_event_join, _NEAREST_EVENT_ORACLE),
     "merge_upsert_cdc": (_q_merge_upsert, _MERGE_UPSERT_ORACLE),
+    "decayed_activity_score": (_sql_query(_QDECAYED_SPARK), _QDECAYED_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
