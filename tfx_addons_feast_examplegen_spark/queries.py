@@ -2857,6 +2857,34 @@ FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (user_id, ts)
 """
 
 
+# Robust outlier detection: median absolute deviation per event_type,
+# flag values beyond 3 scaled MADs (1.4826 ~ consistency constant for
+# normal data). Median/MAD resist the contamination that breaks
+# mean/stddev gates — the robust-statistics data-quality primitive.
+# Identical SQL text runs on both engines (percentile_cont WITHIN GROUP
+# is the proven-portable exact quantile).
+_QMAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         percentile_cont(0.5)
+           WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+       round(m.med, 4) AS med, round(d.mad, 4) AS mad
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
+"""
+
+
 # Recency-weighted activity score (feature-engineering primitive): each
 # event contributes value * 2^(-age/7d) — a 7-day half-life exponential
 # decay — floored to integer centi-units PER EVENT before the integer
@@ -4404,6 +4432,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "nearest_event_join": (_q_nearest_event_join, _NEAREST_EVENT_ORACLE),
     "merge_upsert_cdc": (_q_merge_upsert, _MERGE_UPSERT_ORACLE),
     "decayed_activity_score": (_sql_query(_QDECAYED_SPARK), _QDECAYED_ORACLE),
+    "mad_outliers": (_sql_query(_QMAD_OUTLIERS), _QMAD_OUTLIERS),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
@@ -4519,14 +4548,17 @@ _DRIVER_PRIORITY = [
     "multimodal_image_png",
     "temperature_mix",
     "text_heavy_hitters",
-    # everything below sat OUTSIDE the r4 window (last driver-green r1-3)
-    # — surfaced so that r4 ∪ r5 driver rows cover the whole registry.
-    # Exactly eight entries stay outside this round (the window holds
-    # 50): pit_join_ttl, pit_join_time_bucketed, pit_join_multiview,
-    # feature_service, hash_split_counts, q1_pricing_summary,
-    # q3_top_revenue, q5_region_revenue — each driver-green in rounds 1
-    # AND 2 AND 3, unchanged since, re-proved by the committed
-    # CORRECTNESS_LOCAL_r05 log; they lead the r6 window.
+    # Everything below sat OUTSIDE the r4 window (last driver-green
+    # r1-3) — surfaced so that r4 ∪ r5 driver rows cover every entry
+    # that existed before round 5. Outside this round's window: (a) the
+    # eight triple-proven r1-3 entries (pit_join_ttl,
+    # pit_join_time_bucketed, pit_join_multiview, feature_service,
+    # hash_split_counts, q1/q3/q5) and (b) the ~20 operators ADDED in
+    # round 5 (exact-substring dedup, PQ/indexed ANN, hard negatives,
+    # image resize, bigram NLL, corpus report, retention, PSI, CDC
+    # merge, nearest join, ...) — every one proven by the committed
+    # CORRECTNESS_LOCAL_r05 log; the round-5 additions lead the r6
+    # window together with the eight deferred entries.
     "setop_intersect",
     "setop_except",
     "having_subquery",
