@@ -2857,6 +2857,46 @@ FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (user_id, ts)
 """
 
 
+# Multi-granularity time rollup in ONE pass: GROUPING SETS over
+# (day, week, month) derived dims — one scan, one aggregate, three
+# granularities (vs three separate jobs); GROUPING() flags which level a
+# row belongs to. Portable date_trunc + integer counts.
+_QTIME_ROLLUP_SPARK = """
+SELECT CAST(grouping(d) AS INT) AS g_day,
+       CAST(grouping(w) AS INT) AS g_week,
+       CAST(grouping(m) AS INT) AS g_month,
+       CAST(d AS DATE) AS day, CAST(w AS DATE) AS week,
+       CAST(m AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM (
+  SELECT value,
+         date_trunc('day', ts) AS d,
+         date_trunc('week', ts) AS w,
+         date_trunc('month', ts) AS m
+  FROM events
+)
+GROUP BY GROUPING SETS ((d), (w), (m))
+"""
+
+_QTIME_ROLLUP_ORACLE = _QTIME_ROLLUP_SPARK  # identical ANSI text
+
+
+# Per-group percent-rank feature transform (rank normalization — the
+# scale-free feature encoding): percent_rank of value within event_type,
+# tie-broken by event_id for a deterministic total order, emitted in
+# basis points (integer).
+_QPERCENT_RANK = """
+SELECT event_id, event_type,
+       round(value, 2) AS value,
+       CAST(floor(percent_rank() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) * 10000)
+            AS BIGINT) AS pct_rank_bp
+FROM events
+"""
+
+
 # Robust outlier detection: median absolute deviation per event_type,
 # flag values beyond 3 scaled MADs (1.4826 ~ consistency constant for
 # normal data). Median/MAD resist the contamination that breaks
@@ -4433,6 +4473,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "merge_upsert_cdc": (_q_merge_upsert, _MERGE_UPSERT_ORACLE),
     "decayed_activity_score": (_sql_query(_QDECAYED_SPARK), _QDECAYED_ORACLE),
     "mad_outliers": (_sql_query(_QMAD_OUTLIERS), _QMAD_OUTLIERS),
+    "time_rollup_multigrain": (
+        _sql_query(_QTIME_ROLLUP_SPARK),
+        _QTIME_ROLLUP_ORACLE,
+    ),
+    "percent_rank_transform": (_sql_query(_QPERCENT_RANK), _QPERCENT_RANK),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
