@@ -314,3 +314,27 @@ def test_shared_run_min_run_below_seed_raises(spark):
     df = _docs(spark, ["a b c"])
     with pytest.raises(ValueError, match="min_run"):
         shared_run_pairs(df, "doc_id", "text", seed_n=5, min_run=4)
+
+
+def test_remove_shared_runs_excises_higher_id_copy(spark):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        remove_shared_runs,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = _docs(
+        spark,
+        [
+            "x y " + run + " p q",          # doc 0: keeps the run
+            run + " different tail here",   # doc 1: run excised
+            "untouched words here stay put entirely",
+        ],
+    )
+    rows = {r.doc_id: r for r in
+            remove_shared_runs(df, "doc_id", "text", seed_n=5,
+                               min_run=8).collect()}
+    assert rows[0].n_tokens_removed == 0
+    assert rows[0].clean_text == "x y " + run + " p q"
+    assert rows[1].n_tokens_removed == 8
+    assert rows[1].clean_text == "different tail here"
+    assert rows[2].n_tokens_removed == 0

@@ -385,6 +385,35 @@ def shared_run_pairs(
     filtered to longest_run >= ``min_run`` (which must be >= seed_n —
     shorter shared runs produce no matching seed-gram at all).
     """
+    runs = _shared_runs(
+        df, id_col, text_col,
+        seed_n=seed_n, min_run=min_run,
+        max_bucket=max_bucket, on_over_cap=on_over_cap,
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("run_tokens").alias("longest_run"),
+            F.sum((F.col("run_tokens") >= min_run).cast("long")).alias("n_runs"),
+        )
+        .filter(F.col("longest_run") >= min_run)
+    )
+
+
+def _shared_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seed_n: int,
+    min_run: int,
+    max_bucket: int,
+    on_over_cap: str,
+) -> DataFrame:
+    """Maximal shared-run frame behind :func:`shared_run_pairs` and
+    :func:`remove_shared_runs`: one row per maximal verbatim run —
+    (doc_a, doc_b, diag, run_tokens, b_start), where ``b_start`` is the
+    0-based token index of the run's first token in doc_b."""
     if min_run < seed_n:
         raise ValueError(
             f"min_run ({min_run}) must be >= seed_n ({seed_n}): runs "
@@ -425,18 +454,92 @@ def shared_run_pairs(
         )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
+    return (
         matches.withColumn("grp", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "grp")
-        .agg((F.count(F.lit(1)) + F.lit(seed_n - 1)).alias("run_tokens"))
+        .agg(
+            (F.count(F.lit(1)) + F.lit(seed_n - 1)).alias("run_tokens"),
+            (F.min("pa") - F.col("diag")).alias("b_start"),
+        )
+        .drop("grp")
+    )
+
+
+def remove_shared_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    seed_n: int = 5,
+    min_run: int = 8,
+    max_bucket: int = 1000,
+    on_over_cap: str = "drop",
+) -> DataFrame:
+    """The TRANSFORM half of exact-substring dedup (Lee et al. 2022 cut
+    the duplicated span, they don't just count it): every verbatim run
+    of >= ``min_run`` tokens shared with a LOWER-id document is excised
+    from the higher-id one, so exactly one occurrence survives in the
+    corpus. Operates on the normalized (lowercased, space-split) token
+    stream; overlapping spans from different partners union naturally at
+    the token-position level.
+
+    Plan: the maximal-run frame (same capped machinery as
+    :func:`shared_run_pairs`) becomes per-doc removal spans, tokens
+    explode once with positions, span membership is an equi-join on the
+    doc id plus a range predicate (spans per doc are few), and the
+    surviving tokens re-assemble with an order-preserving
+    ``array_sort(collect_list(struct(pos, tok)))`` — per-task memory
+    holds single documents, never a corpus structure.
+
+    Output: (id_col, clean_text, n_tokens_removed) for EVERY input row.
+    """
+    runs = _shared_runs(
+        df, id_col, text_col,
+        seed_n=seed_n, min_run=min_run,
+        max_bucket=max_bucket, on_over_cap=on_over_cap,
+    ).filter(F.col("run_tokens") >= min_run)
+    spans = runs.select(
+        F.col("doc_b").alias("__id"),
+        F.col("b_start").alias("__s"),
+        (F.col("b_start") + F.col("run_tokens") - 1).alias("__e"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    removed = (
+        toks.select("__id", "pos")
+        .join(spans, "__id")
+        .filter(F.col("pos").between(F.col("__s"), F.col("__e")))
+        .select("__id", "pos")
+        .distinct()
+    )
+    kept = toks.join(removed, ["__id", "pos"], "left_anti")
+    clean = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))), "
+                "s -> s.tok)"
+            ),
+        ).alias("clean_text")
+    )
+    n_removed = removed.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_removed")
     )
     return (
-        runs.groupBy("doc_a", "doc_b")
-        .agg(
-            F.max("run_tokens").alias("longest_run"),
-            F.sum((F.col("run_tokens") >= min_run).cast("long")).alias("n_runs"),
+        df.select(F.col(id_col).alias("__id"))
+        .join(clean, "__id", "left")
+        .join(n_removed, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens_removed"), F.lit(0)).alias(
+                "n_tokens_removed"
+            ),
         )
-        .filter(F.col("longest_run") >= min_run)
     )
 
 

@@ -3354,6 +3354,77 @@ HAVING max(run_tokens) >= 8
 """
 
 
+def _q_remove_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The transform half of ExactSubstr dedup: excise every >=8-token
+    # verbatim run shared with a lower-id doc, keep one occurrence
+    # corpus-wide. Uncapped + fail-fast (exact oracle gates it).
+    t = register_tables(spark, sf_dir)
+    return dd.remove_shared_runs(
+        t["documents"], "doc_id", "text",
+        seed_n=5, min_run=8, on_over_cap="error",
+    )
+
+
+# Independent re-derivation: 1-based string grams, diagonal islands,
+# span union at token-position level, order-preserving string_agg.
+_REMOVE_SHARED_RUNS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+  WHERE len(w) >= 5
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_b, count(*) + 4 AS run_tokens, min(pa) - diag AS b_start
+  FROM r GROUP BY doc_a, doc_b, diag, grp
+),
+spans AS (
+  SELECT doc_b AS doc_id, b_start AS s, b_start + run_tokens - 1 AS e
+  FROM runs WHERE run_tokens >= 8
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+),
+removed AS (
+  SELECT DISTINCT tok.doc_id, tok.pos
+  FROM tok JOIN spans ON tok.doc_id = spans.doc_id
+  WHERE tok.pos BETWEEN spans.s AND spans.e
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok ANTI JOIN removed USING (doc_id, pos)
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+nrem AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_removed
+  FROM removed GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(c.clean_text, '') AS clean_text,
+       coalesce(n.n_tokens_removed, 0) AS n_tokens_removed
+FROM t
+LEFT JOIN clean c USING (doc_id)
+LEFT JOIN nrem n USING (doc_id)
+"""
+
+
 def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Third real codec behind the multimodal boundary: 8-bit RGB PNG,
     # pure stdlib (zlib inflate + chunk CRC verification + all five
@@ -4460,6 +4531,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "bpe_pair_merges": (_q_bpe_pair_merges, _BPE_PAIR_MERGES_ORACLE),
     "dedup_exact_substring": (_q_shared_run, _SHARED_RUN_ORACLE),
+    "dedup_remove_shared_runs": (
+        _q_remove_shared_runs,
+        _REMOVE_SHARED_RUNS_ORACLE,
+    ),
     "contrastive_hard_negatives": (_q_hard_negatives, _HARD_NEGATIVES_ORACLE),
     "similarity_ann_pq_recall": (_q_ann_pq_recall, _ANN_PQ_RECALL_ORACLE),
     "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
