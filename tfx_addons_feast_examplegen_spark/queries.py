@@ -2857,6 +2857,104 @@ FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (user_id, ts)
 """
 
 
+def _q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe split: hash the GROUP key (user), not the row — every
+    # event follows its user into one split, the hygiene rule that keeps
+    # a user's history out of both train and eval. Output also counts
+    # straddling users (provably zero when the split is a pure function
+    # of the group key — the oracle recomputes it, not assumes it).
+    from .operators.split import fingerprint_split
+
+    t = register_tables(spark, sf_dir)
+    s = fingerprint_split(t["events"], "user_id")
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    leak = (
+        s.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_users"))
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_leaky_users").cast("long").alias("n_leaky_users"),
+    )
+
+
+_GROUPED_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT *, CASE WHEN ((user_id * 2654435761) % 2147483648 + 2147483648)
+                      % 2147483648 % 3 < 2
+                 THEN 'train' ELSE 'eval' END AS split
+  FROM events
+),
+per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM s GROUP BY split
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaky_users FROM (
+    SELECT user_id FROM s GROUP BY user_id
+    HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split, n_events, n_users, n_leaky_users FROM per, leak
+"""
+
+
+# Tokenizer vocabulary coverage curve (OOV-rate planning): share of all
+# token OCCURRENCES covered by the top-V most frequent types, at three
+# vocabulary budgets — the curve that sizes a tokenizer's vocab. The
+# global type ranking is a vocab-sized sort (small data even at 100 TB
+# corpus scale); coverage in integer basis points, deterministic
+# (count, token) tie-break.
+_QVOCAB_COVERAGE = """
+WITH c AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT explode(filter(split(lower(text), ' '), x -> x != '')) AS token
+    FROM documents
+  ) GROUP BY token
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c
+),
+tot AS (SELECT sum(cnt) AS t, count(*) AS n_types FROM ranked)
+SELECT v.v AS vocab_budget,
+       CAST(floor(10000.0 * covered / t) AS BIGINT) AS covered_bp,
+       CAST(n_types AS BIGINT) AS n_types
+FROM (
+  SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000
+) v, tot,
+LATERAL (SELECT sum(cnt) AS covered FROM ranked WHERE rnk <= v.v)
+"""
+
+_QVOCAB_COVERAGE_ORACLE = """
+WITH c AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS token
+    FROM documents
+  ) GROUP BY token
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c
+),
+tot AS (SELECT sum(cnt) AS t, count(*) AS n_types FROM ranked)
+SELECT v.v AS vocab_budget,
+       CAST(floor(10000.0 * cov.covered / tot.t) AS BIGINT) AS covered_bp,
+       CAST(tot.n_types AS BIGINT) AS n_types
+FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) v,
+     tot,
+     LATERAL (SELECT sum(cnt) AS covered FROM ranked
+              WHERE rnk <= v.v) cov
+"""
+
+
 # Multi-granularity time rollup in ONE pass: GROUPING SETS over
 # (day, week, month) derived dims — one scan, one aggregate, three
 # granularities (vs three separate jobs); GROUPING() flags which level a
@@ -4553,6 +4651,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _QTIME_ROLLUP_ORACLE,
     ),
     "percent_rank_transform": (_sql_query(_QPERCENT_RANK), _QPERCENT_RANK),
+    "grouped_split_no_leakage": (_q_grouped_split, _GROUPED_SPLIT_ORACLE),
+    "vocab_coverage_curve": (
+        _sql_query(_QVOCAB_COVERAGE),
+        _QVOCAB_COVERAGE_ORACLE,
+    ),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
