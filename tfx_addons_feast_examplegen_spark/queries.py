@@ -1830,6 +1830,84 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming materialized-view maintenance: the event stream arrives
+    # as micro-batches (4-file source, one file per trigger) and each
+    # batch folds into a versioned parquet serving table via
+    # latest-wins merge — union(previous state, batch) -> one row per
+    # user, newest (ts, event_id) wins. The fold is ORDER-INDEPENDENT
+    # (max is associative/commutative over batches), so the final state
+    # equals the batch latest-per-user answer no matter how the file
+    # source slices or orders the input — which is the property that
+    # makes the pattern safe under redelivery. Full oracle: plain
+    # latest-per-user SQL over the whole table.
+    import os as _os
+    import tempfile as _tempfile
+
+    t = register_tables(spark, sf_dir)
+    src = _tempfile.mkdtemp(prefix="mv_src_")
+    t["events"].select(
+        "user_id", "ts", "value", "event_id"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    state_root = _tempfile.mkdtemp(prefix="mv_state_")
+    versions: list[str] = []
+
+    def _fold(batch_df, batch_id):
+        latest_b = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts", "event_id", "value")).alias("s")
+            )
+            .select("user_id", "s.ts", "s.event_id", "s.value")
+        )
+        merged = latest_b
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            merged = (
+                prev.unionByName(latest_b)
+                .groupBy("user_id")
+                .agg(
+                    F.max(F.struct("ts", "event_id", "value")).alias("s")
+                )
+                .select("user_id", "s.ts", "s.event_id", "s.value")
+            )
+        out = _os.path.join(state_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (
+        spark.readStream.schema("user_id long, ts timestamp, value double,"
+                                " event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_fold)
+        .option(
+            "checkpointLocation", _os.path.join(state_root, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(versions[-1])
+    return final.select(
+        "user_id",
+        F.col("ts").alias("state_ts"),
+        "event_id",
+        F.round("value", 2).alias("value"),
+    )
+
+
+_STREAMING_MATVIEW_ORACLE = """
+SELECT user_id, ts AS state_ts, event_id, round(value, 2) AS value
+FROM (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 _STREAM_DEDUP_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -4655,6 +4733,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_coverage_curve": (
         _sql_query(_QVOCAB_COVERAGE),
         _QVOCAB_COVERAGE_ORACLE,
+    ),
+    "streaming_matview_latest": (
+        _q_streaming_matview,
+        _STREAMING_MATVIEW_ORACLE,
     ),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
