@@ -2392,6 +2392,62 @@ FROM documents GROUP BY source
 """
 
 
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Third columnar-adjacent source format: documents -> ORC on disk ->
+    # ORC reader -> aggregate, same round-trip-identity oracle as the
+    # JSONL/CSV entries (DuckDB can't read ORC, so the oracle runs the
+    # aggregate over the original table — any writer/reader loss breaks
+    # the hash).
+    import tempfile as _tempfile
+
+    from .sources.ingest import FORMAT_ORC, read_corpus, write_corpus
+
+    t = register_tables(spark, sf_dir)
+    path = _tempfile.mkdtemp(prefix="ingest_orc_") + "/documents"
+    write_corpus(t["documents"], path, source_format=FORMAT_ORC)
+    back = read_corpus(spark, path, source_format=FORMAT_ORC)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count_distinct("doc_id").alias("n_ids"),
+    )
+
+
+def _q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MAP-typed surface: the JSON props column parsed as map<string,int>
+    # (not a fixed struct), keys exploded, aggregated per key — the
+    # schema-on-read path for open-ended event properties.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT k AS prop_key,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(v) AS BIGINT) AS value_sum,
+               CAST(min(v) AS BIGINT) AS value_min,
+               CAST(max(v) AS BIGINT) AS value_max
+        FROM (
+          SELECT explode(from_json(props, 'map<string,int>')) AS (k, v)
+          FROM events
+        )
+        GROUP BY k
+    """)
+
+
+_PROPS_MAP_ORACLE = """
+SELECT k AS prop_key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) AS value_sum,
+       CAST(min(v) AS BIGINT) AS value_min,
+       CAST(max(v) AS BIGINT) AS value_max
+FROM (
+  SELECT unnest(json_keys(props)) AS k,
+         CAST(json_extract(props, '$.' || unnest(json_keys(props)))
+              AS BIGINT) AS v
+  FROM events
+)
+GROUP BY k
+"""
+
+
 def _q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The FULL reference output chain, both directions: orders rows ->
     # tf.Example bytes (S7) -> hash split (D1) -> gzipped TFRecord files
@@ -4738,6 +4794,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_streaming_matview,
         _STREAMING_MATVIEW_ORACLE,
     ),
+    "source_orc_roundtrip": (_q_orc_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
+    "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),

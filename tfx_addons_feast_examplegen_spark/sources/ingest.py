@@ -24,8 +24,14 @@ from pyspark.sql.types import StructType
 FORMAT_PARQUET = "parquet"
 FORMAT_JSONL = "jsonl"
 FORMAT_CSV = "csv"
+FORMAT_ORC = "orc"
 
-_READ_FORMATS = {FORMAT_PARQUET: "parquet", FORMAT_JSONL: "json", FORMAT_CSV: "csv"}
+_READ_FORMATS = {
+    FORMAT_PARQUET: "parquet",
+    FORMAT_JSONL: "json",
+    FORMAT_CSV: "csv",
+    FORMAT_ORC: "orc",
+}
 
 # CSV needs explicit quoting/escape symmetry so text containing commas,
 # quotes, or newlines survives the round trip.
@@ -60,10 +66,11 @@ def read_corpus(
             f"unknown source format {source_format!r}; "
             f"expected one of {sorted(_READ_FORMATS)}"
         )
-    if source_format != FORMAT_PARQUET and schema is None:
+    if source_format not in (FORMAT_PARQUET, FORMAT_ORC) and schema is None:
         raise SourceFormatError(
             f"{source_format!r} requires an explicit schema "
-            "(inference is a full extra pass over the data)"
+            "(inference is a full extra pass over the data; "
+            "parquet/ORC carry their own)"
         )
     reader = spark.read.format(_READ_FORMATS[source_format])
     if schema is not None:
