@@ -100,3 +100,59 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     assert must_emit <= got, f"missing {len(must_emit - got)} sessions"
     assert got <= may_emit, f"unexpected emissions: {sorted(got - may_emit)[:3]}"
     assert len(must_emit) > 50
+
+
+def test_match_recovery_stream_first_match_and_deadline(spark, tmp_path):
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.streaming.patterns import (
+        match_recovery_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        Row(user_id=1, ts=s(0), event_type="error"),
+        Row(user_id=1, ts=s(100), event_type="purchase"),   # first match
+        Row(user_id=1, ts=s(200), event_type="purchase"),
+        Row(user_id=2, ts=s(0), event_type="error"),        # never recovers
+        Row(user_id=2, ts=s(2000), event_type="view"),
+        # sentinel far in the future advances the watermark past deadlines
+        Row(user_id=-1, ts=s(3600 * 6), event_type="view"),
+    ]
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .parquet(src)
+    )
+    out = match_recovery_stream(
+        stream, timeout_seconds=1800, watermark_delay="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rec_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.error_ts, r.recovery_ts, r.recovered)
+        for r in spark.table("rec_test").filter("user_id >= 0").collect()
+    }
+    assert got == {
+        (1, s(0), s(100), True),   # earliest purchase wins, not s(200)
+        (2, s(0), None, False),    # deadline passed, no recovery
+    }

@@ -1651,6 +1651,88 @@ def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Second custom stateful operator (CEP-lite pattern matching): each
+    # 'error' event matches its EARLIEST 'purchase' within 30 min, or
+    # reports recovered=false once the deadline passes the watermark.
+    # Same sentinel-watermark full-replay technique as the streaming
+    # sessionizer: a far-future sentinel event advances the watermark
+    # past every real deadline, so bounded replay finalizes everything
+    # and equals the batch per-error min-purchase lookup exactly.
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from .session import load_table
+    from .streaming.events import read_events_stream, run_to_completion
+    from .streaming.patterns import match_recovery_stream
+
+    register_tables(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="recovery_stream_") + "/ev"
+    mid = "2024-01-16 00:00:00"
+    sentinel = (
+        ev.orderBy(F.desc("ts"))
+        .limit(1)
+        .select(
+            *[
+                (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts")
+                if c == "ts"
+                else F.lit(-1).cast("long").alias(c)
+                if c == "user_id"
+                else F.col(c)
+                for c in ev.columns
+            ]
+        )
+    )
+    slices = [
+        ev.filter(F.col("ts") < mid),
+        ev.filter(F.col("ts") >= mid),
+        sentinel,
+    ]
+    base = _time.time() - 60
+    stamped: set[str] = set()
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        for fname in _os.listdir(src):
+            p = _os.path.join(src, fname)
+            if p not in stamped:
+                _os.utime(p, (base + 10 * i, base + 10 * i))
+                stamped.add(p)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = run_to_completion(
+        match_recovery_stream(
+            stream, timeout_seconds=1800, watermark_delay="1 hour"
+        ),
+        query_name="q_stream_error_recovery",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.unix_micros("error_ts").alias("error_us"),
+        F.unix_micros("recovery_ts").alias("recovery_us"),
+        "recovered",
+    )
+
+
+_STREAM_RECOVERY_ORACLE = """
+WITH err AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error'
+),
+pur AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id,
+       epoch_us(e.ts) AS error_us,
+       epoch_us(min(p.pts)) AS recovery_us,
+       min(p.pts) IS NOT NULL AS recovered
+FROM err e LEFT JOIN pur p
+  ON p.user_id = e.user_id
+ AND p.pts > e.ts
+ AND epoch_us(p.pts) <= epoch_us(e.ts) + 1800000000
+GROUP BY e.user_id, e.ts
+"""
+
+
 _SESSIONIZATION_STREAM_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -4796,6 +4878,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "source_orc_roundtrip": (_q_orc_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
+    "stream_error_recovery": (
+        _q_stream_error_recovery,
+        _STREAM_RECOVERY_ORACLE,
+    ),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
