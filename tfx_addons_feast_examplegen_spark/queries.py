@@ -3171,6 +3171,36 @@ FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) v,
 """
 
 
+# Recursive CTE (new in Spark 4.x): walk each user's event chain via
+# the lead()-derived successor edge, 50 steps deep — linear recursion
+# the optimizer executes as iterative self-joins. IDENTICAL text on both
+# engines. For corpus-scale graph closure the iterative
+# connected_components operator (pointer doubling, O(log d) rounds)
+# remains the 100 TB path; the recursive CTE is the declarative form
+# for bounded-depth walks.
+_QRECURSIVE_WALK = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         lead(event_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, event_id, next_id, 1 AS steps FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT w.user_id, s.event_id, s.next_id, w.steps + 1
+  FROM walk w
+  JOIN seq s ON s.user_id = w.user_id AND s.event_id = w.next_id
+  WHERE w.steps < 50
+)
+SELECT user_id, CAST(max(steps) AS BIGINT) AS chain_len,
+       CAST(count(*) AS BIGINT) AS n_visited
+FROM walk GROUP BY user_id
+"""
+
+
 # Multi-granularity time rollup in ONE pass: GROUPING SETS over
 # (day, week, month) derived dims — one scan, one aggregate, three
 # granularities (vs three separate jobs); GROUPING() flags which level a
@@ -4882,6 +4912,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_stream_error_recovery,
         _STREAM_RECOVERY_ORACLE,
     ),
+    "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
