@@ -3171,6 +3171,36 @@ FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) v,
 """
 
 
+def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VARIANT semi-structured type (Spark 4.x): props parsed once into
+    # the binary variant encoding, fields extracted with typed
+    # variant_get — the schema-flexible path that replaces per-query
+    # from_json re-parses (the variant parse is paid once per row, each
+    # extraction is a cheap binary probe). Oracle: plain JSON extraction.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(variant_get(v, '$.k', 'long')) AS BIGINT) AS k_sum,
+               CAST(count(try_variant_get(v, '$.missing', 'long'))
+                    AS BIGINT) AS n_missing_hits
+        FROM (SELECT event_type, parse_json(props) AS v FROM events)
+        GROUP BY event_type
+    """)
+
+
+_VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(count(json_extract(props, '$.missing')) AS BIGINT)
+         AS n_missing_hits
+FROM events
+GROUP BY event_type
+"""
+
+
 # Recursive CTE (new in Spark 4.x): walk each user's event chain via
 # the lead()-derived successor edge, 50 steps deep — linear recursion
 # the optimizer executes as iterative self-joins. IDENTICAL text on both
@@ -4913,6 +4943,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _STREAM_RECOVERY_ORACLE,
     ),
     "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
+    "variant_props_typed": (_q_variant_props, _VARIANT_PROPS_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
