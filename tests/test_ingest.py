@@ -50,3 +50,46 @@ def test_csv_roundtrip_survives_quotes_commas_newlines(spark, tmp_path):
         "i long, s string",
     )
     assert _roundtrip_rows(spark, df, str(tmp_path / "cd"), FORMAT_CSV)
+
+
+def test_versioned_table_time_travel_and_compaction(spark, sf_dir, tmp_path):
+    from tfx_addons_feast_examplegen_spark.sources.versioned import (
+        compact,
+        list_versions,
+        read_manifest,
+        read_version,
+        write_version,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = str(tmp_path / "orders_tbl")
+    v0 = write_version(orders.filter("o_orderdate < DATE'1995-01-01'"), root)
+    v1 = write_version(orders, root)
+    assert (v0, v1) == (0, 1) and list_versions(root) == [0, 1]
+
+    n_old = orders.filter("o_orderdate < DATE'1995-01-01'").count()
+    assert read_version(spark, root, 0).count() == n_old
+    assert read_version(spark, root).count() == orders.count()
+    assert read_manifest(root, 0)["row_count"] == n_old
+
+    # compaction: new version, same rows, fewer files
+    v2 = compact(spark, root, target_files=1)
+    assert v2 == 2
+    assert read_manifest(root, 2)["n_files"] == 1
+    a = {tuple(r) for r in read_version(spark, root, 1).collect()}
+    b = {tuple(r) for r in read_version(spark, root, 2).collect()}
+    assert a == b
+    # time travel below the compaction still sees the old layout
+    assert read_manifest(root, 1)["n_files"] >= 1
+
+
+def test_versioned_table_missing_version_raises(spark, tmp_path):
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.sources.versioned import (
+        read_version,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, str(tmp_path / "nope"))

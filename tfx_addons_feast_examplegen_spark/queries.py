@@ -3171,6 +3171,48 @@ FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) v,
 """
 
 
+def _q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Versioned-table time travel driving CDC: commit v0 (pre-1995
+    # orders, the fixture's first half) and v1 (all orders) under the
+    # manifest-committed layout
+    # (sources/versioned.py — manifests rename-committed AFTER data, so
+    # readers never see a torn table), snapshot-read BOTH versions, diff
+    # them. The oracle recomputes the same change sets from the raw
+    # table: time travel must reproduce the exact snapshots.
+    import tempfile as _tempfile
+
+    from .operators.snapshot import snapshot_diff
+    from .sources.versioned import read_version, write_version
+
+    t = register_tables(spark, sf_dir)
+    orders = t["orders"]
+    root = _tempfile.mkdtemp(prefix="versioned_orders_") + "/tbl"
+    write_version(orders.filter("o_orderdate < DATE'1998-01-01'"), root)
+    write_version(orders, root)
+    d = snapshot_diff(
+        read_version(spark, root, 0),
+        read_version(spark, root, 1),
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderstatus"],
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.coalesce(F.col("new_o_totalprice"),
+                             F.col("old_o_totalprice"))), 2
+        ).alias("total_price"),
+    )
+
+
+_TIME_TRAVEL_DIFF_ORACLE = """
+SELECT CASE WHEN o_orderdate < DATE'1998-01-01'
+            THEN 'unchanged' ELSE 'added' END AS change_type,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
 def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VARIANT semi-structured type (Spark 4.x): props parsed once into
     # the binary variant encoding, fields extracted with typed
@@ -4944,6 +4986,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
     "variant_props_typed": (_q_variant_props, _VARIANT_PROPS_ORACLE),
+    "table_time_travel_diff": (
+        _q_time_travel_diff,
+        _TIME_TRAVEL_DIFF_ORACLE,
+    ),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
