@@ -93,3 +93,32 @@ def test_versioned_table_missing_version_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "nope"))
+
+
+def test_versioned_read_pruned_skips_files(spark, sf_dir, tmp_path):
+    from tfx_addons_feast_examplegen_spark.session import load_table
+    from tfx_addons_feast_examplegen_spark.sources.versioned import (
+        read_version_pruned,
+        write_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = str(tmp_path / "orders_stats")
+    # range-partition on the date so per-file min/max ranges are tight
+    write_version(
+        orders.repartitionByRange(8, "o_orderdate"),
+        root,
+        stats_cols=["o_orderdate"],
+    )
+    lo, hi = "1996-01-01", "1996-12-31"
+    df, opened, total = read_version_pruned(
+        spark, root, "o_orderdate", lo, hi
+    )
+    assert total == 8 and 0 < opened < total  # skipping actually happened
+    got = df.filter(
+        (df.o_orderdate >= lo) & (df.o_orderdate <= hi + " 23:59:59")
+    ).count()
+    want = orders.filter(
+        (orders.o_orderdate >= lo) & (orders.o_orderdate <= hi + " 23:59:59")
+    ).count()
+    assert got == want  # pruning never changes the answer

@@ -3213,6 +3213,53 @@ FROM orders GROUP BY 1
 """
 
 
+def _q_table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Manifest-driven data skipping: orders committed range-partitioned
+    # on o_orderdate with per-file min/max stats; a 1996 range read
+    # opens only overlapping files. Output carries the aggregate AND the
+    # skipping contract (files_opened < files_total, answer unchanged);
+    # the oracle computes the aggregate from the raw table and literal
+    # TRUE for the contract.
+    import tempfile as _tempfile
+
+    from .sources.versioned import read_version_pruned, write_version
+
+    t = register_tables(spark, sf_dir)
+    orders = t["orders"]
+    root = _tempfile.mkdtemp(prefix="pruned_orders_") + "/tbl"
+    write_version(
+        orders.repartitionByRange(8, "o_orderdate"),
+        root,
+        stats_cols=["o_orderdate"],
+    )
+    df, opened, total = read_version_pruned(
+        spark, root, "o_orderdate", "1996-01-01", "1996-12-31"
+    )
+    agg = df.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    return agg.select(
+        "n_orders",
+        "total_price",
+        F.lit(opened < total).alias("skipped_files"),
+        F.lit(opened > 0).alias("opened_some"),
+    )
+
+
+_TABLE_PRUNED_SCAN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       TRUE AS skipped_files,
+       TRUE AS opened_some
+FROM orders
+WHERE o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'
+"""
+
+
 def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VARIANT semi-structured type (Spark 4.x): props parsed once into
     # the binary variant encoding, fields extracted with typed
@@ -4990,6 +5037,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_time_travel_diff,
         _TIME_TRAVEL_DIFF_ORACLE,
     ),
+    "table_pruned_scan": (_q_table_pruned_scan, _TABLE_PRUNED_SCAN_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
