@@ -609,3 +609,50 @@ def bpe_pair_merges(
             "doc_freq",
         )
     )
+
+
+def write_token_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    target_files: int | None = None,
+) -> None:
+    """Materialize an inverted token index: distinct (token, id) rows,
+    repartitioned BY TOKEN so each keyword's postings cluster in few
+    files (the parquet reader's token predicate then touches a fraction
+    of the index). The full-text-search accelerator: a keyword query
+    probes postings instead of scanning every document's text."""
+    idx = docs.select(
+        F.explode(F.expr(_toks_sql(text_col))).alias("token"),
+        F.col(id_col),
+    ).distinct()
+    idx = idx.repartition(target_files or 8, "token")
+    idx.write.mode("overwrite").parquet(path)
+
+
+def keyword_search_indexed(
+    docs: DataFrame,
+    index_path: str,
+    keywords: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """AND-semantics keyword search via the postings index: each keyword
+    probes its postings (a pushed-down IN filter on the token column),
+    ids appearing once per keyword survive (count == n_keywords), and
+    only THOSE ids join back to the documents table. The text column is
+    never scanned at query time.
+    """
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    kws = [k.lower() for k in keywords]
+    idx = docs.sparkSession.read.parquet(index_path)
+    hits = (
+        idx.filter(F.col("token").isin(kws))
+        .groupBy(id_col)
+        .agg(F.countDistinct("token").alias("__nk"))
+        .filter(F.col("__nk") == len(set(kws)))
+        .select(id_col)
+    )
+    return docs.join(hits, id_col)

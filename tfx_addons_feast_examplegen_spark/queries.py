@@ -3213,6 +3213,31 @@ FROM orders GROUP BY 1
 """
 
 
+def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index full-text search: postings materialized once
+    # (distinct (token, doc_id), clustered by token), an AND query
+    # probes postings and joins back by id — the text column is never
+    # scanned at query time. Oracle: direct token-membership scan.
+    import tempfile as _tempfile
+
+    from .operators.text import keyword_search_indexed, write_token_index
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    idx = _tempfile.mkdtemp(prefix="token_index_") + "/idx"
+    write_token_index(docs, idx)
+    out = keyword_search_indexed(docs, idx, ["spark", "hash"])
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_KEYWORD_SEARCH_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE list_contains(string_split(lower(text), ' '), 'spark')
+  AND list_contains(string_split(lower(text), ' '), 'hash')
+"""
+
+
 def _q_table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Manifest-driven data skipping: orders committed range-partitioned
     # on o_orderdate with per-file min/max stats; a 1996 range read
@@ -3357,6 +3382,31 @@ SELECT event_id, event_type,
                                        ORDER BY value, event_id) * 10000)
             AS BIGINT) AS pct_rank_bp
 FROM events
+"""
+
+
+# Per-group OLS trend: regression of event value on event time (days
+# since epoch) — slope/intercept/R² per event_type via the ANSI regr_*
+# aggregates, which both engines implement identically. Days (not
+# seconds) keep the slope magnitudes printable at round(6).
+_QOLS_TREND_SPARK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, unix_micros(ts) / 86400e6), 6) AS slope,
+       round(regr_intercept(value, unix_micros(ts) / 86400e6), 4)
+         AS intercept,
+       round(regr_r2(value, unix_micros(ts) / 86400e6), 6) AS r2
+FROM events GROUP BY event_type
+"""
+
+_QOLS_TREND_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, epoch_us(ts) / 86400e6), 6) AS slope,
+       round(regr_intercept(value, epoch_us(ts) / 86400e6), 4)
+         AS intercept,
+       round(regr_r2(value, epoch_us(ts) / 86400e6), 6) AS r2
+FROM events GROUP BY event_type
 """
 
 
@@ -5038,6 +5088,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _TIME_TRAVEL_DIFF_ORACLE,
     ),
     "table_pruned_scan": (_q_table_pruned_scan, _TABLE_PRUNED_SCAN_ORACLE),
+    "group_ols_trend": (_sql_query(_QOLS_TREND_SPARK), _QOLS_TREND_ORACLE),
+    "keyword_search_indexed": (_q_keyword_search, _KEYWORD_SEARCH_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
