@@ -656,3 +656,122 @@ def keyword_search_indexed(
         .select(id_col)
     )
     return docs.join(hits, id_col)
+
+
+def bm25_search(
+    docs: DataFrame,
+    keywords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 10**6,
+) -> DataFrame:
+    """BM25-ranked OR-semantics keyword search (Robertson/Spärck Jones):
+    every document containing ANY query term, scored
+
+        sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1) (the Lucene
+    variant — strictly positive). Integer-portable: each TERM's
+    contribution is floored to micro-units before the per-doc integer
+    sum, so cross-engine float summation order cannot move a score.
+
+    One token explode feeds tf, dl, and df; N/avgdl arrive as a 1-row
+    broadcast — the same single-pass shape as TF-IDF.
+    Output: (id_col, score_micro, n_terms_hit), score-descending ranks
+    belong to the caller (ORDER BY score_micro DESC, id).
+    """
+    kws = sorted({k.lower() for k in keywords})
+    if not kws:
+        raise ValueError("keywords must be non-empty")
+    toks = docs.select(
+        F.col(id_col), F.explode(F.expr(_toks_sql(text_col))).alias("token")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    hits = (
+        toks.filter(F.col("token").isin(list(kws)))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_t = hits.groupBy("token").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    term_score = idf * F.col("__tf") * (k1 + 1.0) / denom
+    scored = (
+        hits.join(df_t, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            F.floor(term_score * F.lit(int(scale)))
+            .cast("long")
+            .alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__s").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+
+
+def write_positional_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    target_files: int | None = None,
+) -> None:
+    """Positional postings: (token, id, pos) — the phrase-query index.
+    ~2 small ints heavier per posting than :func:`write_token_index`,
+    in exchange for adjacency queries without touching the text."""
+    idx = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_toks_sql(text_col))).alias("pos", "token"),
+    )
+    idx = idx.repartition(target_files or 8, "token")
+    idx.write.mode("overwrite").parquet(path)
+
+
+def phrase_search_indexed(
+    docs: DataFrame,
+    index_path: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search over the positional index: the i-th word's
+    postings join the (i+1)-th word's at pos+1, chained across the
+    phrase — each step is an equi-join on (id, pos) keys, candidates
+    shrink monotonically, and the text column is never read.
+
+    Output: (id_col, n_occurrences) for documents containing the phrase
+    at least once.
+    """
+    words = [w.lower() for w in phrase]
+    if not words:
+        raise ValueError("phrase must be non-empty")
+    idx = docs.sparkSession.read.parquet(index_path)
+    cur = idx.filter(F.col("token") == words[0]).select(
+        F.col(id_col), F.col("pos").alias("__start"), F.col("pos")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = idx.filter(F.col("token") == w).select(
+            F.col(id_col), (F.col("pos") - i).alias("__start")
+        )
+        cur = cur.join(nxt, [id_col, "__start"]).select(
+            F.col(id_col), F.col("__start"), (F.col("__start") + i).alias("pos")
+        )
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

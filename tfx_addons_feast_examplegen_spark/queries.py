@@ -3238,6 +3238,76 @@ WHERE list_contains(string_split(lower(text), ' '), 'spark')
 """
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-phrase search via positional postings: "table value" found
+    # by chaining (id, pos) equi-joins — adjacency resolved entirely in
+    # the index, text never read. Oracle: token-position self-join.
+    import tempfile as _tempfile
+
+    from .operators.text import phrase_search_indexed, write_positional_index
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    idx = _tempfile.mkdtemp(prefix="pos_index_") + "/idx"
+    write_positional_index(docs, idx)
+    return phrase_search_indexed(docs, idx, ["table", "value"])
+
+
+_PHRASE_SEARCH_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table' AND b.tok = 'value'
+GROUP BY a.doc_id
+"""
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25-ranked OR search (Lucene idf variant), per-term micro floors
+    # before the integer per-doc sum — cross-engine summation order
+    # cannot move a score.
+    t = register_tables(spark, sf_dir)
+    return tx.bm25_search(t["documents"], ["spark", "hash"])
+
+
+_BM25_SEARCH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN ('hash', 'spark')
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY token),
+scored AS (
+  SELECT h.doc_id,
+         CAST(floor(
+           ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * h.tf * 2.2
+           / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))
+           * 1000000) AS BIGINT) AS s
+  FROM hits h JOIN dft d USING (token) JOIN dl l USING (doc_id), corpus c
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+"""
+
+
 def _q_table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Manifest-driven data skipping: orders committed range-partitioned
     # on o_orderdate with per-file min/max stats; a 1996 range read
@@ -5090,6 +5160,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "table_pruned_scan": (_q_table_pruned_scan, _TABLE_PRUNED_SCAN_ORACLE),
     "group_ols_trend": (_sql_query(_QOLS_TREND_SPARK), _QOLS_TREND_ORACLE),
     "keyword_search_indexed": (_q_keyword_search, _KEYWORD_SEARCH_ORACLE),
+    "bm25_ranked_search": (_q_bm25_search, _BM25_SEARCH_ORACLE),
+    "phrase_search_positional": (_q_phrase_search, _PHRASE_SEARCH_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
