@@ -2474,6 +2474,53 @@ FROM documents GROUP BY source
 """
 
 
+def _q_federated_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mixed-format federation: one logical corpus spread across parquet,
+    # JSONL, and CSV partitions (a real ingest estate), unioned into a
+    # single declarative plan — format dispatch happens per leaf scan,
+    # the aggregate is format-agnostic. Oracle: 3 x the per-source
+    # aggregate over the original table (each shard holds one third).
+    import tempfile as _tempfile
+
+    from .sources.ingest import (
+        FORMAT_CSV,
+        FORMAT_JSONL,
+        read_corpus,
+        write_corpus,
+    )
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    base = _tempfile.mkdtemp(prefix="federated_")
+    shards = [
+        (docs.filter("doc_id % 3 = 0"), FORMAT_JSONL),
+        (docs.filter("doc_id % 3 = 1"), FORMAT_CSV),
+    ]
+    frames = [docs.filter("doc_id % 3 = 2")]  # parquet stays in place
+    for i, (shard, fmt) in enumerate(shards):
+        p = f"{base}/shard{i}"
+        write_corpus(shard, p, source_format=fmt)
+        frames.append(
+            read_corpus(spark, p, source_format=fmt, schema=docs.schema)
+        )
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    return union.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    )
+
+
+_FEDERATED_UNION_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+FROM documents GROUP BY lang
+"""
+
+
 def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Third columnar-adjacent source format: documents -> ORC on disk ->
     # ORC reader -> aggregate, same round-trip-identity oracle as the
@@ -5146,6 +5193,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _STREAMING_MATVIEW_ORACLE,
     ),
     "source_orc_roundtrip": (_q_orc_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
+    "federated_union_agg": (_q_federated_union, _FEDERATED_UNION_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "stream_error_recovery": (
         _q_stream_error_recovery,
