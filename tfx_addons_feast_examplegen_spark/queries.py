@@ -3689,6 +3689,131 @@ SELECT bin, c_ref, c_new, psi_term_micro FROM terms
 """
 
 
+# Distributed triangle counting (node-iterator with ordered orientation
+# — each triangle counted exactly once via t1 < t2 < t3) on the token
+# co-occurrence graph: nodes = the 30 globally most frequent tokens,
+# edges = pairs co-occurring in >= 50 documents. Two equi-joins over the
+# edge list; the same ANSI text runs on both engines.
+_QTRIANGLES = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           explode(filter(split(lower(text), ' '), x -> x != '')) AS token
+    FROM documents
+  )
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS df FROM tok GROUP BY token
+    ORDER BY df DESC, token LIMIT 30
+  )
+),
+vt AS (SELECT t.doc_id, t.token FROM tok t JOIN vocab v USING (token)),
+edges AS (
+  SELECT a.token AS t1, b.token AS t2
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING count(*) >= 50
+),
+tri AS (
+  SELECT e1.t1, e1.t2, e2.t2 AS t3
+  FROM edges e1
+  JOIN edges e2 ON e2.t1 = e1.t2
+  JOIN edges e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+"""
+
+_QTRIANGLES_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS token
+    FROM documents
+  )
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS df FROM tok GROUP BY token
+    ORDER BY df DESC, token LIMIT 30
+  )
+),
+vt AS (SELECT t.doc_id, t.token FROM tok t JOIN vocab v USING (token)),
+edges AS (
+  SELECT a.token AS t1, b.token AS t2
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING count(*) >= 50
+),
+tri AS (
+  SELECT e1.t1, e1.t2, e2.t2 AS t3
+  FROM edges e1
+  JOIN edges e2 ON e2.t1 = e1.t2
+  JOIN edges e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+"""
+
+
+def _q_ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental view maintenance: the per-user (count, cents-sum)
+    # state computed through January absorbs February's DELTA by
+    # associative merge (full-outer join + coalesce-add) — no base
+    # recompute. The oracle computes the through-February aggregate
+    # directly: the merged state must equal it exactly (integer cents).
+    register_tables(spark, sf_dir)
+    state = spark.sql("""
+        SELECT user_id, count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events WHERE ts < TIMESTAMP'2024-02-01 00:00:00'
+        GROUP BY user_id
+    """)
+    delta = spark.sql("""
+        SELECT user_id, count(*) AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events
+        WHERE ts >= TIMESTAMP'2024-02-01 00:00:00'
+          AND ts < TIMESTAMP'2024-03-01 00:00:00'
+        GROUP BY user_id
+    """)
+    s = state.select(
+        "user_id",
+        F.col("n_events").alias("sn"),
+        F.col("cents").alias("sc"),
+    )
+    d = delta.select(
+        "user_id",
+        F.col("n_events").alias("dn"),
+        F.col("cents").alias("dc"),
+    )
+    return (
+        s.join(d, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("sn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            (F.coalesce("sc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+_IVM_DELTA_AGG_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events WHERE ts < TIMESTAMP'2024-03-01 00:00:00'
+GROUP BY user_id
+"""
+
+
 def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dataset data card: (metric, value) BIGINT rows — size, vocabulary,
     # provenance spread, exact-dup mass, language balance. Fixed-point
@@ -5194,6 +5319,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "source_orc_roundtrip": (_q_orc_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "federated_union_agg": (_q_federated_union, _FEDERATED_UNION_ORACLE),
+    "ivm_delta_agg": (_q_ivm_delta_agg, _IVM_DELTA_AGG_ORACLE),
+    "graph_triangle_count": (_sql_query(_QTRIANGLES), _QTRIANGLES_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "stream_error_recovery": (
         _q_stream_error_recovery,
