@@ -338,3 +338,26 @@ def test_remove_shared_runs_excises_higher_id_copy(spark):
     assert rows[1].n_tokens_removed == 8
     assert rows[1].clean_text == "different tail here"
     assert rows[2].n_tokens_removed == 0
+
+
+def test_jaccard_prefix_filter_matches_full_explode(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_prefix(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert full and pref == full  # bit-identical strategies

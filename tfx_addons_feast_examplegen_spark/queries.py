@@ -598,6 +598,18 @@ WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
 """
 
 
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PPJoin-style prefix filtering: rare-first global order, only the
+    # (1-t)-fraction prefix of each shingle set is indexed (lemma in the
+    # operator docstring — no false negatives), exact verify over full
+    # sets. Output bit-identical to jaccard_pairs: same uncapped oracle.
+    t = register_tables(spark, sf_dir)
+    return dd.jaccard_pairs_prefix(
+        t["documents"], "doc_id", "text", n=3, threshold=0.5,
+        on_over_cap="error",
+    )
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-banded candidates + exact-Jaccard verification. At the fixture's
     # similarity levels (planted near-dups at j>=0.9) LSH recall is
@@ -5413,6 +5425,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # north-star extensions
     "dedup_exact": (_q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (_q_jaccard, _JACCARD_ORACLE),
+    "dedup_jaccard_prefix_filter": (_q_jaccard_prefix, _JACCARD_ORACLE),
     "dedup_minhash_lsh": (_q_minhash, _JACCARD_ORACLE),
     "dedup_simhash_portable": (_q_simhash_portable, _simhash_portable_oracle()),
     "dedup_containment": (_q_containment, _CONTAINMENT_ORACLE),
