@@ -361,3 +361,35 @@ def test_jaccard_prefix_filter_matches_full_explode(spark, sf_dir):
         ).collect()
     }
     assert full and pref == full  # bit-identical strategies
+
+
+def test_prefix_filter_survives_boilerplate_where_explode_caps_out(spark):
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    # 120 docs all sharing a 12-token boilerplate header; two planted
+    # near-dup tails. Boilerplate shingles live in EVERY doc -> the full
+    # explode's buckets hit the cap and fail fast, while rare-first
+    # prefixes exclude them entirely and stay exact under the same cap.
+    boiler = "terms of service apply to all content on this site today"
+    tails = [f"unique tail {i} alpha beta gamma delta {i} epsilon" for i in range(118)]
+    tails += ["planted duplicate tail one two three four five six seven",
+              "planted duplicate tail one two three four five six seven"]
+    df = _docs(spark, [boiler + " " + t for t in tails])
+
+    with pytest.raises(Exception, match="over cap"):
+        jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9,
+            max_bucket=50, on_over_cap="error",
+        ).collect()
+
+    rows = jaccard_pairs_prefix(
+        df, "doc_id", "text", n=3, threshold=0.9,
+        max_bucket=50, on_over_cap="error",
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(118, 119)]

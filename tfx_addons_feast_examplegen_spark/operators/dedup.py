@@ -378,6 +378,17 @@ def jaccard_pairs_prefix(
     ``max_bucket``/fail-fast contract as every pair producer), so the
     output is bit-identical to :func:`jaccard_pairs` and shares its
     oracle.
+
+    When to use which (measured, sf0.1, local[32]): on THIS fixture's
+    mostly-rare shingles the full explode wins (2.3 s vs 9.5 s — prefix
+    pays a df join + per-doc window + a pair×shingle verify join that
+    the explode's count trick avoids). Prefix filtering's regime is
+    boilerplate-heavy corpora: shingles shared by thousands of
+    documents force the full explode to either blow up quadratically or
+    DROP those buckets (changing the answer) / fail fast — while
+    rare-first ordering puts boilerplate shingles outside every prefix,
+    so this strategy stays exact with no bucket ever near the cap
+    (test-demonstrated in ``test_dedup.py``).
     """
     sh = _pin(shingles(df, id_col, text_col, n, hashed=True))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
