@@ -3701,42 +3701,61 @@ SELECT bin, c_ref, c_new, psi_term_micro FROM terms
 """
 
 
-# Distributed triangle counting (node-iterator with ordered orientation
-# — each triangle counted exactly once via t1 < t2 < t3) on the token
-# co-occurrence graph: nodes = the 30 globally most frequent tokens,
-# edges = pairs co-occurring in >= 50 documents. Two equi-joins over the
-# edge list; the same ANSI text runs on both engines.
-_QTRIANGLES = """
-WITH tok AS (
-  SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id,
-           explode(filter(split(lower(text), ' '), x -> x != '')) AS token
-    FROM documents
-  )
-),
-vocab AS (
-  SELECT token FROM (
-    SELECT token, count(*) AS df FROM tok GROUP BY token
-    ORDER BY df DESC, token LIMIT 30
-  )
-),
-vt AS (SELECT t.doc_id, t.token FROM tok t JOIN vocab v USING (token)),
-edges AS (
-  SELECT a.token AS t1, b.token AS t2
-  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
-  GROUP BY a.token, b.token
-  HAVING count(*) >= 50
-),
-tri AS (
-  SELECT e1.t1, e1.t2, e2.t2 AS t3
-  FROM edges e1
-  JOIN edges e2 ON e2.t1 = e1.t2
-  JOIN edges e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2
-)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS n_nodes,
-       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
-"""
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed triangle counting (node-iterator with ordered
+    # orientation — each triangle counted once via t1 < t2 < t3) on the
+    # token co-occurrence graph: nodes = the 30 most frequent tokens,
+    # edges = pairs co-occurring in >= 50 documents. The distinct
+    # (doc, token) frame and the edge list are PINNED (localCheckpoint):
+    # Spark CTEs don't materialize, and the naive declarative form
+    # re-tokenized the corpus 17x (one scan per reuse in the plan) — the
+    # pinned form scans it once; the triangle join then runs over the
+    # tiny materialized edge list.
+    t = register_tables(spark, sf_dir)
+    tok = dd._pin(
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda x: x != "")
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    vt = tok.join(F.broadcast(vocab), "token")
+    a = vt.select(F.col("doc_id"), F.col("token").alias("t1"))
+    b = vt.select(F.col("doc_id"), F.col("token").alias("t2"))
+    edges = dd._pin(
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 50)
+        .select("t1", "t2")
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.t1") == F.col("e1.t2"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.t1") == F.col("e1.t1"))
+            & (F.col("e3.t2") == F.col("e2.t2")),
+        )
+    )
+    n_nodes = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(
+        F.broadcast(n_tri)
+    )
 
 _QTRIANGLES_ORACLE = """
 WITH tok AS (
@@ -5332,7 +5351,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_orc_roundtrip": (_q_orc_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "federated_union_agg": (_q_federated_union, _FEDERATED_UNION_ORACLE),
     "ivm_delta_agg": (_q_ivm_delta_agg, _IVM_DELTA_AGG_ORACLE),
-    "graph_triangle_count": (_sql_query(_QTRIANGLES), _QTRIANGLES_ORACLE),
+    "graph_triangle_count": (_q_triangles, _QTRIANGLES_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "stream_error_recovery": (
         _q_stream_error_recovery,
