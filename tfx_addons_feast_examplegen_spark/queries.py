@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as dd
@@ -3182,31 +3182,46 @@ SELECT split, n_events, n_users, n_leaky_users FROM per, leak
 """
 
 
-# Tokenizer vocabulary coverage curve (OOV-rate planning): share of all
-# token OCCURRENCES covered by the top-V most frequent types, at three
-# vocabulary budgets — the curve that sizes a tokenizer's vocab. The
-# global type ranking is a vocab-sized sort (small data even at 100 TB
-# corpus scale); coverage in integer basis points, deterministic
-# (count, token) tie-break.
-_QVOCAB_COVERAGE = """
-WITH c AS (
-  SELECT token, count(*) AS cnt FROM (
-    SELECT explode(filter(split(lower(text), ' '), x -> x != '')) AS token
-    FROM documents
-  ) GROUP BY token
-),
-ranked AS (
-  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c
-),
-tot AS (SELECT sum(cnt) AS t, count(*) AS n_types FROM ranked)
-SELECT v.v AS vocab_budget,
-       CAST(floor(10000.0 * covered / t) AS BIGINT) AS covered_bp,
-       CAST(n_types AS BIGINT) AS n_types
-FROM (
-  SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000
-) v, tot,
-LATERAL (SELECT sum(cnt) AS covered FROM ranked WHERE rnk <= v.v)
-"""
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer vocabulary coverage curve (OOV-rate planning): share of
+    # token OCCURRENCES covered by the top-V types at three budgets.
+    # The corpus scans ONCE into a pinned vocab-sized count frame (the
+    # SQL-text form re-tokenized per LATERAL reuse — 4 scans); ranking
+    # and the three budget sums then run over the tiny pinned frame.
+    # The global type ranking is a vocab-sized sort.
+    t = register_tables(spark, sf_dir)
+    c = dd._pin(
+        t["documents"]
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda x: x != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = c.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+    )
+    tot = c.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    out = None
+    for v in (10, 100, 1000):
+        cov = ranked.filter(F.col("rnk") <= v).agg(
+            F.sum("cnt").alias("covered")
+        )
+        row = cov.crossJoin(F.broadcast(tot)).select(
+            F.lit(v).cast("int").alias("vocab_budget"),
+            F.floor(10000.0 * F.col("covered") / F.col("t"))
+            .cast("long")
+            .alias("covered_bp"),
+            F.col("n_types").cast("long").alias("n_types"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 _QVOCAB_COVERAGE_ORACLE = """
 WITH c AS (
@@ -5340,10 +5355,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "percent_rank_transform": (_sql_query(_QPERCENT_RANK), _QPERCENT_RANK),
     "grouped_split_no_leakage": (_q_grouped_split, _GROUPED_SPLIT_ORACLE),
-    "vocab_coverage_curve": (
-        _sql_query(_QVOCAB_COVERAGE),
-        _QVOCAB_COVERAGE_ORACLE,
-    ),
+    "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
         _q_streaming_matview,
         _STREAMING_MATVIEW_ORACLE,
