@@ -18,6 +18,23 @@ def qs():
     return qmod.queries()
 
 
+@pytest.fixture(autouse=True)
+def _canonical_plans(spark):
+    # Plan-shape guards assert the CANONICAL uncached plan. Earlier
+    # tests in the session may have _pin()-cached a matching shingle
+    # subtree; the CacheManager would then substitute InMemoryRelation
+    # into the build here, breaking the ReusedExchange shape these
+    # bounds encode (runtime-fine — cache reads are a win — but not the
+    # shape under test, and whether it happens depends on pin-FIFO
+    # eviction order, i.e. on test ordering).
+    from tfx_addons_feast_examplegen_spark.operators.dedup import _PINNED
+
+    while _PINNED:
+        _PINNED.popleft().unpersist(blocking=False)
+    spark.catalog.clearCache()
+    yield
+
+
 def _summary(qs, spark, sf_dir, name):
     return plan_summary(qs[name](spark, sf_dir))
 
