@@ -4226,6 +4226,121 @@ LEFT JOIN nrem n USING (doc_id)
 """
 
 
+def _q_training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-5 capstone composition — the LLM-data pipeline built from
+    # THIS round's operators, one Catalyst plan end-to-end:
+    #   exact-substring REMOVAL (excise shared >=8-token runs, keep one
+    #   occurrence corpus-wide) -> language temperature mixing over the
+    #   cleaned corpus -> per-language packing budget (64-token bins).
+    # The oracle replays every stage in SQL.
+    from .operators.curation import temperature_mix
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    cleaned = dd.remove_shared_runs(
+        docs, "doc_id", "text", seed_n=5, min_run=8, on_over_cap="error"
+    )
+    enriched = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = temperature_mix(
+        enriched, "doc_id", "lang", alpha=0.5, target_rows=300
+    )
+    tok_cnt = F.size(
+        F.filter(
+            F.split(F.col("clean_text"), " "), lambda x: x != ""
+        )
+    ).cast("long")
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok_cnt).alias("n_tokens"),
+        F.sum(F.floor((tok_cnt + 63) / 64)).cast("long").alias("pack_bins"),
+        F.sum("n_tokens_removed").alias("n_tokens_removed"),
+    )
+
+
+_TRAINING_PIPELINE_V2_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+  WHERE len(w) >= 5
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_b, count(*) + 4 AS run_tokens, min(pa) - diag AS b_start
+  FROM r GROUP BY doc_a, doc_b, diag, grp
+),
+spans AS (
+  SELECT doc_b AS doc_id, b_start AS s, b_start + run_tokens - 1 AS e
+  FROM runs WHERE run_tokens >= 8
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tk
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+),
+removed AS (
+  SELECT DISTINCT tok.doc_id, tok.pos
+  FROM tok JOIN spans ON tok.doc_id = spans.doc_id
+  WHERE tok.pos BETWEEN spans.s AND spans.e
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk
+  FROM tok ANTI JOIN removed USING (doc_id, pos)
+),
+cleaned AS (
+  SELECT t.doc_id,
+         coalesce(c.clean_text, '') AS clean_text,
+         coalesce(n.nrem, 0) AS n_removed
+  FROM t
+  LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos)
+                    AS clean_text FROM kept GROUP BY doc_id) c
+    USING (doc_id)
+  LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS nrem
+             FROM removed GROUP BY doc_id) n USING (doc_id)
+),
+fullc AS (
+  SELECT cl.doc_id, cl.clean_text, cl.n_removed, d.lang
+  FROM cleaned cl JOIN documents d USING (doc_id)
+),
+s AS (SELECT lang, count(*) AS n FROM fullc GROUP BY lang),
+tt AS (SELECT sum(pow(n, 0.5)) AS tt FROM s),
+rr AS (
+  SELECT lang,
+         CAST(round(10000 * least(1.0, 300 * pow(n, 0.5) / tt / n), 0)
+              AS BIGINT) AS cut
+  FROM s, tt
+),
+mixed AS (
+  SELECT f.* FROM fullc f JOIN rr USING (lang)
+  WHERE ((f.doc_id * 2654435761) % 2147483648 + 2147483648) % 2147483648
+        % 10000 < rr.cut
+),
+counted AS (
+  SELECT lang, n_removed,
+         len(list_filter(string_split(clean_text, ' '), x -> x <> ''))
+           AS ntok
+  FROM mixed
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor((ntok + 63) / 64) AS BIGINT)) AS BIGINT)
+         AS pack_bins,
+       CAST(sum(n_removed) AS BIGINT) AS n_tokens_removed
+FROM counted GROUP BY lang
+"""
+
+
 def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Third real codec behind the multimodal boundary: 8-bit RGB PNG,
     # pure stdlib (zlib inflate + chunk CRC verification + all five
@@ -5335,6 +5450,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_remove_shared_runs": (
         _q_remove_shared_runs,
         _REMOVE_SHARED_RUNS_ORACLE,
+    ),
+    "training_pipeline_v2": (
+        _q_training_pipeline_v2,
+        _TRAINING_PIPELINE_V2_ORACLE,
     ),
     "contrastive_hard_negatives": (_q_hard_negatives, _HARD_NEGATIVES_ORACLE),
     "similarity_ann_pq_recall": (_q_ann_pq_recall, _ANN_PQ_RECALL_ORACLE),
