@@ -100,6 +100,24 @@ one pass, and the label-inequality predicate rides the join so
 same-label rows die before the per-query top-k window — the only
 Exchange in the tree. Exact scoring IS every (query, corpus) pair;
 there is no candidate structure to exploit.""",
+    "nearest_event_join": """merge_asof('nearest') as an equi-join: the mandatory tolerance
+becomes the bucket key (floor(us/tol)), features land in ONE bucket,
+entities probe three — so the join is a plain hash equi-join on
+(keys, bucket) and a hot key pairs each row with at most three
+tolerance windows of history. The range predicate and the
+best-candidate window run over that bounded candidate set.""",
+    "bm25_ranked_search": """One token explode feeds document lengths, term hits, and document
+frequencies; N/avgdl arrive as a 1-row broadcast (the single
+nested-loop join — a 1-row literal build side). Per-term scores floor
+to integers BEFORE the per-doc sum, so the plan can aggregate in any
+order on any partitioning.""",
+    "dedup_jaccard_prefix_filter": """The PPJoin alternative to the full bucket explode: a global
+document-frequency join + per-doc window selects each set's rare-first
+prefix, only prefixes enter the capped self-join, and the exact verify
+joins candidates back to the FULL pinned shingle sets. More exchanges
+than the explode (the df join and window are extra stages) — its win
+is exactness without caps on boilerplate-heavy corpora, not raw speed
+on rare-shingle ones (measured trade in the operator docstring).""",
 }
 
 HDR = """# Physical plans (generated)

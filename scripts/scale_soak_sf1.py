@@ -189,6 +189,10 @@ def main():
             "dedup_exact_substring",
             dd.shared_run_pairs(dc, "doc_id", "text", seed_n=5, min_run=8),
         )
+        r["dedup_remove_shared_runs"] = timeit(
+            "dedup_remove_shared_runs",
+            dd.remove_shared_runs(dc, "doc_id", "text", seed_n=5, min_run=8),
+        )
         results[scale] = r
 
     print(f"\nscaling ratios ({k}x data -> Nx wall):")
