@@ -14,14 +14,15 @@ Usage: python scripts/scale_soak_sf1.py [scale]
 Measured (local[32], 2026-08-14, round 5; ambient load average ~10-17
 from host neighbors, so these are upper bounds):
 
-  query                 1x (sf0.1)   10x (sf1)   wall ratio
-  pit_join                 1.06s        2.28s        2.1x
-  dedup_ngram_jaccard      2.15s        7.84s        3.6x
-  dedup_minhash_lsh        1.51s        7.47s        4.9x
-  similarity_ann_lsh       0.99s        2.16s        2.2x
-  dedup_exact_substring    1.40s        7.96s        5.7x
+  query                    1x (sf0.1)   10x (sf1)   wall ratio
+  pit_join                    0.94s        2.04s        2.2x
+  dedup_ngram_jaccard         2.14s        6.92s        3.2x
+  dedup_minhash_lsh           1.31s        4.16s        3.2x
+  similarity_ann_lsh          0.77s        1.60s        2.1x
+  dedup_exact_substring       1.38s        6.94s        5.0x
+  dedup_remove_shared_runs    2.27s        8.47s        3.7x
 
-All five scale SUBLINEARLY in wall clock for 10x data on 32 cores (the
+All six scale SUBLINEARLY in wall clock for 10x data on 32 cores (the
 1x runs underutilize the machine; the 10x runs amortize fixed costs),
 i.e. no quadratic term surfaced at sf1. Two methodology notes baked
 into the script, both of which previously produced FALSE superlinear

@@ -3489,6 +3489,33 @@ FROM walk GROUP BY user_id
 """
 
 
+# Deterministic epoch shuffle for training: each epoch permutes the
+# corpus by a salted portable fingerprint (pure function of (id, epoch)
+# — reproducible across runs, partitionings, engines; change the epoch
+# literal, get an independent permutation) and NTILE slices the
+# permuted order into equal-size shards. Per-shard set digests pin the
+# shard CONTENTS, min/max fingerprints pin the boundaries. Identical
+# ANSI text on both engines.
+_QEPOCH_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761 + 3 * 40503) % 2147483648 + 2147483648)
+           % 2147483648 AS hkey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, hkey, NTILE(8) OVER (ORDER BY hkey, doc_id) AS shard
+  FROM h
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_digest,
+       CAST(min(hkey) AS BIGINT) AS min_h,
+       CAST(max(hkey) AS BIGINT) AS max_h
+FROM sharded GROUP BY shard
+"""
+
+
 # Multi-granularity time rollup in ONE pass: GROUPING SETS over
 # (day, week, month) derived dims — one scan, one aggregate, three
 # granularities (vs three separate jobs); GROUPING() flags which level a
@@ -5474,6 +5501,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "percent_rank_transform": (_sql_query(_QPERCENT_RANK), _QPERCENT_RANK),
     "grouped_split_no_leakage": (_q_grouped_split, _GROUPED_SPLIT_ORACLE),
+    "epoch_shuffle_shards": (_sql_query(_QEPOCH_SHUFFLE), _QEPOCH_SHUFFLE),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
         _q_streaming_matview,
