@@ -3489,6 +3489,26 @@ FROM walk GROUP BY user_id
 """
 
 
+# K-fold cross-validation assignment: portable-fingerprint fold per
+# USER (grouped, leakage-safe like grouped_split_no_leakage), with
+# per-fold event counts and user digests — the eval-protocol primitive.
+_QKFOLD = """
+WITH f AS (
+  SELECT user_id, event_id, value,
+         ((user_id * 2654435761) % 2147483648 + 2147483648)
+           % 2147483648 % 5 AS fold
+  FROM events
+)
+SELECT CAST(fold AS INT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(user_id) AS BIGINT) AS user_digest,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM f GROUP BY fold
+"""
+
+
 # Deterministic epoch shuffle for training: each epoch permutes the
 # corpus by a salted portable fingerprint (pure function of (id, epoch)
 # — reproducible across runs, partitionings, engines; change the epoch
@@ -5502,6 +5522,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percent_rank_transform": (_sql_query(_QPERCENT_RANK), _QPERCENT_RANK),
     "grouped_split_no_leakage": (_q_grouped_split, _GROUPED_SPLIT_ORACLE),
     "epoch_shuffle_shards": (_sql_query(_QEPOCH_SHUFFLE), _QEPOCH_SHUFFLE),
+    "kfold_assignment": (_sql_query(_QKFOLD), _QKFOLD),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
         _q_streaming_matview,
