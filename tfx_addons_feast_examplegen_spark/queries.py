@@ -5672,7 +5672,8 @@ _DRIVER_PRIORITY = [
     # hash_split_counts, q1/q3/q5) and (b) the ~20 operators ADDED in
     # round 5 (exact-substring dedup, PQ/indexed ANN, hard negatives,
     # image resize, bigram NLL, corpus report, retention, PSI, CDC
-    # merge, nearest join, ...) — every one proven by the committed
+    # merge, nearest join, retrieval, epoch shuffle, ...) — every one
+    # proven by the committed
     # CORRECTNESS_LOCAL_r05 log; the round-5 additions lead the r6
     # window together with the eight deferred entries.
     "setop_intersect",
