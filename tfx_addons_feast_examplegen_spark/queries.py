@@ -1311,6 +1311,62 @@ WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = k.doc_id)
 """
 
 
+def _q_scoped_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Provenance-scoped dedup: containment pairs where both docs SHARE a
+    # source — the bucket join simply gains the scope column as an extra
+    # equi-key (bucket_cols=["source","shingle"] via a composed id), so
+    # cross-source pairs never even become candidates. The common policy
+    # "dedup within a crawl, never across crawls" costs zero extra plan.
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    # compose (source, doc_id) into the shingle stream by prefixing the
+    # text-derived shingles with the source via a scoped frame
+    sh = dd.shingles(docs, "doc_id", "text", 3, hashed=True)
+    src = docs.select("doc_id", "source")
+    scoped = sh.join(src, "doc_id")
+    sizes = scoped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    pairs = (
+        dd._bucket_pairs(
+            scoped, ["source", "shingle"], "doc_id",
+            max_size=1000, on_over_cap="error",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    cont = F.col("common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= 0.3)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
+_SCOPED_CONTAINMENT_ORACLE = """
+WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b
+    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / least(sa.nsh, sb.nsh), 4) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / least(sa.nsh, sb.nsh) >= 0.3
+"""
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Asymmetric near-dup: a short doc quoted inside a long one. Same
     # bucket-explode plan as jaccard_pairs, min-size denominator.
@@ -3489,6 +3545,53 @@ FROM walk GROUP BY user_id
 """
 
 
+# Event-type association (pointwise mutual information over per-user
+# event baskets): which event types co-occur in the same user's history
+# more than independence predicts — market-basket lite. Per-pair
+# micro-nat floor; counts are BIGINT.
+_QPMI_SPARK = """
+WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n FROM events),
+singles AS (SELECT event_type, count(*) AS c FROM s GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(floor(ln(CAST(p.n_both AS DOUBLE) * n.n
+                     / (ca.c * cb.c)) * 1000000) AS BIGINT) AS pmi_micro
+FROM pairs p
+JOIN singles ca ON ca.event_type = p.type_a
+JOIN singles cb ON cb.event_type = p.type_b, n
+"""
+
+# identical modulo nothing — same ANSI text
+_QPMI_ORACLE = _QPMI_SPARK
+
+
+# Rolling 7-day active users per day (the WAU curve): the day grid
+# joins the distinct (user, day) activity on a bounded 7-day band —
+# each activity row lands in at most 7 day-buckets.
+_QWAU_SPARK = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT days.d AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM days JOIN act a ON a.d BETWEEN date_sub(days.d, 6) AND days.d
+GROUP BY days.d
+"""
+
+_QWAU_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT days.d AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM days JOIN act a ON a.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+"""
+
+
 # K-fold cross-validation assignment: portable-fingerprint fold per
 # USER (grouped, leakage-safe like grouped_split_no_leakage), with
 # per-fold event counts and user digests — the eval-protocol primitive.
@@ -5523,6 +5626,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouped_split_no_leakage": (_q_grouped_split, _GROUPED_SPLIT_ORACLE),
     "epoch_shuffle_shards": (_sql_query(_QEPOCH_SHUFFLE), _QEPOCH_SHUFFLE),
     "kfold_assignment": (_sql_query(_QKFOLD), _QKFOLD),
+    "dedup_containment_scoped": (_q_scoped_containment, _SCOPED_CONTAINMENT_ORACLE),
+    "event_type_pmi": (_sql_query(_QPMI_SPARK), _QPMI_ORACLE),
+    "rolling_wau": (_sql_query(_QWAU_SPARK), _QWAU_ORACLE),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
         _q_streaming_matview,
