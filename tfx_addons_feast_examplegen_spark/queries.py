@@ -3592,6 +3592,50 @@ GROUP BY days.d
 """
 
 
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+# each row draws priority -ln(u)/w from a DETERMINISTIC u (portable
+# fingerprint mapped into (0,1)); the k smallest priorities are the
+# weighted sample. Selection runs on the MICRO-FLOORED integer key with
+# id tie-break, so both engines pick the identical set (no float
+# boundary ambiguity). Weight = document length in chars.
+_QWSAMPLE_WOR = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           -ln((((doc_id * 2654435761) % 2147483648 + 2147483648)
+                % 2147483648 % 10000 + 0.5) / 10000.0)
+           / n_chars * 1000000000) AS BIGINT) AS prio_nano
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, prio_nano
+FROM keyed
+ORDER BY prio_nano, doc_id
+LIMIT 100
+"""
+
+
+# Rolling z-score anomaly flags per user: each event scored against the
+# mean/stddev of its OWN trailing 7-event window (ROWS frame — the
+# window-local aggregation order is frame-defined, so double sums are
+# deterministic in both engines). Events beyond |z| >= 1.5 with a full
+# window are flagged.
+_QROLLING_Z = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd,
+         count(*) OVER win AS n_win
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(value, 2) AS value,
+       round((value - mu) / sd, 4) AS z
+FROM w
+WHERE n_win = 7 AND sd > 0 AND abs((value - mu) / sd) >= 1.5
+"""
+
+
 # K-fold cross-validation assignment: portable-fingerprint fold per
 # USER (grouped, leakage-safe like grouped_split_no_leakage), with
 # per-fold event counts and user digests — the eval-protocol primitive.
@@ -5629,6 +5673,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_containment_scoped": (_q_scoped_containment, _SCOPED_CONTAINMENT_ORACLE),
     "event_type_pmi": (_sql_query(_QPMI_SPARK), _QPMI_ORACLE),
     "rolling_wau": (_sql_query(_QWAU_SPARK), _QWAU_ORACLE),
+    "weighted_sample_wor": (_sql_query(_QWSAMPLE_WOR), _QWSAMPLE_WOR),
+    "rolling_zscore_anomalies": (_sql_query(_QROLLING_Z), _QROLLING_Z),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
         _q_streaming_matview,
