@@ -3592,6 +3592,93 @@ GROUP BY days.d
 """
 
 
+# Corpus novelty rate: what fraction of each source's distinct
+# 3-gram shingles is NOT already covered by the even-doc_id half of the
+# corpus (the "what did the new crawl actually add" audit). Anti-join
+# of distinct shingles against the baseline shingle set, basis points.
+_QNOVELTY_SPARK = """
+WITH sh AS (
+  SELECT DISTINCT d.doc_id, d.source, s.s
+  FROM documents d,
+  LATERAL (
+    SELECT explode(transform(
+      sequence(1, greatest(size(split(lower(d.text), ' ')) - 2, 0)),
+      i -> concat_ws(' ', slice(split(lower(d.text), ' '), i, 3)))) AS s
+  ) s
+),
+base AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+novel AS (
+  SELECT n.source, count(DISTINCT n.s) AS n_new
+  FROM (SELECT source, s FROM sh WHERE doc_id % 2 = 1) n
+  ANTI JOIN base b ON n.s = b.s
+  GROUP BY n.source
+),
+tot AS (
+  SELECT source, count(DISTINCT s) AS n_all
+  FROM sh WHERE doc_id % 2 = 1 GROUP BY source
+)
+SELECT t.source, CAST(t.n_all AS BIGINT) AS n_shingles,
+       CAST(coalesce(v.n_new, 0) AS BIGINT) AS n_novel,
+       CAST(floor(10000.0 * coalesce(v.n_new, 0) / t.n_all) AS BIGINT)
+         AS novelty_bp
+FROM tot t LEFT JOIN novel v ON v.source = t.source
+"""
+
+_QNOVELTY_ORACLE = """
+WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+base AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+novel AS (
+  SELECT n.source, count(DISTINCT n.s) AS n_new
+  FROM (SELECT source, s FROM sh WHERE doc_id % 2 = 1) n
+  ANTI JOIN base b ON n.s = b.s
+  GROUP BY n.source
+),
+tot AS (
+  SELECT source, count(DISTINCT s) AS n_all
+  FROM sh WHERE doc_id % 2 = 1 GROUP BY source
+)
+SELECT t.source, CAST(t.n_all AS BIGINT) AS n_shingles,
+       CAST(coalesce(v.n_new, 0) AS BIGINT) AS n_novel,
+       CAST(floor(10000.0 * coalesce(v.n_new, 0) / t.n_all) AS BIGINT)
+         AS novelty_bp
+FROM tot t LEFT JOIN novel v ON v.source = t.source
+"""
+
+
+# Referential-integrity audit: one row per declared relationship with
+# orphan counts (child keys with no parent) and parent key-uniqueness
+# violations — the data-contract check a feature platform runs before
+# every materialization. Anti-joins + grouped uniqueness, all
+# map-side-combinable.
+_QFK_AUDIT = """
+SELECT 'orders.o_custkey -> customer' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        ANTI JOIN customer c ON o.o_custkey = c.c_custkey) AS n_orphans,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT c_custkey FROM customer GROUP BY c_custkey
+          HAVING count(*) > 1)) AS n_dup_parents
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1))
+UNION ALL
+SELECT 'nation.n_regionkey -> region',
+       (SELECT CAST(count(*) AS BIGINT) FROM nation n
+        ANTI JOIN region r ON n.n_regionkey = r.r_regionkey),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT r_regionkey FROM region GROUP BY r_regionkey
+          HAVING count(*) > 1))
+"""
+
+
 # Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
 # each row draws priority -ln(u)/w from a DETERMINISTIC u (portable
 # fingerprint mapped into (0,1)); the k smallest priorities are the
@@ -5675,6 +5762,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rolling_wau": (_sql_query(_QWAU_SPARK), _QWAU_ORACLE),
     "weighted_sample_wor": (_sql_query(_QWSAMPLE_WOR), _QWSAMPLE_WOR),
     "rolling_zscore_anomalies": (_sql_query(_QROLLING_Z), _QROLLING_Z),
+    "corpus_novelty_rate": (_sql_query(_QNOVELTY_SPARK), _QNOVELTY_ORACLE),
+    "fk_integrity_audit": (_sql_query(_QFK_AUDIT), _QFK_AUDIT),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
         _q_streaming_matview,
