@@ -3592,6 +3592,78 @@ GROUP BY days.d
 """
 
 
+# Pareto / revenue-concentration analysis: customers ranked by spend
+# into deciles (NTILE over integer cents, id tie-break), per-decile
+# share of total in basis points — the 80/20 curve. Frame-ordered
+# window sums; integer arithmetic end-to-end.
+_QPARETO = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM spend
+),
+tot AS (SELECT sum(cents) AS t FROM spend)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS spend_cents,
+       CAST(floor(10000.0 * sum(cents) / t) AS BIGINT) AS share_bp
+FROM ranked, tot
+GROUP BY decile, t
+"""
+
+
+def _q_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dedup EXPLAINABILITY: for every Jaccard pair the pipeline flags,
+    # the shared-shingle count plus a deterministic example shingle
+    # (lexicographic min) — the evidence a reviewer needs to trust a
+    # drop decision. String shingles here (evidence must be readable),
+    # joined only for the ~25 flagged pairs.
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dd.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, on_over_cap="error"
+    ).select("doc_a", "doc_b")
+    sh = dd.shingles(docs, "doc_id", "text", 3, hashed=False)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("shingle").alias("example_shingle"),
+        )
+    )
+
+
+_PAIR_EVIDENCE_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared, min(a.s) AS example_shingle
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, example_shingle
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_shared * 1.0 / (sa.nsh + sb.nsh - n_shared) >= 0.5
+"""
+
+
 # Corpus novelty rate: what fraction of each source's distinct
 # 3-gram shingles is NOT already covered by the even-doc_id half of the
 # corpus (the "what did the new crawl actually add" audit). Anti-join
@@ -5764,6 +5836,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rolling_zscore_anomalies": (_sql_query(_QROLLING_Z), _QROLLING_Z),
     "corpus_novelty_rate": (_sql_query(_QNOVELTY_SPARK), _QNOVELTY_ORACLE),
     "fk_integrity_audit": (_sql_query(_QFK_AUDIT), _QFK_AUDIT),
+    "revenue_concentration": (_sql_query(_QPARETO), _QPARETO),
+    "dedup_pair_evidence": (_q_pair_evidence, _PAIR_EVIDENCE_ORACLE),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
         _q_streaming_matview,
