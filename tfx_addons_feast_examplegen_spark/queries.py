@@ -3592,6 +3592,33 @@ GROUP BY days.d
 """
 
 
+# CUSUM changepoint surveillance: per event_type, the running sum of
+# (daily mean - global mean) deviations in cents; days where |CUSUM|
+# exceeds the threshold mark sustained drift (the classic control-chart
+# signal, not a single-day spike). The running window sum accumulates
+# in ORDER BY order — identical addition sequence in both engines.
+_QCUSUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+         count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+g AS (SELECT event_type,
+             CAST(sum(cents) AS DOUBLE) / sum(n) AS gmean
+      FROM daily GROUP BY event_type),
+c AS (
+  SELECT daily.event_type, daily.d,
+         sum(CAST(daily.cents AS DOUBLE) / daily.n - g.gmean)
+           OVER (PARTITION BY daily.event_type ORDER BY daily.d) AS cusum
+  FROM daily JOIN g ON g.event_type = daily.event_type
+)
+SELECT event_type, d AS day,
+       CAST(round(cusum, 2) AS DOUBLE) AS cusum_cents
+FROM c WHERE abs(cusum) >= 200
+"""
+
+
 # Pareto / revenue-concentration analysis: customers ranked by spend
 # into deciles (NTILE over integer cents, id tie-break), per-decile
 # share of total in basis points — the 80/20 curve. Frame-ordered
@@ -5837,6 +5864,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_novelty_rate": (_sql_query(_QNOVELTY_SPARK), _QNOVELTY_ORACLE),
     "fk_integrity_audit": (_sql_query(_QFK_AUDIT), _QFK_AUDIT),
     "revenue_concentration": (_sql_query(_QPARETO), _QPARETO),
+    "cusum_changepoints": (_sql_query(_QCUSUM), _QCUSUM),
     "dedup_pair_evidence": (_q_pair_evidence, _PAIR_EVIDENCE_ORACLE),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
