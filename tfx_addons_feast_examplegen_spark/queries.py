@@ -3592,6 +3592,52 @@ GROUP BY days.d
 """
 
 
+def _q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGEABLE sketches — the property that makes sketch
+    # infrastructure work at 100 TB: per-source HLL sketches built
+    # independently (one pass, map-side combinable), then UNIONED
+    # without touching the raw data; the merged estimate must land
+    # within ±5% of the exact global distinct count, per-source
+    # estimates within ±5% of theirs (error-bound contract, oracle
+    # emits exact counts + literal TRUE). Datasketches HLL via Spark's
+    # hll_sketch_agg / hll_union_agg / hll_sketch_estimate.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH per AS (
+          SELECT source, hll_sketch_agg(CAST(doc_id AS STRING)) AS sk,
+                 count(DISTINCT doc_id) AS exact
+          FROM documents GROUP BY source
+        ),
+        per_rows AS (
+          SELECT source AS scope, CAST(exact AS BIGINT) AS exact_distinct,
+                 abs(hll_sketch_estimate(sk) - exact) <= 0.05 * exact
+                   AS est_in_bound
+          FROM per
+        ),
+        merged AS (
+          SELECT 'merged' AS scope,
+                 (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                  FROM documents) AS exact_distinct,
+                 abs(hll_sketch_estimate(hll_union_agg(sk))
+                     - (SELECT count(DISTINCT doc_id) FROM documents))
+                   <= 0.05 * (SELECT count(DISTINCT doc_id) FROM documents)
+                   AS est_in_bound
+          FROM per
+        )
+        SELECT * FROM per_rows UNION ALL SELECT * FROM merged
+    """)
+
+
+_SKETCH_HLL_MERGE_ORACLE = """
+SELECT source AS scope, CAST(count(DISTINCT doc_id) AS BIGINT)
+         AS exact_distinct, TRUE AS est_in_bound
+FROM documents GROUP BY source
+UNION ALL
+SELECT 'merged', CAST(count(DISTINCT doc_id) AS BIGINT), TRUE
+FROM documents
+"""
+
+
 # CUSUM changepoint surveillance: per event_type, the running sum of
 # (daily mean - global mean) deviations in cents; days where |CUSUM|
 # exceeds the threshold mark sustained drift (the classic control-chart
@@ -5865,6 +5911,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "fk_integrity_audit": (_sql_query(_QFK_AUDIT), _QFK_AUDIT),
     "revenue_concentration": (_sql_query(_QPARETO), _QPARETO),
     "cusum_changepoints": (_sql_query(_QCUSUM), _QCUSUM),
+    "sketch_hll_mergeable": (_q_sketch_hll_merge, _SKETCH_HLL_MERGE_ORACLE),
     "dedup_pair_evidence": (_q_pair_evidence, _PAIR_EVIDENCE_ORACLE),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
