@@ -3638,6 +3638,38 @@ FROM documents
 """
 
 
+# Inter-event gap distribution per event type: exact median and p90 of
+# the per-user time between consecutive events of that type — the
+# cadence profile behind TTL/watermark tuning (how stale can a feature
+# get; how late can an event be). lag() inside user+type, grouped
+# exact percentiles (the proven-portable percentile_cont).
+_QGAP_STATS = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(ts AS TIMESTAMP) AS ts,
+         lag(CAST(ts AS TIMESTAMP))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+d AS (
+  SELECT event_type,
+         CAST(floor((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0)
+              AS BIGINT) AS gap_s
+  FROM gaps WHERE prev_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 2)
+         AS median_gap_s,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_s), 2)
+         AS p90_gap_s
+FROM d GROUP BY event_type
+"""
+
+_QGAP_STATS_SPARK = _QGAP_STATS.replace("epoch_us(", "unix_micros(")
+
+
 # CUSUM changepoint surveillance: per event_type, the running sum of
 # (daily mean - global mean) deviations in cents; days where |CUSUM|
 # exceeds the threshold mark sustained drift (the classic control-chart
@@ -5912,6 +5944,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "revenue_concentration": (_sql_query(_QPARETO), _QPARETO),
     "cusum_changepoints": (_sql_query(_QCUSUM), _QCUSUM),
     "sketch_hll_mergeable": (_q_sketch_hll_merge, _SKETCH_HLL_MERGE_ORACLE),
+    "interevent_gap_stats": (_sql_query(_QGAP_STATS_SPARK), _QGAP_STATS),
     "dedup_pair_evidence": (_q_pair_evidence, _PAIR_EVIDENCE_ORACLE),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
