@@ -405,8 +405,16 @@ def jaccard_pairs_prefix(
             ),
         )
     )
+    # Required overlap is ceil(threshold * nsh) over the RATIONAL product;
+    # float multiply can land epsilon above the exact value (0.34 * 150 =
+    # 51.000000000000004 → ceil 52 instead of 51), which would SHORTEN the
+    # prefix and admit false negatives. Subtracting epsilon before ceil
+    # can only lengthen the prefix — safe direction for the
+    # no-false-negative contract.
     prefix_len = (
-        F.col("nsh") - F.ceil(F.lit(float(threshold)) * F.col("nsh")) + 1
+        F.col("nsh")
+        - F.ceil(F.lit(float(threshold)) * F.col("nsh") - F.lit(1e-9))
+        + 1
     )
     pref = ranked.filter(F.col("__rk") <= prefix_len).select(
         id_col, "shingle"

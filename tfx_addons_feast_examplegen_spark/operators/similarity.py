@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 from ..session import rebalance_for_compute
 
 
+def _require_filter(query_filter: str | None) -> str:
+    """Fail with a usable message instead of `df.filter(None)`'s opaque
+    Py4J type error when the caller supplies neither query source."""
+    if query_filter is None:
+        raise ValueError(
+            "a query set is required: pass either `queries` (a DataFrame "
+            "of query vectors) or `query_filter` (a SQL predicate "
+            "selecting them from the corpus)"
+        )
+    return query_filter
+
+
 def _dot(a, b) -> "F.Column":
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -206,7 +218,7 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cos, rank).
     """
-    q = queries if queries is not None else emb.filter(query_filter)
+    q = queries if queries is not None else emb.filter(_require_filter(query_filter))
     emb = rebalance_for_compute(emb)  # corpus side: parallel dot products
     qs = q.select(
         F.col(id_col).alias("query_id"),
@@ -257,7 +269,7 @@ def hard_negatives(
     Output: (query_id, query_label, neighbor_id, neighbor_label, cos,
     rank).
     """
-    q = queries if queries is not None else emb.filter(query_filter)
+    q = queries if queries is not None else emb.filter(_require_filter(query_filter))
     emb = rebalance_for_compute(emb)
     qs = q.select(
         F.col(id_col).alias("query_id"),
@@ -596,6 +608,8 @@ def pq_train(
     the m × n_codes × d_sub codebook matrix reaches the driver.
     """
     first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train requires a non-empty corpus")
     dim = int(first["d"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

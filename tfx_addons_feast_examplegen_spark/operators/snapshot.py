@@ -88,6 +88,10 @@ def merge_upsert(
     newest-per-key batch row applies (late/duplicated CDC events
     collapse deterministically — ties break on the full sort of
     ``seq_col`` descending then key order, so pass a unique sequence).
+    Without ``seq_col`` a batch carrying key collisions is still
+    collapsed to one row per key via a deterministic all-column
+    tie-break — the output always upholds the one-row-per-key MERGE
+    invariant.
 
     Both steps shuffle on the merge keys; bucket the base table on the
     keys (``sources/bucketing.py``) and the anti-join co-locates with
@@ -97,12 +101,21 @@ def merge_upsert(
 
     up = updates
     if seq_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
-        up = (
-            up.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        order = [F.desc(seq_col)]
+    else:
+        # No sequence column: a batch with key collisions must still
+        # produce ONE row per key (the MERGE invariant), so fall back to
+        # a deterministic tie-break over every non-key column sorted by
+        # name — arbitrary but stable across runs and partitionings.
+        order = [
+            F.desc(c) for c in sorted(set(up.columns) - set(key_cols))
+        ] or [F.lit(1).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    up = (
+        up.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     survivors = base.join(
         up.select(*key_cols).distinct(), key_cols, "left_anti"
     )

@@ -6078,70 +6078,64 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # the full registry locally regardless of this order.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # round-5 changed implementations: the three formerly rows-only
-    # entries now carry contract oracles (driver rows required to prove
-    # the no_oracle slots are cleared), plus the new PNG codec entry
-    "dedup_simhash",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "multimodal_image_png",
-    "temperature_mix",
-    "text_heavy_hitters",
-    # Everything below sat OUTSIDE the r4 window (last driver-green
-    # r1-3) — surfaced so that r4 ∪ r5 driver rows cover every entry
-    # that existed before round 5. Outside this round's window: (a) the
-    # eight triple-proven r1-3 entries (pit_join_ttl,
-    # pit_join_time_bucketed, pit_join_multiview, feature_service,
-    # hash_split_counts, q1/q3/q5) and (b) the ~20 operators ADDED in
-    # round 5 (exact-substring dedup, PQ/indexed ANN, hard negatives,
-    # image resize, bigram NLL, corpus report, retention, PSI, CDC
-    # merge, nearest join, retrieval, epoch shuffle, ...) — every one
-    # proven by the committed
-    # CORRECTNESS_LOCAL_r05 log; the round-5 additions lead the r6
-    # window together with the eight deferred entries.
-    "setop_intersect",
-    "setop_except",
-    "having_subquery",
-    "rollup_region_nation",
-    "anti_join_exists",
-    "cube_lattice",
-    "case_pivot",
-    "text_fingerprint",
-    "similarity_ann_exhaustive",
-    "windowed_event_counts",
-    "windowed_event_counts_streaming",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_static_enrichment",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "split_pattern_routing",
-    "pit_join_prefixed",
-    "pit_join_composite_key",
-    "pit_join_field_mapping",
-    "param_substitution",
-    "skew_salted_agg",
-    "decontaminate",
-    "stratified_sample",
-    "group_quota",
-    "sequence_packing",
-    "latest_feature_snapshot",
-    "pii_redaction",
-    "grouping_sets_filter",
-    "correlated_subquery",
-    "lateral_topk_per_key",
-    "udtf_split_sentences",
-    "event_funnel",
-    "scd2_validity_intervals",
-    "forward_fill_timeseries",
-    "negative_sample",
-    "chunk_documents",
-    "column_correlations",
-    "gap_fill_timeseries",
-    "unpivot_stack",
-    "range_interval_window",
-    "dataset_stats",
-    "array_agg_sorted",
+    # Round-6 rotation (VERDICT r5 item 1): every entry below had NO
+    # driver correctness row in rounds 1-5 — green only in the committed
+    # CORRECTNESS_LOCAL_r05.txt sweep. Real round-5 operator entries lead;
+    # 11 of the 18 never-checked SQL-corpus entries fill the remaining
+    # slots. Deferred to the r7 window (the only never-driver-checked
+    # entries left): corpus_novelty_rate, fk_integrity_audit,
+    # revenue_concentration, cusum_changepoints, interevent_gap_stats,
+    # recursive_chain_walk, group_ols_trend.
+    "dedup_exact_substring",
+    "dedup_remove_shared_runs",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_scoped",
+    "dedup_pair_evidence",
+    "similarity_ann_pq_recall",
+    "similarity_ann_indexed",
+    "contrastive_hard_negatives",
+    "embedding_outliers",
+    "multimodal_image_resize",
+    "merge_upsert_cdc",
+    "table_time_travel_diff",
+    "table_pruned_scan",
+    "nearest_event_join",
+    "bm25_ranked_search",
+    "keyword_search_indexed",
+    "phrase_search_positional",
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "bpe_pair_merges",
+    "corpus_report",
+    "training_pipeline_v2",
+    "stream_error_recovery",
+    "streaming_matview_latest",
+    "sketch_hll_mergeable",
+    "length_bucketing",
+    "source_overlap_audit",
+    "grouped_split_no_leakage",
+    "feature_drift_psi",
+    "skew_report",
+    "source_orc_roundtrip",
+    "federated_union_agg",
+    "ivm_delta_agg",
+    "graph_triangle_count",
+    "props_map_explode",
+    "variant_props_typed",
+    "vocab_coverage_curve",
+    "interpolate_timeseries",
+    # SQL-corpus tail (ANSI-compat evidence class):
+    "retention_cohorts",
+    "decayed_activity_score",
+    "mad_outliers",
+    "time_rollup_multigrain",
+    "percent_rank_transform",
+    "epoch_shuffle_shards",
+    "kfold_assignment",
+    "event_type_pmi",
+    "rolling_wau",
+    "weighted_sample_wor",
+    "rolling_zscore_anomalies",
 ]
 
 

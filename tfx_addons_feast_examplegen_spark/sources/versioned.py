@@ -160,10 +160,15 @@ def read_version_pruned(
             "commit with stats_cols to enable skipping"
         )
     data_dir = os.path.join(root, f"v{v}")
+    # Null min/max (all-null or empty file) means "no information" —
+    # skipping must stay a superset guarantee, so such a file is always
+    # opened rather than compared (None < str would raise).
     keep = [
         os.path.join(data_dir, fname)
         for fname, s in stats.items()
-        if not (s[col][1] < lo or s[col][0] > hi)
+        if s[col][0] is None
+        or s[col][1] is None
+        or not (s[col][1] < lo or s[col][0] > hi)
     ]
     total = len(stats)
     if not keep:

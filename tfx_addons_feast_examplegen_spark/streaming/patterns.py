@@ -89,11 +89,19 @@ def match_recovery_stream(
 
         if keep_errs or keep_purs:
             state.update((keep_errs, keep_purs))
+            # EventTimeTimeout resets the timer on every invocation, so a
+            # kept state MUST always re-arm it — purchase-only state for a
+            # key that never sees another event would otherwise be
+            # retained forever. A purchase older than `timeout` can never
+            # match a future error (errors match only forward in time), so
+            # max(purs) + timeout is a safe eviction deadline.
             if keep_errs:
                 deadline_ms = (keep_errs[0] + to_us) // 1000
-                state.setTimeoutTimestamp(
-                    max(deadline_ms + 1, wm_us // 1000 + 1)
-                )
+            else:
+                deadline_ms = (max(keep_purs) + to_us) // 1000
+            state.setTimeoutTimestamp(
+                max(deadline_ms + 1, wm_us // 1000 + 1)
+            )
         elif state.exists:
             state.remove()
 
