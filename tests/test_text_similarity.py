@@ -543,3 +543,40 @@ def test_ann_index_param_mismatch_raises(spark, sf_dir, tmp_path):
     write_ann_index(emb, idx, bands=4, target_files=2)
     with pytest.raises(ValueError, match="was built with"):
         lsh_topk_indexed(emb.filter("vec_id < 5"), idx, bands=2)
+
+
+def test_pq_indexed_matches_inmemory(spark, sf_dir, tmp_path):
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_indexed,
+        pq_write_index,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_index")
+    pq_write_index(emb, path, m=8, n_codes=16)
+    queries = emb.filter("vec_id < 10")
+    got = pq_topk_indexed(queries, path, k=5, m=8, n_codes=16).collect()
+    want = pq_topk(
+        emb, query_filter="vec_id < 10", k=5, m=8, n_codes=16, shortlist=100
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len({key(r) for r in got}) == len(got)
+
+
+def test_pq_indexed_rejects_param_mismatch(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        pq_topk_indexed,
+        pq_write_index,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    path = str(tmp_path / "pq_index")
+    pq_write_index(emb, path, m=8, n_codes=16)
+    with _pytest.raises(ValueError, match="was built with"):
+        pq_topk_indexed(emb.limit(2), path, m=4, n_codes=16)

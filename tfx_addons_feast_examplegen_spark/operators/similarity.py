@@ -708,9 +708,13 @@ def pq_topk(
     Scale shape: the ADC scan reads m small ints per corpus row (the
     codes column — at dim=64/m=8 that is ~16× less than the float
     vector), the codebook rides along as a constant-size nested literal,
-    and only shortlist × n_queries rows reach the exact re-rank. At
-    100 TB the re-rank would join the shortlist back to the vector store
-    by id; here the vector column rides the scan for simplicity.
+    and only shortlist × n_queries rows reach the exact re-rank — which
+    fetches its full-precision vectors by an id equi-join against the
+    vector store, so the wide embedding column never rides the ADC scan
+    or the shortlist shuffle. (With an in-memory corpus the codes are
+    still derived from the vectors in the same lineage; see
+    :func:`pq_topk_indexed` for the materialized form whose ADC scan is
+    physically codes-only.)
     """
     emb = rebalance_for_compute(emb)
     books = pq_train(
@@ -722,38 +726,170 @@ def pq_topk(
         seed=seed,
         refine_iters=refine_iters,
     )
-    d_sub = len(books[0][0])
-    cb = _pq_cb_sql(books)
-    corpus = pq_encode(emb, books, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "codes"
+    codes = pq_encode(emb, books, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
     )
     qs = emb.filter(query_filter).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    vectors = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    return _pq_adc_search(
+        codes, vectors, qs, books, k=k, shortlist=shortlist
+    )
+
+
+def _pq_adc_search(
+    codes: DataFrame,
+    vectors: DataFrame,
+    qs: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    k: int,
+    shortlist: int,
+) -> DataFrame:
+    """Shared ADC search core: score ``codes`` (neighbor_id, codes)
+    against the broadcast query batch, keep the best ``shortlist`` per
+    query, then fetch ONLY the shortlisted ids' vectors from ``vectors``
+    (neighbor_id, cv) for the exact cosine re-rank. The shortlist side
+    of the fetch join is shortlist × n_queries rows — broadcast it, so
+    the vector store is one scan with zero shuffle."""
+    m = len(books)
+    d_sub = len(books[0][0])
+    cb = _pq_cb_sql(books)
     adc = (
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), (acc, s) -> "
         f"acc + aggregate(zip_with(slice(qv, s * {d_sub} + 1, {d_sub}), "
         f"element_at(element_at({cb}, s + 1), element_at(codes, s + 1) + 1), "
         f"(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v))"
     )
-    scored = corpus.join(
+    scored = codes.join(
         F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")
     ).withColumn("adc", F.round(F.expr(adc), 9))
     w_short = Window.partitionBy("query_id").orderBy(
         F.asc("adc"), F.asc("neighbor_id")
     )
-    cands = scored.withColumn("srank", F.row_number().over(w_short)).filter(
-        F.col("srank") <= shortlist
+    cands = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "qv", "neighbor_id")
     )
+    fetched = vectors.join(F.broadcast(cands), "neighbor_id")
     cos = _dot(F.col("qv"), F.col("cv")) / (
         _norm(F.col("qv")) * _norm(F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("cos", F.round(cos, 6))
+        fetched.withColumn("cos", F.round(cos, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def pq_write_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    refine_iters: int = 2,
+    target_files: int | None = None,
+) -> None:
+    """Materialize a PQ index (the PQ twin of :func:`write_ann_index`):
+    train codebooks once, then write three parquet artifacts —
+
+    - ``codes``: (id, codes array<int>) — the ADC-scan side, m small
+      ints per vector, NO vector payload (at dim=64/m=8 ~16× narrower
+      than the float vectors);
+    - ``vectors``: (id, vec) — fetched by id only for the shortlist
+      re-rank;
+    - ``codebooks``: the (sub, code, centroid) rows plus baked-in
+      params, so probes with mismatched (m, n_codes, seed) fail fast.
+    """
+
+    def _w(df: DataFrame, sub: str) -> None:
+        if target_files is not None:
+            df = df.coalesce(target_files)
+        df.write.mode("overwrite").parquet(f"{path}/{sub}")
+
+    emb = rebalance_for_compute(emb)
+    books = pq_train(
+        emb, id_col=id_col, vec_col=vec_col,
+        m=m, n_codes=n_codes, seed=seed, refine_iters=refine_iters,
+    )
+    _w(
+        pq_encode(emb, books, vec_col=vec_col).select(
+            F.col(id_col), "codes"
+        ),
+        "codes",
+    )
+    _w(emb.select(F.col(id_col), F.col(vec_col)), "vectors")
+    spark = emb.sparkSession
+    cb_rows = [
+        (s, c, books[s][c]) for s in range(m) for c in range(len(books[s]))
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(m, n_codes, seed, id_col, vec_col)],
+        "m int, n_codes int, seed int, id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def pq_topk_indexed(
+    queries: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    shortlist: int = 100,
+) -> DataFrame:
+    """:func:`pq_topk` against a pre-built index: the ADC scan reads the
+    stored ``codes`` artifact — physically codes-only, no embedding
+    column in its ReadSchema (plan-guarded in ``tests/test_plans.py``) —
+    and the exact re-rank fetches only shortlisted ids from the stored
+    ``vectors`` artifact. This is the standing-retrieval layout at
+    100 TB: per query batch, the wide vector column is read for
+    shortlist × n_queries rows instead of the whole corpus."""
+    spark = queries.sparkSession
+    p = spark.read.parquet(f"{index_path}/params").collect()[0]
+    got = (m, n_codes, seed)
+    want = (p["m"], p["n_codes"], p["seed"])
+    if got != want:
+        raise ValueError(
+            f"pq index at {index_path} was built with (m, n_codes, "
+            f"seed)={want}; probe requested {got}"
+        )
+    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    books_map: dict[int, dict[int, list[float]]] = {}
+    for r in cb_rows:
+        books_map.setdefault(r["sub"], {})[r["code"]] = list(r["centroid"])
+    books = [
+        [books_map[s][c] for c in sorted(books_map[s])]
+        for s in sorted(books_map)
+    ]
+    codes = spark.read.parquet(f"{index_path}/codes").select(
+        F.col(p["id_col"]).alias("neighbor_id"), "codes"
+    )
+    vectors = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col(p["id_col"]).alias("neighbor_id"),
+        F.col(p["vec_col"]).alias("cv"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    return _pq_adc_search(
+        codes, vectors, qs, books, k=k, shortlist=shortlist
     )
 
 
