@@ -1,0 +1,88 @@
+"""Adversarial hardening of the contract oracles (VERDICT r5 item 5).
+
+The simhash / ANN-LSH / ANN-IVF correctness entries are CONTRACTS: the
+driver's DuckDB oracle asserts semantic guarantees (completeness,
+per-query hits, recall floors) rather than hash-comparing unportable
+bit votes. A contract that can only ever be observed green proves
+nothing — each test here breaks the production pipeline the way a real
+regression would (a wrong fold, a skipped probe) and asserts the
+contract row actually turns red.
+
+Mutations are applied by monkeypatching the operator seam the contract
+entry calls (``queries.py`` resolves ``dd.simhash`` /
+``sim.lsh_topk`` / ``sim.ivf_topk`` at call time), so the contract
+logic itself runs unmodified — exactly what the driver would execute.
+All three mutations verified deterministic at sf0.001 (fixed fixture
+data, seeded hashes/planes/k-means).
+"""
+
+import pyspark.sql.functions as F
+
+from tfx_addons_feast_examplegen_spark import queries as qmod
+from tfx_addons_feast_examplegen_spark.operators import dedup as dd
+from tfx_addons_feast_examplegen_spark.operators import similarity as sim
+
+
+def test_simhash_contract_catches_broken_fold(spark, sf_dir, monkeypatch):
+    # Corrupt the vote fold for every odd doc id (XOR the low 16-bit
+    # chunk — the kind of wrong-shift/wrong-mask bug band arithmetic
+    # invites). Exact-dup pairs with one odd member now differ by up to
+    # 16 bits, so the hamming<=3 filter drops them and the completeness
+    # check (exact_dup_pairs_missed_by_prod == 0) must go red.
+    real = dd.simhash
+
+    def broken(df, id_col, text_col, **kw):
+        out = real(df, id_col, text_col, **kw)
+        return out.withColumn(
+            "simhash",
+            F.when(
+                F.col(id_col) % 2 == 1,
+                F.col("simhash").bitwiseXOR(F.lit(0xFFFF)),
+            ).otherwise(F.col("simhash")),
+        )
+
+    monkeypatch.setattr(dd, "simhash", broken)
+    rows = {
+        r["check"]: (r["value"], r["ok"])
+        for r in qmod._q_simhash(spark, sf_dir).collect()
+    }
+    missed, ok = rows["exact_dup_pairs_missed_by_prod"]
+    assert missed > 0 and ok is False, rows
+    # the well-formedness check is independent of the fold and stays green
+    assert rows["prod_pairs_wellformed"][1] is True, rows
+
+
+def test_ann_lsh_contract_catches_skipped_probes(
+    spark, sf_dir, monkeypatch
+):
+    # Disable multi-probe AND collapse banding to one full-signature
+    # band: true neighbors no longer meet in any bucket, so the
+    # per-query >=1-hit contract must produce red rows.
+    real = sim.lsh_topk
+
+    def broken(emb, **kw):
+        kw["n_probe_bits"] = 0
+        kw["bands"] = 1
+        return real(emb, **kw)
+
+    monkeypatch.setattr(sim, "lsh_topk", broken)
+    rows = qmod._q_ann_lsh(spark, sf_dir).collect()
+    assert len(rows) == 20  # every query still gets its verdict row
+    assert any(not r["hit_ok"] for r in rows), rows
+
+
+def test_ann_ivf_contract_catches_skipped_probes(
+    spark, sf_dir, monkeypatch
+):
+    # Probe 1 of 16 cells instead of the contracted 4: measured recall
+    # falls below the 0.3 floor and the aggregate contract goes red.
+    real = sim.ivf_topk
+
+    def broken(emb, **kw):
+        kw["n_probe"] = 1
+        return real(emb, **kw)
+
+    monkeypatch.setattr(sim, "ivf_topk", broken)
+    row = qmod._q_ann_ivf(spark, sf_dir).collect()[0]
+    assert row["n_queries"] == 20
+    assert row["recall_ok"] is False, row
