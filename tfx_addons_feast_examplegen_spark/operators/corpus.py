@@ -20,6 +20,8 @@ Near-duplicate policy options:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,12 +112,21 @@ def connected_components(
     *,
     id_col: str = "doc_id",
     max_iters: int = 10,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair frame
     (doc_a, doc_b) — the propagation loop of :func:`duplicate_clusters`,
     reusable for ANY near-dup edge source (text LSH pairs, embedding
     cosine pairs, URL-equality pairs). Output: (id_col, cluster) for
     every node appearing in at least one pair.
+
+    Pass a ``telemetry`` dict to receive ``{"rounds": n, "converged":
+    bool}`` (also logged at INFO): on a pathological 100 TB graph the
+    iteration count is the early-warning signal — a rounds count
+    creeping toward ``max_iters`` means component diameter is growing
+    toward the 2^max_iters pointer-doubling bound, observable here
+    instead of as a sudden convergence failure (the no-silent-caps
+    doctrine applied to the iterative loop).
     """
     pairs = pairs.select("doc_a", "doc_b")
 
@@ -137,7 +148,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.id)
             .groupBy(F.col("doc_a").alias("id"))
@@ -179,6 +192,13 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
+        telemetry["converged"] = converged
+    logging.getLogger(__name__).info(
+        "connected_components: %d/%d rounds, converged=%s",
+        rounds, max_iters, converged,
+    )
     if not converged:
         # Unconverged labels are WRONG (nodes may carry a non-minimal
         # cluster id) — fail loudly rather than ship a silently split
