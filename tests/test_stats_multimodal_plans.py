@@ -357,3 +357,131 @@ def test_resize_images_spark_chain(spark):
             assert px[y * 6 + x] == (base, (base + 11) % 256, (base + 22) % 256)
     # stats stage consumes the resized payloads
     assert extract_image_stats(out).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    # The property the oracle entry builds on: per-block-constant images
+    # survive the lossy pipeline bit-exactly (single DC coefficient,
+    # all-ones quant table).
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray,
+    )
+
+    w, h = 24, 16
+    px = [
+        (7 * 5 + (y // 8) * 31 + (x // 8) * 3) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    dw, dh, dec = decode_jpeg_gray_pixels(encode_jpeg_gray(w, h, px))
+    assert (dw, dh, dec) == (w, h, px)
+
+
+def test_jpeg_noise_roundtrip_within_dct_rounding():
+    # General content through the FULL entropy + DCT path: with all-ones
+    # quantization the only loss is coefficient rounding, bounded at
+    # +/-2 gray levels. Random noise maximizes AC activity, so every
+    # huffman (run, size) path and ZRL/EOB handling is exercised.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(7)
+    w, h = 16, 16
+    px = [rng.randrange(256) for _ in range(w * h)]
+    dw, dh, dec = decode_jpeg_gray_pixels(encode_jpeg_gray(w, h, px))
+    assert (dw, dh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(dec, px)) <= 2
+
+
+def test_jpeg_non_mcu_aligned_crops():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray,
+    )
+
+    w, h = 19, 13  # pads to 24x16, decoder must crop back
+    px = [(x * 7 + y * 11) % 256 for y in range(h) for x in range(w)]
+    dw, dh, dec = decode_jpeg_gray_pixels(encode_jpeg_gray(w, h, px))
+    assert (dw, dh) == (w, h)
+    assert len(dec) == w * h
+    assert max(abs(a - b) for a, b in zip(dec, px)) <= 2
+
+
+def test_jpeg_idct_matches_numpy_reference():
+    # The IDCT against an independent implementation (scipy-free,
+    # numpy-only orthonormal DCT-III): random integer coefficient
+    # blocks, reference computed as C^T K C with the standard basis.
+    import random
+
+    import numpy as np
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _idct8x8,
+    )
+
+    basis = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            basis[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    rng = random.Random(11)
+    for _ in range(5):
+        coef = np.array(
+            [rng.randrange(-200, 201) for _ in range(64)]
+        ).reshape(8, 8)
+        ref = basis.T @ coef @ basis  # spatial = C^T K C
+        ref_px = np.clip(np.round(ref) + 128, 0, 255)
+        got = np.array(_idct8x8(list(coef.flatten()))).reshape(8, 8)
+        assert np.array_equal(got, ref_px), (got - ref_px)
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray,
+    )
+
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray_pixels(b"\x00\x01")
+    # corrupt a huffman table id in a valid stream -> missing-table error
+    good = bytearray(encode_jpeg_gray(8, 8, [5] * 64))
+    sos_at = bytes(good).find(b"\xff\xda")
+    good[sos_at + 6] = 0x22  # point SOS at undefined DC/AC tables
+    with _pytest.raises(ValueError, match="missing quantization/huffman"):
+        decode_jpeg_gray_pixels(bytes(good))
+
+
+def test_extract_image_stats_sniffs_jpeg(spark):
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_jpeg_payloads,
+        extract_image_stats,
+    )
+
+    base = spark.range(4).withColumnRenamed("id", "doc_id")
+    out = {
+        r["doc_id"]: r
+        for r in extract_image_stats(attach_jpeg_payloads(base)).collect()
+    }
+    for did in range(4):
+        w, h = (did % 3 + 1) * 8, (did % 2 + 1) * 8
+        vals = [
+            (did * 7 + by * 31 + bx * 3) % 256
+            for by in range(h // 8)
+            for bx in range(w // 8)
+        ]
+        r = out[did]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["r_sum"] == r["g_sum"] == r["b_sum"] == sum(vals) * 64
+        assert (r["px_min"], r["px_max"]) == (min(vals), max(vals))

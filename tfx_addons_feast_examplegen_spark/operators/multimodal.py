@@ -10,14 +10,17 @@ Two codec tiers:
 - **Real pure-stdlib decoders**: :func:`decode_bmp_24` (24-bit
   uncompressed BMP — header parse, row padding, bottom-up/top-down,
   BGR order), :func:`decode_png_rgb8` (8-bit RGB PNG — chunk CRC walk,
-  zlib inflate, all five scanline filters reconstructed) and
-  :func:`decode_wav_pcm16` (RIFF chunk walk, PCM16 mono). These run as
-  the decode kernels of :func:`extract_image_stats` (content-sniffing
-  BMP/PNG dispatch) / :func:`extract_audio_stats` and are
-  oracle-checked end-to-end (the fixture payloads carry closed-form
-  pixel/sample values an external SQL engine can re-derive).
-- **Stub boundary for formats needing codec libraries** (JPEG/MP3/
-  H.264 are not decodable with the stdlib):
+  zlib inflate, all five scanline filters reconstructed),
+  :func:`decode_jpeg_gray` (BASELINE grayscale JPEG — marker walk,
+  canonical huffman from DHT, DPCM DC + EOB/ZRL AC entropy decode,
+  dequantize, dezigzag, float IDCT) and :func:`decode_wav_pcm16`
+  (RIFF chunk walk, PCM16 mono). These run as the decode kernels of
+  :func:`extract_image_stats` (content-sniffing BMP/PNG/JPEG dispatch)
+  / :func:`extract_audio_stats` and are oracle-checked end-to-end (the
+  fixture payloads carry closed-form pixel/sample values an external
+  SQL engine can re-derive).
+- **Stub boundary for formats needing codec libraries** (color/
+  subsampled/progressive JPEG, MP3, H.264 remain out of stdlib reach):
   :class:`StubImageCodec` raises ``NotImplementedError`` unless
   ``deterministic_fake=True``; swap in a real codec by implementing
   ``decode(payload) -> features`` with the same signature.
@@ -26,6 +29,7 @@ Two codec tiers:
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -354,6 +358,402 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
     return rate, len(samples), sum(samples), min(samples), max(samples)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale, pure stdlib): huffman + DCT, no codec libs
+# ---------------------------------------------------------------------------
+
+# Zigzag scan order: position in the 64-coefficient scan -> linear index
+# (row*8 + col) in the 8x8 block (ITU-T T.81 figure 5).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K typical luminance huffman tables: (bits-per-code-length 1..16,
+# symbol values in code order). Public spec constants; both sides of the
+# codec build canonical codes from the same spec, so encode/decode are
+# consistent by construction and the tables make the output a standard
+# baseline JFIF stream.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman assignment: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map for the bit-at-a-time reader."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _jpeg_huff_codes(bits, vals).items()
+    }
+
+
+_DCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_DCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _fdct8x8(block: list[int]) -> list[int]:
+    """Forward 8x8 DCT-II of level-shifted samples, rounded to int
+    coefficients (row-major block of 0..255 grays in, 64 coefficients
+    out in row-major frequency order)."""
+    shifted = [v - 128 for v in block]
+    out = [0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                cy = _DCT_COS[y][v]
+                for x in range(8):
+                    s += shifted[y * 8 + x] * _DCT_COS[x][u] * cy
+            out[v * 8 + u] = round(0.25 * _DCT_C[u] * _DCT_C[v] * s)
+    return out
+
+
+def _idct8x8(coef: list[int]) -> list[int]:
+    """Inverse 8x8 DCT (row-major frequency order in), +128 level shift,
+    clamped 0..255."""
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = _DCT_C[v] * _DCT_COS[y][v]
+                for u in range(8):
+                    s += _DCT_C[u] * coef[v * 8 + u] * _DCT_COS[x][u] * cv
+            val = round(0.25 * s) + 128
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # 1-fill, spec padding
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """DPCM/AC value -> (category, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    cat = abs(v).bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
+    """Serialize row-major grayscale pixels (0..255) as a standard
+    BASELINE JFIF JPEG (pure stdlib): single 8-bit component, no
+    subsampling, all-ones quantization table, Annex K luminance huffman
+    tables, real forward DCT + DPCM DC + run-length AC entropy coding,
+    byte stuffing.
+
+    All-ones quantization means the only loss is DCT rounding (±1 on
+    smooth content, exactly 0 on per-block-constant content — the
+    property the meet-in-the-middle oracle builds on; see
+    :func:`attach_jpeg_payloads`). Edge blocks pad by edge replication,
+    which the decoder crops back off.
+    """
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = ((width + 7) // 8) * 8
+    bh = ((height + 7) // 8) * 8
+
+    def px(x: int, y: int) -> int:
+        return pixels[min(y, height - 1) * width + min(x, width - 1)]
+
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = [px(bx + x, by + y) for y in range(8) for x in range(8)]
+            coef = _fdct8x8(block)  # qtable all ones: quantize = identity
+            zz = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
+            cat, bits = _jpeg_category(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            w.put(*dc_codes[cat])
+            if cat:
+                w.put(bits, cat)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                cat, bits = _jpeg_category(zz[i])
+                w.put(*ac_codes[(run << 4) | cat])
+                w.put(bits, cat)
+                run = 0
+            if last_nz < 63:
+                w.put(*ac_codes[0x00])  # EOB
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtable = bytes([0]) + bytes(1 for _ in range(64))  # id 0, all ones
+    sof = struct.pack(">BHHB", 8, bh, bw, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, jfif)
+        + seg(0xFFDB, qtable)
+        + _jpeg_crop_app(width, height, bw, bh)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + bytes(w.buf)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def _jpeg_crop_app(width: int, height: int, bw: int, bh: int) -> bytes:
+    """APP1 segment carrying the true (pre-padding) dimensions when the
+    image is not MCU-aligned — baseline SOF records the padded size and
+    a general decoder crops via EXIF; this stream keeps it simpler with
+    an explicit marker the paired decoder understands. Empty when no
+    padding was needed."""
+    if (width, height) == (bw, bh):
+        return b""
+    body = b"SPKG\x00" + struct.pack(">HH", width, height)
+    return struct.pack(">HH", 0xFFE1, len(body) + 2) + body
+
+
+def decode_jpeg_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a BASELINE single-component JPEG into row-major grayscale
+    pixels: (width, height, pixels).
+
+    Real decoder: marker walk (DQT/SOF0/DHT/SOS), canonical huffman
+    reconstruction from the DHT segments, bit-at-a-time entropy decode
+    with byte-unstuffing, DPCM DC + EOB/ZRL run-length AC,
+    dequantization, dezigzag, float IDCT with level shift and clamp.
+    Only baseline 8-bit single-component (grayscale, 1x1 sampling,
+    no restart markers) streams are supported — the same single-variant
+    honesty as the BMP/PNG/WAV decoders; anything else raises.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_dec: dict[int, dict[tuple[int, int], int]] = {}
+    ac_dec: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = None
+    crop: tuple[int, int] | None = None
+    comp_q = dc_id = ac_id = 0
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xFFC0:  # SOF0 baseline
+            precision, h, wd, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise ValueError(
+                    "only 8-bit single-component baseline JPEG supported"
+                )
+            cid, sampling, comp_q = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("only 1x1 sampling supported")
+            width, height = wd, h
+            del cid
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xFFC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                dec = _jpeg_huff_decoder(bits, vals)
+                (dc_dec if tc == 0 else ac_dec)[th] = dec
+                off += 17 + n
+        elif marker == 0xFFDD:  # DRI
+            raise ValueError("restart markers not supported")
+        elif marker == 0xFFE1 and body[:5] == b"SPKG\x00":
+            crop = struct.unpack_from(">HH", body, 5)
+        elif marker == 0xFFDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only single-scan single-component SOS")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if width is None or scan_start is None:
+        raise ValueError("missing SOF/SOS segment")
+    if comp_q not in qtables or dc_id not in dc_dec or ac_id not in ac_dec:
+        raise ValueError("missing quantization/huffman table for scan")
+    qt = qtables[comp_q]
+    dct, act = dc_dec[dc_id], ac_dec[ac_id]
+
+    class _Reader:
+        def __init__(self, data: bytes, start: int) -> None:
+            self.data = data
+            self.pos = start
+            self.acc = 0
+            self.n = 0
+
+        def _fill(self) -> None:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt != 0x00:
+                    raise ValueError("unexpected marker inside scan")
+                self.pos += 2  # stuffed 0xFF
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+        def bit(self) -> int:
+            if self.n == 0:
+                self._fill()
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k: int) -> int:
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def symbol(self, table: dict[tuple[int, int], int]) -> int:
+            code, length = 0, 0
+            while length < 16:
+                code = (code << 1) | self.bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid huffman code in scan")
+
+    def _extend(bits_val: int, cat: int) -> int:
+        if cat == 0:
+            return 0
+        if bits_val < (1 << (cat - 1)):
+            return bits_val - (1 << cat) + 1
+        return bits_val
+
+    r = _Reader(payload, scan_start)
+    bw = ((width + 7) // 8) * 8
+    bh = ((height + 7) // 8) * 8
+    out = [0] * (bw * bh)
+    prev_dc = 0
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            zz = [0] * 64
+            cat = r.symbol(dct)
+            prev_dc += _extend(r.bits(cat), cat)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = r.symbol(act)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 0xF
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                zz[i] = _extend(r.bits(cat), cat)
+                i += 1
+            coef = [0] * 64
+            for i in range(64):
+                coef[_JPEG_ZIGZAG[i]] = zz[i] * qt[i]
+            block = _idct8x8(coef)
+            for y in range(8):
+                row = by + y
+                out[row * bw + bx : row * bw + bx + 8] = block[
+                    y * 8 : y * 8 + 8
+                ]
+    if crop is not None:
+        width, height = crop
+    if (bw, bh) != (width, height):
+        out = [
+            out[y * bw + x] for y in range(height) for x in range(width)
+        ]
+    return width, height, out
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode a baseline grayscale JPEG into the shared image stat tuple
+    (gray value replicated across the three channels, so the stats
+    frame is container-uniform)."""
+    w, h, px = decode_jpeg_gray_pixels(payload)
+    return _pixel_stats(w, h, [(v, v, v) for v in px])
+
+
 # Closed-form fixture content: pixel (x, y, channel c in RGB order) of
 # doc_id's image is (doc_id*7 + y*31 + x*3 + c*11) % 256 at dimensions
 # (doc_id % 13 + 4) x (doc_id % 11 + 4); audio sample i is
@@ -428,6 +828,49 @@ def attach_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
+def attach_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real baseline grayscale JPEG per row.
+
+    JPEG is lossy, so the closed form must survive the DCT: every 8x8
+    block is CONSTANT at value (doc_id*7 + by*31 + bx*3) % 256 for
+    block coords (bx, by). A constant block's forward DCT is a single
+    integer DC coefficient (all ACs identically zero), which the
+    all-ones quantization table stores exactly and the IDCT inverts
+    exactly — so the decode is bit-exact BY CONSTRUCTION, not by
+    tolerance, and the external oracle re-derives the stats from the
+    block formula (sum = 64 * block value). The huffman layer is still
+    fully exercised: DC DPCM differences across blocks span positive/
+    negative magnitudes (categories), and every block decodes an EOB
+    symbol through the AC table. Dimensions: (doc_id%3+1) x (doc_id%2+1)
+    blocks of 8."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = (did % 3 + 1) * 8, (did % 2 + 1) * 8
+                px = [
+                    (did * 7 + (y // 8) * 31 + (x // 8) * 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(encode_jpeg_gray(w, h, px))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "image/jpeg",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+
+
 def attach_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: one real PCM16 mono WAV payload per row."""
 
@@ -464,7 +907,9 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         return decode_bmp_24(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png_rgb8(payload)
-    raise ValueError("unrecognized image payload (not BMP or PNG)")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)
+    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
 
 def extract_image_stats(media_df: DataFrame) -> DataFrame:
@@ -586,7 +1031,10 @@ def resize_images(
             return decode_bmp_24_pixels(b)
         if b[: len(_PNG_SIG)] == _PNG_SIG:
             return decode_png_rgb8_pixels(b)
-        raise ValueError("unrecognized image payload (not BMP or PNG)")
+        if b[:2] == b"\xff\xd8":
+            w, h, grays = decode_jpeg_gray_pixels(b)
+            return w, h, [(v, v, v) for v in grays]
+        raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
     def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -4815,6 +4815,50 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_stats(media)
 
 
+def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fourth real codec behind the multimodal boundary, and the one a
+    # real multimodal corpus always contains: BASELINE JPEG, pure
+    # stdlib (marker walk, canonical huffman reconstruction from DHT,
+    # DPCM DC + EOB/ZRL run-length AC entropy decode, dequantize,
+    # dezigzag, float IDCT). JPEG is lossy, so the fixture makes the
+    # loss provably zero instead of tolerated: every 8x8 block is
+    # constant, whose DCT is a single integer DC coefficient stored
+    # exactly under the all-ones quantization table — decode is
+    # bit-exact by construction and the oracle re-derives the stats
+    # from the per-block closed form (sum = 64 * block value). Color/
+    # subsampled/progressive JPEG remain behind the documented
+    # StubImageCodec boundary.
+    from .operators.multimodal import attach_jpeg_payloads, extract_image_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_jpeg_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
+_MULTIMODAL_JPEG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST(doc_id % 2 + 1 AS INT) AS hb
+  FROM documents
+),
+blk AS (
+  SELECT d.doc_id, d.wb * 8 AS width, d.hb * 8 AS height,
+         (d.doc_id*7 + by.by*31 + bx.bx*3) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.hb)) AS by) by,
+       LATERAL (SELECT unnest(range(0, d.wb)) AS bx) bx
+)
+SELECT doc_id, width, height,
+       CAST(SUM(v) * 64 AS BIGINT) AS r_sum,
+       CAST(SUM(v) * 64 AS BIGINT) AS g_sum,
+       CAST(SUM(v) * 64 AS BIGINT) AS b_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM blk GROUP BY doc_id, width, height
+"""
+
+
 def _q_sequence_example_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S8 beyond parity, end-to-end: per-user event sequences (ordered by
     # (ts, event_id) via sort_array on a struct) are encoded as REAL
@@ -5894,6 +5938,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
+    "multimodal_image_jpeg": (_q_multimodal_jpeg, _MULTIMODAL_JPEG_ORACLE),
     "temperature_mix": (_q_temperature_mix, _TEMPERATURE_MIX_ORACLE),
     "text_heavy_hitters": (_q_heavy_hitters, _HEAVY_HITTERS_ORACLE),
     # new in r5 but OUTSIDE the r5 window (it is full): locally proven,
@@ -6085,7 +6130,9 @@ _DRIVER_PRIORITY = [
     # slots. Deferred to the r7 window (the only never-driver-checked
     # entries left): corpus_novelty_rate, fk_integrity_audit,
     # revenue_concentration, cusum_changepoints, interevent_gap_stats,
-    # recursive_chain_walk, group_ols_trend.
+    # recursive_chain_walk, group_ols_trend, rolling_zscore_anomalies
+    # (bumped for the new-in-r6 JPEG codec entry, which takes the last
+    # slot so new operator code gets driver-checked the round it lands).
     "dedup_exact_substring",
     "dedup_remove_shared_runs",
     "dedup_jaccard_prefix_filter",
@@ -6135,7 +6182,7 @@ _DRIVER_PRIORITY = [
     "event_type_pmi",
     "rolling_wau",
     "weighted_sample_wor",
-    "rolling_zscore_anomalies",
+    "multimodal_image_jpeg",
 ]
 
 
