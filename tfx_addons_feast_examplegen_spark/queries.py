@@ -6174,6 +6174,221 @@ def _q_time_rollup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_z_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-window anomaly detection: per-user mean/stddev over the
+    # 7 rows BEFORE each event (rowsBetween(-7, -1) — the current row
+    # never contaminates its own baseline), z-scores >= 1.5 flagged.
+    t = register_tables(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, -1)
+    )
+    w = t["events"].select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        w.filter(
+            (F.col("n_win") == 7) & (F.col("sd") > 0) & (F.abs(z) >= 1.5)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+def _q_novelty_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source novelty of a held-out half against a base half: 3-gram
+    # shingles, odd-doc shingles anti-joined against the distinct even
+    # half, rate in basis points.
+    t = register_tables(spark, sf_dir)
+    shingle_expr = (
+        "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2,"
+        " 0)), i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+    )
+    sh = (
+        t["documents"]
+        .select(
+            "doc_id", "source", F.explode(F.expr(shingle_expr)).alias("s")
+        )
+        .distinct()
+    )
+    base = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    odd = sh.filter(F.col("doc_id") % 2 == 1)
+    novel = (
+        odd.select("source", "s")
+        .join(base, "s", "left_anti")
+        .groupBy("source")
+        .agg(F.countDistinct("s").alias("n_new"))
+    )
+    tot = odd.groupBy("source").agg(F.countDistinct("s").alias("n_all"))
+    n_new = F.coalesce(F.col("n_new"), F.lit(0))
+    return tot.join(novel, "source", "left").select(
+        "source",
+        F.col("n_all").cast("bigint").alias("n_shingles"),
+        n_new.cast("bigint").alias("n_novel"),
+        F.floor(F.lit(10000.0) * n_new / F.col("n_all"))
+        .cast("bigint")
+        .alias("novelty_bp"),
+    )
+
+
+def _q_fk_audit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Referential-integrity audit as relational algebra: orphans via
+    # left-anti join, duplicate parents via a HAVING-style aggregate;
+    # one row per relationship (all count frames are 1-row, so the
+    # crossJoins are literal-scale).
+    t = register_tables(spark, sf_dir)
+
+    def rel(name: str, child, ckey: str, parent, pkey: str) -> DataFrame:
+        orphans = (
+            child.join(
+                parent, child[ckey] == parent[pkey], "left_anti"
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        dups = (
+            parent.groupBy(pkey)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_parents"))
+        )
+        return orphans.crossJoin(dups).select(
+            F.lit(name).alias("relationship"), "n_orphans", "n_dup_parents"
+        )
+
+    return (
+        rel(
+            "orders.o_custkey -> customer",
+            t["orders"], "o_custkey", t["customer"], "c_custkey",
+        )
+        .unionByName(
+            rel(
+                "lineitem.l_orderkey -> orders",
+                t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+            )
+        )
+        .unionByName(
+            rel(
+                "nation.n_regionkey -> region",
+                t["nation"], "n_regionkey", t["region"], "r_regionkey",
+            )
+        )
+    )
+
+
+def _q_pareto_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Revenue concentration: customer spend deciles (global NTILE over
+    # the per-customer aggregate — one row per customer, documented
+    # single-sort-partition boundary) with share-of-total in basis
+    # points via a broadcast 1-row total.
+    t = register_tables(spark, sf_dir)
+    spend = t["orders"].groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .alias("cents")
+    )
+    ranked = spend.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("cents"), "o_custkey")),
+    )
+    tot = spend.agg(F.sum("cents").alias("t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("int").alias("decile"), F.col("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("spend_cents"),
+            F.floor(F.lit(10000.0) * F.sum("cents") / F.col("t"))
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .select("decile", "n_customers", "spend_cents", "share_bp")
+    )
+
+
+def _q_cusum_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM changepoint signal: daily per-type means centred on the
+    # grand mean, cumulatively summed in day order; excursions past the
+    # threshold flag a level shift.
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    g = daily.groupBy("event_type").agg(
+        (F.sum("cents").cast("double") / F.sum("n")).alias("gmean")
+    )
+    cusum = F.sum(
+        F.col("cents").cast("double") / F.col("n") - F.col("gmean")
+    ).over(Window.partitionBy("event_type").orderBy("d"))
+    return (
+        daily.join(F.broadcast(g), "event_type")
+        .withColumn("cusum", cusum)
+        .filter(F.abs(F.col("cusum")) >= 200)
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.round("cusum", 2).cast("double").alias("cusum_cents"),
+        )
+    )
+
+
+def _q_gap_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inter-event cadence profile per type: lag() gaps in seconds,
+    # exact interpolated median and p90 — the distribution TTL and
+    # watermark settings are tuned from.
+    t = register_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = t["events"].select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts2"),
+        F.lag(F.col("ts").cast("timestamp")).over(w).alias("prev_ts"),
+    )
+    d = gaps.filter(F.col("prev_ts").isNotNull()).select(
+        "event_type",
+        F.floor(
+            (F.unix_micros("ts2") - F.unix_micros("prev_ts"))
+            / F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
+    )
+
+
+def _q_ols_trend_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group OLS trend via the regr_* aggregate family (one pass,
+    # map-side combinable — no per-group matrix solve).
+    t = register_tables(spark, sf_dir)
+    x = F.unix_micros("ts") / F.lit(86400e6)
+    return t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry: name -> (spark_fn, oracle_sql | None)
 # ---------------------------------------------------------------------------
@@ -6281,13 +6496,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_type_pmi": (_q_event_pmi_df, _QPMI_ORACLE),
     "rolling_wau": (_q_rolling_wau_df, _QWAU_ORACLE),
     "weighted_sample_wor": (_q_wsample_wor_df, _QWSAMPLE_WOR),
-    "rolling_zscore_anomalies": (_sql_query(_QROLLING_Z), _QROLLING_Z),
-    "corpus_novelty_rate": (_sql_query(_QNOVELTY_SPARK), _QNOVELTY_ORACLE),
-    "fk_integrity_audit": (_sql_query(_QFK_AUDIT), _QFK_AUDIT),
-    "revenue_concentration": (_sql_query(_QPARETO), _QPARETO),
-    "cusum_changepoints": (_sql_query(_QCUSUM), _QCUSUM),
+    "rolling_zscore_anomalies": (_q_rolling_z_df, _QROLLING_Z),
+    "corpus_novelty_rate": (_q_novelty_df, _QNOVELTY_ORACLE),
+    "fk_integrity_audit": (_q_fk_audit_df, _QFK_AUDIT),
+    "revenue_concentration": (_q_pareto_df, _QPARETO),
+    "cusum_changepoints": (_q_cusum_df, _QCUSUM),
     "sketch_hll_mergeable": (_q_sketch_hll_merge, _SKETCH_HLL_MERGE_ORACLE),
-    "interevent_gap_stats": (_sql_query(_QGAP_STATS_SPARK), _QGAP_STATS),
+    "interevent_gap_stats": (_q_gap_stats_df, _QGAP_STATS),
     "dedup_pair_evidence": (_q_pair_evidence, _PAIR_EVIDENCE_ORACLE),
     "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
     "streaming_matview_latest": (
@@ -6310,7 +6525,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _TIME_TRAVEL_DIFF_ORACLE,
     ),
     "table_pruned_scan": (_q_table_pruned_scan, _TABLE_PRUNED_SCAN_ORACLE),
-    "group_ols_trend": (_sql_query(_QOLS_TREND_SPARK), _QOLS_TREND_ORACLE),
+    "group_ols_trend": (_q_ols_trend_df, _QOLS_TREND_ORACLE),
     "keyword_search_indexed": (_q_keyword_search, _KEYWORD_SEARCH_ORACLE),
     "bm25_ranked_search": (_q_bm25_search, _BM25_SEARCH_ORACLE),
     "phrase_search_positional": (_q_phrase_search, _PHRASE_SEARCH_ORACLE),
