@@ -662,18 +662,21 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ts"),
     ).filter(F.size("ts") > 0)
-    grp = toks.groupBy("ts").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    # Exact-dup pairs via a self-equi-join on the token-set hash (the
+    # same capped-pair shape every production pair-producer uses): the
+    # pair SET is inherently quadratic in a degenerate group, but the
+    # join spreads it across tasks, where the earlier collect_list form
+    # held each whole group as one in-task array before exploding.
+    keyed = toks.select(
+        "doc_id", F.xxhash64(F.col("ts").cast("string")).alias("tsh")
     )
-    exact_pairs = grp.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    ka = keyed.select(F.col("tsh"), F.col("doc_id").alias("doc_a"))
+    kb = keyed.select(F.col("tsh"), F.col("doc_id").alias("doc_b"))
+    exact_pairs = (
+        ka.join(kb, "tsh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
     n_exact = exact_pairs.agg(
         F.count(F.lit(1)).cast("long").alias("value")
     )
