@@ -6647,8 +6647,10 @@ _DRIVER_PRIORITY = [
     # entries left): corpus_novelty_rate, fk_integrity_audit,
     # revenue_concentration, cusum_changepoints, interevent_gap_stats,
     # recursive_chain_walk, group_ols_trend, rolling_zscore_anomalies
-    # (bumped for the new-in-r6 JPEG codec entry, which takes the last
-    # slot so new operator code gets driver-checked the round it lands).
+    # and weighted_sample_wor (the last two bumped for the new-in-r6
+    # JPEG codec entry and for dedup_simhash, whose contract derivation
+    # changed this round — implementation changes re-enter the window
+    # the round they land).
     "dedup_exact_substring",
     "dedup_remove_shared_runs",
     "dedup_jaccard_prefix_filter",
@@ -6697,7 +6699,7 @@ _DRIVER_PRIORITY = [
     "kfold_assignment",
     "event_type_pmi",
     "rolling_wau",
-    "weighted_sample_wor",
+    "dedup_simhash",
     "multimodal_image_jpeg",
 ]
 
