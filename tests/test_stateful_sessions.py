@@ -156,3 +156,66 @@ def test_match_recovery_stream_first_match_and_deadline(spark, tmp_path):
         (1, s(0), s(100), True),   # earliest purchase wins, not s(200)
         (2, s(0), None, False),    # deadline passed, no recovery
     }
+
+
+def test_recovery_stream_evicts_purchase_only_state(spark, tmp_path):
+    # ADVICE r5: purchase-only state (a user who never errors) must be
+    # evicted once the watermark passes its usefulness horizon —
+    # EventTimeTimeout resets per invocation, so keeping state without
+    # re-arming the timer retained one-shot purchasers forever. The
+    # state-store row count in the final progress proves eviction.
+    import datetime as dt
+    import json
+
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.streaming.patterns import (
+        match_recovery_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    src = str(tmp_path / "ev")
+    schema = "user_id long, ts timestamp, event_type string"
+    batches = [
+        # batch 1: a purchase-only user + a low sentinel
+        [Row(user_id=3, ts=s(0), event_type="purchase"),
+         Row(user_id=-1, ts=s(100), event_type="view")],
+        # batch 2: advance the watermark far past purchase + timeout
+        [Row(user_id=-1, ts=s(3600 * 6), event_type="view")],
+        # batch 3: one more batch so the timeout (armed against batch
+        # 2's watermark) actually fires
+        [Row(user_id=-1, ts=s(3600 * 12), event_type="view")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recovery_stream(
+        stream, timeout_seconds=1800, watermark_delay="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [json.loads(p.json) for p in q.recentProgress]
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state operator progress recorded"
+    # the purchase-only user's state must be gone by the final batch
+    assert state_rows[-1] == 0, state_rows
