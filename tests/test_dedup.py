@@ -393,3 +393,37 @@ def test_prefix_filter_survives_boilerplate_where_explode_caps_out(spark):
         max_bucket=50, on_over_cap="error",
     ).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(118, 119)]
+
+
+def test_jaccard_prefix_rounding_boundary_no_false_negative(spark):
+    # ADVICE r5 (medium): prefix length used float ceil(t * nsh);
+    # 0.34 * 150 lands epsilon above 51.0 in binary (51.000000000000006),
+    # so ceil gave 52 and the prefix shortened by one — dropping pairs
+    # whose shared shingles all rank last in the rare-first order.
+    # Construction: doc A = 51 tokens all shared with B; doc B = those
+    # 51 + 99 unique (na=51, nb=150, c=51 -> jaccard = 51/150 = 0.34
+    # exactly, in the output set). Shared tokens have df=2, unshared
+    # df=1, so B's buggy 99-prefix is exactly its 99 unshared tokens —
+    # no common prefix shingle, pair lost. Verified red pre-fix.
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    shared = [f"s{i}" for i in range(51)]
+    unique = [f"u{i}" for i in range(99)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(shared)),
+            Row(doc_id=2, text=" ".join(unique + shared)),
+        ],
+        "doc_id long, text string",
+    )
+    got = jaccard_pairs_prefix(
+        docs, "doc_id", "text", n=1, threshold=0.34
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 0.34)]
+    want = jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.34).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -122,3 +122,35 @@ def test_versioned_read_pruned_skips_files(spark, sf_dir, tmp_path):
         (orders.o_orderdate >= lo) & (orders.o_orderdate <= hi + " 23:59:59")
     ).count()
     assert got == want  # pruning never changes the answer
+
+
+def test_versioned_pruning_keeps_null_stats_files(spark, tmp_path):
+    # ADVICE r5: a file whose stats column is all-null records null
+    # min/max; pruning must conservatively OPEN it (superset guarantee)
+    # rather than raise comparing None to a string.
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.sources.versioned import (
+        read_version_pruned,
+        write_version,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(pk=1, d="2024-01-05"),
+            Row(pk=2, d="2024-06-05"),
+            Row(pk=3, d=None),  # all-null stats in its own file
+        ],
+        "pk long, d string",
+    )
+    root = str(tmp_path / "nullstats")
+    write_version(df.repartition(3, "pk"), root, stats_cols=["d"])
+    got, opened, total = read_version_pruned(
+        spark, root, "d", "2024-01-01", "2024-01-31"
+    )
+    # the null-stats file is kept; the exact predicate still applies
+    assert opened >= 1
+    rows = got.filter(
+        (got.d >= "2024-01-01") & (got.d <= "2024-01-31")
+    ).collect()
+    assert [r.pk for r in rows] == [1]

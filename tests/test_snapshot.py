@@ -75,3 +75,27 @@ def test_merge_upsert_seq_and_tombstones(spark):
         .collect()
     }
     assert out == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_no_seq_collapses_duplicate_keys(spark):
+    # ADVICE r5: without seq_col, a batch with key collisions must still
+    # produce ONE row per key (deterministic all-column tie-break), not
+    # duplicate output rows.
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.snapshot import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame([Row(k=1, v="a")], "k long, v string")
+    updates = spark.createDataFrame(
+        [Row(k=1, v="x"), Row(k=1, v="y"), Row(k=2, v="z")],
+        "k long, v string",
+    )
+    out = merge_upsert(base, updates, ["k"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r.v)
+    assert sorted(by_key) == [1, 2]
+    assert all(len(vs) == 1 for vs in by_key.values()), by_key
+    assert by_key[1] == ["y"]  # descending tie-break on v: stable pick

@@ -580,3 +580,25 @@ def test_pq_indexed_rejects_param_mismatch(spark, sf_dir, tmp_path):
     pq_write_index(emb, path, m=8, n_codes=16)
     with _pytest.raises(ValueError, match="was built with"):
         pq_topk_indexed(emb.limit(2), path, m=4, n_codes=16)
+
+
+def test_similarity_requires_query_source(spark, sf_dir):
+    # ADVICE r5: queries=None + query_filter=None must raise a usable
+    # ValueError, not an opaque Py4J error from df.filter(None); an
+    # empty corpus must fail pq_train with a clear message too.
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+        pq_train,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="query set is required"):
+        cosine_topk(emb)
+    with _pytest.raises(ValueError, match="query set is required"):
+        hard_negatives(emb)
+    with _pytest.raises(ValueError, match="non-empty corpus"):
+        pq_train(emb.filter("vec_id < 0"))
