@@ -6651,6 +6651,16 @@ _DRIVER_PRIORITY = [
     # JPEG codec entry and for dedup_simhash, whose contract derivation
     # changed this round — implementation changes re-enter the window
     # the round they land).
+    #
+    # r7 plan beyond the 8 deferred re-checks: convert the remaining
+    # operator-shaped identical-SQL entries (window_topk_running,
+    # event_funnel, column_correlations) to DataFrame plans IN the same
+    # round they re-enter the window, so conversion and driver
+    # re-attestation land together (zero new debt). The SQL-feature
+    # probes (cube/rollup/grouping-sets/pivot/setops/lateral/percentiles/
+    # recursive CTE) and the TPC-H corpus stay SQL by design — they ARE
+    # the A2 arbitrary-SQL-surface claim, counted as such and not as
+    # operator depth.
     "dedup_exact_substring",
     "dedup_remove_shared_runs",
     "dedup_jaccard_prefix_filter",
