@@ -88,7 +88,7 @@ def duplicate_clusters(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     ngram: int = 3,
-    max_iters: int = 10,
+    max_iters: int = 22,
 ) -> DataFrame:
     """Connected components of the near-duplicate graph.
 
@@ -111,7 +111,7 @@ def connected_components(
     pairs: DataFrame,
     *,
     id_col: str = "doc_id",
-    max_iters: int = 10,
+    max_iters: int = 22,
     telemetry: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair frame
@@ -166,7 +166,14 @@ def connected_components(
         # only ever decrease (min-propagation from an identity init), so
         # hopping once through the label table (cluster -> label(cluster))
         # compresses chains and convergence needs O(log diameter) rounds
-        # instead of O(diameter) — max_iters=10 covers diameter ~2^10.
+        # instead of O(diameter) — max_iters=22 covers diameter ~4M,
+        # and convergence breaks the loop early, so a generous cap
+        # costs nothing on healthy graphs. Measured on the embedding
+        # near-dup graph (cosine >= 0.4 edges): 3 rounds at sf0.01 but
+        # 11 at sf0.1 — long near-dup chains overflowed the old cap of
+        # 10 at just 10x the driver scale, turning a healthy graph into
+        # a convergence failure. Verified by the full-registry sf0.1
+        # oracle sweep (round 6).
         hop = propagated.select(
             F.col("id").alias("__hop_id"), F.col("cluster").alias("__hop_cluster")
         )
