@@ -751,6 +751,13 @@ def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(
         t["documents"], "doc_id", "text", max_hamming=3, portable=True,
         on_over_cap="error",  # gated by the uncapped oracle — no silent drops
+        # Portable mode folds to 15-bit chunks (32k bucket values), so
+        # bucket occupancy grows linearly with corpus size: the sf0.1
+        # sweep measured a 1582-doc chunk bucket, over the default 1000
+        # cap. 4000 keeps the fail-fast guarantee (it would still trip
+        # on a degenerate corpus) while letting the oracle-twin verify
+        # at 10x the driver scale.
+        max_bucket=4000,
     )
 
 
