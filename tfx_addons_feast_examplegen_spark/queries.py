@@ -6659,6 +6659,12 @@ _DRIVER_PRIORITY = [
     # changed this round — implementation changes re-enter the window
     # the round they land).
     #
+    # Also due a driver re-check in r7 (parameter changes during the
+    # r6 sf0.1 scale sweep, both oracle-green at sf0.01 AND sf0.1 in
+    # the committed local logs): dedup_simhash_portable (bucket cap
+    # 1000 -> 4000), embedding_dedup_clusters (connected_components
+    # round cap 10 -> 22).
+    #
     # r7 plan beyond the 8 deferred re-checks: convert the remaining
     # operator-shaped identical-SQL entries (window_topk_running,
     # event_funnel, column_correlations) to DataFrame plans IN the same
