@@ -154,3 +154,54 @@ def test_versioned_pruning_keeps_null_stats_files(spark, tmp_path):
         (got.d >= "2024-01-01") & (got.d <= "2024-01-31")
     ).collect()
     assert [r.pk for r in rows] == [1]
+
+
+def test_pruned_scan_contract_catches_corrupt_manifest(spark, tmp_path):
+    # Mutation hardening (same doctrine as the simhash/ANN contract
+    # mutation tests): if manifest stats lie — a file's recorded max is
+    # below its true values — pruning silently drops rows, and the
+    # "answer unchanged" half of the table_pruned_scan contract must be
+    # able to see that. Tamper one file's stats and assert the pruned
+    # read really loses rows vs the full read.
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.sources.versioned import (
+        read_version,
+        read_version_pruned,
+        write_version,
+    )
+
+    df = spark.createDataFrame(
+        [Row(pk=i, d=f"2024-{(i % 12) + 1:02d}-15") for i in range(60)],
+        "pk long, d string",
+    )
+    root = str(tmp_path / "tamper")
+    write_version(df.repartitionByRange(4, "d"), root, stats_cols=["d"])
+    manifests = glob.glob(os.path.join(root, "_commits", "*.json"))
+    assert manifests
+    m = json.load(open(manifests[0]))
+    stats = m["file_stats"]
+    # pick the file that actually covers June and shrink its range away
+    victim = next(
+        f for f, s in stats.items()
+        if s["d"][0] <= "2024-06-15" <= s["d"][1]
+    )
+    stats[victim]["d"] = ["2024-01-01", "2024-01-02"]
+    json.dump(m, open(manifests[0], "w"))
+    full = (
+        read_version(spark, root)
+        .filter("d >= '2024-06-01' and d <= '2024-06-30'")
+        .count()
+    )
+    pruned_df, opened, total = read_version_pruned(
+        spark, root, "d", "2024-06-01", "2024-06-30"
+    )
+    pruned = pruned_df.filter(
+        "d >= '2024-06-01' and d <= '2024-06-30'"
+    ).count()
+    assert full > 0
+    assert pruned < full  # corrupt stats DO lose rows -> contract can fail
