@@ -1,0 +1,117 @@
+"""Property-based checks for the pure-stdlib codecs and the MERGE
+invariant (SURVEY.md §5 property-testing strategy; hypothesis drives
+the data generation). Pure-Python properties run without Spark, so
+hundreds of examples are cheap; the merge property uses the shared
+session over tiny frames.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+    decode_bmp_24_pixels,
+    decode_jpeg_gray_pixels,
+    decode_png_rgb8_pixels,
+    encode_bmp_24,
+    encode_jpeg_gray,
+    encode_png_rgb8,
+)
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=21),
+    st.integers(min_value=1, max_value=19),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_dims, st.randoms(use_true_random=False))
+def test_png_bmp_roundtrip_lossless_any_image(dims, rng):
+    w, h = dims
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    assert decode_png_rgb8_pixels(encode_png_rgb8(w, h, px)) == (w, h, px)
+    assert decode_bmp_24_pixels(encode_bmp_24(w, h, px)) == (w, h, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.randoms(use_true_random=False))
+def test_jpeg_roundtrip_bounded_any_image(dims, rng):
+    # With the all-ones quantization table the only loss is coefficient
+    # rounding: every pixel within +/-2 gray levels, ANY content, ANY
+    # (cropped) geometry.
+    w, h = dims
+    px = [rng.randrange(256) for _ in range(w * h)]
+    dw, dh, dec = decode_jpeg_gray_pixels(encode_jpeg_gray(w, h, px))
+    assert (dw, dh) == (w, h)
+    assert len(dec) == w * h
+    assert max(abs(a - b) for a, b in zip(dec, px)) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.randoms(use_true_random=False))
+def test_jpeg_block_constant_exact_any_values(rng):
+    # The oracle-entry property as a law: per-block-constant content is
+    # BIT-exact for arbitrary block values and block-grid geometry.
+    wb, hb = rng.randrange(1, 4), rng.randrange(1, 4)
+    w, h = wb * 8, hb * 8
+    vals = [rng.randrange(256) for _ in range(wb * hb)]
+    px = [
+        vals[(y // 8) * wb + (x // 8)] for y in range(h) for x in range(w)
+    ]
+    assert decode_jpeg_gray_pixels(encode_jpeg_gray(w, h, px)) == (w, h, px)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # key
+            st.integers(min_value=0, max_value=9),  # payload v
+            st.integers(min_value=0, max_value=9),  # seq
+            st.booleans(),  # tombstone
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.booleans(),  # use seq_col?
+)
+def test_merge_upsert_one_row_per_key_invariant(spark, batch, use_seq):
+    # The MERGE law: whatever the batch (collisions, tombstones, with or
+    # without a sequence column), the output holds at most one row per
+    # key, and keys untouched by the batch survive unchanged.
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.snapshot import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [Row(k=k, v=-k, seq=-1) for k in (1, 2, 3)],
+        "k long, v long, seq long",
+    )
+    if not batch:
+        updates = spark.createDataFrame([], "k long, v long, seq long, dead boolean")
+    else:
+        updates = spark.createDataFrame(
+            [Row(k=k, v=v, seq=s, dead=d) for k, v, s, d in batch],
+            "k long, v long, seq long, dead boolean",
+        )
+    out = merge_upsert(
+        base,
+        updates,
+        ["k"],
+        seq_col="seq" if use_seq else None,
+        delete_col="dead",
+    ).collect()
+    keys = [r.k for r in out]
+    assert len(keys) == len(set(keys)), out  # one row per key, always
+    batch_keys = {k for k, _, _, _ in batch}
+    for k in (1, 2, 3):
+        if k not in batch_keys:
+            assert (k, -k) in {(r.k, r.v) for r in out}  # untouched
