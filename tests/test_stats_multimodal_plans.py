@@ -485,3 +485,96 @@ def test_extract_image_stats_sniffs_jpeg(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["r_sum"] == r["g_sum"] == r["b_sum"] == sum(vals) * 64
         assert (r["px_min"], r["px_max"]) == (min(vals), max(vals))
+
+
+def test_jpeg_color_444_roundtrip_within_conversion_bound():
+    # Full color path: YCbCr forward/inverse rounding is the only loss
+    # beyond DCT rounding at all-ones quantization -> every channel of
+    # every pixel within +/-4 for ANY content.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    rng = random.Random(3)
+    w, h = 21, 13  # non-MCU-aligned -> crop path
+    rgb = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    dw, dh, dec = decode_jpeg_pixels(
+        encode_jpeg_color(w, h, rgb, subsampling="444")
+    )
+    assert (dw, dh) == (w, h)
+    err = max(
+        abs(a - b) for p, q in zip(dec, rgb) for a, b in zip(p, q)
+    )
+    assert err <= 4, err
+
+
+def test_jpeg_color_420_roundtrip_on_chroma_constant_content():
+    # 4:2:0 averages chroma 2x2, so content whose color is constant per
+    # 2x2 cell loses nothing to subsampling — the remaining error is
+    # YCbCr + DCT rounding, bounded as in the 444 case. (Random
+    # per-pixel color under 420 legitimately loses high-frequency
+    # chroma; that's the format, not the codec.)
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    rng = random.Random(5)
+    w, h = 20, 12
+    cell = [
+        [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range((w + 1) // 2)
+        ]
+        for _ in range((h + 1) // 2)
+    ]
+    rgb = [cell[y // 2][x // 2] for y in range(h) for x in range(w)]
+    dw, dh, dec = decode_jpeg_pixels(
+        encode_jpeg_color(w, h, rgb, subsampling="420")
+    )
+    assert (dw, dh) == (w, h)
+    err = max(
+        abs(a - b) for p, q in zip(dec, rgb) for a, b in zip(p, q)
+    )
+    assert err <= 4, err
+
+
+def test_jpeg_color_420_mcu_structure_and_gray_wrapper_contract():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+    import pytest as _pytest
+
+    # 420 stream decodes at its true (cropped) size even when neither
+    # dimension is 16-aligned
+    w, h = 19, 11
+    rgb = [(10, 200, 60)] * (w * h)
+    dw, dh, dec = decode_jpeg_pixels(
+        encode_jpeg_color(w, h, rgb, subsampling="420")
+    )
+    assert (dw, dh) == (w, h) and len(dec) == w * h
+    # constant color: every decoded pixel identical and near the input
+    assert len(set(dec)) == 1
+    assert all(abs(a - b) <= 4 for a, b in zip(dec[0], rgb[0]))
+    # the gray wrapper refuses color streams (ncomp contract, not a
+    # pixel heuristic)
+    with _pytest.raises(ValueError, match="single-component"):
+        decode_jpeg_gray_pixels(encode_jpeg_color(8, 8, [(1, 2, 3)] * 64))
+    # and the color decoder passes block-constant gray streams through
+    # bit-exactly (general gray content is subject to the usual +/-2
+    # DCT-rounding bound, covered elsewhere)
+    px = [77] * 64
+    assert decode_jpeg_pixels(encode_jpeg_gray(8, 8, px))[2] == [
+        (77, 77, 77)
+    ] * 64

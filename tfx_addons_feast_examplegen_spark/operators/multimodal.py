@@ -11,16 +11,18 @@ Two codec tiers:
   uncompressed BMP — header parse, row padding, bottom-up/top-down,
   BGR order), :func:`decode_png_rgb8` (8-bit RGB PNG — chunk CRC walk,
   zlib inflate, all five scanline filters reconstructed),
-  :func:`decode_jpeg_gray` (BASELINE grayscale JPEG — marker walk,
-  canonical huffman from DHT, DPCM DC + EOB/ZRL AC entropy decode,
-  dequantize, dezigzag, float IDCT) and :func:`decode_wav_pcm16`
+  :func:`decode_jpeg_pixels` (BASELINE JPEG, grayscale AND YCbCr color
+  with 4:4:4 / 4:2:2 / 4:2:0 sampling — marker walk, canonical huffman
+  from DHT, interleaved-MCU entropy decode with per-component DPCM,
+  dequantize, dezigzag, float IDCT, nearest-neighbor chroma
+  upsampling, JFIF color conversion) and :func:`decode_wav_pcm16`
   (RIFF chunk walk, PCM16 mono). These run as the decode kernels of
   :func:`extract_image_stats` (content-sniffing BMP/PNG/JPEG dispatch)
   / :func:`extract_audio_stats` and are oracle-checked end-to-end (the
   fixture payloads carry closed-form pixel/sample values an external
   SQL engine can re-derive).
-- **Stub boundary for formats needing codec libraries** (color/
-  subsampled/progressive JPEG, MP3, H.264 remain out of stdlib reach):
+- **Stub boundary for formats needing codec libraries** (progressive/
+  arithmetic JPEG, MP3, H.264 remain out of stdlib reach):
   :class:`StubImageCodec` raises ``NotImplementedError`` unless
   ``deterministic_fake=True``; swap in a real codec by implementing
   ``decode(payload) -> features`` with the same signature.
@@ -577,17 +579,118 @@ def _jpeg_crop_app(width: int, height: int, bw: int, bh: int) -> bytes:
     return struct.pack(">HH", 0xFFE1, len(body) + 2) + body
 
 
-def decode_jpeg_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a BASELINE single-component JPEG into row-major grayscale
-    pixels: (width, height, pixels).
+class _JpegBitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, start: int) -> None:
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                raise ValueError("unexpected marker inside scan")
+            self.pos += 2  # stuffed 0xFF
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in scan")
+
+
+def _jpeg_extend(bits_val: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: category + appended bits -> signed value."""
+    if cat == 0:
+        return 0
+    if bits_val < (1 << (cat - 1)):
+        return bits_val - (1 << cat) + 1
+    return bits_val
+
+
+def _jpeg_decode_block(r: _JpegBitReader, dct, act, qt, prev_dc: int):
+    """One 8x8 block: huffman -> dequant -> dezigzag -> IDCT.
+    Returns (spatial block, new DC predictor)."""
+    zz = [0] * 64
+    cat = r.symbol(dct)
+    prev_dc += _jpeg_extend(r.bits(cat), cat)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = r.symbol(act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, cat = sym >> 4, sym & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("AC run past block end")
+        zz[i] = _jpeg_extend(r.bits(cat), cat)
+        i += 1
+    coef = [0] * 64
+    for i in range(64):
+        coef[_JPEG_ZIGZAG[i]] = zz[i] * qt[i]
+    return _idct8x8(coef), prev_dc
+
+
+def _clamp8(v: float) -> int:
+    iv = round(v)
+    return 0 if iv < 0 else (255 if iv > 255 else iv)
+
+
+def decode_jpeg_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode a BASELINE JPEG into row-major (r, g, b) pixels:
+    (width, height, pixels). See :func:`_decode_jpeg_full`."""
+    w, h, pixels, _ = _decode_jpeg_full(payload)
+    return w, h, pixels
+
+
+def _decode_jpeg_full(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], int]:
+    """Decode a BASELINE JPEG into row-major (r, g, b) pixels:
+    (width, height, pixels, n_components).
 
     Real decoder: marker walk (DQT/SOF0/DHT/SOS), canonical huffman
     reconstruction from the DHT segments, bit-at-a-time entropy decode
-    with byte-unstuffing, DPCM DC + EOB/ZRL run-length AC,
-    dequantization, dezigzag, float IDCT with level shift and clamp.
-    Only baseline 8-bit single-component (grayscale, 1x1 sampling,
-    no restart markers) streams are supported — the same single-variant
-    honesty as the BMP/PNG/WAV decoders; anything else raises.
+    with byte-unstuffing, per-component DPCM DC + EOB/ZRL run-length
+    AC, dequantization, dezigzag, float IDCT, interleaved-MCU assembly
+    with per-component sampling factors, nearest-neighbor chroma
+    upsampling, and JFIF YCbCr -> RGB conversion. Supported variants:
+    8-bit baseline, single-scan, 1 component (grayscale) or 3
+    components (YCbCr) with luma sampling factors up to 2x2 and 1x1
+    chroma — i.e. 4:4:4, 4:2:2 (both axes) and 4:2:0, the layouts real
+    corpora contain. Progressive/arithmetic/restart-marker streams and
+    4-component CMYK raise — the same explicit-variant honesty as the
+    BMP/PNG/WAV decoders.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -597,7 +700,9 @@ def decode_jpeg_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     ac_dec: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
     crop: tuple[int, int] | None = None
-    comp_q = dc_id = ac_id = 0
+    comps: list[dict] = []  # {id, h, v, q}
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
+    scan_order: list[int] = []
     scan_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -615,15 +720,29 @@ def decode_jpeg_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
                 off += 65
         elif marker == 0xFFC0:  # SOF0 baseline
             precision, h, wd, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "only 8-bit single-component baseline JPEG supported"
+                    "only 8-bit 1- or 3-component baseline JPEG supported"
                 )
-            cid, sampling, comp_q = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise ValueError("only 1x1 sampling supported")
             width, height = wd, h
-            del cid
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                comps.append(
+                    {
+                        "id": cid,
+                        "h": samp >> 4,
+                        "v": samp & 0xF,
+                        "q": body[8 + 3 * c],
+                    }
+                )
+            for c in comps:
+                if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+                    raise ValueError("sampling factors up to 2x2 supported")
+            if ncomp == 3 and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps[1:]
+            ):
+                raise ValueError("chroma must be 1x1 sampled")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline (SOF0) JPEG supported")
         elif marker == 0xFFC4:  # DHT (possibly several tables)
@@ -642,116 +761,271 @@ def decode_jpeg_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
             crop = struct.unpack_from(">HH", body, 5)
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError("only single-scan single-component SOS")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            if ns != len(comps):
+                raise ValueError("only single-scan interleaved SOS")
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tbl = body[2 + 2 * c]
+                scan_tables[cid] = (tbl >> 4, tbl & 0xF)
+                scan_order.append(cid)
             scan_start = pos + 2 + length
             break
         pos += 2 + length
-    if width is None or scan_start is None:
+    if width is None or scan_start is None or not comps:
         raise ValueError("missing SOF/SOS segment")
-    if comp_q not in qtables or dc_id not in dc_dec or ac_id not in ac_dec:
-        raise ValueError("missing quantization/huffman table for scan")
-    qt = qtables[comp_q]
-    dct, act = dc_dec[dc_id], ac_dec[ac_id]
+    by_id = {c["id"]: c for c in comps}
+    if scan_order != [c["id"] for c in comps]:
+        raise ValueError("scan component order must match SOF order")
+    for cid, (d, a) in scan_tables.items():
+        if by_id[cid]["q"] not in qtables or d not in dc_dec or a not in ac_dec:
+            raise ValueError("missing quantization/huffman table for scan")
 
-    class _Reader:
-        def __init__(self, data: bytes, start: int) -> None:
-            self.data = data
-            self.pos = start
-            self.acc = 0
-            self.n = 0
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    planes: dict[int, list[int]] = {}
+    plane_w: dict[int, int] = {}
+    for c in comps:
+        pw = mcus_x * c["h"] * 8
+        ph = mcus_y * c["v"] * 8
+        planes[c["id"]] = [0] * (pw * ph)
+        plane_w[c["id"]] = pw
 
-        def _fill(self) -> None:
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1]
-                if nxt != 0x00:
-                    raise ValueError("unexpected marker inside scan")
-                self.pos += 2  # stuffed 0xFF
-            else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.n += 8
+    r = _JpegBitReader(payload, scan_start)
+    prev_dc = {c["id"]: 0 for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                cid = c["id"]
+                dct = dc_dec[scan_tables[cid][0]]
+                act = ac_dec[scan_tables[cid][1]]
+                qt = qtables[c["q"]]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        block, prev_dc[cid] = _jpeg_decode_block(
+                            r, dct, act, qt, prev_dc[cid]
+                        )
+                        bx = (mx * c["h"] + hh) * 8
+                        by = (my * c["v"] + v) * 8
+                        pw = plane_w[cid]
+                        for y in range(8):
+                            row = by + y
+                            planes[cid][
+                                row * pw + bx : row * pw + bx + 8
+                            ] = block[y * 8 : y * 8 + 8]
 
-        def bit(self) -> int:
-            if self.n == 0:
-                self._fill()
-            self.n -= 1
-            return (self.acc >> self.n) & 1
-
-        def bits(self, k: int) -> int:
-            v = 0
-            for _ in range(k):
-                v = (v << 1) | self.bit()
-            return v
-
-        def symbol(self, table: dict[tuple[int, int], int]) -> int:
-            code, length = 0, 0
-            while length < 16:
-                code = (code << 1) | self.bit()
-                length += 1
-                sym = table.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid huffman code in scan")
-
-    def _extend(bits_val: int, cat: int) -> int:
-        if cat == 0:
-            return 0
-        if bits_val < (1 << (cat - 1)):
-            return bits_val - (1 << cat) + 1
-        return bits_val
-
-    r = _Reader(payload, scan_start)
-    bw = ((width + 7) // 8) * 8
-    bh = ((height + 7) // 8) * 8
-    out = [0] * (bw * bh)
-    prev_dc = 0
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
-            zz = [0] * 64
-            cat = r.symbol(dct)
-            prev_dc += _extend(r.bits(cat), cat)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = r.symbol(act)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _extend(r.bits(cat), cat)
-                i += 1
-            coef = [0] * 64
-            for i in range(64):
-                coef[_JPEG_ZIGZAG[i]] = zz[i] * qt[i]
-            block = _idct8x8(coef)
-            for y in range(8):
-                row = by + y
-                out[row * bw + bx : row * bw + bx + 8] = block[
-                    y * 8 : y * 8 + 8
-                ]
     if crop is not None:
         width, height = crop
-    if (bw, bh) != (width, height):
-        out = [
-            out[y * bw + x] for y in range(height) for x in range(width)
-        ]
-    return width, height, out
+    pixels: list[tuple[int, int, int]] = []
+    if len(comps) == 1:
+        c = comps[0]
+        pw = plane_w[c["id"]]
+        pl = planes[c["id"]]
+        for y in range(height):
+            base = y * pw
+            pixels.extend(
+                (v, v, v) for v in pl[base : base + width]
+            )
+        return width, height, pixels, 1
+    cy, cb, cr = (by_id[cid] for cid in scan_order)
+    for y in range(height):
+        for x in range(width):
+            # nearest-neighbor chroma upsampling: plane coord = full-res
+            # coord scaled by the component's sampling ratio
+            yv = planes[cy["id"]][
+                (y * cy["v"] // vmax) * plane_w[cy["id"]]
+                + (x * cy["h"] // hmax)
+            ]
+            cbv = planes[cb["id"]][
+                (y * cb["v"] // vmax) * plane_w[cb["id"]]
+                + (x * cb["h"] // hmax)
+            ]
+            crv = planes[cr["id"]][
+                (y * cr["v"] // vmax) * plane_w[cr["id"]]
+                + (x * cr["h"] // hmax)
+            ]
+            pixels.append(
+                (
+                    _clamp8(yv + 1.402 * (crv - 128)),
+                    _clamp8(
+                        yv
+                        - 0.344136 * (cbv - 128)
+                        - 0.714136 * (crv - 128)
+                    ),
+                    _clamp8(yv + 1.772 * (cbv - 128)),
+                )
+            )
+    return width, height, pixels, 3
+
+
+def decode_jpeg_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a baseline SINGLE-component JPEG into row-major grayscale
+    pixels: (width, height, pixels). Thin wrapper over the general
+    decoder (1-component streams decode with no color conversion, so
+    gray values are exact); raises on a color stream."""
+    w, h, rgb, ncomp = _decode_jpeg_full(payload)
+    if ncomp != 1:
+        raise ValueError("not a single-component (grayscale) JPEG")
+    return w, h, [r for r, _, _ in rgb]
 
 
 def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
-    """Decode a baseline grayscale JPEG into the shared image stat tuple
-    (gray value replicated across the three channels, so the stats
-    frame is container-uniform)."""
-    w, h, px = decode_jpeg_gray_pixels(payload)
-    return _pixel_stats(w, h, [(v, v, v) for v in px])
+    """Decode a baseline JPEG (gray OR color) into the shared image stat
+    tuple — one decode path via :func:`decode_jpeg_pixels`."""
+    return _pixel_stats(*decode_jpeg_pixels(payload))
+
+
+# JFIF RGB -> YCbCr (T.871): rounded to the nearest integer, clamped.
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return _clamp8(y), _clamp8(cb), _clamp8(cr)
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    *,
+    subsampling: str = "444",
+) -> bytes:
+    """Serialize row-major (r, g, b) pixels as a standard BASELINE
+    color JFIF JPEG (pure stdlib): YCbCr conversion, all-ones
+    quantization tables (luma id 0, chroma id 1), Annex K luminance
+    huffman tables registered for both the luma (0) and chroma (1)
+    slots, interleaved MCUs with per-component DPCM.
+
+    ``subsampling``: ``"444"`` (1x1 luma, MCU = 8x8) or ``"420"``
+    (2x2 luma, 2x2-averaged chroma, MCU = 16x16 — the layout most real
+    corpora ship). Edge blocks pad by edge replication; the paired
+    decoder crops back via the same APP1 marker the grayscale encoder
+    uses.
+    """
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return pixels[min(y, height - 1) * width + min(x, width - 1)]
+
+    # full-res YCbCr planes (edge-extended reads via px())
+    def ycc(x: int, y: int) -> tuple[int, int, int]:
+        return _rgb_to_ycbcr(*px(x, y))
+
+    if subsampling == "444":
+        hy = vy = 1
+    else:
+        hy = vy = 2
+    mcu_w, mcu_h = 8 * hy, 8 * vy
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    def chroma_at(cx: int, cy_: int, idx: int) -> int:
+        # chroma plane sample: direct (444) or 2x2 mean (420)
+        if subsampling == "444":
+            return ycc(cx, cy_)[idx]
+        s = (
+            ycc(2 * cx, 2 * cy_)[idx]
+            + ycc(2 * cx + 1, 2 * cy_)[idx]
+            + ycc(2 * cx, 2 * cy_ + 1)[idx]
+            + ycc(2 * cx + 1, 2 * cy_ + 1)[idx]
+        )
+        return (s + 2) // 4
+
+    w = _JpegBitWriter()
+
+    def emit_block(samples: list[int], prev_dc: int) -> int:
+        coef = _fdct8x8(samples)
+        zz = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
+        cat, bits = _jpeg_category(zz[0] - prev_dc)
+        w.put(*dc_codes[cat])
+        if cat:
+            w.put(bits, cat)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.put(*ac_codes[0xF0])
+                run -= 16
+            cat, bits = _jpeg_category(zz[i])
+            w.put(*ac_codes[(run << 4) | cat])
+            w.put(bits, cat)
+            run = 0
+        if last_nz < 63:
+            w.put(*ac_codes[0x00])
+        return zz[0]
+
+    dc_y = dc_cb = dc_cr = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for v in range(vy):
+                for hh in range(hy):
+                    bx, by = (mx * hy + hh) * 8, (my * vy + v) * 8
+                    dc_y = emit_block(
+                        [
+                            ycc(bx + x, by + y)[0]
+                            for y in range(8)
+                            for x in range(8)
+                        ],
+                        dc_y,
+                    )
+            cbx, cby = mx * 8, my * 8
+            dc_cb = emit_block(
+                [
+                    chroma_at(cbx + x, cby + y, 1)
+                    for y in range(8)
+                    for x in range(8)
+                ],
+                dc_cb,
+            )
+            dc_cr = emit_block(
+                [
+                    chroma_at(cbx + x, cby + y, 2)
+                    for y in range(8)
+                    for x in range(8)
+                ],
+                dc_cr,
+            )
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ones = bytes(1 for _ in range(64))
+    qtables = bytes([0]) + ones + bytes([1]) + ones
+    samp_y = (hy << 4) | vy
+    sof = struct.pack(">BHHB", 8, mcus_y * mcu_h, mcus_x * mcu_w, 3) + bytes(
+        [1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    one_pair = (
+        bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    ac_pair = bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    dht = (
+        bytes([0x00]) + one_pair
+        + bytes([0x10]) + ac_pair
+        + bytes([0x01]) + one_pair
+        + bytes([0x11]) + ac_pair
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, jfif)
+        + seg(0xFFDB, qtables)
+        + _jpeg_crop_app(width, height, mcus_x * mcu_w, mcus_y * mcu_h)
+        + seg(0xFFC0, sof)
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, sos)
+        + bytes(w.buf)
+        + b"\xff\xd9"
+    )
 
 
 # Closed-form fixture content: pixel (x, y, channel c in RGB order) of
@@ -1032,8 +1306,7 @@ def resize_images(
         if b[: len(_PNG_SIG)] == _PNG_SIG:
             return decode_png_rgb8_pixels(b)
         if b[:2] == b"\xff\xd8":
-            w, h, grays = decode_jpeg_gray_pixels(b)
-            return w, h, [(v, v, v) for v in grays]
+            return decode_jpeg_pixels(b)  # gray or color
         raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
     def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
