@@ -578,3 +578,35 @@ def test_jpeg_color_420_mcu_structure_and_gray_wrapper_contract():
     assert decode_jpeg_pixels(encode_jpeg_gray(8, 8, px))[2] == [
         (77, 77, 77)
     ] * 64
+
+
+def test_jpeg_color_422_and_440_roundtrip():
+    # The asymmetric sampling layouts (2x1 / 1x2 luma): exact on
+    # content whose color is constant along the subsampled axis cell,
+    # same rounding bound as 444 otherwise.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    rng = random.Random(9)
+    w, h = 18, 10
+    for mode, cw, ch in (("422", 2, 1), ("440", 1, 2)):
+        cells = [
+            [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range((w + cw - 1) // cw)
+            ]
+            for _ in range((h + ch - 1) // ch)
+        ]
+        rgb = [cells[y // ch][x // cw] for y in range(h) for x in range(w)]
+        dw, dh, dec = decode_jpeg_pixels(
+            encode_jpeg_color(w, h, rgb, subsampling=mode)
+        )
+        assert (dw, dh) == (w, h), mode
+        err = max(
+            abs(a - b) for p, q in zip(dec, rgb) for a, b in zip(p, q)
+        )
+        assert err <= 4, (mode, err)

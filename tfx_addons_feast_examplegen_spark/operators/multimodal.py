@@ -897,14 +897,16 @@ def encode_jpeg_color(
     huffman tables registered for both the luma (0) and chroma (1)
     slots, interleaved MCUs with per-component DPCM.
 
-    ``subsampling``: ``"444"`` (1x1 luma, MCU = 8x8) or ``"420"``
+    ``subsampling``: ``"444"`` (1x1 luma, MCU = 8x8), ``"420"``
     (2x2 luma, 2x2-averaged chroma, MCU = 16x16 — the layout most real
-    corpora ship). Edge blocks pad by edge replication; the paired
-    decoder crops back via the same APP1 marker the grayscale encoder
-    uses.
+    corpora ship), ``"422"`` (2x1 luma, horizontally-averaged chroma)
+    or ``"440"`` (1x2 luma, vertically-averaged chroma). Edge blocks
+    pad by edge replication; the paired decoder crops back via the
+    same APP1 marker the grayscale encoder uses.
     """
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in factors:
+        raise ValueError("subsampling must be one of '444'/'420'/'422'/'440'")
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
@@ -915,25 +917,21 @@ def encode_jpeg_color(
     def ycc(x: int, y: int) -> tuple[int, int, int]:
         return _rgb_to_ycbcr(*px(x, y))
 
-    if subsampling == "444":
-        hy = vy = 1
-    else:
-        hy = vy = 2
+    hy, vy = factors[subsampling]
     mcu_w, mcu_h = 8 * hy, 8 * vy
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
 
     def chroma_at(cx: int, cy_: int, idx: int) -> int:
-        # chroma plane sample: direct (444) or 2x2 mean (420)
-        if subsampling == "444":
-            return ycc(cx, cy_)[idx]
-        s = (
-            ycc(2 * cx, 2 * cy_)[idx]
-            + ycc(2 * cx + 1, 2 * cy_)[idx]
-            + ycc(2 * cx, 2 * cy_ + 1)[idx]
-            + ycc(2 * cx + 1, 2 * cy_ + 1)[idx]
+        # chroma plane sample: mean over the hy x vy full-res cell this
+        # chroma sample covers (444: the cell is one pixel)
+        s = sum(
+            ycc(hy * cx + dx, vy * cy_ + dy)[idx]
+            for dy in range(vy)
+            for dx in range(hy)
         )
-        return (s + 2) // 4
+        n = hy * vy
+        return (s + n // 2) // n
 
     w = _JpegBitWriter()
 
