@@ -610,3 +610,48 @@ def test_jpeg_color_422_and_440_roundtrip():
             abs(a - b) for p, q in zip(dec, rgb) for a, b in zip(p, q)
         )
         assert err <= 4, (mode, err)
+
+
+def test_jpeg_truncation_raises_cleanly_never_hangs():
+    # Every truncation point of a valid stream must raise ValueError
+    # (or the marker walk's struct/index error) — never hang, never
+    # return garbage silently.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    good = encode_jpeg_color(16, 16, [(9, 99, 199)] * 256)
+    for cut in range(2, len(good)):
+        try:
+            decode_jpeg_pixels(good[:cut])
+        except Exception:
+            continue
+        # only cutting the trailing EOI marker may legitimately decode
+        assert cut >= len(good) - 2, f"truncation at {cut} decoded silently"
+
+
+def test_extract_image_stats_quarantine_policies(spark):
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        encode_bmp_24,
+        extract_image_stats,
+    )
+
+    ok = encode_bmp_24(2, 1, [(1, 2, 3), (4, 5, 6)])
+    bad = b"\xff\xd8\x00corrupt"
+    media = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(ok)),
+         Row(doc_id=2, payload=bytearray(bad))],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception):
+        extract_image_stats(media).collect()  # default: fail fast
+    kept = extract_image_stats(media, on_error="skip").collect()
+    assert [r.doc_id for r in kept] == [1]
+    rows = {r.doc_id: r for r in extract_image_stats(media, on_error="null").collect()}
+    assert rows[1].width == 2 and rows[1].r_sum == 5
+    assert rows[2].width is None  # quarantined, observable, not dropped

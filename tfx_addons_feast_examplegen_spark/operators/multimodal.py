@@ -589,8 +589,12 @@ class _JpegBitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG scan")
             nxt = self.data[self.pos + 1]
             if nxt != 0x00:
                 raise ValueError("unexpected marker inside scan")
@@ -1184,18 +1188,46 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
 
-def extract_image_stats(media_df: DataFrame) -> DataFrame:
+def extract_image_stats(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
     """Real decode stage: Arrow-batched ``mapInPandas`` over image
-    payloads (BMP or PNG, sniffed per record) -> per-image integer
-    channel stats. The (huge) payload column is consumed here and
-    dropped — project early, shuffle small."""
+    payloads (BMP, PNG or JPEG, sniffed per record) -> per-image
+    integer channel stats. The (huge) payload column is consumed here
+    and dropped — project early, shuffle small.
+
+    ``on_error`` is the quarantine policy for undecodable payloads — a
+    100 TB corpus always contains truncated/corrupt blobs, and the
+    policy must be explicit, never silent:
+
+    - ``"error"`` (default): the first bad payload fails the job with
+      the decoder's message — right for fixture-grade inputs where a
+      bad byte IS the bug;
+    - ``"null"``: the row survives with null stat columns, so the
+      caller can count/inspect the quarantine set (``width IS NULL``)
+      and no row silently disappears;
+    - ``"skip"``: the row is dropped — only for callers that have
+      already recorded the quarantine elsewhere.
+    """
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_decode_image(bytes(p)) for p in pdf["payload"]]
+            ids, rows = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows.append(_decode_image(bytes(p)))
+                except Exception:
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((None,) * 7)
+                ids.append(did)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": ids,
                     "width": [r[0] for r in rows],
                     "height": [r[1] for r in rows],
                     "r_sum": [r[2] for r in rows],
