@@ -655,3 +655,38 @@ def test_extract_image_stats_quarantine_policies(spark):
     rows = {r.doc_id: r for r in extract_image_stats(media, on_error="null").collect()}
     assert rows[1].width == 2 and rows[1].r_sum == 5
     assert rows[2].width is None  # quarantined, observable, not dropped
+
+
+def test_bmp_png_wav_truncation_raises_cleanly():
+    # The quarantine policy catches Exception, so the only requirement
+    # on the codecs is: every truncation fails (any exception), never
+    # hangs, never silently returns stats for partial data.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_bmp_24,
+        decode_png_rgb8,
+        decode_wav_pcm16,
+        encode_bmp_24,
+        encode_png_rgb8,
+        encode_wav_pcm16,
+    )
+
+    px = [(i % 256, (i * 3) % 256, (i * 7) % 256) for i in range(48)]
+    # tail_ok: trailing bytes whose loss legitimately still decodes
+    # (PNG's 12-byte IEND chunk carries no pixel data — IDAT is already
+    # complete and CRC-verified by then)
+    cases = [
+        (encode_bmp_24(8, 6, px), decode_bmp_24, 0),
+        (encode_png_rgb8(8, 6, px), decode_png_rgb8, 12),
+        (encode_wav_pcm16([i * 100 - 2000 for i in range(50)]), decode_wav_pcm16, 0),
+    ]
+    for good, dec, tail_ok in cases:
+        dec(good)  # sanity: the full payload decodes
+        for cut in range(0, len(good) - 1):
+            try:
+                dec(good[:cut])
+            except Exception:
+                continue
+            assert cut >= len(good) - tail_ok, (
+                f"{dec.__name__}: truncation at {cut}/{len(good)} "
+                "decoded silently"
+            )

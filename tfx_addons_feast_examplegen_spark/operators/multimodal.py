@@ -344,6 +344,14 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + sz > len(payload):
+            # a declared chunk size past EOF is a truncated file; a
+            # silently-shortened slice would compute stats on partial
+            # audio with no signal that anything was lost
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {sz} bytes, "
+                f"{len(payload) - pos - 8} present"
+            )
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
