@@ -659,3 +659,28 @@ def test_read_tfrecord_dataset_splits_one_shard_across_tasks(spark, tmp_path):
     ).groupBy("pid").count().collect()
     assert len(parts) >= 2, parts  # one shard, many tasks
     assert sum(r["count"] for r in parts) == 4000
+
+
+def test_decode_example_rejects_mid_field_truncation():
+    # Proto wire rule: a field-boundary truncation is a valid shorter
+    # message (cut 0 -> {}), but a declared length or fixed width
+    # running past the buffer must raise — decode_example previously
+    # short-sliced silently and returned partial/garbage dicts.
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        decode_example,
+        encode_example,
+    )
+
+    good = encode_example(
+        {"a": 42, "b": "hello", "c": [1.5, 2.5], "d": b"\x00\x01"}
+    )
+    assert decode_example(good) == {
+        "a": [42], "b": [b"hello"], "c": [1.5, 2.5], "d": [b"\x00\x01"]
+    }
+    survivors = []
+    for cut in range(len(good)):
+        try:
+            survivors.append((cut, decode_example(good[:cut])))
+        except ValueError:
+            pass
+    assert survivors == [(0, {})]  # only the valid empty message

@@ -223,6 +223,8 @@ def decode_sequence_example(data: bytes) -> tuple[dict, dict]:
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     shift = n = 0
     while True:
+        if i >= len(buf):
+            raise ValueError("truncated varint in proto wire data")
         b = buf[i]
         i += 1
         n |= (b & 0x7F) << shift
@@ -234,6 +236,11 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
 
 
 def _fields(buf: bytes):
+    # Bounds are checked explicitly: proto's wire format makes a
+    # truncation at a FIELD boundary a valid shorter message (that
+    # leniency is the format, not a bug), but a truncation INSIDE a
+    # field — a declared length or fixed width running past the buffer
+    # — must raise, never silently shorten via Python slicing.
     i = 0
     while i < len(buf):
         key, i = _read_varint(buf, i)
@@ -242,12 +249,21 @@ def _fields(buf: bytes):
             val, i = _read_varint(buf, i)
         elif wire == 2:
             ln, i = _read_varint(buf, i)
+            if i + ln > len(buf):
+                raise ValueError(
+                    f"truncated proto: field {field} declares {ln} "
+                    f"bytes, {len(buf) - i} present"
+                )
             val = buf[i : i + ln]
             i += ln
         elif wire == 5:
+            if i + 4 > len(buf):
+                raise ValueError("truncated proto: short fixed32")
             val = buf[i : i + 4]
             i += 4
         elif wire == 1:
+            if i + 8 > len(buf):
+                raise ValueError("truncated proto: short fixed64")
             val = buf[i : i + 8]
             i += 8
         else:  # pragma: no cover
