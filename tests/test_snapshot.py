@@ -99,3 +99,25 @@ def test_merge_upsert_no_seq_collapses_duplicate_keys(spark):
     assert sorted(by_key) == [1, 2]
     assert all(len(vs) == 1 for vs in by_key.values()), by_key
     assert by_key[1] == ["y"]  # descending tie-break on v: stable pick
+
+
+def test_merge_upsert_no_seq_skips_unorderable_columns(spark):
+    # A map-typed payload column must not break the fallback tie-break
+    # (maps are unorderable in Spark); the invariant still holds via
+    # the remaining orderable columns.
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.snapshot import (
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [Row(k=1, v="a", props={"x": "1"})],
+        "k long, v string, props map<string,string>",
+    )
+    updates = spark.createDataFrame(
+        [Row(k=1, v="m", props={"y": "2"}), Row(k=1, v="z", props={})],
+        "k long, v string, props map<string,string>",
+    )
+    out = merge_upsert(base, updates, ["k"]).collect()
+    assert len(out) == 1 and out[0].v == "z"  # desc tie-break on v

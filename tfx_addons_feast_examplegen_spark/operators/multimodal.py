@@ -615,6 +615,10 @@ class _JpegBitReader:
     def bit(self) -> int:
         if self.n == 0:
             self._fill()
+            # mask consumed high bits: without this the accumulator
+            # grows into a scan-sized bignum and every shift is O(scan
+            # bytes) — decode degrades quadratically on real-size JPEGs
+            self.acc &= (1 << self.n) - 1
         self.n -= 1
         return (self.acc >> self.n) & 1
 
@@ -828,6 +832,15 @@ def _decode_jpeg_full(
                             ] = block[y * 8 : y * 8 + 8]
 
     if crop is not None:
+        # SPKG is untrusted input like everything else: a corrupt crop
+        # claiming more pixels than the decoded planes hold would make
+        # the gray path's row slices silently shorten — wrong stats
+        # with no error. Crop may only shrink, never grow.
+        if crop[0] > width or crop[1] > height or 0 in crop:
+            raise ValueError(
+                f"corrupt crop marker {crop} for decoded size "
+                f"{(width, height)}"
+            )
         width, height = crop
     pixels: list[tuple[int, int, int]] = []
     if len(comps) == 1:
@@ -1249,15 +1262,36 @@ def extract_image_stats(
     return media_df.mapInPandas(_decode, schema=IMAGE_STATS_SCHEMA)
 
 
-def extract_audio_stats(media_df: DataFrame) -> DataFrame:
-    """Real decode stage for PCM16 WAV payloads -> integer sample stats."""
+def extract_audio_stats(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """Real decode stage for PCM16 WAV payloads -> integer sample stats.
+
+    ``on_error`` is the same quarantine policy as
+    :func:`extract_image_stats` (``"error"`` fail fast, ``"null"`` keep
+    the row with null stats, ``"skip"`` drop it) — the WAV decoder
+    fails fast on truncated chunks, so a corrupt blob in a large corpus
+    needs the same explicit, observable handling as the image path.
+    """
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_wav_pcm16(bytes(p)) for p in pdf["payload"]]
+            ids, rows = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows.append(decode_wav_pcm16(bytes(p)))
+                except Exception:
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((None,) * 5)
+                ids.append(did)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": ids,
                     "sample_rate": [r[0] for r in rows],
                     "n_samples": [r[1] for r in rows],
                     "sample_sum": [r[2] for r in rows],

@@ -105,10 +105,28 @@ def merge_upsert(
     else:
         # No sequence column: a batch with key collisions must still
         # produce ONE row per key (the MERGE invariant), so fall back to
-        # a deterministic tie-break over every non-key column sorted by
+        # a deterministic tie-break over the non-key columns sorted by
         # name — arbitrary but stable across runs and partitionings.
+        # Unorderable types (maps, and arrays/structs containing them)
+        # are excluded: ordering by one would raise AnalysisException
+        # even for a collision-free batch. If NO orderable payload
+        # column exists, colliding rows are indistinguishable to a sort
+        # anyway — the pick is then arbitrary-but-single, documented.
+        def _orderable(dt) -> bool:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
         order = [
-            F.desc(c) for c in sorted(set(up.columns) - set(key_cols))
+            F.desc(f.name)
+            for f in sorted(up.schema.fields, key=lambda f: f.name)
+            if f.name not in key_cols and _orderable(f.dataType)
         ] or [F.lit(1).asc()]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     up = (

@@ -662,18 +662,25 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ts"),
     ).filter(F.size("ts") > 0)
-    # Exact-dup pairs via a self-equi-join on the token-set hash (the
-    # same capped-pair shape every production pair-producer uses): the
-    # pair SET is inherently quadratic in a degenerate group, but the
-    # join spreads it across tasks, where the earlier collect_list form
-    # held each whole group as one in-task array before exploding.
+    # Exact-dup pairs via a self-equi-join on (token-set hash, token
+    # set) — the same capped-pair shape every production pair-producer
+    # uses: the pair SET is inherently quadratic in a degenerate group,
+    # but the join spreads it across tasks, where the earlier
+    # collect_list form held each whole group as one in-task array
+    # before exploding. The array itself rides the join key so a 64-bit
+    # hash collision between DIFFERENT token sets cannot fabricate an
+    # "exact" pair and spuriously redden the completeness check; the
+    # hash narrows the shuffle comparison, the array equality makes it
+    # exact.
     keyed = toks.select(
-        "doc_id", F.xxhash64(F.col("ts").cast("string")).alias("tsh")
+        "doc_id",
+        "ts",
+        F.xxhash64(F.col("ts").cast("string")).alias("tsh"),
     )
-    ka = keyed.select(F.col("tsh"), F.col("doc_id").alias("doc_a"))
-    kb = keyed.select(F.col("tsh"), F.col("doc_id").alias("doc_b"))
+    ka = keyed.select("tsh", "ts", F.col("doc_id").alias("doc_a"))
+    kb = keyed.select("tsh", "ts", F.col("doc_id").alias("doc_b"))
     exact_pairs = (
-        ka.join(kb, "tsh")
+        ka.join(kb, ["tsh", "ts"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
@@ -6221,9 +6228,17 @@ def _q_novelty_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles, odd-doc shingles anti-joined against the distinct even
     # half, rate in basis points.
     t = register_tables(spark, sf_dir)
+    # The CASE guard matters: for a <3-token doc, sequence(1, 0) in
+    # Spark DESCENDS to [1, 0] and slice(..., 0, 3) then raises — a
+    # short doc anywhere in the corpus would fail the job (the DuckDB
+    # oracle's generate_series is empty for the same doc). Emitting an
+    # empty array makes both engines agree: no shingles, row drops at
+    # the explode.
     shingle_expr = (
-        "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2,"
-        " 0)), i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+        "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN "
+        "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3))) "
+        "ELSE array() END"
     )
     sh = (
         t["documents"]
