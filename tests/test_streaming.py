@@ -168,3 +168,69 @@ def test_interval_join_rejects_unknown_how(spark, events_path):
     s = read_events_stream(spark, events_path)
     with pytest.raises(ValueError, match="inner"):
         interval_join_streams(s, s, how="full_outer")
+
+
+def test_stream_to_tfrecords_multibatch_no_loss_and_idempotent(
+    spark, tmp_path
+):
+    # Review finding (r6): the per-batch sink previously called the
+    # overwrite-mode writer, so every micro-batch WIPED the previous
+    # batches' Split-* output — silent data loss masked by the
+    # single-batch default in the other test. Force multiple
+    # micro-batches and assert (a) all rows survive, (b) replaying a
+    # batch's write with the same prefix replaces rather than
+    # duplicates its shards.
+    import glob
+
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.split import hash_split
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        encode_examples,
+    )
+    from tfx_addons_feast_examplegen_spark.sources.tfrecord import (
+        read_tfrecords,
+        write_partitioned_tfrecords,
+    )
+    from tfx_addons_feast_examplegen_spark.streaming.events import (
+        read_events_stream,
+        stream_examples_to_tfrecords,
+    )
+
+    src = str(tmp_path / "ev")
+    rows = [
+        Row(event_id=i, user_id=i % 5, value=float(i), event_type="view")
+        for i in range(40)
+    ]
+    # three files -> three micro-batches at maxFilesPerTrigger=1
+    for lo, hi in ((0, 15), (15, 30), (30, 40)):
+        spark.createDataFrame(
+            rows[lo:hi],
+            "event_id long, user_id long, value double, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = str(tmp_path / "sink")
+    stream_examples_to_tfrecords(
+        stream, out, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    files = glob.glob(f"{out}/Split-*/*.tfrecord.gz")
+    prefixes = {f.split("/")[-1].split("-")[1] for f in files}
+    assert len(prefixes) >= 2, prefixes  # multiple batches present
+    n = sum(1 for f in files for _ in read_tfrecords(f))
+    assert n == 40  # every batch's rows survived
+
+    # idempotent replay: re-write "batch 0" with the same prefix
+    replay = spark.createDataFrame(
+        rows[0:15],
+        "event_id long, user_id long, value double, event_type string",
+    )
+    encoded = hash_split(encode_examples(replay), ["example"])
+    write_partitioned_tfrecords(
+        encoded, out, bytes_col="example", split_col="split",
+        mode="append", file_prefix="part-b000000",
+    )
+    files2 = glob.glob(f"{out}/Split-*/*.tfrecord.gz")
+    n2 = sum(1 for f in files2 for _ in read_tfrecords(f))
+    assert n2 == 40  # replaced its own shards, duplicated nothing

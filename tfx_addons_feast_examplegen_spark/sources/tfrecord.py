@@ -423,6 +423,8 @@ def write_partitioned_tfrecords(
     compress: bool = True,
     write_index: bool = False,
     index_every: int = 256,
+    mode: str = "overwrite",
+    file_prefix: str = "part",
 ) -> None:
     """Executor-parallel TFRecord write, ``Split-{name}/`` layout.
 
@@ -432,21 +434,40 @@ def write_partitioned_tfrecords(
     of partition size, no shuffle — mirroring the reference's per-split
     TFRecord dirs (``executor.py:186-188`` [delegated]).
 
-    Re-running into the same ``out_dir`` replaces the previous dataset:
-    stale ``Split-*/`` dirs and ``part-*.tfrecord*`` files are cleared
-    first (the parquet path gets this from ``mode("overwrite")``; without
-    it, uuid-named part files from consecutive runs would silently
-    accumulate and duplicate the dataset).
+    ``mode="overwrite"`` (default): re-running into the same ``out_dir``
+    replaces the previous dataset — stale ``Split-*/`` dirs and
+    ``*.tfrecord*`` files are cleared first (the parquet path gets this
+    from ``mode("overwrite")``; without it, uuid-named part files from
+    consecutive runs would silently accumulate and duplicate the
+    dataset).
+
+    ``mode="append"``: only files carrying THIS call's ``file_prefix``
+    are replaced; everything else is left in place. This is the
+    micro-batch contract: a streaming sink passes a per-batch unique
+    prefix (e.g. ``part-b000007``), so batches accumulate side by side
+    AND a replayed batch (restart after a crash between write and
+    checkpoint commit) overwrites exactly its own shards — idempotent
+    per batch, no cross-batch loss, no duplicates.
     """
     import glob
     import shutil
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError("mode must be 'overwrite' or 'append'")
     if os.path.isdir(out_dir):
-        for p in glob.glob(os.path.join(out_dir, "Split-*")):
-            if os.path.isdir(p):
-                shutil.rmtree(p)
-        for p in glob.glob(os.path.join(out_dir, "part-*.tfrecord*")):
-            os.remove(p)
+        if mode == "overwrite":
+            for p in glob.glob(os.path.join(out_dir, "Split-*")):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            for p in glob.glob(os.path.join(out_dir, "*.tfrecord*")):
+                os.remove(p)
+        else:
+            for p in glob.glob(
+                os.path.join(out_dir, f"{file_prefix}-*.tfrecord*")
+            ) + glob.glob(
+                os.path.join(out_dir, "Split-*", f"{file_prefix}-*.tfrecord*")
+            ):
+                os.remove(p)
     os.makedirs(out_dir, exist_ok=True)
     if split_col is not None:
         for r in bytes_df.select(split_col).distinct().collect():
@@ -474,7 +495,9 @@ def write_partitioned_tfrecords(
                         else out_dir
                     )
                     os.makedirs(sub, exist_ok=True)
-                    p = os.path.join(sub, f"part-{fid}.tfrecord{suffix}")
+                    p = os.path.join(
+                        sub, f"{file_prefix}-{fid}.tfrecord{suffix}"
+                    )
                     f = opener(p, "wb")
                     handles[key] = f
                     paths[key] = p

@@ -145,8 +145,12 @@ def stream_examples_to_tfrecords(
     ``foreachBatch`` bridges the streaming plan to the batch encode+split
     +sink chain (the standard pattern for sinks Spark lacks a streaming
     writer for). Each micro-batch is hash-split on its serialized bytes
-    and appended under ``Split-{name}/``; the checkpoint gives
-    exactly-once per micro-batch on restart.
+    and APPENDED under ``Split-{name}/`` with a per-batch shard prefix
+    (``part-b{batch_id}``): batches accumulate side by side, and a
+    batch replayed after a crash (restart between the write and the
+    checkpoint commit) overwrites exactly its own shards — idempotent
+    per micro-batch, which together with the checkpoint gives
+    effectively-once output.
     """
     from ..operators.split import hash_split
     from ..sources.examplegen import encode_examples
@@ -155,7 +159,12 @@ def stream_examples_to_tfrecords(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         encoded = hash_split(encode_examples(batch_df), ["example"])
         write_partitioned_tfrecords(
-            encoded, out_dir, bytes_col="example", split_col="split"
+            encoded,
+            out_dir,
+            bytes_col="example",
+            split_col="split",
+            mode="append",
+            file_prefix=f"part-b{batch_id:06d}",
         )
 
     writer = (
