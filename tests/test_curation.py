@@ -268,3 +268,36 @@ def test_length_bucketing_padding_waste(spark):
         (1, 2), (3, 4), (5, 6), (7, 8)
     ]
     assert all(r.padding_waste == 1 for r in rows)
+
+
+def test_fingerprint_samplers_reject_string_keys(spark):
+    # Review finding (r6): fingerprint arithmetic starts with
+    # cast('long'), which nulls out string ids — every bucket
+    # comparison then silently drops/mismatches all rows. The
+    # DataFrame-level entry points now fail fast instead.
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        negative_sample,
+        stratified_sample,
+        weighted_sample,
+    )
+    from tfx_addons_feast_examplegen_spark.operators.split import (
+        fingerprint_split,
+    )
+
+    sdf = spark.createDataFrame(
+        [Row(k="u_1", g="a", w=0.5)], "k string, g string, w double"
+    )
+    with _pytest.raises(TypeError, match="integral key"):
+        stratified_sample(sdf, "k", "g", {"a": 0.5})
+    with _pytest.raises(TypeError, match="integral key"):
+        weighted_sample(sdf, "k", "w")
+    with _pytest.raises(TypeError, match="integral key"):
+        fingerprint_split(sdf, "k")
+    users = spark.createDataFrame([Row(u="a")], "u string")
+    items = spark.createDataFrame([Row(i=1)], "i long")
+    inter = spark.createDataFrame([Row(u="a", i=1)], "u string, i long")
+    with _pytest.raises(TypeError, match="integral key"):
+        negative_sample(users, items, inter, user_col="u", item_col="i")

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingles
-from .split import fingerprint_bucket
+from .split import fingerprint_bucket, require_integral_key
 
 
 def decontaminate(
@@ -101,6 +101,7 @@ def stratified_sample(
 
     Fraction resolution is 1/denom (default 0.01%).
     """
+    require_integral_key(df, key_col, "stratified_sample")
     bucket = fingerprint_bucket(F.col(key_col), denom)
     cut: Column | None = None
     for group, frac in fractions.items():
@@ -203,6 +204,7 @@ def weighted_sample(
     engines' round() implementations disagree; floor of identical
     doubles is portable.
     """
+    require_integral_key(df, key_col, "weighted_sample")
     bucket = fingerprint_bucket(F.col(key_col), denom)
     w = F.greatest(F.least(F.col(weight_col), F.lit(1.0)), F.lit(0.0))
     return df.filter(bucket < F.floor(w * denom + F.lit(0.5)))
@@ -234,6 +236,8 @@ def negative_sample(
 
     Output: (user, item, rank) with rank in 1..k.
     """
+    require_integral_key(users, user_col, "negative_sample")
+    require_integral_key(items, item_col, "negative_sample")
     u = users.select(
         F.col(user_col),
         fingerprint_bucket(F.col(user_col), n_buckets).alias("__b"),
@@ -316,6 +320,7 @@ def temperature_mix(
             .alias("__cut"),
         )
     )
+    require_integral_key(df, key_col, "temperature_mix")
     bucket = fingerprint_bucket(F.col(key_col), denom)
     return (
         df.join(F.broadcast(cuts), group_col)

@@ -63,12 +63,37 @@ def hash_split(
 _KNUTH = 2654435761
 
 
+def require_integral_key(df: DataFrame, col: str, op: str) -> None:
+    """Fail fast when a fingerprint key column is not an integral type.
+
+    ``fingerprint_bucket`` arithmetic starts with ``cast('long')``,
+    which turns a string id into NULL — every downstream bucket
+    comparison then evaluates NULL and rows silently vanish (a join on
+    the bucket matches nothing; a ``bucket < cut`` filter drops all).
+    String/decimal keys must be pre-hashed to a long by the caller
+    (e.g. ``xxhash64(col)``) so the choice of hash is explicit and
+    oracle-replicable.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{op}: key column {col!r} has type {dt.simpleString()}; "
+            "fingerprint arithmetic needs an integral key — pre-hash "
+            "non-integer ids to a long (e.g. xxhash64) first"
+        )
+
+
 def fingerprint_bucket(key: Column, total: int) -> Column:
     """Oracle-expressible bucket: ``abs((key * K) % M) % total``.
 
     Uses a modulus small enough (2^31) that ``key * K`` stays exact for
     fixture key ranges and the same expression evaluates identically in
     any ANSI SQL engine (no 64-bit overflow wrap to reason about).
+    Column-level helper — DataFrame-level callers validate the key type
+    via :func:`require_integral_key` (a non-integer key casts to NULL
+    and silently drops every row otherwise).
     """
     return F.pmod(F.pmod(key.cast("long") * F.lit(_KNUTH), F.lit(2**31)), F.lit(total))
 
@@ -81,6 +106,7 @@ def fingerprint_split(
     split_col: str = "split",
 ) -> DataFrame:
     """Split on an integer key with the SQL-portable fingerprint hash."""
+    require_integral_key(df, key_col, "fingerprint_split")
     splits = splits or [("train", 2), ("eval", 1)]
     total = sum(n for _, n in splits)
     bucket = fingerprint_bucket(F.col(key_col), total)
