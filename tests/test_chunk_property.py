@@ -23,6 +23,10 @@ def _model(tokens, chunk_tokens, stride):
     if not tokens:
         return out
     for idx, s in enumerate(range(0, len(tokens), stride)):
+        # r6 containment rule: a window whose predecessor already
+        # reached the doc end adds zero coverage and is not emitted
+        if s > 0 and s - stride + chunk_tokens >= len(tokens):
+            break
         w = tokens[s : s + chunk_tokens]
         if w:
             out.append((idx, " ".join(w), len(w)))

@@ -378,8 +378,9 @@ def test_chunk_documents_windows_and_tail(spark):
         (1, 0, "t0 t1 t2 t3", 4),
         (1, 1, "t3 t4 t5 t6", 4),
         (1, 2, "t6 t7 t8 t9", 4),
-        (1, 3, "t9", 1),
-    ]  # empty doc yields no chunks; tail partial window kept
+    ]  # empty doc yields no chunks; the window at start 9 ("t9") is
+    # fully contained in chunk 2, which already reached the doc end —
+    # zero-coverage duplicate windows are not emitted (r6 fix)
 
 
 def test_heavy_hitters_exact_and_mg_bounded(spark, sf_dir):

@@ -307,7 +307,9 @@ def chunk_documents(
     """Split documents into overlapping token windows — the RAG/embedding
     chunking primitive (windows of ``chunk_tokens`` whitespace tokens
     every ``stride`` tokens; the final partial window is kept so no
-    suffix is dropped).
+    suffix is dropped, and no window fully contained in its predecessor
+    is emitted — zero-coverage duplicates would embed and retrieve the
+    same context twice).
 
     Pure expression chain: tokenize once, generate window start indices
     with ``sequence``, slice + rejoin per window, explode. Stays in
@@ -320,8 +322,17 @@ def chunk_documents(
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     toks = tokens(text_col)
+    # Start bound: a window at start s is FULLY contained in its
+    # predecessor iff the predecessor already reached the doc end
+    # (s - stride + chunk_tokens >= n). Emitting it would duplicate a
+    # suffix already covered — at corpus scale that is duplicate
+    # embedding compute and duplicate retrieval contexts for every doc
+    # whose length lands in the tail zone. So the last start kept is
+    # n - chunk_tokens + stride - 1 (and 0 always, so short docs get
+    # their single window).
     starts = F.expr(
-        f"sequence(0, greatest(size({_toks_sql(text_col)}) - 1, 0), {stride})"
+        f"sequence(0, greatest(size({_toks_sql(text_col)}) "
+        f"- {chunk_tokens} + {stride} - 1, 0), {stride})"
     )
     windows = F.transform(
         starts,
@@ -339,9 +350,6 @@ def chunk_documents(
         )
         # drop stride-aligned empty tails (possible only for empty docs)
         .filter(F.size("w") > 0)
-        # a window fully contained in the previous one adds no coverage:
-        # keep starts only while start < n_tokens (guaranteed by the
-        # sequence bound) — nothing further to filter.
     )
     return exploded.select(
         F.col(id_col),

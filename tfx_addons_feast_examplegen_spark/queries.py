@@ -1648,7 +1648,7 @@ c AS (
   SELECT doc_id, source, CAST(s // 32 AS INT) AS chunk_idx,
          toks[s + 1 : s + 64] AS w
   FROM tk, LATERAL (
-    SELECT unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+    SELECT unnest(generate_series(0, greatest(len(toks) - 64 + 32 - 1, 0), 32)) AS s
   )
 ),
 ch AS (
@@ -2178,7 +2178,7 @@ c AS (
   SELECT doc_id, CAST(s // 32 AS INT) AS chunk_idx,
          toks[s + 1 : s + 64] AS w
   FROM t, LATERAL (
-    SELECT unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS s
+    SELECT unnest(generate_series(0, greatest(len(toks) - 64 + 32 - 1, 0), 32)) AS s
   )
 )
 SELECT doc_id, chunk_idx, array_to_string(w, ' ') AS chunk_text,
