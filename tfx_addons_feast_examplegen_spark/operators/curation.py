@@ -176,8 +176,17 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(tok).over(w) - tok).cast("long")
-    return df.withColumn(pack_col, (start / budget).cast("long")).withColumn(
-        offset_col, F.pmod(start, F.lit(budget)).cast("long")
+    # exact integer `div` (not float `/` + cast): pack_id must agree
+    # with the pmod-derived offset at any magnitude — float division
+    # loses exactness past 2^53, and the module's portable-arithmetic
+    # discipline is integer everywhere else
+    return (
+        df.withColumn("__pack_start", start)
+        .withColumn(pack_col, F.expr(f"__pack_start div {int(budget)}"))
+        .withColumn(
+            offset_col, F.pmod(F.col("__pack_start"), F.lit(budget)).cast("long")
+        )
+        .drop("__pack_start")
     )
 
 
@@ -352,13 +361,11 @@ def length_bucketing(
 
     Output: (bucket, n_docs, min_len, max_len, sum_len, padding_waste).
     """
+    from .text import token_count
+
     lens = df.select(
         F.col(id_col).alias("__id"),
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
-            )
-        ).cast("long").alias("n_tokens"),
+        token_count(text_col).cast("long").alias("n_tokens"),
     )
     w = Window.orderBy(F.asc("n_tokens"), F.asc("__id"))
     bucketed = lens.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -108,7 +108,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(c)
-    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    # explicit ASCII class, not \w: \w counts '_' as a word char, so
+    # underscore-art/boilerplate would never register as punctuation
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("mean_token_len", F.round(
@@ -173,8 +175,10 @@ def intra_doc_repetition(
     from ..session import rebalance_for_compute
 
     df = rebalance_for_compute(df)
-    c = F.col(text_col)
-    words = F.split(F.lower(c), " ")
+    # module tokenization convention (tokens(): lowercase split, empty
+    # strings filtered) — raw split would let incidental whitespace
+    # runs inject phantom '' tokens and shift n-gram counts
+    words = tokens(text_col)
     grams = F.when(
         F.size(words) >= n,
         F.transform(

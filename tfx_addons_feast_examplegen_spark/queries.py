@@ -832,7 +832,7 @@ WITH t AS (
     round(len(list_intersect(list_distinct(toks),
               {_dd_profile(tx.LANG_PROFILES["en"])})) * 1.0
           / greatest(len(list_distinct(toks)), 1), 4) AS stopword_ratio,
-    round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
+    round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
           / greatest(length(text), 1), 4) AS punct_ratio,
     round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
       AS uniq_token_ratio
@@ -5145,7 +5145,10 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REPETITION_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                              x -> x <> '') AS w
+           FROM documents),
 sh AS (
   SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
   FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
