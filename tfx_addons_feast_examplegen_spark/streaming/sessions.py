@@ -94,6 +94,12 @@ def sessionize_stream(
         wm_us = state.getCurrentWatermarkMs() * 1000
         finalized: list[tuple] = []
         keep: list[int] = []
+        first_kept_end: int | None = None
+        # _sessions partitions the SORTED pending list into contiguous
+        # runs, so a single index walk slices each session's events in
+        # O(total) — a per-session "t for t in pending" rescan would be
+        # O(sessions x pending) on a hot key with stalled watermark.
+        i = 0
         for start, end, n in _sessions(pending, gap_us):
             # A future event (ts >= watermark) could only extend/merge a
             # session whose end + gap reaches past the watermark; earlier
@@ -103,9 +109,10 @@ def sessionize_stream(
                     (user_id, _from_micros(start), _from_micros(end), n)
                 )
             else:
-                keep.extend(
-                    t for t in pending if start <= t <= end
-                )
+                if first_kept_end is None:
+                    first_kept_end = end
+                keep.extend(pending[i : i + n])
+            i += n
 
         if keep:
             state.update((keep,))
@@ -114,7 +121,7 @@ def sessionize_stream(
             # finalize anything more. Arming at the last session's close
             # instead would hold every earlier closed-but-unemitted
             # session hostage to the newest activity.
-            first_end_ms = _sessions(keep, gap_us)[0][1] // 1000
+            first_end_ms = first_kept_end // 1000
             state.setTimeoutTimestamp(
                 max(first_end_ms + gap_seconds * 1000, wm_us // 1000 + 1)
             )
