@@ -427,3 +427,38 @@ def test_jaccard_prefix_rounding_boundary_no_false_negative(spark):
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 0.34)]
     want = jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.34).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_required_overlap_expr_exact_integer_arithmetic(spark):
+    # ADVICE r6 (low): the 1e-9 epsilon before float ceil only held
+    # while |t*nsh| ulp < 1e-9 (fails somewhere past ~1e7 shingles).
+    # The overlap is now exact integer arithmetic on the threshold's
+    # decimal rational — prove it against Python Fractions across a
+    # grid including nsh far beyond any float-safe range.
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        _required_overlap_expr,
+    )
+
+    nsh_values = (
+        list(range(1, 64))
+        + [150, 1000, 10**6, 10**7 + 3, 5 * 10**7, 2**31 - 1, 2**40]
+    )
+    df = spark.createDataFrame(
+        [(int(v),) for v in nsh_values], "nsh long"
+    )
+    for t in (0.34, 0.5, 0.3333, 0.77, 0.0001, 1.0):
+        got = {
+            r.nsh: r.req
+            for r in df.select(
+                "nsh", _required_overlap_expr(t).alias("req")
+            ).collect()
+        }
+        fr = Fraction(str(t))
+        for v in nsh_values:
+            want = math.ceil(fr * v)
+            assert got[v] == want, (t, v, got[v], want)

@@ -613,9 +613,12 @@ def test_jpeg_color_422_and_440_roundtrip():
 
 
 def test_jpeg_truncation_raises_cleanly_never_hangs():
-    # Every truncation point of a valid stream must raise ValueError
-    # (or the marker walk's struct/index error) — never hang, never
-    # return garbage silently.
+    # Every truncation point of a valid stream must raise ValueError or
+    # struct.error — the ONLY classes the narrowed quarantine catches —
+    # never hang, never IndexError (which would kill the job under
+    # on_error='null'), never return garbage silently.
+    import struct as _struct
+
     from tfx_addons_feast_examplegen_spark.operators.multimodal import (
         decode_jpeg_pixels,
         encode_jpeg_color,
@@ -625,7 +628,7 @@ def test_jpeg_truncation_raises_cleanly_never_hangs():
     for cut in range(2, len(good)):
         try:
             decode_jpeg_pixels(good[:cut])
-        except Exception:
+        except (ValueError, _struct.error):
             continue
         # only cutting the trailing EOI marker may legitimately decode
         assert cut >= len(good) - 2, f"truncation at {cut} decoded silently"
@@ -658,9 +661,11 @@ def test_extract_image_stats_quarantine_policies(spark):
 
 
 def test_bmp_png_wav_truncation_raises_cleanly():
-    # The quarantine policy catches Exception, so the only requirement
-    # on the codecs is: every truncation fails (any exception), never
-    # hangs, never silently returns stats for partial data.
+    # The quarantine policy catches ONLY (ValueError, struct.error) —
+    # the codecs' documented malformed-payload failure types — so every
+    # truncation must fail with one of those (never hang, never some
+    # other exception class the quarantine would let kill the job,
+    # never silently return stats for partial data).
     from tfx_addons_feast_examplegen_spark.operators.multimodal import (
         decode_bmp_24,
         decode_png_rgb8,
@@ -679,14 +684,41 @@ def test_bmp_png_wav_truncation_raises_cleanly():
         (encode_png_rgb8(8, 6, px), decode_png_rgb8, 12),
         (encode_wav_pcm16([i * 100 - 2000 for i in range(50)]), decode_wav_pcm16, 0),
     ]
+    import struct as _struct
+
     for good, dec, tail_ok in cases:
         dec(good)  # sanity: the full payload decodes
         for cut in range(0, len(good) - 1):
             try:
                 dec(good[:cut])
-            except Exception:
+            except (ValueError, _struct.error):
                 continue
             assert cut >= len(good) - tail_ok, (
                 f"{dec.__name__}: truncation at {cut}/{len(good)} "
                 "decoded silently"
             )
+
+
+def test_quarantine_does_not_mask_code_bugs(spark):
+    # ADVICE r6 (low): on_error='null'/'skip' previously caught bare
+    # Exception, converting genuine programming errors into quarantined
+    # rows indistinguishable from corrupt payloads. Only the decoders'
+    # documented failure types (ValueError, struct.error) quarantine;
+    # anything else must fail the job. A null payload reaches
+    # bytes(None) -> TypeError: a code/contract bug, not corrupt data.
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        encode_bmp_24,
+        extract_image_stats,
+    )
+
+    ok = encode_bmp_24(2, 1, [(1, 2, 3), (4, 5, 6)])
+    media = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(ok)),
+         Row(doc_id=2, payload=None)],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="TypeError"):
+        extract_image_stats(media, on_error="null").collect()

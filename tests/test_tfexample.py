@@ -684,3 +684,43 @@ def test_decode_example_rejects_mid_field_truncation():
         except ValueError:
             pass
     assert survivors == [(0, {})]  # only the valid empty message
+
+
+def test_decode_example_rejects_negative_declared_length():
+    # ADVICE r6 (medium): varints decode as SIGNED, so a crafted
+    # 10-byte varint can declare a NEGATIVE length for a
+    # length-delimited field. `i + ln > len(buf)` passes for ln < 0
+    # and `i += ln` would move the cursor BACKWARDS — an infinite
+    # loop on an executor decoding a hostile/corrupt TFRecord. Must
+    # raise instead.
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        _fields,
+        decode_example,
+    )
+
+    def varint(n: int) -> bytes:
+        n &= (1 << 64) - 1
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    # field 1, wire type 2, declared length -11 (two's complement).
+    evil = varint((1 << 3) | 2) + varint(-11)
+    assert len(evil) == 11
+    with pytest.raises(ValueError, match="negative"):
+        list(_fields(evil))
+    with pytest.raises(ValueError):
+        decode_example(evil)
+
+    # An 11-byte (over-long) varint is corruption, not a longer number.
+    overlong = bytes([0x80] * 10 + [0x01])
+    with pytest.raises(ValueError, match="varint"):
+        list(_fields(overlong + b"\x00"))

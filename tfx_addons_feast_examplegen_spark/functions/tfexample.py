@@ -225,6 +225,10 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
     while True:
         if i >= len(buf):
             raise ValueError("truncated varint in proto wire data")
+        if shift > 63:
+            # Wire varints are at most 10 bytes; an 11th continuation
+            # byte is corruption, not a longer number.
+            raise ValueError("varint exceeds 10 bytes in proto wire data")
         b = buf[i]
         i += 1
         n |= (b & 0x7F) << shift
@@ -249,6 +253,14 @@ def _fields(buf: bytes):
             val, i = _read_varint(buf, i)
         elif wire == 2:
             ln, i = _read_varint(buf, i)
+            if ln < 0:
+                # A 10-byte varint can decode as signed-negative; a
+                # negative declared length would move the cursor
+                # BACKWARDS (i += ln) and loop forever.
+                raise ValueError(
+                    f"corrupt proto: field {field} declares negative "
+                    f"length {ln}"
+                )
             if i + ln > len(buf):
                 raise ValueError(
                     f"truncated proto: field {field} declares {ln} "

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import random
 from collections import deque
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -347,6 +348,26 @@ def containment_pairs(
     )
 
 
+def _required_overlap_expr(threshold: float):
+    """``ceil(threshold * nsh)`` in EXACT 64-bit integer arithmetic.
+
+    The threshold is taken as the rational p/q of its decimal literal
+    (``Fraction(str(t))``, so 0.34 means exactly 34/100, not the
+    nearest double) and the ceil becomes ``(p*nsh + q - 1) DIV q``.
+    Float multiply can land an epsilon either side of the exact
+    product (0.34 * 150 = 51.000000000000004), and any fixed epsilon
+    correction stops protecting the no-false-negative prefix contract
+    once |t*nsh| ulp outgrows it (~1e7+ shingles); integers never do.
+    nsh is a per-doc shingle count (< 2^31) and p/q come from a short
+    decimal, so the product stays far inside long range.
+    """
+    fr = Fraction(str(float(threshold)))
+    return F.expr(
+        f"({fr.numerator}L * nsh + {fr.denominator - 1}L) "
+        f"DIV {fr.denominator}L"
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,
@@ -408,14 +429,13 @@ def jaccard_pairs_prefix(
     # Required overlap is ceil(threshold * nsh) over the RATIONAL product;
     # float multiply can land epsilon above the exact value (0.34 * 150 =
     # 51.000000000000004 → ceil 52 instead of 51), which would SHORTEN the
-    # prefix and admit false negatives. Subtracting epsilon before ceil
-    # can only lengthen the prefix — safe direction for the
-    # no-false-negative contract.
-    prefix_len = (
-        F.col("nsh")
-        - F.ceil(F.lit(float(threshold)) * F.col("nsh") - F.lit(1e-9))
-        + 1
-    )
+    # prefix and admit false negatives. An absolute epsilon only holds
+    # while |threshold*nsh| ulp < epsilon, so compute the ceil in exact
+    # 64-bit integer arithmetic instead: threshold as the rational p/q of
+    # its decimal literal, ceil(p*nsh/q) = (p*nsh + q - 1) DIV q. nsh is
+    # a per-doc shingle count (< 2^31), p/q come from a short decimal —
+    # the product stays far inside long range.
+    prefix_len = F.col("nsh") - _required_overlap_expr(threshold) + 1
     pref = ranked.filter(F.col("__rk") <= prefix_len).select(
         id_col, "shingle"
     )

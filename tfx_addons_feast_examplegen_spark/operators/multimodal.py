@@ -130,7 +130,17 @@ def decode_bmp_24_pixels(
         raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
     top_down = height_raw < 0
     height = abs(height_raw)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height_raw}")
     row_size = (width * 3 + 3) // 4 * 4
+    # Fail fast on truncated pixel data: Python slicing would silently
+    # shorten the row and the per-pixel reads below would raise
+    # IndexError — not a quarantine-eligible decoder error class.
+    if len(payload) < offset + height * row_size:
+        raise ValueError(
+            f"truncated BMP: {len(payload)} bytes, "
+            f"{offset + height * row_size} needed"
+        )
     view = memoryview(payload)
     pixels: list[tuple[int, int, int]] = [(0, 0, 0)] * (width * height)
     for row_i in range(height):
@@ -685,7 +695,14 @@ def decode_jpeg_pixels(
 ) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Decode a BASELINE JPEG into row-major (r, g, b) pixels:
     (width, height, pixels). See :func:`_decode_jpeg_full`."""
-    w, h, pixels, _ = _decode_jpeg_full(payload)
+    # Parse-boundary translation: a truncated entropy-coded segment
+    # surfaces as IndexError from the bit reader / huffman tables.
+    # Over untrusted bytes that is a DATA error and must carry the
+    # quarantine-eligible class (ValueError), same as struct.error.
+    try:
+        w, h, pixels, _ = _decode_jpeg_full(payload)
+    except IndexError as e:
+        raise ValueError(f"truncated or corrupt JPEG stream: {e}") from e
     return w, h, pixels
 
 
@@ -889,7 +906,12 @@ def decode_jpeg_gray_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     pixels: (width, height, pixels). Thin wrapper over the general
     decoder (1-component streams decode with no color conversion, so
     gray values are exact); raises on a color stream."""
-    w, h, rgb, ncomp = _decode_jpeg_full(payload)
+    # Same parse-boundary IndexError -> ValueError translation as
+    # decode_jpeg_pixels (truncated entropy segment = data error).
+    try:
+        w, h, rgb, ncomp = _decode_jpeg_full(payload)
+    except IndexError as e:
+        raise ValueError(f"truncated or corrupt JPEG stream: {e}") from e
     if ncomp != 1:
         raise ValueError("not a single-component (grayscale) JPEG")
     return w, h, [r for r, _, _ in rgb]
@@ -1239,7 +1261,11 @@ def extract_image_stats(
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     rows.append(_decode_image(bytes(p)))
-                except Exception:
+                # Quarantine only the decoders' documented failure types
+                # for malformed payloads; anything else (schema drift,
+                # Arrow/pandas type errors) is a code bug and must fail
+                # the job, not masquerade as corrupt data.
+                except (ValueError, struct.error):
                     if on_error == "error":
                         raise
                     if on_error == "skip":
@@ -1282,7 +1308,8 @@ def extract_audio_stats(
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     rows.append(decode_wav_pcm16(bytes(p)))
-                except Exception:
+                # Same narrow quarantine contract as the image stage.
+                except (ValueError, struct.error):
                     if on_error == "error":
                         raise
                     if on_error == "skip":

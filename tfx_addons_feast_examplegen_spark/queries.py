@@ -377,6 +377,31 @@ SELECT * FROM (
 ORDER BY c_mktsegment, bal_rank
 """
 
+
+def _q_window_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-5 balances per market segment with a running total: one
+    # window partitioning shared by both frames, so rank and running
+    # sum compute in a single exchange + sort; the rank filter prunes
+    # before the final order.
+    t = register_tables(spark, sf_dir)
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t["customer"]
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("bal_rank"),
+            F.round(F.sum("c_acctbal").over(w_run), 2).alias(
+                "running_bal"
+            ),
+        )
+        .filter(F.col("bal_rank") <= 5)
+        .orderBy("c_mktsegment", "bal_rank")
+    )
+
 # Set ops (D5).
 _QSETOPS = """
 SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
