@@ -462,3 +462,64 @@ def test_required_overlap_expr_exact_integer_arithmetic(spark):
         for v in nsh_values:
             want = math.ceil(fr * v)
             assert got[v] == want, (t, v, got[v], want)
+
+
+def test_required_overlap_expr_bounds_nonshort_decimal_rational(spark):
+    # ADVICE r7 (high): Fraction(str(1/3)) is 3333333333333333/10**16;
+    # p*nsh overflows int64 at nsh ~2768 (silently wrapping in
+    # non-ANSI, throwing under ANSI). The rational must be floored to a
+    # bounded denominator FIRST — under-approximating the threshold can
+    # only lengthen the prefix (safe direction), never shorten it.
+    import math
+    from fractions import Fraction
+
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        _required_overlap_expr,
+    )
+
+    # domain: nsh is a per-doc shingle count < 2^31 (a >=1-char shingle
+    # per count in a <2 GiB string) — the bound the floored rational is
+    # sized against. The 2^40 exactness probe in the test above applies
+    # only to short decimals, whose numerators stay tiny.
+    nsh_values = [1, 2767, 2768, 3000, 10**6, 2**31 - 1]
+    df = spark.createDataFrame([(int(v),) for v in nsh_values], "nsh long")
+    for t in (1 / 3, 2 / 3, 0.1 + 0.2, 1 / 7):
+        got = {
+            r.nsh: r.req
+            for r in df.select(
+                "nsh", _required_overlap_expr(t).alias("req")
+            ).collect()
+        }
+        fr = Fraction(str(float(t)))
+        for v in nsh_values:
+            want = math.ceil(fr * v)  # exact rational ceil
+            slack = (v >> 31) + 1  # flooring to denom 2**31 costs < this
+            assert got[v] is not None and got[v] > 0, (t, v, got[v])
+            # never ABOVE the exact requirement (that would shorten the
+            # prefix -> false negatives); at most `slack` below it.
+            assert want - slack <= got[v] <= want, (t, v, got[v], want)
+
+
+def test_jaccard_prefix_filter_nonshort_threshold_end_to_end(spark):
+    # End-to-end repro for the same ADVICE finding: a ~3000-shingle doc
+    # with threshold=1/3 overflowed the old expr (ANSI throw / silent
+    # wrap). Must now match the full-explode jaccard_pairs exactly.
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    words_a = [f"w{i}" for i in range(3000)]
+    words_b = [f"w{i}" for i in range(1500)] + [f"x{i}" for i in range(300)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))],
+        "doc_id long, text string",
+    )
+    got = jaccard_pairs_prefix(
+        docs, "doc_id", "text", n=1, threshold=1 / 3, max_bucket=4000
+    ).collect()
+    want = jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=1 / 3, max_bucket=4000
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 1  # J = 1500/3300 ~ 0.4545 >= 1/3

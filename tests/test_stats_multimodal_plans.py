@@ -722,3 +722,49 @@ def test_quarantine_does_not_mask_code_bugs(spark):
     )
     with _pytest.raises(Exception, match="TypeError"):
         extract_image_stats(media, on_error="null").collect()
+
+
+def test_png_corrupt_deflate_stream_stays_quarantine_eligible(spark):
+    # ADVICE r7 (medium): valid chunk CRCs + corrupt concatenated IDAT
+    # deflate stream raises zlib.error deep in decode — that is
+    # malformed DATA and must surface as ValueError (quarantinable
+    # under on_error='null'/'skip'), not kill the job.
+    import struct
+    import zlib
+
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_png_rgb8,
+        encode_png_rgb8,
+        extract_image_stats,
+    )
+
+    blob = bytearray(encode_png_rgb8(2, 2, [(1, 2, 3)] * 4))
+    # locate the IDAT chunk, scribble over its data, re-sign the CRC so
+    # every chunk CRC still verifies but inflate fails
+    pos = 8
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = bytes(blob[pos + 4 : pos + 8])
+        if ctype == b"IDAT":
+            start = pos + 8
+            blob[start : start + length] = b"\x55" * length
+            crc = zlib.crc32(b"IDAT" + bytes(blob[start : start + length]))
+            blob[start + length : start + length + 4] = struct.pack(
+                ">I", crc & 0xFFFFFFFF
+            )
+            break
+        pos += 12 + length
+    corrupt = bytes(blob)
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png_rgb8(corrupt)
+
+    good = encode_png_rgb8(2, 2, [(9, 9, 9)] * 4)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_image_stats(media, on_error="null").collect()}
+    assert rows[1].width == 2 and rows[2].width is None
+    assert extract_image_stats(media, on_error="skip").count() == 1

@@ -724,3 +724,30 @@ def test_decode_example_rejects_negative_declared_length():
     overlong = bytes([0x80] * 10 + [0x01])
     with pytest.raises(ValueError, match="varint"):
         list(_fields(overlong + b"\x00"))
+
+
+def test_read_varint_truncates_to_64_bits():
+    # ADVICE r7 (low): a 10-byte varint whose final byte carries bits
+    # above bit 63 (non-canonical, e.g. trailing 0x7F) must decode with
+    # protobuf's truncate-to-64-bits semantics — mask BEFORE the sign
+    # fold — not escape as a huge >int64 Python int.
+    from tfx_addons_feast_examplegen_spark.functions.tfexample import (
+        _read_varint,
+    )
+
+    INT64_MIN, INT64_MAX = -(1 << 63), (1 << 63) - 1
+
+    # 9 continuation bytes of 0xFF then 0x7F: bits at shifts 63..69 set.
+    raw = b"\xff" * 9 + b"\x7f"
+    val, pos = _read_varint(raw, 0)
+    assert pos == 10
+    n = 0
+    for i, b in enumerate(raw):
+        n |= (b & 0x7F) << (7 * i)
+    n &= (1 << 64) - 1
+    want = n - (1 << 64) if n >= 1 << 63 else n
+    assert val == want
+    assert INT64_MIN <= val <= INT64_MAX
+
+    # canonical -1 (ten 0xFF.. bytes ending 0x01) still decodes to -1
+    assert _read_varint(b"\xff" * 9 + b"\x01", 0) == (-1, 10)

@@ -233,6 +233,12 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
         i += 1
         n |= (b & 0x7F) << shift
         if not b & 0x80:
+            # Protobuf varints are 64-bit: a 10th byte contributes bits
+            # 63..69, so mask BEFORE the two's-complement fold —
+            # otherwise a non-canonical final byte (e.g. 0x7F) leaves a
+            # huge positive int outside int64 instead of the reference
+            # protobuf's truncate-to-64-bits semantics.
+            n &= (1 << 64) - 1
             if n >= 1 << 63:
                 n -= 1 << 64
             return n, i

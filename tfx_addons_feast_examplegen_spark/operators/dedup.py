@@ -358,10 +358,23 @@ def _required_overlap_expr(threshold: float):
     product (0.34 * 150 = 51.000000000000004), and any fixed epsilon
     correction stops protecting the no-false-negative prefix contract
     once |t*nsh| ulp outgrows it (~1e7+ shingles); integers never do.
-    nsh is a per-doc shingle count (< 2^31) and p/q come from a short
-    decimal, so the product stays far inside long range.
+
+    nsh is a per-doc shingle count (< 2^31), so ``p * nsh`` stays in
+    int64 only while p <= 2^31. A short decimal satisfies that, but a
+    non-short-decimal threshold (e.g. 1/3 as a double stringifies to
+    3333333333333333/10^16) would overflow the long multiply — wrapping
+    silently in non-ANSI mode (garbage overlap -> empty prefix ->
+    false negatives) or throwing under ANSI. Such rationals are floored
+    to denominator 2^31 BEFORE emitting the expr: under-approximating
+    the threshold can only shrink the required overlap, i.e. LENGTHEN
+    the prefix — the safe direction for the no-false-negative contract
+    (the final verification re-applies the exact Jaccard threshold),
+    at a cost of < 2^-31 extra prefix mass.
     """
     fr = Fraction(str(float(threshold)))
+    _LIM = 1 << 31
+    if fr.numerator > _LIM or fr.denominator > _LIM:
+        fr = Fraction(int(fr * _LIM), _LIM)  # floor; 0 < t <= 1 -> p <= 2^31
     return F.expr(
         f"({fr.numerator}L * nsh + {fr.denominator - 1}L) "
         f"DIV {fr.denominator}L"

@@ -284,7 +284,16 @@ def decode_png_rgb8_pixels(
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    inflated = zlib.decompress(bytes(idat))
+    # Parse-boundary translation (same pattern as the JPEG IndexError
+    # translation): chunk CRCs can all verify while the concatenated
+    # IDAT deflate stream is still corrupt (writer bug, spliced IDAT),
+    # which raises zlib.error — malformed DATA, so it must stay
+    # quarantine-eligible (ValueError) rather than escape the
+    # (ValueError, struct.error) catch and kill an on_error='null' job.
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
     bpp = 3
     stride = width * bpp
     if len(inflated) != height * (stride + 1):
