@@ -2184,6 +2184,53 @@ FROM lineitem
 """
 
 
+def _q_event_funnel_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Strictly-ordered view -> click -> purchase funnel as ONE shuffle:
+    # the conditional-min step times per user are a single hash
+    # aggregate (map-side partials), and the three step counts reduce
+    # that tiny per-user frame to one row. No window, no self-join —
+    # the classic funnel-by-n-self-joins shape would shuffle the events
+    # table three times at 100 TB.
+    t = register_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == name, F.col("ts"))).alias(a)
+            for name, a in (
+                ("view", "t_view"),
+                ("click", "t_click_any"),
+                ("purchase", "t_buy_any"),
+            )
+        ]
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click_any") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy_any") > F.col("t_click_any"))
+    step = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return per_user.agg(
+        F.sum(step(viewed)).cast("long").alias("n_viewed"),
+        F.sum(step(clicked)).cast("long").alias("n_clicked_after_view"),
+        F.sum(step(bought)).cast("long").alias("n_full_funnel"),
+    )
+
+
+def _q_column_correlations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson correlations over three measure pairs in one pass:
+    # corr() is an algebraic aggregate (co-moment partials), so the
+    # whole query is a single map-side-combined scan with a 1-row
+    # reduce — nothing to optimize further at any scale.
+    t = register_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        *[
+            F.round(F.corr(x, y), 3).alias(a)
+            for x, y, a in (
+                ("l_quantity", "l_extendedprice", "corr_qty_price"),
+                ("l_extendedprice", "l_discount", "corr_price_discount"),
+                ("l_quantity", "l_discount", "corr_qty_discount"),
+            )
+        ]
+    )
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RAG-style chunking: overlapping 64-token windows every 32 tokens,
     # generated as a pure flat-map (no shuffle) over the scan.
@@ -6491,12 +6538,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lateral_topk_per_key": (_sql_query(_QLATERAL), _QLATERAL),
     "udtf_split_sentences": (_q_udtf_sentences, _UDTF_SENTENCES_ORACLE),
     "embedding_quantization": (_q_embedding_quantization, _EMB_QUANT_ORACLE),
-    "event_funnel": (_sql_query(_QFUNNEL), _QFUNNEL),
+    "event_funnel": (_q_event_funnel_df, _QFUNNEL),
     "scd2_validity_intervals": (_sql_query(_QSCD2_SPARK), _QSCD2),
     "forward_fill_timeseries": (_q_forward_fill, _FORWARD_FILL_ORACLE),
     "negative_sample": (_q_negative_sample, _NEGATIVE_SAMPLE_ORACLE),
     "chunk_documents": (_q_chunk_documents, _CHUNK_DOCUMENTS_ORACLE),
-    "column_correlations": (_sql_query(_QCORR), _QCORR),
+    "column_correlations": (_q_column_correlations_df, _QCORR),
     "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
     "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
     "range_interval_window": (_sql_query(_QRANGE_WINDOW), _QRANGE_WINDOW),
@@ -6626,7 +6673,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _Q3,
     ),
     "q5_region_revenue": (_sql_query(_Q5), _Q5),
-    "window_topk_running": (_sql_query(_QWINDOW), _QWINDOW),
+    "window_topk_running": (_q_window_topk_df, _QWINDOW),
     "setop_intersect": (_sql_query(_QSETOPS), _QSETOPS),
     "setop_except": (_sql_query(_QEXCEPT), _QEXCEPT),
     "json_events_daily": (_sql_query(_QJSON_SPARK), _QJSON_ORACLE),
