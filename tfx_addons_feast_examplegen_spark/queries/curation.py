@@ -1,0 +1,841 @@
+"""Training-data curation: mixing, sampling, packing, split hygiene, pipelines.
+
+Mechanically split from the former single-module query corpus; see
+the package __init__ for the registry assembly and driver window.
+"""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import text as tx
+from ..operators.split import fingerprint_split, split_counts
+from ..session import register_tables
+
+from ._shared import (
+    _TEXT_QUALITY_ORACLE,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Split (D1) — oracle-expressible fingerprint variant
+# ---------------------------------------------------------------------------
+
+def _q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    return split_counts(fingerprint_split(orders, "o_orderkey"))
+
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN ((o_orderkey * 2654435761) % 2147483648 + 2147483648) % 2147483648 % 3 < 2
+            THEN 'train' ELSE 'eval' END AS split,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY split
+"""
+
+
+def _q_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SplitConfig generalizes past the TFX train/eval default: an
+    # 8/1/1 train/val/test assignment from the same portable fingerprint
+    # arithmetic, plus a per-split min/max key digest so the oracle locks
+    # membership (not just cardinality) without emitting every row.
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    three = fingerprint_split(
+        orders, "o_orderkey", [("train", 8), ("val", 1), ("test", 1)]
+    )
+    return three.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+_THREE_WAY_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey,
+         ((o_orderkey * 2654435761) % 2147483648 + 2147483648) % 2147483648 % 10
+           AS bucket
+  FROM orders
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM b GROUP BY 1
+"""
+
+
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flagship composite: quality gate -> exact dedup -> near-dup removal
+    # as ONE composed Catalyst plan (operators/corpus.py). LSH generates
+    # near-dup candidates; the oracle recomputes the identical survivor
+    # set with exact SQL (LSH recall is ~1 at the fixture's similarity
+    # levels, and verification thresholds exactly).
+    from ..operators.corpus import prepare_corpus
+
+    t = register_tables(spark, sf_dir)
+    kept = prepare_corpus(
+        t["documents"], min_quality=0.35, jaccard_threshold=0.5
+    )
+    return kept.select("doc_id", "quality_score")
+
+
+def _corpus_prep_oracle() -> str:
+    return f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+q AS (
+  SELECT d.doc_id, d.text, tq.quality_score
+  FROM documents d JOIN tq ON tq.doc_id = d.doc_id
+  WHERE tq.quality_score >= 0.35
+),
+canon AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+kept AS (SELECT q.* FROM q WHERE q.doc_id IN (SELECT keep_id FROM canon)),
+t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM kept),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t2, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
+)
+SELECT doc_id, quality_score FROM kept k
+WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = k.doc_id)
+"""
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-weighted resampling: keep-probability = the document's
+    # quality score, decided by the portable key fingerprint (no RNG) so
+    # the oracle replays the selection exactly.
+    from ..operators.curation import weighted_sample
+
+    t = register_tables(spark, sf_dir)
+    scored = tx.quality_score(t["documents"])
+    return weighted_sample(scored, "doc_id", "quality_score").select(
+        "doc_id", "quality_score"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    return f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE})
+SELECT doc_id, quality_score FROM tq
+WHERE ((doc_id * 2654435761) % 2147483648 + 2147483648) % 2147483648 % 10000
+      < floor(greatest(least(quality_score, 1.0), 0.0) * 10000 + 0.5)
+"""
+
+
+def _q_training_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full corpus -> training-sequences composition in ONE Catalyst
+    # plan: quality gate -> exact dedup -> LSH near-dup removal
+    # (prepare_corpus) -> RAG chunking -> per-source sequence packing at
+    # a 512-token budget. Every stage is an engine operator; the oracle
+    # re-derives the whole pipeline in SQL from first principles.
+    from ..operators.corpus import prepare_corpus
+    from ..operators.curation import pack_sequences
+
+    t = register_tables(spark, sf_dir)
+    kept = prepare_corpus(
+        t["documents"], min_quality=0.35, jaccard_threshold=0.5
+    )
+    chunks = tx.chunk_documents(
+        kept, "doc_id", "text", chunk_tokens=64, stride=32
+    ).join(kept.select("doc_id", "source"), "doc_id")
+    # composite chunk key: document order, then chunk order within it
+    chunks = chunks.withColumn(
+        "cid", F.col("doc_id") * 100000 + F.col("chunk_idx")
+    )
+    packed = pack_sequences(
+        chunks,
+        group_col="source",
+        id_col="cid",
+        token_col="n_tokens",
+        budget=512,
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "pack_id",
+        "pack_offset",
+    )
+
+
+def _training_dataset_oracle() -> str:
+    return f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+q AS (
+  SELECT d.doc_id, d.source, d.text, tq.quality_score
+  FROM documents d JOIN tq ON tq.doc_id = d.doc_id
+  WHERE tq.quality_score >= 0.35
+),
+canon AS (SELECT min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+kept0 AS (SELECT q.* FROM q WHERE q.doc_id IN (SELECT keep_id FROM canon)),
+t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM kept0),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t2, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+prs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_a, doc_b
+  FROM prs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common * 1.0 / (sa.nsh + sb.nsh - common) >= 0.5
+),
+kept AS (
+  SELECT * FROM kept0 k
+  WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = k.doc_id)
+),
+tk AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM kept
+),
+c AS (
+  SELECT doc_id, source, CAST(s // 32 AS INT) AS chunk_idx,
+         toks[s + 1 : s + 64] AS w
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(0, greatest(len(toks) - 64 + 32 - 1, 0), 32)) AS s
+  )
+),
+ch AS (
+  SELECT doc_id, source, chunk_idx, CAST(len(w) AS BIGINT) AS n_tokens,
+         doc_id * 100000 + chunk_idx AS cid
+  FROM c WHERE len(w) > 0
+),
+p AS (
+  SELECT doc_id, chunk_idx, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY cid
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start
+  FROM ch
+)
+SELECT doc_id, chunk_idx, source, n_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset
+FROM p
+"""
+
+
+def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic negatives: 2 never-purchased parts per customer,
+    # drawn from the customer's fingerprint bucket (equi-join, no cross
+    # join) and ranked by a pairwise fingerprint — RNG-free, so the
+    # oracle replays the identical sample.
+    from ..operators.curation import negative_sample
+
+    t = register_tables(spark, sf_dir)
+    interactions = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+    )
+    return negative_sample(
+        t["customer"],
+        t["part"],
+        interactions,
+        user_col="c_custkey",
+        item_col="p_partkey",
+        k=2,
+        n_buckets=16,
+    )
+
+
+_NEGATIVE_SAMPLE_ORACLE = """
+WITH u AS (
+  SELECT c_custkey,
+         ((c_custkey * 2654435761) % 2147483648 + 2147483648)
+           % 2147483648 % 16 AS b
+  FROM customer
+),
+i AS (
+  SELECT p_partkey,
+         ((p_partkey * 2654435761) % 2147483648 + 2147483648)
+           % 2147483648 % 16 AS b
+  FROM part
+),
+inter AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+negs AS (
+  SELECT u.c_custkey, i.p_partkey
+  FROM u JOIN i USING (b)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM inter
+    WHERE inter.c_custkey = u.c_custkey
+      AND inter.p_partkey = i.p_partkey
+  )
+),
+ranked AS (
+  SELECT c_custkey, p_partkey,
+         row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY ((c_custkey * 31 + p_partkey) * 2654435761)
+                      % 2147483648 % 1073741824,
+                    p_partkey
+         ) AS rank
+  FROM negs
+)
+SELECT c_custkey, p_partkey, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 2
+"""
+
+
+def _q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe split: hash the GROUP key (user), not the row — every
+    # event follows its user into one split, the hygiene rule that keeps
+    # a user's history out of both train and eval. Output also counts
+    # straddling users (provably zero when the split is a pure function
+    # of the group key — the oracle recomputes it, not assumes it).
+    from ..operators.split import fingerprint_split
+
+    t = register_tables(spark, sf_dir)
+    s = fingerprint_split(t["events"], "user_id")
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    leak = (
+        s.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaky_users"))
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_leaky_users").cast("long").alias("n_leaky_users"),
+    )
+
+
+_GROUPED_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT *, CASE WHEN ((user_id * 2654435761) % 2147483648 + 2147483648)
+                      % 2147483648 % 3 < 2
+                 THEN 'train' ELSE 'eval' END AS split
+  FROM events
+),
+per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM s GROUP BY split
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_leaky_users FROM (
+    SELECT user_id FROM s GROUP BY user_id
+    HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split, n_events, n_users, n_leaky_users FROM per, leak
+"""
+
+
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+# each row draws priority -ln(u)/w from a DETERMINISTIC u (portable
+# fingerprint mapped into (0,1)); the k smallest priorities are the
+# weighted sample. Selection runs on the MICRO-FLOORED integer key with
+# id tie-break, so both engines pick the identical set (no float
+# boundary ambiguity). Weight = document length in chars.
+_QWSAMPLE_WOR = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           -ln((((doc_id * 2654435761) % 2147483648 + 2147483648)
+                % 2147483648 % 10000 + 0.5) / 10000.0)
+           / n_chars * 1000000000) AS BIGINT) AS prio_nano
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, prio_nano
+FROM keyed
+ORDER BY prio_nano, doc_id
+LIMIT 100
+"""
+
+
+# K-fold cross-validation assignment: portable-fingerprint fold per
+# USER (grouped, leakage-safe like grouped_split_no_leakage), with
+# per-fold event counts and user digests — the eval-protocol primitive.
+_QKFOLD = """
+WITH f AS (
+  SELECT user_id, event_id, value,
+         ((user_id * 2654435761) % 2147483648 + 2147483648)
+           % 2147483648 % 5 AS fold
+  FROM events
+)
+SELECT CAST(fold AS INT) AS fold,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(user_id) AS BIGINT) AS user_digest,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM f GROUP BY fold
+"""
+
+
+# Deterministic epoch shuffle for training: each epoch permutes the
+# corpus by a salted portable fingerprint (pure function of (id, epoch)
+# — reproducible across runs, partitionings, engines; change the epoch
+# literal, get an independent permutation) and NTILE slices the
+# permuted order into equal-size shards. Per-shard set digests pin the
+# shard CONTENTS, min/max fingerprints pin the boundaries. Identical
+# ANSI text on both engines.
+_QEPOCH_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761 + 3 * 40503) % 2147483648 + 2147483648)
+           % 2147483648 AS hkey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, hkey, NTILE(8) OVER (ORDER BY hkey, doc_id) AS shard
+  FROM h
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_digest,
+       CAST(min(hkey) AS BIGINT) AS min_h,
+       CAST(max(hkey) AS BIGINT) AS max_h
+FROM sharded GROUP BY shard
+"""
+
+
+def _q_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Length-bucketed batching stats (padding-waste reducer): exact
+    # NTILE(8) over (token count, doc_id); per-bucket rectangular-batch
+    # padding cost. At 100 TB boundaries come from the quantile sketch
+    # twin; NTILE keeps the oracle exact.
+    from ..operators.curation import length_bucketing
+
+    t = register_tables(spark, sf_dir)
+    return length_bucketing(t["documents"], "doc_id", "text", n_buckets=8)
+
+
+_LENGTH_BUCKETING_ORACLE = """
+WITH lens AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         NTILE(8) OVER (ORDER BY n_tokens, id) AS bucket
+  FROM lens
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_len,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+         AS padding_waste
+FROM b GROUP BY bucket
+"""
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LLM data mixing: sample language g with probability ~ n_g^alpha
+    # (alpha=0.5 upweights tail languages). Deterministic portable-hash
+    # selection; the per-group cut lands on a 1/10000 grid in both
+    # engines, so the float pow() only has to agree to ~1e-5 relative.
+    from ..operators.curation import temperature_mix
+
+    t = register_tables(spark, sf_dir)
+    out = temperature_mix(
+        t["documents"], "doc_id", "lang", alpha=0.5, target_rows=300
+    )
+    return out.select("doc_id", "lang")
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(pow(n, 0.5)) AS t FROM s),
+r AS (
+  SELECT lang,
+         CAST(round(10000 * least(1.0, 300 * pow(n, 0.5) / t / n), 0)
+              AS BIGINT) AS cut
+  FROM s, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ((d.doc_id * 2654435761) % 2147483648 + 2147483648) % 2147483648
+      % 10000 < r.cut
+"""
+
+
+def _q_training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-5 capstone composition — the LLM-data pipeline built from
+    # THIS round's operators, one Catalyst plan end-to-end:
+    #   exact-substring REMOVAL (excise shared >=8-token runs, keep one
+    #   occurrence corpus-wide) -> language temperature mixing over the
+    #   cleaned corpus -> per-language packing budget (64-token bins).
+    # The oracle replays every stage in SQL.
+    from ..operators.curation import temperature_mix
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    cleaned = dd.remove_shared_runs(
+        docs, "doc_id", "text", seed_n=5, min_run=8, on_over_cap="error"
+    )
+    enriched = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    mixed = temperature_mix(
+        enriched, "doc_id", "lang", alpha=0.5, target_rows=300
+    )
+    tok_cnt = F.size(
+        F.filter(
+            F.split(F.col("clean_text"), " "), lambda x: x != ""
+        )
+    ).cast("long")
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok_cnt).alias("n_tokens"),
+        F.sum(F.floor((tok_cnt + 63) / 64)).cast("long").alias("pack_bins"),
+        F.sum("n_tokens_removed").alias("n_tokens_removed"),
+    )
+
+
+_TRAINING_PIPELINE_V2_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+  WHERE len(w) >= 5
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_b, count(*) + 4 AS run_tokens, min(pa) - diag AS b_start
+  FROM r GROUP BY doc_a, doc_b, diag, grp
+),
+spans AS (
+  SELECT doc_b AS doc_id, b_start AS s, b_start + run_tokens - 1 AS e
+  FROM runs WHERE run_tokens >= 8
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tk
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+),
+removed AS (
+  SELECT DISTINCT tok.doc_id, tok.pos
+  FROM tok JOIN spans ON tok.doc_id = spans.doc_id
+  WHERE tok.pos BETWEEN spans.s AND spans.e
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk
+  FROM tok ANTI JOIN removed USING (doc_id, pos)
+),
+cleaned AS (
+  SELECT t.doc_id,
+         coalesce(c.clean_text, '') AS clean_text,
+         coalesce(n.nrem, 0) AS n_removed
+  FROM t
+  LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos)
+                    AS clean_text FROM kept GROUP BY doc_id) c
+    USING (doc_id)
+  LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS nrem
+             FROM removed GROUP BY doc_id) n USING (doc_id)
+),
+fullc AS (
+  SELECT cl.doc_id, cl.clean_text, cl.n_removed, d.lang
+  FROM cleaned cl JOIN documents d USING (doc_id)
+),
+s AS (SELECT lang, count(*) AS n FROM fullc GROUP BY lang),
+tt AS (SELECT sum(pow(n, 0.5)) AS tt FROM s),
+rr AS (
+  SELECT lang,
+         CAST(round(10000 * least(1.0, 300 * pow(n, 0.5) / tt / n), 0)
+              AS BIGINT) AS cut
+  FROM s, tt
+),
+mixed AS (
+  SELECT f.* FROM fullc f JOIN rr USING (lang)
+  WHERE ((f.doc_id * 2654435761) % 2147483648 + 2147483648) % 2147483648
+        % 10000 < rr.cut
+),
+counted AS (
+  SELECT lang, n_removed,
+         len(list_filter(string_split(clean_text, ' '), x -> x <> ''))
+           AS ntok
+  FROM mixed
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor((ntok + 63) / 64) AS BIGINT)) AS BIGINT)
+         AS pack_bins,
+       CAST(sum(n_removed) AS BIGINT) AS n_tokens_removed
+FROM counted GROUP BY lang
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Eval-set decontamination: corpus docs sharing any 3-gram with the
+    # pseudo-benchmark slice (every 20th doc) are dropped. n=3 because
+    # fixture docs are short; production default is 8.
+    from ..operators.curation import decontaminate
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, benchmark, n=3).select("doc_id", "source")
+
+
+_DECONTAMINATE_ORACLE = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+cw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM cw, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+bw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM bench),
+bsh AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS s
+  FROM bw, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+bad AS (SELECT DISTINCT doc_id FROM csh WHERE s IN (SELECT s FROM bsh))
+SELECT doc_id, source FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic domain-mix downsampling: per-status fractions via the
+    # portable fingerprint hash (no RNG — identical row set on any
+    # engine/cluster).
+    from ..operators.curation import stratified_sample
+
+    t = register_tables(spark, sf_dir)
+    out = stratified_sample(
+        t["orders"],
+        "o_orderkey",
+        "o_orderstatus",
+        {"F": 0.2, "O": 0.1, "P": 0.5},
+    )
+    return out.select("o_orderkey", "o_orderstatus")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE ((o_orderkey * 2654435761) % 2147483648 + 2147483648) % 2147483648 % 10000
+      < CASE o_orderstatus WHEN 'F' THEN 2000 WHEN 'O' THEN 1000
+                           WHEN 'P' THEN 5000 ELSE 0 END
+"""
+
+
+def _q_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source document cap: keep the 5 longest docs per source
+    # (ties by doc_id) — the data-mixing quota operator.
+    from ..operators.curation import group_quota
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("n_chars", F.length("text"))
+    out = group_quota(
+        docs, "source", "n_chars", 5, id_col="doc_id", descending=True
+    )
+    return out.select(
+        "source", "doc_id", "n_chars", F.col("quota_rank").cast("long").alias("quota_rank")
+    )
+
+
+_GROUP_QUOTA_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, length(text) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id) AS quota_rank
+  FROM documents
+)
+SELECT source, doc_id, n_chars, quota_rank FROM ranked WHERE quota_rank <= 5
+"""
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concat-and-chunk packing: per source, docs in id order are cut into
+    # 512-token packs; each doc annotated with (pack_id, pack_offset).
+    from ..operators.curation import pack_sequences
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    out = pack_sequences(
+        docs, group_col="source", id_col="doc_id", token_col="n_tokens",
+        budget=512,
+    )
+    return out.select("source", "doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+_SEQUENCE_PACKING_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS pack_id,
+       CAST(start % 512 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+def _q_epoch_shuffle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic epoch shuffle: Knuth-hash the ids, NTILE into 8
+    # shards over the hash order. The global NTILE window is the
+    # documented scale boundary of this entry (one sort partition);
+    # the production path for sharding at 100 TB is hash_split /
+    # epoch_shuffle in operators/split.py.
+    t = register_tables(spark, sf_dir)
+    h = t["documents"].select(
+        "doc_id",
+        (
+            (
+                (F.col("doc_id") * F.lit(2654435761) + F.lit(3 * 40503))
+                % F.lit(2147483648)
+                + F.lit(2147483648)
+            )
+            % F.lit(2147483648)
+        ).alias("hkey"),
+    )
+    sharded = h.withColumn(
+        "shard", F.ntile(8).over(Window.orderBy("hkey", "doc_id"))
+    )
+    return sharded.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_digest"),
+        F.min("hkey").cast("bigint").alias("min_h"),
+        F.max("hkey").cast("bigint").alias("max_h"),
+    )
+
+
+def _q_kfold_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    f = t["events"].select(
+        "user_id",
+        "value",
+        (
+            (
+                (F.col("user_id") * F.lit(2654435761)) % F.lit(2147483648)
+                + F.lit(2147483648)
+            )
+            % F.lit(2147483648)
+            % F.lit(5)
+        ).alias("fold"),
+    )
+    return f.groupBy(F.col("fold").cast("int").alias("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("user_id").cast("bigint").alias("user_digest"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+def _q_wsample_wor_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis weighted sampling without replacement:
+    # priority = -ln(u)/weight with a deterministic hash-derived u,
+    # global top-100 by priority (TakeOrdered — no full sort).
+    t = register_tables(spark, sf_dir)
+    u = (
+        (
+            (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+            + F.lit(2147483648)
+        )
+        % F.lit(2147483648)
+        % F.lit(10000)
+        + F.lit(0.5)
+    ) / F.lit(10000.0)
+    keyed = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.floor(
+                -F.log(u) / F.col("n_chars") * F.lit(1000000000)
+            )
+            .cast("bigint")
+            .alias("prio_nano"),
+        )
+    )
+    return keyed.orderBy("prio_nano", "doc_id").limit(100)
+
+
+ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
+    "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
+    "sequence_packing": (_q_sequence_packing, _SEQUENCE_PACKING_ORACLE),
+    "negative_sample": (_q_negative_sample, _NEGATIVE_SAMPLE_ORACLE),
+    "temperature_mix": (_q_temperature_mix, _TEMPERATURE_MIX_ORACLE),
+    "training_pipeline_v2": (
+        _q_training_pipeline_v2,
+        _TRAINING_PIPELINE_V2_ORACLE,
+    ),
+    "length_bucketing": (_q_length_bucketing, _LENGTH_BUCKETING_ORACLE),
+    "grouped_split_no_leakage": (_q_grouped_split, _GROUPED_SPLIT_ORACLE),
+    "epoch_shuffle_shards": (_q_epoch_shuffle_df, _QEPOCH_SHUFFLE),
+    "kfold_assignment": (_q_kfold_df, _QKFOLD),
+    "weighted_sample_wor": (_q_wsample_wor_df, _QWSAMPLE_WOR),
+    "three_way_split_counts": (_q_three_way_split, _THREE_WAY_SPLIT_ORACLE),
+    "hash_split_counts": (_q_split_counts, _SPLIT_ORACLE),
+    "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_oracle()),
+    "training_dataset_pipeline": (
+        _q_training_dataset_pipeline,
+        _training_dataset_oracle(),
+    ),
+    "weighted_sample": (_q_weighted_sample, _weighted_sample_oracle()),
+}

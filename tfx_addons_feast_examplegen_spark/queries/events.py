@@ -1,0 +1,947 @@
+"""Event-stream batch analytics: sessions, funnels, time series.
+
+Mechanically split from the former single-module query corpus; see
+the package __init__ for the registry assembly and driver window.
+"""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..session import register_tables
+
+from ._shared import (
+    _QGAP_STATS,
+    _WINDOWED_EVENTS_ORACLE,
+    _sql_query,
+)
+
+
+# JSON + string/date scalar functions over the events table (§2.6: the
+# scalar surface ships via the SQL function library; props is a JSON blob).
+_QJSON_SPARK = """
+SELECT event_type,
+       CAST(date_format(ts, 'yyyy-MM-dd') AS STRING) AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(CAST(get_json_object(props, '$.k') AS DOUBLE)), 4) AS avg_k
+FROM events
+WHERE upper(event_type) IN ('PURCHASE', 'CLICK')
+GROUP BY event_type, date_format(ts, 'yyyy-MM-dd')
+ORDER BY event_type, day
+"""
+
+_QJSON_ORACLE = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+FROM events
+WHERE upper(event_type) IN ('PURCHASE', 'CLICK')
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+ORDER BY event_type, day
+"""
+
+# Date arithmetic + lag window: month-over-month order volume.
+_QMONTHLY = """
+SELECT mon_ts, n_orders,
+       n_orders - lag(n_orders) OVER (ORDER BY mon_ts) AS delta
+FROM (
+  SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS mon_ts,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+"""
+
+# Sessionization: 30-minute-gap sessions per user (lag + running sum),
+# the classic event-stream pattern expressed in portable window SQL.
+_QSESSION = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+         AS duration_s
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+# DuckDB's epoch() keeps fractional seconds (so it is floored above);
+# Spark's unix_timestamp() already floors to whole seconds.
+_QSESSION_SPARK = _QSESSION.replace(
+    "CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)",
+    "CAST(unix_timestamp(max(ts)) - unix_timestamp(min(ts)) AS BIGINT)",
+)
+
+
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch form of the streaming tumbling-window aggregation (§2.7
+    # extension); day windows align with date_trunc so the oracle is SQL.
+    t = register_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_ts"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Event funnel: per-user earliest view -> click after it -> purchase
+# after that, counted corpus-wide. min(CASE...) conditional aggregates +
+# one self-free pass over events; identical text runs on both engines.
+_QFUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+  FROM events GROUP BY user_id
+),
+steps AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+              THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+                   AND t_buy_any > t_click_any
+              THEN 1 ELSE 0 END AS s3
+  FROM per_user
+)
+SELECT CAST(sum(s1) AS BIGINT) AS n_viewed,
+       CAST(sum(s2) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(s3) AS BIGINT) AS n_full_funnel
+FROM steps
+"""
+
+
+def _q_event_funnel_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Strictly-ordered view -> click -> purchase funnel as ONE shuffle:
+    # the conditional-min step times per user are a single hash
+    # aggregate (map-side partials), and the three step counts reduce
+    # that tiny per-user frame to one row. No window, no self-join —
+    # the classic funnel-by-n-self-joins shape would shuffle the events
+    # table three times at 100 TB.
+    t = register_tables(spark, sf_dir)
+    per_user = t["events"].groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == name, F.col("ts"))).alias(a)
+            for name, a in (
+                ("view", "t_view"),
+                ("click", "t_click_any"),
+                ("purchase", "t_buy_any"),
+            )
+        ]
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click_any") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy_any") > F.col("t_click_any"))
+    step = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return per_user.agg(
+        F.sum(step(viewed)).cast("long").alias("n_viewed"),
+        F.sum(step(clicked)).cast("long").alias("n_clicked_after_view"),
+        F.sum(step(bought)).cast("long").alias("n_full_funnel"),
+    )
+
+
+def _q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward-fill over a dense calendar: days with no purchases carry
+    # the last observed daily average (IGNORE NULLS running window) —
+    # the other half of time-series completion next to gap_fill's
+    # zero-fill. Sparse day selection (WHERE pmod(day(ts), 3) = 0)
+    # guarantees real gaps to fill at every scale factor.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH days AS (
+          SELECT explode(sequence(DATE '2024-01-01', DATE '2024-02-10',
+                                  INTERVAL 1 DAY)) AS d
+        ),
+        rev AS (
+          SELECT CAST(ts AS DATE) AS d, round(avg(value), 2) AS avg_value
+          FROM events
+          WHERE event_type = 'purchase' AND pmod(day(ts), 3) = 0
+          GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(unix_timestamp(CAST(days.d AS TIMESTAMP)) AS BIGINT)
+                 AS day_ts,
+               last_value(rev.avg_value) IGNORE NULLS OVER (
+                 ORDER BY days.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM days LEFT JOIN rev ON rev.d = days.d
+    """)
+
+
+_FORWARD_FILL_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-10',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+rev AS (
+  SELECT CAST(ts AS DATE) AS d, round(avg(value), 2) AS avg_value
+  FROM events
+  WHERE event_type = 'purchase' AND day(ts) % 3 = 0
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(epoch(CAST(days.d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+       last_value(rev.avg_value IGNORE NULLS) OVER (
+         ORDER BY days.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM days LEFT JOIN rev ON rev.d = days.d
+"""
+
+
+# SCD2-style validity intervals: each purchase's value holds from its
+# event time until the key's next purchase (NULL = still current) — the
+# history-table form that makes any point-in-time state reconstructable
+# with a BETWEEN probe (the batch complement of latest_feature_snapshot).
+_QSCD2 = """
+SELECT user_id, event_id, value,
+       CAST(floor(epoch(vf)) AS BIGINT) AS valid_from_ts,
+       CAST(floor(epoch(vt)) AS BIGINT) AS valid_to_ts
+FROM (
+  SELECT user_id, event_id, round(value, 2) AS value, ts AS vf,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM events WHERE event_type = 'purchase'
+)
+"""
+
+_QSCD2_SPARK = _QSCD2.replace(
+    "CAST(floor(epoch(vf)) AS BIGINT)", "unix_timestamp(vf)"
+).replace("CAST(floor(epoch(vt)) AS BIGINT)", "unix_timestamp(vt)")
+
+
+def _q_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MAP-typed surface: the JSON props column parsed as map<string,int>
+    # (not a fixed struct), keys exploded, aggregated per key — the
+    # schema-on-read path for open-ended event properties.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT k AS prop_key,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(v) AS BIGINT) AS value_sum,
+               CAST(min(v) AS BIGINT) AS value_min,
+               CAST(max(v) AS BIGINT) AS value_max
+        FROM (
+          SELECT explode(from_json(props, 'map<string,int>')) AS (k, v)
+          FROM events
+        )
+        GROUP BY k
+    """)
+
+
+_PROPS_MAP_ORACLE = """
+SELECT k AS prop_key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) AS value_sum,
+       CAST(min(v) AS BIGINT) AS value_min,
+       CAST(max(v) AS BIGINT) AS value_max
+FROM (
+  SELECT unnest(json_keys(props)) AS k,
+         CAST(json_extract(props, '$.' || unnest(json_keys(props)))
+              AS BIGINT) AS v
+  FROM events
+)
+GROUP BY k
+"""
+
+
+def _q_interpolate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear interpolation onto a dense daily grid — the third leg of
+    # time-series completion next to gap_fill (zeros) and forward_fill
+    # (last-observation-carried-forward). Per user: daily spine LEFT
+    # JOIN per-day observed value, then bracketing neighbors via
+    # last/first IGNORE NULLS window frames and a linear blend. All
+    # arithmetic is order-free: per-row integer cents before the sum,
+    # integer day arithmetic for the blend fraction, one deterministic
+    # double expression rounded back to cents — identical IEEE ops in
+    # both engines.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+WITH samples AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE user_id < 100
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+grid AS (
+  SELECT user_id, explode(sequence(DATE '2024-01-05', DATE '2024-02-10',
+                                   INTERVAL 1 DAY)) AS d
+  FROM (SELECT DISTINCT user_id FROM samples)
+),
+j AS (
+  SELECT g.user_id, g.d, s.cents
+  FROM grid g LEFT JOIN samples s ON g.user_id = s.user_id AND g.d = s.d
+),
+w AS (
+  SELECT user_id, d, cents,
+    last(cents, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+    last(CASE WHEN cents IS NOT NULL THEN d END, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+    first(cents, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+    first(CASE WHEN cents IS NOT NULL THEN d END, true) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+  FROM j
+)
+SELECT user_id, CAST(unix_timestamp(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+  CASE
+    WHEN cents IS NOT NULL THEN cents
+    WHEN v_prev IS NULL OR v_next IS NULL THEN NULL
+    ELSE CAST(floor(
+      CAST(v_prev AS DOUBLE)
+      + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))
+        * (CAST(datediff(d, d_prev) AS DOUBLE)
+           / CAST(datediff(d_next, d_prev) AS DOUBLE))
+      + 0.5) AS BIGINT)
+  END AS cents_interp,
+  (cents IS NOT NULL) AS observed
+FROM w
+""")
+
+
+_INTERPOLATE_ORACLE = """
+WITH samples AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE user_id < 100
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+grid AS (
+  SELECT user_id, unnest(CAST(generate_series(DATE '2024-01-05',
+                              DATE '2024-02-10', INTERVAL 1 DAY) AS DATE[]))
+         AS d
+  FROM (SELECT DISTINCT user_id FROM samples)
+),
+j AS (
+  SELECT g.user_id, g.d, s.cents
+  FROM grid g LEFT JOIN samples s ON g.user_id = s.user_id AND g.d = s.d
+),
+w AS (
+  SELECT user_id, d, cents,
+    last_value(cents IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+    last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+    first_value(cents IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+    first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+  FROM j
+)
+SELECT user_id, CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+  CASE
+    WHEN cents IS NOT NULL THEN cents
+    WHEN v_prev IS NULL OR v_next IS NULL THEN NULL
+    ELSE CAST(floor(
+      CAST(v_prev AS DOUBLE)
+      + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))
+        * (CAST((d - d_prev) AS DOUBLE)
+           / CAST((d_next - d_prev) AS DOUBLE))
+      + 0.5) AS BIGINT)
+  END AS cents_interp,
+  (cents IS NOT NULL) AS observed
+FROM w
+"""
+
+
+def _q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VARIANT semi-structured type (Spark 4.x): props parsed once into
+    # the binary variant encoding, fields extracted with typed
+    # variant_get — the schema-flexible path that replaces per-query
+    # from_json re-parses (the variant parse is paid once per row, each
+    # extraction is a cheap binary probe). Oracle: plain JSON extraction.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(variant_get(v, '$.k', 'long')) AS BIGINT) AS k_sum,
+               CAST(count(try_variant_get(v, '$.missing', 'long'))
+                    AS BIGINT) AS n_missing_hits
+        FROM (SELECT event_type, parse_json(props) AS v FROM events)
+        GROUP BY event_type
+    """)
+
+
+_VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(count(json_extract(props, '$.missing')) AS BIGINT)
+         AS n_missing_hits
+FROM events
+GROUP BY event_type
+"""
+
+
+# Recursive CTE (new in Spark 4.x): walk each user's event chain via
+# the lead()-derived successor edge, 50 steps deep — linear recursion
+# the optimizer executes as iterative self-joins. IDENTICAL text on both
+# engines. For corpus-scale graph closure the iterative
+# connected_components operator (pointer doubling, O(log d) rounds)
+# remains the 100 TB path; the recursive CTE is the declarative form
+# for bounded-depth walks.
+_QRECURSIVE_WALK = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         lead(event_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, event_id, next_id, 1 AS steps FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT w.user_id, s.event_id, s.next_id, w.steps + 1
+  FROM walk w
+  JOIN seq s ON s.user_id = w.user_id AND s.event_id = w.next_id
+  WHERE w.steps < 50
+)
+SELECT user_id, CAST(max(steps) AS BIGINT) AS chain_len,
+       CAST(count(*) AS BIGINT) AS n_visited
+FROM walk GROUP BY user_id
+"""
+
+
+# Event-type association (pointwise mutual information over per-user
+# event baskets): which event types co-occur in the same user's history
+# more than independence predicts — market-basket lite. Per-pair
+# micro-nat floor; counts are BIGINT.
+_QPMI_SPARK = """
+WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id) AS n FROM events),
+singles AS (SELECT event_type, count(*) AS c FROM s GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(floor(ln(CAST(p.n_both AS DOUBLE) * n.n
+                     / (ca.c * cb.c)) * 1000000) AS BIGINT) AS pmi_micro
+FROM pairs p
+JOIN singles ca ON ca.event_type = p.type_a
+JOIN singles cb ON cb.event_type = p.type_b, n
+"""
+
+# identical modulo nothing — same ANSI text
+_QPMI_ORACLE = _QPMI_SPARK
+
+_QWAU_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT days.d AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+FROM days JOIN act a ON a.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+"""
+
+
+# CUSUM changepoint surveillance: per event_type, the running sum of
+# (daily mean - global mean) deviations in cents; days where |CUSUM|
+# exceeds the threshold mark sustained drift (the classic control-chart
+# signal, not a single-day spike). The running window sum accumulates
+# in ORDER BY order — identical addition sequence in both engines.
+_QCUSUM = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+         count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+g AS (SELECT event_type,
+             CAST(sum(cents) AS DOUBLE) / sum(n) AS gmean
+      FROM daily GROUP BY event_type),
+c AS (
+  SELECT daily.event_type, daily.d,
+         sum(CAST(daily.cents AS DOUBLE) / daily.n - g.gmean)
+           OVER (PARTITION BY daily.event_type ORDER BY daily.d) AS cusum
+  FROM daily JOIN g ON g.event_type = daily.event_type
+)
+SELECT event_type, d AS day,
+       CAST(round(cusum, 2) AS DOUBLE) AS cusum_cents
+FROM c WHERE abs(cusum) >= 200
+"""
+
+
+# Rolling z-score anomaly flags per user: each event scored against the
+# mean/stddev of its OWN trailing 7-event window (ROWS frame — the
+# window-local aggregation order is frame-defined, so double sums are
+# deterministic in both engines). Events beyond |z| >= 1.5 with a full
+# window are flagged.
+_QROLLING_Z = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER win AS mu,
+         stddev_samp(value) OVER win AS sd,
+         count(*) OVER win AS n_win
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(value, 2) AS value,
+       round((value - mu) / sd, 4) AS z
+FROM w
+WHERE n_win = 7 AND sd > 0 AND abs((value - mu) / sd) >= 1.5
+"""
+
+_QDECAYED_ORACLE = """
+SELECT user_id,
+       CAST(sum(CAST(floor(exp(-(ln(2) / 7) * age_days) * value * 100)
+                     AS BIGINT)) AS BIGINT) AS score_centi,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, value,
+         (epoch_us(TIMESTAMP '2024-04-01 00:00:00') - epoch_us(ts))
+           / 86400000000.0 AS age_days
+  FROM events
+)
+GROUP BY user_id
+"""
+
+_QRETENTION_ORACLE = """
+WITH fw AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT CAST(fw.cw AS DATE) AS cohort_week,
+       CAST((epoch(act.w) - epoch(fw.cw)) // 604800 AS BIGINT)
+         AS week_offset,
+       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+FROM act JOIN fw ON act.user_id = fw.user_id
+GROUP BY 1, 2
+"""
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed triangle counting (node-iterator with ordered
+    # orientation — each triangle counted once via t1 < t2 < t3) on the
+    # token co-occurrence graph: nodes = the 30 most frequent tokens,
+    # edges = pairs co-occurring in >= 50 documents. The distinct
+    # (doc, token) frame and the edge list are PINNED (localCheckpoint):
+    # Spark CTEs don't materialize, and the naive declarative form
+    # re-tokenized the corpus 17x (one scan per reuse in the plan) — the
+    # pinned form scans it once; the triangle join then runs over the
+    # tiny materialized edge list.
+    t = register_tables(spark, sf_dir)
+    tok = dd._pin(
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda x: x != "")
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    vt = tok.join(F.broadcast(vocab), "token")
+    a = vt.select(F.col("doc_id"), F.col("token").alias("t1"))
+    b = vt.select(F.col("doc_id"), F.col("token").alias("t2"))
+    edges = dd._pin(
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 50)
+        .select("t1", "t2")
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e2.t1") == F.col("e1.t2"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.t1") == F.col("e1.t1"))
+            & (F.col("e3.t2") == F.col("e2.t2")),
+        )
+    )
+    n_nodes = vocab.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(
+        F.broadcast(n_tri)
+    )
+
+_QTRIANGLES_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS token
+    FROM documents
+  )
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS df FROM tok GROUP BY token
+    ORDER BY df DESC, token LIMIT 30
+  )
+),
+vt AS (SELECT t.doc_id, t.token FROM tok t JOIN vocab v USING (token)),
+edges AS (
+  SELECT a.token AS t1, b.token AS t2
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING count(*) >= 50
+),
+tri AS (
+  SELECT e1.t1, e1.t2, e2.t2 AS t3
+  FROM edges e1
+  JOIN edges e2 ON e2.t1 = e1.t2
+  JOIN edges e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+"""
+
+
+def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calendar gap-fill: dense daily spine (sequence/explode) LEFT JOIN
+    # per-day revenue, absent days filled with zeros — the time-series
+    # completion every metrics pipeline needs.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH days AS (
+          SELECT explode(sequence(DATE '2024-01-01', DATE '2024-02-10',
+                                  INTERVAL 1 DAY)) AS d
+        ),
+        rev AS (
+          SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS revenue,
+                 count(*) AS n_events
+          FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT CAST(unix_timestamp(CAST(days.d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+               coalesce(rev.revenue, 0.0) AS revenue,
+               coalesce(rev.n_events, 0) AS n_events
+        FROM days LEFT JOIN rev ON rev.d = days.d
+    """)
+
+
+_GAP_FILL_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-02-10',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+rev AS (
+  SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS revenue,
+         count(*) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(epoch(CAST(days.d AS TIMESTAMP)) AS BIGINT) AS day_ts,
+       coalesce(rev.revenue, 0.0) AS revenue,
+       coalesce(rev.n_events, 0) AS n_events
+FROM days LEFT JOIN rev ON rev.d = days.d
+"""
+
+# Interval RANGE window frame: trailing 7-day per-user running revenue
+# (event-time range frame, peers included deterministically).
+_QRANGE_WINDOW = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS v7d
+FROM events
+"""
+
+
+def _q_retention_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention triangle: first-activity week per user joined to
+    # the user's distinct active weeks, counted by (cohort, offset).
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    fw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    return (
+        act.join(fw, "user_id")
+        .groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("w") - F.unix_timestamp("cw"))
+                / F.lit(604800)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+
+
+def _q_decayed_activity_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Half-life-decayed engagement score (7-day half-life anchored at a
+    # fixed as-of timestamp); the decay constant stays an in-engine
+    # expression so the floor boundary floats identically to the r1-5
+    # SQL form.
+    t = register_tables(spark, sf_dir)
+    aged = t["events"].select(
+        "user_id",
+        "value",
+        (
+            (
+                F.expr("unix_micros(TIMESTAMP'2024-04-01 00:00:00')")
+                - F.unix_micros("ts")
+            )
+            / F.lit(86400000000.0)
+        ).alias("age_days"),
+    )
+    decayed = F.exp(F.expr("-(ln(2) / 7)") * F.col("age_days"))
+    return aged.groupBy("user_id").agg(
+        F.sum(F.floor(decayed * F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("score_centi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def _q_event_pmi_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pointwise mutual information between event types co-occurring in
+    # a user's history: distinct (user, type) self-join on user with
+    # type_a < type_b, marginals and the corpus total broadcast onto
+    # the pair counts.
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    s = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.countDistinct("user_id").alias("n"))
+    singles = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = singles.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    cb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.floor(
+                F.log(
+                    F.col("n_both").cast("double")
+                    * F.col("n")
+                    / (F.col("ca") * F.col("cb"))
+                )
+                * F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+
+
+def _q_rolling_wau_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 7-day rolling weekly-active-users per calendar day: the distinct
+    # day spine is tiny — broadcast it against distinct (user, day)
+    # activity with a range predicate, then count distinct users per
+    # anchor day.
+    t = register_tables(spark, sf_dir)
+    e = t["events"]
+    days = e.select(F.col("ts").cast("date").alias("d")).distinct()
+    act = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    return (
+        act.alias("a")
+        .join(
+            F.broadcast(days.select(F.col("d").alias("day"))),
+            (F.col("a.d") >= F.date_sub(F.col("day"), 6))
+            & (F.col("a.d") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("a.user_id").cast("bigint").alias("wau"))
+    )
+
+
+def _q_rolling_z_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-window anomaly detection: per-user mean/stddev over the
+    # 7 rows BEFORE each event (rowsBetween(-7, -1) — the current row
+    # never contaminates its own baseline), z-scores >= 1.5 flagged.
+    t = register_tables(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, -1)
+    )
+    w = t["events"].select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count(F.lit(1)).over(win).alias("n_win"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        w.filter(
+            (F.col("n_win") == 7) & (F.col("sd") > 0) & (F.abs(z) >= 1.5)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+def _q_cusum_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM changepoint signal: daily per-type means centred on the
+    # grand mean, cumulatively summed in day order; excursions past the
+    # threshold flag a level shift.
+    t = register_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    g = daily.groupBy("event_type").agg(
+        (F.sum("cents").cast("double") / F.sum("n")).alias("gmean")
+    )
+    cusum = F.sum(
+        F.col("cents").cast("double") / F.col("n") - F.col("gmean")
+    ).over(Window.partitionBy("event_type").orderBy("d"))
+    return (
+        daily.join(F.broadcast(g), "event_type")
+        .withColumn("cusum", cusum)
+        .filter(F.abs(F.col("cusum")) >= 200)
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.round("cusum", 2).cast("double").alias("cusum_cents"),
+        )
+    )
+
+
+def _q_gap_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inter-event cadence profile per type: lag() gaps in seconds,
+    # exact interpolated median and p90 — the distribution TTL and
+    # watermark settings are tuned from.
+    t = register_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = t["events"].select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts2"),
+        F.lag(F.col("ts").cast("timestamp")).over(w).alias("prev_ts"),
+    )
+    d = gaps.filter(F.col("prev_ts").isNotNull()).select(
+        "event_type",
+        F.floor(
+            (F.unix_micros("ts2") - F.unix_micros("prev_ts"))
+            / F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
+    )
+
+
+ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
+    "event_funnel": (_q_event_funnel_df, _QFUNNEL),
+    "scd2_validity_intervals": (_sql_query(_QSCD2_SPARK), _QSCD2),
+    "forward_fill_timeseries": (_q_forward_fill, _FORWARD_FILL_ORACLE),
+    "gap_fill_timeseries": (_q_gap_fill, _GAP_FILL_ORACLE),
+    "range_interval_window": (_sql_query(_QRANGE_WINDOW), _QRANGE_WINDOW),
+    "interpolate_timeseries": (
+        _q_interpolate_timeseries,
+        _INTERPOLATE_ORACLE,
+    ),
+    "retention_cohorts": (_q_retention_df, _QRETENTION_ORACLE),
+    "decayed_activity_score": (_q_decayed_activity_df, _QDECAYED_ORACLE),
+    "event_type_pmi": (_q_event_pmi_df, _QPMI_ORACLE),
+    "rolling_wau": (_q_rolling_wau_df, _QWAU_ORACLE),
+    "rolling_zscore_anomalies": (_q_rolling_z_df, _QROLLING_Z),
+    "cusum_changepoints": (_q_cusum_df, _QCUSUM),
+    "interevent_gap_stats": (_q_gap_stats_df, _QGAP_STATS),
+    "graph_triangle_count": (_q_triangles, _QTRIANGLES_ORACLE),
+    "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
+    "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
+    "variant_props_typed": (_q_variant_props, _VARIANT_PROPS_ORACLE),
+    "json_events_daily": (_sql_query(_QJSON_SPARK), _QJSON_ORACLE),
+    "monthly_order_delta": (
+        _sql_query(
+            _QMONTHLY.replace("epoch(date_trunc", "unix_timestamp(date_trunc")
+        ),
+        _QMONTHLY,
+    ),
+    "sessionization": (_sql_query(_QSESSION_SPARK), _QSESSION),
+}

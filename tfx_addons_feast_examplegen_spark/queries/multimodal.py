@@ -1,0 +1,207 @@
+"""Multimodal (image/audio) decode + stats entries.
+
+Mechanically split from the former single-module query corpus; see
+the package __init__ for the registry assembly and driver window.
+"""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from ..session import register_tables
+
+
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL multimodal decode, fully oracle-checked: real 24-bit BMP
+    # containers are synthesized per document (closed-form pixel values
+    # derived from doc_id), then decoded back by a pure-stdlib BMP parser
+    # (header offsets, row padding, BGR order) inside an Arrow-batched
+    # mapInPandas stage. The oracle re-derives the same integer channel
+    # stats from the pixel formula alone — the decoder must parse the
+    # container bit-exactly for the hashes to meet. Compressed formats
+    # (JPEG/MP3) stay behind the StubImageCodec boundary.
+    from ..operators.multimodal import attach_bmp_payloads, extract_image_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_bmp_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
+_MULTIMODAL_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS width,
+         CAST(doc_id % 11 + 4 AS INT) AS height
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height, c.c,
+         (d.doc_id*7 + y.y*31 + x.x*3 + c.c*11) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.height)) AS y) y,
+       LATERAL (SELECT unnest(range(0, d.width)) AS x) x,
+       LATERAL (SELECT unnest([0,1,2]) AS c) c
+)
+SELECT doc_id, width, height,
+       CAST(SUM(CASE WHEN c=0 THEN v END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN c=1 THEN v END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN c=2 THEN v END) AS BIGINT) AS b_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, width, height
+"""
+
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image resize, fully oracle-checked end-to-end: a mixed-
+    # container corpus (BMP for even doc_ids, PNG for odd — the resize
+    # stage must sniff both) is nearest-neighbor resampled to 6x5 with
+    # the explicit index map sx = x*w//6, sy = y*h//5, re-encoded as
+    # BMP, and decoded AGAIN for channel stats. The oracle replays the
+    # index map against the closed-form pixel formula — four codec
+    # passes (encode, decode, encode, decode) must all be bit-exact for
+    # the hashes to meet.
+    from ..operators.multimodal import (
+        attach_bmp_payloads,
+        attach_png_payloads,
+        extract_image_stats,
+        resize_images,
+    )
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    media = attach_bmp_payloads(docs.filter("doc_id % 2 = 0")).unionByName(
+        attach_png_payloads(docs.filter("doc_id % 2 = 1"))
+    )
+    return extract_image_stats(
+        resize_images(media, target_width=6, target_height=5)
+    )
+
+
+_MULTIMODAL_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(doc_id % 11 + 4 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, c.c,
+         (d.doc_id*7 + ((y.y * d.h) // 5)*31 + ((x.x * d.w) // 6)*3
+          + c.c*11) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, 5)) AS y) y,
+       LATERAL (SELECT unnest(range(0, 6)) AS x) x,
+       LATERAL (SELECT unnest([0,1,2]) AS c) c
+)
+SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+       CAST(SUM(CASE WHEN c=0 THEN v END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN c=1 THEN v END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN c=2 THEN v END) AS BIGINT) AS b_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id
+"""
+
+
+def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Third real codec behind the multimodal boundary: 8-bit RGB PNG,
+    # pure stdlib (zlib inflate + chunk CRC verification + all five
+    # scanline filters reconstructed — the encoder cycles filter types
+    # per row, so unfiltering is genuinely on the checked path). Same
+    # closed-form pixel content as the BMP entry, so the SAME oracle
+    # re-derives the stats from the formula; the decode stage sniffs the
+    # container from magic bytes. JPEG/MP3/H.264 remain behind the
+    # explicit StubImageCodec boundary (no stdlib codec exists).
+    from ..operators.multimodal import attach_png_payloads, extract_image_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_png_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
+def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fourth real codec behind the multimodal boundary, and the one a
+    # real multimodal corpus always contains: BASELINE JPEG, pure
+    # stdlib (marker walk, canonical huffman reconstruction from DHT,
+    # DPCM DC + EOB/ZRL run-length AC entropy decode, dequantize,
+    # dezigzag, float IDCT). JPEG is lossy, so the fixture makes the
+    # loss provably zero instead of tolerated: every 8x8 block is
+    # constant, whose DCT is a single integer DC coefficient stored
+    # exactly under the all-ones quantization table — decode is
+    # bit-exact by construction and the oracle re-derives the stats
+    # from the per-block closed form (sum = 64 * block value). Color/
+    # subsampled/progressive JPEG remain behind the documented
+    # StubImageCodec boundary.
+    from ..operators.multimodal import attach_jpeg_payloads, extract_image_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_jpeg_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
+_MULTIMODAL_JPEG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 1 AS INT) AS wb,
+         CAST(doc_id % 2 + 1 AS INT) AS hb
+  FROM documents
+),
+blk AS (
+  SELECT d.doc_id, d.wb * 8 AS width, d.hb * 8 AS height,
+         (d.doc_id*7 + by.by*31 + bx.bx*3) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.hb)) AS by) by,
+       LATERAL (SELECT unnest(range(0, d.wb)) AS bx) bx
+)
+SELECT doc_id, width, height,
+       CAST(SUM(v) * 64 AS BIGINT) AS r_sum,
+       CAST(SUM(v) * 64 AS BIGINT) AS g_sum,
+       CAST(SUM(v) * 64 AS BIGINT) AS b_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM blk GROUP BY doc_id, width, height
+"""
+
+
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same meet-in-the-middle check for audio: real PCM16 mono WAV
+    # containers (RIFF/fmt/data chunks) decoded by a chunk-walking
+    # parser; the oracle replays the sample formula.
+    from ..operators.multimodal import attach_wav_payloads, extract_audio_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_wav_payloads(t["documents"])
+    return extract_audio_stats(media)
+
+
+_MULTIMODAL_AUDIO_ORACLE = """
+WITH n AS (
+  SELECT doc_id, CAST(doc_id % 50 + 10 AS INT) AS n_samples FROM documents
+),
+s AS (
+  SELECT n.doc_id, n.n_samples,
+         ((n.doc_id*13 + i.i*17) % 65536) - 32768 AS v
+  FROM n, LATERAL (SELECT unnest(range(0, n.n_samples)) AS i) i
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INT) AS s_min,
+       CAST(MAX(v) AS INT) AS s_max
+FROM s GROUP BY doc_id, n_samples
+"""
+
+
+ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
+    "multimodal_image_jpeg": (_q_multimodal_jpeg, _MULTIMODAL_JPEG_ORACLE),
+    "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
+    "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
+}

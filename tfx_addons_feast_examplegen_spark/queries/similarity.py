@@ -1,0 +1,466 @@
+"""Embedding similarity / ANN: brute-force, LSH, IVF, PQ.
+
+Mechanically split from the former single-module query corpus; see
+the package __init__ for the registry assembly and driver window.
+"""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..operators import similarity as sim
+from ..session import register_tables
+
+
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    out = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SIM_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos6
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos6, 4) AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contrastive hard-negative mining: per query, the top-5 nearest
+    # OTHER-label vectors (the near-misses a contrastive trainer needs).
+    # Label inequality rides the broadcast-join condition.
+    t = register_tables(spark, sf_dir)
+    out = sim.hard_negatives(
+        t["embeddings"], query_filter="vec_id < 20", k=5
+    )
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_HARD_NEGATIVES_ORACLE = """
+WITH q AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
+         c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS neighbor_label,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos6
+  FROM q JOIN c ON q.label <> c.label
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos6, 4) AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The int-code array is serialized to a '|'-joined scalar for the
+    # harness: array cells break pandas-based canonicalizers (unhashable
+    # list), and the joined string compares the same values. The operator
+    # itself keeps the real array<int> output.
+    t = register_tables(spark, sf_dir)
+    q = sim.quantize_embeddings(t["embeddings"], "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("q_embedding").cast("array<string>"), "|").alias(
+            "q_embedding"
+        ),
+    )
+
+
+# Element floats are widened to double on BOTH sides before any
+# arithmetic (float->double widening is exact), so scale and codes are
+# bit-identical across engines.
+_EMB_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_aggregate(
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'
+         ) AS sc
+  FROM embeddings
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       array_to_string(list_transform(embedding, x ->
+         CASE WHEN sc = 0 THEN 0
+              ELSE CAST(round(CAST(x AS DOUBLE) / sc * 127) AS INT) END
+       ), '|') AS q_embedding
+FROM s
+"""
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-space curation gate: cosine against the own-label
+    # centroid, integer micro-unit coordinates so every cross-engine sum
+    # is an integer sum (order-free) and the double arithmetic downstream
+    # is the same deterministic expression on both sides.
+    from ..operators.similarity import embedding_outliers
+
+    t = register_tables(spark, sf_dir)
+    return embedding_outliers(t["embeddings"], threshold_e4=0)
+
+
+_EMBEDDING_OUTLIERS_ORACLE = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1000000 + 0.5)) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT label, i AS pos, CAST(sum(v[i]) AS BIGINT) AS s
+  FROM m, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+  GROUP BY label, i
+),
+c AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+  FROM e GROUP BY label
+),
+scored AS (
+  SELECT m.vec_id, m.label,
+    CAST(floor(
+      list_sum(list_transform(generate_series(1, len(v)),
+                              i -> v[i] * cvec[i]))
+      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+         * sqrt(list_sum(list_transform(cvec, x -> x * x))))
+      * 10000 + 0.5) AS BIGINT) AS cos_e4
+  FROM m JOIN c USING (label)
+)
+SELECT vec_id, label, cos_e4, (cos_e4 < 0) AS is_outlier FROM scored
+"""
+
+
+def _q_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model inference at scan time: a seeded linear probe scored over
+    # every embedding as a pure expression (no UDF — the curation-
+    # classifier shape), aggregated per label. Scores round to 6 before
+    # the integer-e4 digest so engine last-ulp float differences are
+    # absorbed (the cosine-oracle precedent); the digest sum is then
+    # order-free BIGINT arithmetic.
+    import random as _random
+
+    rng = _random.Random(7)
+    w = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+    t = register_tables(spark, sf_dir)
+    scored = sim.linear_score(t["embeddings"], w, bias=-0.05)
+    s6 = F.round(F.col("score"), 6)
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((s6 > 0).cast("long")).alias("n_positive"),
+        F.sum(
+            F.floor(s6 * 10000 + F.lit(0.5)).cast("long")
+        ).alias("score_e4_sum"),
+    )
+
+
+def _linear_scorer_oracle() -> str:
+    import random as _random
+
+    rng = _random.Random(7)
+    w = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+    w_sql = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in w) + "]"
+    return f"""
+WITH scored AS (
+  SELECT label,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), {w_sql})
+               + CAST(-0.05 AS DOUBLE), 6) AS s6
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN s6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(sum(CAST(floor(s6 * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS score_e4_sum
+FROM scored GROUP BY label
+"""
+
+
+def _q_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN recall made driver-visible: IVF with n_probe = n_cells probes
+    # every cell, so the candidate set is the full corpus and the result
+    # provably equals exact top-k — hash-checked against the same oracle
+    # as similarity_topk. The approximate variants (similarity_ann_lsh /
+    # _ivf) keep their rows-only entries; this locks the ANN machinery
+    # (quantizer, cell equi-join, re-rank) to the exact answer.
+    t = register_tables(spark, sf_dir)
+    out = sim.ivf_topk(
+        t["embeddings"],
+        query_filter="vec_id < 20",
+        k=5,
+        n_cells=16,
+        n_probe=16,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The ANN recall CONTRACT as an oracle row (same pattern as the
+    # sketch error bounds): multi-probe LSH top-5 is compared against the
+    # exact top-5 computed in the same query, and the single output row
+    # asserts mean recall@5 >= 0.7 (measured 0.89 at sf0.01 / 0.93 at
+    # sf0.1 — deterministic: seeded hyperplanes over fixed data). The
+    # oracle emits the query count and literal TRUE; an LSH change that
+    # degrades recall below the contract turns the row red.
+    t = register_tables(spark, sf_dir)
+    ann = sim.lsh_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    exact = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.7).alias("recall_ok"),
+    )
+
+
+_ANN_LSH_RECALL_ORACLE = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+# Textually identical today, but a separate name so an LSH-specific edit
+# (different query_filter / k) can't silently corrupt the IVF contract.
+_ANN_IVF_RECALL_ORACLE = _ANN_LSH_RECALL_ORACLE
+_ANN_PQ_RECALL_ORACLE = _ANN_LSH_RECALL_ORACLE  # same portable shape
+
+
+def _q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized-index ANN as an equivalence CONTRACT: the corpus is
+    # signed/banded once into parquet artifacts (write_ann_index), the
+    # query batch probes the stored index with shortlist-then-fetch
+    # vector retrieval, and the output row asserts the probe result is
+    # ROW-IDENTICAL to the in-memory lsh_topk at the same parameters
+    # (symmetric difference on (query_id, neighbor_id, rank) = 0). The
+    # oracle emits the query count and literal TRUE.
+    import tempfile as _tempfile
+
+    t = register_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    idx = _tempfile.mkdtemp(prefix="ann_index_")
+    sim.write_ann_index(emb, idx, target_files=4)
+    qbatch = emb.filter("vec_id < 20")
+    via_index = sim.lsh_topk_indexed(qbatch, idx, k=5)
+    in_mem = sim.lsh_topk(emb, query_filter="vec_id < 20", k=5)
+    key = ["query_id", "neighbor_id", "rank"]
+    a, b = via_index.select(*key), in_mem.select(*key)
+    sym_diff = (
+        a.join(b, key, "left_anti").unionByName(b.join(a, key, "left_anti"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_q = qbatch.agg(F.countDistinct("vec_id").alias("nq"))
+    return n_q.crossJoin(F.broadcast(sym_diff)).select(
+        F.col("nq").cast("long").alias("n_queries"),
+        (F.col("n") == 0).alias("identical"),
+    )
+
+
+_ANN_INDEXED_ORACLE = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       TRUE AS identical
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ADC recall contract (same pattern as the
+    # LSH/IVF contracts): m=8 subspaces x 16 codes (8 bits -> 4 bytes of
+    # code per 256-byte vector), ADC shortlist of 150 re-ranked exactly,
+    # mean recall@5 >= 0.6 vs the exact top-5. Measured 0.95 at sf0.01 /
+    # 0.70 at sf0.1 — deterministic (hash-seeded init over fixed data).
+    # The fixture's near-random 64-dim embeddings are PQ's hard case
+    # (little subspace structure to exploit); real text embeddings
+    # cluster and quantize far better.
+    t = register_tables(spark, sf_dir)
+    ann = sim.pq_topk(
+        t["embeddings"], query_filter="vec_id < 20", k=5,
+        m=8, n_codes=16, shortlist=150,
+    )
+    exact = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.6).alias("recall_ok"),
+    )
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF recall contract (same pattern as the LSH one): probing half the
+    # cells (n_probe=8 of 16) must reach mean recall@5 >= 0.6 against the
+    # exact top-5 (measured 0.81 at sf0.01 / 0.77 at sf0.1 —
+    # deterministic: hash-seeded k-means init over fixed data).
+    t = register_tables(spark, sf_dir)
+    ann = sim.ivf_topk(
+        t["embeddings"], query_filter="vec_id < 20", k=5, n_cells=16, n_probe=8
+    )
+    exact = sim.cosine_topk(t["embeddings"], query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.6).alias("recall_ok"),
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production multi-probe LSH as a PER-QUERY contract (finer than
+    # the aggregate mean-recall twin similarity_ann_lsh_recall): for
+    # EVERY query id, at least one true top-5 neighbor must appear in
+    # the LSH top-5 (measured per-query minimum: 4/5 hits at sf0.001,
+    # 2/5 at sf0.01, 4/5 at sf0.1 — deterministic, seeded hyperplanes).
+    # One query falling to zero hits turns exactly its row red, so the
+    # driver pinpoints which query regressed; the oracle emits the query
+    # id set (portable) with literal TRUE.
+    t = register_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    ann = sim.lsh_topk(emb, query_filter="vec_id < 20", k=5)
+    exact = sim.cosine_topk(emb, query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias("hit_ok"),
+        )
+    )
+
+
+_ANN_LSH_PERQUERY_ORACLE = """
+SELECT DISTINCT CAST(vec_id AS BIGINT) AS query_id, TRUE AS hit_ok
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production IVF config (n_probe=4 of 16 cells) under its own
+    # aggregate recall contract — distinct from the n_probe=8 twin
+    # (similarity_ann_ivf_recall, floor 0.6): probing a quarter of the
+    # cells must still reach mean recall@5 >= 0.3 (measured 0.48-0.54
+    # across sf0.001/0.01/0.1; per-query floors don't hold at n_probe=4,
+    # the minimum is legitimately 0 for queries whose neighbors live in
+    # unprobed cells). Deterministic: hash-seeded k-means over fixed
+    # data. Oracle: portable query count + literal TRUE.
+    t = register_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    ann = sim.ivf_topk(
+        emb, query_filter="vec_id < 20", k=5, n_cells=16, n_probe=4
+    )
+    exact = sim.cosine_topk(emb, query_filter="vec_id < 20", k=5)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg(F.col("n_hits") / 5.0) >= 0.3).alias("recall_ok"),
+    )
+
+
+_ANN_IVF_PROBE4_ORACLE = _ANN_LSH_RECALL_ORACLE  # same portable shape
+
+
+ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "similarity_ann_exhaustive": (_q_ann_exhaustive, _SIM_TOPK_ORACLE),
+    "embedding_quantization": (_q_embedding_quantization, _EMB_QUANT_ORACLE),
+    "contrastive_hard_negatives": (_q_hard_negatives, _HARD_NEGATIVES_ORACLE),
+    "similarity_ann_pq_recall": (_q_ann_pq_recall, _ANN_PQ_RECALL_ORACLE),
+    "similarity_ann_indexed": (_q_ann_indexed, _ANN_INDEXED_ORACLE),
+    "embedding_outliers": (_q_embedding_outliers, _EMBEDDING_OUTLIERS_ORACLE),
+    "embedding_linear_scorer": (_q_linear_scorer, _linear_scorer_oracle()),
+    "similarity_ann_lsh_recall": (_q_ann_lsh_recall, _ANN_LSH_RECALL_ORACLE),
+    "similarity_ann_ivf_recall": (_q_ann_ivf_recall, _ANN_IVF_RECALL_ORACLE),
+    "similarity_topk": (_q_similarity_topk, _SIM_TOPK_ORACLE),
+    "similarity_ann_lsh": (_q_ann_lsh, _ANN_LSH_PERQUERY_ORACLE),
+    "similarity_ann_ivf": (_q_ann_ivf, _ANN_IVF_PROBE4_ORACLE),
+}

@@ -1,0 +1,241 @@
+"""Skew handling and sketches.
+
+Mechanically split from the former single-module query corpus; see
+the package __init__ for the registry assembly and driver window.
+"""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ..session import register_tables
+
+
+
+
+def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog++ sketches: the 100 TB path for distinct counting —
+    # constant memory per group vs countDistinct's exact shuffle. Sketch
+    # estimates aren't bit-portable across engines, so the oracle-checked
+    # contract is the ERROR BOUND, not the estimate: emit the exact
+    # counts (portable) plus a boolean per sketch asserting the estimate
+    # lies within 3x the configured rsd (0.02); the oracle emits the same
+    # exact counts with literal TRUE. A sketch drifting out of its
+    # accuracy contract hash-mismatches and turns the row red.
+    t = register_tables(spark, sf_dir)
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__ap"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    def in_bound(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.col(exact).cast("double") * 0.06
+        )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        in_bound("__ao", "exact_orders").alias("orders_in_bound"),
+        in_bound("__ap", "exact_parts").alias("parts_in_bound"),
+    )
+
+
+_SKETCH_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS orders_in_bound,
+       TRUE AS parts_in_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable quantile sketches (percentile_approx, Greenwald-Khanna
+    # style): the 100 TB alternative to exact ordered-set aggregates.
+    # Same bound-as-contract oracle as sketch_distinct_counts: at
+    # accuracy=1000 the rank error is 0.1%, so the approx p50/p90 must
+    # land between the exact 45th/55th (resp. 85th/95th) percentiles — a
+    # 50x margin. Output carries the exact interpolated percentiles
+    # (identical (n-1)*q arithmetic in both engines) plus the in-bracket
+    # booleans; the oracle emits TRUE.
+    t = register_tables(spark, sf_dir)
+    agg = t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__a50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("__a90"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))"
+        ).alias("__ex"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("__ex")[1], 4).alias("exact_p50"),
+        F.round(F.col("__ex")[4], 4).alias("exact_p90"),
+        F.col("__a50").between(F.col("__ex")[0], F.col("__ex")[2]).alias(
+            "p50_in_bound"
+        ),
+        F.col("__a90").between(F.col("__ex")[3], F.col("__ex")[5]).alias(
+            "p90_in_bound"
+        ),
+    )
+
+
+_SKETCH_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+       TRUE AS p50_in_bound,
+       TRUE AS p90_in_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Salted skew-join: physically spreads any hot l_suppkey over 8
+    # reducers (positional salt on the big side, replicated small side)
+    # while producing a row-identical result — so the oracle is simply
+    # the PLAIN join+aggregate, proving the rewrite is semantics-free.
+    from ..operators.skew import salted_join
+
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_suppkey", "l_extendedprice")
+    sup = t["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, ["l_suppkey"], n_salts=8)
+    # exact integer cents -> order-free sum (see the Q10 comment)
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(cents).cast("double") / 100.0, 2).alias("revenue"),
+    )
+
+
+_SKEW_SALTED_JOIN_ORACLE = """
+SELECT s.s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round(CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The diagnostics half of skew mitigation: hottest keys + integer
+    # basis-point share + skew factor, so the mitigation choice (none /
+    # AQE / salting / time-bucketing) is measured, not guessed.
+    from ..operators.skew import skew_report
+
+    t = register_tables(spark, sf_dir)
+    return skew_report(t["documents"], ["lang"], top_n=10)
+
+
+_SKEW_REPORT_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+s AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM c)
+SELECT lang, CAST(cnt AS BIGINT) AS cnt,
+       CAST(floor(cnt * 10000 / total + 0.5) AS BIGINT) AS pct_e4,
+       CAST(floor(cnt * 100 * nkeys / total + 0.5) AS BIGINT) AS skew_x_e2
+FROM c, s
+ORDER BY cnt DESC, lang ASC
+LIMIT 10
+"""
+
+
+def _q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGEABLE sketches — the property that makes sketch
+    # infrastructure work at 100 TB: per-source HLL sketches built
+    # independently (one pass, map-side combinable), then UNIONED
+    # without touching the raw data; the merged estimate must land
+    # within ±5% of the exact global distinct count, per-source
+    # estimates within ±5% of theirs (error-bound contract, oracle
+    # emits exact counts + literal TRUE). Datasketches HLL via Spark's
+    # hll_sketch_agg / hll_union_agg / hll_sketch_estimate.
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH per AS (
+          SELECT source, hll_sketch_agg(CAST(doc_id AS STRING)) AS sk,
+                 count(DISTINCT doc_id) AS exact
+          FROM documents GROUP BY source
+        ),
+        per_rows AS (
+          SELECT source AS scope, CAST(exact AS BIGINT) AS exact_distinct,
+                 abs(hll_sketch_estimate(sk) - exact) <= 0.05 * exact
+                   AS est_in_bound
+          FROM per
+        ),
+        merged AS (
+          SELECT 'merged' AS scope,
+                 (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                  FROM documents) AS exact_distinct,
+                 abs(hll_sketch_estimate(hll_union_agg(sk))
+                     - (SELECT count(DISTINCT doc_id) FROM documents))
+                   <= 0.05 * (SELECT count(DISTINCT doc_id) FROM documents)
+                   AS est_in_bound
+          FROM per
+        )
+        SELECT * FROM per_rows UNION ALL SELECT * FROM merged
+    """)
+
+
+_SKETCH_HLL_MERGE_ORACLE = """
+SELECT source AS scope, CAST(count(DISTINCT doc_id) AS BIGINT)
+         AS exact_distinct, TRUE AS est_in_bound
+FROM documents GROUP BY source
+UNION ALL
+SELECT 'merged', CAST(count(DISTINCT doc_id) AS BIGINT), TRUE
+FROM documents
+"""
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-salted two-stage aggregation vs the plain-groupBy oracle:
+    # result equivalence is the contract (salting changes the shuffle
+    # layout, never the answer). l_returnflag has 3 hot values — each
+    # spreads over n_salts stage-1 reducers.
+    from ..operators.skew import salted_agg
+
+    t = register_tables(spark, sf_dir)
+    out = salted_agg(
+        t["lineitem"],
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", "l_quantity"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "min_price",
+        "max_price",
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "skew_salted_agg": (_q_salted_agg, _SALTED_AGG_ORACLE),
+    "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
+    "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
+    "sketch_hll_mergeable": (_q_sketch_hll_merge, _SKETCH_HLL_MERGE_ORACLE),
+    "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
+    "skew_salted_join": (_q_skew_salted_join, _SKEW_SALTED_JOIN_ORACLE),
+}

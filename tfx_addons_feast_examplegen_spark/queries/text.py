@@ -1,0 +1,770 @@
+"""Text analysis: quality, lang-id, TF-IDF/BM25 search, BPE, corpus audits.
+
+Mechanically split from the former single-module query corpus; see
+the package __init__ for the registry assembly and driver window.
+"""
+
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import text as tx
+from ..session import register_tables
+
+from ._shared import (
+    _TEXT_QUALITY_ORACLE,
+    _dd_profile,
+)
+
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return tx.quality_score(t["documents"]).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+        "punct_ratio", "uniq_token_ratio", "quality_score",
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("predicted", tx.lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_case() -> str:
+    langs = list(tx.LANG_PROFILES)
+    hit_defs = ",\n    ".join(
+        f"len(list_intersect(toks, {_dd_profile(tx.LANG_PROFILES[lang])})) AS h_{lang}"
+        for lang in langs
+    )
+    branches = []
+    for lang in langs:
+        conds = [f"h_{lang} > 0"] + [
+            f"h_{lang} >= h_{o}" for o in langs if o != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT lang,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), h AS (
+  SELECT lang,
+    {hit_defs}
+  FROM t
+)
+SELECT lang, {case} AS predicted, CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY 1, 2
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "source",
+            tx.token_count("text").alias("n_tok"),
+            F.length("text").alias("len_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("len_chars").alias("total_chars"),
+        )
+    )
+
+
+_TOKEN_STATS_ORACLE = """
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(n_tok), 4) AS avg_tokens,
+       CAST(sum(len_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok,
+         length(text) AS len_chars
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return tx.doc_fingerprints(t["documents"])
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_normalized
+FROM documents
+"""
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Subword-ish token budget per source. The token pattern uses explicit
+    # ASCII classes (text.BPE_ISH_TOKEN_PATTERN) so the identical regex
+    # runs under Java regex (Spark) and RE2 (DuckDB) -> oracle-checked.
+    t = register_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", tx.bpe_ish_token_count("text").alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 2).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+_BPE_TOKENS_ORACLE = r"""
+WITH b AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z_]+|[0-9]|[^A-Za-z0-9_ \t\n\r]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT source, CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       round(avg(n_bpe), 2) AS avg_bpe_tokens
+FROM b GROUP BY source
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    return tx.tfidf_top_terms(t["documents"], "doc_id", "text", k=3)
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok2 GROUP BY 1
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+         round(t.tf * ln(n.n_docs * 1.0 / d.doc_freq), 4) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAG-style chunking: overlapping 64-token windows every 32 tokens,
+    # generated as a pure flat-map (no shuffle) over the scan.
+    t = register_tables(spark, sf_dir)
+    return tx.chunk_documents(
+        t["documents"], "doc_id", "text", chunk_tokens=64, stride=32
+    )
+
+
+_CHUNK_DOCUMENTS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(s // 32 AS INT) AS chunk_idx,
+         toks[s + 1 : s + 64] AS w
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, greatest(len(toks) - 64 + 32 - 1, 0), 32)) AS s
+  )
+)
+SELECT doc_id, chunk_idx, array_to_string(w, ' ') AS chunk_text,
+       CAST(len(w) AS INT) AS n_tokens
+FROM c WHERE len(w) > 0
+"""
+
+
+def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF surface (SURVEY §2.8): one doc row -> N sentence rows
+    # via a registered table function called through SQL LATERAL. The
+    # oracle replays the identical split rule in pure SQL — proving the
+    # UDTF's output, and demonstrating that this logic COULD stay
+    # JVM-side (the UDTF exists to exercise the plug surface).
+    from ..functions.udtfs import register_udtfs
+
+    register_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+_UDTF_SENTENCES_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+ +'), x -> x <> '')
+           AS parts
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS sent_idx, parts[i] AS sentence,
+       CAST(length(parts[i]) AS INT) AS n_chars
+FROM s, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
+"""
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perplexity-proxy curation signal: per-doc unigram NLL under the
+    # corpus's own token distribution (no external LM). Costs are
+    # floor(-ln(c/T)*1e6) micro-nat BIGINTs summed per doc — integer
+    # sums, so summation order can't move the hash across engines.
+    from ..operators.text import unigram_logprob
+
+    t = register_tables(spark, sf_dir)
+    return unigram_logprob(t["documents"], "doc_id", "text")
+
+
+_UNIGRAM_LOGPROB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+v AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+t AS (SELECT count(*) AS t FROM tok),
+costed AS (
+  SELECT token,
+         CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000)
+              AS BIGINT) AS cost
+  FROM v, t
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(cost) AS BIGINT) AS nll_micro_nats
+FROM tok JOIN costed USING (token)
+GROUP BY tok.doc_id
+"""
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer vocabulary coverage curve (OOV-rate planning): share of
+    # token OCCURRENCES covered by the top-V types at three budgets.
+    # The corpus scans ONCE into a pinned vocab-sized count frame (the
+    # SQL-text form re-tokenized per LATERAL reuse — 4 scans); ranking
+    # and the three budget sums then run over the tiny pinned frame.
+    # The global type ranking is a vocab-sized sort.
+    t = register_tables(spark, sf_dir)
+    c = dd._pin(
+        t["documents"]
+        .select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda x: x != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = c.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+    )
+    tot = c.agg(
+        F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    out = None
+    for v in (10, 100, 1000):
+        cov = ranked.filter(F.col("rnk") <= v).agg(
+            F.sum("cnt").alias("covered")
+        )
+        row = cov.crossJoin(F.broadcast(tot)).select(
+            F.lit(v).cast("int").alias("vocab_budget"),
+            F.floor(10000.0 * F.col("covered") / F.col("t"))
+            .cast("long")
+            .alias("covered_bp"),
+            F.col("n_types").cast("long").alias("n_types"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+_QVOCAB_COVERAGE_ORACLE = """
+WITH c AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS token
+    FROM documents
+  ) GROUP BY token
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c
+),
+tot AS (SELECT sum(cnt) AS t, count(*) AS n_types FROM ranked)
+SELECT v.v AS vocab_budget,
+       CAST(floor(10000.0 * cov.covered / tot.t) AS BIGINT) AS covered_bp,
+       CAST(tot.n_types AS BIGINT) AS n_types
+FROM (SELECT 10 AS v UNION ALL SELECT 100 UNION ALL SELECT 1000) v,
+     tot,
+     LATERAL (SELECT sum(cnt) AS covered FROM ranked
+              WHERE rnk <= v.v) cov
+"""
+
+
+def _q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index full-text search: postings materialized once
+    # (distinct (token, doc_id), clustered by token), an AND query
+    # probes postings and joins back by id — the text column is never
+    # scanned at query time. Oracle: direct token-membership scan.
+    import tempfile as _tempfile
+
+    from ..operators.text import keyword_search_indexed, write_token_index
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    idx = _tempfile.mkdtemp(prefix="token_index_") + "/idx"
+    write_token_index(docs, idx)
+    out = keyword_search_indexed(docs, idx, ["spark", "hash"])
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_KEYWORD_SEARCH_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE list_contains(string_split(lower(text), ' '), 'spark')
+  AND list_contains(string_split(lower(text), ' '), 'hash')
+"""
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-phrase search via positional postings: "table value" found
+    # by chaining (id, pos) equi-joins — adjacency resolved entirely in
+    # the index, text never read. Oracle: token-position self-join.
+    import tempfile as _tempfile
+
+    from ..operators.text import phrase_search_indexed, write_positional_index
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    idx = _tempfile.mkdtemp(prefix="pos_index_") + "/idx"
+    write_positional_index(docs, idx)
+    return phrase_search_indexed(docs, idx, ["table", "value"])
+
+
+_PHRASE_SEARCH_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'table' AND b.tok = 'value'
+GROUP BY a.doc_id
+"""
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25-ranked OR search (Lucene idf variant), per-term micro floors
+    # before the integer per-doc sum — cross-engine summation order
+    # cannot move a score.
+    t = register_tables(spark, sf_dir)
+    return tx.bm25_search(t["documents"], ["spark", "hash"])
+
+
+_BM25_SEARCH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN ('hash', 'spark')
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY token),
+scored AS (
+  SELECT h.doc_id,
+         CAST(floor(
+           ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * h.tf * 2.2
+           / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl))
+           * 1000000) AS BIGINT) AS s
+  FROM hits h JOIN dft d USING (token) JOIN dl l USING (doc_id), corpus c
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+"""
+
+_QNOVELTY_ORACLE = """
+WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+base AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+novel AS (
+  SELECT n.source, count(DISTINCT n.s) AS n_new
+  FROM (SELECT source, s FROM sh WHERE doc_id % 2 = 1) n
+  ANTI JOIN base b ON n.s = b.s
+  GROUP BY n.source
+),
+tot AS (
+  SELECT source, count(DISTINCT s) AS n_all
+  FROM sh WHERE doc_id % 2 = 1 GROUP BY source
+)
+SELECT t.source, CAST(t.n_all AS BIGINT) AS n_shingles,
+       CAST(coalesce(v.n_new, 0) AS BIGINT) AS n_novel,
+       CAST(floor(10000.0 * coalesce(v.n_new, 0) / t.n_all) AS BIGINT)
+         AS novelty_bp
+FROM tot t LEFT JOIN novel v ON v.source = t.source
+"""
+
+
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dataset data card: (metric, value) BIGINT rows — size, vocabulary,
+    # provenance spread, exact-dup mass, language balance. Fixed-point
+    # scaling everywhere; entropy floors per language BEFORE the integer
+    # sum, so the card is bit-portable.
+    from ..operators.corpus import corpus_report
+
+    t = register_tables(spark, sf_dir)
+    return corpus_report(t["documents"])
+
+
+_CORPUS_REPORT_ORACLE = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token FROM documents)
+),
+ent AS (
+  SELECT CAST(sum(term) AS BIGINT) AS lang_entropy_micro_nats
+  FROM (
+    SELECT CAST(floor(-ln(CAST(n_l AS DOUBLE) / b.n_docs) * 1000000
+                      * n_l / b.n_docs) AS BIGINT) AS term
+    FROM (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang), base b
+  )
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+  UNION ALL SELECT 'vocab_size', vocab_size FROM vocab
+  UNION ALL SELECT 'n_langs', n_langs FROM base
+  UNION ALL SELECT 'n_sources', n_sources FROM base
+  UNION ALL SELECT 'exact_dup_docs', n_docs - n_distinct_texts FROM base
+  UNION ALL SELECT 'mean_doc_len_centitokens',
+                   CAST(floor(n_tokens * 100 / n_docs) AS BIGINT) FROM base
+  UNION ALL SELECT 'lang_entropy_micro_nats', lang_entropy_micro_nats
+            FROM ent
+)
+"""
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-source contamination audit: containment_pairs with the
+    # SOURCE as the identity — distinct shingles per source, pairwise
+    # shared-shingle containment (shared / min set size). The operator
+    # is id-agnostic by design; the same capped bucket join that pairs
+    # documents pairs provenance groups.
+    t = register_tables(spark, sf_dir)
+    out = dd.containment_pairs(
+        t["documents"], "source", "text", n=3, threshold=0.01,
+        on_over_cap="error", max_bucket=100000,
+    )
+    return out.select(
+        F.col("doc_a").alias("source_a"),
+        F.col("doc_b").alias("source_b"),
+        "containment",
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH t AS (SELECT source, string_split(lower(text), ' ') AS w
+           FROM documents),
+sh AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+sizes AS (SELECT source, count(*) AS nsh FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       round(common * 1.0 / least(sa.nsh, sb.nsh), 4) AS containment
+FROM pairs
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+WHERE common * 1.0 / least(sa.nsh, sb.nsh) >= 0.01
+"""
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Second-order perplexity proxy: add-1-smoothed bigram NLL under the
+    # corpus's own transition counts — flags text whose token TRANSITIONS
+    # are unusual even when every token is common. Same integer
+    # micro-nat portability contract as text_unigram_logprob.
+    t = register_tables(spark, sf_dir)
+    return tx.bigram_logprob(t["documents"], "doc_id", "text")
+
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+uni AS (SELECT token, count(*) AS c1 FROM tok GROUP BY token),
+v AS (SELECT count(*) AS v FROM uni),
+p AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY w1, w2),
+costed AS (
+  SELECT bi.w1, bi.w2,
+         CAST(floor(-ln(CAST(bi.c2 + 1 AS DOUBLE)
+                        / CAST(uni.c1 + v.v AS DOUBLE)) * 1000000)
+              AS BIGINT) AS cost
+  FROM bi JOIN uni ON uni.token = bi.w1, v
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(cost) AS BIGINT) AS nll_micro_nats
+FROM p JOIN costed USING (w1, w2)
+GROUP BY p.doc_id
+"""
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language heavy-hitter tokens (freq > n_g/50), Misra-Gries
+    # candidates + exact verify — sketch-then-verify like MinHash/
+    # Jaccard, so the output EQUALS the exact relational answer and the
+    # oracle is plain SQL (no contract needed; integer threshold).
+    from ..operators.text import heavy_hitters
+
+    t = register_tables(spark, sf_dir)
+    return heavy_hitters(t["documents"], "lang", "text", k=50)
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+n AS (SELECT lang, count(*) AS n_g FROM tok GROUP BY lang),
+c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token)
+SELECT c.lang, c.token, CAST(c.cnt AS BIGINT) AS cnt
+FROM c JOIN n USING (lang)
+WHERE c.cnt * 50 > n.n_g
+"""
+
+
+def _q_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One distributed BPE merge step (Sennrich et al. 2016): corpus-wide
+    # adjacent-token-pair counts, top-20 merge candidates. Map-side
+    # combinable aggregation; tie-break on (left, right) makes the
+    # selected set deterministic across engines.
+    t = register_tables(spark, sf_dir)
+    return tx.bpe_pair_merges(t["documents"], "doc_id", "text", top_n=20)
+
+
+_BPE_PAIR_MERGES_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+p AS (
+  SELECT doc_id, w[i] AS left_tok, w[i+1] AS right_tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+),
+c AS (
+  SELECT left_tok, right_tok,
+         CAST(count(*) AS BIGINT) AS pair_count,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM p GROUP BY 1, 2
+)
+SELECT left_tok, right_tok, left_tok || right_tok AS merged_tok,
+       pair_count, doc_freq
+FROM c
+ORDER BY pair_count DESC, left_tok, right_tok
+LIMIT 20
+"""
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style within-doc repeated-n-gram signals, as a no-shuffle
+    # scan-time projection.
+    from ..operators.text import intra_doc_repetition
+
+    t = register_tables(spark, sf_dir)
+    return intra_doc_repetition(t["documents"], n=3)
+
+
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                              x -> x <> '') AS w
+           FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_grams
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_distinct_grams, 0) AS n_distinct_grams,
+       round((coalesce(a.n_grams, 0) - coalesce(a.n_distinct_grams, 0)) * 1.0
+             / greatest(coalesce(a.n_grams, 0), 1), 4) AS rep_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scrub synthetic PII appended to each doc; output md5 of the
+    # redacted text so the oracle checks byte-identical transformation.
+    from ..operators.text import redact_pii
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 123-4567 at 192.168.0."),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return redact_pii(docs).select("doc_id", F.md5("text").alias("redacted_md5"))
+
+
+_PII_REDACTION_ORACLE = r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 123-4567 at 192.168.0.'
+              || CAST(doc_id AS VARCHAR),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+def _q_novelty_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source novelty of a held-out half against a base half: 3-gram
+    # shingles, odd-doc shingles anti-joined against the distinct even
+    # half, rate in basis points.
+    t = register_tables(spark, sf_dir)
+    # The CASE guard matters: for a <3-token doc, sequence(1, 0) in
+    # Spark DESCENDS to [1, 0] and slice(..., 0, 3) then raises — a
+    # short doc anywhere in the corpus would fail the job (the DuckDB
+    # oracle's generate_series is empty for the same doc). Emitting an
+    # empty array makes both engines agree: no shingles, row drops at
+    # the explode.
+    shingle_expr = (
+        "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN "
+        "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3))) "
+        "ELSE array() END"
+    )
+    sh = (
+        t["documents"]
+        .select(
+            "doc_id", "source", F.explode(F.expr(shingle_expr)).alias("s")
+        )
+        .distinct()
+    )
+    base = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    odd = sh.filter(F.col("doc_id") % 2 == 1)
+    novel = (
+        odd.select("source", "s")
+        .join(base, "s", "left_anti")
+        .groupBy("source")
+        .agg(F.countDistinct("s").alias("n_new"))
+    )
+    tot = odd.groupBy("source").agg(F.countDistinct("s").alias("n_all"))
+    n_new = F.coalesce(F.col("n_new"), F.lit(0))
+    return tot.join(novel, "source", "left").select(
+        "source",
+        F.col("n_all").cast("bigint").alias("n_shingles"),
+        n_new.cast("bigint").alias("n_novel"),
+        F.floor(F.lit(10000.0) * n_new / F.col("n_all"))
+        .cast("bigint")
+        .alias("novelty_bp"),
+    )
+
+
+ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "text_repetition": (_q_repetition, _REPETITION_ORACLE),
+    "pii_redaction": (_q_pii_redaction, _PII_REDACTION_ORACLE),
+    "udtf_split_sentences": (_q_udtf_sentences, _UDTF_SENTENCES_ORACLE),
+    "chunk_documents": (_q_chunk_documents, _CHUNK_DOCUMENTS_ORACLE),
+    "text_heavy_hitters": (_q_heavy_hitters, _HEAVY_HITTERS_ORACLE),
+    "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
+    "bpe_pair_merges": (_q_bpe_pair_merges, _BPE_PAIR_MERGES_ORACLE),
+    "text_bigram_logprob": (_q_bigram_logprob, _BIGRAM_LOGPROB_ORACLE),
+    "corpus_report": (_q_corpus_report, _CORPUS_REPORT_ORACLE),
+    "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
+    "corpus_novelty_rate": (_q_novelty_df, _QNOVELTY_ORACLE),
+    "vocab_coverage_curve": (_q_vocab_coverage, _QVOCAB_COVERAGE_ORACLE),
+    "keyword_search_indexed": (_q_keyword_search, _KEYWORD_SEARCH_ORACLE),
+    "bm25_ranked_search": (_q_bm25_search, _BM25_SEARCH_ORACLE),
+    "phrase_search_positional": (_q_phrase_search, _PHRASE_SEARCH_ORACLE),
+    "text_bpe_token_budget": (_q_bpe_tokens, _BPE_TOKENS_ORACLE),
+    "text_tfidf_topterms": (_q_tfidf, _TFIDF_ORACLE),
+    "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
+    "text_lang_id": (_q_lang_id, _langid_case()),
+    "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
+    "text_fingerprint": (_q_fingerprints, _FINGERPRINT_ORACLE),
+}
