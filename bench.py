@@ -72,6 +72,47 @@ BENCH_IMPLS = {
     "similarity_ann_lsh": _bench_ann_lsh,
 }
 
+# Heavy operators benched OUTSIDE the headline set (reported under
+# "extended" so the r1-comparable headline history is undisturbed):
+# suffix-array-free exact-substring dedup, product-quantization and
+# materialized-LSH-index ANN probes, BM25 ranked retrieval, and the
+# pure-Python JPEG decode edge.
+EXTENDED = [
+    "dedup_exact_substring",
+    "similarity_ann_pq_recall",
+    "similarity_ann_indexed",
+    "bm25_ranked_search",
+    "multimodal_image_jpeg",
+]
+
+
+def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus):
+    """min-of-n_passes round-robin floors with the load gate (see the
+    comment in main's history: round-robin confines a host-load spike
+    to one pass; the gate waits out severe contention, bounded)."""
+    load_gate = 2.0 * cpus
+    timings = {name: float("inf") for name in names}
+    maxima = {name: 0.0 for name in names}
+    pass_loads = []
+    for _ in range(n_passes):
+        for _retry in range(6):
+            load = os.getloadavg()[0]
+            if load <= load_gate:
+                break
+            time.sleep(10)
+        pass_loads.append(round(load, 1))
+        for name in names:
+            t0 = time.time()
+            _run(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            timings[name] = min(timings[name], dt)
+            maxima[name] = max(maxima[name], dt)
+    return (
+        {name: round(v, 3) for name, v in timings.items()},
+        {name: round(maxima[name] - timings[name], 3) for name in names},
+        pass_loads,
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,7 +128,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in names:
+    for name in names + [n for n in EXTENDED if n in qs]:
         _run(qs[name](spark, warm_dir))
     # Re-register the benchmark-scale tables outside the timed region
     # (footer reads + schema inference are one-time catalog setup).
@@ -107,31 +148,18 @@ def main() -> None:
     # auditable from the JSON alone.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "7"))
     cpus = os.cpu_count() or 1
-    load_gate = 2.0 * cpus
-    timings: dict[str, float] = {name: float("inf") for name in names}
-    maxima: dict[str, float] = {name: 0.0 for name in names}
-    pass_loads: list[float] = []
-    for _ in range(n_passes):
-        # Load gate: a pass started under a severely contended host
-        # (1-min load > 2x cores) would only produce samples the min
-        # discards — wait briefly for the spike to drain (bounded, so
-        # the bench always terminates) and record what we saw.
-        for _retry in range(6):
-            load = os.getloadavg()[0]
-            if load <= load_gate:
-                break
-            time.sleep(10)
-        pass_loads.append(round(load, 1))
-        for name in names:
-            t0 = time.time()
-            _run(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-            timings[name] = min(timings[name], dt)
-            maxima[name] = max(maxima[name], dt)
-    timings = {name: round(v, 3) for name, v in timings.items()}
-    spread = {
-        name: round(maxima[name] - timings[name], 3) for name in names
-    }
+    timings, spread, pass_loads = _floor_timings(
+        qs, names, spark, sf_dir, n_passes, cpus
+    )
+
+    # Extended section (round 8): the heavy operators absent from the
+    # r1-vintage headline set, timed with the SAME min-of-n round-robin
+    # load-gated harness but reported separately so the headline series
+    # stays comparable across rounds.
+    ext_names = [n for n in EXTENDED if n in qs]
+    ext_timings, ext_spread, ext_loads = _floor_timings(
+        qs, ext_names, spark, sf_dir, n_passes, cpus
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -149,6 +177,10 @@ def main() -> None:
                 "query_spread_sec": spread,
                 "load_1min_per_pass": pass_loads,
                 "cpus": cpus,
+                "extended_total": round(sum(ext_timings.values()), 3),
+                "extended": ext_timings,
+                "extended_spread_sec": ext_spread,
+                "extended_load_1min_per_pass": ext_loads,
             }
         )
     )

@@ -86,3 +86,37 @@ def test_ann_ivf_contract_catches_skipped_probes(
     row = qmod._q_ann_ivf(spark, sf_dir).collect()[0]
     assert row["n_queries"] == 20
     assert row["recall_ok"] is False, row
+
+
+def test_stream_recovery_oracle_catches_dropped_timeout_emission(
+    spark, sf_dir, monkeypatch
+):
+    # The sentinel-watermark replay technique (VERDICT r7 item 7): the
+    # far-future sentinel advances the watermark past every deadline so
+    # the stream must emit BOTH matched errors and recovered=false
+    # timeouts. The classic regression is dropping the timeout-emission
+    # branch (emit only matches). Applied at the operator seam the
+    # entry resolves at call time; the entry's own sentinel/replay
+    # plumbing runs unmodified. The driver's oracle (batch per-error
+    # min-purchase LEFT lookup) has one row per ERROR, so the mutation
+    # must shrink the row count -> rows_match red.
+    from tfx_addons_feast_examplegen_spark.queries.streaming import (
+        _q_stream_error_recovery,
+    )
+    from tfx_addons_feast_examplegen_spark.streaming import patterns as pat
+
+    baseline = _q_stream_error_recovery(spark, sf_dir).collect()
+    n_base = len(baseline)
+    n_timeouts = sum(1 for r in baseline if not r.recovered)
+    assert n_timeouts > 0, "fixture must exercise the timeout branch"
+
+    real = pat.match_recovery_stream
+
+    def drops_timeouts(events, **kw):
+        return real(events, **kw).filter("recovered")
+
+    monkeypatch.setattr(pat, "match_recovery_stream", drops_timeouts)
+    mutated = _q_stream_error_recovery(spark, sf_dir).collect()
+    assert len(mutated) == n_base - n_timeouts
+    assert len(mutated) < n_base  # oracle rows_match would go red
+    assert all(r.recovered for r in mutated)
