@@ -115,3 +115,57 @@ def test_merge_upsert_one_row_per_key_invariant(spark, batch, use_seq):
     for k in (1, 2, 3):
         if k not in batch_keys:
             assert (k, -k) in {(r.k, r.v) for r in out}  # untouched
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    _dims,
+    st.integers(min_value=1, max_value=9),
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_restart_interval_roundtrip_identical(dims, interval, rng):
+    # DRI/RSTn (VERDICT r7 item 8): restart markers are a pure framing
+    # feature — byte-aligned markers + DC predictor resets — so decoding
+    # a DRI stream must be BIT-IDENTICAL to the same image encoded
+    # without restarts, for any interval, size, and subsampling.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    w, h = dims
+    gpx = [rng.randrange(256) for _ in range(w * h)]
+    base = decode_jpeg_gray_pixels(encode_jpeg_gray(w, h, gpx))
+    blob = encode_jpeg_gray(w, h, gpx, restart_interval=interval)
+    assert decode_jpeg_gray_pixels(blob) == base
+    assert b"\xff\xdd" in blob
+
+    cpx = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    sub = rng.choice(["444", "420", "422", "440"])
+    cbase = decode_jpeg_pixels(encode_jpeg_color(w, h, cpx, subsampling=sub))
+    cblob = encode_jpeg_color(
+        w, h, cpx, subsampling=sub, restart_interval=interval
+    )
+    assert decode_jpeg_pixels(cblob) == cbase
+
+
+def test_jpeg_restart_corruption_stays_quarantine_eligible():
+    # A DRI stream whose restart structure is broken (marker overwritten
+    # or truncated at a boundary) is malformed DATA: must raise
+    # ValueError (the quarantine class), never desynchronize silently.
+    import pytest
+
+    w, h = 24, 16  # 3x2 MCUs, interval 2 -> RST after MCUs 2 and 4
+    px = [(x * 11 + y * 7) % 256 for y in range(h) for x in range(w)]
+    blob = encode_jpeg_gray(w, h, px, restart_interval=2)
+    i = blob.index(b"\xff\xd0")
+    # out-of-sequence restart (RST0 -> RST5)
+    bad = blob[:i] + b"\xff\xd5" + blob[i + 2:]
+    with pytest.raises(ValueError, match="RST0"):
+        decode_jpeg_gray_pixels(bad)
+    # truncated at the restart boundary
+    with pytest.raises(ValueError):
+        decode_jpeg_gray_pixels(blob[: i + 1])

@@ -520,12 +520,16 @@ def _jpeg_category(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, pixels: list[int], *, restart_interval: int = 0
+) -> bytes:
     """Serialize row-major grayscale pixels (0..255) as a standard
     BASELINE JFIF JPEG (pure stdlib): single 8-bit component, no
     subsampling, all-ones quantization table, Annex K luminance huffman
     tables, real forward DCT + DPCM DC + run-length AC entropy coding,
-    byte stuffing.
+    byte stuffing. ``restart_interval`` > 0 additionally emits a DRI
+    segment and byte-aligned RSTn markers every that many MCUs with DC
+    predictor resets (T.81 E.1.2).
 
     All-ones quantization means the only loss is DCT rounding (±1 on
     smooth content, exactly 0 on per-block-constant content — the
@@ -543,8 +547,16 @@ def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
 
     w = _JpegBitWriter()
     prev_dc = 0
+    mcu_i = 0
+    rst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.flush()  # 1-pad to byte boundary (stuffed if 0xFF)
+                w.buf += bytes([0xFF, 0xD0 + rst])  # markers are not stuffed
+                rst = (rst + 1) & 7
+                prev_dc = 0
+            mcu_i += 1
             block = [px(bx + x, by + y) for y in range(8) for x in range(8)]
             coef = _fdct8x8(block)  # qtable all ones: quantize = identity
             zz = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
@@ -581,6 +593,11 @@ def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
     )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, jfif)
@@ -588,6 +605,7 @@ def encode_jpeg_gray(width: int, height: int, pixels: list[int]) -> bytes:
         + _jpeg_crop_app(width, height, bw, bh)
         + seg(0xFFC0, sof)
         + seg(0xFFC4, dht)
+        + dri
         + seg(0xFFDA, sos)
         + bytes(w.buf)
         + b"\xff\xd9"  # EOI
@@ -656,6 +674,31 @@ class _JpegBitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid huffman code in scan")
+
+    def expect_restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81
+        E.1.2). Discards the partial byte's 1-padding, skips optional
+        0xFF fill bytes, and verifies the modulo-8 restart sequence —
+        a missing or out-of-sequence marker means the entropy stream
+        desynchronized (malformed DATA -> ValueError, quarantine
+        class). Resetting DC predictors is the caller's job."""
+        self.n = 0
+        self.acc = 0
+        p = self.pos
+        while (
+            p + 1 < len(self.data)
+            and self.data[p] == 0xFF
+            and self.data[p + 1] == 0xFF
+        ):
+            p += 1  # fill byte
+        if p + 1 >= len(self.data):
+            raise ValueError("truncated JPEG scan at restart boundary")
+        if self.data[p] != 0xFF or self.data[p + 1] != 0xD0 + idx:
+            raise ValueError(
+                f"expected RST{idx} at restart boundary, found "
+                f"{self.data[p]:02x}{self.data[p + 1]:02x}"
+            )
+        self.pos = p + 2
 
 
 def _jpeg_extend(bits_val: int, cat: int) -> int:
@@ -730,9 +773,11 @@ def _decode_jpeg_full(
     8-bit baseline, single-scan, 1 component (grayscale) or 3
     components (YCbCr) with luma sampling factors up to 2x2 and 1x1
     chroma — i.e. 4:4:4, 4:2:2 (both axes) and 4:2:0, the layouts real
-    corpora contain. Progressive/arithmetic/restart-marker streams and
-    4-component CMYK raise — the same explicit-variant honesty as the
-    BMP/PNG/WAV decoders.
+    corpora contain — plus DRI/RSTn restart intervals (byte-aligned
+    marker consumption, modulo-8 sequence check, DC predictor reset per
+    T.81 E.1.2). Progressive/arithmetic streams and 4-component CMYK
+    raise — the same explicit-variant honesty as the BMP/PNG/WAV
+    decoders.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -746,6 +791,7 @@ def _decode_jpeg_full(
     scan_tables: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
     scan_order: list[int] = []
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -797,8 +843,8 @@ def _decode_jpeg_full(
                 dec = _jpeg_huff_decoder(bits, vals)
                 (dc_dec if tc == 0 else ac_dec)[th] = dec
                 off += 17 + n
-        elif marker == 0xFFDD:  # DRI
-            raise ValueError("restart markers not supported")
+        elif marker == 0xFFDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xFFE1 and body[:5] == b"SPKG\x00":
             crop = struct.unpack_from(">HH", body, 5)
         elif marker == 0xFFDA:  # SOS
@@ -836,8 +882,17 @@ def _decode_jpeg_full(
 
     r = _JpegBitReader(payload, scan_start)
     prev_dc = {c["id"]: 0 for c in comps}
+    mcu_i = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # interval boundary: the encoder byte-aligned and wrote
+                # RSTn (n cycling 0-7) and reset every DC predictor
+                r.expect_restart(rst)
+                rst = (rst + 1) & 7
+                prev_dc = {c["id"]: 0 for c in comps}
+            mcu_i += 1
             for c in comps:
                 cid = c["id"]
                 dct = dc_dec[scan_tables[cid][0]]
@@ -946,6 +1001,7 @@ def encode_jpeg_color(
     pixels: list[tuple[int, int, int]],
     *,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize row-major (r, g, b) pixels as a standard BASELINE
     color JFIF JPEG (pure stdlib): YCbCr conversion, all-ones
@@ -1016,8 +1072,16 @@ def encode_jpeg_color(
         return zz[0]
 
     dc_y = dc_cb = dc_cr = 0
+    mcu_i = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.flush()
+                w.buf += bytes([0xFF, 0xD0 + rst])  # markers are not stuffed
+                rst = (rst + 1) & 7
+                dc_y = dc_cb = dc_cr = 0
+            mcu_i += 1
             for v in range(vy):
                 for hh in range(hy):
                     bx, by = (mx * hy + hh) * 8, (my * vy + v) * 8
@@ -1069,6 +1133,11 @@ def encode_jpeg_color(
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xFFE0, jfif)
@@ -1076,6 +1145,7 @@ def encode_jpeg_color(
         + _jpeg_crop_app(width, height, mcus_x * mcu_w, mcus_y * mcu_h)
         + seg(0xFFC0, sof)
         + seg(0xFFC4, dht)
+        + dri
         + seg(0xFFDA, sos)
         + bytes(w.buf)
         + b"\xff\xd9"
