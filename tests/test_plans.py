@@ -168,3 +168,38 @@ def test_pq_topk_rerank_fetches_by_id(spark, sf_dir):
     s = plan_summary(out)
     assert s["broadcast_hash_joins"] >= 1, s
     assert s["nested_loop_joins"] <= 1, s
+
+
+def test_window_topk_running_plan_single_window_exchange(qs, spark, sf_dir):
+    # r8 DataFrame conversion: rank + running sum share ONE window
+    # partitioning, so the whole query is the segment hash exchange
+    # plus the final presentation orderBy — a second window exchange
+    # means the frames stopped sharing their partitioning.
+    s = _summary(qs, spark, sf_dir, "window_topk_running")
+    assert s["exchanges"] <= 2, s
+    assert s["nested_loop_joins"] == 0, s
+    # column pruning reaches the scan: 3 needed columns only
+    assert all("c_name" not in rs for rs in s["read_schemas"]), s
+
+
+def test_event_funnel_plan_one_shuffle_no_joins(qs, spark, sf_dir):
+    # r8 DataFrame conversion: conditional-min per user (one hash agg
+    # shuffle) + 1-row reduce. The classic funnel-by-self-joins shape
+    # (3 event-table shuffles) must never come back.
+    s = _summary(qs, spark, sf_dir, "event_funnel")
+    assert s["exchanges"] <= 2, s
+    assert (
+        s["sort_merge_joins"] == 0
+        and s["broadcast_hash_joins"] == 0
+        and s["nested_loop_joins"] == 0
+    ), s
+
+
+def test_column_correlations_plan_single_pass(qs, spark, sf_dir):
+    # r8 DataFrame conversion: three algebraic corr() aggregates in one
+    # map-side-combined scan; the only exchange is the 1-row reduce.
+    s = _summary(qs, spark, sf_dir, "column_correlations")
+    assert s["exchanges"] <= 1, s
+    assert s["sorts"] == 0, s
+    # scan pruned to the three measure columns
+    assert all("l_orderkey" not in rs for rs in s["read_schemas"]), s
