@@ -7,7 +7,7 @@ the package __init__ for the registry assembly and driver window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from ..operators import text as tx
 from ..session import register_tables
 
