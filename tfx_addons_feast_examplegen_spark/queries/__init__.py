@@ -216,6 +216,15 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # of recently-re-verified ones. pit_join stays at position 0 (entry()
 # smoke). Refresh per round; scripts/check_correctness.py still proves
 # the full registry locally regardless of this order.
+#
+# ROUND-START RITUAL (before any code edit): run
+#   python scripts/gen_attestation.py --stamp-round <previous round N>
+# on the tree the driver tested, commit ATTESTATION.json, THEN rotate
+# this list (oldest driver-green vintage first, plus anything
+# tests/test_attestation.py flags). The ledger test enforces that every
+# entry with attestation debt sits in the first 50 slots — an edit to
+# any reachable code outside the window fails pytest until the window
+# is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
     # Round-8 rotation (VERDICT r7 item 1). Slots 2-10: the 9 entries
