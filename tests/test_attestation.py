@@ -78,3 +78,30 @@ def test_fingerprints_detect_oracle_and_code_edits():
     assert base == entry_fingerprint(name)  # deterministic
     mutated = entry_fingerprint(name, {name: (fn, oracle + " -- x")})
     assert mutated != base
+
+
+def test_gen_attestation_green_rows_excludes_failures(tmp_path):
+    # The ledger generator must only count rows the driver actually
+    # proved: err, red hash/rows/schema, and non-dict rows are all
+    # excluded; weaker rows-only checks (hash_match null) still count.
+    import json
+    import sys
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from gen_attestation import green_rows
+
+    p = tmp_path / "CORRECTNESS_rX.json"
+    p.write_text(json.dumps({
+        "good": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None},
+        "rows_only": {"rows_match": True, "schema_match": None,
+                      "hash_match": None, "err": None},
+        "red_hash": {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None},
+        "red_rows": {"rows_match": False, "schema_match": True,
+                     "hash_match": True, "err": None},
+        "errored": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": "boom"},
+        "garbage": "not-a-dict",
+    }))
+    assert green_rows(p) == {"good", "rows_only"}
