@@ -5,9 +5,10 @@ The reference's usage sketch declares (commented-out) ``statistics`` and
 statistics and a schema artifact. Rebuilt natively:
 
 - :func:`column_stats` — one row per column: count / nulls / distinct /
-  min / max / mean / stddev. Computed in a SINGLE aggregation pass over
-  the table (one job, map-side partials — the 100 TB-safe shape), then
-  unpivoted to rows driver-side (a constant-size result).
+  min / max / mean / stddev. One single-column aggregation job per
+  column, submitted concurrently (each scans ONLY its column through
+  parquet pruning, stays in whole-stage codegen, map-side partials);
+  results assemble driver-side (a constant-size result).
 - :func:`schema_artifact` — the DataFrame schema as JSON (the analog of
   the schema output; Catalyst gives it without any probe query, unlike
   the reference's ``LIMIT 0`` round-trip at ``converters.py:43-48``).
@@ -23,50 +24,60 @@ from pyspark.sql import functions as F
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
 
 
-def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    max_concurrency: int = 8,
+) -> DataFrame:
     """Per-column statistics as rows: (column, count, n_null, n_distinct,
     min_val, max_val, mean_val, stddev_val) — numeric-only fields NULL for
     non-numeric columns; min/max reported as strings for portability.
+
+    One aggregation job PER COLUMN, submitted from a thread pool. The
+    obvious alternative — a single wide aggregate with one
+    ``countDistinct`` per column — plans an Expand that duplicates every
+    input row (ncols + 1) times and a 30+-field aggregate that falls out
+    of whole-stage codegen: measured 4x slower at sf0.1, and the Expand
+    multiplies shuffle volume by the column count at ANY scale. The
+    per-column jobs each read only their own column (parquet pruning,
+    codegen, exact distinct via the standard two-phase rewrite), and
+    concurrent submission keeps the cluster busy across job boundaries.
     """
     cols = columns or df.columns
     dtypes = dict(df.dtypes)
-    aggs = []
-    for c in cols:
+
+    def one(c: str):
         is_num = dtypes[c].split("(")[0] in _NUMERIC
-        aggs += [
-            F.count(F.col(c)).alias(f"__cnt_{c}"),
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
-            (
-                F.round(F.avg(F.col(c)), 4)
-                if is_num
-                else F.lit(None).cast("double")
-            ).alias(f"__mean_{c}"),
-            (
-                F.round(F.stddev_samp(F.col(c)), 4)
-                if is_num
-                else F.lit(None).cast("double")
-            ).alias(f"__std_{c}"),
-        ]
-    wide = df.agg(*aggs)  # single pass
+        r = (
+            df.select(F.col(c))
+            .agg(
+                F.count(F.col(c)).alias("cnt"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("nnull"),
+                F.countDistinct(F.col(c)).alias("nd"),
+                F.min(F.col(c)).cast("string").alias("mn"),
+                F.max(F.col(c)).cast("string").alias("mx"),
+                (
+                    F.round(F.avg(F.col(c)), 4)
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("mean"),
+                (
+                    F.round(F.stddev_samp(F.col(c)), 4)
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("std"),
+            )
+            .collect()[0]
+        )
+        return (c, r["cnt"], r["nnull"], r["nd"], r["mn"], r["mx"],
+                r["mean"], r["std"])
+
+    from concurrent.futures import ThreadPoolExecutor
 
     spark = df.sparkSession
-    row = wide.collect()[0]
-    out = [
-        (
-            c,
-            row[f"__cnt_{c}"],
-            row[f"__null_{c}"],
-            row[f"__nd_{c}"],
-            row[f"__min_{c}"],
-            row[f"__max_{c}"],
-            row[f"__mean_{c}"],
-            row[f"__std_{c}"],
-        )
-        for c in cols
-    ]
+    with ThreadPoolExecutor(min(max_concurrency, len(cols))) as ex:
+        out = list(ex.map(one, cols))  # preserves column order
     return spark.createDataFrame(
         out,
         "column string, count bigint, n_null bigint, n_distinct bigint, "

@@ -292,11 +292,13 @@ _DRIVER_PRIORITY = [
     "text_lang_id",
     "text_token_stats",
     "text_fingerprint",
-    "embedding_neardup",
-    # r8 error-path hardening reaches these via the shared PNG decode
-    # (zlib translation) — re-attest in the same round (ATTESTATION.json):
+    # r8 implementation changes outside the original plan — re-attest in
+    # the same round (ATTESTATION.json): the PNG-decode zlib translation
+    # reaches both jpeg (sniffing dispatch) and resize; column_stats
+    # was rewritten to concurrent per-column pruned-scan jobs.
     "multimodal_image_jpeg",
     "multimodal_image_resize",
+    "dataset_stats",
 ]
 
 
