@@ -37,15 +37,17 @@ _ROOT = Path(__file__).resolve().parent
 
 
 class _Module:
-    def __init__(self, dotted: str, path: Path):
+    def __init__(self, dotted: str, path: Path, *, is_pkg: bool = False):
         self.dotted = dotted
+        self.is_pkg = is_pkg
         self.tree = ast.parse(path.read_text())
         self.defs: dict[str, ast.stmt] = {}
         self.imports: dict[str, tuple[str, str, str]] = {}
         self.modaliases: dict[str, str] = {}
         for s in self.tree.body:
             _bind_top(self, s)
-            _bind_import(self.dotted, s, self.imports, self.modaliases)
+            _bind_import(self.dotted, s, self.imports, self.modaliases,
+                         is_pkg=is_pkg)
 
 
 def _bind_top(mod: _Module, s: ast.stmt) -> None:
@@ -59,12 +61,18 @@ def _bind_top(mod: _Module, s: ast.stmt) -> None:
         mod.defs[s.target.id] = s
 
 
-def _resolve_from(dotted: str, s: ast.ImportFrom) -> str | None:
+def _resolve_from(
+    dotted: str, s: ast.ImportFrom, *, is_pkg: bool = False
+) -> str | None:
     if s.level == 0:
         return s.module if (s.module or "").startswith(_PKG) else None
     parts = dotted.split(".")
-    # ``dotted`` names a module, so one level strips the module itself
-    base = parts[: len(parts) - s.level]
+    # For a plain module, level 1 strips the module itself; for a
+    # package __init__, level 1 IS the package (Python resolves relative
+    # imports against __package__, which for an __init__ equals its own
+    # dotted name).
+    strip = s.level - 1 if is_pkg else s.level
+    base = parts[: len(parts) - strip] if strip else parts
     if not base:
         return None
     if s.module:
@@ -77,13 +85,15 @@ def _bind_import(
     s: ast.stmt,
     imports: dict[str, tuple[str, str, str]],
     modaliases: dict[str, str],
+    *,
+    is_pkg: bool = False,
 ) -> None:
     if isinstance(s, ast.Import):
         for a in s.names:
             if a.name.startswith(_PKG):
                 modaliases[a.asname or a.name.split(".")[0]] = a.name
     elif isinstance(s, ast.ImportFrom):
-        base = _resolve_from(dotted, s)
+        base = _resolve_from(dotted, s, is_pkg=is_pkg)
         if base is None:
             return
         for a in s.names:
@@ -118,9 +128,12 @@ def _module_table() -> dict[str, _Module]:
         for p in _ROOT.rglob("*.py"):
             rel = p.relative_to(_ROOT).with_suffix("")
             parts = [_PKG] + list(rel.parts)
-            if parts[-1] == "__init__":
+            is_pkg = parts[-1] == "__init__"
+            if is_pkg:
                 parts = parts[:-1]
-            table[".".join(parts)] = _Module(".".join(parts), p)
+            table[".".join(parts)] = _Module(
+                ".".join(parts), p, is_pkg=is_pkg
+            )
         _TABLE = table
     return _TABLE
 
