@@ -523,3 +523,16 @@ def test_jaccard_prefix_filter_nonshort_threshold_end_to_end(spark):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) == 1  # J = 1500/3300 ~ 0.4545 >= 1/3
+
+
+def test_required_overlap_expr_rejects_out_of_domain_threshold():
+    import pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.dedup import (
+        _required_overlap_expr,
+    )
+
+    for bad in (0.0, -0.5, 1.0000001, 7.0):
+        with pytest.raises(ValueError, match="threshold"):
+            _required_overlap_expr(bad)
+    _required_overlap_expr(1.0)  # boundary is valid

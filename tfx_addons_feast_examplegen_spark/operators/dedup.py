@@ -371,6 +371,13 @@ def _required_overlap_expr(threshold: float):
     (the final verification re-applies the exact Jaccard threshold),
     at a cost of < 2^-31 extra prefix mass.
     """
+    if not 0.0 < threshold <= 1.0:
+        # Jaccard similarity lives in [0, 1]; a threshold outside (0, 1]
+        # is a caller bug (and >1 thresholds would also re-open the
+        # numerator bound the flooring below relies on).
+        raise ValueError(
+            f"jaccard threshold must be in (0, 1], got {threshold!r}"
+        )
     fr = Fraction(str(float(threshold)))
     _LIM = 1 << 31
     if fr.numerator > _LIM or fr.denominator > _LIM:
