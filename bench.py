@@ -210,7 +210,9 @@ def main() -> None:
     ext_qs.update(EXTENDED_IMPLS)
     ext_names = [n for n in EXTENDED if n in ext_qs]
     for name in EXTENDED_IMPLS:
-        ext_qs[name](spark, sf_dir)  # build index artifacts untimed
+        # build index artifacts AND warm the probe plan untimed (other
+        # entries warm at the small scale above)
+        _run(ext_qs[name](spark, sf_dir))
     ext_timings, ext_spread, ext_loads = _floor_timings(
         ext_qs, ext_names, spark, sf_dir, n_passes, cpus
     )
