@@ -89,12 +89,30 @@ def route_split_patterns(
     return out
 
 
-def encode_examples(df: DataFrame, bytes_col: str = "example") -> DataFrame:
+def encode_examples(
+    df: DataFrame, bytes_col: str = "example", *, min_tasks: int | None = None
+) -> DataFrame:
     """DataFrame -> single binary column of serialized tf.Example bytes.
 
     Arrow-batched ``mapInPandas``; per-batch Python loop only at this
     terminal stage (parity with the reference's beam.Map encode).
+
+    ``min_tasks`` (default: the session's ``defaultParallelism``) floors
+    the encode stage's task count: a narrow input (e.g. one small
+    parquet file scanning as a single split) is round-robin
+    repartitioned BEFORE the per-row proto encode, so the Python-side
+    CPU work — the dominant cost of this stage — spreads across the
+    cluster instead of serializing onto one core. At production scale
+    the scan already has >= defaultParallelism splits and this is a
+    no-op (no shuffle); when it does trigger, the shuffled volume is
+    the raw rows of an input small enough to under-split, and the
+    encode CPU saved dwarfs the exchange. Pass ``min_tasks=0`` to pin
+    the input partitioning (e.g. to preserve an upstream ordering).
     """
+    if min_tasks is None:
+        min_tasks = df.sparkSession.sparkContext.defaultParallelism
+    if min_tasks and df.rdd.getNumPartitions() < min_tasks:
+        df = df.repartition(min_tasks)
     names = df.columns
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
