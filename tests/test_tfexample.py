@@ -751,3 +751,27 @@ def test_read_varint_truncates_to_64_bits():
 
     # canonical -1 (ten 0xFF.. bytes ending 0x01) still decodes to -1
     assert _read_varint(b"\xff" * 9 + b"\x01", 0) == (-1, 10)
+
+
+def test_encode_examples_floors_task_count(spark):
+    # A narrow input (1 partition — the single-small-file scan shape)
+    # must fan out to defaultParallelism before the per-row proto
+    # encode, or one core serializes the stage's dominant CPU cost.
+    from tfx_addons_feast_examplegen_spark.sources.examplegen import (
+        encode_examples,
+    )
+
+    df = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k")
+    assert df.rdd.getNumPartitions() == 1
+    floor = spark.sparkContext.defaultParallelism
+
+    out = encode_examples(df)
+    assert out.rdd.getNumPartitions() >= min(floor, 1000)
+    # min_tasks=0 pins the input partitioning (ordering-preserving path)
+    pinned = encode_examples(df, min_tasks=0)
+    assert pinned.rdd.getNumPartitions() == 1
+    # already-wide inputs are untouched (no shuffle at production scale)
+    wide = spark.range(0, 1000, 1, floor + 7).withColumnRenamed("id", "k")
+    assert (
+        encode_examples(wide).rdd.getNumPartitions() == floor + 7
+    )
