@@ -753,25 +753,31 @@ def test_read_varint_truncates_to_64_bits():
     assert _read_varint(b"\xff" * 9 + b"\x01", 0) == (-1, 10)
 
 
-def test_encode_examples_floors_task_count(spark):
-    # A narrow input (1 partition — the single-small-file scan shape)
-    # must fan out to defaultParallelism before the per-row proto
-    # encode, or one core serializes the stage's dominant CPU cost.
+def test_encode_examples_floors_task_count(spark, tmp_path):
+    # A narrow input (a single small file scanning as ONE split) must
+    # fan out before the per-row proto encode, or one core serializes
+    # the stage's dominant CPU cost.
     from tfx_addons_feast_examplegen_spark.sources.examplegen import (
         encode_examples,
     )
 
-    df = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k")
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k").write.parquet(p)
+    df = spark.read.parquet(p)
     assert df.rdd.getNumPartitions() == 1
-    floor = spark.sparkContext.defaultParallelism
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     out = encode_examples(df)
-    assert out.rdd.getNumPartitions() >= min(floor, 1000)
+    assert out.rdd.getNumPartitions() >= min(target, 1000)
     # min_tasks=0 pins the input partitioning (ordering-preserving path)
     pinned = encode_examples(df, min_tasks=0)
     assert pinned.rdd.getNumPartitions() == 1
+    # explicit floor applies even to non-file-backed frames
+    mem = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "k")
+    assert encode_examples(mem, min_tasks=8).rdd.getNumPartitions() == 8
     # already-wide inputs are untouched (no shuffle at production scale)
-    wide = spark.range(0, 1000, 1, floor + 7).withColumnRenamed("id", "k")
+    wide = spark.range(0, 1000, 1, target + 7).withColumnRenamed("id", "k")
     assert (
-        encode_examples(wide).rdd.getNumPartitions() == floor + 7
+        encode_examples(wide, min_tasks=target).rdd.getNumPartitions()
+        == target + 7
     )

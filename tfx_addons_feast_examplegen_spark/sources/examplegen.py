@@ -97,21 +97,23 @@ def encode_examples(
     Arrow-batched ``mapInPandas``; per-batch Python loop only at this
     terminal stage (parity with the reference's beam.Map encode).
 
-    ``min_tasks`` (default: the session's ``defaultParallelism``) floors
-    the encode stage's task count: a narrow input (e.g. one small
-    parquet file scanning as a single split) is round-robin
-    repartitioned BEFORE the per-row proto encode, so the Python-side
-    CPU work — the dominant cost of this stage — spreads across the
-    cluster instead of serializing onto one core. At production scale
-    the scan already has >= defaultParallelism splits and this is a
-    no-op (no shuffle); when it does trigger, the shuffled volume is
-    the raw rows of an input small enough to under-split, and the
-    encode CPU saved dwarfs the exchange. Pass ``min_tasks=0`` to pin
-    the input partitioning (e.g. to preserve an upstream ordering).
+    The encode stage's task count is floored so a narrow input (e.g.
+    one small parquet file scanning as a single split) is round-robin
+    repartitioned BEFORE the per-row proto encode — the Python-side
+    CPU work that dominates this stage spreads across the cluster
+    instead of serializing onto one core. By default this delegates to
+    ``rebalance_for_compute`` (file-size split estimate, no plan->RDD
+    probe — cheap enough for the per-micro-batch streaming path; at
+    production scale the scan already splits wider and it is a no-op).
+    Pass ``min_tasks=N`` to force an exact floor (probes the physical
+    partitioning), or ``min_tasks=0`` to pin the input partitioning
+    (e.g. to preserve an upstream ordering).
     """
+    from ..session import rebalance_for_compute
+
     if min_tasks is None:
-        min_tasks = df.sparkSession.sparkContext.defaultParallelism
-    if min_tasks and df.rdd.getNumPartitions() < min_tasks:
+        df = rebalance_for_compute(df)
+    elif min_tasks and df.rdd.getNumPartitions() < min_tasks:
         df = df.repartition(min_tasks)
     names = df.columns
 
