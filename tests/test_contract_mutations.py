@@ -120,3 +120,42 @@ def test_stream_recovery_oracle_catches_dropped_timeout_emission(
     assert len(mutated) == n_base - n_timeouts
     assert len(mutated) < n_base  # oracle rows_match would go red
     assert all(r.recovered for r in mutated)
+
+
+def test_sketch_bound_contract_catches_drifted_estimate(
+    spark, sf_dir, monkeypatch
+):
+    # The error-bound technique (SURVEY 5.2): sketch estimates aren't
+    # bit-portable, so the oracle checks a boolean asserting the
+    # estimate sits within 3x rsd of the exact count (oracle emits
+    # literal TRUE). A sketch whose bias correction broke — here a 2x
+    # drift injected at the F.approx_count_distinct seam the entry
+    # resolves at call time — must flip the boolean and redden the
+    # hash. The exact counts (the portable columns) stay green, proving
+    # the mutation is caught by the bound, not by collateral damage.
+    from tfx_addons_feast_examplegen_spark.queries import skew as qskew
+
+    real = F.approx_count_distinct
+
+    def drifted(col, rsd=None):
+        base = real(col, rsd) if rsd is not None else real(col)
+        return (base * 2).cast("long")
+
+    baseline = {
+        r["l_returnflag"]: r for r in qskew._q_sketch_distinct(spark, sf_dir).collect()
+    }
+    assert all(
+        r.orders_in_bound and r.parts_in_bound for r in baseline.values()
+    ), baseline
+
+    monkeypatch.setattr(qskew.F, "approx_count_distinct", drifted)
+    mutated = qskew._q_sketch_distinct(spark, sf_dir).collect()
+    assert all(
+        not (r.orders_in_bound or r.parts_in_bound) for r in mutated
+    ), mutated  # oracle's literal TRUE -> hash red
+    for r in mutated:
+        b = baseline[r.l_returnflag]
+        assert (r.exact_orders, r.exact_parts) == (
+            b.exact_orders,
+            b.exact_parts,
+        )
