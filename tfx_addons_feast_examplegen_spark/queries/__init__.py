@@ -227,79 +227,100 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # Round-8 rotation (VERDICT r7 item 1). Slots 2-10: the 9 entries
-    # with ZERO driver attestation across rounds 1-7 (green only in the
-    # committed builder-run local sweeps). Slots 11-24: the 14 entries
-    # whose last driver row predates their current implementation
-    # (11 late-r6 modifications + 3 touched by the r7 error-path
-    # hardening outside the window). Slots 25-27: the three
-    # identical-SQL entries converted to DataFrame plans THIS round
-    # (window_topk_running, event_funnel, column_correlations) so
-    # conversion and driver attestation land together. Slot 28:
-    # dedup_jaccard_prefix_filter (its _required_overlap_expr changes
-    # again this round for the ADVICE r7 rational-overflow fix).
-    # Remaining slots backfill with the oldest driver-green vintage
-    # (r1-r4 rows). scripts/check_correctness.py still proves the full
-    # 163-entry registry locally regardless of this order; see
-    # ATTESTATION.json for the per-entry ledger.
-    "weighted_sample_wor",
-    "rolling_zscore_anomalies",
-    "corpus_novelty_rate",
-    "fk_integrity_audit",
-    "revenue_concentration",
-    "cusum_changepoints",
-    "interevent_gap_stats",
-    "recursive_chain_walk",
-    "group_ols_trend",
-    # stale-attestation re-checks:
-    "chunk_documents",
-    "sessionization_streaming",
-    "sequence_packing",
-    "text_repetition",
-    "text_quality",
-    "corpus_prep_pipeline",
-    "multimodal_image_png",
-    "multimodal_audio_stats",
-    "dedup_simhash_portable",
-    "embedding_dedup_clusters",
-    "training_dataset_pipeline",
-    "multimodal_features",
-    "source_tfrecord_roundtrip",
-    "sequence_example_roundtrip",
-    # r8 SQL->DataFrame conversions (attested the round they land):
-    "window_topk_running",
-    "event_funnel",
-    "column_correlations",
-    # r8 implementation change (ADVICE rational-overflow fix):
-    "dedup_jaccard_prefix_filter",
-    # oldest driver-green vintage backfill (r1-r4 rows):
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "text_tfidf_topterms",
-    "similarity_topk",
-    "text_bpe_token_budget",
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "feature_service",
-    "hash_split_counts",
-    "sessionization",
-    "windowed_event_counts",
-    "json_events_daily",
-    "pit_join_ttl",
-    "pit_join_multiview",
-    "text_lang_id",
-    "text_token_stats",
-    "text_fingerprint",
-    # r8 implementation changes outside the original plan — re-attest in
-    # the same round (ATTESTATION.json): the PNG-decode zlib translation
-    # reaches both jpeg (sniffing dispatch) and resize; column_stats
-    # was rewritten to concurrent per-column pruned-scan jobs.
-    "multimodal_image_jpeg",
-    "multimodal_image_resize",
-    "dataset_stats",
+    # Round-9 rotation (VERDICT r8 items 1-2). Slot 0: pit_join (entry()
+    # smoke, r8-green). Slots 2-28: the 27 entries whose newest driver
+    # row is r3/r4 vintage (fingerprint-current but 4+ rounds old —
+    # VERDICT r8 "What's missing #1"). Slots 29-30: the two NEW r9
+    # entries (progressive JPEG decode, MP3 frame-header stats) so they
+    # are driver-attested the round they land (names are filtered out of
+    # _ordered() until registered). Slots 31-50: the 20 alphabetically
+    # first r5-vintage rows.
+    #
+    # ROUND-10 WINDOW PLAN (record per VERDICT r8 item 2): the remaining
+    # 20 r5-vintage rows — rollup_region_nation, scd2_validity_intervals,
+    # setop_except, setop_intersect, similarity_ann_exhaustive,
+    # similarity_ann_ivf, similarity_ann_lsh, skew_salted_agg,
+    # source_csv_roundtrip, source_jsonl_roundtrip, split_pattern_routing,
+    # stratified_sample, stream_static_enrichment, stream_stream_join,
+    # stream_stream_left_join, temperature_mix, text_heavy_hitters,
+    # udtf_split_sentences, unpivot_stack, windowed_event_counts_streaming
+    # — after which every registry entry has a driver row from r7 or
+    # newer and the fleet-wide refresh is complete.
+    #
+    # r3/r4-vintage refresh:
+    "bucketed_join",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_incremental_indexed",
+    "embedding_linear_scorer",
+    "embedding_neardup",
+    "embedding_quantization",
+    "feature_histogram",
+    "monthly_order_delta",
+    "percentiles",
+    "pit_join_time_bucketed",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "similarity_ann_ivf_recall",
+    "similarity_ann_lsh_recall",
+    "sketch_distinct_counts",
+    "sketch_quantiles",
+    "skew_salted_join",
+    "snapshot_diff",
+    "stream_dedup",
+    "string_funcs_parts",
+    "three_way_split_counts",
+    "weighted_sample",
+    "window_lead_lag_ntile",
+    "zorder_layout",
+    # NEW this round (registered later in round 9; no-ops until then):
+    "multimodal_image_jpeg_progressive",
+    "multimodal_audio_mp3_stats",
+    # oldest r5-vintage rows (alphabetical first 20 of 40):
+    "anti_join_exists",
+    "array_agg_sorted",
+    "case_pivot",
+    "correlated_subquery",
+    "cube_lattice",
+    "decontaminate",
+    "forward_fill_timeseries",
+    "gap_fill_timeseries",
+    "group_quota",
+    "grouping_sets_filter",
+    "having_subquery",
+    "lateral_topk_per_key",
+    "latest_feature_snapshot",
+    "negative_sample",
+    "param_substitution",
+    "pii_redaction",
+    "pit_join_composite_key",
+    "pit_join_field_mapping",
+    "pit_join_prefixed",
+    "range_interval_window",
 ]
+if set(_ENTRY_ORDER) != set(_REGISTRY):
+    raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
+_REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
+
+
+
+# Driver-window ordering: the correctness harness records only the FIRST
+# 50 dict entries, so entries whose implementation changed this round —
+# plus entries whose last driver-green row is oldest — are surfaced ahead
+# of recently-re-verified ones. pit_join stays at position 0 (entry()
+# smoke). Refresh per round; scripts/check_correctness.py still proves
+# the full registry locally regardless of this order.
+#
+# ROUND-START RITUAL (before any code edit): run
+#   python scripts/gen_attestation.py --stamp-round <previous round N>
+# on the tree the driver tested, commit ATTESTATION.json, THEN rotate
+# this list (oldest driver-green vintage first, plus anything
+# tests/test_attestation.py flags). The ledger test enforces that every
+# entry with attestation debt sits in the first 50 slots — an edit to
+# any reachable code outside the window fails pytest until the window
+# is rotated or the change reverted.
 
 
 
