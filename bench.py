@@ -94,6 +94,8 @@ _ANN_ARTIFACTS: dict[str, str] = {}
 
 
 def _ann_index_dir(spark, sf_dir, kind):
+    import atexit
+    import shutil
     import tempfile
 
     from tfx_addons_feast_examplegen_spark.operators import similarity as sim
@@ -102,6 +104,7 @@ def _ann_index_dir(spark, sf_dir, kind):
     if key not in _ANN_ARTIFACTS:
         t = register_tables(spark, sf_dir)
         path = tempfile.mkdtemp(prefix=f"bench_{kind}_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         if kind == "lshidx":
             sim.write_ann_index(t["embeddings"], path, target_files=4)
         else:
@@ -143,6 +146,7 @@ def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus):
     load_gate = 2.0 * cpus
     timings = {name: float("inf") for name in names}
     maxima = {name: 0.0 for name in names}
+    floor_loads = {name: None for name in names}
     pass_loads = []
     for _ in range(n_passes):
         for _retry in range(6):
@@ -152,15 +156,19 @@ def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus):
             time.sleep(10)
         pass_loads.append(round(load, 1))
         for name in names:
+            q_load = os.getloadavg()[0]
             t0 = time.time()
             _run(qs[name](spark, sf_dir))
             dt = time.time() - t0
-            timings[name] = min(timings[name], dt)
+            if dt < timings[name]:
+                timings[name] = dt
+                floor_loads[name] = round(q_load, 1)
             maxima[name] = max(maxima[name], dt)
     return (
         {name: round(v, 3) for name, v in timings.items()},
         {name: round(maxima[name] - timings[name], 3) for name in names},
         pass_loads,
+        floor_loads,
     )
 
 
@@ -198,9 +206,33 @@ def main() -> None:
     # auditable from the JSON alone.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "7"))
     cpus = os.cpu_count() or 1
-    timings, spread, pass_loads = _floor_timings(
+    timings, spread, pass_loads, floor_loads = _floor_timings(
         qs, names, spark, sf_dir, n_passes, cpus
     )
+
+    # Noise hardening (round 9): the three dedup entries have shown
+    # >=0.8 s spreads on ~2 s floors for three consecutive rounds under
+    # ambient host load, repeatedly requiring quiet-host adjudication.
+    # Give ONLY those entries extra passes (min-of-(7+4)=11) so their
+    # floors are likelier to catch a quiet window; the headline
+    # methodology (min over load-gated round-robin passes) is unchanged
+    # and every other query's series stays 7-pass comparable.
+    high_spread = [
+        n for n in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash")
+        if n in qs
+    ]
+    extra_passes = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "4"))
+    if high_spread and extra_passes > 0:
+        hs_t, hs_spread, hs_loads, hs_floor_loads = _floor_timings(
+            qs, high_spread, spark, sf_dir, extra_passes, cpus
+        )
+        for n in high_spread:
+            overall_max = max(spread[n] + timings[n], hs_spread[n] + hs_t[n])
+            if hs_t[n] < timings[n]:
+                timings[n] = hs_t[n]
+                floor_loads[n] = hs_floor_loads[n]
+            spread[n] = round(overall_max - timings[n], 3)
+        pass_loads = pass_loads + hs_loads
 
     # Extended section (round 8): the heavy operators absent from the
     # r1-vintage headline set, timed with the SAME min-of-n round-robin
@@ -213,7 +245,7 @@ def main() -> None:
         # build index artifacts AND warm the probe plan untimed (other
         # entries warm at the small scale above)
         _run(ext_qs[name](spark, sf_dir))
-    ext_timings, ext_spread, ext_loads = _floor_timings(
+    ext_timings, ext_spread, ext_loads, ext_floor_loads = _floor_timings(
         ext_qs, ext_names, spark, sf_dir, n_passes, cpus
     )
 
@@ -230,13 +262,19 @@ def main() -> None:
                 # (a large spread under high recorded load = host noise,
                 # not a plan regression)
                 "passes": n_passes,
+                "extra_passes_high_spread": extra_passes if high_spread else 0,
                 "query_spread_sec": spread,
                 "load_1min_per_pass": pass_loads,
+                # 1-min load sampled immediately before the pass that set
+                # each query's floor — makes "floor under load tail"
+                # visible per query without quiet-host reruns
+                "load_at_floor": floor_loads,
                 "cpus": cpus,
                 "extended_total": round(sum(ext_timings.values()), 3),
                 "extended": ext_timings,
                 "extended_spread_sec": ext_spread,
                 "extended_load_1min_per_pass": ext_loads,
+                "extended_load_at_floor": ext_floor_loads,
             }
         )
     )

@@ -105,3 +105,26 @@ def test_gen_attestation_green_rows_excludes_failures(tmp_path):
         "garbage": "not-a-dict",
     }))
     assert green_rows(p) == {"good", "rows_only"}
+
+
+def test_normalized_src_resolves_pkg_init_relative_imports():
+    # ADVICE r8 (low): _normalized_src must resolve relative imports the
+    # way Python does for the DEFINING module — for a package __init__,
+    # a level-1 import resolves against the package itself, not its
+    # parent. A def in queries/__init__.py containing `from .analytics
+    # import x` must fingerprint as queries.analytics, and the same
+    # source must fingerprint DIFFERENTLY when attributed to a plain
+    # module (where level 1 strips the module).
+    import ast
+
+    from tfx_addons_feast_examplegen_spark.attestation import (
+        _normalized_src,
+    )
+
+    src = "def f():\n    from .analytics import x\n    return x"
+    node = ast.parse(src).body[0]
+    pkg = "tfx_addons_feast_examplegen_spark.queries"
+    as_init = _normalized_src(pkg, node, is_pkg=True)
+    assert "tfx_addons_feast_examplegen_spark.queries.analytics" in as_init
+    as_module = _normalized_src(pkg + ".analytics", ast.parse(src).body[0])
+    assert "from tfx_addons_feast_examplegen_spark.queries.analytics import x" in as_module

@@ -34,6 +34,18 @@ def test_column_stats_lineitem(spark, sf_dir):
     assert set(stats) == set(li.columns)
 
 
+def test_column_stats_empty_and_bad_concurrency(spark, sf_dir):
+    # ADVICE r8: columns=[] used to raise ValueError from
+    # ThreadPoolExecutor(max_workers=0); now returns an empty result
+    # with the stable schema, and max_concurrency<1 is rejected up front.
+    li = load_table(spark, sf_dir, "lineitem")
+    empty = column_stats(li, columns=[])
+    assert empty.count() == 0
+    assert empty.columns[0] == "column"
+    with pytest.raises(ValueError, match="max_concurrency"):
+        column_stats(li, max_concurrency=0)
+
+
 def test_schema_artifact_roundtrips(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     art = json.loads(schema_artifact(li))

@@ -101,17 +101,19 @@ def _bind_import(
             imports[bound] = (base, a.name, f"{base}.{a.name}")
 
 
-def _normalized_src(dotted: str, node: ast.stmt) -> str:
+def _normalized_src(dotted: str, node: ast.stmt, *, is_pkg: bool = False) -> str:
     """``ast.unparse`` with relative imports rewritten absolute, so a
     module move (changing import depth, e.g. ``.sources`` ->
     ``..sources``) does not change the fingerprint of otherwise
-    identical code."""
+    identical code. ``is_pkg`` must reflect the defining module (a
+    package ``__init__`` resolves level-1 imports against itself), else
+    the rewrite lands on the wrong absolute module."""
     import copy
 
     node = copy.deepcopy(node)
     for n in ast.walk(node):
         if isinstance(n, ast.ImportFrom) and n.level:
-            base = _resolve_from(dotted, n)
+            base = _resolve_from(dotted, n, is_pkg=is_pkg)
             if base is not None:
                 n.module = base
                 n.level = 0
@@ -160,13 +162,18 @@ def _closure(
             _closure(imp[0], imp[1], table, seen, out)
         return
     out.add(
-        (name, hashlib.sha256(_normalized_src(dotted, node).encode()).hexdigest())
+        (
+            name,
+            hashlib.sha256(
+                _normalized_src(dotted, node, is_pkg=mod.is_pkg).encode()
+            ).hexdigest(),
+        )
     )
     local_imports: dict[str, tuple[str, str, str]] = {}
     local_aliases: dict[str, str] = {}
     for n in ast.walk(node):
         if isinstance(n, (ast.Import, ast.ImportFrom)):
-            _bind_import(dotted, n, local_imports, local_aliases)
+            _bind_import(dotted, n, local_imports, local_aliases, is_pkg=mod.is_pkg)
     for n in ast.walk(node):
         if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
             alias = n.value.id

@@ -43,8 +43,16 @@ def column_stats(
     per-column jobs each read only their own column (parquet pruning,
     codegen, exact distinct via the standard two-phase rewrite), and
     concurrent submission keeps the cluster busy across job boundaries.
+
+    Consistency caveat: each column is computed by an independent job, so
+    if the underlying files change between jobs (e.g. a concurrently
+    appended table) different columns may reflect different snapshots.
+    For mutable inputs, snapshot the table first (or cache ``df``) —
+    immutable parquet at a fixed path (the normal case here) is safe.
     """
-    cols = columns or df.columns
+    if max_concurrency < 1:
+        raise ValueError(f"max_concurrency must be >= 1, got {max_concurrency}")
+    cols = columns if columns is not None else df.columns
     dtypes = dict(df.dtypes)
 
     def one(c: str):
@@ -76,8 +84,11 @@ def column_stats(
     from concurrent.futures import ThreadPoolExecutor
 
     spark = df.sparkSession
-    with ThreadPoolExecutor(min(max_concurrency, len(cols))) as ex:
-        out = list(ex.map(one, cols))  # preserves column order
+    if cols:
+        with ThreadPoolExecutor(min(max_concurrency, len(cols))) as ex:
+            out = list(ex.map(one, cols))  # preserves column order
+    else:
+        out = []
     return spark.createDataFrame(
         out,
         "column string, count bigint, n_null bigint, n_distinct bigint, "

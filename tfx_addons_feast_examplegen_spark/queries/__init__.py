@@ -237,7 +237,9 @@ _DRIVER_PRIORITY = [
     # first r5-vintage rows.
     #
     # ROUND-10 WINDOW PLAN (record per VERDICT r8 item 2): the remaining
-    # 20 r5-vintage rows — rollup_region_nation, scd2_validity_intervals,
+    # 22 r5-vintage rows — pit_join_prefixed and range_interval_window
+    # (displaced below by the dataset_stats / source_tfrecord_roundtrip
+    # swap-ins), rollup_region_nation, scd2_validity_intervals,
     # setop_except, setop_intersect, similarity_ann_exhaustive,
     # similarity_ann_ivf, similarity_ann_lsh, skew_salted_agg,
     # source_csv_roundtrip, source_jsonl_roundtrip, split_pattern_routing,
@@ -297,8 +299,14 @@ _DRIVER_PRIORITY = [
     "pii_redaction",
     "pit_join_composite_key",
     "pit_join_field_mapping",
-    "pit_join_prefixed",
-    "range_interval_window",
+    # swapped in mid-round (pit_join_prefixed, range_interval_window ->
+    # r10 cohort): the ADVICE r8 fixes drift these two entries'
+    # fingerprints — column_stats hardening (empty cols /
+    # max_concurrency guard) reaches dataset_stats, and the
+    # encode_examples ordering-caveat docstring reaches the TFRecord
+    # round-trip — so both must re-attest this round:
+    "dataset_stats",
+    "source_tfrecord_roundtrip",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

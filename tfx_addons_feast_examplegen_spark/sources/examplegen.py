@@ -94,6 +94,13 @@ def encode_examples(
 ) -> DataFrame:
     """DataFrame -> single binary column of serialized tf.Example bytes.
 
+    .. note:: Since the encode-parallelism floor landed, the DEFAULT
+       (``min_tasks=None``) may repartition a narrow input, which
+       changes output ROW ORDER versus earlier releases. Callers that
+       relied on input order must pass ``min_tasks=0`` to pin the input
+       partitioning; the in-repo split/TFRecord paths are order-
+       independent (splits hash the serialized bytes).
+
     Arrow-batched ``mapInPandas``; per-batch Python loop only at this
     terminal stage (parity with the reference's beam.Map encode).
 
