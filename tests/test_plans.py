@@ -182,6 +182,28 @@ def test_window_topk_running_plan_single_window_exchange(qs, spark, sf_dir):
     assert all("c_name" not in rs for rs in s["read_schemas"]), s
 
 
+def test_window_topk_df_plan_matches_sql_planner(qs, spark, sf_dir):
+    # VERDICT r8 item 5: prove the r8 SQL->DataFrame conversion is
+    # plan-neutral — the DataFrame build must produce the EXACT physical
+    # plan the SQL planner gives for _QWINDOW (the driver bench's +40 ms
+    # was load noise, not a planning cost). Normalizes expr ids and
+    # plan_id counters, which differ per-build by construction.
+    import re
+
+    from tfx_addons_feast_examplegen_spark.queries.analytics import _QWINDOW
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    df_plan = qs["window_topk_running"](spark, sf_dir)
+    register_tables(spark, sf_dir)
+    sql_plan = spark.sql(_QWINDOW)
+
+    def _norm(d):
+        s = d._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"plan_id=\d+", "plan_id=N", re.sub(r"#\d+L?", "#N", s))
+
+    assert _norm(df_plan) == _norm(sql_plan)
+
+
 def test_event_funnel_plan_one_shuffle_no_joins(qs, spark, sf_dir):
     # r8 DataFrame conversion: conditional-min per user (one hash agg
     # shuffle) + 1-row reduce. The classic funnel-by-self-joins shape
