@@ -780,3 +780,135 @@ def test_png_corrupt_deflate_stream_stays_quarantine_eligible(spark):
     rows = {r.doc_id: r for r in extract_image_stats(media, on_error="null").collect()}
     assert rows[1].width == 2 and rows[2].width is None
     assert extract_image_stats(media, on_error="skip").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG codec (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_constant_blocks_exact():
+    # The property the multimodal_image_jpeg_progressive oracle builds
+    # on: per-block-constant content survives the multi-scan ladder
+    # bit-exactly (single DC coefficient, all ACs zero -> AC scans are
+    # pure EOBn runs, DC first + refinement reassemble the exact DC).
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray_progressive,
+    )
+
+    w, h = 32, 24
+    px = [
+        (5 * 11 + (y // 8) * 17 + (x // 8) * 5) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    for ri in (0, 2):
+        dw, dh, dec = decode_jpeg_gray_pixels(
+            encode_jpeg_gray_progressive(w, h, px, restart_interval=ri)
+        )
+        assert (dw, dh, dec) == (w, h, px)
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    # Progressive is a lossless REORDERING of the same quantized
+    # coefficients baseline sends in one scan, so for ANY content the
+    # progressive decode must equal the baseline decode bit-for-bit —
+    # a coefficient-level exactness oracle that catches any slip in the
+    # EOBn / ZRL / correction-bit machinery. Random noise maximizes AC
+    # activity; sparse spikes force long zero runs (ZRL inside
+    # refinement scans) and multi-block EOBn runs; odd sizes take the
+    # crop-marker path; restart intervals split every scan.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(99)
+    for w, h in [(8, 8), (16, 8), (24, 24), (13, 9), (40, 17), (64, 64)]:
+        px = [rng.randrange(256) for _ in range(w * h)]
+        base = decode_jpeg_pixels(encode_jpeg_gray(w, h, px))
+        for ri in (0, 3):
+            prog = decode_jpeg_pixels(
+                encode_jpeg_gray_progressive(w, h, px, restart_interval=ri)
+            )
+            assert prog == base, (w, h, ri)
+    for trial in range(10):
+        w, h = 48, 40
+        px = [128] * (w * h)
+        for _ in range(rng.randrange(1, 12)):
+            px[rng.randrange(w * h)] = rng.randrange(256)
+        base = decode_jpeg_pixels(encode_jpeg_gray(w, h, px))
+        prog = decode_jpeg_pixels(encode_jpeg_gray_progressive(w, h, px))
+        assert prog == base, ("sparse", trial)
+
+
+def test_jpeg_progressive_spectral_selection_only_script():
+    # A two-scan script with no successive approximation is also valid
+    # T.81 progressive; the script parameter must accept it and the
+    # result still equals baseline.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(3)
+    px = [rng.randrange(256) for _ in range(32 * 24)]
+    prog = decode_jpeg_pixels(
+        encode_jpeg_gray_progressive(
+            32, 24, px, script=((0, 0, 0, 0), (1, 63, 0, 0))
+        )
+    )
+    assert prog == decode_jpeg_pixels(encode_jpeg_gray(32, 24, px))
+
+
+def test_jpeg_progressive_script_validation():
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        encode_jpeg_gray_progressive,
+    )
+
+    px = [0] * 64
+    bad_scripts = [
+        (),  # empty
+        ((1, 63, 0, 0),),  # AC before DC
+        ((0, 63, 0, 0),),  # DC and AC in one scan
+        ((0, 0, 0, 0),),  # AC band never coded
+        ((0, 0, 0, 1), (1, 63, 0, 0)),  # DC never refined to Al=0
+        ((0, 0, 0, 0), (1, 63, 0, 1)),  # AC never refined to Al=0
+        ((0, 0, 0, 0), (1, 63, 0, 0), (1, 5, 0, 0)),  # band coded twice
+        ((0, 0, 0, 0), (1, 63, 0, 2), (1, 63, 1, 0)),  # skipped Ah chain
+    ]
+    for script in bad_scripts:
+        with _pytest.raises(ValueError):
+            encode_jpeg_gray_progressive(8, 8, px, script=script)
+
+
+def test_jpeg_progressive_truncation_quarantines():
+    # Every prefix of a progressive stream must raise the quarantine
+    # class (ValueError/struct.error) — including clean scan-boundary
+    # cuts, which a lenient viewer would render as a coarser image but
+    # a stats pipeline must treat as data corruption (missing EOI).
+    import random
+    import struct as _struct
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = random.Random(11)
+    w, h = 24, 16
+    px = [rng.randrange(256) for _ in range(w * h)]
+    pay = encode_jpeg_gray_progressive(w, h, px, restart_interval=2)
+    decode_jpeg_pixels(pay)  # the full stream decodes
+    for cut in range(2, len(pay) - 1):
+        with pytest.raises((ValueError, _struct.error)):
+            decode_jpeg_pixels(pay[:cut])

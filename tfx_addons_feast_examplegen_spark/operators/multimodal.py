@@ -11,18 +11,21 @@ Two codec tiers:
   uncompressed BMP — header parse, row padding, bottom-up/top-down,
   BGR order), :func:`decode_png_rgb8` (8-bit RGB PNG — chunk CRC walk,
   zlib inflate, all five scanline filters reconstructed),
-  :func:`decode_jpeg_pixels` (BASELINE JPEG, grayscale AND YCbCr color
-  with 4:4:4 / 4:2:2 / 4:2:0 sampling — marker walk, canonical huffman
-  from DHT, interleaved-MCU entropy decode with per-component DPCM,
-  dequantize, dezigzag, float IDCT, nearest-neighbor chroma
-  upsampling, JFIF color conversion) and :func:`decode_wav_pcm16`
+  :func:`decode_jpeg_pixels` (BASELINE JPEG — grayscale AND YCbCr
+  color with 4:4:4 / 4:2:2 / 4:2:0 sampling: marker walk, canonical
+  huffman from DHT, interleaved-MCU entropy decode with per-component
+  DPCM, dequantize, dezigzag, float IDCT, nearest-neighbor chroma
+  upsampling, JFIF color conversion — AND PROGRESSIVE JPEG per T.81
+  annex G: SOF2 multi-scan walk with spectral selection, successive
+  approximation DC/AC refinement, EOBn end-of-band runs, and restart
+  markers inside progressive scans) and :func:`decode_wav_pcm16`
   (RIFF chunk walk, PCM16 mono). These run as the decode kernels of
   :func:`extract_image_stats` (content-sniffing BMP/PNG/JPEG dispatch)
   / :func:`extract_audio_stats` and are oracle-checked end-to-end (the
   fixture payloads carry closed-form pixel/sample values an external
   SQL engine can re-derive).
-- **Stub boundary for formats needing codec libraries** (progressive/
-  arithmetic JPEG, MP3, H.264 remain out of stdlib reach):
+- **Stub boundary for formats needing codec libraries** (arithmetic-
+  coded JPEG, MP3, H.264 remain out of stdlib reach):
   :class:`StubImageCodec` raises ``NotImplementedError`` unless
   ``deterministic_fake=True``; swap in a real codec by implementing
   ``decode(payload) -> features`` with the same signature.
@@ -614,6 +617,318 @@ def encode_jpeg_gray(
     )
 
 
+# Progressive scans emit EOBn symbols (0x10..0xE0: end-of-band runs
+# spanning 2^n..2^(n+1)-1 blocks) that the Annex K baseline tables do
+# not contain — real progressive encoders ship custom per-image tables
+# in their DHT segments. This encoder uses one FIXED complete table
+# covering every (run, size) byte 0x00..0xFF: 255 canonical codes of
+# length 9 plus one of length 10 (no all-ones code, per T.81 C.2). Not
+# size-optimal, but spec-valid, deterministic, and decodable by any
+# conformant reader — the decoder side always reconstructs from DHT, so
+# it handles optimized tables from foreign encoders just the same.
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = list(range(256))
+
+# Default scan script: the standard 6-scan luminance successive-
+# approximation ladder (DC first at Al=1, two AC spectral bands at
+# Al=2, then three refinement scans down to full precision) — the same
+# shape libjpeg emits for grayscale progressive output.
+_JPEG_PROG_SCRIPT: tuple[tuple[int, int, int, int], ...] = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 63, 2, 1),
+    (0, 0, 1, 0),
+    (1, 63, 1, 0),
+)
+
+
+def _enc_ac_first_scan(
+    wtr: "_JpegBitWriter",
+    blocks: list[list[int]],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Encode one AC first-pass scan (Ah=0): T.81 G.1.2.2 — run-length
+    coding of the point-transformed band with EOBn end-of-band runs."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            wtr.put(*ac_codes[nb << 4])
+            if nb:
+                wtr.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [
+            (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+            for k in range(ss, se + 1)
+        ]
+        last_nz = -1
+        for i, v in enumerate(band):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                wtr.put(*ac_codes[0xF0])
+                run -= 16
+            cat, bits = _jpeg_category(v)
+            wtr.put(*ac_codes[(run << 4) | cat])
+            wtr.put(bits, cat)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine_scan(
+    wtr: "_JpegBitWriter",
+    blocks: list[list[int]],
+    ss: int,
+    se: int,
+    al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Encode one AC refinement scan (Ah=Al+1): T.81 G.1.2.3.
+
+    The fiddly part of progressive JPEG: already-significant
+    coefficients are invisible to zero-runs and contribute one raw
+    correction bit each, emitted interleaved in coefficient order —
+    buffered after the huffman symbol (and sign bit) that the decoder
+    reads before walking over them; block tails with no newly-
+    significant coefficient fold into an EOBn run whose buffered
+    correction bits ride behind the EOBn symbol."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed with the EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            wtr.put(*ac_codes[nb << 4])
+            if nb:
+                wtr.put(eobrun - (1 << nb), nb)
+            for b in pending:
+                wtr.put(b, 1)
+            pending = []
+            eobrun = 0
+
+    for zz in blocks:
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        # index of the LAST newly-significant coefficient: zero-runs
+        # beyond it fold into the EOB run instead of ZRL symbols
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        run = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            # ZRL flushes happen at EVERY nonzero coefficient while a
+            # newly-significant one is still ahead (i <= eob) — flushing
+            # only at t == 1 would emit correction bits for coefficients
+            # beyond the 16 zeros a ZRL spans, desynchronizing the
+            # decoder's interleaved walk (T.81 G.1.2.3 / figure G.7).
+            while run > 15 and i <= eob:
+                flush_eob()
+                wtr.put(*ac_codes[0xF0])
+                run -= 16
+                for b in br:
+                    wtr.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)  # already significant: correction bit
+                continue
+            flush_eob()
+            wtr.put(*ac_codes[(run << 4) | 1])
+            wtr.put(0 if zz[ss + i] < 0 else 1, 1)  # sign: 1 = positive
+            for b in br:
+                wtr.put(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_gray_progressive(
+    width: int,
+    height: int,
+    pixels: list[int],
+    *,
+    script: tuple[tuple[int, int, int, int], ...] = _JPEG_PROG_SCRIPT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Serialize row-major grayscale pixels as a PROGRESSIVE JFIF JPEG
+    (SOF2): the same single-component / all-ones-quantization layout as
+    :func:`encode_jpeg_gray`, entropy-coded as a multi-scan spectral-
+    selection + successive-approximation ladder (T.81 annex G).
+
+    ``script`` is a sequence of ``(Ss, Se, Ah, Al)`` scans. The default
+    is the standard 6-scan luminance ladder; a spectral-selection-only
+    script like ``((0,0,0,0), (1,63,0,0))`` is also valid. Coefficient
+    transport is LOSSLESS regardless of script (progressive re-orders
+    the same quantized coefficients baseline sends in one pass), so the
+    decode equals the baseline decode of the same pixels bit-for-bit —
+    the property the round-trip tests and the meet-in-the-middle oracle
+    (:func:`attach_jpeg_progressive_payloads`) build on.
+    """
+    _validate_prog_script(script)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    bw = ((width + 7) // 8) * 8
+    bh = ((height + 7) // 8) * 8
+
+    def px(x: int, y: int) -> int:
+        return pixels[min(y, height - 1) * width + min(x, width - 1)]
+
+    blocks: list[list[int]] = []  # zigzag-order quantized coefficients
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            block = [px(bx + x, by + y) for y in range(8) for x in range(8)]
+            coef = _fdct8x8(block)  # qtable all ones: quantize = identity
+            blocks.append([coef[_JPEG_ZIGZAG[i]] for i in range(64)])
+
+    # Restart intervals partition each scan into independently-decodable
+    # chunks (every DC predictor and EOB run resets at the boundary,
+    # T.81 E.1.2/G.1.2) — so encoding chunk-by-chunk with RSTn markers
+    # joined in between is exactly the specified stream.
+    if restart_interval:
+        chunks = [
+            blocks[i : i + restart_interval]
+            for i in range(0, len(blocks), restart_interval)
+        ]
+    else:
+        chunks = [blocks]
+
+    scans: list[bytes] = []
+    for ss, se, ah, al in script:
+        w = _JpegBitWriter()
+        for ci, chunk in enumerate(chunks):
+            if ci:
+                w.flush()  # 1-pad to byte boundary
+                w.buf += bytes([0xFF, 0xD0 + ((ci - 1) & 7)])
+            if ss == 0:
+                if ah == 0:  # DC first: DPCM of the point-transformed DCs
+                    prev = 0
+                    for zz in chunk:
+                        v = zz[0] >> al  # arithmetic shift, T.81 G.1.2.1
+                        cat, bits = _jpeg_category(v - prev)
+                        prev = v
+                        w.put(*dc_codes[cat])
+                        if cat:
+                            w.put(bits, cat)
+                else:  # DC refinement: one raw bit per block
+                    for zz in chunk:
+                        w.put((zz[0] >> al) & 1, 1)
+            elif ah == 0:
+                _enc_ac_first_scan(w, chunk, ss, se, al, ac_codes)
+            else:
+                _enc_ac_refine_scan(w, chunk, ss, se, al, ac_codes)
+        w.flush()
+        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        scans.append(
+            struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos + bytes(w.buf)
+        )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtable = bytes([0]) + bytes(1 for _ in range(64))
+    sof = struct.pack(">BHHB", 8, bh, bw, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10])
+        + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALS)
+    )
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, jfif)
+        + seg(0xFFDB, qtable)
+        + _jpeg_crop_app(width, height, bw, bh)
+        + seg(0xFFC2, sof)  # SOF2: progressive DCT
+        + seg(0xFFC4, dht)
+        + dri
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
+def _validate_prog_script(
+    script: tuple[tuple[int, int, int, int], ...]
+) -> None:
+    """Reject scripts T.81 forbids or that would drop coefficient bits:
+    DC-before-AC ordering, band bounds, Ah=Al+1 refinement chains that
+    reach Al=0 for every coefficient."""
+    if not script:
+        raise ValueError("empty progressive scan script")
+    dc_al: int | None = None
+    ac_al: dict[int, int] = {}  # coefficient k -> current Al
+    for ss, se, ah, al in script:
+        if not (0 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral band ({ss}, {se})")
+        if ss == 0 and se != 0:
+            raise ValueError("DC and AC coefficients cannot share a scan")
+        if ss == 0:
+            if ah == 0:
+                if dc_al is not None:
+                    raise ValueError("duplicate DC first scan")
+                dc_al = al
+            else:
+                if dc_al is None or ah != dc_al or al != ah - 1:
+                    raise ValueError("DC refinement must follow Ah=Al+1")
+                dc_al = al
+        else:
+            if dc_al is None:
+                raise ValueError("AC scan before the DC first scan")
+            for k in range(ss, se + 1):
+                if ah == 0:
+                    if k in ac_al:
+                        raise ValueError(f"coefficient {k} scanned twice")
+                    ac_al[k] = al
+                else:
+                    if ac_al.get(k) != ah or al != ah - 1:
+                        raise ValueError(
+                            f"AC refinement of {k} must follow Ah=Al+1"
+                        )
+                    ac_al[k] = al
+    if dc_al != 0 or any(v != 0 for v in ac_al.values()) or len(ac_al) != 63:
+        raise ValueError(
+            "script must cover DC and AC 1..63 down to full precision"
+        )
+
+
 def _jpeg_crop_app(width: int, height: int, bw: int, bh: int) -> bytes:
     """APP1 segment carrying the true (pre-padding) dimensions when the
     image is not MCU-aligned — baseline SOF records the padded size and
@@ -739,6 +1054,165 @@ def _jpeg_decode_block(r: _JpegBitReader, dct, act, qt, prev_dc: int):
     return _idct8x8(coef), prev_dc
 
 
+def _dec_ac_first(
+    r: _JpegBitReader,
+    act: dict[tuple[int, int], int],
+    zz: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Decode one block of an AC first-pass scan (T.81 G.2.2); returns
+    the updated end-of-band run counter."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = r.symbol(act)
+        run, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of 2^n + extra end-of-band blocks, incl. this one
+            return (1 << run) - 1 + (r.bits(run) if run else 0)
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _jpeg_extend(r.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(
+    r: _JpegBitReader,
+    act: dict[tuple[int, int], int],
+    zz: list[int],
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Decode one block of an AC refinement scan (T.81 G.2.3): walk the
+    band interleaving newly-significant placements with one correction
+    bit per already-significant coefficient; returns updated EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def refine(k: int) -> None:
+        if r.bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = r.symbol(act)
+            run, s = sym >> 4, sym & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "invalid magnitude in AC refinement scan"
+                    )
+                val = p1 if r.bit() else m1
+            elif run != 15:
+                eobrun = (1 << run) + (r.bits(run) if run else 0)
+                break
+            # advance over `run` still-zero coefficients, consuming one
+            # correction bit per already-nonzero coefficient passed over
+            while k <= se:
+                if zz[k] != 0:
+                    refine(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                zz[k] = val
+            k += 1
+    if eobrun:
+        while k <= se:  # finish refining this block's tail
+            if zz[k] != 0:
+                refine(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_progressive_scan(
+    payload: bytes,
+    start: int,
+    scomps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coef: dict[int, list[list[int]]],
+    dc_dec: dict[int, dict[tuple[int, int], int]],
+    ac_dec: dict[int, dict[tuple[int, int], int]],
+    nblocks: int,
+    restart_interval: int,
+) -> int:
+    """Entropy-decode one progressive scan in place (coefficients
+    accumulate across scans in the zigzag-order store) and return the
+    offset of the marker following the scan's entropy segment.
+
+    Components are 1x1-sampled (enforced at SOF2 parse), so an MCU is
+    one block per scan component and interleaved DC scans and
+    non-interleaved AC scans share the same raster block grid."""
+    r = _JpegBitReader(payload, start)
+    rst = 0
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for cid, td, _ in scomps:
+            if ah == 0 and td not in dc_dec:
+                raise ValueError("missing DC huffman table for scan")
+        preds = {cid: 0 for cid, _, _ in scomps}
+        for b in range(nblocks):
+            if restart_interval and b and b % restart_interval == 0:
+                r.expect_restart(rst)
+                rst = (rst + 1) & 7
+                preds = dict.fromkeys(preds, 0)
+            for cid, td, _ in scomps:
+                zz = coef[cid][b]
+                if ah == 0:
+                    cat = r.symbol(dc_dec[td])
+                    preds[cid] += _jpeg_extend(r.bits(cat), cat)
+                    zz[0] = preds[cid] << al
+                elif r.bit():
+                    zz[0] |= 1 << al
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral band in SOS")
+        cid, _, ta = scomps[0]
+        if ta not in ac_dec:
+            raise ValueError("missing AC huffman table for scan")
+        act = ac_dec[ta]
+        dec = _dec_ac_first if ah == 0 else _dec_ac_refine
+        eobrun = 0
+        for b in range(nblocks):
+            if restart_interval and b and b % restart_interval == 0:
+                r.expect_restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+            eobrun = dec(r, act, coef[cid][b], ss, se, al, eobrun)
+    pos = r.pos
+    while pos + 1 < len(payload) and not (
+        payload[pos] == 0xFF and payload[pos + 1] != 0x00
+    ):
+        pos += 1
+    if pos + 1 >= len(payload):
+        raise ValueError("truncated JPEG: no marker after scan data")
+    return pos
+
+
 def _clamp8(v: float) -> int:
     iv = round(v)
     return 0 if iv < 0 else (255 if iv > 255 else iv)
@@ -777,7 +1251,14 @@ def _decode_jpeg_full(
     chroma — i.e. 4:4:4, 4:2:2 (both axes) and 4:2:0, the layouts real
     corpora contain — plus DRI/RSTn restart intervals (byte-aligned
     marker consumption, modulo-8 sequence check, DC predictor reset per
-    T.81 E.1.2). Progressive/arithmetic streams and 4-component CMYK
+    T.81 E.1.2) — and PROGRESSIVE (SOF2) streams at 1x1 sampling:
+    multi-scan spectral selection + successive approximation per T.81
+    annex G (interleaved DC first/refine scans, per-component AC band
+    scans with EOBn runs and refinement correction bits, restart
+    markers inside scans; see :func:`_jpeg_progressive_scan`), with a
+    required trailing EOI so scan-boundary truncations quarantine
+    instead of decoding to a silently coarser image. Arithmetic-coded
+    streams, subsampled progressive chroma, and 4-component CMYK
     raise — the same explicit-variant honesty as the BMP/PNG/WAV
     decoders.
     """
@@ -794,10 +1275,19 @@ def _decode_jpeg_full(
     scan_order: list[int] = []
     scan_start = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    progressive = False
+    saw_eoi = False
+    coef: dict[int, list[list[int]]] | None = None  # zigzag, per block
+    prog_blocks_x = prog_blocks_y = 0
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:  # EOI: end of a progressive multi-scan walk
+            saw_eoi = True
+            break
+        if pos + 4 > len(payload):
+            break  # marker with no room for its length: truncated tail
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         if marker == 0xFFDB:  # DQT (possibly several tables per segment)
@@ -808,11 +1298,12 @@ def _decode_jpeg_full(
                     raise ValueError("only 8-bit quant tables supported")
                 qtables[tq] = list(body[off + 1 : off + 65])
                 off += 65
-        elif marker == 0xFFC0:  # SOF0 baseline
+        elif marker in (0xFFC0, 0xFFC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xFFC2
             precision, h, wd, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    "only 8-bit 1- or 3-component baseline JPEG supported"
+                    "only 8-bit 1- or 3-component JPEG supported"
                 )
             width, height = wd, h
             for c in range(ncomp):
@@ -829,12 +1320,22 @@ def _decode_jpeg_full(
             for c in comps:
                 if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
                     raise ValueError("sampling factors up to 2x2 supported")
-            if ncomp == 3 and any(
+            if progressive:
+                # the progressive block-grid bookkeeping is built on
+                # interleaved-DC and non-interleaved-AC scans sharing
+                # one raster grid, which holds exactly at 1x1 sampling
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise ValueError(
+                        "progressive JPEG supports 1x1 sampling (4:4:4) only"
+                    )
+            elif ncomp == 3 and any(
                 c["h"] != 1 or c["v"] != 1 for c in comps[1:]
             ):
                 raise ValueError("chroma must be 1x1 sampled")
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker in (0xFFC1, 0xFFC3):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xFFC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):
@@ -851,6 +1352,44 @@ def _decode_jpeg_full(
             crop = struct.unpack_from(">HH", body, 5)
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
+            if progressive:
+                if width is None or not comps:
+                    raise ValueError("SOS before SOF segment")
+                if coef is None:
+                    prog_blocks_x = (width + 7) // 8  # 1x1 sampling only
+                    prog_blocks_y = (height + 7) // 8
+                    coef = {
+                        c["id"]: [
+                            [0] * 64
+                            for _ in range(prog_blocks_x * prog_blocks_y)
+                        ]
+                        for c in comps
+                    }
+                known = {c["id"] for c in comps}
+                scomps = []
+                for c in range(ns):
+                    cid = body[1 + 2 * c]
+                    if cid not in known:
+                        raise ValueError("SOS component not declared in SOF")
+                    tbl = body[2 + 2 * c]
+                    scomps.append((cid, tbl >> 4, tbl & 0xF))
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+                pos = _jpeg_progressive_scan(
+                    payload,
+                    pos + 2 + length,
+                    scomps,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    coef,
+                    dc_dec,
+                    ac_dec,
+                    prog_blocks_x * prog_blocks_y,
+                    restart_interval,
+                )
+                continue
             if ns != len(comps):
                 raise ValueError("only single-scan interleaved SOS")
             for c in range(ns):
@@ -861,9 +1400,49 @@ def _decode_jpeg_full(
             scan_start = pos + 2 + length
             break
         pos += 2 + length
-    if width is None or scan_start is None or not comps:
-        raise ValueError("missing SOF/SOS segment")
+    if width is None or not comps:
+        raise ValueError("missing SOF segment")
     by_id = {c["id"]: c for c in comps}
+    if progressive:
+        if coef is None:
+            raise ValueError("missing SOS segment")
+        if not saw_eoi:
+            # a clean scan-boundary cut of a progressive stream would
+            # otherwise decode to a silently coarser image — for data
+            # pipelines that is wrong stats, not a preview, so an
+            # absent EOI is a truncation (quarantine class)
+            raise ValueError("truncated progressive JPEG: missing EOI")
+        scan_order = [c["id"] for c in comps]
+        hmax = vmax = 1
+        planes = {}
+        plane_w = {}
+        for c in comps:
+            cid = c["id"]
+            if c["q"] not in qtables:
+                raise ValueError("missing quantization table for scan")
+            qt = qtables[c["q"]]
+            pw = prog_blocks_x * 8
+            plane = [0] * (pw * prog_blocks_y * 8)
+            for b, zz in enumerate(coef[cid]):
+                spatial = [0] * 64
+                for i in range(64):
+                    spatial[_JPEG_ZIGZAG[i]] = zz[i] * qt[i]
+                block = _idct8x8(spatial)
+                bx = (b % prog_blocks_x) * 8
+                by = (b // prog_blocks_x) * 8
+                for y in range(8):
+                    row = by + y
+                    plane[row * pw + bx : row * pw + bx + 8] = block[
+                        y * 8 : y * 8 + 8
+                    ]
+            planes[cid] = plane
+            plane_w[cid] = pw
+        return _jpeg_assemble(
+            width, height, crop, comps, by_id, scan_order,
+            planes, plane_w, hmax, vmax,
+        )
+    if scan_start is None:
+        raise ValueError("missing SOF/SOS segment")
     if scan_order != [c["id"] for c in comps]:
         raise ValueError("scan component order must match SOF order")
     for cid, (d, a) in scan_tables.items():
@@ -914,6 +1493,26 @@ def _decode_jpeg_full(
                                 row * pw + bx : row * pw + bx + 8
                             ] = block[y * 8 : y * 8 + 8]
 
+    return _jpeg_assemble(
+        width, height, crop, comps, by_id, scan_order,
+        planes, plane_w, hmax, vmax,
+    )
+
+
+def _jpeg_assemble(
+    width: int,
+    height: int,
+    crop: tuple[int, int] | None,
+    comps: list[dict],
+    by_id: dict[int, dict],
+    scan_order: list[int],
+    planes: dict[int, list[int]],
+    plane_w: dict[int, int],
+    hmax: int,
+    vmax: int,
+) -> tuple[int, int, list[tuple[int, int, int]], int]:
+    """Shared tail of baseline and progressive decode: crop validation,
+    gray extraction or chroma upsampling + JFIF YCbCr -> RGB."""
     if crop is not None:
         # SPKG is untrusted input like everything else: a corrupt crop
         # claiming more pixels than the decoded planes hold would make
@@ -1256,6 +1855,54 @@ def attach_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     for x in range(w)
                 ]
                 payloads.append(encode_jpeg_gray(w, h, px))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "image/jpeg",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+
+
+def attach_jpeg_progressive_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture adapter: one real PROGRESSIVE grayscale JPEG per row.
+
+    Same meet-in-the-middle construction as the baseline JPEG fixture
+    (:func:`attach_jpeg_payloads`): per-8x8-block-constant content at
+    value (doc_id*11 + by*17 + bx*5) % 256 makes the lossy path
+    bit-exact (single integer DC per block under the all-ones
+    quantization table), so the oracle re-derives stats from the block
+    formula. The multi-scan ladder is genuinely exercised end-to-end:
+    every image decodes through the DC first + refinement scans, AC
+    band scans with EOBn runs spanning the all-zero-AC blocks, and —
+    for doc_id % 3 != 0 — DRI/RSTn restart boundaries inside each
+    progressive scan. Dimensions: (doc_id%4+1) x (doc_id%3+1) blocks
+    of 8."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = (did % 4 + 1) * 8, (did % 3 + 1) * 8
+                px = [
+                    (did * 11 + (y // 8) * 17 + (x // 8) * 5) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(
+                    encode_jpeg_gray_progressive(
+                        w, h, px, restart_interval=did % 3
+                    )
+                )
                 widths.append(w)
                 heights.append(h)
             yield pd.DataFrame(

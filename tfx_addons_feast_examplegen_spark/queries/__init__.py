@@ -83,6 +83,7 @@ _ENTRY_ORDER = [
     "multimodal_features",
     "multimodal_image_png",
     "multimodal_image_jpeg",
+    "multimodal_image_jpeg_progressive",
     "temperature_mix",
     "text_heavy_hitters",
     "interpolate_timeseries",
@@ -228,22 +229,24 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 _DRIVER_PRIORITY = [
     "pit_join",
     # Round-9 rotation (VERDICT r8 items 1-2). Slot 0: pit_join (entry()
-    # smoke, r8-green). Slots 2-28: the 27 entries whose newest driver
-    # row is r3/r4 vintage (fingerprint-current but 4+ rounds old —
-    # VERDICT r8 "What's missing #1"). Slots 29-30: the two NEW r9
-    # entries (progressive JPEG decode, MP3 frame-header stats) so they
-    # are driver-attested the round they land (names are filtered out of
-    # _ordered() until registered). Slots 31-50: the 20 alphabetically
-    # first r5-vintage rows.
+    # smoke, r8-green). Then: the 27 entries whose newest driver row is
+    # r3/r4 vintage (fingerprint-current but 4+ rounds old — VERDICT r8
+    # "What's missing #1"); the two NEW r9 entries (progressive JPEG
+    # decode, MP3 frame-header stats) so they are driver-attested the
+    # round they land (names are filtered out of _ordered() until
+    # registered); the alphabetically-first 14 r5-vintage rows; and six
+    # mid-round swap-ins whose fingerprints drift with this round's
+    # changes (see below).
     #
     # ROUND-10 WINDOW PLAN (record per VERDICT r8 item 2): the remaining
-    # 22 r5-vintage rows — pit_join_prefixed and range_interval_window
-    # (displaced below by the dataset_stats / source_tfrecord_roundtrip
-    # swap-ins), rollup_region_nation, scd2_validity_intervals,
-    # setop_except, setop_intersect, similarity_ann_exhaustive,
-    # similarity_ann_ivf, similarity_ann_lsh, skew_salted_agg,
-    # source_csv_roundtrip, source_jsonl_roundtrip, split_pattern_routing,
-    # stratified_sample, stream_static_enrichment, stream_stream_join,
+    # 26 r5-vintage rows — param_substitution, pii_redaction,
+    # pit_join_composite_key, pit_join_field_mapping, pit_join_prefixed,
+    # range_interval_window (displaced below by the six swap-ins),
+    # rollup_region_nation, scd2_validity_intervals, setop_except,
+    # setop_intersect, similarity_ann_exhaustive, similarity_ann_ivf,
+    # similarity_ann_lsh, skew_salted_agg, source_csv_roundtrip,
+    # source_jsonl_roundtrip, split_pattern_routing, stratified_sample,
+    # stream_static_enrichment, stream_stream_join,
     # stream_stream_left_join, temperature_mix, text_heavy_hitters,
     # udtf_split_sentences, unpivot_stack, windowed_event_counts_streaming
     # — after which every registry entry has a driver row from r7 or
@@ -295,40 +298,24 @@ _DRIVER_PRIORITY = [
     "lateral_topk_per_key",
     "latest_feature_snapshot",
     "negative_sample",
-    "param_substitution",
-    "pii_redaction",
-    "pit_join_composite_key",
-    "pit_join_field_mapping",
-    # swapped in mid-round (pit_join_prefixed, range_interval_window ->
-    # r10 cohort): the ADVICE r8 fixes drift these two entries'
-    # fingerprints — column_stats hardening (empty cols /
-    # max_concurrency guard) reaches dataset_stats, and the
+    # swapped in mid-round (displaced r5 rows -> r10 cohort): this
+    # round's changes drift these six entries' fingerprints, so all six
+    # must re-attest this round — the ADVICE r8 column_stats hardening
+    # (empty cols / max_concurrency guard) reaches dataset_stats; the
     # encode_examples ordering-caveat docstring reaches the TFRecord
-    # round-trip — so both must re-attest this round:
+    # round-trip; and the progressive-JPEG decoder landing (shared
+    # marker walk + _jpeg_assemble split in _decode_jpeg_full) reaches
+    # every image-stats entry through the sniffing dispatch:
     "dataset_stats",
     "source_tfrecord_roundtrip",
+    "multimodal_features",
+    "multimodal_image_png",
+    "multimodal_image_jpeg",
+    "multimodal_image_resize",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
 _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
-
-
-
-# Driver-window ordering: the correctness harness records only the FIRST
-# 50 dict entries, so entries whose implementation changed this round —
-# plus entries whose last driver-green row is oldest — are surfaced ahead
-# of recently-re-verified ones. pit_join stays at position 0 (entry()
-# smoke). Refresh per round; scripts/check_correctness.py still proves
-# the full registry locally regardless of this order.
-#
-# ROUND-START RITUAL (before any code edit): run
-#   python scripts/gen_attestation.py --stamp-round <previous round N>
-# on the tree the driver tested, commit ATTESTATION.json, THEN rotate
-# this list (oldest driver-green vintage first, plus anything
-# tests/test_attestation.py flags). The ledger test enforces that every
-# entry with attestation debt sits in the first 50 slots — an edit to
-# any reachable code outside the window fails pytest until the window
-# is rotated or the change reverted.
 
 
 

@@ -134,9 +134,9 @@ def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant, whose DCT is a single integer DC coefficient stored
     # exactly under the all-ones quantization table — decode is
     # bit-exact by construction and the oracle re-derives the stats
-    # from the per-block closed form (sum = 64 * block value). Color/
-    # subsampled/progressive JPEG remain behind the documented
-    # StubImageCodec boundary.
+    # from the per-block closed form (sum = 64 * block value).
+    # Progressive streams have their own entry below; arithmetic-coded
+    # JPEG remains behind the documented StubImageCodec boundary.
     from ..operators.multimodal import attach_jpeg_payloads, extract_image_stats
 
     t = register_tables(spark, sf_dir)
@@ -154,6 +154,53 @@ WITH dims AS (
 blk AS (
   SELECT d.doc_id, d.wb * 8 AS width, d.hb * 8 AS height,
          (d.doc_id*7 + by.by*31 + bx.bx*3) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(0, d.hb)) AS by) by,
+       LATERAL (SELECT unnest(range(0, d.wb)) AS bx) bx
+)
+SELECT doc_id, width, height,
+       CAST(SUM(v) * 64 AS BIGINT) AS r_sum,
+       CAST(SUM(v) * 64 AS BIGINT) AS g_sum,
+       CAST(SUM(v) * 64 AS BIGINT) AS b_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM blk GROUP BY doc_id, width, height
+"""
+
+
+def _q_multimodal_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Fifth real codec variant: PROGRESSIVE JPEG (SOF2 — spectral
+    # selection + successive approximation per T.81 annex G), the
+    # dominant JPEG flavor in web-crawled corpora. The decode walks the
+    # full 6-scan luminance ladder: DC first/refine, AC band scans with
+    # EOBn end-of-band runs, AC refinement correction bits, and (for
+    # 2/3 of the docs) restart markers INSIDE progressive scans. Same
+    # bit-exact meet-in-the-middle construction as the baseline JPEG
+    # entry: per-block-constant content -> single DC coefficient ->
+    # lossless under the all-ones quantization table, with the oracle
+    # re-deriving the stats from the closed-form block formula.
+    from ..operators.multimodal import (
+        attach_jpeg_progressive_payloads,
+        extract_image_stats,
+    )
+
+    t = register_tables(spark, sf_dir)
+    media = attach_jpeg_progressive_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
+_MULTIMODAL_JPEG_PROG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 1 AS INT) AS wb,
+         CAST(doc_id % 3 + 1 AS INT) AS hb
+  FROM documents
+),
+blk AS (
+  SELECT d.doc_id, d.wb * 8 AS width, d.hb * 8 AS height,
+         (d.doc_id*11 + by.by*17 + bx.bx*5) % 256 AS v
   FROM dims d,
        LATERAL (SELECT unnest(range(0, d.hb)) AS by) by,
        LATERAL (SELECT unnest(range(0, d.wb)) AS bx) bx
@@ -202,6 +249,10 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
     "multimodal_image_jpeg": (_q_multimodal_jpeg, _MULTIMODAL_JPEG_ORACLE),
+    "multimodal_image_jpeg_progressive": (
+        _q_multimodal_jpeg_progressive,
+        _MULTIMODAL_JPEG_PROG_ORACLE,
+    ),
     "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
 }
