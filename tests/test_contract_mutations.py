@@ -159,3 +159,72 @@ def test_sketch_bound_contract_catches_drifted_estimate(
             b.exact_orders,
             b.exact_parts,
         )
+
+
+def test_codec_oracle_catches_idct_rounding_mutation(monkeypatch):
+    # VERDICT r8 item 4: the meet-in-the-middle codec oracle (decode a
+    # self-encoded container, compare channel stats against the
+    # closed-form pixel formula) is the last oracle technique without a
+    # can-this-fail proof. Perturb the IDCT rounding by one ulp — the
+    # exact class of bug a DCT rewrite invites — and assert the decoded
+    # pixels diverge from the formula, i.e. the driver's value-hash
+    # comparison for multimodal_image_jpeg(_progressive) would go red.
+    from tfx_addons_feast_examplegen_spark.operators import multimodal as mm
+
+    did = 5
+    w, h = (did % 3 + 1) * 8, (did % 2 + 1) * 8
+    px = [
+        (did * 7 + (y // 8) * 31 + (x // 8) * 3) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    base_pay = mm.encode_jpeg_gray(w, h, px)
+    prog_pay = mm.encode_jpeg_gray_progressive(w, h, px)
+    # sanity: un-mutated, the oracle property holds bit-exactly
+    assert mm.decode_jpeg_gray_pixels(base_pay)[2] == px
+    assert mm.decode_jpeg_gray_pixels(prog_pay)[2] == px
+
+    real = mm._idct8x8
+
+    def drifted(coef):
+        return [min(255, v + 1) for v in real(coef)]  # one-ulp drift
+
+    monkeypatch.setattr(mm, "_idct8x8", drifted)
+    for pay in (base_pay, prog_pay):
+        got = mm.decode_jpeg_gray_pixels(pay)[2]
+        assert got != px
+        assert sum(got) != sum(px)  # r_sum column differs -> red hash
+
+
+def test_codec_oracle_catches_png_unfilter_mutation(monkeypatch):
+    # Same proof for the PNG path: break the Paeth predictor's b-vs-c
+    # tie-break (prefer c on pb == pc — the classic transcription slip
+    # in the three-way comparison; the a-vs-b tie provably cannot
+    # diverge since pa == pb with a != b forces pc == 0). Zlib CRCs
+    # cover the COMPRESSED bytes, so the corrupt unfilter decodes
+    # without error and only the oracle's formula comparison catches
+    # it. Seed 13 is a verified content where the tie fires on a
+    # Paeth-filtered row (the encoder cycles filter types per row).
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators import multimodal as mm
+
+    rng = random.Random(13)
+    w, h = 16, 10
+    pixels = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    pay = mm.encode_png_rgb8(w, h, pixels)
+    assert mm.decode_png_rgb8_pixels(pay)[2] == pixels  # sanity
+
+    def broken(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb < pc else c  # was <=: pb == pc now picks c
+
+    monkeypatch.setattr(mm, "_paeth", broken)
+    got = mm.decode_png_rgb8_pixels(pay)[2]
+    assert got != pixels  # decodes cleanly but the oracle hash reds
