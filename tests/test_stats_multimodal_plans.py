@@ -912,3 +912,91 @@ def test_jpeg_progressive_truncation_quarantines():
     for cut in range(2, len(pay) - 1):
         with pytest.raises((ValueError, _struct.error)):
             decode_jpeg_pixels(pay[:cut])
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header stats (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_header_walk_roundtrip():
+    # Closed-form fixture streams: every frame's 144*kbps/sr+pad length
+    # arithmetic must be exact or the walker loses sync and raises.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _MP3_BITRATE_KBPS,
+        decode_mp3_frame_stats,
+        encode_mp3_headers,
+    )
+
+    for did in (0, 1, 7, 13, 28):
+        n = did % 20 + 5
+        frames = [((did + i) % 14 + 1, (did + i) % 2) for i in range(n)]
+        pay = encode_mp3_headers(
+            frames, did % 3, id3_size=(did % 17) if did % 2 else None
+        )
+        nf, sr, kmin, kmax, ksum, tb = decode_mp3_frame_stats(pay)
+        kbps = [_MP3_BITRATE_KBPS[(did + i) % 14 + 1] for i in range(n)]
+        assert (nf, tb) == (n, len(pay))
+        assert (kmin, kmax, ksum) == (min(kbps), max(kbps), sum(kbps))
+        assert sr == (44100, 48000, 32000)[did % 3]
+
+
+def test_mp3_header_walk_rejects_corruption():
+    import struct as _struct
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_mp3_frame_stats,
+        encode_mp3_headers,
+    )
+
+    pay = encode_mp3_headers([(5, 0), (6, 1), (14, 0)], 0, id3_size=6)
+    full = decode_mp3_frame_stats(pay)
+    assert full[0] == 3
+    # frame lengths for (kbps, pad) at 44100 Hz: boundary cuts are VALID
+    # shorter streams (MP3 has no end marker — a 2-frame file is a real
+    # file); every non-boundary cut must raise the quarantine class.
+    boundaries = set()
+    off = 10 + 6  # 10-byte ID3v2 header + 6 content bytes
+    boundaries.add(off)
+    for kbps, pad in ((64, 0), (80, 1), (320, 0)):  # bridx 5, 6, 14
+        off += 144000 * kbps // 44100 + pad
+        boundaries.add(off)
+    n_frames_seen = []
+    for cut in range(1, len(pay) - 1):
+        if cut in boundaries and cut > min(boundaries):
+            n_frames_seen.append(decode_mp3_frame_stats(pay[:cut])[0])
+            continue
+        with pytest.raises((ValueError, _struct.error)):
+            decode_mp3_frame_stats(pay[:cut])
+    assert n_frames_seen == [1, 2]  # prefix streams decode consistently
+    # structural corruption: broken sync, reserved sample rate,
+    # free-form bitrate, bad syncsafe byte, mid-stream rate change
+    for mutate in (
+        lambda b: b"\x00" + b[1:],
+        # first frame header sits at offset 16 (after the ID3 block)
+        lambda b: b[:16] + bytes([0xFF, 0xFB, (5 << 4) | (3 << 2), 0]) + b[20:],
+        lambda b: b[:16] + bytes([0xFF, 0xFB, (0 << 4) | (0 << 2), 0]) + b[20:],
+        lambda b: b[:6] + bytes([0x80]) + b[7:],
+    ):
+        with pytest.raises(ValueError):
+            decode_mp3_frame_stats(mutate(pay))
+
+
+def test_mp3_stats_spark_stage_sniffs_and_quarantines(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_mp3_payloads,
+        attach_wav_payloads,
+        extract_mp3_stats,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(20)
+    media = attach_mp3_payloads(docs)
+    rows = extract_mp3_stats(media).collect()
+    assert len(rows) == 20
+    assert all(r.n_frames == r.doc_id % 20 + 5 for r in rows)
+    # a WAV payload is not an MP3: on_error='skip' drops it, default raises
+    wav = attach_wav_payloads(docs.limit(3))
+    assert extract_mp3_stats(wav, on_error="skip").count() == 0
+    with pytest.raises(Exception, match="not an MP3|ValueError"):
+        extract_mp3_stats(wav).collect()

@@ -354,6 +354,111 @@ def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
     )
 
 
+# MPEG-1 Layer III frame-header constants (public ISO/IEC 11172-3
+# tables): bitrate index 1..14 -> kbps (0 = free-form, 15 = invalid),
+# sample-rate index 0..2 (3 = reserved). Header stats only — full
+# audio decode (huffman spectral data, IMDCT, synthesis filterbank)
+# stays behind the StubImageCodec boundary.
+_MP3_BITRATE_KBPS = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_SAMPLE_RATES = (44100, 48000, 32000)
+MP3_STATS_SCHEMA = (
+    "doc_id long, n_frames int, sample_rate int, "
+    "kbps_min int, kbps_max int, kbps_sum bigint, total_bytes bigint"
+)
+
+
+def encode_mp3_headers(
+    frames: list[tuple[int, int]], sample_rate_idx: int, *, id3_size: int | None = None
+) -> bytes:
+    """Serialize a standards-conformant MPEG-1 Layer III frame-header
+    stream: each ``(bitrate_idx, padding)`` becomes a 4-byte frame
+    header plus a deterministic filler body of the exact frame length
+    (``144 * bitrate / sample_rate + padding`` bytes, ISO 11172-3
+    2.4.3.1). ``id3_size`` prepends an ID3v2.4 container with a
+    syncsafe size field. The body bytes are arbitrary to a header
+    walker — which is the point: frame-level stats must come from the
+    headers alone."""
+    out = bytearray()
+    if id3_size is not None:
+        ss = bytes(
+            [(id3_size >> s) & 0x7F for s in (21, 14, 7, 0)]
+        )  # syncsafe: 7 bits per byte
+        out += b"ID3" + bytes([4, 0, 0]) + ss
+        out += bytes((i * 29 + 7) % 256 for i in range(id3_size))
+    sr = _MP3_SAMPLE_RATES[sample_rate_idx]
+    for bridx, pad in frames:
+        if not 1 <= bridx <= 14:
+            raise ValueError(f"bitrate index {bridx} out of range")
+        kbps = _MP3_BITRATE_KBPS[bridx]
+        flen = 144000 * kbps // sr + pad
+        b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG1, Layer III, no CRC
+        b2 = (bridx << 4) | (sample_rate_idx << 2) | (pad << 1)
+        out += bytes([0xFF, b1, b2, 0])
+        out += bytes((i * 37 + bridx) % 256 for i in range(flen - 4))
+    return bytes(out)
+
+
+def decode_mp3_frame_stats(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int]:
+    """Walk an MPEG-1 Layer III stream's frame headers (NOT the audio
+    data): returns (n_frames, sample_rate, kbps_min, kbps_max,
+    kbps_sum, total_bytes). Skips a leading ID3v2 container via its
+    syncsafe size. Strict like the other codecs: lost sync, reserved
+    indices, free-form bitrate, mid-stream sample-rate changes, and
+    truncated frames all raise the quarantine class (ValueError)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("corrupt ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+        if pos > len(payload):
+            raise ValueError("ID3v2 size past end of payload")
+    n = kbps_sum = 0
+    kmin = kmax = sr = None
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at {pos}")
+        if (b1 >> 3) & 0x3 != 3 or (b1 >> 1) & 0x3 != 1:
+            raise ValueError("only MPEG-1 Layer III frames supported")
+        bridx = (b2 >> 4) & 0xF
+        sridx = (b2 >> 2) & 0x3
+        pad = (b2 >> 1) & 1
+        if bridx == 0:
+            raise ValueError("free-form bitrate not supported")
+        if bridx == 15:
+            raise ValueError("invalid bitrate index 15")
+        if sridx == 3:
+            raise ValueError("reserved sample-rate index")
+        kbps = _MP3_BITRATE_KBPS[bridx]
+        this_sr = _MP3_SAMPLE_RATES[sridx]
+        if sr is None:
+            sr = this_sr
+        elif sr != this_sr:
+            raise ValueError("sample rate changed mid-stream")
+        flen = 144000 * kbps // this_sr + pad
+        if pos + flen > len(payload):
+            raise ValueError("truncated MP3 frame body")
+        n += 1
+        kbps_sum += kbps
+        kmin = kbps if kmin is None else min(kmin, kbps)
+        kmax = kbps if kmax is None else max(kmax, kbps)
+        pos += flen
+    if n == 0:
+        raise ValueError("no MP3 frames in payload")
+    return n, sr, kmin, kmax, kbps_sum, len(payload)
+
+
 def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
     """Decode a PCM16 mono WAV into integer sample stats:
     (sample_rate, n_samples, sample_sum, s_min, s_max).
@@ -2056,6 +2161,89 @@ def extract_audio_stats(
             )
 
     return media_df.mapInPandas(_decode, schema=AUDIO_STATS_SCHEMA)
+
+
+def extract_mp3_stats(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """Frame-header stats stage for MP3 payloads (n_frames / sample
+    rate / bitrate min-max-sum / byte length). Header walks are the
+    standard first pass over a crawled audio corpus — duration and
+    bitrate histograms without paying for spectral decode. Payloads are
+    sniffed (ID3v2 magic or frame sync) like the image dispatch; the
+    same quarantine policy as :func:`extract_audio_stats` applies."""
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    b = bytes(p)
+                    if b[:3] != b"ID3" and not (
+                        len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                    ):
+                        raise ValueError("not an MP3 payload (no sync/ID3)")
+                    rows.append(decode_mp3_frame_stats(b))
+                except (ValueError, struct.error):
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((None,) * 6)
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "kbps_min": [r[2] for r in rows],
+                    "kbps_max": [r[3] for r in rows],
+                    "kbps_sum": [r[4] for r in rows],
+                    "total_bytes": [r[5] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(_decode, schema=MP3_STATS_SCHEMA)
+
+
+def attach_mp3_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one conformant MPEG-1 Layer III header stream
+    per row. Closed form the oracle replays: doc_id % 20 + 5 frames at
+    sample-rate index doc_id % 3; frame i uses bitrate index
+    (doc_id + i) % 14 + 1 and padding (doc_id + i) % 2; odd doc_ids
+    additionally carry an ID3v2 tag of doc_id % 17 content bytes
+    (10-byte header + syncsafe size), so both the tag-skip and the
+    bare-sync entry paths stay on the checked path."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, counts = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = did % 20 + 5
+                frames = [((did + i) % 14 + 1, (did + i) % 2) for i in range(n)]
+                payloads.append(
+                    encode_mp3_headers(
+                        frames,
+                        did % 3,
+                        id3_size=(did % 17) if did % 2 else None,
+                    )
+                )
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "audio/mpeg",
+                    "n_frames": counts,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _gen, schema="doc_id long, payload binary, format string, n_frames int"
+    )
 
 
 def attach_binary_payloads(

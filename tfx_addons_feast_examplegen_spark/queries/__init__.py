@@ -142,6 +142,7 @@ _ENTRY_ORDER = [
     "embedding_outliers",
     "skew_report",
     "multimodal_audio_stats",
+    "multimodal_audio_mp3_stats",
     "sequence_example_roundtrip",
     "stream_dedup",
     "zorder_layout",

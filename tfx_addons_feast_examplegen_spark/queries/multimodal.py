@@ -245,6 +245,50 @@ FROM s GROUP BY doc_id, n_samples
 """
 
 
+def _q_multimodal_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MP3 frame-HEADER stats (not spectral decode — that stays behind
+    # the documented codec boundary): walk ISO 11172-3 Layer III frame
+    # headers, skipping a leading ID3v2 container via its syncsafe
+    # size, and aggregate frame count / sample rate / bitrate min-max-
+    # sum / byte length. The standard first pass over a crawled audio
+    # corpus: duration and bitrate histograms for free. The fixture
+    # emits conformant header streams with closed-form per-frame
+    # bitrate/padding the oracle replays, including the exact
+    # 144*bitrate/sample_rate+padding frame-length arithmetic — a
+    # header walker that mis-sizes any frame loses sync and fails loud.
+    from ..operators.multimodal import attach_mp3_payloads, extract_mp3_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_mp3_payloads(t["documents"])
+    return extract_mp3_stats(media)
+
+
+_MULTIMODAL_MP3_ORACLE = """
+WITH fr AS (
+  SELECT d.doc_id,
+         CAST(d.doc_id % 20 + 5 AS INT) AS n_frames,
+         CAST(d.doc_id % 3 AS INT) AS sridx,
+         list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                      CAST((d.doc_id + i.i) % 14 + 1 AS INT)) AS kbps,
+         CAST((d.doc_id + i.i) % 2 AS INT) AS pad
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, d.doc_id % 20 + 5)) AS i) i
+)
+SELECT doc_id,
+       n_frames,
+       CAST(list_extract([44100, 48000, 32000], sridx + 1) AS INT)
+         AS sample_rate,
+       CAST(MIN(kbps) AS INT) AS kbps_min,
+       CAST(MAX(kbps) AS INT) AS kbps_max,
+       CAST(SUM(kbps) AS BIGINT) AS kbps_sum,
+       CAST(SUM(144000 * kbps
+                // list_extract([44100, 48000, 32000], sridx + 1) + pad)
+            + CASE WHEN doc_id % 2 = 1 THEN 10 + doc_id % 17 ELSE 0 END
+            AS BIGINT) AS total_bytes
+FROM fr GROUP BY doc_id, n_frames, sridx
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
@@ -255,4 +299,5 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
+    "multimodal_audio_mp3_stats": (_q_multimodal_mp3, _MULTIMODAL_MP3_ORACLE),
 }
