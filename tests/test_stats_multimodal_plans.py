@@ -1000,3 +1000,164 @@ def test_mp3_stats_spark_stage_sniffs_and_quarantines(spark, sf_dir):
     assert extract_mp3_stats(wav, on_error="skip").count() == 0
     with pytest.raises(Exception, match="not an MP3|ValueError"):
         extract_mp3_stats(wav).collect()
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_plain_interlaced_matches_bmp():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_bmp_24,
+        decode_gif_rgb8,
+        decode_gif_rgb8_pixels,
+        encode_bmp_24,
+        encode_gif_rgb8,
+    )
+
+    for did in (0, 3, 7, 12, 25):
+        w, h = did % 13 + 4, did % 11 + 4
+        base = [
+            (did * 7 + y * 31 + x * 3) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        pixels = [(v, (v + 11) % 256, (v + 22) % 256) for v in base]
+        for interlace in (False, True):
+            blob = encode_gif_rgb8(w, h, pixels, interlace=interlace)
+            assert decode_gif_rgb8_pixels(blob) == (w, h, pixels)
+            # lossless: identical stats to the BMP container
+            assert decode_gif_rgb8(blob) == decode_bmp_24(
+                encode_bmp_24(w, h, pixels)
+            )
+
+
+def test_gif_lzw_width_growth_kwkwk_and_table_ceiling():
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    # KwKwK first-use case: run of identical symbols forces the decoder
+    # to expand a code equal to the current table size.
+    for run in ([0, 0, 0], [1] * 50, [0, 1, 0, 1, 0, 1, 0, 1, 0]):
+        assert _gif_lzw_decode(_gif_lzw_encode(run, 2), 2, len(run)) == run
+
+    # Width growth 9 -> 12 bits plus the explicit CLEAR at the 4096-entry
+    # ceiling (120k random symbols build far more than 4096 entries).
+    rng = random.Random(7)
+    for mcs, univ, n in ((8, 200, 120_000), (2, 4, 60_000), (8, 256, 5)):
+        idx = [rng.randrange(univ) for _ in range(n)]
+        assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs, n) == idx
+
+
+def test_gif_lzw_deferred_clear_decodes():
+    # Real-world encoders may fill the 12-bit table and keep emitting
+    # codes WITHOUT a clear (deferred clear). Simulate one: a minimal
+    # foreign encoder that never resets, capping the table at 4096.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _LsbBitWriter,
+        _gif_lzw_decode,
+    )
+
+    mcs = 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    rng = random.Random(11)
+    idx = [rng.randrange(250) for _ in range(80_000)]
+    w = _LsbBitWriter()
+    table: dict[tuple[int, int], int] = {}
+    next_code, width = eoi + 1, mcs + 1
+    w.put(clear, width)
+    prev = idx[0]
+    for sym in idx[1:]:
+        hit = table.get((prev, sym))
+        if hit is not None:
+            prev = hit
+            continue
+        w.put(prev, width)
+        if next_code < 4096:
+            table[(prev, sym)] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        prev = sym
+    w.put(prev, width)
+    w.put(eoi, width)
+    w.flush()
+    assert _gif_lzw_decode(bytes(w.buf), mcs, len(idx)) == idx
+
+
+def test_gif_real_world_one_pixel_fixture():
+    # The classic 1x1 transparent tracking GIF (GIF89a, graphic-control
+    # extension, 2-entry palette, padded LZW tail without EOI) — pins
+    # the LSB-first bit order and block walk against a real-world
+    # artifact, not just this module's own encoder.
+    import base64
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _decode_image,
+        decode_gif_rgb8_pixels,
+    )
+
+    blob = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert decode_gif_rgb8_pixels(blob) == (1, 1, [(0, 0, 0)])
+    # sniffing dispatch routes it: (w, h, sums..., min, max)
+    assert _decode_image(blob) == (1, 1, 0, 0, 0, 0, 0)
+
+
+def test_gif_rejects_corruption_truncation_and_palette_overflow():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_rgb8_pixels,
+        encode_gif_rgb8,
+    )
+
+    blob = encode_gif_rgb8(4, 4, [(i * 16, i, i) for i in range(16)])
+    # truncation at every structural boundary must raise ValueError
+    # (the quarantine-eligible class), never IndexError/struct.error
+    for cut in (3, 8, 14, 20, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(ValueError):
+            decode_gif_rgb8_pixels(blob[:cut])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_rgb8_pixels(b"NOPE" + blob)
+    # >256 unique colors cannot be palette-encoded
+    many = [(i % 256, i // 256, 0) for i in range(300)]
+    with pytest.raises(ValueError, match="256"):
+        encode_gif_rgb8(30, 10, many)
+    # pixel index beyond the palette: 2-entry GCT but the LZW stream
+    # encodes index 3 — a structurally valid file lying about content
+    lying = bytearray()
+    lying += b"GIF89a" + bytes([2, 0, 0, 0]) + bytes([0x80, 0, 0])
+    lying += bytes([10, 20, 30, 40, 50, 60])  # 2-entry GCT
+    lying += b"\x2c" + bytes([0, 0, 0, 0, 2, 0, 1, 0, 0])
+    lzw = _gif_lzw_encode([3, 3], 2)
+    lying += bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    with pytest.raises(ValueError, match="outside"):
+        decode_gif_rgb8_pixels(bytes(lying))
+
+
+def test_image_stats_sniffs_gif_in_mixed_corpus(spark, sf_dir):
+    # One decode stage over a BMP/PNG/GIF mixed corpus: three containers
+    # carrying the same closed-form content must agree per doc_id.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_bmp_payloads,
+        attach_gif_payloads,
+        extract_image_stats,
+    )
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(30)
+    bmp = attach_bmp_payloads(docs)
+    gif = attach_gif_payloads(docs)
+    mixed = bmp.filter("doc_id % 2 = 0").unionAll(gif.filter("doc_id % 2 = 1"))
+    got = {r.doc_id: r for r in extract_image_stats(mixed).collect()}
+    want = {r.doc_id: r for r in extract_image_stats(bmp).collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == want[k]

@@ -20,7 +20,9 @@ Two codec tiers:
   approximation DC/AC refinement, EOBn end-of-band runs, and restart
   markers inside progressive scans) and :func:`decode_wav_pcm16`
   (RIFF chunk walk, PCM16 mono). These run as the decode kernels of
-  :func:`extract_image_stats` (content-sniffing BMP/PNG/JPEG dispatch)
+  :func:`extract_image_stats` (content-sniffing BMP/PNG/GIF/JPEG
+  dispatch; GIF87a/89a decodes through real variable-width LZW with
+  interlace support)
   / :func:`extract_audio_stats` and are oracle-checked end-to-end (the
   fixture payloads carry closed-form pixel/sample values an external
   SQL engine can re-derive).
@@ -335,6 +337,321 @@ def decode_png_rgb8(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     :func:`decode_bmp_24`. Thin stats wrapper over
     :func:`decode_png_rgb8_pixels` — one decode path."""
     return _pixel_stats(*decode_png_rgb8_pixels(payload))
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, LZW) — the fourth real still-image codec behind the
+# multimodal boundary. Palette-indexed and LOSSLESS, so it shares the
+# BMP/PNG closed-form oracle bit-exactly. Variable-width LZW per the
+# GIF89a spec appendix F, LSB-first bit packing, 255-byte sub-blocks;
+# code width grows when the next free code exceeds the current width's
+# range (the giflib rule, symmetric on both sides here) up to the
+# 12-bit ceiling, at which point the encoder emits an explicit CLEAR.
+# The decoder additionally supports deferred clears (real encoders may
+# keep emitting 12-bit codes without resetting) and the 4-pass
+# interlace row order. NOTE: GIF has no CRC/checksum layer (unlike PNG
+# chunks), so corruption detection is structural only — truncated
+# streams, bad codes, missing trailer — never content hashes.
+# ---------------------------------------------------------------------------
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (GIF LZW byte order — opposite of JPEG's)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, width: int) -> None:
+        self._acc |= code << self._n
+        self._n += width
+        while self._n >= 8:
+            self.buf.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def flush(self) -> None:
+        if self._n:
+            self.buf.append(self._acc & 0xFF)
+            self._acc = 0
+            self._n = 0
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Variable-width GIF LZW: emits CLEAR, the index stream's codes,
+    an explicit CLEAR + table reset whenever the table reaches the
+    12-bit ceiling, and a final EOI. Dictionary keyed on
+    (prefix_code, next_index) — the standard trie encoding, O(1) per
+    input symbol, no string concatenation."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _LsbBitWriter()
+
+    def reset() -> tuple[dict[tuple[int, int], int], int, int]:
+        return {}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    w.put(clear, width)
+    prev = -1
+    for idx in indices:
+        if prev < 0:
+            prev = idx
+            continue
+        hit = table.get((prev, idx))
+        if hit is not None:
+            prev = hit
+            continue
+        w.put(prev, width)
+        table[(prev, idx)] = next_code
+        next_code += 1
+        if next_code > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                # Table full: explicit CLEAR keeps every decoder
+                # variant (deferred-clear or not) in sync.
+                w.put(clear, width)
+                table, next_code, width = reset()
+        prev = idx
+    if prev >= 0:
+        w.put(prev, width)
+    w.put(eoi, width)
+    w.flush()
+    return bytes(w.buf)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """Inverse of :func:`_gif_lzw_encode`: variable-width codes,
+    LSB-first, KwKwK first-use case, deferred-clear tolerant. Stops at
+    EOI or once ``n_pixels`` indices are produced (real-world 1x1 GIFs
+    routinely pad/omit the EOI). Fails fast (ValueError) on codes
+    beyond the table — corrupt or mis-ordered streams."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # Table as (prefix_code, final_index); roots are (-1, i).
+    table: list[tuple[int, int]] = [(-1, i) for i in range(clear)] + [(-1, 0)] * 2
+    width = min_code_size + 1
+    out: list[int] = []
+    acc = n = pos = 0
+    prev = -1
+
+    def expand(code: int) -> list[int]:
+        chain: list[int] = []
+        while code >= 0:
+            p, sym = table[code]
+            chain.append(sym)
+            code = p
+        chain.reverse()
+        return chain
+
+    while len(out) < n_pixels:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == eoi:
+            break
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code_size + 1
+            prev = -1
+            continue
+        if prev < 0:
+            if code >= len(table):
+                raise ValueError(f"GIF LZW code {code} before any root")
+            out.extend(expand(code))
+        else:
+            if code < len(table):
+                entry = expand(code)
+            elif code == len(table):
+                entry = expand(prev)
+                entry.append(entry[0])  # KwKwK: cScSc first-use case
+            else:
+                raise ValueError(f"GIF LZW code {code} beyond table")
+            if len(table) < 4096:
+                table.append((prev, entry[0]))
+                # The decoder's table lags the encoder's by one entry
+                # (the first code after a clear adds nothing), so it
+                # widens one code EARLIER by its own counter: as soon
+                # as the table fills the current width's range.
+                if len(table) >= (1 << width) and width < 12:
+                    width += 1
+            out.extend(entry)
+        prev = code
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended at {len(out)}/{n_pixels} pixels"
+        )
+    del out[n_pixels:]  # spec allows trailing padding codes
+    return out
+
+
+# The 4-pass interlace row schedule: (start_row, step) per pass.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    return [y for start, step in _GIF_INTERLACE for y in range(start, height, step)]
+
+
+def encode_gif_rgb8(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    *,
+    interlace: bool = False,
+) -> bytes:
+    """Serialize row-major top-down (r, g, b) pixels as a standard
+    GIF89a: global color table built from first-seen unique colors
+    (≤256 required — GIF is palette-indexed), LZW-compressed index
+    stream in 255-byte sub-blocks, optional 4-pass interlace row
+    order."""
+    palette: dict[tuple[int, int, int], int] = {}
+    indices: list[int] = []
+    for p in pixels:
+        slot = palette.get(p)
+        if slot is None:
+            if len(palette) == 256:
+                raise ValueError("GIF encode: more than 256 unique colors")
+            slot = palette[p] = len(palette)
+        indices.append(slot)
+    gct_bits = max(1, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    # GCT present | color resolution (gct_bits-1) | GCT size (2^(n+1))
+    out += bytes([0x80 | ((gct_bits - 1) << 4) | (gct_bits - 1), 0, 0])
+    for rgb in palette:
+        out += bytes(rgb)
+    out += b"\x00\x00\x00" * ((1 << gct_bits) - len(palette))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([0x40 if interlace else 0x00])
+    if interlace:
+        indices = [
+            indices[y * width + x]
+            for y in _gif_interlace_order(height)
+            for x in range(width)
+        ]
+    min_code_size = max(2, gct_bits)
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    out += bytes([min_code_size])
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_rgb8_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode the first image of a GIF87a/89a into row-major TOP-DOWN
+    (r, g, b) pixels: (width, height, pixels).
+
+    Real decoder, not a fixture inverse: walks the logical screen
+    descriptor, global color table, extension blocks (graphic control /
+    comment / application — skipped by sub-block length, per spec),
+    local color table override, the 4-pass interlace reorder, and the
+    variable-width LZW stream. Fails fast (ValueError) on truncation,
+    bad magic, out-of-range LZW codes, or palette-less images."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if len(payload) < pos + 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = [
+            (payload[pos + 3 * i], payload[pos + 3 * i + 1], payload[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF ended before any image descriptor")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            raise ValueError("GIF trailer before any image descriptor")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        break
+    if len(payload) < pos + 9:
+        raise ValueError("truncated GIF image descriptor")
+    _ix, _iy, width, height, iflags = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if width == 0 or height == 0:
+        raise ValueError(f"invalid GIF dimensions {width}x{height}")
+    palette = gct
+    if iflags & 0x80:  # local color table overrides
+        n = 2 << (iflags & 0x07)
+        if len(payload) < pos + 3 * n:
+            raise ValueError("truncated GIF local color table")
+        palette = [
+            (payload[pos + 3 * i], payload[pos + 3 * i + 1], payload[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    if not palette:
+        raise ValueError("GIF image has no color table")
+    if pos >= len(payload):
+        raise ValueError("truncated GIF before LZW min code size")
+    min_code_size = payload[pos]
+    pos += 1
+    chunks = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        sz = payload[pos]
+        pos += 1
+        if sz == 0:
+            break
+        if len(payload) < pos + sz:
+            raise ValueError("truncated GIF data sub-block")
+        chunks.append(payload[pos : pos + sz])
+        pos += sz
+    indices = _gif_lzw_decode(b"".join(chunks), min_code_size, width * height)
+    npal = len(palette)
+    bad = next((i for i in indices if i >= npal), None)
+    if bad is not None:
+        raise ValueError(f"GIF pixel index {bad} outside {npal}-color palette")
+    pixels = [palette[i] for i in indices]
+    if iflags & 0x40:  # interlaced: pass order -> top-down rows
+        ordered: list[tuple[int, int, int]] = [(0, 0, 0)] * (width * height)
+        for src, y in enumerate(_gif_interlace_order(height)):
+            ordered[y * width : (y + 1) * width] = pixels[
+                src * width : (src + 1) * width
+            ]
+        pixels = ordered
+    return width, height, pixels
+
+
+def decode_gif_rgb8(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode a GIF into the same integer stat tuple as
+    :func:`decode_bmp_24`. Thin stats wrapper over
+    :func:`decode_gif_rgb8_pixels` — one decode path."""
+    return _pixel_stats(*decode_gif_rgb8_pixels(payload))
 
 
 def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
@@ -1932,6 +2249,44 @@ def attach_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
+def attach_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real GIF89a payload per row — SAME
+    closed-form pixel content as :func:`attach_bmp_payloads` /
+    :func:`attach_png_payloads` (GIF's palette path is lossless), so
+    all three containers share one external oracle. Odd doc_ids are
+    written INTERLACED, so the 4-pass row reorder is on the checked
+    path for half the corpus."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                base = [
+                    (did * 7 + y * 31 + x * 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                pixels = [(v, (v + 11) % 256, (v + 22) % 256) for v in base]
+                payloads.append(
+                    encode_gif_rgb8(w, h, pixels, interlace=bool(did % 2))
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "image/gif",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+
+
 def attach_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: one real baseline grayscale JPEG per row.
 
@@ -2059,9 +2414,11 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         return decode_bmp_24(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png_rgb8(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_rgb8(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_gray(payload)
-    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
+    raise ValueError("unrecognized image payload (not BMP/PNG/GIF/JPEG)")
 
 
 def extract_image_stats(

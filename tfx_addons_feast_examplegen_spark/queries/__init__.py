@@ -84,6 +84,7 @@ _ENTRY_ORDER = [
     "multimodal_image_png",
     "multimodal_image_jpeg",
     "multimodal_image_jpeg_progressive",
+    "multimodal_image_gif",
     "temperature_mix",
     "text_heavy_hitters",
     "interpolate_timeseries",
@@ -240,7 +241,8 @@ _DRIVER_PRIORITY = [
     # changes (see below).
     #
     # ROUND-10 WINDOW PLAN (record per VERDICT r8 item 2): the remaining
-    # 26 r5-vintage rows — param_substitution, pii_redaction,
+    # r5-vintage rows — negative_sample (displaced mid-round by the GIF
+    # entry), param_substitution, pii_redaction,
     # pit_join_composite_key, pit_join_field_mapping, pit_join_prefixed,
     # range_interval_window (displaced below by the six swap-ins),
     # rollup_region_nation, scd2_validity_intervals, setop_except,
@@ -284,6 +286,7 @@ _DRIVER_PRIORITY = [
     # NEW this round (registered later in round 9; no-ops until then):
     "multimodal_image_jpeg_progressive",
     "multimodal_audio_mp3_stats",
+    "multimodal_image_gif",
     # oldest r5-vintage rows (alphabetical first 20 of 40):
     "anti_join_exists",
     "array_agg_sorted",
@@ -298,7 +301,9 @@ _DRIVER_PRIORITY = [
     "having_subquery",
     "lateral_topk_per_key",
     "latest_feature_snapshot",
-    "negative_sample",
+    # negative_sample displaced to the r10 cohort by the mid-round GIF
+    # codec entry (the window is capped at 50 and every never-attested
+    # entry must sit inside it).
     # swapped in mid-round (displaced r5 rows -> r10 cohort): this
     # round's changes drift these six entries' fingerprints, so all six
     # must re-attest this round — the ADVICE r8 column_stats hardening

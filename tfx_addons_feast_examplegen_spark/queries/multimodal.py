@@ -124,6 +124,23 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_stats(media)
 
 
+def _q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fourth real STILL-IMAGE codec behind the multimodal boundary:
+    # GIF89a, pure stdlib (logical-screen/extension/descriptor block
+    # walk, global color table, variable-width LSB-first LZW decode
+    # with the KwKwK case, deferred-clear tolerance and the 12-bit
+    # table ceiling, 4-pass interlace reorder for odd doc_ids). GIF's
+    # palette path is LOSSLESS, so the fixture reuses the BMP/PNG
+    # closed-form pixel content and the SAME external oracle re-derives
+    # the stats — three containers, one oracle, and the decode stage
+    # sniffs which codec applies from magic bytes alone.
+    from ..operators.multimodal import attach_gif_payloads, extract_image_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_gif_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
 def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fourth real codec behind the multimodal boundary, and the one a
     # real multimodal corpus always contains: BASELINE JPEG, pure
@@ -292,6 +309,7 @@ FROM fr GROUP BY doc_id, n_frames, sridx
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
+    "multimodal_image_gif": (_q_multimodal_gif, _MULTIMODAL_ORACLE),
     "multimodal_image_jpeg": (_q_multimodal_jpeg, _MULTIMODAL_JPEG_ORACLE),
     "multimodal_image_jpeg_progressive": (
         _q_multimodal_jpeg_progressive,
