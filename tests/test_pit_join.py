@@ -367,3 +367,129 @@ def test_nearest_event_join_tie_breaks_backward(spark):
         created_col="cid",
     ).collect()
     assert out[0].v == 1.0  # equal distance -> backward wins
+
+
+# ---------------------------------------------------------------------------
+# union-window strategy (linear per-key cost; hot-key path)
+# ---------------------------------------------------------------------------
+
+
+def _join_uw(ent, feat, **kw):
+    from tfx_addons_feast_examplegen_spark.operators.pit_join import (
+        point_in_time_join_union_window,
+    )
+
+    defaults = dict(
+        join_keys=["uid"],
+        entity_ts_col="ts",
+        feature_ts_col="fts",
+        features=["val"],
+        created_col="created",
+    )
+    defaults.update(kw)
+    return point_in_time_join_union_window(ent, feat, **defaults)
+
+
+def test_union_window_edge_semantics(spark):
+    # The mandated edge list in one fixture: inclusive as-of, future
+    # leak, created tie-break, no-match NULL, per-entity independence.
+    ent = _entities(
+        spark,
+        [(1, T(2024, 1, 10)), (1, T(2024, 1, 2)), (2, T(2024, 1, 10)),
+         (3, T(2024, 1, 10))],
+    )
+    feat = _features(
+        spark,
+        [
+            (1, T(2024, 1, 1), 1, 10.0),
+            (1, T(2024, 1, 10), 2, 20.0),   # exact ts: inclusive
+            (1, T(2024, 1, 10), 9, 25.0),   # same ts: created wins
+            (1, T(2024, 1, 11), 3, 30.0),   # future: must not leak
+            (2, T(2024, 1, 4), 1, 40.0),
+        ],
+    )
+    got = {(r.uid, r.ts): r.val for r in _join_uw(ent, feat).collect()}
+    assert got == {
+        (1, T(2024, 1, 10)): 25.0,
+        (1, T(2024, 1, 2)): 10.0,
+        (2, T(2024, 1, 10)): 40.0,
+        (3, T(2024, 1, 10)): None,
+    }
+
+
+def test_union_window_ttl_and_boundary(spark):
+    ent = _entities(spark, [(1, T(2024, 1, 10)), (2, T(2024, 1, 10))])
+    feat = _features(
+        spark,
+        [
+            (1, T(2024, 1, 1), 1, 10.0),   # 9 days old: outside 7d TTL
+            (2, T(2024, 1, 3), 1, 40.0),   # exactly 7d: boundary inclusive
+        ],
+    )
+    got = {
+        r.uid: r.val
+        for r in _join_uw(ent, feat, ttl_seconds=7 * 24 * 3600).collect()
+    }
+    assert got == {1: None, 2: 40.0}
+
+
+def test_union_window_null_key_and_duplicate_spine(spark):
+    ent = spark.createDataFrame(
+        [Row(uid=None, ts=T(2024, 1, 10)), Row(uid=1, ts=T(2024, 1, 10)),
+         Row(uid=1, ts=T(2024, 1, 10))],
+        "uid long, ts timestamp",
+    )
+    feat = _features(
+        spark,
+        [(None, T(2024, 1, 5), 1, 66.0), (1, T(2024, 1, 5), 1, 10.0)],
+    )
+    rows = _join_uw(ent, feat).collect()
+    # null-key spine survives with NULL features (never matches the
+    # null-key feature row), duplicate spine rows both carry features
+    assert sorted(((r.uid, r.val) for r in rows), key=str) == sorted(
+        [(None, None), (1, 10.0), (1, 10.0)], key=str
+    )
+
+
+def test_union_window_equivalence_on_fixture_tables(spark, sf_dir):
+    # Strategy equivalence on real data: pair+max_by vs union-window
+    # must agree row-for-row, with and without TTL, with a prefix.
+    from tfx_addons_feast_examplegen_spark.operators.pit_join import (
+        point_in_time_join_union_window,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    t = register_tables(spark, sf_dir)
+    spine = spark.sql("""
+        SELECT c_custkey AS user_id, event_timestamp
+        FROM customer CROSS JOIN (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+            (TIMESTAMP '2024-01-15 00:00:00'), (TIMESTAMP '2024-01-22 12:34:56'),
+            (TIMESTAMP '2024-01-29 00:00:00')) AS v(event_timestamp)
+    """)
+    for kw in (
+        {},
+        {"ttl_seconds": 7 * 24 * 3600},
+        {"output_prefix": "f_"},
+    ):
+        base = dict(
+            join_keys=["user_id"],
+            entity_ts_col="event_timestamp",
+            feature_ts_col="ts",
+            features=["value", "event_type"],
+            created_col="event_id",
+            **kw,
+        )
+        v = "f_value" if kw.get("output_prefix") else "value"
+        e = "f_event_type" if kw.get("output_prefix") else "event_type"
+        a = sorted(
+            ((r.user_id, r.event_timestamp, r[v], r[e])
+             for r in point_in_time_join(spine, t["events"], **base).collect()),
+            key=str,
+        )
+        b = sorted(
+            ((r.user_id, r.event_timestamp, r[v], r[e])
+             for r in point_in_time_join_union_window(
+                 spine, t["events"], **base).collect()),
+            key=str,
+        )
+        assert a == b and len(a) > 0

@@ -404,3 +404,131 @@ def nearest_event_join(
         )
     )
     return entity_df.join(best, [*join_keys, entity_ts_col], "left")
+
+
+def point_in_time_join_union_window(
+    entity_df: DataFrame,
+    feature_df: DataFrame,
+    *,
+    join_keys: list[str],
+    entity_ts_col: str,
+    feature_ts_col: str,
+    features: list[str],
+    created_col: str | None = None,
+    ttl_seconds: int | None = None,
+    output_prefix: str = "",
+) -> DataFrame:
+    """As-of join with LINEAR per-key cost: the union-window strategy.
+
+    Same contract as :func:`point_in_time_join` (J1/J2/J3/J6 —
+    equivalence is test-enforced), different physical shape. The
+    default strategy enumerates every key-equal (spine row, feature
+    row) candidate pair before its ``max_by`` dedup, which is
+    O(spine_k x features_k) per key k — quadratic on a hot key, and
+    invisible to AQE's skew mitigation because ``OptimizeSkewedJoin``
+    triggers on partition BYTES while a hot key's partition can be
+    tiny in bytes and quadratic in compute (measured: 1% hot key,
+    10M x 2M rows -> 30x wall blowup that neither default nor
+    aggressively-tuned AQE touches; scripts/scale_probe_pit_skew.py).
+
+    This strategy never materializes pairs. Both sides are unioned into
+    one (key, ts)-sorted stream — feature rows ordered before spine
+    rows at equal ts so the as-of predicate stays inclusive, and by
+    (ts, created) among themselves so the running winner IS the
+    ``max_by(payload, struct(ts, created))`` winner — and a running
+    ``last(..., ignorenulls)`` over ROWS UNBOUNDED PRECEDING carries
+    the newest feature payload onto each spine row: O(n log n) sort per
+    key, O(n) frame evaluation (Spark's UnboundedPreceding frame keeps
+    a running value; no per-row rescan). A TTL filters the carried
+    payload afterwards — if the newest as-of feature row is older than
+    the bound, every other candidate is too, so post-filtering is
+    exactly the candidate-side interval predicate.
+
+    Trade-off at 100 TB: one shuffle + sort of features+spine vs the
+    default's shuffle of map-side-combined candidate winners. With
+    shallow per-key history the default moves less data; with deep or
+    skewed history the union-window's linear per-key cost wins by
+    orders of magnitude. ``time_bucketed=True`` remains the choice
+    when a TTL allows hash-partitioning the history itself; this
+    strategy needs no TTL at all (the unbounded-history hot-key case
+    nothing else covers).
+    """
+    if not features:
+        raise RegistryError("point_in_time_join_union_window: empty feature list")
+
+    base = entity_df
+    spine = (
+        base.select(
+            *[F.col(k).alias(f"__ek_{k}") for k in join_keys],
+            F.col(entity_ts_col).alias("__ent_ts"),
+        )
+        .distinct()
+    )
+
+    ordering = (
+        F.struct(F.col(feature_ts_col), F.col(created_col))
+        if created_col
+        else F.struct(F.col(feature_ts_col))
+    )
+    payload = F.struct(
+        F.col(feature_ts_col).alias("__f_ts"),
+        *[F.col(f).alias(f) for f in features],
+    )
+    # Null join keys never match under equi-join semantics: drop them
+    # from the stream (partitionBy would otherwise group NULLs together
+    # and leak features across "equal" null keys). Spine rows with null
+    # keys still survive via the final left join.
+    def _non_null(df: DataFrame, cols: list[str]) -> DataFrame:
+        cond = None
+        for c in cols:
+            k = F.col(c).isNotNull()
+            cond = k if cond is None else (cond & k)
+        return df.filter(cond)
+
+    feat_stream = _non_null(feature_df, join_keys).select(
+        *[F.col(k).alias(f"__ek_{k}") for k in join_keys],
+        F.col(feature_ts_col).alias("__ts"),
+        F.lit(0).alias("__is_spine"),
+        ordering.alias("__ord"),
+        payload.alias("__payload"),
+    )
+    spine_stream = _non_null(spine, [f"__ek_{k}" for k in join_keys]).select(
+        *[F.col(f"__ek_{k}") for k in join_keys],
+        F.col("__ent_ts").alias("__ts"),
+        F.lit(1).alias("__is_spine"),
+        F.lit(None).cast(feat_stream.schema["__ord"].dataType).alias("__ord"),
+        F.lit(None).cast(feat_stream.schema["__payload"].dataType).alias(
+            "__payload"
+        ),
+    )
+
+    w = (
+        Window.partitionBy(*[F.col(f"__ek_{k}") for k in join_keys])
+        .orderBy(F.col("__ts"), F.col("__is_spine"), F.col("__ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        feat_stream.unionByName(spine_stream)
+        .withColumn("__carry", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__is_spine") == 1)
+    )
+    if ttl_seconds:
+        lower = F.col("__ts") - F.expr(f"INTERVAL {int(ttl_seconds)} SECOND")
+        carried = carried.withColumn(
+            "__carry",
+            F.when(F.col("__carry.__f_ts") >= lower, F.col("__carry")),
+        )
+    out_names = {f: f"{output_prefix}{f}" for f in features}
+    latest = carried.select(
+        *[F.col(f"__ek_{k}") for k in join_keys],
+        F.col("__ts").alias("__ent_ts"),
+        *[F.col(f"__carry.{f}").alias(out_names[f]) for f in features],
+    )
+
+    join_cond = None
+    for k in join_keys:
+        c = entity_df[k] == F.col(f"__ek_{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    join_cond = join_cond & (entity_df[entity_ts_col] == F.col("__ent_ts"))
+    helper_cols = [f"__ek_{k}" for k in join_keys] + ["__ent_ts"]
+    return entity_df.join(latest, join_cond, "left").drop(*helper_cols)

@@ -163,6 +163,7 @@ _ENTRY_ORDER = [
     "dedup_simhash",
     "pit_join_ttl",
     "pit_join_time_bucketed",
+    "pit_join_union_window",
     "pit_join_multiview",
     "feature_service",
     "hash_split_counts",
@@ -241,8 +242,9 @@ _DRIVER_PRIORITY = [
     # changes (see below).
     #
     # ROUND-10 WINDOW PLAN (record per VERDICT r8 item 2): the remaining
-    # r5-vintage rows — negative_sample (displaced mid-round by the GIF
-    # entry), param_substitution, pii_redaction,
+    # r5-vintage rows — latest_feature_snapshot and negative_sample
+    # (displaced mid-round by the GIF and union-window entries),
+    # param_substitution, pii_redaction,
     # pit_join_composite_key, pit_join_field_mapping, pit_join_prefixed,
     # range_interval_window (displaced below by the six swap-ins),
     # rollup_region_nation, scd2_validity_intervals, setop_except,
@@ -287,6 +289,7 @@ _DRIVER_PRIORITY = [
     "multimodal_image_jpeg_progressive",
     "multimodal_audio_mp3_stats",
     "multimodal_image_gif",
+    "pit_join_union_window",
     # oldest r5-vintage rows (alphabetical first 20 of 40):
     "anti_join_exists",
     "array_agg_sorted",
@@ -300,10 +303,10 @@ _DRIVER_PRIORITY = [
     "grouping_sets_filter",
     "having_subquery",
     "lateral_topk_per_key",
-    "latest_feature_snapshot",
-    # negative_sample displaced to the r10 cohort by the mid-round GIF
-    # codec entry (the window is capped at 50 and every never-attested
-    # entry must sit inside it).
+    # latest_feature_snapshot and negative_sample displaced to the r10
+    # cohort by the mid-round GIF codec and union-window as-of entries
+    # (the window is capped at 50 and every never-attested entry must
+    # sit inside it).
     # swapped in mid-round (displaced r5 rows -> r10 cohort): this
     # round's changes drift these six entries' fingerprints, so all six
     # must re-attest this round — the ADVICE r8 column_stats hardening

@@ -119,6 +119,33 @@ def _q_pit_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pit_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The linear-per-key as-of strategy (hot-key path) against the SAME
+    # oracle as the flagship pair+max_by join — strategy equivalence is
+    # part of the contract. No TTL: this is the unbounded-history case
+    # neither time_bucketed (needs a TTL) nor AQE (byte-based skew
+    # detection) covers; see scripts/scale_probe_pit_skew.py.
+    from ..operators.pit_join import point_in_time_join_union_window
+
+    t = register_tables(spark, sf_dir)
+    spine = spark.sql(_SPINE_SQL)
+    out = point_in_time_join_union_window(
+        spine,
+        t["events"],
+        join_keys=["user_id"],
+        entity_ts_col="event_timestamp",
+        feature_ts_col="ts",
+        features=["value", "event_type"],
+        created_col="event_id",
+    )
+    return out.select(
+        F.col("user_id"),
+        F.unix_timestamp("event_timestamp").alias("snapshot_ts"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+
+
 def _q_feature_service(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Feature-service expansion (P2): service name -> stored refs.
     return _pit_query("user_activity")(spark, sf_dir)
@@ -502,6 +529,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nearest_event_join": (_q_nearest_event_join, _NEAREST_EVENT_ORACLE),
     "feature_drift_psi": (_q_feature_drift_psi, _FEATURE_DRIFT_PSI_ORACLE),
     "feature_histogram": (_q_histogram, _HISTOGRAM_ORACLE),
+    "pit_join_union_window": (_q_pit_union_window, _pit_oracle()),
     "pit_join_ttl": (_q_pit_join_ttl, _pit_oracle(ttl_days=7)),
     "pit_join_time_bucketed": (_q_pit_join_bucketed, _pit_oracle(ttl_days=7)),
     "pit_join_multiview": (_q_pit_multiview, _PIT_MULTIVIEW_ORACLE),
