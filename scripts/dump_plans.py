@@ -118,7 +118,40 @@ joins candidates back to the FULL pinned shingle sets. More exchanges
 than the explode (the df join and window are extra stages) — its win
 is exactness without caps on boilerplate-heavy corpora, not raw speed
 on rare-shingle ones (measured trade in the operator docstring).""",
+    "pit_join_union_window": """The linear-per-key as-of strategy. The feature and spine streams
+Union into ONE hash Exchange on the join key; a single Sort by
+(key, ts, side, created) feeds a Window whose running RowFrame
+(UNBOUNDED PRECEDING .. CURRENT ROW last(ignorenulls)) carries the
+newest payload onto each spine row in O(n) per partition — no
+candidate-pair join exists anywhere in the tree (sort_merge_joins: 0),
+which is the point: pair enumeration is what goes quadratic on a hot
+key, and AQE's byte-based skew detection cannot see it
+(scripts/scale_probe_pit_skew.py). The final re-attachment onto the
+entity rows is a plain equi-join on (key, ts) — broadcast at small
+scale, shuffled SMJ at sf0.1+ — and carries no range condition, so it
+never amplifies.""",
 }
+
+FOOTER = """## Round-8 DataFrame conversions (former identical-SQL entries)
+
+Audited shapes at conversion time (sf0.001, locked by
+`tests/test_plans.py`):
+
+- `window_topk_running` — **2 exchanges**: one hash partition by
+  `c_mktsegment` feeding a single window sort shared by BOTH frames
+  (row_number rank + running sum over the same ordering), then the
+  presentation orderBy's range exchange. Scan pruned to
+  `c_custkey, c_acctbal, c_mktsegment`.
+- `event_funnel` — **2 exchanges, zero joins**: conditional-min step
+  times per user are one hash aggregate (map-side partials over the
+  events scan), the three step counts a 1-row reduce. The
+  funnel-by-3-self-joins shape would shuffle the 100 TB events table
+  three times; this shuffles the per-user partial aggregate once.
+- `column_correlations` — **1 exchange**: three algebraic `corr()`
+  co-moment aggregates computed in a single map-side-combined pass,
+  scan pruned to the three measure columns; the only exchange carries
+  32 partial co-moment rows to the 1-row reduce.
+"""
 
 HDR = """# Physical plans (generated)
 
@@ -149,7 +182,7 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.dirname(__file__)), "docs", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
-        f.write(HDR + "\n" + "\n".join(sections))
+        f.write(HDR + "\n" + "\n".join(sections) + "\n" + FOOTER)
     print(f"wrote {out}")
 
 

@@ -225,3 +225,26 @@ def test_column_correlations_plan_single_pass(qs, spark, sf_dir):
     assert s["sorts"] == 0, s
     # scan pruned to the three measure columns
     assert all("l_orderkey" not in rs for rs in s["read_schemas"]), s
+
+
+def test_pit_join_union_window_plan(qs, spark, sf_dir):
+    # The linear-per-key as-of strategy: the whole point is ONE hash
+    # exchange feeding a sort + running-frame Window (no candidate-pair
+    # join anywhere), then a broadcast join back onto the spine. A
+    # second non-broadcast exchange on the stream, or the window frame
+    # degrading from the running RowFrame, would re-introduce the
+    # scaling cost the strategy exists to remove.
+    from tfx_addons_feast_examplegen_spark.plans.explain import plan_text
+
+    df = qs["pit_join_union_window"](spark, sf_dir)
+    s = plan_summary(df)
+    assert s["nested_loop_joins"] <= 2, s  # literal snapshot-grid only
+    # at most the final equi re-attachment join (broadcast at small SF,
+    # SMJ at sf0.1+); a SECOND SMJ would be a reintroduced pair join
+    assert s["sort_merge_joins"] <= 1, s
+    text = plan_text(df)
+    assert "Window" in text, text
+    assert "unboundedpreceding" in text and "currentrow" in text, text
+    # exchanges: spine distinct partial/final + the union stream's one
+    # hash partitioning + broadcasts; anything past 6 is a regression
+    assert s["exchanges"] <= 6, s
