@@ -250,34 +250,60 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # floors are min-of-n_passes; spread = max - min per query
-                # (a large spread under high recorded load = host noise,
-                # not a plan regression)
-                "passes": n_passes,
-                "extra_passes_high_spread": extra_passes if high_spread else 0,
-                "query_spread_sec": spread,
-                "load_1min_per_pass": pass_loads,
-                # 1-min load sampled immediately before the pass that set
-                # each query's floor — makes "floor under load tail"
-                # visible per query without quiet-host reruns
-                "load_at_floor": floor_loads,
-                "cpus": cpus,
-                "extended_total": round(sum(ext_timings.values()), 3),
-                "extended": ext_timings,
-                "extended_spread_sec": ext_spread,
-                "extended_load_1min_per_pass": ext_loads,
-                "extended_load_at_floor": ext_floor_loads,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # floors are min-of-n_passes; spread = max - min per query
+        # (a large spread under high recorded load = host noise,
+        # not a plan regression)
+        "passes": n_passes,
+        "extra_passes_high_spread": extra_passes if high_spread else 0,
+        "query_spread_sec": spread,
+        "load_1min_per_pass": pass_loads,
+        # 1-min load sampled immediately before the pass that set
+        # each query's floor — makes "floor under load tail"
+        # visible per query without quiet-host reruns
+        "load_at_floor": floor_loads,
+        "cpus": cpus,
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "extended": ext_timings,
+        "extended_spread_sec": ext_spread,
+        "extended_load_1min_per_pass": ext_loads,
+        "extended_load_at_floor": ext_floor_loads,
+    }
+    # The full payload (~2.6 KB) outgrew the driver's 2000-char stdout
+    # tail capture and BENCH_r09.json recorded parsed:null, losing the
+    # round's headline number (VERDICT r9 item 1). Persist everything to
+    # a committed file and keep the FINAL stdout line a compact summary
+    # (headline + per-query floors only, well under the capture window)
+    # so the driver artifact always parses.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": full["sf"],
+        "extended_total": full["extended_total"],
+        "extended": ext_timings,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:
+        # Degrade gracefully rather than ever overflowing the capture
+        # window again: drop the extended floors (they live in the full
+        # payload) before the headline floors.
+        compact.pop("extended", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
