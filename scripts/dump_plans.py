@@ -167,12 +167,26 @@ def main() -> None:
     register_tables(spark, sf_dir)
     qs = queries()
     sections = []
+    from tfx_addons_feast_examplegen_spark.operators.pit_join import (
+        last_strategy_choices,
+    )
+
     for name, comment in COMMENT.items():
         df = qs[name](spark, sf_dir)
         tree = plan_text(df).split("\n\n", 1)[0]
         s = plan_summary(df)
+        # Record WHICH physical as-of shape produced this plan (per-view
+        # registry strategy resolution; VERDICT r9 item 4).
+        choices = last_strategy_choices() if name.startswith("pit_join") else {}
+        strat_line = (
+            "As-of strategy chosen per view: "
+            + ", ".join(f"{v}={st}" for v, st in sorted(choices.items()))
+            + "\n\n"
+            if choices
+            else ""
+        )
         sections.append(
-            f"## {name}\n\n{comment}\n\n"
+            f"## {name}\n\n{comment}\n\n{strat_line}"
             f"Summary: {s['exchanges']} exchanges, "
             f"{s['broadcast_hash_joins']} broadcast joins, "
             f"{s['sort_merge_joins']} sort-merge joins, "

@@ -1161,3 +1161,73 @@ def test_image_stats_sniffs_gif_in_mixed_corpus(spark, sf_dir):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == want[k]
+
+
+def test_jpeg_arithmetic_sof_quarantines_cleanly(spark):
+    # VERDICT r9 item 5: web crawls contain arithmetic-coded JPEGs
+    # (SOF9-11/13-15, T.81 table B.1) that the sniffer dispatches on SOI
+    # alone. The walker must reject the FRAME MARKER by name — before
+    # any entropy parsing could mis-walk the stream — and the rejection
+    # must be the quarantine class (ValueError) so on_error="null" rows
+    # survive with null stats.
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray,
+        extract_image_stats,
+    )
+
+    good = encode_jpeg_gray(8, 8, [5] * 64)
+    sof_at = good.find(b"\xff\xc0")
+    for sof, pat in ((0xC9, "arithmetic"), (0xCA, "arithmetic"),
+                     (0xCB, "arithmetic"), (0xC1, "unsupported-variant"),
+                     (0xC3, "unsupported-variant")):
+        bad = good[:sof_at + 1] + bytes([sof]) + good[sof_at + 2:]
+        with _pytest.raises(ValueError, match=pat):
+            decode_jpeg_gray_pixels(bad)
+    # DAC segment (arithmetic conditioning) rejected even before its SOF
+    dac = good[:sof_at] + b"\xff\xcc\x00\x04\x00\x10" + good[sof_at:]
+    with _pytest.raises(ValueError, match="DAC"):
+        decode_jpeg_gray_pixels(dac)
+    # end-to-end: the arithmetic payload lands in the null-quarantine,
+    # the good payload still decodes, no row disappears
+    arith = good[:sof_at + 1] + bytes([0xCA]) + good[sof_at + 2:]
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(arith))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in
+            extract_image_stats(df, on_error="null").collect()}
+    assert rows[0]["width"] == 8 and rows[0]["px_min"] == 5
+    assert rows[1]["width"] is None and len(rows) == 2
+
+
+def test_jpeg_appn_exif_and_com_segments_tolerated():
+    # VERDICT r9 item 5: real web-crawl JPEGs nearly always carry APP1
+    # Exif (and often APP0 JFIF + COM) metadata segments. The walker
+    # must skip any length-framed segment it does not consume; decode
+    # must be byte-identical with and without the metadata.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_jpeg_gray_pixels,
+        encode_jpeg_gray,
+    )
+
+    px = [(3 * i) % 256 for i in range(256)]
+    plain = encode_jpeg_gray(16, 16, px)
+
+    def seg(marker, body):
+        import struct as _s
+
+        return _s.pack(">HH", marker, len(body) + 2) + body
+
+    # minimal real-shaped Exif APP1: "Exif\0\0" + little-endian TIFF
+    # header + one IFD entry (Orientation=1)
+    tiff = (b"II*\x00\x08\x00\x00\x00"
+            b"\x01\x00" b"\x12\x01\x03\x00\x01\x00\x00\x00\x01\x00\x00\x00"
+            b"\x00\x00\x00\x00")
+    exif = seg(0xFFE1, b"Exif\x00\x00" + tiff)
+    jfif = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = seg(0xFFFE, b"shot on a potato")
+    appn = seg(0xFFED, b"\x00" * 40)  # APP13 (Photoshop IRB, opaque)
+    tagged = plain[:2] + jfif + exif + appn + com + plain[2:]
+    assert decode_jpeg_gray_pixels(tagged) == decode_jpeg_gray_pixels(plain)

@@ -1754,9 +1754,28 @@ def _decode_jpeg_full(
                 c["h"] != 1 or c["v"] != 1 for c in comps[1:]
             ):
                 raise ValueError("chroma must be 1x1 sampled")
-        elif marker in (0xFFC1, 0xFFC3):
+        elif marker == 0xFFCC:
+            # DAC: arithmetic conditioning — only ever present in
+            # arithmetic-entropy streams, which we cannot decode.
             raise ValueError(
-                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+                "arithmetic-coded JPEG (DAC segment) — only baseline "
+                "(SOF0) and progressive (SOF2) huffman JPEG supported"
+            )
+        elif 0xFFC1 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8):
+            # Every other SOFn frame type (T.81 table B.1): SOF9-11 and
+            # SOF13-15 are ARITHMETIC-coded, SOF1/3/5-7 extended
+            # sequential / lossless / differential huffman. Reject by
+            # name BEFORE any entropy parsing so a web-crawl corpus
+            # quarantines these cleanly instead of mis-parsing the
+            # stream (the sniffer dispatches on SOI alone).
+            kind = (
+                "arithmetic-coded"
+                if marker >= 0xFFC9
+                else "unsupported-variant"
+            )
+            raise ValueError(
+                f"{kind} JPEG frame SOF{marker - 0xFFC0} — only baseline "
+                "(SOF0) and progressive (SOF2) huffman JPEG supported"
             )
         elif marker == 0xFFC4:  # DHT (possibly several tables)
             off = 0

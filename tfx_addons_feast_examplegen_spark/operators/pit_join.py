@@ -251,6 +251,67 @@ def _static_join(
     )
 
 
+# ---- automatic as-of strategy selection (SURVEY.md §4.2) -------------
+#
+# Decision rule, from the measured crossovers (scripts/scale_experiment.py
+# and scripts/scale_probe_pit_skew.py; docs/BENCH_NOTES_r09.md):
+#
+# - per-key history depth <~100: pair+max_by wins (bucket arithmetic and
+#   the 2x probe duplication cost more than they save);
+# - deep history WITH a TTL: time_bucketed (candidates capped at two TTL
+#   windows regardless of depth — 4.4x at 50M events / 5M-event hot key);
+# - deep or unbounded history WITHOUT a TTL: union_window (linear per-key
+#   cost; the 30x hot-key cliff AQE cannot see, restored to 1.0x).
+#
+# The probe is a bounded, cached, feature-side stat: max per-key row count
+# within the first _AUTO_PROBE_ROWS rows, computed once per (view, path)
+# per process and NEVER re-run on the query path. It deliberately reads a
+# row-limited prefix rather than sample() — deterministic, one-job, and
+# at 100 TB it touches a handful of input splits instead of scanning the
+# table. SPINE-side skew is per-query and invisible to a registry-time
+# stat: callers with a hot spine key pin strategy="union_window" on the
+# view (see scripts/scale_probe_pit_skew.py for when that matters).
+_AUTO_PROBE_ROWS = 100_000
+_AUTO_DEPTH_THRESHOLD = 128
+_DEPTH_CACHE: dict[tuple[str, str], int] = {}
+
+# view name -> strategy chosen by the most recent materialize_features
+# call in this process; read by tests and scripts/dump_plans.py so every
+# plan dump records WHICH physical as-of shape produced it.
+_LAST_STRATEGY_CHOICES: dict[str, str] = {}
+
+
+def last_strategy_choices() -> dict[str, str]:
+    """Strategy picked per view by the latest materialize_features call."""
+    return dict(_LAST_STRATEGY_CHOICES)
+
+
+def _probe_max_key_depth(fdf: DataFrame, keys: list[str], cache_key: tuple[str, str]) -> int:
+    if cache_key not in _DEPTH_CACHE:
+        row = (
+            fdf.select(*keys)
+            .limit(_AUTO_PROBE_ROWS)
+            .groupBy(*keys)
+            .count()
+            .agg(F.max("count").alias("d"))
+            .first()
+        )
+        _DEPTH_CACHE[cache_key] = int(row["d"] or 0)
+    return _DEPTH_CACHE[cache_key]
+
+
+def _select_strategy(view, fdf: DataFrame, sf_dir: str) -> str:
+    """Resolve a view's as-of strategy (explicit pin or the auto rule)."""
+    if view.strategy != "auto":
+        return view.strategy
+    depth = _probe_max_key_depth(
+        fdf, list(view.entities), (view.name, view.resolve_path(sf_dir))
+    )
+    if depth > _AUTO_DEPTH_THRESHOLD:
+        return "time_bucketed" if view.ttl_seconds else "union_window"
+    return "pair"
+
+
 def materialize_features(
     spark: SparkSession,
     *,
@@ -279,8 +340,17 @@ def materialize_features(
     memory — a spine wider than storage memory would spill and lose; the
     caller owns ``unpersist`` (the cache must live until the result is
     consumed, which this function cannot see).
+
+    Each view's physical as-of strategy is resolved per its registry
+    ``strategy`` field: ``auto`` (default) applies the measured decision
+    rule above :func:`_select_strategy` using a cached bounded per-key
+    depth probe; explicit ``pair`` / ``time_bucketed`` /
+    ``union_window`` pin the shape (all three are oracle-equivalent —
+    only the plan differs). The per-view choice is recorded in
+    :func:`last_strategy_choices` so plan dumps show which shape ran.
     """
     resolved = registry.resolve_features(features)
+    _LAST_STRATEGY_CHOICES.clear()
 
     entity_df = (
         spark.sql(entity_query) if isinstance(entity_query, str) else entity_query
@@ -313,9 +383,9 @@ def materialize_features(
             # time — linear in the number of views instead of doubling
             # per level (see point_in_time_join docstring).
             from_base = all(k in entity_df.columns for k in view.entities)
-            out = point_in_time_join(
-                out,
-                fdf,
+            strategy = _select_strategy(view, fdf, sf_dir)
+            _LAST_STRATEGY_CHOICES[view_name] = strategy
+            kw = dict(
                 join_keys=list(view.entities),
                 entity_ts_col=entity_ts_col,
                 feature_ts_col=view.timestamp_col,
@@ -325,6 +395,12 @@ def materialize_features(
                 output_prefix=prefix,
                 spine_source=entity_df if from_base else None,
             )
+            if strategy == "union_window":
+                out = point_in_time_join_union_window(out, fdf, **kw)
+            else:
+                out = point_in_time_join(
+                    out, fdf, time_bucketed=(strategy == "time_bucketed"), **kw
+                )
         else:
             out = _static_join(
                 out,
@@ -417,6 +493,7 @@ def point_in_time_join_union_window(
     created_col: str | None = None,
     ttl_seconds: int | None = None,
     output_prefix: str = "",
+    spine_source: DataFrame | None = None,
 ) -> DataFrame:
     """As-of join with LINEAR per-key cost: the union-window strategy.
 
@@ -456,7 +533,10 @@ def point_in_time_join_union_window(
     if not features:
         raise RegistryError("point_in_time_join_union_window: empty feature list")
 
-    base = entity_df
+    # Same flat-plan chaining hook as point_in_time_join: derive the
+    # distinct spine from the ORIGINAL entity frame when chaining views
+    # so the logical tree stays linear in view count.
+    base = spine_source if spine_source is not None else entity_df
     spine = (
         base.select(
             *[F.col(k).alias(f"__ek_{k}") for k in join_keys],

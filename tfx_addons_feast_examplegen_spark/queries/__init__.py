@@ -231,96 +231,88 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # Round-9 rotation (VERDICT r8 items 1-2). Slot 0: pit_join (entry()
-    # smoke, r8-green). Then: the 27 entries whose newest driver row is
-    # r3/r4 vintage (fingerprint-current but 4+ rounds old — VERDICT r8
-    # "What's missing #1"); the two NEW r9 entries (progressive JPEG
-    # decode, MP3 frame-header stats) so they are driver-attested the
-    # round they land (names are filtered out of _ordered() until
-    # registered); the alphabetically-first 14 r5-vintage rows; and six
-    # mid-round swap-ins whose fingerprints drift with this round's
-    # changes (see below).
+    # Round-10 rotation (VERDICT r9 items 2-4). Slot 0: pit_join
+    # (entry() smoke; also fingerprint-drifted this round by the
+    # strategy-dispatch change in materialize_features). Then: the 28
+    # r5-vintage entries recorded last round as the r10 cohort —
+    # executing them leaves NO registry entry with a driver row older
+    # than r7, completing the fleet-wide attestation refresh; the 10
+    # additional entries whose fingerprints drift with this round's
+    # changes (the per-view as-of strategy field reaches every
+    # materialize_features caller; the JPEG SOFn rejection reaches every
+    # image entry through the sniffing dispatch); and the
+    # alphabetically-first 11 r7-vintage rows.
     #
-    # ROUND-10 WINDOW PLAN (record per VERDICT r8 item 2): the remaining
-    # r5-vintage rows — latest_feature_snapshot and negative_sample
-    # (displaced mid-round by the GIF and union-window entries),
-    # param_substitution, pii_redaction,
-    # pit_join_composite_key, pit_join_field_mapping, pit_join_prefixed,
-    # range_interval_window (displaced below by the six swap-ins),
-    # rollup_region_nation, scd2_validity_intervals, setop_except,
-    # setop_intersect, similarity_ann_exhaustive, similarity_ann_ivf,
-    # similarity_ann_lsh, skew_salted_agg, source_csv_roundtrip,
-    # source_jsonl_roundtrip, split_pattern_routing, stratified_sample,
-    # stream_static_enrichment, stream_stream_join,
-    # stream_stream_left_join, temperature_mix, text_heavy_hitters,
-    # udtf_split_sentences, unpivot_stack, windowed_event_counts_streaming
-    # — after which every registry entry has a driver row from r7 or
-    # newer and the fleet-wide refresh is complete.
-    #
-    # r3/r4-vintage refresh:
-    "bucketed_join",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_incremental_indexed",
-    "embedding_linear_scorer",
-    "embedding_neardup",
-    "embedding_quantization",
-    "feature_histogram",
-    "monthly_order_delta",
-    "percentiles",
-    "pit_join_time_bucketed",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q7_nation_volume",
-    "similarity_ann_ivf_recall",
-    "similarity_ann_lsh_recall",
-    "sketch_distinct_counts",
-    "sketch_quantiles",
-    "skew_salted_join",
-    "snapshot_diff",
-    "stream_dedup",
-    "string_funcs_parts",
-    "three_way_split_counts",
-    "weighted_sample",
-    "window_lead_lag_ntile",
-    "zorder_layout",
-    # NEW this round (registered later in round 9; no-ops until then):
-    "multimodal_image_jpeg_progressive",
-    "multimodal_audio_mp3_stats",
-    "multimodal_image_gif",
-    "pit_join_union_window",
-    # oldest r5-vintage rows (alphabetical first 20 of 40):
-    "anti_join_exists",
-    "array_agg_sorted",
-    "case_pivot",
-    "correlated_subquery",
-    "cube_lattice",
-    "decontaminate",
-    "forward_fill_timeseries",
-    "gap_fill_timeseries",
-    "group_quota",
-    "grouping_sets_filter",
-    "having_subquery",
-    "lateral_topk_per_key",
-    # latest_feature_snapshot and negative_sample displaced to the r10
-    # cohort by the mid-round GIF codec and union-window as-of entries
-    # (the window is capped at 50 and every never-attested entry must
-    # sit inside it).
-    # swapped in mid-round (displaced r5 rows -> r10 cohort): this
-    # round's changes drift these six entries' fingerprints, so all six
-    # must re-attest this round — the ADVICE r8 column_stats hardening
-    # (empty cols / max_concurrency guard) reaches dataset_stats; the
-    # encode_examples ordering-caveat docstring reaches the TFRecord
-    # round-trip; and the progressive-JPEG decoder landing (shared
-    # marker walk + _jpeg_assemble split in _decode_jpeg_full) reaches
-    # every image-stats entry through the sniffing dispatch:
-    "dataset_stats",
-    "source_tfrecord_roundtrip",
+    # r5-vintage cohort (recorded r10 plan, VERDICT r8 item 2):
+    "latest_feature_snapshot",
+    "negative_sample",
+    "param_substitution",
+    "pii_redaction",
+    "pit_join_composite_key",
+    "pit_join_field_mapping",
+    "pit_join_prefixed",
+    "range_interval_window",
+    "rollup_region_nation",
+    "scd2_validity_intervals",
+    "setop_except",
+    "setop_intersect",
+    "similarity_ann_exhaustive",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "skew_salted_agg",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "split_pattern_routing",
+    "stratified_sample",
+    "stream_static_enrichment",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "temperature_mix",
+    "text_heavy_hitters",
+    "udtf_split_sentences",
+    "unpivot_stack",
+    "windowed_event_counts_streaming",
+    # drifted by this round's changes (strategy auto-select + JPEG
+    # SOFn/DAC rejection), must re-attest:
+    "feature_service",
     "multimodal_features",
-    "multimodal_image_png",
+    "multimodal_image_gif",
     "multimodal_image_jpeg",
+    "multimodal_image_jpeg_progressive",
+    "multimodal_image_png",
     "multimodal_image_resize",
+    "pit_join_multiview",
+    "pit_join_ttl",
+    "pit_join_union_window",
+    # oldest r7-vintage rows (alphabetical first 11 of 46):
+    "bm25_ranked_search",
+    "bpe_pair_merges",
+    "contrastive_hard_negatives",
+    "corpus_report",
+    "decayed_activity_score",
+    "dedup_containment_scoped",
+    "dedup_exact_substring",
+    "dedup_pair_evidence",
+    "dedup_remove_shared_runs",
+    "dedup_simhash",
+    "embedding_outliers",
+    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
+    # 35 r7-vintage rows — epoch_shuffle_shards, event_type_pmi,
+    # feature_drift_psi, federated_union_agg, graph_triangle_count,
+    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg,
+    # keyword_search_indexed, kfold_assignment, length_bucketing,
+    # mad_outliers, merge_upsert_cdc, nearest_event_join,
+    # percent_rank_transform, phrase_search_positional,
+    # props_map_explode, retention_cohorts, rolling_wau,
+    # similarity_ann_indexed, similarity_ann_pq_recall,
+    # sketch_hll_mergeable, skew_report, source_orc_roundtrip,
+    # source_overlap_audit, stream_error_recovery,
+    # streaming_matview_latest, table_pruned_scan,
+    # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
+    # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
+    # vocab_coverage_curve — plus the oldest r8 rows to fill 50. After
+    # r11 executes, every registry entry has a driver row from r8 or
+    # newer.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
