@@ -338,3 +338,78 @@ def test_codec_oracle_catches_gif_lzw_mutations(monkeypatch):
             # the stats the driver hashes (channel sums) diverge
             assert sum(r for r, _, _ in got) != sum(r for r, _, _ in truth)
         monkeypatch.setattr(mm, "_gif_lzw_decode", real)
+
+
+def test_codec_oracle_catches_tiff_lzw_early_change_mutation(monkeypatch):
+    # Fifth codec, same proof: TIFF LZW's "early change" rule (width
+    # grows at table sizes 510/1022/2046, one entry before the power
+    # boundary) is the single most-transcribed-wrong detail of the
+    # format. Shift the decoder's boundaries one entry late (the
+    # standard-LZW reading of the spec) and assert a boundary-crossing
+    # strip fails to decode or decodes divergent — either way the
+    # driver row for a TIFF payload goes red. TIFF has no CRC; nothing
+    # but this catches it.
+    from tfx_addons_feast_examplegen_spark.operators import multimodal as mm
+
+    real = mm._tiff_lzw_decode
+
+    def late(data, expected):
+        CLEAR, EOI = 256, 257
+        roots = [bytes([i]) for i in range(256)] + [b"", b""]
+        table = list(roots)
+        width = 9
+        out = bytearray()
+        acc = nbits = pos = 0
+        prev = None
+        while len(out) < expected:
+            while nbits < width:
+                if pos >= len(data):
+                    raise ValueError("truncated TIFF LZW stream")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == EOI:
+                break
+            if code == CLEAR:
+                table = list(roots)
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("first code not a root")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("code beyond table")
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                # MUTATION: standard-LZW boundaries, one entry late
+                if len(table) in (511, 1023, 2047):
+                    width += 1
+            out += entry
+            prev = entry
+        if len(out) < expected:
+            raise ValueError("ended early")
+        return bytes(out[:expected])
+
+    import random
+
+    rng = random.Random(7)
+    w, h = 32, 32  # 3072 bytes incompressible: crosses 510 and 1022
+    px = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w * h)]
+    pay = mm.encode_tiff_rgb8(w, h, px, compression=5)
+    assert mm.decode_tiff_rgb8_pixels(pay) == (w, h, px)  # sanity
+
+    monkeypatch.setattr(mm, "_tiff_lzw_decode", late)
+    try:
+        got = mm.decode_tiff_rgb8_pixels(pay)[2]
+    except ValueError:
+        got = None  # loud desync also reds the row
+    assert got != px
+    monkeypatch.setattr(mm, "_tiff_lzw_decode", real)

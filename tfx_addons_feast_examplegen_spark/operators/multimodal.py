@@ -247,18 +247,84 @@ def encode_png_rgb8(
     )
 
 
+def encode_png_typed(
+    width: int,
+    height: int,
+    color_type: int,
+    samples: bytes,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Serialize raw depth-8 samples as a PNG of any supported color
+    type (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA): the encoder
+    twin of the widened :func:`decode_png_rgb8_pixels`. ``samples`` is
+    the row-major channel byte stream at the type's bytes-per-pixel.
+    Filters cycle through all five types per row — same
+    meet-in-the-middle honesty as :func:`encode_png_rgb8`."""
+    import zlib
+
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if len(samples) != width * height * bpp:
+        raise ValueError("sample length does not match dimensions")
+    if (color_type == 3) != (palette is not None):
+        raise ValueError("palette required iff color type 3")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * bpp
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = samples[y * stride : (y + 1) * stride]
+        ft = y % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                filt[i] = row[i]
+            elif ft == 1:
+                filt[i] = (row[i] - left) & 0xFF
+            elif ft == 2:
+                filt[i] = (row[i] - up) & 0xFF
+            elif ft == 3:
+                filt[i] = (row[i] - (left + up) // 2) & 0xFF
+            else:
+                filt[i] = (row[i] - _paeth(left, up, ul)) & 0xFF
+        raw += bytes((ft,)) + bytes(filt)
+        prev = bytes(row)
+    out = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
 def decode_png_rgb8_pixels(
     payload: bytes,
 ) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Decode an 8-bit RGB non-interlaced PNG into row-major top-down
+    """Decode a depth-8 non-interlaced PNG into row-major top-down
     (r, g, b) pixels: (width, height, pixels).
 
     Real decoder: verifies the signature and every chunk CRC, parses
-    IHDR, concatenates multi-chunk IDAT streams, inflates, and
-    reconstructs all five scanline filter types (None/Sub/Up/Average/
-    Paeth). Only bit-depth 8 / color type 2 / non-interlaced is
-    supported (the same single-variant honesty as the 24-bit BMP
-    decoder); anything else raises.
+    IHDR (+ PLTE for palette images), concatenates multi-chunk IDAT
+    streams, inflates, and reconstructs all five scanline filter types
+    (None/Sub/Up/Average/Paeth) at the color type's true bytes-per-pixel
+    (filtering references the PREVIOUS SAMPLE of the same channel, so a
+    wrong bpp corrupts every non-None row). All five depth-8 color
+    types are supported — 0 grayscale, 2 RGB, 3 palette, 4 gray+alpha,
+    6 RGBA — the variants that dominate real web corpora; alpha is
+    dropped (stats describe the stored color channels, not a composite)
+    and sub-8-bit / 16-bit depths and interlacing raise. Ancillary
+    chunks (tEXt, gAMA, tRNS, ...) are CRC-verified and skipped.
     """
     import zlib
 
@@ -266,6 +332,8 @@ def decode_png_rgb8_pixels(
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
     width = height = None
+    color_type = 2
+    palette: list[tuple[int, int, int]] | None = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -275,14 +343,22 @@ def decode_png_rgb8_pixels(
         if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
             raise ValueError(f"corrupt PNG chunk crc ({ctype!r})")
         if ctype == b"IHDR":
-            width, height, depth, ctype_i, comp, filt, interlace = (
+            width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if (depth, ctype_i, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            if (
+                depth != 8
+                or color_type not in (0, 2, 3, 4, 6)
+                or (comp, filt, interlace) != (0, 0, 0)
+            ):
                 raise ValueError(
-                    "only 8-bit RGB non-interlaced PNG supported "
-                    f"(depth={depth}, color={ctype_i}, interlace={interlace})"
+                    "only depth-8 non-interlaced PNG supported "
+                    f"(depth={depth}, color={color_type}, interlace={interlace})"
                 )
+        elif ctype == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("bad PNG PLTE length")
+            palette = list(zip(data[0::3], data[1::3], data[2::3]))
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -290,6 +366,8 @@ def decode_png_rgb8_pixels(
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     # Parse-boundary translation (same pattern as the JPEG IndexError
     # translation): chunk CRCs can all verify while the concatenated
     # IDAT deflate stream is still corrupt (writer bug, spliced IDAT),
@@ -300,7 +378,7 @@ def decode_png_rgb8_pixels(
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
-    bpp = 3
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = width * bpp
     if len(inflated) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -327,7 +405,19 @@ def decode_png_rgb8_pixels(
                 row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ft != 0:
             raise ValueError(f"unknown PNG filter type {ft}")
-        pixels.extend(zip(row[0::3], row[1::3], row[2::3]))
+        if color_type == 2:
+            pixels.extend(zip(row[0::3], row[1::3], row[2::3]))
+        elif color_type == 0:
+            pixels.extend((v, v, v) for v in row)
+        elif color_type == 3:
+            try:
+                pixels.extend(palette[v] for v in row)
+            except IndexError:
+                raise ValueError("PNG palette index out of range") from None
+        elif color_type == 4:  # gray + alpha; alpha dropped
+            pixels.extend((v, v, v) for v in row[0::2])
+        else:  # 6: RGBA; alpha dropped
+            pixels.extend(zip(row[0::4], row[1::4], row[2::4]))
         prev = bytes(row)
     return width, height, pixels
 
@@ -652,6 +742,431 @@ def decode_gif_rgb8(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     :func:`decode_bmp_24`. Thin stats wrapper over
     :func:`decode_gif_rgb8_pixels` — one decode path."""
     return _pixel_stats(*decode_gif_rgb8_pixels(payload))
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline, TIFF 6.0) — the fifth real still-image codec behind
+# the multimodal boundary. Both byte orders (II/MM), strip-organized,
+# gray8 / RGB8 / palette photometrics, uncompressed / PackBits /
+# LZW-with-horizontal-predictor compression. TIFF LZW differs from GIF
+# LZW in three load-bearing ways this implementation is explicit about:
+# MSB-first code packing, a string table seeded with 256 roots +
+# Clear(256)/EOI(257), and the "early change" rule — the code width
+# grows one code EARLIER than the table-size boundary (at 510/1022/2046
+# entries), a deviation baked into the spec's reference implementation
+# that every real reader/writer follows. Compression state resets per
+# STRIP (strips are the parallel-decode unit at scale — each strip is
+# independently decompressable, which is exactly what a distributed
+# reader wants).
+
+
+def _tiff_packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): n in [0,127] -> copy n+1 literal
+    bytes; n in [-127,-1] -> repeat next byte 1-n times; -128 no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError(f"PackBits ended at {len(out)}/{expected} bytes")
+    return bytes(out[:expected])
+
+
+def _tiff_packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        # find run length at i
+        j = i
+        while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 126:
+            j += 1
+        if j > i:  # repeat run of (j-i+1) >= 2
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+        else:  # literal run until next >=3 repeat (or 128 cap)
+            start = i
+            while (
+                i < len(data)
+                and i - start < 128
+                and not (
+                    i + 2 < len(data)
+                    and data[i + 1] == data[i]
+                    and data[i + 2] == data[i]
+                )
+            ):
+                i += 1
+            out += bytes([i - start - 1]) + data[start:i]
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW (TIFF 6.0 §13): MSB-first codes, 256 byte roots,
+    Clear=256/EOI=257, early-change width growth at table sizes
+    510/1022/2046, 12-bit ceiling. Fails fast on codes beyond the
+    table or a stream that ends before ``expected`` bytes."""
+    CLEAR, EOI = 256, 257
+    roots = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(roots)
+    width = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = list(roots)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW: first code after clear not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"TIFF LZW code {code} beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # early change: widen one entry BEFORE the power boundary
+            if len(table) in (510, 1022, 2046):
+                width += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"TIFF LZW ended at {len(out)}/{expected} bytes")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code == 4094:  # table full: explicit clear, restart
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        else:
+            table[nxt] = next_code
+            next_code += 1
+            # early change: the ENCODER widens when the next code to be
+            # EMITTED could be the first of the wider range
+            if next_code in (511, 1023, 2047):
+                width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+        # The decoder adds one more table entry after this final code
+        # (the encoder does not — there is no following byte), so its
+        # width for reading EOI is driven by next_code + 1: widen here
+        # exactly when that phantom add crosses an early-change
+        # boundary. (At 511/1023/2047 the regular check above already
+        # widened.)
+        if next_code in (510, 1022, 2046):
+            width += 1
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_hpredict_undo(row: bytearray, spp: int) -> None:
+    for i in range(spp, len(row)):
+        row[i] = (row[i] + row[i - spp]) & 0xFF
+
+
+def _tiff_hpredict_apply(row: bytearray, spp: int) -> None:
+    for i in range(len(row) - 1, spp - 1, -1):
+        row[i] = (row[i] - row[i - spp]) & 0xFF
+
+
+def decode_tiff_rgb8_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode the first IFD of a baseline TIFF into row-major top-down
+    (r, g, b) pixels: (width, height, pixels).
+
+    Real decoder: II/MM byte-order dispatch, 12-byte IFD entry walk
+    with inline-vs-offset value resolution, per-strip decompression
+    (none / PackBits / LZW), optional horizontal predictor, and
+    photometric mapping (gray BlackIsZero/WhiteIsZero, RGB, 16-bit
+    ColorMap palette). Planar configuration 2, tiles, and non-8-bit
+    samples raise — the explicit-variant honesty of the other codecs.
+    """
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        if off + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in type_size:
+            continue  # rational/unknown types: not needed for baseline
+        nbytes = type_size[typ] * count
+        voff = off + 8 if nbytes <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        if voff + nbytes > len(payload):
+            raise ValueError(f"TIFF tag {tag} value out of range")
+        if typ in (2, 7):
+            continue  # ASCII / undefined payloads unused here
+        vals = list(
+            struct.unpack_from(bo + str(count) + type_fmt[typ], payload, voff)
+        )
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    width, height = one(256), one(257)
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    rows_per_strip = one(278, height)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise ValueError("only 8-bit TIFF samples supported")
+    if planar != 1:
+        raise ValueError("only chunky planar configuration supported")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported (strips only)")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and compression == 1:
+        raise ValueError("predictor on uncompressed TIFF is non-standard")
+    if photometric in (0, 1):
+        if spp != 1:
+            raise ValueError("gray TIFF must have 1 sample per pixel")
+    elif photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF needs >=3 samples per pixel")
+    elif photometric == 3:
+        if spp != 1 or 320 not in tags:
+            raise ValueError("palette TIFF needs 1 sample + ColorMap")
+    else:
+        raise ValueError(f"unsupported TIFF photometric {photometric}")
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    if len(offsets) != n_strips:
+        raise ValueError("TIFF strip count mismatch")
+
+    stride = width * spp
+    raw = bytearray()
+    for s, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(payload):
+            raise ValueError("TIFF strip out of range")
+        rows = min(rows_per_strip, height - s * rows_per_strip)
+        expected = rows * stride
+        chunk = payload[so : so + sc]
+        if compression == 1:
+            if len(chunk) < expected:
+                raise ValueError("TIFF uncompressed strip too short")
+            decoded = bytes(chunk[:expected])
+        elif compression == 32773:
+            decoded = _tiff_packbits_decode(chunk, expected)
+        else:
+            decoded = _tiff_lzw_decode(chunk, expected)
+        if predictor == 2:
+            buf = bytearray(decoded)
+            for r in range(rows):
+                row = buf[r * stride : (r + 1) * stride]
+                _tiff_hpredict_undo(row, spp)
+                buf[r * stride : (r + 1) * stride] = row
+            decoded = bytes(buf)
+        raw += decoded
+
+    pixels: list[tuple[int, int, int]] = []
+    if photometric == 2:
+        # extra samples (e.g. alpha) beyond the first three are dropped
+        for p in range(width * height):
+            o = p * spp
+            pixels.append((raw[o], raw[o + 1], raw[o + 2]))
+    elif photometric == 3:
+        cmap = tags[320]
+        n = len(cmap) // 3
+        if len(cmap) != 3 * 256:
+            raise ValueError("TIFF ColorMap must have 3*256 entries")
+        for v in raw:
+            if v >= n:
+                raise ValueError("TIFF palette index out of range")
+            # ColorMap entries are 16-bit; fold to 8 by the high byte
+            pixels.append(
+                (cmap[v] >> 8, cmap[256 + v] >> 8, cmap[512 + v] >> 8)
+            )
+    else:
+        inv = photometric == 0  # WhiteIsZero
+        for v in raw:
+            g = 255 - v if inv else v
+            pixels.append((g, g, g))
+    return width, height, pixels
+
+
+def encode_tiff_rgb8(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    *,
+    compression: int = 1,
+    predictor: int = 1,
+    byte_order: str = "<",
+    rows_per_strip: int | None = None,
+    photometric: int = 2,
+) -> bytes:
+    """Serialize row-major (r, g, b) pixels as a baseline TIFF — the
+    encoder twin of :func:`decode_tiff_rgb8_pixels` for the
+    meet-in-the-middle oracle. Gray content can be written as
+    photometric 1 (``photometric=1`` requires r==g==b per pixel);
+    multi-strip, both byte orders, compression 1/5/32773, horizontal
+    predictor with LZW."""
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    if compression not in (1, 5, 32773):
+        raise ValueError("compression must be 1 (none), 5 (LZW) or 32773")
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor 2 only with LZW here")
+    bo = byte_order
+    if photometric == 1:
+        if any(r != g or g != b for r, g, b in pixels):
+            raise ValueError("photometric 1 requires gray content")
+        spp = 1
+        flat = bytes(p[0] for p in pixels)
+    elif photometric == 2:
+        spp = 3
+        flat = b"".join(bytes(p) for p in pixels)
+    else:
+        raise ValueError("encoder writes photometric 1 or 2 only")
+    stride = width * spp
+    rps = rows_per_strip or height
+
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        chunk = bytearray(flat[y0 * stride : (y0 + rows) * stride])
+        if predictor == 2:
+            for r in range(rows):
+                row = chunk[r * stride : (r + 1) * stride]
+                _tiff_hpredict_apply(row, spp)
+                chunk[r * stride : (r + 1) * stride] = row
+        if compression == 1:
+            strips.append(bytes(chunk))
+        elif compression == 32773:
+            strips.append(_tiff_packbits_encode(bytes(chunk)))
+        else:
+            strips.append(_tiff_lzw_encode(bytes(chunk)))
+
+    # layout: header(8) | strip data | IFD | out-of-line values
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 0)
+    data_off = 8
+    strip_offsets = []
+    body = bytearray()
+    for s in strips:
+        strip_offsets.append(data_off + len(body))
+        body += s
+    ifd_off = data_off + len(body)
+
+    entries: list[tuple[int, int, list[int]]] = [  # tag, type, values
+        (256, 4, [width]),
+        (257, 4, [height]),
+        (258, 3, [8] * spp),
+        (259, 3, [compression]),
+        (262, 3, [photometric]),
+        (273, 4, strip_offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if predictor == 2:
+        entries.append((317, 3, [predictor]))
+    entries.sort()
+    type_size = {3: 2, 4: 4}
+    type_fmt = {3: "H", 4: "I"}
+    ifd = struct.pack(bo + "H", len(entries))
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, typ, vals in entries:
+        nbytes = type_size[typ] * len(vals)
+        packed = struct.pack(bo + str(len(vals)) + type_fmt[typ], *vals)
+        if nbytes <= 4:
+            val = packed + b"\x00" * (4 - nbytes)
+        else:
+            val = struct.pack(bo + "I", extra_base + len(extra))
+            extra += packed
+        ifd += struct.pack(bo + "HHI", tag, typ, len(vals)) + val
+    ifd += struct.pack(bo + "I", 0)  # next-IFD terminator
+    out = bytearray(header)
+    struct.pack_into(bo + "I", out, 4, ifd_off)
+    return bytes(out + body + ifd + extra)
+
+
+def decode_tiff_rgb8(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode a TIFF into the same integer stat tuple as
+    :func:`decode_bmp_24`. Thin stats wrapper over
+    :func:`decode_tiff_rgb8_pixels` — one decode path."""
+    return _pixel_stats(*decode_tiff_rgb8_pixels(payload))
 
 
 def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
@@ -2435,9 +2950,11 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         return decode_png_rgb8(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_rgb8(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_rgb8(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_gray(payload)
-    raise ValueError("unrecognized image payload (not BMP/PNG/GIF/JPEG)")
+    raise ValueError("unrecognized image payload (not BMP/PNG/GIF/TIFF/JPEG)")
 
 
 def extract_image_stats(
