@@ -169,3 +169,116 @@ def test_jpeg_restart_corruption_stays_quarantine_eligible():
     # truncated at the restart boundary
     with pytest.raises(ValueError):
         decode_jpeg_gray_pixels(blob[: i + 1])
+
+
+@settings(max_examples=40, deadline=None)
+@given(_dims, st.sampled_from([0, 2, 3, 4, 6]), st.randoms(use_true_random=False))
+def test_png_any_color_type_roundtrip(dims, color_type, rng):
+    # The widened PNG decoder as a law: every depth-8 color type
+    # round-trips losslessly through the encoder twin for ANY content
+    # and geometry (alpha channels dropped per the documented contract).
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_png_rgb8_pixels,
+        encode_png_typed,
+    )
+
+    w, h = dims
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    palette = None
+    if color_type == 3:
+        palette = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(256)
+        ]
+        samples = bytes(rng.randrange(256) for _ in range(w * h))
+        exp = [palette[v] for v in samples]
+    else:
+        samples = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+        if color_type == 0:
+            exp = [(v, v, v) for v in samples]
+        elif color_type == 2:
+            exp = [tuple(samples[i * 3 : i * 3 + 3]) for i in range(w * h)]
+        elif color_type == 4:
+            exp = [(samples[i * 2],) * 3 for i in range(w * h)]
+        else:
+            exp = [tuple(samples[i * 4 : i * 4 + 3]) for i in range(w * h)]
+    pay = encode_png_typed(w, h, color_type, samples, palette)
+    assert decode_png_rgb8_pixels(pay) == (w, h, exp)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    _dims,
+    st.sampled_from([1, 5, 32773]),
+    st.sampled_from(["<", ">"]),
+    st.integers(min_value=1, max_value=6),
+    st.randoms(use_true_random=False),
+)
+def test_tiff_roundtrip_any_image(dims, comp, bo, rps, rng):
+    # TIFF as a law: any content, any geometry, any strip height, both
+    # byte orders, every compression — lossless round-trip through the
+    # encoder twin (predictor included for LZW).
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_tiff_rgb8_pixels,
+        encode_tiff_rgb8,
+    )
+
+    w, h = dims
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+    pay = encode_tiff_rgb8(
+        w, h, px, compression=comp, byte_order=bo, rows_per_strip=rps
+    )
+    assert decode_tiff_rgb8_pixels(pay) == (w, h, px)
+    if comp == 5:
+        pay = encode_tiff_rgb8(
+            w, h, px, compression=5, predictor=2, byte_order=bo,
+            rows_per_strip=rps,
+        )
+        assert decode_tiff_rgb8_pixels(pay) == (w, h, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=6000),
+    st.randoms(use_true_random=False),
+)
+def test_tiff_lzw_and_packbits_any_bytes(data, rng):
+    # The compressors as laws over arbitrary byte strings (hypothesis
+    # shrinks real failures to minimal counterexamples — this is what
+    # would have caught the early-change flush edge automatically).
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        _tiff_packbits_decode,
+        _tiff_packbits_encode,
+    )
+
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    assert (
+        _tiff_packbits_decode(_tiff_packbits_encode(data), len(data)) == data
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.booleans(), st.randoms(use_true_random=False))
+def test_gif_roundtrip_any_image(dims, interlace, rng):
+    # GIF as a law (round-10 completion of the per-codec property set):
+    # any <=256-color content, any geometry, interlaced or not.
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_gif_rgb8_pixels,
+        encode_gif_rgb8,
+    )
+
+    w, h = dims
+    ncolors = rng.randrange(1, 17)
+    palette = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(ncolors)
+    ]
+    px = [palette[rng.randrange(ncolors)] for _ in range(w * h)]
+    # GIF palettes key on unique colors; duplicates in `palette` are fine
+    pay = encode_gif_rgb8(w, h, px, interlace=interlace)
+    assert decode_gif_rgb8_pixels(pay) == (w, h, px)
