@@ -246,3 +246,21 @@ def test_tiff_sniffed_in_mixed_corpus(spark):
     assert rows[0]["r_sum"] == sum(p[0] for p in px)
     assert rows[1]["r_sum"] == sum(_pat(9))
     assert rows[2]["width"] is None
+
+
+def test_attach_tiff_payloads_matches_bmp_adapter(spark, sf_dir):
+    # The registry entry's contract: attach_tiff_payloads carries the
+    # SAME closed-form pixel content as attach_bmp_payloads, so the
+    # shared external oracle holds. 40 doc_ids cover every rotation of
+    # the fixture's variation axes (compression none/LZW/PackBits x
+    # predictor x byte order x rows_per_strip 1..5).
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(40)
+    tiff = {r.doc_id: r for r in
+            mm.extract_image_stats(mm.attach_tiff_payloads(docs)).collect()}
+    bmp = {r.doc_id: r for r in
+           mm.extract_image_stats(mm.attach_bmp_payloads(docs)).collect()}
+    assert set(tiff) == set(bmp) and len(tiff) == 40
+    for k in tiff:
+        assert tiff[k] == bmp[k]

@@ -2821,6 +2821,57 @@ def attach_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
+def attach_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real baseline TIFF payload per row — SAME
+    closed-form pixel content as :func:`attach_bmp_payloads` (TIFF's
+    8-bit path is lossless), so all four lossless containers share one
+    external oracle. The corpus rotates every decoder variation axis by
+    doc_id so each is on the checked path for a slice of the data:
+    compression none / LZW / PackBits (doc_id % 3), the horizontal
+    differencing predictor on the LZW slice (doc_id % 2), little- vs
+    big-endian byte order (doc_id % 2), and multi-strip layouts
+    (rows_per_strip = doc_id % 5 + 1, splitting every image into
+    several strips)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                base = [
+                    (did * 7 + y * 31 + x * 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                pixels = [(v, (v + 11) % 256, (v + 22) % 256) for v in base]
+                compression = (1, 5, 32773)[did % 3]
+                payloads.append(
+                    encode_tiff_rgb8(
+                        w,
+                        h,
+                        pixels,
+                        compression=compression,
+                        predictor=2 if compression == 5 and did % 2 else 1,
+                        byte_order=">" if did % 2 else "<",
+                        rows_per_strip=did % 5 + 1,
+                    )
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "image/tiff",
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+
+
 def attach_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: one real baseline grayscale JPEG per row.
 

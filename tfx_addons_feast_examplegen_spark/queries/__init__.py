@@ -85,6 +85,7 @@ _ENTRY_ORDER = [
     "multimodal_image_jpeg",
     "multimodal_image_jpeg_progressive",
     "multimodal_image_gif",
+    "multimodal_image_tiff",
     "temperature_mix",
     "text_heavy_hitters",
     "interpolate_timeseries",
@@ -273,7 +274,10 @@ _DRIVER_PRIORITY = [
     "unpivot_stack",
     "windowed_event_counts_streaming",
     # drifted by this round's changes (strategy auto-select + JPEG
-    # SOFn/DAC rejection), must re-attest:
+    # SOFn/DAC rejection), must re-attest; multimodal_image_tiff is NEW
+    # this round (baseline TIFF codec) and takes the slot of the last
+    # r7 alphabetical filler (embedding_outliers, moved to the r11
+    # plan below):
     "feature_service",
     "multimodal_features",
     "multimodal_image_gif",
@@ -281,10 +285,11 @@ _DRIVER_PRIORITY = [
     "multimodal_image_jpeg_progressive",
     "multimodal_image_png",
     "multimodal_image_resize",
+    "multimodal_image_tiff",
     "pit_join_multiview",
     "pit_join_ttl",
     "pit_join_union_window",
-    # oldest r7-vintage rows (alphabetical first 11 of 46):
+    # oldest r7-vintage rows (alphabetical first 10 of 46):
     "bm25_ranked_search",
     "bpe_pair_merges",
     "contrastive_hard_negatives",
@@ -295,9 +300,9 @@ _DRIVER_PRIORITY = [
     "dedup_pair_evidence",
     "dedup_remove_shared_runs",
     "dedup_simhash",
-    "embedding_outliers",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
-    # 35 r7-vintage rows — epoch_shuffle_shards, event_type_pmi,
+    # 36 r7-vintage rows — embedding_outliers (displaced from this
+    # window by the new multimodal_image_tiff entry), epoch_shuffle_shards, event_type_pmi,
     # feature_drift_psi, federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg,
     # keyword_search_indexed, kfold_assignment, length_bucketing,

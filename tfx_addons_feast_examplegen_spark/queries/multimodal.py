@@ -141,6 +141,25 @@ def _q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_stats(media)
 
 
+def _q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fifth real STILL-IMAGE codec behind the multimodal boundary:
+    # baseline TIFF 6.0, pure stdlib (IFD walk in both byte orders,
+    # strip assembly, compression none / MSB-first LZW with the
+    # early-change width bump / PackBits, horizontal differencing
+    # predictor). TIFF's 8-bit path is LOSSLESS, so the fixture reuses
+    # the BMP/PNG/GIF closed-form pixel content and the SAME external
+    # oracle re-derives the stats — four lossless containers, one
+    # oracle, and the decode stage sniffs which codec applies from the
+    # II*/MM* magic alone. The fixture rotates compression, predictor,
+    # byte order and strip layout per doc_id so every decoder branch is
+    # on the driver-checked path.
+    from ..operators.multimodal import attach_tiff_payloads, extract_image_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_tiff_payloads(t["documents"])
+    return extract_image_stats(media)
+
+
 def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fourth real codec behind the multimodal boundary, and the one a
     # real multimodal corpus always contains: BASELINE JPEG, pure
@@ -310,6 +329,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
     "multimodal_image_gif": (_q_multimodal_gif, _MULTIMODAL_ORACLE),
+    "multimodal_image_tiff": (_q_multimodal_tiff, _MULTIMODAL_ORACLE),
     "multimodal_image_jpeg": (_q_multimodal_jpeg, _MULTIMODAL_JPEG_ORACLE),
     "multimodal_image_jpeg_progressive": (
         _q_multimodal_jpeg_progressive,
