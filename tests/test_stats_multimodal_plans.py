@@ -1231,3 +1231,124 @@ def test_jpeg_appn_exif_and_com_segments_tolerated():
     appn = seg(0xFFED, b"\x00" * 40)  # APP13 (Photoshop IRB, opaque)
     tagged = plain[:2] + jfif + exif + appn + com + plain[2:]
     assert decode_jpeg_gray_pixels(tagged) == decode_jpeg_gray_pixels(plain)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (video container stats)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_box_walk_roundtrip_matrix():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_mp4_stats,
+        encode_mp4_metadata,
+    )
+
+    for did in range(40):  # covers every rotation of the fixture axes
+        ts = 600 * (did % 4 + 1)
+        dur = did % 9000 + 600
+        w, h = (did % 16 + 4) * 16, (did % 9 + 3) * 16
+        na = did % 3
+        pay = encode_mp4_metadata(
+            timescale=ts, duration=dur, width=w, height=h, n_audio=na,
+            version=did % 2, free_bytes=did % 23,
+            mdat_bytes=did % 257 + 9, mdat_largesize=did % 5 == 0,
+        )
+        assert decode_mp4_stats(pay) == (
+            ts, dur * 1000 // ts, 1 + na, 1, na, w, h,
+            "avc1" if na == 0 else "avc1,mp4a", did % 257 + 9,
+        )
+
+
+def test_mp4_size_zero_box_extends_to_eof():
+    import struct as _s
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_mp4_stats,
+        encode_mp4_metadata,
+    )
+
+    base = encode_mp4_metadata(
+        timescale=1000, duration=2500, width=64, height=48, mdat_bytes=0
+    )
+    body = bytes(range(37))
+    # strip the empty mdat (last 8 bytes), append a size==0 mdat: the
+    # streaming-writer form, "this box runs to end of file" (§4.2)
+    pay = base[:-8] + _s.pack(">I", 0) + b"mdat" + body
+    assert decode_mp4_stats(pay)[-1] == len(body)
+
+
+def test_mp4_box_walk_rejects_corruption():
+    import struct as _s
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_mp4_stats,
+        encode_mp4_metadata,
+    )
+
+    pay = encode_mp4_metadata(
+        timescale=600, duration=1200, width=96, height=80, n_audio=1,
+        version=1, free_bytes=5, mdat_bytes=21, mdat_largesize=True,
+    )
+    full = decode_mp4_stats(pay)
+    assert full[2] == 2 and full[-1] == 21
+    # valid prefixes are exactly the top-level box boundaries at or
+    # after moov's end (a file cut before mdat is a real headers-only
+    # file); every other cut must raise the quarantine class
+    boundaries = []
+    pos = 0
+    while pos < len(pay):
+        (sz,) = _s.unpack_from(">I", pay, pos)
+        if sz == 1:
+            (sz,) = _s.unpack_from(">Q", pay, pos + 8)
+        boundaries.append(pos + sz)
+        pos += sz
+    moov_end = boundaries[1]
+    for cut in range(12, len(pay) - 1):
+        if cut in boundaries and cut >= moov_end:
+            assert decode_mp4_stats(pay[:cut])[:7] == full[:7]
+        else:
+            with pytest.raises(ValueError):
+                decode_mp4_stats(pay[:cut])
+    # structural corruption
+    with pytest.raises(ValueError, match="no ftyp"):
+        decode_mp4_stats(pay[:4] + b"RIFF" + pay[8:])
+    with pytest.raises(ValueError, match="duplicate moov"):
+        moov = pay[boundaries[0]:moov_end]
+        decode_mp4_stats(pay[:moov_end] + moov + pay[moov_end:])
+    with pytest.raises(ValueError, match="no moov"):
+        decode_mp4_stats(pay[: boundaries[0]])
+    # mvhd with an undefined version byte
+    i = pay.index(b"mvhd") + 4
+    with pytest.raises(ValueError, match="version"):
+        decode_mp4_stats(pay[:i] + b"\x02" + pay[i + 1 :])
+    # zero movie timescale (duration arithmetic would divide by it)
+    zed = encode_mp4_metadata(
+        timescale=0, duration=0, width=16, height=16, mdat_bytes=1
+    )
+    with pytest.raises(ValueError, match="timescale"):
+        decode_mp4_stats(zed)
+    # stsd entry count disagreeing with its byte span
+    j = pay.index(b"stsd") + 4 + 4  # past type + fullbox header
+    with pytest.raises(ValueError, match="stsd"):
+        decode_mp4_stats(pay[:j] + _s.pack(">I", 3) + pay[j + 4 :])
+
+
+def test_mp4_stats_spark_stage_sniffs_and_quarantines(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_mp3_payloads,
+        attach_mp4_payloads,
+        extract_mp4_stats,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(20)
+    rows = extract_mp4_stats(attach_mp4_payloads(docs)).collect()
+    assert len(rows) == 20
+    assert all(r.n_tracks == 1 + r.doc_id % 3 for r in rows)
+    assert all(r.mdat_bytes == r.doc_id % 257 + 9 for r in rows)
+    # an MP3 payload is not ISO BMFF: on_error='skip' drops it, default raises
+    mp3 = attach_mp3_payloads(docs.limit(3))
+    assert extract_mp4_stats(mp3, on_error="skip").count() == 0
+    with pytest.raises(Exception, match="no ftyp|ValueError"):
+        extract_mp4_stats(mp3).collect()

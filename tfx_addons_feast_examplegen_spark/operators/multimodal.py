@@ -1291,6 +1291,323 @@ def decode_mp3_frame_stats(
     return n, sr, kmin, kmax, kbps_sum, len(payload)
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO base media file format (ISO/IEC 14496-12) — container-level
+# stats for the VIDEO modality, the analog of the MP3 frame-header walk:
+# duration/timescale from `mvhd`, track count + presentation dimensions
+# from `tkhd`, handler kinds from `hdlr`, codec fourccs from `stsd`
+# sample entries, payload size from `mdat` (incl. the 64-bit largesize
+# form). This is the standard first pass over a crawled video corpus —
+# duration histograms, resolution buckets and codec mixes without
+# touching a single coded frame. Coded-stream decode (H.264/H.265/AAC)
+# stays behind the StubImageCodec boundary.
+
+MP4_STATS_SCHEMA = (
+    "doc_id long, timescale int, duration_ms bigint, n_tracks int, "
+    "n_video int, n_audio int, width int, height int, codecs string, "
+    "mdat_bytes bigint"
+)
+
+# container boxes whose payload is a sequence of child boxes
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_box(btype: bytes, body: bytes, *, largesize: bool = False) -> bytes:
+    """Serialize one box. ``largesize`` writes the size==1 + 64-bit
+    form (ISO 14496-12 §4.2) regardless of actual length — real muxers
+    emit it for >4 GiB ``mdat``; the fixture uses it on small boxes so
+    the decode path is still on the checked path at test scale."""
+    if largesize:
+        return struct.pack(">I", 1) + btype + struct.pack(
+            ">Q", len(body) + 16
+        ) + body
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _mp4_fullbox(btype: bytes, version: int, body: bytes) -> bytes:
+    return _mp4_box(btype, bytes([version, 0, 0, 0]) + body)
+
+
+def encode_mp4_metadata(
+    *,
+    timescale: int,
+    duration: int,
+    width: int,
+    height: int,
+    n_audio: int = 0,
+    version: int = 0,
+    free_bytes: int = 0,
+    mdat_bytes: int = 0,
+    mdat_largesize: bool = False,
+) -> bytes:
+    """Serialize a minimal conformant ISO BMFF file — the encoder twin
+    of :func:`decode_mp4_stats` for the meet-in-the-middle oracle:
+    ``ftyp`` + ``moov`` (``mvhd`` and one ``avc1`` video track plus
+    ``n_audio`` ``mp4a`` audio tracks, each a full
+    trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd spine) + an optional
+    ``free`` box + ``mdat``. ``version`` selects the 32-bit (0) or
+    64-bit (1) time fields in mvhd/tkhd/mdhd; ``mdat_largesize``
+    forces the size==1 + 64-bit box length form."""
+    if version not in (0, 1):
+        raise ValueError("version must be 0 or 1")
+    t32 = struct.pack(">I", 0)
+    t64 = struct.pack(">Q", 0)
+    ts_dur = (
+        t64 + t64 + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+        if version
+        else t32 + t32 + struct.pack(">I", timescale) + struct.pack(">I", duration)
+    )
+    matrix = struct.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    mvhd = _mp4_fullbox(
+        b"mvhd",
+        version,
+        ts_dur
+        + struct.pack(">i", 0x10000)  # rate 1.0
+        + struct.pack(">h", 0x100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2 + n_audio),  # next_track_ID
+    )
+
+    def _trak(track_id: int, handler: bytes, entry: bytes, w: int, h: int) -> bytes:
+        tk_times = (
+            t64 + t64 + struct.pack(">I", track_id) + t32
+            + struct.pack(">Q", duration)
+            if version
+            else t32 + t32 + struct.pack(">I", track_id) + t32
+            + struct.pack(">I", duration)
+        )
+        tkhd = _mp4_fullbox(
+            b"tkhd",
+            version,
+            tk_times
+            + b"\x00" * 8  # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/reserved
+            + matrix
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+        md_times = (
+            t64 + t64 + struct.pack(">I", 48000) + struct.pack(">Q", 0)
+            if version
+            else t32 + t32 + struct.pack(">I", 48000) + t32
+        )
+        mdhd = _mp4_fullbox(
+            b"mdhd", version, md_times + struct.pack(">HH", 0x55C4, 0)
+        )  # language 'und'
+        name = b"VideoHandler\x00" if handler == b"vide" else b"SoundHandler\x00"
+        hdlr = _mp4_fullbox(
+            b"hdlr", 0, t32 + handler + b"\x00" * 12 + name
+        )
+        stsd = _mp4_fullbox(b"stsd", 0, struct.pack(">I", 1) + entry)
+        header_box = (
+            _mp4_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+            if handler == b"vide"
+            else _mp4_box(b"smhd", b"\x00" * 8)
+        )
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", header_box + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    # VisualSampleEntry (ISO 14496-12 §12.1.3): 86 bytes without avcC
+    avc1 = _mp4_box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + t32
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    # AudioSampleEntry (§12.2.3): 36 bytes
+    mp4a = _mp4_box(
+        b"mp4a",
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 2, 16, 0, 0)  # channels, samplesize
+        + struct.pack(">I", 48000 << 16),
+    )
+    traks = _trak(1, b"vide", avc1, width, height)
+    for i in range(n_audio):
+        traks += _trak(2 + i, b"soun", mp4a, 0, 0)
+    moov = _mp4_box(b"moov", mvhd + traks)
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp42"
+    )
+    out = ftyp + moov
+    if free_bytes:
+        out += _mp4_box(b"free", bytes(i * 41 % 256 for i in range(free_bytes)))
+    out += _mp4_box(
+        b"mdat",
+        bytes(i * 59 % 256 for i in range(mdat_bytes)),
+        largesize=mdat_largesize,
+    )
+    return out
+
+
+def _mp4_walk_children(payload: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for each child box in
+    [pos, end); strict — sizes must tile the range exactly."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"truncated MP4 box header at {pos}")
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize header")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope (§4.2)
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(
+                f"MP4 box {btype!r} size {size} overruns scope at {pos}"
+            )
+        yield btype, body, pos + size
+        pos += size
+
+
+def decode_mp4_stats(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int, int, str, int]:
+    """Walk an ISO BMFF container's box tree (NOT the coded streams):
+    returns (timescale, duration_ms, n_tracks, n_video, n_audio, width,
+    height, codecs, mdat_bytes). Duration/timescale from ``mvhd`` (v0
+    and v1), per-track handler kind from ``hdlr``, presentation
+    dimensions from the FIRST video track's ``tkhd`` 16.16 fields,
+    codec fourccs from ``stsd`` sample entries (sorted, deduped,
+    comma-joined), ``mdat_bytes`` summed over mdat box bodies incl. the
+    size==1 largesize form. Strict like the other codecs: a box whose
+    size overruns its scope, a missing/duplicated ``moov``/``mvhd``, a
+    version the spec doesn't define, or a ``stsd`` whose entry count
+    disagrees with its byte span all raise the quarantine class
+    (ValueError)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    timescale = duration = None
+    n_tracks = n_video = n_audio = 0
+    width = height = None
+    codecs: set[str] = set()
+    mdat_bytes = 0
+    saw_moov = False
+
+    def _fullbox(body_start: int, body_end: int) -> tuple[int, int]:
+        if body_start + 4 > body_end:
+            raise ValueError("truncated MP4 fullbox header")
+        return payload[body_start], body_start + 4
+
+    def _stbl(spos: int, send: int) -> None:
+        for btype, b0, bend in _mp4_walk_children(payload, spos, send):
+            if btype != b"stsd":
+                continue
+            _, p = _fullbox(b0, bend)
+            if p + 4 > bend:
+                raise ValueError("truncated stsd")
+            (count,) = struct.unpack_from(">I", payload, p)
+            entries = list(_mp4_walk_children(payload, p + 4, bend))
+            if len(entries) != count:
+                raise ValueError(
+                    f"stsd declares {count} entries, {len(entries)} present"
+                )
+            for etype, _, _ in entries:
+                codecs.add(etype.decode("ascii", "replace"))
+
+    # track-kind accounting needs hdlr, which arrives after tkhd; walk
+    # each trak fully, then classify
+    for btype, b0, bend in _mp4_walk_children(payload, 0, len(payload)):
+        if btype == b"moov":
+            if saw_moov:
+                raise ValueError("duplicate moov box")
+            saw_moov = True
+            for mtype, m0, mend in _mp4_walk_children(payload, b0, bend):
+                if mtype == b"mvhd":
+                    if timescale is not None:
+                        raise ValueError("duplicate mvhd box")
+                    ver, p = _fullbox(m0, mend)
+                    if ver == 1:
+                        timescale, duration = struct.unpack_from(
+                            ">xxxxxxxxxxxxxxxxIQ", payload, p
+                        )
+                    elif ver == 0:
+                        _, _, timescale, duration = struct.unpack_from(
+                            ">IIII", payload, p
+                        )
+                    else:
+                        raise ValueError(f"mvhd version {ver} undefined")
+                    if timescale == 0:
+                        raise ValueError("mvhd timescale is zero")
+                elif mtype == b"trak":
+                    # classify by walking; hdlr tells video from audio
+                    kind_box: list[bytes] = []
+                    t_dims: list[tuple[int, int]] = []
+                    for bt, c0, cend in _mp4_walk_children(payload, m0, mend):
+                        if bt == b"tkhd":
+                            ver, p = _fullbox(c0, cend)
+                            if ver not in (0, 1):
+                                raise ValueError(
+                                    f"tkhd version {ver} undefined"
+                                )
+                            # times(2)+track_id+reserved+duration
+                            # (32 bytes at v1, 20 at v0), then 8
+                            # reserved + 8 layer/group/volume + 36 matrix
+                            p += (32 if ver else 20) + 52
+                            if p + 8 > cend:
+                                raise ValueError("truncated tkhd")
+                            w_fix, h_fix = struct.unpack_from(
+                                ">II", payload, p
+                            )
+                            t_dims.append((w_fix >> 16, h_fix >> 16))
+                        elif bt == b"mdia":
+                            for mt, d0, dend in _mp4_walk_children(
+                                payload, c0, cend
+                            ):
+                                if mt == b"hdlr":
+                                    _, p = _fullbox(d0, dend)
+                                    if p + 8 > dend:
+                                        raise ValueError("truncated hdlr")
+                                    kind_box.append(payload[p + 4 : p + 8])
+                                elif mt == b"minf":
+                                    for st, s0, send in _mp4_walk_children(
+                                        payload, d0, dend
+                                    ):
+                                        if st == b"stbl":
+                                            _stbl(s0, send)
+                    n_tracks += 1
+                    if kind_box and kind_box[0] == b"vide":
+                        n_video += 1
+                        if width is None and t_dims:
+                            width, height = t_dims[0]
+                    elif kind_box and kind_box[0] == b"soun":
+                        n_audio += 1
+        elif btype == b"mdat":
+            mdat_bytes += bend - b0
+        # ftyp / free / skip / uuid / anything else: skipped by size
+
+    if not saw_moov or timescale is None:
+        raise ValueError("no moov/mvhd in payload")
+    duration_ms = duration * 1000 // timescale
+    return (
+        timescale,
+        duration_ms,
+        n_tracks,
+        n_video,
+        n_audio,
+        width if width is not None else 0,
+        height if height is not None else 0,
+        ",".join(sorted(codecs)),
+        mdat_bytes,
+    )
+
+
 def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
     """Decode a PCM16 mono WAV into integer sample stats:
     (sample_rate, n_samples, sample_sum, s_min, s_max).
@@ -3150,6 +3467,96 @@ def extract_mp3_stats(
             )
 
     return media_df.mapInPandas(_decode, schema=MP3_STATS_SCHEMA)
+
+
+def extract_mp4_stats(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """Container-level stats stage for MP4/ISO-BMFF payloads (duration,
+    timescale, track counts by kind, presentation dimensions, codec
+    fourccs, mdat byte size). The box walk is the standard first pass
+    over a crawled video corpus — duration histograms, resolution
+    buckets and codec mixes without decoding a single frame. Payloads
+    are sniffed on the ``ftyp`` box at offset 4; the same quarantine
+    policy as :func:`extract_audio_stats` applies."""
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    b = bytes(p)
+                    if len(b) < 12 or b[4:8] != b"ftyp":
+                        raise ValueError("not an ISO BMFF payload (no ftyp)")
+                    rows.append(decode_mp4_stats(b))
+                except (ValueError, struct.error):
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((None,) * 9)
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "timescale": [r[0] for r in rows],
+                    "duration_ms": [r[1] for r in rows],
+                    "n_tracks": [r[2] for r in rows],
+                    "n_video": [r[3] for r in rows],
+                    "n_audio": [r[4] for r in rows],
+                    "width": [r[5] for r in rows],
+                    "height": [r[6] for r in rows],
+                    "codecs": [r[7] for r in rows],
+                    "mdat_bytes": [r[8] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(_decode, schema=MP4_STATS_SCHEMA)
+
+
+def attach_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one conformant ISO BMFF container per row.
+    Closed form the oracle replays: movie timescale 600*(doc_id%4+1),
+    duration doc_id%9000+600 units, one avc1 video track at
+    (doc_id%16+4)*16 x (doc_id%9+3)*16, doc_id%3 mp4a audio tracks,
+    and an mdat of doc_id%257+9 body bytes. The container rotates the
+    walker's variation axes by doc_id: 64-bit (version 1) mvhd/tkhd/
+    mdhd time fields for odd doc_ids, a ``free`` box of doc_id%23
+    filler bytes between moov and mdat, and the size==1 + 64-bit
+    largesize mdat form for doc_id%5==0 — so the v0/v1, skip and
+    largesize paths are all on the driver-checked slice."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                payloads.append(
+                    encode_mp4_metadata(
+                        timescale=600 * (did % 4 + 1),
+                        duration=did % 9000 + 600,
+                        width=(did % 16 + 4) * 16,
+                        height=(did % 9 + 3) * 16,
+                        n_audio=did % 3,
+                        version=did % 2,
+                        free_bytes=did % 23,
+                        mdat_bytes=did % 257 + 9,
+                        mdat_largesize=did % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "video/mp4",
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _gen, schema="doc_id long, payload binary, format string"
+    )
 
 
 def attach_mp3_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

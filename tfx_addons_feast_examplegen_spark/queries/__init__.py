@@ -86,6 +86,7 @@ _ENTRY_ORDER = [
     "multimodal_image_jpeg_progressive",
     "multimodal_image_gif",
     "multimodal_image_tiff",
+    "multimodal_video_mp4_stats",
     "temperature_mix",
     "text_heavy_hitters",
     "interpolate_timeseries",
@@ -286,10 +287,11 @@ _DRIVER_PRIORITY = [
     "multimodal_image_png",
     "multimodal_image_resize",
     "multimodal_image_tiff",
+    "multimodal_video_mp4_stats",
     "pit_join_multiview",
     "pit_join_ttl",
     "pit_join_union_window",
-    # oldest r7-vintage rows (alphabetical first 10 of 46):
+    # oldest r7-vintage rows (alphabetical first 9 of 46):
     "bm25_ranked_search",
     "bpe_pair_merges",
     "contrastive_hard_negatives",
@@ -299,10 +301,10 @@ _DRIVER_PRIORITY = [
     "dedup_exact_substring",
     "dedup_pair_evidence",
     "dedup_remove_shared_runs",
-    "dedup_simhash",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
-    # 36 r7-vintage rows — embedding_outliers (displaced from this
-    # window by the new multimodal_image_tiff entry), epoch_shuffle_shards, event_type_pmi,
+    # 37 r7-vintage rows — dedup_simhash and embedding_outliers
+    # (displaced from this window by the new multimodal_image_tiff and
+    # multimodal_video_mp4_stats entries), epoch_shuffle_shards, event_type_pmi,
     # feature_drift_psi, federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg,
     # keyword_search_indexed, kfold_assignment, length_bucketing,

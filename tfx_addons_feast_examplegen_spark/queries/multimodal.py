@@ -325,6 +325,41 @@ FROM fr GROUP BY doc_id, n_frames, sridx
 """
 
 
+def _q_multimodal_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VIDEO modality, container level (the MP3-header analog): walk the
+    # ISO BMFF (MP4) box tree — ftyp, moov/mvhd (32- and 64-bit time
+    # variants), per-track tkhd 16.16 presentation dimensions, hdlr
+    # kind dispatch, stsd codec fourccs, and mdat byte size including
+    # the size==1 + 64-bit largesize form — for duration / resolution /
+    # codec-mix stats without decoding a single coded frame. The
+    # fixture emits conformant containers with closed-form field values
+    # the oracle replays (including the duration*1000//timescale
+    # millisecond arithmetic); a walker that mis-sizes any box overruns
+    # its scope and fails loud. Coded-stream decode (H.264/AAC) stays
+    # behind the documented StubImageCodec boundary.
+    from ..operators.multimodal import attach_mp4_payloads, extract_mp4_stats
+
+    t = register_tables(spark, sf_dir)
+    media = attach_mp4_payloads(t["documents"])
+    return extract_mp4_stats(media)
+
+
+_MULTIMODAL_MP4_ORACLE = """
+SELECT doc_id,
+       CAST(600 * (doc_id % 4 + 1) AS INT) AS timescale,
+       CAST((doc_id % 9000 + 600) * 1000
+            // (600 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+       CAST(1 AS INT) AS n_video,
+       CAST(doc_id % 3 AS INT) AS n_audio,
+       CAST((doc_id % 16 + 4) * 16 AS INT) AS width,
+       CAST((doc_id % 9 + 3) * 16 AS INT) AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 'avc1' ELSE 'avc1,mp4a' END AS codecs,
+       CAST(doc_id % 257 + 9 AS BIGINT) AS mdat_bytes
+FROM documents
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
@@ -338,4 +373,5 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_image_resize": (_q_multimodal_resize, _MULTIMODAL_RESIZE_ORACLE),
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "multimodal_audio_mp3_stats": (_q_multimodal_mp3, _MULTIMODAL_MP3_ORACLE),
+    "multimodal_video_mp4_stats": (_q_multimodal_mp4, _MULTIMODAL_MP4_ORACLE),
 }
