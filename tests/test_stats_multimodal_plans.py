@@ -1352,3 +1352,169 @@ def test_mp4_stats_spark_stage_sniffs_and_quarantines(spark, sf_dir):
     assert extract_mp4_stats(mp3, on_error="skip").count() == 0
     with pytest.raises(Exception, match="no ftyp|ValueError"):
         extract_mp4_stats(mp3).collect()
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO + Ogg page framing (audio container stats)
+# ---------------------------------------------------------------------------
+
+
+def test_flac_streaminfo_roundtrip_matrix():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_flac_streaminfo,
+        encode_flac_streaminfo,
+    )
+
+    rates = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
+    for did in range(42):  # covers rate x channels x block-chain rotations
+        total = did * 371 % 100000 + 1000
+        pay = encode_flac_streaminfo(
+            sample_rate=rates[did % 7], channels=did % 2 + 1,
+            bits_per_sample=16, total_samples=total, extra_blocks=did % 3,
+        )
+        assert decode_flac_streaminfo(pay) == (
+            rates[did % 7], did % 2 + 1, 16, total,
+            total * 1000 // rates[did % 7], 1 + did % 3,
+        )
+    # field-boundary values survive the 64-bit bit-packing
+    pay = encode_flac_streaminfo(
+        sample_rate=(1 << 20) - 1, channels=8, bits_per_sample=32,
+        total_samples=(1 << 36) - 1,
+    )
+    rate, ch, bits, total, _, _ = decode_flac_streaminfo(pay)
+    assert (rate, ch, bits, total) == ((1 << 20) - 1, 8, 32, (1 << 36) - 1)
+
+
+def test_flac_rejects_corruption():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_flac_streaminfo,
+        encode_flac_streaminfo,
+    )
+
+    pay = encode_flac_streaminfo(
+        sample_rate=44100, channels=2, bits_per_sample=16,
+        total_samples=5000, extra_blocks=2,
+    )
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac_streaminfo(b"OggS" + pay[4:])
+    # every truncation must raise: the chain only ends at is-last
+    for cut in range(1, len(pay) - 1):
+        with pytest.raises(ValueError):
+            decode_flac_streaminfo(pay[:cut])
+    # first block not STREAMINFO (flip type 0 -> 1, keep length)
+    mut = bytearray(pay)
+    mut[4] = (mut[4] & 0x80) | 1
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        decode_flac_streaminfo(bytes(mut))
+    # zero sample rate
+    zed = bytearray(
+        encode_flac_streaminfo(
+            sample_rate=1, channels=1, bits_per_sample=16, total_samples=1
+        )
+    )
+    packed = int.from_bytes(zed[18:26], "big") & ((1 << 44) - 1)
+    zed[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_flac_streaminfo(bytes(zed))
+
+
+def test_ogg_page_walk_roundtrip_and_crc():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _ogg_crc,
+        decode_ogg_stats,
+        encode_ogg_pages,
+    )
+
+    # RFC 3533 CRC sanity: table-driven result matches the bitwise
+    # definition on a known vector
+    def crc_bitwise(data):
+        crc = 0
+        for b in data:
+            crc ^= b << 24
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 else crc << 1
+                ) & 0xFFFFFFFF
+        return crc
+
+    assert _ogg_crc(b"OggS test vector") == crc_bitwise(b"OggS test vector")
+
+    for did in range(28):
+        n_pages, nseg = did % 7 + 2, did % 4 + 1
+        pages = [
+            ((i + 1) * (did % 1000 + 100),
+             [(did + i * 7 + s * 13) % 255 for s in range(nseg)])
+            for i in range(n_pages)
+        ]
+        pay = encode_ogg_pages(pages, did % 65536 + 1)
+        assert decode_ogg_stats(pay) == (
+            n_pages, n_pages * nseg, n_pages * (did % 1000 + 100),
+            did % 65536 + 1, len(pay),
+        )
+
+
+def test_ogg_rejects_corruption():
+    import struct as _s
+
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        decode_ogg_stats,
+        encode_ogg_pages,
+    )
+
+    pages = [(100, [10, 20]), (200, [5]), (300, [0, 7, 254])]
+    pay = encode_ogg_pages(pages, 77)
+    assert decode_ogg_stats(pay)[:2] == (3, 6)
+    # page boundaries are valid prefixes (a cleanly cut stream); any
+    # other cut raises
+    bounds, pos = [], 0
+    while pos < len(pay):
+        nseg = pay[pos + 26]
+        lacing = pay[pos + 27 : pos + 27 + nseg]
+        pos += 27 + nseg + sum(lacing)
+        bounds.append(pos)
+    for cut in range(1, len(pay) - 1):
+        if cut in bounds:
+            assert decode_ogg_stats(pay[:cut])[0] == bounds.index(cut) + 1
+        else:
+            with pytest.raises(ValueError):
+                decode_ogg_stats(pay[:cut])
+    # flip one body byte -> CRC mismatch
+    mut = bytearray(pay)
+    mut[30] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_ogg_stats(bytes(mut))
+    # serial change mid-stream
+    two = bytearray(encode_ogg_pages([(1, [3]), (2, [3])], 9))
+    second = 27 + 1 + 3
+    _s.pack_into("<I", two, second + 14, 10)
+    page2 = bytearray(two[second:])
+    page2[22:26] = b"\x00" * 4
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import _ogg_crc
+    _s.pack_into("<I", two, second + 22, _ogg_crc(bytes(page2)))
+    with pytest.raises(ValueError, match="multiplexed"):
+        decode_ogg_stats(bytes(two))
+
+
+def test_flac_ogg_spark_stages_sniff_and_quarantine(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_flac_payloads,
+        attach_ogg_payloads,
+        extract_flac_stats,
+        extract_ogg_stats,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(20)
+    flac = extract_flac_stats(attach_flac_payloads(docs)).collect()
+    assert len(flac) == 20
+    assert all(r.n_metadata_blocks == 1 + r.doc_id % 3 for r in flac)
+    ogg = extract_ogg_stats(attach_ogg_payloads(docs)).collect()
+    assert len(ogg) == 20
+    assert all(r.n_pages == r.doc_id % 7 + 2 for r in ogg)
+    # cross-format payloads quarantine, not mis-parse
+    assert extract_flac_stats(
+        attach_ogg_payloads(docs.limit(3)), on_error="skip"
+    ).count() == 0
+    assert extract_ogg_stats(
+        attach_flac_payloads(docs.limit(3)), on_error="skip"
+    ).count() == 0

@@ -3280,6 +3280,358 @@ def attach_jpeg_progressive_payloads(
     return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO (the format's mandatory first metadata block) and Ogg
+# page framing (RFC 3533) — the audio-container analogs of the MP4 box
+# walk: sample rate / channels / duration for FLAC, page/packet counts
+# and granule-position duration for Ogg, all without touching a coded
+# frame. Spectral decode (FLAC subframes, Vorbis/Opus) stays behind the
+# StubImageCodec boundary.
+
+FLAC_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits_per_sample int, "
+    "total_samples bigint, duration_ms bigint, n_metadata_blocks int"
+)
+
+OGG_STATS_SCHEMA = (
+    "doc_id long, n_pages int, n_packets int, last_granule bigint, "
+    "serial bigint, total_bytes bigint"
+)
+
+
+def encode_flac_streaminfo(
+    *,
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    extra_blocks: int = 0,
+) -> bytes:
+    """Serialize a FLAC header: ``fLaC`` magic + the mandatory
+    STREAMINFO block + ``extra_blocks`` PADDING blocks, with the
+    is-last flag on the final block — the encoder twin of
+    :func:`decode_flac_streaminfo`."""
+    if not 1 <= channels <= 8 or not 4 <= bits_per_sample <= 32:
+        raise ValueError("channels 1-8, bits 4-32")
+    if sample_rate >= 1 << 20 or total_samples >= 1 << 36:
+        raise ValueError("sample_rate/total_samples out of field range")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + b"\x00\x00\x10" + b"\xff\xff\xff"  # min/max framesize (24-bit)
+        + packed.to_bytes(8, "big")
+        + bytes(16)  # MD5 of the unencoded audio (not carried here)
+    )
+    out = b"fLaC"
+    is_last = 0x80 if extra_blocks == 0 else 0
+    out += bytes([is_last]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    for i in range(extra_blocks):
+        last = 0x80 if i == extra_blocks - 1 else 0
+        pad = bytes(i % 7 + 1)
+        out += bytes([last | 1]) + len(pad).to_bytes(3, "big") + pad
+    return out
+
+
+def decode_flac_streaminfo(
+    payload: bytes,
+) -> tuple[int, int, int, int, int, int]:
+    """Parse a FLAC header's metadata-block chain: returns (sample_rate,
+    channels, bits_per_sample, total_samples, duration_ms,
+    n_metadata_blocks). STREAMINFO must be the first block (the spec
+    mandates it); later blocks are length-skipped; a chain that never
+    sets the is-last flag, a truncated block, or a zero sample rate
+    raise the quarantine class (ValueError)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos, n_blocks, first = 4, 0, True
+    rate = channels = bits = total = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata-block header")
+        head = payload[pos]
+        btype, is_last = head & 0x7F, head & 0x80
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if first:
+            if btype != 0:
+                raise ValueError("first FLAC block is not STREAMINFO")
+            if blen != 34:
+                raise ValueError(f"STREAMINFO must be 34 bytes, got {blen}")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                raise ValueError("FLAC sample rate is zero")
+            first = False
+        elif btype == 0:
+            raise ValueError("duplicate STREAMINFO block")
+        n_blocks += 1
+        pos += 4 + blen
+        if is_last:
+            break
+    return rate, channels, bits, total, total * 1000 // rate, n_blocks
+
+
+_OGG_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000 else _r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC (RFC 3533 §6): CRC-32, polynomial 0x04C11DB7,
+    init 0, unreflected, no final xor — NOT zlib's crc32."""
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def encode_ogg_pages(
+    pages: list[tuple[int, list[int]]], serial: int
+) -> bytes:
+    """Serialize an Ogg physical stream: each ``(granule, lacing)``
+    becomes one page (bos flag on the first, eos on the last, correct
+    CRC over the whole page with the CRC field zeroed). Lacing values
+    must be < 255 — every segment terminates a packet, keeping the
+    packet count closed-form for the oracle."""
+    out = bytearray()
+    for i, (granule, lacing) in enumerate(pages):
+        if not 1 <= len(lacing) <= 255 or any(
+            not 0 <= v < 255 for v in lacing
+        ):
+            raise ValueError("1-255 lacing values, each in [0, 255)")
+        htype = (0x02 if i == 0 else 0) | (
+            0x04 if i == len(pages) - 1 else 0
+        )
+        body = b"".join(
+            bytes((v * 131 + s) % 256 for s in range(v)) for v in lacing
+        )
+        page = bytearray(
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", i)
+            + b"\x00\x00\x00\x00"  # crc placeholder
+            + bytes([len(lacing)])
+            + bytes(lacing)
+            + body
+        )
+        struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+        out += page
+    return bytes(out)
+
+
+def decode_ogg_stats(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Walk an Ogg physical stream's page framing (RFC 3533): returns
+    (n_pages, n_packets, last_granule, serial, total_bytes). Every
+    page's CRC is verified (poly 0x04C11DB7, unreflected — a walker
+    that mis-sizes a page lands mid-body and fails the capture or the
+    checksum); packets are counted at lacing values < 255 (packet
+    terminations). Lost capture, CRC mismatch, serial changes
+    mid-stream, non-monotonic page sequence, and truncation all raise
+    the quarantine class (ValueError)."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg payload (no OggS capture)")
+    pos = n_pages = n_packets = 0
+    serial = None
+    granule = 0
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"lost Ogg capture at {pos}")
+        if pos + 27 > len(payload):
+            raise ValueError("truncated Ogg page header")
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported Ogg stream structure version")
+        granule, this_serial, seq, crc = struct.unpack_from(
+            "<qIII", payload, pos + 6
+        )
+        if serial is None:
+            serial = this_serial
+        elif serial != this_serial:
+            raise ValueError("multiplexed Ogg streams not supported")
+        if seq != n_pages:
+            raise ValueError(
+                f"Ogg page sequence {seq} at page index {n_pages}"
+            )
+        nseg = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nseg]
+        if len(lacing) != nseg:
+            raise ValueError("truncated Ogg lacing table")
+        body_len = sum(lacing)
+        end = pos + 27 + nseg + body_len
+        if end > len(payload):
+            raise ValueError("truncated Ogg page body")
+        page = bytearray(payload[pos:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"Ogg page CRC mismatch at {pos}")
+        n_packets += sum(1 for v in lacing if v < 255)
+        n_pages += 1
+        pos = end
+    if n_pages == 0:
+        raise ValueError("no Ogg pages in payload")
+    return n_pages, n_packets, granule, serial, len(payload)
+
+
+def extract_flac_stats(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """STREAMINFO stats stage for FLAC payloads — sample rate, channel
+    count, bit depth and exact duration from the mandatory first
+    metadata block, without decoding a subframe. Same quarantine policy
+    as :func:`extract_audio_stats`."""
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows.append(decode_flac_streaminfo(bytes(p)))
+                except (ValueError, struct.error):
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((None,) * 6)
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "bits_per_sample": [r[2] for r in rows],
+                    "total_samples": [r[3] for r in rows],
+                    "duration_ms": [r[4] for r in rows],
+                    "n_metadata_blocks": [r[5] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(_decode, schema=FLAC_STATS_SCHEMA)
+
+
+def extract_ogg_stats(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """Page-framing stats stage for Ogg payloads — page/packet counts
+    and the last granule position (the stream's duration in codec
+    units), with per-page CRC verification. Same quarantine policy as
+    :func:`extract_audio_stats`."""
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows.append(decode_ogg_stats(bytes(p)))
+                except (ValueError, struct.error):
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((None,) * 5)
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pages": [r[0] for r in rows],
+                    "n_packets": [r[1] for r in rows],
+                    "last_granule": [r[2] for r in rows],
+                    "serial": [r[3] for r in rows],
+                    "total_bytes": [r[4] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(_decode, schema=OGG_STATS_SCHEMA)
+
+
+def attach_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one FLAC header per row. Closed form the oracle
+    replays: sample rate from a 7-entry table at doc_id % 7, channels
+    doc_id % 2 + 1, bit depth 16, total samples doc_id * 371 % 100000
+    + 1000, plus doc_id % 3 PADDING blocks (so both the is-last-on-
+    STREAMINFO and the chain-walk paths are on the checked slice)."""
+    rates = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                payloads.append(
+                    encode_flac_streaminfo(
+                        sample_rate=rates[did % 7],
+                        channels=did % 2 + 1,
+                        bits_per_sample=16,
+                        total_samples=did * 371 % 100000 + 1000,
+                        extra_blocks=did % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "audio/flac",
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _gen, schema="doc_id long, payload binary, format string"
+    )
+
+
+def attach_ogg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one Ogg physical stream per row. Closed form
+    the oracle replays: doc_id % 7 + 2 pages, each with doc_id % 4 + 1
+    lacing segments of (doc_id + page*7 + seg*13) % 255 bytes, page i
+    granule (i+1) * (doc_id % 1000 + 100), serial doc_id % 65536 + 1 —
+    so page sizes, packet counts and the final granule are all
+    arithmetic the walker must reproduce against verified CRCs."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n_pages = did % 7 + 2
+                nseg = did % 4 + 1
+                pages = [
+                    (
+                        (i + 1) * (did % 1000 + 100),
+                        [(did + i * 7 + s * 13) % 255 for s in range(nseg)],
+                    )
+                    for i in range(n_pages)
+                ]
+                payloads.append(encode_ogg_pages(pages, did % 65536 + 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "audio/ogg",
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _gen, schema="doc_id long, payload binary, format string"
+    )
+
+
 def attach_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: one real PCM16 mono WAV payload per row."""
 

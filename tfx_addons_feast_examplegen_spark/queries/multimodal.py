@@ -360,6 +360,71 @@ FROM documents
 """
 
 
+def _q_multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AUDIO container breadth: FLAC's mandatory STREAMINFO block —
+    # sample rate (20-bit field), channels (3-bit), bit depth (5-bit)
+    # and total samples (36-bit) from one bit-packed 64-bit word, plus
+    # the metadata-block chain walk (is-last flags, length-skipped
+    # PADDING blocks). Exact duration for free: total*1000//rate, no
+    # subframe decode. The fixture rotates rates/channels/block-chain
+    # length; the oracle replays the closed form including the
+    # millisecond arithmetic.
+    from ..operators.multimodal import attach_flac_payloads, extract_flac_stats
+
+    t = register_tables(spark, sf_dir)
+    return extract_flac_stats(attach_flac_payloads(t["documents"]))
+
+
+_MULTIMODAL_FLAC_ORACLE = """
+SELECT doc_id,
+       CAST(list_extract([8000,16000,22050,24000,32000,44100,48000],
+                         CAST(doc_id % 7 + 1 AS INT)) AS INT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INT) AS channels,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(doc_id * 371 % 100000 + 1000 AS BIGINT) AS total_samples,
+       CAST((doc_id * 371 % 100000 + 1000) * 1000
+            // list_extract([8000,16000,22050,24000,32000,44100,48000],
+                            CAST(doc_id % 7 + 1 AS INT)) AS BIGINT)
+         AS duration_ms,
+       CAST(1 + doc_id % 3 AS INT) AS n_metadata_blocks
+FROM documents
+"""
+
+
+def _q_multimodal_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AUDIO container breadth: Ogg page framing (RFC 3533) — page and
+    # packet counts from the lacing tables, stream duration from the
+    # last page's granule position, with every page's CRC verified
+    # (poly 0x04C11DB7, unreflected — NOT zlib's crc32). The walker
+    # must reproduce the exact 27 + n_segments + sum(lacing) page
+    # arithmetic against checksums; the oracle replays the same sums
+    # from the closed-form lacing values.
+    from ..operators.multimodal import attach_ogg_payloads, extract_ogg_stats
+
+    t = register_tables(spark, sf_dir)
+    return extract_ogg_stats(attach_ogg_payloads(t["documents"]))
+
+
+_MULTIMODAL_OGG_ORACLE = """
+WITH p AS (
+  SELECT d.doc_id,
+         CAST(d.doc_id % 7 + 2 AS INT) AS n_pages,
+         CAST(d.doc_id % 4 + 1 AS INT) AS nseg,
+         (d.doc_id + i.i * 7 + s.s * 13) % 255 AS lacing
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, d.doc_id % 7 + 2)) AS i) i,
+       LATERAL (SELECT unnest(range(0, d.doc_id % 4 + 1)) AS s) s
+)
+SELECT doc_id,
+       n_pages,
+       CAST(n_pages * nseg AS INT) AS n_packets,
+       CAST(n_pages * (doc_id % 1000 + 100) AS BIGINT) AS last_granule,
+       CAST(doc_id % 65536 + 1 AS BIGINT) AS serial,
+       CAST(SUM(lacing) + n_pages * (27 + nseg) AS BIGINT) AS total_bytes
+FROM p GROUP BY doc_id, n_pages, nseg
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
@@ -374,4 +439,6 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_audio_stats": (_q_multimodal_audio, _MULTIMODAL_AUDIO_ORACLE),
     "multimodal_audio_mp3_stats": (_q_multimodal_mp3, _MULTIMODAL_MP3_ORACLE),
     "multimodal_video_mp4_stats": (_q_multimodal_mp4, _MULTIMODAL_MP4_ORACLE),
+    "multimodal_audio_flac_stats": (_q_multimodal_flac, _MULTIMODAL_FLAC_ORACLE),
+    "multimodal_audio_ogg_stats": (_q_multimodal_ogg, _MULTIMODAL_OGG_ORACLE),
 }
