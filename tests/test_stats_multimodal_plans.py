@@ -1518,3 +1518,81 @@ def test_flac_ogg_spark_stages_sniff_and_quarantine(spark, sf_dir):
     assert extract_ogg_stats(
         attach_flac_payloads(docs.limit(3)), on_error="skip"
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV (A-law / mu-law expansion)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_expansion_reference_values():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+    )
+
+    # spec anchor points (ITU-T G.711 / Sun reference implementation)
+    assert _ulaw_to_linear(0xFF) == 0          # +0
+    assert _ulaw_to_linear(0x7F) == 0          # -0
+    assert _ulaw_to_linear(0x80) == 32124      # positive clipping max
+    assert _ulaw_to_linear(0x00) == -32124     # negative clipping max
+    assert _alaw_to_linear(0xD5) == 8          # +min (0x55 ^ 0x80)
+    assert _alaw_to_linear(0x55) == -8         # -min
+    assert _alaw_to_linear(0xAA) == 32256      # +max
+    assert _alaw_to_linear(0x2A) == -32256     # -max
+    # both expansions are odd-symmetric in the sign bit
+    for b in range(128):
+        assert _ulaw_to_linear(b) == -_ulaw_to_linear(b | 0x80)
+        assert _alaw_to_linear(b | 0x80) == -_alaw_to_linear(b)
+
+
+def test_g711_wav_roundtrip_and_rejections():
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+        decode_wav_g711,
+        encode_wav_g711,
+        encode_wav_pcm16,
+    )
+
+    for did in range(12):
+        n = did % 40 + 8
+        enc = bytes((did * 13 + i * 29) % 256 for i in range(n))
+        coding, rate, count, ssum, smin, smax = decode_wav_g711(
+            encode_wav_g711(enc, alaw=bool(did % 2))
+        )
+        expand = _alaw_to_linear if did % 2 else _ulaw_to_linear
+        want = [expand(b) for b in enc]
+        assert (coding, rate, count) == (
+            "alaw" if did % 2 else "ulaw", 8000, n,
+        )
+        assert (ssum, smin, smax) == (sum(want), min(want), max(want))
+    # odd-length data chunks carry the RIFF pad byte and still decode
+    odd = encode_wav_g711(b"\x01\x02\x03")
+    assert decode_wav_g711(odd)[2] == 3
+    # PCM16 payloads are NOT silently mis-expanded
+    with pytest.raises(ValueError, match="G.711"):
+        decode_wav_g711(encode_wav_pcm16([0, 100, -100]))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_g711(b"fLaC" + odd[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_g711(odd[:-3])
+
+
+def test_g711_spark_stage(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_g711_payloads,
+        attach_wav_payloads,
+        extract_g711_stats,
+    )
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"].limit(20)
+    rows = extract_g711_stats(attach_g711_payloads(docs)).collect()
+    assert len(rows) == 20
+    assert all(
+        r.coding == ("alaw" if r.doc_id % 2 else "ulaw") for r in rows
+    )
+    # PCM payloads quarantine instead of mis-expanding
+    pcm = attach_wav_payloads(docs.limit(3))
+    assert extract_g711_stats(pcm, on_error="skip").count() == 0

@@ -1186,6 +1186,28 @@ def encode_wav_pcm16(samples: list[int], rate: int = 8000) -> bytes:
     )
 
 
+def encode_wav_g711(encoded: bytes, rate: int = 8000, *, alaw: bool = False) -> bytes:
+    """Serialize already-companded G.711 bytes as a mono 8-bit
+    RIFF/WAVE file (format code 6 = A-law, 7 = mu-law) — the encoder
+    twin of :func:`decode_wav_g711`."""
+    fmt = struct.pack("<HHIIHH", 6 if alaw else 7, 1, rate, rate, 1, 8)
+    pad = b"\x00" if len(encoded) & 1 else b""  # RIFF word alignment
+    return (
+        b"RIFF"
+        + struct.pack(
+            "<I", 4 + 8 + len(fmt) + 8 + len(encoded) + len(pad)
+        )
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(encoded))
+        + encoded
+        + pad
+    )
+
+
 # MPEG-1 Layer III frame-header constants (public ISO/IEC 11172-3
 # tables): bitrate index 1..14 -> kbps (0 = free-form, 15 = invalid),
 # sample-rate index 0..2 (3 = reserved). Header stats only — full
@@ -1643,6 +1665,76 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
         raise ValueError("missing fmt/data chunk")
     samples = struct.unpack(f"<{len(data) // 2}h", data)
     return rate, len(samples), sum(samples), min(samples), max(samples)
+
+
+# G.711 expansion (ITU-T G.711, the Sun *law2linear form): both
+# companded telephony codings expand one encoded byte to a 13/14-bit
+# linear sample. Pure integer arithmetic, so an external oracle can
+# replay the exact formulas.
+
+
+def _ulaw_to_linear(u: int) -> int:
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw_to_linear(a: int) -> int:
+    a ^= 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def decode_wav_g711(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    """Decode a G.711 companded mono WAV (format code 6 = A-law, 7 =
+    mu-law, 8-bit samples — the telephony-corpus formats) into expanded
+    linear sample stats: (coding, sample_rate, n_samples, sample_sum,
+    s_min, s_max). Same strict RIFF chunk walk as
+    :func:`decode_wav_pcm16` (kept separate so widening the codec
+    surface does not touch the attested PCM16 path); PCM payloads
+    raise — this stage is explicitly the companded-decode edge."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data, fmt_code = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + sz > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {sz} bytes, "
+                f"{len(payload) - pos - 8} present"
+            )
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code not in (6, 7) or bits != 8 or channels != 1:
+                raise ValueError(
+                    "only mono 8-bit G.711 (format 6/7) supported here"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    expand = _alaw_to_linear if fmt_code == 6 else _ulaw_to_linear
+    samples = [expand(b) for b in data]
+    return (
+        "alaw" if fmt_code == 6 else "ulaw",
+        rate,
+        len(samples),
+        sum(samples),
+        min(samples),
+        max(samples),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3624,6 +3716,79 @@ def attach_ogg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "doc_id": pdf[id_col],
                     "payload": payloads,
                     "format": "audio/ogg",
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _gen, schema="doc_id long, payload binary, format string"
+    )
+
+
+G711_STATS_SCHEMA = (
+    "doc_id long, coding string, sample_rate int, n_samples int, "
+    "sample_sum bigint, s_min int, s_max int"
+)
+
+
+def extract_g711_stats(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """Expanded-sample stats stage for G.711 companded WAV payloads
+    (A-law/mu-law, the telephony-corpus formats): each 8-bit sample is
+    expanded to linear through the exact ITU-T G.711 segment arithmetic
+    before aggregation. Same quarantine policy as
+    :func:`extract_audio_stats`."""
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rows.append(decode_wav_g711(bytes(p)))
+                except (ValueError, struct.error):
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows.append((None,) * 6)
+                ids.append(did)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "coding": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "sample_sum": [r[3] for r in rows],
+                    "s_min": [r[4] for r in rows],
+                    "s_max": [r[5] for r in rows],
+                }
+            )
+
+    return media_df.mapInPandas(_decode, schema=G711_STATS_SCHEMA)
+
+
+def attach_g711_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one companded mono WAV per row — mu-law for
+    even doc_ids, A-law for odd, so both expansion formulas are on the
+    checked path. Closed form the oracle replays: doc_id % 40 + 8
+    encoded bytes, byte i = (doc_id*13 + i*29) % 256, expanded through
+    the exact G.711 segment arithmetic."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = did % 40 + 8
+                enc = bytes((did * 13 + i * 29) % 256 for i in range(n))
+                payloads.append(encode_wav_g711(enc, alaw=bool(did % 2)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "audio/wav",
                 }
             )
 

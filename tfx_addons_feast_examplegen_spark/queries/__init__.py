@@ -89,6 +89,7 @@ _ENTRY_ORDER = [
     "multimodal_video_mp4_stats",
     "multimodal_audio_flac_stats",
     "multimodal_audio_ogg_stats",
+    "multimodal_audio_g711_stats",
     "temperature_mix",
     "text_heavy_hitters",
     "interpolate_timeseries",
@@ -292,23 +293,24 @@ _DRIVER_PRIORITY = [
     "multimodal_video_mp4_stats",
     "multimodal_audio_flac_stats",
     "multimodal_audio_ogg_stats",
+    "multimodal_audio_g711_stats",
     "pit_join_multiview",
     "pit_join_ttl",
     "pit_join_union_window",
-    # oldest r7-vintage rows (alphabetical first 7 of 46):
+    # oldest r7-vintage rows (alphabetical first 6 of 46):
     "bm25_ranked_search",
     "bpe_pair_merges",
     "contrastive_hard_negatives",
     "corpus_report",
     "decayed_activity_score",
     "dedup_containment_scoped",
-    "dedup_exact_substring",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
-    # 39 r7-vintage rows — dedup_pair_evidence, dedup_remove_shared_runs,
-    # dedup_simhash and embedding_outliers (displaced from this window
-    # by the four new round-10 entries: multimodal_image_tiff,
-    # multimodal_video_mp4_stats, multimodal_audio_flac_stats,
-    # multimodal_audio_ogg_stats), epoch_shuffle_shards, event_type_pmi,
+    # 40 r7-vintage rows — dedup_exact_substring, dedup_pair_evidence,
+    # dedup_remove_shared_runs, dedup_simhash and embedding_outliers
+    # (displaced from this window by the five new round-10 entries:
+    # multimodal_image_tiff, multimodal_video_mp4_stats,
+    # multimodal_audio_flac_stats, multimodal_audio_ogg_stats,
+    # multimodal_audio_g711_stats), epoch_shuffle_shards, event_type_pmi,
     # feature_drift_psi, federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg,
     # keyword_search_indexed, kfold_assignment, length_bucketing,

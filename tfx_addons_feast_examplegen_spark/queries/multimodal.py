@@ -425,6 +425,55 @@ FROM p GROUP BY doc_id, n_pages, nseg
 """
 
 
+def _q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real sample-level AUDIO DECODE beyond PCM: G.711 companded WAV
+    # (format 6 A-law / 7 mu-law — the telephony-corpus formats), each
+    # 8-bit byte expanded to linear through the exact ITU-T segment
+    # arithmetic before aggregation. mu-law for even doc_ids, A-law
+    # for odd; the oracle replays BOTH expansion formulas bit-for-bit
+    # in SQL (xor/shift/segment CASE), so a decoder off by one table
+    # segment or a flipped sign bit hash-mismatches.
+    from ..operators.multimodal import attach_g711_payloads, extract_g711_stats
+
+    t = register_tables(spark, sf_dir)
+    return extract_g711_stats(attach_g711_payloads(t["documents"]))
+
+
+_MULTIMODAL_G711_ORACLE = """
+WITH b AS (
+  SELECT d.doc_id, (d.doc_id * 13 + i.i * 29) % 256 AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, d.doc_id % 40 + 8)) AS i) i
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      CASE WHEN (xor(v, 255) & 128) > 0
+        THEN 132 - ((((xor(v, 255) & 15) << 3) + 132)
+                    << ((xor(v, 255) >> 4) & 7))
+        ELSE ((((xor(v, 255) & 15) << 3) + 132)
+              << ((xor(v, 255) >> 4) & 7)) - 132 END
+    ELSE
+      CASE WHEN (xor(v, 85) & 128) > 0 THEN 1 ELSE -1 END *
+      CASE (xor(v, 85) & 112) >> 4
+        WHEN 0 THEN ((xor(v, 85) & 15) << 4) + 8
+        WHEN 1 THEN ((xor(v, 85) & 15) << 4) + 264
+        ELSE (((xor(v, 85) & 15) << 4) + 264)
+             << (((xor(v, 85) & 112) >> 4) - 1) END
+    END AS lin
+  FROM b
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS coding,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(doc_id % 40 + 8 AS INT) AS n_samples,
+       CAST(SUM(lin) AS BIGINT) AS sample_sum,
+       CAST(MIN(lin) AS INT) AS s_min,
+       CAST(MAX(lin) AS INT) AS s_max
+FROM s GROUP BY doc_id
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
@@ -441,4 +490,5 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_video_mp4_stats": (_q_multimodal_mp4, _MULTIMODAL_MP4_ORACLE),
     "multimodal_audio_flac_stats": (_q_multimodal_flac, _MULTIMODAL_FLAC_ORACLE),
     "multimodal_audio_ogg_stats": (_q_multimodal_ogg, _MULTIMODAL_OGG_ORACLE),
+    "multimodal_audio_g711_stats": (_q_multimodal_g711, _MULTIMODAL_G711_ORACLE),
 }
