@@ -160,6 +160,7 @@ _ENTRY_ORDER = [
     "q18_large_orders",
     "snapshot_diff",
     "bucketed_join",
+    "source_warc_records",
     "embedding_linear_scorer",
     "feature_histogram",
     "similarity_ann_lsh_recall",
@@ -297,20 +298,24 @@ _DRIVER_PRIORITY = [
     "pit_join_multiview",
     "pit_join_ttl",
     "pit_join_union_window",
-    # oldest r7-vintage rows (alphabetical first 6 of 46):
+    # NEW this round (continued): WARC record walking — takes the slot
+    # of the last r7 alphabetical filler (dedup_containment_scoped,
+    # moved to the r11 plan below):
+    "source_warc_records",
+    # oldest r7-vintage rows (alphabetical first 5 of 46):
     "bm25_ranked_search",
     "bpe_pair_merges",
     "contrastive_hard_negatives",
     "corpus_report",
     "decayed_activity_score",
-    "dedup_containment_scoped",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
-    # 40 r7-vintage rows — dedup_exact_substring, dedup_pair_evidence,
-    # dedup_remove_shared_runs, dedup_simhash and embedding_outliers
-    # (displaced from this window by the five new round-10 entries:
-    # multimodal_image_tiff, multimodal_video_mp4_stats,
+    # 41 r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
+    # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash and
+    # embedding_outliers (displaced from this window by the six new
+    # round-10 entries: multimodal_image_tiff, multimodal_video_mp4_stats,
     # multimodal_audio_flac_stats, multimodal_audio_ogg_stats,
-    # multimodal_audio_g711_stats), epoch_shuffle_shards, event_type_pmi,
+    # multimodal_audio_g711_stats, source_warc_records),
+    # epoch_shuffle_shards, event_type_pmi,
     # feature_drift_psi, federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg,
     # keyword_search_indexed, kfold_assignment, length_bucketing,

@@ -723,6 +723,47 @@ FROM d GROUP BY change_type
 """
 
 
+def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Crawl-archive ingestion: WARC (ISO 28500) record walking, the
+    # Common Crawl format. One deterministic archive per document —
+    # plain concatenation for even doc_ids, per-record gzip members
+    # (the splittable Common Crawl layout) for odd — exploded to one
+    # row per record with the payload byte sum as evidence the walker
+    # consumed the declared Content-Length bytes. A walker that
+    # mis-sizes any record loses framing sync and fails loud; the
+    # oracle replays the record/payload arithmetic in closed form.
+    from ..sources.warc import attach_warc_payloads, extract_warc_records
+
+    t = register_tables(spark, sf_dir)
+    return extract_warc_records(attach_warc_payloads(t["documents"]))
+
+
+_WARC_RECORDS_ORACLE = """
+WITH r AS (
+  SELECT d.doc_id, CAST(i.i AS INT) AS rec_idx,
+         (d.doc_id * 17 + i.i * 31) % 120 + 16 AS clen
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS i) i
+),
+s AS (
+  SELECT r.doc_id, r.rec_idx, r.clen,
+         SUM((r.doc_id + r.rec_idx * 7 + j.j * 3) % 256) AS psum
+  FROM r, LATERAL (SELECT unnest(range(0, r.clen)) AS j) j
+  GROUP BY r.doc_id, r.rec_idx, r.clen
+)
+SELECT doc_id,
+       rec_idx,
+       CASE (doc_id + rec_idx) % 3
+         WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+         ELSE 'resource' END AS rec_type,
+       'http://example.com/' || doc_id || '/' || rec_idx AS uri,
+       CAST(clen AS BIGINT) AS content_length,
+       CAST(psum AS BIGINT) AS payload_sum,
+       doc_id % 2 = 1 AS was_gzip
+FROM s
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "source_jsonl_roundtrip": (_q_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "source_csv_roundtrip": (_q_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
@@ -748,4 +789,5 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "snapshot_diff": (_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
     "bucketed_join": (_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
+    "source_warc_records": (_q_warc_records, _WARC_RECORDS_ORACLE),
 }
