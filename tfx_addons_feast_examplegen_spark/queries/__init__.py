@@ -213,6 +213,7 @@ _ENTRY_ORDER = [
     "embedding_neardup",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "bloom_prejoin_filter",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -302,12 +303,17 @@ _DRIVER_PRIORITY = [
     # of the last r7 alphabetical filler (dedup_containment_scoped,
     # moved to the r11 plan below):
     "source_warc_records",
-    # oldest r7-vintage rows (alphabetical first 5 of 46):
+    # NEW this session (each displaces one r7 alphabetical filler into
+    # the r11 plan below — new entries MUST sit in the 50-slot window
+    # per tests/test_attestation.py):
+    "bloom_prejoin_filter",
+    # oldest r7-vintage rows (alphabetical first 4 of 46; bm25_ranked_search
+    # through decayed_activity_score move to the r11 plan as new entries
+    # take their slots):
     "bm25_ranked_search",
     "bpe_pair_merges",
     "contrastive_hard_negatives",
     "corpus_report",
-    "decayed_activity_score",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
     # 41 r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash and

@@ -231,8 +231,51 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom runtime-filter join reduction: a selective dimension
+    # predicate (high-value orders) prunes the fact scan BEFORE the
+    # join shuffle via a broadcast O(bits) bitmap — the explicit form
+    # of the engine runtime filter, portable to any plan shape. False
+    # positives are swallowed by the exact join that follows, so the
+    # contract is result identity with the PLAIN join (the oracle);
+    # the reduction itself is asserted by pytest plan/row checks, not
+    # here, because the oracle can only see values.
+    from ..operators.runtime_filter import bloom_prefilter, build_bloom_bitmap
+
+    t = register_tables(spark, sf_dir)
+    dim = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 350000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    bloom = build_bloom_bitmap(dim, "o_orderkey")
+    li = bloom_prefilter(
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        "l_orderkey",
+        bloom,
+    )
+    j = li.join(dim, li["l_orderkey"] == dim["o_orderkey"])
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(cents).cast("double") / 100.0, 2).alias("revenue"),
+    )
+
+
+_BLOOM_PREJOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round(CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 350000
+GROUP BY o.o_orderpriority
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "skew_salted_agg": (_q_salted_agg, _SALTED_AGG_ORACLE),
+    "bloom_prejoin_filter": (_q_bloom_prejoin, _BLOOM_PREJOIN_ORACLE),
     "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
     "sketch_hll_mergeable": (_q_sketch_hll_merge, _SKETCH_HLL_MERGE_ORACLE),
