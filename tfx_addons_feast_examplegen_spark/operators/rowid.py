@@ -1,0 +1,138 @@
+"""Distributed contiguous row-id assignment without a global sort.
+
+The 100 TB problem: training pipelines need stable, dense ids
+(``0..N-1`` in a total order) for shard addressing, sample bookkeeping,
+and join-back after shuffling — but the naive Spark spelling,
+``row_number() OVER (ORDER BY key)``, plans an **empty-frame global
+Window**: every row funnels through ONE partition on one executor. At
+100 TB that stage never finishes.
+
+This operator decomposes the global rank into
+``rank(row) = offset(bucket) + local_rank(row within bucket)``:
+
+1. **Bucket boundaries** (tiny job, column-pruned scan): sample-based
+   quantile cut points over the order key, computed ONCE on the driver
+   and embedded as a *literal* in both downstream plans — unlike
+   ``repartitionByRange`` (whose RangePartitioner re-samples per job,
+   so two passes over the same input may disagree), the bucket
+   function is frozen, making the two-pass scheme deterministic.
+2. **Bucket counts** (map-side-combined aggregate): ``COUNT(*)`` per
+   bucket; the driver turns the ``O(buckets)`` rows into exclusive
+   prefix-sum offsets, re-embedded as a literal map.
+3. **Local rank**: one hash exchange on the bucket id + an in-bucket
+   sort — ``row_number() OVER (PARTITION BY bucket ORDER BY key)``.
+   Each Window partition holds ~``N/buckets`` rows, so the sort is
+   distributed and spill-bounded; no single-partition stage anywhere.
+
+Correctness does not depend on boundary *quality* — only determinism.
+Skewed samples make buckets uneven (a throughput concern, surfaced by
+choosing ``num_buckets`` ≳ cluster parallelism), never wrong ids,
+because every key maps to exactly one bucket and buckets partition the
+key space in order. Ties across the order columns would make ids
+nondeterministic in ANY engine, so the caller must pass a total order
+(e.g. a unique key last).
+
+The two driver collects are ``O(num_buckets)`` scalars — parameters,
+not data (the repo-wide collect() policy).
+
+Reference scope: the reference delegates all execution to BigQuery and
+has no id-assignment surface (feast_component/executor.py:128-163);
+this operator is part of the Spark-native scale extension inventoried
+in SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def assign_global_row_ids(
+    df: DataFrame,
+    order_col: str,
+    *,
+    id_col: str = "row_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """Add ``id_col`` = dense global rank of ``order_col`` (0-based).
+
+    ``order_col`` must be a total order (unique values) for the ids to
+    be deterministic, and numeric (the boundary sampler is
+    ``percentile_approx``); note ids never depend on boundary values —
+    only bucket sizes do — so approximate/sampled boundaries stay
+    exact-correct. NULL keys rank first (Spark ``ASC NULLS FIRST``).
+    ``num_buckets`` bounds the size of each distributed sort partition
+    (~``N/num_buckets`` rows) and the driver-side state.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
+    dtype = dict(df.dtypes).get(order_col)
+    if dtype is None:
+        raise ValueError(f"order_col {order_col!r} not in {df.columns}")
+    if dtype not in {"tinyint", "smallint", "int", "bigint", "float",
+                     "double"} and not dtype.startswith("decimal"):
+        raise ValueError(
+            f"order_col must be numeric for the quantile sampler: "
+            f"{order_col}:{dtype}"
+        )
+    if id_col in df.columns:
+        raise ValueError(f"id_col {id_col!r} already present")
+    key = F.col(order_col)
+
+    # Pass 1 — frozen boundaries. percentile_approx on a sample keeps
+    # this a cheap one-column scan; exactness is irrelevant (see module
+    # docstring), determinism comes from embedding the result as a
+    # literal. Nulls sort first (Spark ASC NULLS FIRST) and are routed
+    # to bucket 0 explicitly since comparisons against NULL are unknown.
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    sampled = df.select(order_col).where(key.isNotNull())
+    if sample_fraction < 1.0:
+        sampled = sampled.sample(fraction=sample_fraction, seed=8)
+    row = sampled.agg(
+        F.percentile_approx(key, probs, 10_000).alias("bounds")
+    ).collect()[0]
+    bounds = [b for b in (row["bounds"] or []) if b is not None]
+
+    if bounds:
+        lit_bounds = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.when(key.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(lit_bounds, lambda b: b < key))
+        )
+    else:  # empty/constant input or num_buckets == 1
+        bucket = F.lit(0)
+    with_bucket = df.withColumn("__bucket", bucket)
+
+    # Pass 2 — exclusive prefix-sum offsets, embedded as a literal map.
+    counts = {
+        r["__bucket"]: r["n"]
+        for r in with_bucket.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        lit_offsets = F.map_from_arrays(
+            F.array(*[F.lit(b) for b in offsets]),
+            F.array(*[F.lit(v).cast("long") for v in offsets.values()]),
+        )
+    else:
+        lit_offsets = F.map_from_arrays(F.array().cast("array<int>"),
+                                        F.array().cast("array<long>"))
+
+    # Pass 3 — one hash exchange on __bucket + distributed in-bucket sort.
+    w = Window.partitionBy("__bucket").orderBy(key.asc_nulls_first())
+    return (
+        with_bucket
+        .withColumn(
+            id_col,
+            (F.element_at(lit_offsets, F.col("__bucket"))
+             + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("__bucket")
+    )

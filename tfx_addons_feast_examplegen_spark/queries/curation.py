@@ -814,7 +814,30 @@ def _q_wsample_wor_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy("prio_nano", "doc_id").limit(100)
 
 
+def _q_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dense 0..N-1 ids in doc_id order WITHOUT the single-partition
+    # global Window the naive ROW_NUMBER() OVER (ORDER BY ...) plans —
+    # see operators/rowid.py for the bucket-decomposition scheme. The
+    # oracle IS the naive global spelling: the contract is that the
+    # distributed decomposition reproduces it bit-for-bit.
+    from ..operators.rowid import assign_global_row_ids
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "n_chars")
+    return assign_global_row_ids(docs, "doc_id", num_buckets=8).select(
+        "doc_id", "n_chars", "row_id"
+    )
+
+
+_GLOBAL_ROW_IDS_ORACLE = """
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+FROM documents
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
     "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
