@@ -1,0 +1,121 @@
+"""Crawl-corpus text plumbing: HTML -> text extraction, URL canonicalization.
+
+Both operators are **pure column expressions** — regexp/replace chains
+that run inside whole-stage codegen on the scan partitioning. No UDF,
+no shuffle, no per-row Python: at 100 TB these are the map-side steps
+of a WET-style extraction pipeline (WARC walking lives in
+``sources/warc.py``; this module is the stage after it).
+
+Regex dialect note: every pattern here is written in the common subset
+of Java regex (Spark) and RE2 (DuckDB oracle) — in particular NO
+backreferences (RE2 lacks them; the script/style strips are spelled as
+two alternations instead of ``<(script|style)>.*?</\\1>``) and only
+``(?is)`` inline flags, which both engines accept.
+
+Reference scope: the reference has no text-processing surface at all
+(it delegates to BigQuery SQL, feast_component/executor.py:128-163);
+these operators are part of the Spark-native LLM-pipeline extension
+inventoried in SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Decode order matters and is part of the contract: named/numeric
+# entities first, ampersand LAST, so double-encoded text ("&amp;lt;")
+# decodes one level per pass exactly like the W3C reference decoder
+# applied once.
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+# Tags whose boundaries imply a text break (the WET convention);
+# everything else is inline and strips to a space.
+_BLOCK_TAGS = "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article"
+
+
+def extract_html_text(html: Column) -> Column:
+    """WET-style visible-text extraction from an HTML column.
+
+    Steps (each a codegen-friendly regexp/replace):
+
+    1. drop ``<script>``/``<style>`` elements INCLUDING their content
+       (their text is code, not prose — and it is where stray ``<``
+       and ``&&`` live, so it must go before the generic tag strip);
+    2. drop comments;
+    3. block-level tag boundaries -> newline, remaining tags -> space;
+    4. decode the six entities that dominate crawl text;
+    5. collapse all whitespace runs to single spaces and trim.
+    """
+    c = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, rf"(?i)</?({_BLOCK_TAGS})(\s[^>]*)?>", "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.call_function("replace", c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+_TRACKING_PARAMS = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)(=|$)"
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, as one expression tree.
+
+    Normalizations (the standard crawl-dedup set, RFC 3986 §6 plus the
+    tracking-param strip every pipeline adds):
+
+    - scheme and host lowercased;
+    - default port dropped (``:80`` for http, ``:443`` for https);
+      non-default ports kept;
+    - fragment dropped;
+    - duplicate slashes in the path collapsed, trailing slash dropped
+      (root stays ``/``; an empty path becomes ``/``);
+    - tracking query params removed (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``mc_eid``), the rest SORTED bytewise and rejoined —
+      param order never distinguishes resources in practice, and
+      sorting makes the canonical form a pure function of the param
+      set; an emptied query drops its ``?``.
+    """
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(F.regexp_extract(nofrag, r"^[^:]+://([^/?]*)", 1))
+    host = F.regexp_extract(authority, r"^([^:]*)", 1)
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    norm_auth = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+
+    raw_path = F.regexp_extract(nofrag, r"^[^:]+://[^/?]*([^?]*)", 1)
+    collapsed = F.regexp_replace(raw_path, r"/{2,}", "/")
+    no_trail = F.regexp_replace(collapsed, r"/$", "")
+    path = F.when(no_trail == "", F.lit("/")).otherwise(no_trail)
+
+    raw_query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(raw_query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAMS),
+        )
+    )
+    query = F.array_join(kept, "&")
+
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        norm_auth,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )

@@ -745,7 +745,173 @@ def _q_novelty_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WET-style extraction. The page is synthesized deterministically
+    # around each document's text (title/style/script/comment/entity
+    # furniture — the parts an extractor must REMOVE or DECODE), so the
+    # operator's output is fully predictable and the oracle rebuilds
+    # the same page in SQL and extracts with DuckDB-native regexps —
+    # two independent spellings of the same contract.
+    from ..operators.crawl import extract_html_text
+
+    t = register_tables(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><title>Doc</title><style type="text/css">p '
+              "{ color: #fff; }</style>"
+              '<script>if (1 < 2 && x > 0) { alert("hi"); }</script>'
+              "</head><body><h1>"),
+        F.col("lang"),
+        F.lit("</h1><!-- nav --><p>"),
+        F.col("text"),
+        F.lit("</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;"
+              "&nbsp;&#39;end&#39;</p></body></html>"),
+    )
+    docs = t["documents"].select("doc_id", html.alias("html"))
+    extracted = extract_html_text(F.col("html"))
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.size(F.split(extracted, " ")).cast("bigint").alias("n_words"),
+    )
+
+
+_HTML_TEXT_EXTRACT_ORACLE = """
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc</title><style type="text/css">p '
+         || '{ color: #fff; }</style>'
+         || '<script>if (1 < 2 && x > 0) { alert("hi"); }</script>'
+         || '</head><body><h1>' || lang || '</h1><!-- nav --><p>'
+         || text || '</p><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;'
+         || '&nbsp;&#39;end&#39;</p></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
+                                ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article)(\\s[^>]*)?>',
+             chr(10), 'g'),
+           '<[^>]+>', ' ', 'g') AS t
+  FROM page
+),
+decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(
+           t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM stripped
+),
+final AS (
+  SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted
+  FROM decoded
+)
+SELECT doc_id, extracted,
+       CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words
+FROM final
+"""
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Four URL shapes per the doc_id residue, covering every
+    # normalization branch: mixed-case scheme/host, default and
+    # NON-default explicit ports, duplicate-slash and trailing-slash
+    # paths, fragments, tracking params interleaved with real ones,
+    # and an emptied query. The oracle renormalizes with DuckDB string
+    # primitives (string_split/list_filter/list_sort), a genuinely
+    # different spelling from the Spark expression tree.
+    from ..operators.crawl import canonicalize_url
+
+    t = register_tables(spark, sf_dir)
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("HTTP://WWW.Example.COM:80//a/b/c/"
+                     "?utm_source=feed&b=2&a=1#frag"))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://Sub.Example.org:443/path/"),
+                       F.col("source"),
+                       F.lit("/?z=9&utm_medium=email&m="),
+                       (F.col("doc_id") % 7).cast("string")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("http://example.net/"), F.col("lang"),
+                       F.lit("//x/?fbclid=abc123&q="),
+                       (F.col("doc_id") % 5).cast("string"),
+                       F.lit("&p=2#x")))
+        .otherwise(
+            F.concat(F.lit("HTTPS://cdn.Example.com:8443/assets//img/"),
+                     (F.col("doc_id") % 13).cast("string"),
+                     F.lit(".png?gclid=1&utm_campaign=x")))
+    )
+    docs = t["documents"].select("doc_id", url.alias("url"))
+    return docs.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical")
+    )
+
+
+_URL_CANONICALIZE_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTP://WWW.Example.COM:80//a/b/c/'
+                       || '?utm_source=feed&b=2&a=1#frag'
+           WHEN 1 THEN 'https://Sub.Example.org:443/path/' || source
+                       || '/?z=9&utm_medium=email&m=' || (doc_id % 7)
+           WHEN 2 THEN 'http://example.net/' || lang
+                       || '//x/?fbclid=abc123&q=' || (doc_id % 5)
+                       || '&p=2#x'
+           ELSE 'HTTPS://cdn.Example.com:8443/assets//img/'
+                || (doc_id % 13) || '.png?gclid=1&utm_campaign=x'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '') AS nofrag
+  FROM u
+),
+split_parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(nofrag, '^[^:]+://([^/?]*)', 1)) AS authority,
+         regexp_extract(nofrag, '^[^:]+://[^/?]*([^?]*)', 1) AS raw_path,
+         regexp_extract(nofrag, '\\?(.*)$', 1) AS raw_query
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, url, scheme,
+         regexp_extract(authority, '^([^:]*)', 1) AS host,
+         regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'),
+                        '/$', '') AS no_trail,
+         coalesce(array_to_string(
+           list_sort(list_filter(string_split(raw_query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p,
+                  '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)(=|$)'))),
+           '&'), '') AS query
+  FROM split_parts
+)
+SELECT doc_id, url,
+       scheme || '://'
+       || CASE WHEN port <> ''
+                AND NOT (scheme = 'http' AND port = '80')
+                AND NOT (scheme = 'https' AND port = '443')
+               THEN host || ':' || port ELSE host END
+       || CASE WHEN no_trail = '' THEN '/' ELSE no_trail END
+       || CASE WHEN query = '' THEN '' ELSE '?' || query END AS canonical
+FROM norm
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "html_text_extract": (_q_html_text_extract, _HTML_TEXT_EXTRACT_ORACLE),
+    "url_canonicalize": (_q_url_canonicalize, _URL_CANONICALIZE_ORACLE),
     "text_repetition": (_q_repetition, _REPETITION_ORACLE),
     "pii_redaction": (_q_pii_redaction, _PII_REDACTION_ORACLE),
     "udtf_split_sentences": (_q_udtf_sentences, _UDTF_SENTENCES_ORACLE),
