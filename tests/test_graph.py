@@ -1,0 +1,86 @@
+"""PageRank operator: conservation, dangling mass, convergence, hygiene.
+
+The driver oracle runs the symmetric trade graph (no dangling nodes);
+this suite owns the paths the oracle can't see — dangling
+redistribution, duplicate-edge collapse, null endpoints — against
+closed-form and hand-computed values.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfx_addons_feast_examplegen_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_uniform_on_symmetric_cycle(spark):
+    # triangle with both directions: already stationary at 1/3 each
+    e = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"), ("c", "a")]
+    got = _ranks(spark, e, iterations=4)
+    assert got == pytest.approx({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+
+
+def test_dangling_mass_redistributes_hand_computed(spark):
+    # a -> b, b dangling; one iteration from the uniform start:
+    #   contrib(b) = 1/2;  dangling mass = rank(b) = 1/2
+    #   rank'(a) = 0.075 + 0.85 * (0   + 0.25) = 0.2875
+    #   rank'(b) = 0.075 + 0.85 * (0.5 + 0.25) = 0.7125
+    got = _ranks(spark, [("a", "b")], iterations=1)
+    assert got == pytest.approx({"a": 0.2875, "b": 0.7125})
+
+
+def test_mass_conserved_every_shape(spark):
+    shapes = [
+        [("a", "b")],                                 # dangling
+        [("a", "b"), ("a", "c"), ("b", "c")],          # DAG, c dangling
+        [("a", "b"), ("b", "c"), ("c", "a")],          # cycle
+    ]
+    for e in shapes:
+        got = _ranks(spark, e, iterations=7)
+        assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_duplicate_edges_collapse_and_nulls_drop(spark):
+    base = _ranks(spark, [("a", "b"), ("b", "a")], iterations=3)
+    noisy = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), (None, "a"), ("b", None)],
+        "src: string, dst: string",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(noisy, iterations=3).collect()}
+    assert got == pytest.approx(base)
+
+
+def test_hub_cycle_concentrates_mass(spark):
+    # star: every leaf points at the hub, hub points back at one leaf.
+    # Mass oscillates around the hub<->l0 2-cycle (damping 0.85 damps
+    # but does not kill the alternation at finite k), so assert the
+    # iteration-stable facts: the cycle holds almost all mass, the
+    # off-cycle leaves sit at the undamped floor (1-d)/N + d*(1-d)/N...
+    # = exactly 0.025 here, and symmetry keeps them identical.
+    e = [(f"l{i}", "hub") for i in range(5)] + [("hub", "l0")]
+    got = _ranks(spark, e, iterations=10)
+    assert got["hub"] + got["l0"] == pytest.approx(0.9, abs=0.01)
+    assert min(got["hub"], got["l0"]) > got["l1"]
+    assert got["l1"] == pytest.approx(got["l4"])
+    assert got["l1"] == pytest.approx(0.025)
+
+
+def test_zero_iterations_and_empty_graph(spark):
+    got = _ranks(spark, [("a", "b"), ("b", "a")], iterations=0)
+    assert got == pytest.approx({"a": 0.5, "b": 0.5})
+    empty = spark.createDataFrame([], "src: string, dst: string")
+    assert pagerank(empty, iterations=3).count() == 0
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)

@@ -1,0 +1,105 @@
+"""Iterative graph algorithms over edge DataFrames: PageRank.
+
+The engine's first *iterative* operator class: a driver-side loop of
+declarative join/aggregate rounds (the classic Pregel-as-joins shape).
+The per-iteration plan is one shuffle (contributions grouped by dst) +
+one broadcast attachment (the dangling-mass scalar); ranks are
+re-materialized each round via ``localCheckpoint`` so the lineage stays
+O(1) deep instead of O(iterations) — without the pin, iteration k's
+plan embeds k copies of the full join tree and both planning time and
+recovery cost grow without bound. At cluster scale the same loop holds:
+the rank frame is ~|V| rows (small next to edges), the edge frame is
+scanned once per iteration with its partitioning reused, and nothing
+ever funnels through the driver except two O(1) aggregates per round
+(node count once, dangling mass per iteration) — parameters, not data.
+
+Semantics: the standard damped PageRank with uniform dangling-mass
+redistribution, so ``sum(rank) == 1`` is invariant every iteration::
+
+    rank'(v) = (1-d)/N + d * ( sum_{u->v} rank(u)/outdeg(u)
+                               + dangling_mass/N )
+
+Reference scope: the reference has no graph surface (it composes
+Feast/BigQuery exports, feast_component/executor.py:87-163); this
+module is part of the Spark-native extension inventoried in
+SURVEY.md §2.9 alongside graph_triangle_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    node_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank every node of the directed graph ``edges[(src, dst)]``.
+
+    Duplicate edges are collapsed (each distinct edge carries one unit
+    of its source's outflow); NULL endpoints are dropped; dangling
+    nodes (no out-edges) redistribute their mass uniformly. Returns
+    ``(node_col, rank_col)`` with one row per distinct node.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations}")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1]: {damping}")
+
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("__s").alias(node_col))
+        .union(e.select(F.col("__d").alias(node_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn(rank_col, F.lit(0.0))
+
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # (src, dst, outdeg) pinned once; every iteration re-reads this
+    # materialized frame instead of re-running the distinct+degree jobs
+    edges_deg = e.join(deg, "__s").localCheckpoint()
+
+    ranks = nodes.withColumn(rank_col, F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            edges_deg.join(ranks, edges_deg["__s"] == ranks[node_col])
+            .groupBy("__d")
+            .agg(F.sum(F.col(rank_col) / F.col("__deg")).alias("__contrib"))
+        )
+        # mass parked on dangling nodes (rank rows with no out-edges);
+        # a 1-row aggregate attached by broadcast — never a collect
+        dangling = (
+            ranks.join(deg, ranks[node_col] == deg["__s"], "left_anti")
+            .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dmass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes[node_col] == contribs["__d"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                nodes[node_col],
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__contrib"), F.lit(0.0))
+                        + F.col("__dmass") / F.lit(float(n))
+                    )
+                ).alias(rank_col),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -217,6 +217,7 @@ _ENTRY_ORDER = [
     "global_row_ids",
     "html_text_extract",
     "url_canonicalize",
+    "graph_pagerank",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -313,21 +314,18 @@ _DRIVER_PRIORITY = [
     "global_row_ids",
     "html_text_extract",
     "url_canonicalize",
-    # oldest r7-vintage row (alphabetical first of 46; bm25_ranked_search
-    # through decayed_activity_score move to the r11 plan as new entries
-    # take their slots):
-    "bm25_ranked_search",
+    "graph_pagerank",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
     # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,
     # embedding_outliers, corpus_report, decayed_activity_score,
-    # bpe_pair_merges and contrastive_hard_negatives (displaced from
-    # this window by the ten new round-10 entries:
-    # multimodal_image_tiff, multimodal_video_mp4_stats,
-    # multimodal_audio_flac_stats, multimodal_audio_ogg_stats,
-    # multimodal_audio_g711_stats, source_warc_records,
-    # bloom_prejoin_filter, global_row_ids, html_text_extract,
-    # url_canonicalize),
+    # bpe_pair_merges, contrastive_hard_negatives and
+    # bm25_ranked_search (displaced from this window by the eleven new
+    # round-10 entries: multimodal_image_tiff,
+    # multimodal_video_mp4_stats, multimodal_audio_flac_stats,
+    # multimodal_audio_ogg_stats, multimodal_audio_g711_stats,
+    # source_warc_records, bloom_prejoin_filter, global_row_ids,
+    # html_text_extract, url_canonicalize, graph_pagerank),
     # epoch_shuffle_shards, event_type_pmi,
     # feature_drift_psi, federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg,

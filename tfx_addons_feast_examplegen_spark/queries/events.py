@@ -914,6 +914,78 @@ def _q_gap_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank over the symmetrized customer<->supplier trade graph
+    # (distinct pairs from high-value orders; 'c'/'s' prefixes keep the
+    # two TPC-H key spaces from colliding). Symmetrizing guarantees
+    # every node has in- AND out-edges, so the recursive-CTE oracle
+    # needs no dangling branch — the operator's dangling path is
+    # pytest-covered instead (tests/test_graph.py). Ranks are compared
+    # at 9 decimals: cross-engine float-sum order differs at ~1e-15
+    # relative, far inside the rounding step.
+    from ..operators.graph import pagerank
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    r = pagerank(edges, iterations=6)
+    return r.select("node", F.round("rank", 9).alias("rank"))
+
+
+_QPAGERANK_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+),
+-- NB: explicit DISTINCT-over-UNION-ALL, not bare UNION: inside WITH
+-- RECURSIVE DuckDB parses a CTE body's top-level UNION as potential
+-- recursion syntax and does NOT deduplicate it
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+  )
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+pr AS (
+  SELECT 0 AS iter, node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, e.dst AS node,
+         0.15 / (SELECT n FROM cnt) + 0.85 * SUM(p.rank / dg.d)
+  FROM pr p
+  JOIN edges e ON e.src = p.node
+  JOIN deg dg ON dg.src = p.node
+  WHERE p.iter < 6
+  GROUP BY p.iter, e.dst
+)
+SELECT node, round(rank, 9) AS rank FROM pr WHERE iter = 6
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
     "event_funnel": (_q_event_funnel_df, _QFUNNEL),
@@ -933,6 +1005,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cusum_changepoints": (_q_cusum_df, _QCUSUM),
     "interevent_gap_stats": (_q_gap_stats_df, _QGAP_STATS),
     "graph_triangle_count": (_q_triangles, _QTRIANGLES_ORACLE),
+    "graph_pagerank": (_q_pagerank, _QPAGERANK_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
     "variant_props_typed": (_q_variant_props, _VARIANT_PROPS_ORACLE),
