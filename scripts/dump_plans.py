@@ -130,6 +130,39 @@ key, and AQE's byte-based skew detection cannot see it
 entity rows is a plain equi-join on (key, ts) — broadcast at small
 scale, shuffled SMJ at sf0.1+ — and carries no range condition, so it
 never amplifies.""",
+    "bloom_prejoin_filter": """Runtime-filter join reduction made explicit. The bitmap subtree (right
+of the BroadcastNestedLoopJoin) is the ONLY place that shuffles — a
+word-grouped bit_or aggregate collapsing to one array<long> row; the
+fact-side scan keeps its partitioning and drops non-matching rows
+map-side inside codegen BEFORE the join exchange, so the downstream
+shuffle moves only the filter's selectivity. The BNLJ here is a
+constant attachment (single-row build), not a data-sized cross
+product. At 100 TB the bitmap stays n_bits/8 bytes on the wire no
+matter how many build keys — the whole point versus an IN-list.""",
+    "global_row_ids": """Contiguous-id assignment with the global sort decomposed away. The
+assignment job is ONE hash Exchange on the frozen bucket id plus an
+in-bucket Sort feeding a per-bucket row_number Window — no
+SinglePartition exchange anywhere (the naive global ROW_NUMBER plans
+exactly that, and at 100 TB that one-task sort never finishes). The
+quantile-boundary and bucket-count passes are separate parameter jobs
+(O(buckets) driver state), embedded as literals so both passes agree
+deterministically.""",
+    "html_text_extract": """The crawl-pipeline map stage: the whole extraction is one Project of
+chained regexp_replace/replace expressions inside a single
+WholeStageCodegen span over the scan — zero exchanges, zero UDFs.
+This is the shape that matters at 100 TB: extraction cost scales with
+scan bandwidth and nothing else.""",
+    "graph_pagerank": """The tree below is, by construction, just the scan of the final
+checkpointed rank frame: the loop re-materializes ranks each round via
+localCheckpoint so iteration k's plan stays O(1) deep instead of
+embedding k copies of the join tree (without the pin, planning time
+and recovery cost grow without bound). Each ROUND's plan — visible in
+the Spark UI per job — is: edge×rank contribution join shuffling on
+the join key, dst aggregation reusing that exchange, and the
+dangling-mass scalar riding in as a one-row broadcast. Rank state is
+~|V| rows, small against the edge frame, which is re-read each
+iteration from its pinned materialization rather than re-derived from
+the base tables.""",
 }
 
 FOOTER = """## Round-8 DataFrame conversions (former identical-SQL entries)
