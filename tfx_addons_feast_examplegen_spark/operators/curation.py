@@ -385,3 +385,110 @@ def length_bucketing(
             "n_docs", "min_len", "max_len", "sum_len", "padding_waste",
         )
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget: float,
+    *,
+    id_col: str,
+    num_buckets: int = 64,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """Exact greedy budget selection WITHOUT a global sort.
+
+    Selects the rows a ``SUM(weight) OVER (ORDER BY score DESC, id ASC)
+    <= budget`` prefix filter would select — "take the best documents
+    until the token budget is full", the final gate of every curated
+    pretraining mix — but never plans the single-partition global
+    Window that spelling costs (the same 100 TB cliff
+    ``rowid.assign_global_row_ids`` removes, and the same cure):
+
+    1. frozen score-quantile boundaries (sampled ``percentile_approx``,
+       embedded as a literal — deterministic across the two passes,
+       unlike ``repartitionByRange``'s per-job re-sample);
+    2. one map-side-combinable aggregate: per-bucket weight sums (plus
+       a ``min(weight)`` validity probe) — ``O(num_buckets)`` rows to
+       the driver, parameters not data;
+    3. the driver prefix-sums bucket totals from the best bucket down:
+       buckets wholly under budget pass with a **pure filter** (no
+       sort anywhere), buckets past the boundary are dropped, and only
+       the ONE boundary bucket runs an in-bucket cumulative Window —
+       ~``N/num_buckets`` rows, one task's worth by construction.
+
+    Boundary quality affects only how many rows land in the sorted
+    boundary bucket, never the answer: equal scores always share a
+    bucket (the bucket function is a pure function of score), and the
+    in-bucket Window re-orders by ``(score DESC, id ASC)`` exactly.
+
+    Weights must be non-negative (checked from the same aggregate —
+    a negative weight makes the prefix non-monotone and the bucket
+    decomposition unsound); scores must be non-null numeric; ids must
+    be a unique total-order tiebreak. Returns the selected rows with
+    the input's columns.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
+    score = F.col(score_col)
+    weight = F.col(weight_col)
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    sampled = df.select(score_col).where(score.isNotNull())
+    if sample_fraction < 1.0:
+        sampled = sampled.sample(fraction=sample_fraction, seed=8)
+    row = sampled.agg(
+        F.percentile_approx(score, probs, 10_000).alias("bounds")
+    ).collect()[0]
+    bounds = [b for b in (row["bounds"] or []) if b is not None]
+    if bounds:
+        lit_bounds = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(lit_bounds, lambda b: b < score))
+    else:
+        bucket = F.lit(0)
+    with_bucket = df.where(score.isNotNull()).withColumn("__bucket", bucket)
+
+    stats = {
+        r["__bucket"]: (r["s"], r["mn"])
+        for r in with_bucket.groupBy("__bucket")
+        .agg(F.sum(weight).alias("s"), F.min(weight).alias("mn"))
+        .collect()
+    }
+    neg = [b for b, (_, mn) in stats.items() if mn is not None and mn < 0]
+    if neg:
+        raise ValueError(
+            f"negative weights in {weight_col} (buckets {sorted(neg)}): "
+            "prefix selection requires non-negative weights"
+        )
+
+    full, boundary, acc = [], None, 0.0
+    for b in sorted(stats, reverse=True):
+        s = stats[b][0] or 0.0
+        if acc + s <= budget:
+            full.append(b)
+            acc += s
+        else:
+            boundary = b
+            break
+
+    full_rows = with_bucket.where(F.col("__bucket").isin(full)) if full else None
+    parts = []
+    if full_rows is not None:
+        parts.append(full_rows.drop("__bucket"))
+    if boundary is not None:
+        w = Window.partitionBy("__bucket").orderBy(
+            score.desc(), F.col(id_col).asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        parts.append(
+            with_bucket.where(F.col("__bucket") == boundary)
+            .withColumn("__cum", F.sum(weight).over(w))
+            .where(F.col("__cum") + F.lit(acc) <= budget)
+            .drop("__bucket", "__cum")
+        )
+    if not parts:
+        return df.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,115 @@
+"""Sub-document segment dedup with first-wins rewrite (CCNet-style).
+
+Document-level dedup (exact / MinHash / SimHash — ``dedup.py``) drops
+whole documents, but web corpora mostly repeat at the *fragment* level:
+boilerplate headers, navigation, license blocks pasted into otherwise
+novel pages. The CCNet pipeline (Wenzek et al., 2020 — public paper)
+dedups at paragraph granularity: hash every fragment across the whole
+corpus, keep the first occurrence, delete the rest, and reassemble the
+surviving fragments per document.
+
+This operator is the fixed-width variant over word segments (the
+fixture corpus has no paragraph marks): split each document into
+consecutive ``width``-word segments (trailing partial kept), declare
+the globally-first occurrence of each distinct segment — minimal
+``(doc_id, seg_idx)`` — the keeper, drop every other occurrence, and
+re-concatenate each document's kept segments in order.
+
+Spark shape, chosen for the 100 TB case:
+- the winner per segment is ``min(struct(doc_id, seg_idx))`` under a
+  hash aggregate — **map-side combinable**, so a boilerplate segment
+  repeated a billion times contributes one partial row per mapper and
+  can never skew a sort the way a
+  ``row_number() OVER (PARTITION BY seg)`` window would (one task
+  would sort the hot segment's entire occurrence list);
+- winners re-attach by an equi-join on ``(seg, doc_id, seg_idx)``;
+  with ``hashed=True`` the segment string is folded to ``xxhash64``
+  BEFORE both shuffles so only 8-byte keys move (first-wins picks per
+  hash; a collision merges two distinct segments with probability
+  ~``n²/2⁶⁴`` — deterministic, vanishing; the default keeps raw
+  strings and is exactly oracle-equal);
+- reassembly is ``array_sort(collect_list(struct(idx, seg)))`` per
+  document — bounded by document size, not corpus size — and a final
+  left join restores documents whose every segment lost.
+
+Reference scope: the reference delegates all execution to BigQuery and
+has no dedup surface (feast_component/executor.py:128-163); this
+operator is part of the Spark-native training-data extension
+inventoried in SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def segment_occurrences(
+    df: DataFrame, id_col: str, text_col: str, *, width: int
+) -> DataFrame:
+    """(id, seg_idx, seg): consecutive ``width``-word segments, trailing
+    partial included. Pure expression chain (split → sequence →
+    slice → concat_ws), exploded."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1: {width}")
+    segs = (
+        f"transform(sequence(0,"
+        f" CAST(ceil(size(split({text_col}, ' ')) / {width}) AS INT) - 1),"
+        f" j -> struct(j AS seg_idx,"
+        f" concat_ws(' ', slice(split({text_col}, ' '), j * {width} + 1, {width}))"
+        f" AS seg))"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.expr(segs)).alias("s")
+    ).select(id_col, F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    width: int = 20,
+    hashed: bool = False,
+) -> DataFrame:
+    """Rewrite each document to its globally-first segments.
+
+    Returns ``(id_col, text_col, n_segs, n_kept)`` — one row per input
+    document (possibly with empty text when every segment lost), where
+    ``text_col`` is the kept segments re-joined in original order.
+    First-wins order is ``(doc_id, seg_idx)`` lexicographic, so the
+    result is deterministic and idempotent (re-running dedups nothing:
+    every surviving segment is already its group's minimum).
+    """
+    occ = segment_occurrences(df, id_col, text_col, width=width)
+    key = F.xxhash64("seg").alias("__k") if hashed else F.col("seg").alias("__k")
+    keyed = occ.select(F.col(id_col), "seg_idx", "seg", key)
+    winners = keyed.groupBy("__k").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w")
+    ).select(
+        F.col("__k"),
+        F.col(f"w.{id_col}").alias(id_col),
+        F.col("w.seg_idx").alias("seg_idx"),
+    )
+    kept = keyed.join(winners, ["__k", id_col, "seg_idx"]).select(
+        id_col, "seg_idx", "seg"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_segs"), F.lit(0)).cast("long").alias("n_segs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

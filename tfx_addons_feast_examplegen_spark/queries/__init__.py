@@ -218,6 +218,9 @@ _ENTRY_ORDER = [
     "html_text_extract",
     "url_canonicalize",
     "graph_pagerank",
+    "fuzzy_editdist_pairs",
+    "dedup_segments",
+    "token_budget_select",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -263,10 +266,7 @@ _DRIVER_PRIORITY = [
     "pit_join_field_mapping",
     "pit_join_prefixed",
     "range_interval_window",
-    "rollup_region_nation",
     "scd2_validity_intervals",
-    "setop_except",
-    "setop_intersect",
     "similarity_ann_exhaustive",
     "similarity_ann_ivf",
     "similarity_ann_lsh",
@@ -315,7 +315,18 @@ _DRIVER_PRIORITY = [
     "html_text_extract",
     "url_canonicalize",
     "graph_pagerank",
-    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): the remaining
+    # NEW in the continuation session (never-attested entries MUST sit
+    # in the window): each displaces one r5-vintage SQL-surface entry —
+    # rollup_region_nation, setop_intersect, setop_except, the three
+    # lowest-information re-attestations in the r5 cohort (operator ==
+    # oracle text by design, SURVEY A2) — into the r11 plan head below:
+    "fuzzy_editdist_pairs",
+    "dedup_segments",
+    "token_budget_select",
+    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
+    # three r5-vintage SQL-surface rows displaced by this round's new
+    # entries — rollup_region_nation, setop_intersect, setop_except —
+    # then the remaining
     # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,
     # embedding_outliers, corpus_report, decayed_activity_score,

@@ -836,6 +836,40 @@ FROM documents
 """
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact greedy budget selection (best docs by distinct-word ratio
+    # until the 15k-token budget fills) decomposed over frozen score
+    # buckets — the single-partition global-Window spelling the oracle
+    # uses is exactly what the operator exists to avoid; equivalence is
+    # the contract. Ties (duplicate docs share scores) break by doc_id
+    # in both engines.
+    from ..operators.curation import token_budget_select
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].selectExpr(
+        "doc_id",
+        "size(array_distinct(split(text, ' '))) / size(split(text, ' ')) AS score",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS toks",
+    )
+    return token_budget_select(
+        docs, "score", "toks", 15000, id_col="doc_id", num_buckets=16
+    )
+
+
+_TOKEN_BUDGET_ORACLE = """
+SELECT doc_id, score, toks FROM (
+  SELECT doc_id, score, toks,
+         SUM(toks) OVER (ORDER BY score DESC, doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT doc_id,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS score,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents))
+WHERE cum <= 15000
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
@@ -861,4 +895,5 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _training_dataset_oracle(),
     ),
     "weighted_sample": (_q_weighted_sample, _weighted_sample_oracle()),
+    "token_budget_select": (_q_token_budget, _TOKEN_BUDGET_ORACLE),
 }

@@ -690,6 +690,66 @@ LEFT JOIN nrem n USING (doc_id)
 """
 
 
+def _q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold edit-distance similarity join via the segment-pigeonhole
+    # (PassJoin) candidate generator — an EXACT operator, so the oracle
+    # is the brute-force quadratic verify. k=8 over a 96-char prefix:
+    # the fixture's exact-dup prefixes (ed=0) plus one mutated pair at
+    # ed=4, with the next-nearest pair at ed=38 — the threshold sits in
+    # a wide margin, so the entry is insensitive to tie noise.
+    from ..operators.editdist import editdist_pairs
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.expr("substring(text, 1, 96)").alias("prefix")
+    )
+    return editdist_pairs(docs, "doc_id", "prefix", k=8)
+
+
+_EDITDIST_ORACLE = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 96), substr(b.text, 1, 96)) AS INT) AS ed
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 96), substr(b.text, 1, 96)) <= 8
+"""
+
+
+def _q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style sub-document dedup: globally-first occurrence of each
+    # 12-word segment survives, every other occurrence is deleted and
+    # the documents re-assembled. Width 12 dedups ~4% of the fixture's
+    # segments (boilerplate repeats across near-dup docs).
+    from ..operators.segdedup import segment_dedup
+
+    t = register_tables(spark, sf_dir)
+    return segment_dedup(t["documents"], "doc_id", "text", width=12)
+
+
+_DEDUP_SEGMENTS_ORACLE = """
+WITH occ AS (
+  SELECT doc_id, j AS seg_idx,
+         array_to_string(words[j*12+1 : j*12+12], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       LATERAL unnest(generate_series(0, CAST(ceil(len(words)/12.0) AS INT) - 1)) AS t(j)
+), kept AS (
+  SELECT * FROM (
+    SELECT doc_id, seg_idx, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+    FROM occ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(k.text, '') AS text,
+       COALESCE(o.n_segs, 0) AS n_segs,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+           FROM occ GROUP BY doc_id) o USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+                  CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact_substring": (_q_shared_run, _SHARED_RUN_ORACLE),
     "dedup_remove_shared_runs": (
@@ -713,4 +773,6 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _DEDUP_INCREMENTAL_ORACLE,
     ),
     "embedding_neardup": (_q_embedding_neardup, _EMB_NEARDUP_ORACLE),
+    "fuzzy_editdist_pairs": (_q_editdist_pairs, _EDITDIST_ORACLE),
+    "dedup_segments": (_q_dedup_segments, _DEDUP_SEGMENTS_ORACLE),
 }
