@@ -22,12 +22,15 @@ Spark shape, chosen for the 100 TB case:
   can never skew a sort the way a
   ``row_number() OVER (PARTITION BY seg)`` window would (one task
   would sort the hot segment's entire occurrence list);
-- winners re-attach by an equi-join on ``(seg, doc_id, seg_idx)``;
-  with ``hashed=True`` the segment string is folded to ``xxhash64``
-  BEFORE both shuffles so only 8-byte keys move (first-wins picks per
-  hash; a collision merges two distinct segments with probability
-  ~``n²/2⁶⁴`` — deterministic, vanishing; the default keeps raw
-  strings and is exactly oracle-equal);
+- in the default raw-string mode the winner rows already carry the
+  segment text, so they ARE the kept occurrences — one explode, one
+  combinable agg shuffle, no join back; with ``hashed=True`` the
+  segment string folds to ``xxhash64`` before the shuffle (8-byte
+  keys instead of segment strings) and the text re-attaches by an
+  equi-join on ``(key, doc_id, seg_idx)`` (first-wins picks per hash;
+  a collision merges two distinct segments with probability
+  ~``n²/2⁶⁴`` — deterministic, vanishing; the default is exactly
+  oracle-equal);
 - reassembly is ``array_sort(collect_list(struct(idx, seg)))`` per
   document — bounded by document size, not corpus size — and a final
   left join restores documents whose every segment lost.
@@ -82,18 +85,33 @@ def segment_dedup(
     every surviving segment is already its group's minimum).
     """
     occ = segment_occurrences(df, id_col, text_col, width=width)
-    key = F.xxhash64("seg").alias("__k") if hashed else F.col("seg").alias("__k")
-    keyed = occ.select(F.col(id_col), "seg_idx", "seg", key)
-    winners = keyed.groupBy("__k").agg(
-        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w")
-    ).select(
-        F.col("__k"),
-        F.col(f"w.{id_col}").alias(id_col),
-        F.col("w.seg_idx").alias("seg_idx"),
-    )
-    kept = keyed.join(winners, ["__k", id_col, "seg_idx"]).select(
-        id_col, "seg_idx", "seg"
-    )
+    if hashed:
+        # winners carry only the 8-byte key, so the segment text must
+        # re-attach by an equi-join on (key, doc, idx).
+        keyed = occ.select(
+            F.col(id_col), "seg_idx", "seg", F.xxhash64("seg").alias("__k")
+        )
+        winners = keyed.groupBy("__k").agg(
+            F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w")
+        ).select(
+            F.col("__k"),
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.seg_idx").alias("seg_idx"),
+        )
+        kept = keyed.join(winners, ["__k", id_col, "seg_idx"]).select(
+            id_col, "seg_idx", "seg"
+        )
+    else:
+        # raw-string mode: the group key IS the segment text, so the
+        # winner rows are already the kept occurrences — no join back,
+        # one explode, one combinable agg shuffle.
+        kept = occ.groupBy("seg").agg(
+            F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w")
+        ).select(
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.seg_idx").alias("seg_idx"),
+            F.col("seg"),
+        )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
@@ -101,15 +119,17 @@ def segment_dedup(
         ).alias("__text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    # n_segs is segmentation arithmetic, not data: no explode, no agg.
+    n_segs = F.expr(
+        f"CAST(ceil(size(split({text_col}, ' ')) / {width}) AS BIGINT)"
+    )
     return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
+        df.select(F.col(id_col), n_segs.alias("n_segs"))
         .join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
-            F.coalesce(F.col("n_segs"), F.lit(0)).cast("long").alias("n_segs"),
+            F.col("n_segs"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
