@@ -787,3 +787,65 @@ def phrase_search_indexed(
     return cur.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table to every document — the encode half
+    of the BPE tokenizer loop (:func:`bpe_pair_merges` is the learn
+    half).
+
+    Semantics (deterministic, engine-portable): for each rule in rank
+    order, one exhaustive left-to-right non-overlapping pass replaces
+    every adjacent ``(left, right)`` token pair with ``left || right``;
+    later rules see earlier rules' merged tokens. A single pass is a
+    fold: walk the token array once, replacing the accumulator's tail
+    when it equals ``left`` and the next token equals ``right``. The
+    fold needs no merged-this-pass flag because a fresh merge can never
+    re-match its own rule (``left || right`` is strictly longer than
+    ``left``, and tokens are non-empty — ``tokens()`` drops empties),
+    which also makes the pass equal to "repeatedly merge the leftmost
+    occurrence", the form an external SQL oracle can replay with a
+    recursive CTE.
+
+    Spark shape: the merge table is a plan literal (rank-ordered
+    ``left``/``right`` constants baked into ``k`` chained ``aggregate``
+    higher-order expressions — a tokenizer model is a parameter, like a
+    join threshold), so the encode is a pure per-row projection: NO
+    Python UDF, no shuffle, no join — a narrow map over the corpus
+    that scales embarrassingly. Cost per document is
+    O(rules · tokens²) array-building in the fold evaluator; bound the
+    rule count per call (chain calls for deep vocabularies).
+
+    Returns ``(id_col, tokens array<string>, n_tokens)``.
+    """
+    for pair in merges:
+        left, right = pair
+        if not left or not right:
+            raise ValueError(f"empty token in merge rule {pair!r}")
+    def _pass(arr: Column, left: str, right: str) -> Column:
+        def step(acc: Column, x: Column) -> Column:
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(arr, F.array().cast("array<string>"), step)
+
+    toks = F.expr(_toks_sql(text_col))
+    for left, right in merges:
+        toks = _pass(toks, left, right)
+    return df.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )

@@ -221,6 +221,7 @@ _ENTRY_ORDER = [
     "fuzzy_editdist_pairs",
     "dedup_segments",
     "token_budget_select",
+    "bpe_encode",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -281,7 +282,6 @@ _DRIVER_PRIORITY = [
     "temperature_mix",
     "text_heavy_hitters",
     "udtf_split_sentences",
-    "unpivot_stack",
     "windowed_event_counts_streaming",
     # drifted by this round's changes (strategy auto-select + JPEG
     # SOFn/DAC rejection), must re-attest; multimodal_image_tiff is NEW
@@ -323,9 +323,11 @@ _DRIVER_PRIORITY = [
     "fuzzy_editdist_pairs",
     "dedup_segments",
     "token_budget_select",
+    "bpe_encode",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
     # three r5-vintage SQL-surface rows displaced by this round's new
-    # entries — rollup_region_nation, setop_intersect, setop_except —
+    # entries — rollup_region_nation, setop_intersect, setop_except,
+    # unpivot_stack (a fourth SQL-surface displacement for bpe_encode) —
     # then the remaining
     # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,

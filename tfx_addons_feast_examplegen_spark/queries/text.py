@@ -909,6 +909,66 @@ FROM norm
 """
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The encode half of the BPE loop: learn the top-8 merge rules from
+    # the corpus (same deterministic selection the bpe_pair_merges
+    # entry proves), collect them as a tokenizer model (a parameter,
+    # not data), and apply them corpus-wide as a pure projection — k
+    # chained aggregate() folds, no UDF, no shuffle. The oracle replays
+    # rank-ordered leftmost single merges with a recursive CTE, which
+    # equals the operator's exhaustive left-to-right pass because a
+    # fresh merge can never re-match its own rule (see
+    # operators/text.py:bpe_apply_merges).
+    t = register_tables(spark, sf_dir)
+    rules = tx.bpe_pair_merges(t["documents"], "doc_id", "text", top_n=8).collect()
+    merges = [(r["left_tok"], r["right_tok"]) for r in rules]
+    enc = tx.bpe_apply_merges(t["documents"], merges, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.concat_ws("|", "tokens").alias("encoded"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_BPE_ENCODE_ORACLE = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+  FROM documents
+),
+p AS (
+  SELECT doc_id, w[i] AS left_tok, w[i+1] AS right_tok
+  FROM (SELECT doc_id, ts AS w FROM t),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+),
+c AS (
+  SELECT left_tok, right_tok, count(*) AS pair_count
+  FROM p GROUP BY 1, 2
+),
+rules AS (
+  SELECT row_number() OVER (ORDER BY pair_count DESC, left_tok, right_tok) AS ri,
+         left_tok AS l, right_tok AS r
+  FROM c ORDER BY pair_count DESC, left_tok, right_tok LIMIT 8
+),
+enc AS (
+  SELECT doc_id, ts, 1 AS ri FROM t
+  UNION ALL
+  SELECT e.doc_id,
+         CASE WHEN x.pos IS NOT NULL
+              THEN e.ts[1:x.pos-1] || [m.l || m.r] || e.ts[x.pos+2:]
+              ELSE e.ts END,
+         CASE WHEN x.pos IS NOT NULL THEN e.ri ELSE e.ri + 1 END
+  FROM enc e JOIN rules m ON m.ri = e.ri,
+       LATERAL (SELECT (list_filter(range(1, len(e.ts)),
+                        i -> e.ts[i] = m.l AND e.ts[i+1] = m.r))[1] AS pos) x
+  WHERE e.ri <= 8
+)
+SELECT doc_id, array_to_string(ts, '|') AS encoded, CAST(len(ts) AS BIGINT) AS n_tokens
+FROM enc WHERE ri = 9
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "html_text_extract": (_q_html_text_extract, _HTML_TEXT_EXTRACT_ORACLE),
     "url_canonicalize": (_q_url_canonicalize, _URL_CANONICALIZE_ORACLE),
@@ -919,6 +979,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_heavy_hitters": (_q_heavy_hitters, _HEAVY_HITTERS_ORACLE),
     "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "bpe_pair_merges": (_q_bpe_pair_merges, _BPE_PAIR_MERGES_ORACLE),
+    "bpe_encode": (_q_bpe_encode, _BPE_ENCODE_ORACLE),
     "text_bigram_logprob": (_q_bigram_logprob, _BIGRAM_LOGPROB_ORACLE),
     "corpus_report": (_q_corpus_report, _CORPUS_REPORT_ORACLE),
     "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
