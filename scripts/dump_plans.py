@@ -130,15 +130,20 @@ key, and AQE's byte-based skew detection cannot see it
 entity rows is a plain equi-join on (key, ts) — broadcast at small
 scale, shuffled SMJ at sf0.1+ — and carries no range condition, so it
 never amplifies.""",
-    "bloom_prejoin_filter": """Runtime-filter join reduction made explicit. The bitmap subtree (right
-of the BroadcastNestedLoopJoin) is the ONLY place that shuffles — a
-word-grouped bit_or aggregate collapsing to one array<long> row; the
-fact-side scan keeps its partitioning and drops non-matching rows
-map-side inside codegen BEFORE the join exchange, so the downstream
-shuffle moves only the filter's selectivity. The BNLJ here is a
-constant attachment (single-row build), not a data-sized cross
-product. At 100 TB the bitmap stays n_bits/8 bytes on the wire no
-matter how many build keys — the whole point versus an IN-list.""",
+    "bloom_prejoin_filter": """Runtime-filter join reduction made explicit. The probe side carries NO
+join operator and NO exchange for the bitmap at all: the sparse
+(word, bits) build rows — at most n_bits/64 of them, a plan parameter
+like a join threshold — are densified driver-side and embedded as an
+array literal, so membership is a pure map-side Filter inside codegen
+on the scan partitioning, shrinking the downstream join exchange by
+the filter's selectivity. The bitmap-build subtree is the only thing
+that shuffles (word-grouped bit_or, map-side combinable). Two
+rejected designs are measured in scripts/scale_probe_rowid_bloom.py:
+the one-row broadcast attach (BNLJ memcpy'd the bitmap into every
+joined row) and executor-side densify (interpreted element_at over a
+one-row map is O(n_words) per lookup). At 100 TB the bitmap stays
+n_bits/8 bytes regardless of build-key count — the point vs an
+IN-list.""",
     "global_row_ids": """Contiguous-id assignment with the global sort decomposed away. The
 assignment job is ONE hash Exchange on the frozen bucket id plus an
 in-bucket Sort feeding a per-bucket row_number Window — no
@@ -163,6 +168,41 @@ dangling-mass scalar riding in as a one-row broadcast. Rank state is
 ~|V| rows, small against the edge frame, which is re-read each
 iteration from its pinned materialization rather than re-derived from
 the base tables.""",
+    "fuzzy_editdist_pairs": """PassJoin: the candidate generator is an ordinary shuffled EQUI-join on
+(segment slot, exact segment text) — segment/window enumeration is a
+Generate (explode) over nested transform/sequence expressions feeding
+it, all codegen until the explode. Candidates carry ids only; the two
+joins above re-attach document text on the DISTINCT candidate set
+(output-sized, not corpus-sized) before the banded levenshtein(_,_,k)
+verify Filter. The short-string pool rides a broadcast join whose
+build side is length-filtered to < k+1 chars — bounded by
+construction. No CartesianProduct anywhere (pytest-guarded).""",
+    "dedup_segments": """CCNet-style sub-document dedup in exactly two aggregate shuffles: the
+winner per distinct segment is a partial_min(struct(doc_id, seg_idx))
+-> min hash-agg — map-side combinable, so a boilerplate segment with a
+billion occurrences contributes one partial per mapper and no task's
+input scales with hot-key count (the row_number-over-segment spelling
+would sort all of them in ONE task) — and in raw-string mode the
+winner rows already carry the segment text, so reassembly
+(array_sort(collect_list) per doc) consumes them directly with no join
+back. n_segs is segmentation arithmetic projected off the source scan,
+not a counted aggregate.""",
+    "token_budget_select": """Greedy budget selection with the global sort decomposed away: the
+selection frame is a UNION of pure Filters (buckets wholly under
+budget — no Sort, no Window) plus ONE bucket-scoped Window for the
+boundary bucket, partitioned on the frozen-literal bucket id —
+~N/num_buckets rows, one task's worth by construction. The naive
+SUM-OVER(ORDER BY) spelling plans a SinglePartition exchange Spark
+itself warns about; measured 2.3x slower at 60M rows locally and
+unrunnable at cluster scale (scripts/scale_probe_newops_r10.py).
+Boundary/count passes are O(num_buckets) parameter jobs embedded as
+literals.""",
+    "bpe_encode": """Tokenizer application as a map: the merge table is rank-ordered plan
+LITERALS driving chained aggregate() folds — the whole encode is one
+Project over the scan, zero exchanges, zero UDFs, zero joins. The
+learn step (bpe_pair_merges) runs once as a parameter job; encoding
+cost scales with scan bandwidth and rule count only — the shape a
+100 TB corpus pass needs.""",
 }
 
 FOOTER = """## Round-8 DataFrame conversions (former identical-SQL entries)
