@@ -248,3 +248,41 @@ def test_pit_join_union_window_plan(qs, spark, sf_dir):
     # exchanges: spine distinct partial/final + the union stream's one
     # hash partitioning + broadcasts; anything past 6 is a regression
     assert s["exchanges"] <= 6, s
+
+
+def test_bpe_apply_merges_plan_is_pure_projection(spark):
+    # Tokenizer application must be a map over the scan: the merge
+    # table rides as plan literals, so ANY exchange, join, or Python
+    # eval node means the model leaked out of the projection.
+    from tfx_addons_feast_examplegen_spark.operators.text import (
+        bpe_apply_merges,
+    )
+    from tfx_addons_feast_examplegen_spark.plans.explain import plan_text
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    text = plan_text(bpe_apply_merges(df, [("a", "b"), ("ab", "c")]))
+    assert "Exchange" not in text, text
+    assert "Join" not in text, text
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in text, text
+
+
+def test_token_budget_full_bucket_path_is_filter_only(spark, sf_dir):
+    # Covering budget: the selection is a union of filters — a Window
+    # or Sort in this plan reintroduces the global-sort cost the
+    # operator exists to remove (the boundary-bucket case is allowed
+    # exactly one bucket-scoped Window; see test_token_budget.py).
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        token_budget_select,
+    )
+    from tfx_addons_feast_examplegen_spark.plans.explain import plan_text
+
+    rows = [(i, float(i % 7), 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "toks"])
+    sel = token_budget_select(
+        df, "score", "toks", 10**9, id_col="doc_id",
+        num_buckets=8, sample_fraction=1.0,
+    )
+    text = plan_text(sel)
+    assert "Window" not in text, text
+    assert "Sort" not in text, text
