@@ -413,3 +413,86 @@ def test_codec_oracle_catches_tiff_lzw_early_change_mutation(monkeypatch):
         got = None  # loud desync also reds the row
     assert got != px
     monkeypatch.setattr(mm, "_tiff_lzw_decode", real)
+
+
+def test_editdist_bruteforce_check_catches_narrowed_window(spark, monkeypatch):
+    # Shrink the pigeonhole shift window from +-k to +-0: a pair whose
+    # surviving segment shifted position (one deletion before it) now
+    # never meets its probe substring, so the candidate generator
+    # silently loses the pair — exactly the bug class the brute-force
+    # equivalence tests exist to redden.
+    import tfx_addons_feast_examplegen_spark.operators.editdist as ed
+
+    real = ed._probe_windows
+
+    def narrowed(df, id_col, text_col, k):
+        return real(df, id_col, text_col, 0) if k > 0 else real(
+            df, id_col, text_col, k
+        )
+
+    # 'xabcdefgh' vs 'abcdefgh': one deletion at the front shifts every
+    # segment of the shorter string by one inside the longer.
+    df = spark.createDataFrame(
+        [(1, "xabcdefgh"), (2, "abcdefgh")], ["id", "t"]
+    )
+    baseline = ed.editdist_pairs(df, "id", "t", k=2).count()
+    assert baseline == 1
+    monkeypatch.setattr(ed, "_probe_windows", narrowed)
+    assert ed.editdist_pairs(df, "id", "t", k=2).count() == 0
+
+
+def test_segdedup_oracle_catches_lastwins_mutation(spark, monkeypatch):
+    # Flip first-wins to last-wins (max instead of min): the keeper
+    # moves to the highest (doc_id, seg_idx), so the rewritten corpus
+    # differs on any cross-doc duplicate — the driver oracle's
+    # ROW_NUMBER ... ORDER BY doc_id, seg_idx comparison must go red.
+    import tfx_addons_feast_examplegen_spark.operators.segdedup as sd
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y")], ["doc_id", "text"]
+    )
+    expected = {
+        r["doc_id"]: r["text"]
+        for r in sd.segment_dedup(df, "doc_id", "text", width=2).collect()
+    }
+    assert expected == {1: "a b c d", 2: "x y"}
+    monkeypatch.setattr(sd.F, "min", F.max)
+    mutated = {
+        r["doc_id"]: r["text"]
+        for r in sd.segment_dedup(df, "doc_id", "text", width=2).collect()
+    }
+    assert mutated != expected
+    assert mutated[1] == "c d" and mutated[2] == "a b x y"
+
+
+def test_token_budget_check_catches_offset_drop(spark, monkeypatch):
+    # Zero out the cross-bucket offset in the boundary-bucket filter
+    # (forgetting acc is THE off-by-one this decomposition invites):
+    # the boundary bucket then admits rows past the budget, diverging
+    # from the SUM-OVER oracle.
+    from tfx_addons_feast_examplegen_spark.operators import curation as cu
+
+    rows = [(i, float(i), 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "toks"])
+    budget = 50
+    ok = cu.token_budget_select(
+        df, "score", "toks", budget, id_col="doc_id",
+        num_buckets=4, sample_fraction=1.0,
+    ).count()
+    assert ok == budget
+    # the cross-bucket offset is the ONLY F.lit of exactly 50.0 in this
+    # plan (quantile bounds over scores 0..99 land at 24/49/74); zero
+    # just that literal.
+    real_lit = cu.F.lit
+
+    def zero_acc(v):
+        if isinstance(v, float) and v == 50.0:
+            return real_lit(0.0)
+        return real_lit(v)
+
+    monkeypatch.setattr(cu.F, "lit", zero_acc)
+    mutated = cu.token_budget_select(
+        df, "score", "toks", budget, id_col="doc_id",
+        num_buckets=4, sample_fraction=1.0,
+    ).count()
+    assert mutated > ok
