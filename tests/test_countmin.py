@@ -1,0 +1,87 @@
+"""Count-Min sketch: never-underestimate, mergeability, plan shape."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfx_addons_feast_examplegen_spark.operators.sketches import (
+    countmin_build,
+    countmin_estimate,
+)
+
+W, D = 64, 4
+
+
+def _data(spark, seed, n=4000, keyspace=500):
+    rng = random.Random(seed)
+    # zipf-ish skew: a few hot keys plus a long tail
+    keys = [rng.randint(0, 9) if rng.random() < 0.3 else rng.randint(0, keyspace)
+            for _ in range(n)]
+    return keys, spark.createDataFrame([(k,) for k in keys], "k: long")
+
+
+def test_never_underestimates_and_bounded(spark):
+    keys, df = _data(spark, 1)
+    exact = Counter(keys)
+    sk = countmin_build(df, "k", width=W, depth=D)
+    qdf = spark.createDataFrame([(k,) for k in sorted(exact)], "k: long")
+    est = {
+        r["k"]: r["cm_est"]
+        for r in countmin_estimate(sk, qdf, "k", width=W, depth=D).collect()
+    }
+    n = len(keys)
+    for k, true in exact.items():
+        assert est[k] >= true, (k, est[k], true)
+        # e*N/W per-row bound; min over D rows makes exceeding it on
+        # ALL rows astronomically unlikely — a deterministic fixture
+        # check with huge margin (3x), not a probabilistic flake.
+        assert est[k] <= true + 3 * 2.72 * n / W, (k, est[k], true)
+
+
+def test_unseen_key_estimate_is_collision_mass_only(spark):
+    _, df = _data(spark, 2, n=50, keyspace=10)
+    sk = countmin_build(df, "k", width=W, depth=D)
+    qdf = spark.createDataFrame([(10**6,), (10**6 + 1,)], "k: long")
+    for r in countmin_estimate(sk, qdf, "k", width=W, depth=D).collect():
+        assert r["cm_est"] >= 0
+
+
+def test_mergeable_cellwise(spark):
+    # sketch(A) + sketch(B) cell-wise == sketch(A union B): the
+    # property that lets shards/days build independently.
+    _, a = _data(spark, 3, n=1500)
+    _, b = _data(spark, 4, n=1500)
+    sa = countmin_build(a, "k", width=W, depth=D)
+    sb = countmin_build(b, "k", width=W, depth=D)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = countmin_build(a.unionByName(b), "k", width=W, depth=D)
+    m = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    d = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert m == d
+
+
+def test_param_validation(spark):
+    df = spark.createDataFrame([(1,)], "k: long")
+    with pytest.raises(ValueError):
+        countmin_build(df, "k", width=0)
+    with pytest.raises(ValueError):
+        countmin_build(df, "k", width=8, depth=5)
+    with pytest.raises(ValueError):
+        countmin_estimate(df.limit(0), df, "k", width=8, depth=0)
+
+
+def test_estimate_plan_broadcasts_sketch(spark):
+    _, df = _data(spark, 5, n=200)
+    sk = countmin_build(df, "k", width=W, depth=D)
+    est = countmin_estimate(sk, df.select("k").distinct(), "k", width=W, depth=D)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1,0 +1,119 @@
+"""Count-Min frequency sketch — the third leg of the mergeable-sketch
+family (HLL = cardinality, KLL/GK = quantiles, CMS = per-key frequency).
+
+The 100 TB problem: per-key counts over a high-cardinality key (URLs,
+n-grams, user ids) cost an exact shuffle proportional to the number of
+DISTINCT keys. A Count-Min sketch (Cormode & Muthukrishnan, 2005 —
+public paper) is a ``depth × width`` counter grid: each key increments
+one counter per row (row-seeded hash), a point estimate is the MIN of
+its ``depth`` counters. Properties: never underestimates; overshoot is
+bounded by ``e·N/width`` with probability ``1 − e^(−depth)``; and the
+grid is MERGEABLE — sketches built per shard/day add cell-wise, so the
+raw data is touched once and never re-shuffled.
+
+Spark shape:
+- build is an ``explode(depth)`` + one map-side-combinable ``count``
+  aggregate grouped on ``(row, bucket)`` — the shuffle carries at most
+  ``depth × width`` partial rows per mapper regardless of input size,
+  and the finished sketch is at most ``depth × width`` rows total;
+- estimates join query keys against the sketch on ``(row, bucket)``
+  (a broadcast join — the sketch is parameter-sized) and take
+  ``min`` over rows; an absent cell is a zero count, not a miss.
+
+The row hashes are the repo's SQL-portable fingerprint family
+(``abs((key·K_j) % 2³¹) % width`` with distinct odd multipliers K_j —
+`operators/split.py:88` precedent), so an external engine can replay
+the ENTIRE sketch arithmetic exactly: the oracle for this operator is
+a full replay, not just an error-bound contract like the HLL/quantile
+entries. Integral keys only (the multiply must stay exact in 64-bit).
+
+Reference scope: the reference delegates all execution to BigQuery and
+has no sketch surface (feast_component/executor.py:128-163); this
+operator is part of the Spark-native scale extension inventoried in
+SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .split import require_integral_key
+
+# Distinct odd multipliers (Knuth / xxhash / Murmur-family constants);
+# depth is capped by the family size.
+CMS_MULTIPLIERS = (2654435761, 2246822519, 3266489917, 668265263)
+_M = 2**31
+
+
+def _check(width: int, depth: int) -> None:
+    if width < 1:
+        raise ValueError(f"width must be >= 1: {width}")
+    if not 1 <= depth <= len(CMS_MULTIPLIERS):
+        raise ValueError(
+            f"depth out of range [1, {len(CMS_MULTIPLIERS)}]: {depth}"
+        )
+
+
+def _bucket(key, j: int, width: int):
+    return F.pmod(
+        F.pmod(key.cast("long") * F.lit(CMS_MULTIPLIERS[j]), F.lit(_M)),
+        F.lit(width),
+    )
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, *, width: int, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: ``(row, bucket, cnt)`` — at most depth×width
+    rows; cells no occurrence hashed into are simply absent (= 0)."""
+    _check(width, depth)
+    require_integral_key(df, key_col, "countmin_build")
+    key = F.col(key_col)
+    cells = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("row"), _bucket(key, j, width).alias("bucket")
+            )
+            for j in range(depth)
+        ])
+    ).alias("c")
+    return (
+        df.where(key.isNotNull())
+        .select(cells)
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int,
+    depth: int = 4,
+    est_col: str = "cm_est",
+) -> DataFrame:
+    """Point estimates for ``keys[key_col]``: min over the key's depth
+    cells. ``width``/``depth`` MUST match the build call. The sketch
+    side is broadcast (it is parameter-sized by construction)."""
+    _check(width, depth)
+    require_integral_key(keys, key_col, "countmin_estimate")
+    key = F.col(key_col)
+    probes = keys.select(
+        key,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    _bucket(key, j, width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("c"),
+    ).select(key_col, "c.row", "c.bucket")
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col)
+    )

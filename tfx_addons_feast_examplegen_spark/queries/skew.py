@@ -273,11 +273,69 @@ GROUP BY o.o_orderpriority
 """
 
 
+def _q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min frequency sketch — the third mergeable-sketch leg
+    # (HLL=cardinality, GK=quantiles, CMS=per-key frequency). Row
+    # hashes are the repo's SQL-portable fingerprint family, so unlike
+    # the HLL/quantile entries the oracle replays the ENTIRE sketch
+    # arithmetic exactly: grid build, per-row bucket, min-estimate.
+    # width=256 << 1500 customers forces real collisions, so the
+    # never-underestimate property is exercised, not vacuous.
+    from ..operators.sketches import countmin_build, countmin_estimate
+
+    t = register_tables(spark, sf_dir)
+    orders = t["orders"].select("o_custkey")
+    sk = countmin_build(orders, "o_custkey", width=256, depth=4)
+    exact = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    est = countmin_estimate(
+        sk, exact.select("o_custkey"), "o_custkey", width=256, depth=4
+    )
+    return exact.join(est, "o_custkey").select(
+        "o_custkey",
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_n")).alias("never_under"),
+    )
+
+
+_SKETCH_COUNTMIN_ORACLE = """
+WITH mult(row_j, k) AS (
+  VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917), (3, 668265263)
+),
+keys AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_n
+  FROM orders GROUP BY o_custkey
+),
+cells AS (
+  SELECT m.row_j,
+         ((o.o_custkey * m.k) % 2147483648 + 2147483648) % 2147483648 % 256
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders o CROSS JOIN mult m
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT k.o_custkey, MIN(c.cnt) AS cm_est
+  FROM keys k CROSS JOIN mult m
+  JOIN cells c
+    ON c.row_j = m.row_j
+   AND c.bucket =
+       ((k.o_custkey * m.k) % 2147483648 + 2147483648) % 2147483648 % 256
+  GROUP BY 1
+)
+SELECT k.o_custkey, k.exact_n, e.cm_est, e.cm_est >= k.exact_n AS never_under
+FROM keys k JOIN est e USING (o_custkey)
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "skew_salted_agg": (_q_salted_agg, _SALTED_AGG_ORACLE),
     "bloom_prejoin_filter": (_q_bloom_prejoin, _BLOOM_PREJOIN_ORACLE),
     "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
+    "sketch_countmin": (_q_sketch_countmin, _SKETCH_COUNTMIN_ORACLE),
     "sketch_hll_mergeable": (_q_sketch_hll_merge, _SKETCH_HLL_MERGE_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "skew_salted_join": (_q_skew_salted_join, _SKEW_SALTED_JOIN_ORACLE),
