@@ -168,3 +168,30 @@ timed(
     .where(F.col("cum") <= budget).count(),
 )
 rows.unpersist()
+
+# --- Part D: Count-Min build vs exact per-key count at high cardinality
+print("== Part D: CMS build vs exact groupBy count (50M rows, ~10M distinct) ==")
+from tfx_addons_feast_examplegen_spark.operators.sketches import (
+    countmin_build,
+    countmin_estimate,
+)
+
+cms_rows = spark.range(50_000_000).select(
+    F.pmod(F.xxhash64("id"), 10_000_000).alias("k")
+).cache()
+cms_rows.count()
+timed(
+    "exact groupBy count (10M-key shuffle)",
+    lambda: cms_rows.groupBy("k").count().count(),
+)
+timed(
+    "countmin_build width=4096 depth=4",
+    lambda: countmin_build(cms_rows, "k", width=4096, depth=4).count(),
+)
+sk = countmin_build(cms_rows, "k", width=4096, depth=4)
+probe_keys = cms_rows.select("k").distinct().limit(100000)
+timed(
+    "countmin_estimate 100k keys (broadcast grid)",
+    lambda: countmin_estimate(sk, probe_keys, "k", width=4096, depth=4).count(),
+)
+cms_rows.unpersist()
