@@ -85,3 +85,46 @@ def test_estimate_plan_broadcasts_sketch(spark):
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_join_size_never_underestimates(spark):
+    keys_a, a = _data(spark, 11, n=2000, keyspace=300)
+    keys_b, b = _data(spark, 12, n=2000, keyspace=300)
+    from tfx_addons_feast_examplegen_spark.operators.sketches import (
+        countmin_join_size,
+    )
+
+    ca, cb = Counter(keys_a), Counter(keys_b)
+    true = sum(ca[k] * cb[k] for k in ca)
+    ska = countmin_build(a, "k", width=W, depth=D)
+    skb = countmin_build(b, "k", width=W, depth=D)
+    [r] = countmin_join_size(ska, skb, depth=D).collect()
+    assert r["cm_join_est"] >= true
+    # depth=1 is a single-row estimate: strictly no tighter than min-of-4
+    [r1] = countmin_join_size(
+        countmin_build(a, "k", width=W, depth=1),
+        countmin_build(b, "k", width=W, depth=1),
+        depth=1,
+    ).collect()
+    assert r1["cm_join_est"] >= r["cm_join_est"] >= true
+
+
+def test_join_size_disjoint_keys_can_prove_empty(spark):
+    # disjoint key ranges: collisions may alias buckets, but with a
+    # sparse fill (20 keys into 64 buckets x 4 rows) some row almost
+    # surely misses — and when every row overlaps the estimate is
+    # still a sound (>=0) upper bound. Deterministic seed: assert the
+    # exact behavior, not a probability.
+    from tfx_addons_feast_examplegen_spark.operators.sketches import (
+        countmin_join_size,
+    )
+
+    a = spark.createDataFrame([(k,) for k in range(20)], "k: long")
+    b = spark.createDataFrame([(k,) for k in range(10**9, 10**9 + 20)], "k: long")
+    ska = countmin_build(a, "k", width=W, depth=D)
+    skb = countmin_build(b, "k", width=W, depth=D)
+    [r] = countmin_join_size(ska, skb, depth=D).collect()
+    assert r["cm_join_est"] >= 0  # sound
+    # identical sketches joined with themselves: est >= true self-join
+    [rs] = countmin_join_size(ska, ska, depth=D).collect()
+    assert rs["cm_join_est"] >= 20

@@ -117,3 +117,43 @@ def countmin_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col)
     )
+
+
+def countmin_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    depth: int = 4,
+    est_col: str = "cm_join_est",
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min grids — the
+    classic CMS inner product (Cormode & Muthukrishnan §4.2): for each
+    row ``j``, ``sum_b cntA[j][b] * cntB[j][b]`` over-counts the true
+    ``sum_k fA(k) * fB(k)`` by exactly the collision cross-terms, so
+    the row-wise MIN never underestimates the join size and tightens
+    with depth. This is what a planner needs to choose broadcast vs
+    shuffle WITHOUT touching either input: both grids are
+    parameter-sized, the estimate is a join of two tiny frames.
+
+    Both sketches MUST be built with the same ``width``/``depth``.
+    Returns one row ``(est_col,)``; an empty overlap estimates 0 (a
+    matching key occupies the same bucket on both sides in EVERY row,
+    so zero overlap in any row proves an empty join).
+    """
+    _check(64, depth)  # width only matters for build; validate depth
+    a = sketch_a.select("row", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("row", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    # a row with zero overlapping cells is ABSENT from per_row, and a
+    # nonempty join overlaps in every row — so fewer than depth rows
+    # present proves the join empty and the estimate is exactly 0.
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) == depth, F.min("__dot"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias(est_col)
+    )

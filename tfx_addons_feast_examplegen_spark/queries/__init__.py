@@ -223,6 +223,7 @@ _ENTRY_ORDER = [
     "token_budget_select",
     "bpe_encode",
     "sketch_countmin",
+    "sketch_countmin_join",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -267,7 +268,6 @@ _DRIVER_PRIORITY = [
     "pit_join_composite_key",
     "pit_join_field_mapping",
     "pit_join_prefixed",
-    "scd2_validity_intervals",
     "similarity_ann_exhaustive",
     "similarity_ann_ivf",
     "similarity_ann_lsh",
@@ -325,11 +325,13 @@ _DRIVER_PRIORITY = [
     "token_budget_select",
     "bpe_encode",
     "sketch_countmin",
+    "sketch_countmin_join",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
     # three r5-vintage SQL-surface rows displaced by this round's new
     # entries — rollup_region_nation, setop_intersect, setop_except,
-    # unpivot_stack, range_interval_window (SQL-surface displacements
-    # for the five new entries) — then the remaining
+    # unpivot_stack, range_interval_window, scd2_validity_intervals
+    # (SQL-surface displacements for the six new entries) — then the
+    # remaining
     # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,
     # embedding_outliers, corpus_report, decayed_activity_score,

@@ -330,12 +330,78 @@ FROM keys k JOIN est e USING (o_custkey)
 """
 
 
+def _q_sketch_countmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join-cardinality estimation from two CMS grids (the CMS inner
+    # product): what a planner needs to pick broadcast vs shuffle
+    # WITHOUT executing the join — both grids are parameter-sized. The
+    # estimate provably never underestimates; the oracle replays the
+    # full grid/dot/min arithmetic and the exact join count.
+    from ..operators.sketches import countmin_build, countmin_join_size
+
+    t = register_tables(spark, sf_dir)
+    ska = countmin_build(
+        t["orders"].select("o_custkey"), "o_custkey", width=256, depth=4
+    )
+    skb = countmin_build(
+        t["customer"].select("c_custkey"), "c_custkey", width=256, depth=4
+    )
+    est = countmin_join_size(ska, skb, depth=4)
+    exact = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_n",
+        "cm_join_est",
+        (F.col("cm_join_est") >= F.col("exact_n")).alias("never_under"),
+    )
+
+
+_SKETCH_COUNTMIN_JOIN_ORACLE = """
+WITH mult(row_j, k) AS (
+  VALUES (0, 2654435761), (1, 2246822519), (2, 3266489917), (3, 668265263)
+),
+ca AS (
+  SELECT m.row_j,
+         ((o.o_custkey * m.k) % 2147483648 + 2147483648) % 2147483648 % 256
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders o CROSS JOIN mult m GROUP BY 1, 2
+),
+cb AS (
+  SELECT m.row_j,
+         ((c.c_custkey * m.k) % 2147483648 + 2147483648) % 2147483648 % 256
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer c CROSS JOIN mult m GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.row_j, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+  FROM ca a JOIN cb b ON a.row_j = b.row_j AND a.bucket = b.bucket
+  GROUP BY 1
+),
+est AS (
+  SELECT CAST(CASE WHEN COUNT(*) = 4 THEN MIN(dot) ELSE 0 END AS BIGINT)
+           AS cm_join_est
+  FROM dots
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT exact_n, cm_join_est, cm_join_est >= exact_n AS never_under
+FROM exact, est
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "skew_salted_agg": (_q_salted_agg, _SALTED_AGG_ORACLE),
     "bloom_prejoin_filter": (_q_bloom_prejoin, _BLOOM_PREJOIN_ORACLE),
     "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
     "sketch_countmin": (_q_sketch_countmin, _SKETCH_COUNTMIN_ORACLE),
+    "sketch_countmin_join": (_q_sketch_countmin_join, _SKETCH_COUNTMIN_JOIN_ORACLE),
     "sketch_hll_mergeable": (_q_sketch_hll_merge, _SKETCH_HLL_MERGE_ORACLE),
     "skew_report": (_q_skew_report, _SKEW_REPORT_ORACLE),
     "skew_salted_join": (_q_skew_salted_join, _SKEW_SALTED_JOIN_ORACLE),
