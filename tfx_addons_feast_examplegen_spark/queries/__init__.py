@@ -327,11 +327,12 @@ _DRIVER_PRIORITY = [
     "sketch_countmin",
     "sketch_countmin_join",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
-    # three r5-vintage SQL-surface rows displaced by this round's new
-    # entries — rollup_region_nation, setop_intersect, setop_except,
-    # unpivot_stack, range_interval_window, scd2_validity_intervals
-    # (SQL-surface displacements for the six new entries) — then the
-    # remaining
+    # six r5-vintage SQL-surface rows displaced by this continuation's
+    # six new entries (fuzzy_editdist_pairs, dedup_segments,
+    # token_budget_select, bpe_encode, sketch_countmin,
+    # sketch_countmin_join) — rollup_region_nation, setop_intersect,
+    # setop_except, unpivot_stack, range_interval_window,
+    # scd2_validity_intervals — then the remaining
     # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,
     # embedding_outliers, corpus_report, decayed_activity_score,
@@ -356,8 +357,9 @@ _DRIVER_PRIORITY = [
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
     # vocab_coverage_curve — plus the oldest r8 rows to fill 50. After
-    # r11 executes, every registry entry has a driver row from r8 or
-    # newer.
+    # r11 executes, no registry entry has a driver row older than r7
+    # (the six displaced SQL-surface rows refresh r5 -> r11; the
+    # remaining r7 tail finishes in r12).
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
