@@ -84,3 +84,81 @@ def test_validation(spark):
         pagerank(df, iterations=-1)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.5)
+
+
+# ---------------------------------------------------------------------------
+# bfs_levels
+# ---------------------------------------------------------------------------
+
+def _ref_bfs(edges, seeds, max_hops):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    lvl = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if lvl[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in lvl:
+                lvl[v] = lvl[u] + 1
+                q.append(v)
+    return lvl
+
+
+def test_bfs_matches_reference_on_random_graphs(spark):
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import bfs_levels
+
+    rng = random.Random(17)
+    n = 100
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(220)})
+    seeds = sorted(rng.sample(range(n), 3))
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node: long")
+    for hops in (0, 1, 3, 12):
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(e, s, max_hops=hops).collect()
+        }
+        assert got == _ref_bfs(edges, seeds, hops), hops
+
+
+def test_bfs_seed_outside_graph_and_cycle(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import bfs_levels
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src: long, dst: long"
+    )
+    s = spark.createDataFrame([(99,), (1,)], "node: long")
+    got = {
+        r["node"]: r["level"] for r in bfs_levels(e, s, max_hops=10).collect()
+    }
+    # seed 99 reports itself at level 0; the 3-cycle terminates early
+    # (frontier empties) well before max_hops.
+    assert got == {99: 0, 1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_null_endpoints_dropped(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import bfs_levels
+
+    e = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None)], "src: long, dst: long"
+    )
+    s = spark.createDataFrame([(1,)], "node: long")
+    got = {
+        r["node"]: r["level"] for r in bfs_levels(e, s, max_hops=5).collect()
+    }
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_rejects_negative_hops(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import bfs_levels
+
+    e = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    with pytest.raises(ValueError):
+        bfs_levels(e, e.select(F.col("src").alias("node")), max_hops=-1)

@@ -103,3 +103,67 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 10,
+    node_col: str = "node",
+    level_col: str = "level",
+) -> DataFrame:
+    """Minimum hop count from any seed, by frontier expansion — the
+    reachability half of the graph family (PageRank weighs, BFS
+    measures distance; crawl pipelines use the level as a quality
+    signal: depth-from-seed-domains).
+
+    Semantics: ``level(v) = min`` number of directed ``src -> dst``
+    edges on any path from a seed; seeds are level 0 (whether or not
+    they appear in the edge list); nodes unreachable within
+    ``max_hops`` are absent from the output. NULL endpoints and NULL
+    seeds are dropped; duplicate edges and seeds are collapsed.
+
+    Shape, per round: one equi-join of the CURRENT FRONTIER against
+    the edge frame (the frontier is the small side — broadcastable
+    when narrow), one distinct, one left-anti join against the visited
+    set to keep the frontier monotonically shrinking toward the
+    unreached region. Frontier and visited frames re-materialize via
+    ``localCheckpoint`` each round (O(1)-deep lineage, same rationale
+    as :func:`pagerank`); the only driver-side value per round is the
+    frontier count used for early termination — a parameter, not data.
+    Rounds are bounded by ``max_hops``, state by ``O(|V|)`` rows.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0: {max_hops}")
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias(node_col))
+        .where(F.col(seed_col).isNotNull())
+        .distinct()
+        .withColumn(level_col, F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select(node_col)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[node_col] == e["__s"])
+            .select(F.col("__d").alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+            .withColumn(level_col, F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select(node_col)
+    return visited

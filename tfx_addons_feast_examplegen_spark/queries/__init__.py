@@ -224,6 +224,7 @@ _ENTRY_ORDER = [
     "bpe_encode",
     "sketch_countmin",
     "sketch_countmin_join",
+    "graph_bfs_levels",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -270,7 +271,6 @@ _DRIVER_PRIORITY = [
     "pit_join_prefixed",
     "similarity_ann_exhaustive",
     "similarity_ann_ivf",
-    "similarity_ann_lsh",
     "skew_salted_agg",
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
@@ -326,13 +326,17 @@ _DRIVER_PRIORITY = [
     "bpe_encode",
     "sketch_countmin",
     "sketch_countmin_join",
+    "graph_bfs_levels",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
     # six r5-vintage SQL-surface rows displaced by this continuation's
-    # six new entries (fuzzy_editdist_pairs, dedup_segments,
+    # seven new entries (fuzzy_editdist_pairs, dedup_segments,
     # token_budget_select, bpe_encode, sketch_countmin,
-    # sketch_countmin_join) — rollup_region_nation, setop_intersect,
-    # setop_except, unpivot_stack, range_interval_window,
-    # scd2_validity_intervals — then the remaining
+    # sketch_countmin_join, graph_bfs_levels) — rollup_region_nation,
+    # setop_intersect, setop_except, unpivot_stack,
+    # range_interval_window, scd2_validity_intervals, and
+    # similarity_ann_lsh (displaced last: its machinery carries a
+    # driver-r9 row via the stricter similarity_ann_lsh_recall twin) —
+    # then the remaining
     # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,
     # embedding_outliers, corpus_report, decayed_activity_score,

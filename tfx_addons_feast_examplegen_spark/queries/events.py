@@ -986,6 +986,67 @@ SELECT node, round(rank, 9) AS rank FROM pr WHERE iter = 6
 """
 
 
+def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reachability over the same symmetrized trade graph as
+    # graph_pagerank: min hops from the high-balance customer seeds.
+    # max_hops=3 exercises multiple frontier rounds (the bipartite hub
+    # graph reaches most nodes by level 2; level-3 rows prove the
+    # frontier keeps expanding past the first wave).
+    from ..operators.graph import bfs_levels
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    out = bfs_levels(edges, seeds, max_hops=3)
+    return out.select("node", F.col("level").cast("long").alias("level"))
+
+
+_QBFS_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+  )
+),
+walk AS (
+  SELECT DISTINCT 'c' || c_custkey AS node, 0 AS level
+  FROM customer WHERE c_acctbal > 9000
+  UNION
+  SELECT e.dst AS node, w.level + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.level < 3
+)
+SELECT node, CAST(MIN(level) AS BIGINT) AS level FROM walk GROUP BY node
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
     "event_funnel": (_q_event_funnel_df, _QFUNNEL),
@@ -1006,6 +1067,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "interevent_gap_stats": (_q_gap_stats_df, _QGAP_STATS),
     "graph_triangle_count": (_q_triangles, _QTRIANGLES_ORACLE),
     "graph_pagerank": (_q_pagerank, _QPAGERANK_ORACLE),
+    "graph_bfs_levels": (_q_bfs_levels, _QBFS_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
     "variant_props_typed": (_q_variant_props, _VARIANT_PROPS_ORACLE),
