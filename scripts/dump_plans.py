@@ -204,6 +204,13 @@ regardless of key cardinality (probed 2.4x faster than the exact
 groupBy at 10M distinct keys, and the gap is structural). The estimate
 probe joins the parameter-sized grid via BroadcastHashJoin (plan-
 guarded: no SortMergeJoin) and min-reduces over rows.""",
+    "graph_bfs_levels": """The tree below is the scan of the final checkpointed visited frame
+(same O(1)-lineage pinning as pagerank). Each ROUND's plan — visible
+per job in the UI — is: frontier-edge equi-join (the frontier side
+shrinks toward the unreached region and broadcasts when narrow), a
+distinct, and a broadcast left-anti join against visited; the only
+driver value per round is the frontier count for early termination.
+Rounds are bounded by max_hops, state by O(|V|) rows.""",
     "bpe_encode": """Tokenizer application as a map: the merge table is rank-ordered plan
 LITERALS driving chained aggregate() folds — the whole encode is one
 Project over the scan, zero exchanges, zero UDFs, zero joins. The
