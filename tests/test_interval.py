@@ -1,0 +1,86 @@
+"""point_in_interval_join: brute-force equivalence, negatives,
+left-outer, over-cap guard, plan shape (no nested loop)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tfx_addons_feast_examplegen_spark.operators.interval import (
+    point_in_interval_join,
+)
+
+
+def _fixture(spark, seed=6, n_pts=250, n_iv=60):
+    rng = random.Random(seed)
+    pts = [(i, rng.randint(-50, 200)) for i in range(n_pts)]
+    ivs = []
+    for j in range(n_iv):
+        lo = rng.randint(-60, 180)
+        ivs.append((j, lo, lo + rng.randint(0, 40)))  # includes empty (len 0)
+    p = spark.createDataFrame(pts, "pid: long, ts: long")
+    v = spark.createDataFrame(ivs, "iid: long, lo: long, hi: long")
+    exp = {(i, j) for i, t in pts for j, lo, hi in ivs if lo <= t < hi}
+    return p, v, pts, exp
+
+
+@pytest.mark.parametrize("width", [1, 7, 64])
+def test_matches_bruteforce_incl_negative_epochs(spark, width):
+    p, v, _, exp = _fixture(spark)
+    got = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            p, v, ts="ts", lo="lo", hi="hi", bin_width=width
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_left_outer_keeps_unmatched_points(spark):
+    p, v, pts, exp = _fixture(spark, seed=9, n_iv=5)
+    rows = point_in_interval_join(
+        p, v, ts="ts", lo="lo", hi="hi", bin_width=16, how="left_outer"
+    ).collect()
+    matched = {(r["pid"], r["iid"]) for r in rows if r["iid"] is not None}
+    nulls = {r["pid"] for r in rows if r["iid"] is None}
+    assert matched == exp
+    assert nulls == {i for i, _ in pts} - {i for i, _ in exp}
+
+
+def test_over_cap_interval_fails_loud(spark):
+    p = spark.createDataFrame([(1, 5)], "pid: long, ts: long")
+    v = spark.createDataFrame([(1, 0, 10**9)], "iid: long, lo: long, hi: long")
+    with pytest.raises(Exception, match="spans more than"):
+        point_in_interval_join(
+            p, v, ts="ts", lo="lo", hi="hi",
+            bin_width=1, max_bins_per_interval=100,
+        ).count()
+
+
+def test_param_and_column_validation(spark):
+    p = spark.createDataFrame([(1, 5)], "pid: long, ts: long")
+    v = spark.createDataFrame([(1, 0, 9)], "iid: long, lo: long, hi: long")
+    with pytest.raises(ValueError):
+        point_in_interval_join(p, v, ts="ts", lo="lo", hi="hi", bin_width=0)
+    with pytest.raises(ValueError):
+        point_in_interval_join(
+            p, v, ts="ts", lo="lo", hi="hi", bin_width=4, how="full"
+        )
+    clash = v.withColumnRenamed("iid", "pid")
+    with pytest.raises(ValueError, match="overlapping"):
+        point_in_interval_join(p, clash, ts="ts", lo="lo", hi="hi", bin_width=4)
+
+
+def test_no_nested_loop_join(spark):
+    # The rewrite's reason to exist: the naive range predicate plans a
+    # BroadcastNestedLoopJoin; the binned form must be an equi-join.
+    p, v, _, _ = _fixture(spark)
+    plan = (
+        point_in_interval_join(p, v, ts="ts", lo="lo", hi="hi", bin_width=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,119 @@
+"""Binned point-in-interval join — the scalable range join.
+
+The 100 TB problem: "which intervals contain this point" with no (or a
+low-cardinality) equi key is a range predicate, and Spark plans a bare
+``p.ts >= i.lo AND p.ts < i.hi`` join as BroadcastNestedLoopJoin (one
+side must fit in memory, every point scans every interval). Engines
+with a native interval strategy (DuckDB's IEJoin, Databricks'
+range-join hints) rewrite it; open-source Spark does not, so this
+operator carries the standard rewrite explicitly:
+
+pick a bin width ``W``; each interval replicates to every bin index it
+overlaps (``floor(lo/W) .. floor((hi-1)/W)``, an expression-only
+``explode(sequence(...))``); each point computes its single bin
+``floor(ts/W)``; an ordinary **equi-join on the bin** meets every
+candidate pair, and the exact ``lo <= ts < hi`` predicate filters bin
+co-residents that don't actually overlap. Cost: the interval side
+inflates by ``~avg_len/W + 1`` rows and the join is a plain hash/SMJ
+shuffle — no nested loop, no broadcast requirement, AQE-skew-splittable.
+Pick ``W`` near the median interval length: smaller W inflates the
+build side, larger W packs unrelated points into shared bins.
+
+Guards: intervals spanning more than ``max_bins_per_interval`` bins
+raise in-plan (``assert_true`` inside the sequence bound — a degenerate
+open-ended interval would otherwise silently explode the build side;
+the repo's no-silent-caps rule). Empty/invalid intervals
+(``hi <= lo``) match nothing, NULL bounds and NULL points drop —
+standard SQL range-predicate semantics.
+
+Reference scope: the reference delegates all execution to BigQuery and
+has no join surface beyond the Feast point-in-time call
+(feast_component/executor.py:87,128-163); this operator is part of the
+Spark-native extension inventoried in SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts: str,
+    lo: str,
+    hi: str,
+    bin_width: int,
+    max_bins_per_interval: int = 10_000,
+    how: str = "inner",
+) -> DataFrame:
+    """All (point, interval) pairs with ``lo <= ts < hi``.
+
+    ``ts``/``lo``/``hi`` are integral (epoch seconds/millis — cast
+    upstream); column sets of the two inputs must be disjoint. ``how``
+    is ``inner`` or ``left_outer`` (every point at least once, interval
+    columns NULL when nothing contains it — the enrich-else-keep
+    shape). Returns points columns + intervals columns. For
+    ``left_outer``, byte-identical duplicate point rows are treated as
+    one by the miss path (the anti-join compares values) — carry a
+    unique point id if duplicates must survive independently.
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1: {bin_width}")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer: {how!r}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"overlapping column names: {sorted(overlap)}")
+
+    # integer `div` keeps the arithmetic exact for any epoch range
+    # (floating / rounds above 2^53). `div` truncates toward zero, so
+    # the bin straddling zero is effectively double-width for negative
+    # epochs — candidate generation stays CORRECT regardless (trunc-div
+    # is monotone, and the interval emits every bin between its
+    # endpoints' bins), it just packs pre-1970 points a little coarser.
+    lo_bin = F.expr(f"CAST({lo} AS BIGINT) div {bin_width}")
+    hi_bin = F.expr(f"(CAST({hi} AS BIGINT) - 1) div {bin_width}")
+    n_bins = hi_bin - lo_bin + 1
+    guarded_hi_bin = F.when(
+        F.assert_true(
+            n_bins <= max_bins_per_interval,
+            F.concat(
+                F.lit(
+                    f"point_in_interval_join: interval spans more than "
+                    f"{max_bins_per_interval} bins of width {bin_width}; n_bins="
+                ),
+                n_bins.cast("string"),
+            ),
+        ).isNull(),
+        hi_bin,
+    )
+    binned_iv = intervals.where(
+        F.col(lo).isNotNull() & F.col(hi).isNotNull() & (F.col(hi) > F.col(lo))
+    ).withColumn(
+        "__bin",
+        F.explode(F.sequence(lo_bin, guarded_hi_bin)),
+    )
+    binned_pt = points.where(F.col(ts).isNotNull()).withColumn(
+        "__bin", F.expr(f"CAST({ts} AS BIGINT) div {bin_width}")
+    )
+    pred = (F.col(lo) <= F.col(ts)) & (F.col(ts) < F.col(hi))
+    matched = (
+        binned_pt.join(binned_iv, "__bin")
+        .where(pred)
+        .drop("__bin")
+    )
+    if how == "inner":
+        return matched
+    # left_outer: points matching nothing re-attach with NULL interval
+    # columns; NULL-ts points are "contained by nothing" and kept too.
+    misses = points.join(
+        matched.select(*points.columns), points.columns, "left_anti"
+    )
+    for c in intervals.columns:
+        misses = misses.withColumn(
+            c, F.lit(None).cast(dict(intervals.dtypes)[c])
+        )
+    return matched.unionByName(misses)

@@ -225,6 +225,7 @@ _ENTRY_ORDER = [
     "sketch_countmin",
     "sketch_countmin_join",
     "graph_bfs_levels",
+    "interval_containment_join",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -270,7 +271,6 @@ _DRIVER_PRIORITY = [
     "pit_join_field_mapping",
     "pit_join_prefixed",
     "similarity_ann_exhaustive",
-    "similarity_ann_ivf",
     "skew_salted_agg",
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
@@ -327,16 +327,18 @@ _DRIVER_PRIORITY = [
     "sketch_countmin",
     "sketch_countmin_join",
     "graph_bfs_levels",
+    "interval_containment_join",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
     # six r5-vintage SQL-surface rows displaced by this continuation's
-    # seven new entries (fuzzy_editdist_pairs, dedup_segments,
+    # eight new entries (fuzzy_editdist_pairs, dedup_segments,
     # token_budget_select, bpe_encode, sketch_countmin,
-    # sketch_countmin_join, graph_bfs_levels) — rollup_region_nation,
+    # sketch_countmin_join, graph_bfs_levels,
+    # interval_containment_join) — rollup_region_nation,
     # setop_intersect, setop_except, unpivot_stack,
-    # range_interval_window, scd2_validity_intervals, and
-    # similarity_ann_lsh (displaced last: its machinery carries a
-    # driver-r9 row via the stricter similarity_ann_lsh_recall twin) —
-    # then the remaining
+    # range_interval_window, scd2_validity_intervals (SQL-surface), and
+    # similarity_ann_lsh + similarity_ann_ivf (displaced last: each
+    # carries a driver-r9 row via its stricter *_recall twin on the
+    # same machinery) — then the remaining
     # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
     # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,
     # embedding_outliers, corpus_report, decayed_activity_score,

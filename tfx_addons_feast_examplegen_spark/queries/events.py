@@ -1047,6 +1047,51 @@ SELECT node, CAST(MIN(level) AS BIGINT) AS level FROM walk GROUP BY node
 """
 
 
+def _q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyless temporal containment — the range-join shape Spark plans
+    # as a nested loop and this engine rewrites as a binned equi-join
+    # (operators/interval.py). 40 overlapping 8-hour audit windows
+    # anchored at every 250th event; count events inside each. Window
+    # always contains its anchor, so the inner join keeps all 40 rows.
+    from ..operators.interval import point_in_interval_join
+
+    t = register_tables(spark, sf_dir)
+    pts = t["events"].select(
+        F.col("event_id").alias("pid"), F.unix_micros("ts").alias("t")
+    )
+    anchors = (
+        t["events"]
+        .where(F.col("event_id") % 250 == 0)
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.unix_micros("ts") - F.lit(7_200_000_000)).alias("lo"),
+            (F.unix_micros("ts") + F.lit(21_600_000_000)).alias("hi"),
+        )
+    )
+    joined = point_in_interval_join(
+        pts, anchors, ts="t", lo="lo", hi="hi", bin_width=3_600_000_000
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_INTERVAL_CONTAINMENT_ORACLE = """
+WITH pts AS (
+  SELECT event_id AS pid, epoch_us(ts) AS t FROM events
+),
+anch AS (
+  SELECT event_id AS window_id,
+         epoch_us(ts) - 7200000000 AS lo,
+         epoch_us(ts) + 21600000000 AS hi
+  FROM events WHERE event_id % 250 = 0
+)
+SELECT a.window_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM anch a JOIN pts p ON a.lo <= p.t AND p.t < a.hi
+GROUP BY 1
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
     "event_funnel": (_q_event_funnel_df, _QFUNNEL),
@@ -1068,6 +1113,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_triangle_count": (_q_triangles, _QTRIANGLES_ORACLE),
     "graph_pagerank": (_q_pagerank, _QPAGERANK_ORACLE),
     "graph_bfs_levels": (_q_bfs_levels, _QBFS_ORACLE),
+    "interval_containment_join": (_q_interval_containment, _INTERVAL_CONTAINMENT_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
     "variant_props_typed": (_q_variant_props, _VARIANT_PROPS_ORACLE),
