@@ -1,5 +1,6 @@
-"""point_in_interval_join: brute-force equivalence, negatives,
-left-outer, over-cap guard, plan shape (no nested loop)."""
+"""point_in_interval_join / interval_overlap_join: brute-force
+equivalence, negatives, left-outer, over-cap guard, plan shape (no
+nested loop), first-shared-bin dedup (no duplicate pairs)."""
 
 from __future__ import annotations
 
@@ -8,6 +9,7 @@ import random
 import pytest
 
 from tfx_addons_feast_examplegen_spark.operators.interval import (
+    interval_overlap_join,
     point_in_interval_join,
 )
 
@@ -70,6 +72,83 @@ def test_param_and_column_validation(spark):
     clash = v.withColumnRenamed("iid", "pid")
     with pytest.raises(ValueError, match="overlapping"):
         point_in_interval_join(p, clash, ts="ts", lo="lo", hi="hi", bin_width=4)
+
+
+def _overlap_fixture(spark, seed=13, n_l=120, n_r=90):
+    rng = random.Random(seed)
+    ls, rs = [], []
+    for i in range(n_l):
+        lo = rng.randint(-80, 200)
+        ls.append((i, lo, lo + rng.randint(0, 50)))  # includes empty
+    for j in range(n_r):
+        lo = rng.randint(-80, 200)
+        rs.append((j, lo, lo + rng.randint(0, 30)))
+    l = spark.createDataFrame(ls, "lid: long, lo: long, hi: long")
+    r = spark.createDataFrame(rs, "rid: long, rlo: long, rhi: long")
+    # empty intervals ([x, x)) contain nothing and match nothing — the
+    # operator's documented semantics, hence the ahi > alo guards here
+    exp = {
+        (i, j)
+        for i, alo, ahi in ls
+        for j, blo, bhi in rs
+        if alo < bhi and blo < ahi and ahi > alo and bhi > blo
+    }
+    return l, r, exp
+
+
+@pytest.mark.parametrize("width", [1, 9, 128])
+def test_overlap_matches_bruteforce_no_duplicates(spark, width):
+    # rows (not a set) first: the first-shared-bin rule must emit each
+    # overlapping pair exactly ONCE even when the pair shares many bins
+    l, r, exp = _overlap_fixture(spark)
+    rows = [
+        (row["lid"], row["rid"])
+        for row in interval_overlap_join(
+            l, r, lo_l="lo", hi_l="hi", lo_r="rlo", hi_r="rhi",
+            bin_width=width,
+        ).collect()
+    ]
+    assert len(rows) == len(set(rows))
+    assert set(rows) == exp
+
+
+def test_overlap_touching_endpoints_do_not_match(spark):
+    l = spark.createDataFrame([(1, 0, 10)], "lid: long, lo: long, hi: long")
+    r = spark.createDataFrame(
+        [(1, 10, 20), (2, -5, 0), (3, 9, 11), (4, None, 5)],
+        "rid: long, rlo: long, rhi: long",
+    )
+    got = {
+        row["rid"]
+        for row in interval_overlap_join(
+            l, r, lo_l="lo", hi_l="hi", lo_r="rlo", hi_r="rhi", bin_width=4
+        ).collect()
+    }
+    assert got == {3}  # [10,20) and [-5,0) touch only; NULL drops
+
+
+def test_overlap_over_cap_fails_loud_both_sides(spark):
+    l = spark.createDataFrame([(1, 0, 10)], "lid: long, lo: long, hi: long")
+    r = spark.createDataFrame([(1, 0, 10**9)], "rid: long, rlo: long, rhi: long")
+    with pytest.raises(Exception, match="spans more than"):
+        interval_overlap_join(
+            l, r, lo_l="lo", hi_l="hi", lo_r="rlo", hi_r="rhi",
+            bin_width=1, max_bins_per_interval=100,
+        ).count()
+
+
+def test_overlap_no_nested_loop_join(spark):
+    l, r, _ = _overlap_fixture(spark)
+    plan = (
+        interval_overlap_join(
+            l, r, lo_l="lo", hi_l="hi", lo_r="rlo", hi_r="rhi", bin_width=8
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_no_nested_loop_join(spark):

@@ -117,3 +117,82 @@ def point_in_interval_join(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
     return matched.unionByName(misses)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    lo_l: str,
+    hi_l: str,
+    lo_r: str,
+    hi_r: str,
+    bin_width: int,
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """All (left, right) interval pairs that OVERLAP: ``lo_l < hi_r AND
+    lo_r < hi_l`` (half-open ``[lo, hi)`` semantics — touching
+    endpoints do not overlap).
+
+    The interval×interval twin of :func:`point_in_interval_join`: with
+    no equi key Spark plans the bare overlap predicate as a
+    BroadcastNestedLoopJoin (cost |L|·|R|, one side in memory). The
+    standard rewrite bins BOTH sides — each interval replicates to
+    every width-``W`` bin it touches — and an ordinary equi-join on
+    the bin meets every overlapping pair, because two overlapping
+    intervals necessarily co-reside in the bin holding
+    ``max(lo_l, lo_r)`` (the later start lies inside both). A pair
+    sharing several bins would duplicate, so the join keeps a pair
+    ONLY in that first-shared-bin: ``__bin == greatest(lo_l, lo_r)
+    div W`` — an expression-only dedup, no ``distinct()`` shuffle over
+    the pair stream. Cost: each side inflates by ``~len/W + 1`` and
+    the join is a plain hash/SMJ shuffle — AQE-skew-splittable,
+    no broadcast requirement on either side.
+
+    Bounds are integral (cast epochs upstream); column sets must be
+    disjoint. Empty/invalid intervals (``hi <= lo``) and NULL bounds
+    match nothing. The same ``max_bins_per_interval`` fail-fast guards
+    both sides (no silent truncation of a degenerate open interval).
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1: {bin_width}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"overlapping column names: {sorted(overlap)}")
+
+    def _binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_bin = F.expr(f"CAST({lo} AS BIGINT) div {bin_width}")
+        hi_bin = F.expr(f"(CAST({hi} AS BIGINT) - 1) div {bin_width}")
+        n_bins = hi_bin - lo_bin + 1
+        guarded = F.when(
+            F.assert_true(
+                n_bins <= max_bins_per_interval,
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: interval spans more than "
+                        f"{max_bins_per_interval} bins of width {bin_width};"
+                        f" n_bins="
+                    ),
+                    n_bins.cast("string"),
+                ),
+            ).isNull(),
+            hi_bin,
+        )
+        return df.where(
+            F.col(lo).isNotNull()
+            & F.col(hi).isNotNull()
+            & (F.col(hi) > F.col(lo))
+        ).withColumn("__bin", F.explode(F.sequence(lo_bin, guarded)))
+
+    pred = (F.col(lo_l) < F.col(hi_r)) & (F.col(lo_r) < F.col(hi_l))
+    # trunc-div spelling must match the bin assignment exactly
+    first_shared = F.expr(
+        f"greatest(CAST({lo_l} AS BIGINT), CAST({lo_r} AS BIGINT))"
+        f" div {bin_width}"
+    )
+    return (
+        _binned(left, lo_l, hi_l)
+        .join(_binned(right, lo_r, hi_r), "__bin")
+        .where(pred & (F.col("__bin") == first_shared))
+        .drop("__bin")
+    )

@@ -226,6 +226,7 @@ _ENTRY_ORDER = [
     "sketch_countmin_join",
     "graph_bfs_levels",
     "interval_containment_join",
+    "interval_overlap_join",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -262,8 +263,12 @@ _DRIVER_PRIORITY = [
     # image entry through the sniffing dispatch); and the
     # alphabetically-first 11 r7-vintage rows.
     #
-    # r5-vintage cohort (recorded r10 plan, VERDICT r8 item 2):
-    "latest_feature_snapshot",
+    # r5-vintage cohort (recorded r10 plan, VERDICT r8 item 2).
+    # latest_feature_snapshot was displaced by interval_overlap_join
+    # (below): its latest-record max_by machinery re-attests every
+    # round inside every pit_join* hash (SURVEY J3, driver-r9), making
+    # it the lowest-information re-attestation left in the cohort; it
+    # moves to the head of the r11 plan.
     "negative_sample",
     "param_substitution",
     "pii_redaction",
@@ -328,7 +333,13 @@ _DRIVER_PRIORITY = [
     "sketch_countmin_join",
     "graph_bfs_levels",
     "interval_containment_join",
-    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
+    # NEW in the second continuation session (never-attested entries
+    # MUST sit in the window); displacements documented at each slot
+    # they freed above:
+    "interval_overlap_join",
+    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST
+    # latest_feature_snapshot (displaced by this session's new entries,
+    # see cohort note above), THEN the
     # six r5-vintage SQL-surface rows displaced by this continuation's
     # eight new entries (fuzzy_editdist_pairs, dedup_segments,
     # token_budget_select, bpe_encode, sketch_countmin,

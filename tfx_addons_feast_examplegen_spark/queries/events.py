@@ -1092,6 +1092,67 @@ GROUP BY 1
 """
 
 
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyless interval×interval OVERLAP — the shape Spark plans as a
+    # BroadcastNestedLoopJoin and this engine rewrites as a both-sides-
+    # binned equi-join with an expression-only first-shared-bin dedup
+    # (operators/interval.py). 8-hour audit windows anchored at every
+    # 250th event vs 3-hour incident windows at every 97th; count the
+    # incidents each audit window collides with.
+    from ..operators.interval import interval_overlap_join
+
+    t = register_tables(spark, sf_dir)
+    audits = (
+        t["events"]
+        .where(F.col("event_id") % 250 == 0)
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.unix_micros("ts") - F.lit(7_200_000_000)).alias("lo"),
+            (F.unix_micros("ts") + F.lit(21_600_000_000)).alias("hi"),
+        )
+    )
+    incidents = (
+        t["events"]
+        .where(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.unix_micros("ts") - F.lit(3_600_000_000)).alias("ilo"),
+            (F.unix_micros("ts") + F.lit(7_200_000_000)).alias("ihi"),
+        )
+    )
+    joined = interval_overlap_join(
+        audits,
+        incidents,
+        lo_l="lo",
+        hi_l="hi",
+        lo_r="ilo",
+        hi_r="ihi",
+        bin_width=3_600_000_000,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_incidents")
+    )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH audits AS (
+  SELECT event_id AS window_id,
+         epoch_us(ts) - 7200000000 AS lo,
+         epoch_us(ts) + 21600000000 AS hi
+  FROM events WHERE event_id % 250 = 0
+),
+inc AS (
+  SELECT event_id AS incident_id,
+         epoch_us(ts) - 3600000000 AS ilo,
+         epoch_us(ts) + 7200000000 AS ihi
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT a.window_id, CAST(COUNT(*) AS BIGINT) AS n_incidents
+FROM audits a JOIN inc i ON a.lo < i.ihi AND i.ilo < a.hi
+GROUP BY 1
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "windowed_event_counts": (_q_windowed_events, _WINDOWED_EVENTS_ORACLE),
     "event_funnel": (_q_event_funnel_df, _QFUNNEL),
@@ -1114,6 +1175,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_pagerank": (_q_pagerank, _QPAGERANK_ORACLE),
     "graph_bfs_levels": (_q_bfs_levels, _QBFS_ORACLE),
     "interval_containment_join": (_q_interval_containment, _INTERVAL_CONTAINMENT_ORACLE),
+    "interval_overlap_join": (_q_interval_overlap, _INTERVAL_OVERLAP_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
     "recursive_chain_walk": (_sql_query(_QRECURSIVE_WALK), _QRECURSIVE_WALK),
     "variant_props_typed": (_q_variant_props, _VARIANT_PROPS_ORACLE),
