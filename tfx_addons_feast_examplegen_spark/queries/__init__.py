@@ -227,6 +227,8 @@ _ENTRY_ORDER = [
     "graph_bfs_levels",
     "interval_containment_join",
     "interval_overlap_join",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -275,9 +277,14 @@ _DRIVER_PRIORITY = [
     "pit_join_composite_key",
     "pit_join_field_mapping",
     "pit_join_prefixed",
-    "similarity_ann_exhaustive",
+    # similarity_ann_exhaustive displaced by q13_customer_distribution:
+    # the exhaustive scorer executes INSIDE both *_recall entries as
+    # their recall baseline (driver-r9 on the same machinery).
+    # source_csv_roundtrip displaced by q21_waiting_suppliers: it
+    # shares the roundtrip harness with source_jsonl (kept, same
+    # vintage) and source_tfrecord (driver-r9). Both move to the head
+    # of the r11 plan.
     "skew_salted_agg",
-    "source_csv_roundtrip",
     "source_jsonl_roundtrip",
     "split_pattern_routing",
     "stratified_sample",
@@ -337,6 +344,8 @@ _DRIVER_PRIORITY = [
     # MUST sit in the window); displacements documented at each slot
     # they freed above:
     "interval_overlap_join",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST
     # latest_feature_snapshot (displaced by this session's new entries,
     # see cohort note above), THEN the

@@ -687,6 +687,109 @@ def _q_ols_trend_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape, DataFrame-composed (independent of the oracle
+    # text): outer join that must preserve zero-order customers, a
+    # conditional count over the nullable side, then a second
+    # aggregation over the first's result — the "histogram of group
+    # sizes" pattern. The left join shuffles on custkey once; the
+    # distribution agg is over at most |customers| rows.
+    t = register_tables(spark, sf_dir)
+    filtered = t["orders"].where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) counts
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape, DataFrame-composed: a base join filtered by a
+    # chained SEMI join (another supplier shipped in the same order)
+    # and a chained ANTI join (no other supplier's line in the order
+    # was returned) — the exists / not-exists pair correlated on the
+    # same fact table with an inequality on the correlation column.
+    # Spark plans both as one-pass hash semi/anti joins on l_orderkey;
+    # no subquery re-scan per row.
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    base = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        "l_returnflag",
+    )
+    exists_other = base.join(
+        other,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    not_exists_other_returned = exists_other.join(
+        other.where(F.col("l_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        not_exists_other_returned.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+        .limit(10)
+        .select(F.col("l_suppkey").alias("s_suppkey"), "numwait")
+    )
+
+
+_Q21_ORACLE = """
+SELECT l1.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
     "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
@@ -704,6 +807,8 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q10_returned_items": (_sql_query(_Q10), _Q10),
     "q18_large_orders": (_sql_query(_Q18), _Q18),
     "q1_pricing_summary": (_sql_query(_Q1), _Q1),
+    "q13_customer_distribution": (_q_q13_custdist, _Q13_ORACLE),
+    "q21_waiting_suppliers": (_q_q21_waiting_suppliers, _Q21_ORACLE),
     "q3_top_revenue": (
         _sql_query(
             _Q3.replace(
