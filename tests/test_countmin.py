@@ -128,3 +128,87 @@ def test_join_size_disjoint_keys_can_prove_empty(spark):
     # identical sketches joined with themselves: est >= true self-join
     [rs] = countmin_join_size(ska, ska, depth=D).collect()
     assert rs["cm_join_est"] >= 20
+
+
+# ---------------------------------------------------------------------------
+# One-permutation MinHash corpus sketch
+# ---------------------------------------------------------------------------
+
+from tfx_addons_feast_examplegen_spark.operators.sketches import (  # noqa: E402
+    minhash_corpus_overlap,
+    minhash_corpus_sketch,
+)
+
+
+def _corpora(spark, seed=7, n_docs=300, vocab=3000, shared_frac=0.5):
+    # Two corpora drawing shingle words from vocabularies with a known
+    # overlap fraction: corpus A uses words [0, vocab), corpus B uses
+    # words [vocab*(1-shared_frac), vocab*(2-shared_frac)).
+    rng = random.Random(seed)
+    off = int(vocab * (1 - shared_frac))
+    rows = []
+    for i in range(n_docs):
+        words = [f"w{rng.randint(0, vocab - 1)}" for _ in range(40)]
+        rows.append(("A", " ".join(words)))
+        words = [f"w{off + rng.randint(0, vocab - 1)}" for _ in range(40)]
+        rows.append(("B", " ".join(words)))
+    return spark.createDataFrame(rows, "corpus: string, text: string")
+
+
+def test_minhash_overlap_estimates_planted_jaccard(spark):
+    df = _corpora(spark)
+    sk = minhash_corpus_sketch(df, "corpus", "text", k=256, shingle_n=1)
+    # exact Jaccard of the distinct unigram sets, computed brute-force
+    rows = df.collect()
+    sets = {"A": set(), "B": set()}
+    for r in rows:
+        sets[r["corpus"]] |= set(r["text"].lower().split(" "))
+    true_j = len(sets["A"] & sets["B"]) / len(sets["A"] | sets["B"])
+    est = minhash_corpus_overlap(sk, "corpus").collect()
+    assert len(est) == 1
+    r = est[0]
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    assert r["matched"] <= r["both_filled"] <= 256
+    # k=256, |A∪B| >> k (the documented operating regime):
+    # s.e. ~ sqrt(J(1-J)/k) ~ 0.03; allow ~3 sigma
+    assert abs(r["jaccard_e4"] - true_j) < 0.09, (r["jaccard_e4"], true_j)
+
+
+def test_minhash_sketch_is_mergeable_cellwise(spark):
+    df = _corpora(spark, seed=9)
+    whole = minhash_corpus_sketch(df, "corpus", "text", k=64)
+    half1 = minhash_corpus_sketch(df.limit(80), "corpus", "text", k=64)
+    half2 = minhash_corpus_sketch(
+        df.subtract(df.limit(80)), "corpus", "text", k=64
+    )
+    # subtract() drops duplicate rows the limit kept once — min is
+    # duplicate-insensitive, so the merged minima still equal whole's
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("corpus", "bucket")
+        .agg(F.min("min_h").alias("min_h"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_minhash_identical_corpora_match_every_bucket(spark):
+    rows = [("X", "a b c d e f g"), ("Y", "a b c d e f g")]
+    df = spark.createDataFrame(rows, "corpus: string, text: string")
+    est = minhash_corpus_overlap(
+        minhash_corpus_sketch(df, "corpus", "text", k=32, shingle_n=2),
+        "corpus",
+    ).collect()
+    assert len(est) == 1
+    r = est[0]
+    assert r["matched"] == r["both_filled"] == r["filled_a"] == r["filled_b"]
+    assert r["jaccard_e4"] == 1.0
+
+
+def test_minhash_param_validation(spark):
+    df = spark.createDataFrame([("A", "x y z")], "corpus: string, text: string")
+    with pytest.raises(ValueError):
+        minhash_corpus_sketch(df, "corpus", "text", k=0)
+    with pytest.raises(ValueError):
+        minhash_corpus_sketch(df, "corpus", "text", shingle_n=0)

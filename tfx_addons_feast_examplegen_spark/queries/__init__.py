@@ -229,6 +229,7 @@ _ENTRY_ORDER = [
     "interval_overlap_join",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    "sketch_corpus_overlap",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -290,7 +291,11 @@ _DRIVER_PRIORITY = [
     "stratified_sample",
     "stream_static_enrichment",
     "stream_stream_join",
-    "stream_stream_left_join",
+    # stream_stream_left_join displaced by sketch_corpus_overlap: the
+    # left-outer variant of stream_stream_join (kept above) — the
+    # shared stateful-join machinery re-attests via the inner variant
+    # and the outer miss path stays pytest-covered. Moves to the head
+    # of the r11 plan.
     "temperature_mix",
     "text_heavy_hitters",
     "udtf_split_sentences",
@@ -346,6 +351,7 @@ _DRIVER_PRIORITY = [
     "interval_overlap_join",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    "sketch_corpus_overlap",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST
     # latest_feature_snapshot (displaced by this session's new entries,
     # see cohort note above), THEN the

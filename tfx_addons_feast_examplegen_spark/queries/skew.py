@@ -395,8 +395,65 @@ FROM exact, est
 """
 
 
+def _q_sketch_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-permutation MinHash corpus sketches (Li/Owen/Zhang 2012):
+    # estimate pairwise corpus Jaccard WITHOUT a shingle join — each
+    # corpus collapses to <= k (bucket, min-hash) rows in one map-side-
+    # combinable pass (min is duplicate-insensitive, so no distinct
+    # shuffles either), and overlap is a broadcast join of k-row
+    # frames. The shingle hash is the portable 60-bit md5 fingerprint,
+    # so the oracle replays the ENTIRE sketch arithmetic: bucketing,
+    # minima, co-filled counts, matched minima, the estimator ratio.
+    from ..operators.sketches import (
+        minhash_corpus_overlap,
+        minhash_corpus_sketch,
+    )
+
+    t = register_tables(spark, sf_dir)
+    sk = minhash_corpus_sketch(
+        t["documents"].select("lang", "text"), "lang", "text", k=256,
+        shingle_n=3,
+    )
+    return minhash_corpus_overlap(sk, "lang")
+
+
+_SKETCH_CORPUS_OVERLAP_ORACLE = """
+WITH t AS (
+  SELECT lang, string_split(lower(text), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT lang, array_to_string(w[i:i+2], ' ') AS s
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+hv AS (
+  SELECT lang, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh
+),
+sk AS (SELECT lang, h % 256 AS bucket, MIN(h) AS min_h FROM hv GROUP BY 1, 2),
+filled AS (SELECT lang, CAST(count(*) AS BIGINT) AS f FROM sk GROUP BY 1),
+pair AS (
+  SELECT a.lang AS group_a, b.lang AS group_b,
+         CAST(count(*) AS BIGINT) AS both_filled,
+         CAST(SUM(CASE WHEN a.min_h = b.min_h THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched
+  FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT p.group_a, p.group_b, fa.f AS filled_a, fb.f AS filled_b,
+       p.both_filled, p.matched,
+       round(p.matched * 1.0 / p.both_filled, 4) AS jaccard_e4
+FROM pair p
+JOIN filled fa ON fa.lang = p.group_a
+JOIN filled fb ON fb.lang = p.group_b
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "skew_salted_agg": (_q_salted_agg, _SALTED_AGG_ORACLE),
+    "sketch_corpus_overlap": (
+        _q_sketch_corpus_overlap,
+        _SKETCH_CORPUS_OVERLAP_ORACLE,
+    ),
     "bloom_prejoin_filter": (_q_bloom_prejoin, _BLOOM_PREJOIN_ORACLE),
     "sketch_distinct_counts": (_q_sketch_distinct, _SKETCH_DISTINCT_ORACLE),
     "sketch_quantiles": (_q_sketch_quantiles, _SKETCH_QUANTILES_ORACLE),
