@@ -4289,3 +4289,234 @@ def sample_frames(
             f"greatest(cast(n_bytes div {n_frames} as int), 1))"
         ).alias("frame_payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-duplicate detection: difference hash (dHash) over decoded
+# pixels, banded Hamming self-join
+# ---------------------------------------------------------------------------
+
+IMAGE_GRAY_SCHEMA = "doc_id long, width int, height int, gray array<int>"
+
+# Canonical dHash frame: 9 columns x 8 rows -> 8 comparisons per row,
+# 64 bits total (Krawetz's difference hash — public algorithm).
+DHASH_W, DHASH_H = 9, 8
+
+
+def attach_bmp_neardup_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real 9x8 grayscale BMP per row with PLANTED
+    near-duplicates.
+
+    Pixel bytes are md5-derived so an external SQL engine replays them
+    exactly: ``v(base, p) = int(md5(f"{base}-{p}")[:2], 16)`` for
+    ``p in [0, 72)``, written as (v, v, v). Every ``doc_id % 10 == 1``
+    row re-renders its neighbor's content (``base = doc_id - 1``)
+    perturbed at p=0 and p=31 by +96 mod 256 — p=0 participates in one
+    dHash comparison and p=31 in two, so each planted pair sits within
+    Hamming distance 3 of its base by construction. All other image
+    pairs get independent md5 pixel noise (expected Hamming ~32; the
+    probability any lands <= 3 is ~2.4e-15 per pair)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                dup = did % 10 == 1
+                base = did - 1 if dup else did
+                vals = [
+                    int(
+                        hashlib.md5(f"{base}-{p}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for p in range(DHASH_W * DHASH_H)
+                ]
+                if dup:
+                    vals[0] = (vals[0] + 96) % 256
+                    vals[31] = (vals[31] + 96) % 256
+                payloads.append(
+                    encode_bmp_24(
+                        DHASH_W, DHASH_H, [(v, v, v) for v in vals]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "image/bmp",
+                    "width": DHASH_W,
+                    "height": DHASH_H,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+
+
+def extract_image_gray(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """Decode stage -> per-image grayscale vector (row-major,
+    ``(r + g + b) // 3`` integer mean), via the same magic-byte
+    sniffing decoders and quarantine policy as
+    :func:`extract_image_stats`. The payload column is consumed here —
+    downstream hashing sees width/height and a small int array only.
+    """
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
+
+    def _pixels(b: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+        if b[:2] == b"BM":
+            return decode_bmp_24_pixels(b)
+        if b[: len(_PNG_SIG)] == _PNG_SIG:
+            return decode_png_rgb8_pixels(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_rgb8_pixels(b)
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff_rgb8_pixels(b)
+        if b[:2] == b"\xff\xd8":
+            return decode_jpeg_pixels(b)
+        raise ValueError(
+            "unrecognized image payload (not BMP/PNG/GIF/TIFF/JPEG)"
+        )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, grays = [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = _pixels(bytes(p))
+                    g = [(r + gg + b) // 3 for r, gg, b in px]
+                except (ValueError, struct.error):
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    w, h, g = None, None, None
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                grays.append(g)
+            if not ids:
+                # an all-skipped batch must not yield: an empty pandas
+                # frame types 'gray' as float64, which Arrow cannot
+                # cast to list<int>
+                continue
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "gray": grays}
+            )
+
+    return media_df.mapInPandas(_decode, schema=IMAGE_GRAY_SCHEMA)
+
+
+def image_dhash_bands(gray_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Difference hash from a 9x8 grayscale frame, as FOUR 16-bit band
+    values (b0..b3) — the banding IS the output representation, so the
+    pigeonhole join needs no bit-slicing later and no value ever nears
+    the 64-bit sign bit.
+
+    Bit ``b = y*8 + c`` (row-major comparisons) is set iff
+    ``gray[y*9 + c] < gray[y*9 + c + 1]``; band ``bc`` packs bits
+    ``[16c, 16c+16)``. All bit arithmetic is a single JVM-side
+    expression per band inside whole-stage codegen — Python touched
+    the bytes once, in the decode stage. Inputs must be exactly 9x8
+    (resample upstream with ``resize_images``); anything else fails
+    in-plan, not silently.
+    """
+    ok = (F.col("width") == DHASH_W) & (F.col("height") == DHASH_H)
+    guard = F.when(
+        F.assert_true(
+            ok,
+            F.concat(
+                F.lit("image_dhash_bands: expected 9x8 grayscale frame, got "),
+                F.col("width").cast("string"),
+                F.lit("x"),
+                F.col("height").cast("string"),
+            ),
+        ).isNull(),
+        F.col("gray"),
+    )
+    bands = []
+    for c in range(4):
+        terms = []
+        for j in range(16):
+            b = 16 * c + j
+            y, cx = divmod(b, 8)
+            i = y * DHASH_W + cx + 1  # element_at is 1-based
+            terms.append(
+                f"(CASE WHEN element_at(__g, {i}) < element_at(__g, {i + 1})"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        bands.append(
+            F.expr(" + ".join(terms)).cast("long").alias(f"b{c}")
+        )
+    return gray_df.select(
+        F.col(id_col), guard.alias("__g")
+    ).select(F.col(id_col), *bands)
+
+
+def image_dhash_neardups(
+    gray_df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    observation=None,
+    on_over_cap: str = "error",
+) -> DataFrame:
+    """Image near-duplicate pairs with dHash Hamming distance <=
+    ``max_hamming``: (doc_a, doc_b, hamming).
+
+    Same pigeonhole contract as the SimHash text path
+    (`operators/dedup.py`): 4 exact-match bands of 16 bits guarantee
+    any pair within Hamming 3 shares at least one band, so candidates
+    come from a capped self-equi-join on (band_id, band_value) — never
+    an all-pairs scan. ``on_over_cap`` defaults to ``"error"`` because
+    the pigeonhole recall contract forbids silent drops; a corpus with
+    a boilerplate band (solid-color thumbnails) should surface it, and
+    the caller can switch to ``observation`` + ``"drop"`` knowingly.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4x16-bit pigeonhole): {max_hamming}"
+        )
+    from .dedup import _bucket_pairs
+
+    hashed = image_dhash_bands(gray_df, id_col)
+    payload = F.struct(
+        F.col(id_col).alias("id"),
+        *[F.col(f"b{c}").alias(f"b{c}") for c in range(4)],
+    ).alias("__idh")
+    banded = hashed.select(
+        payload,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("band_id"), F.col(f"b{c}").alias("band")
+                )
+                for c in range(4)
+            ])
+        ).alias("c"),
+    ).select("__idh", F.col("c.band_id"), F.col("c.band"))
+    cand = _bucket_pairs(
+        banded,
+        ["band_id", "band"],
+        "__idh",
+        max_size=max_bucket,
+        observation=observation,
+        on_over_cap=on_over_cap,
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"doc_a.b{c}").bitwiseXOR(F.col(f"doc_b.b{c}"))
+        )
+        for c in range(4)
+    )
+    return (
+        cand.filter(hamming <= max_hamming)
+        .select(
+            F.col("doc_a.id").alias("doc_a"),
+            F.col("doc_b.id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -230,6 +230,7 @@ _ENTRY_ORDER = [
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "sketch_corpus_overlap",
+    "multimodal_image_dhash_neardup",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -272,7 +273,10 @@ _DRIVER_PRIORITY = [
     # round inside every pit_join* hash (SURVEY J3, driver-r9), making
     # it the lowest-information re-attestation left in the cohort; it
     # moves to the head of the r11 plan.
-    "negative_sample",
+    # negative_sample displaced by multimodal_image_dhash_neardup: its
+    # fingerprint-bucket draw machinery is r5-green with zero code
+    # drift since (per the ledger), the next lowest-information
+    # re-attestation; it joins the head of the r11 plan.
     "param_substitution",
     "pii_redaction",
     "pit_join_composite_key",
@@ -352,6 +356,7 @@ _DRIVER_PRIORITY = [
     "q13_customer_distribution",
     "q21_waiting_suppliers",
     "sketch_corpus_overlap",
+    "multimodal_image_dhash_neardup",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST
     # latest_feature_snapshot (displaced by this session's new entries,
     # see cohort note above), THEN the

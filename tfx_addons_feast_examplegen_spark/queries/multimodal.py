@@ -474,8 +474,80 @@ FROM s GROUP BY doc_id
 """
 
 
+def _q_multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IMAGE near-dup detection end-to-end through the real codec
+    # boundary: decode 9x8 grayscale BMPs (md5-derived pixel content
+    # with planted neighbor-duplicates for doc_id % 10 == 1), compute
+    # the 64-bit difference hash as four JVM-side 16-bit bands, and
+    # find all pairs within Hamming 3 via the capped pigeonhole
+    # self-join — never an all-pairs scan. The oracle replays pixels,
+    # hash bits AND the pair search from the closed form, brute-force
+    # (a different algorithm meeting the same answer).
+    from ..operators.multimodal import (
+        attach_bmp_neardup_payloads,
+        extract_image_gray,
+        image_dhash_neardups,
+    )
+
+    t = register_tables(spark, sf_dir)
+    gray = extract_image_gray(attach_bmp_neardup_payloads(t["documents"]))
+    return image_dhash_neardups(gray, max_hamming=3, on_over_cap="error")
+
+
+_MULTIMODAL_DHASH_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1 ELSE d.doc_id END
+           AS base,
+         d.doc_id % 10 = 1 AS dup, p.p
+  FROM documents d, LATERAL (SELECT unnest(range(0, 72)) AS p) p
+),
+v AS (
+  SELECT doc_id, p,
+    CASE WHEN dup AND (p = 0 OR p = 31)
+      THEN (('0x' || substr(md5(base || '-' || p), 1, 2))::INTEGER + 96) % 256
+      ELSE ('0x' || substr(md5(base || '-' || p), 1, 2))::INTEGER
+    END AS v
+  FROM px
+),
+bits AS (
+  SELECT l.doc_id, (l.p // 9) * 8 + (l.p % 9) AS b
+  FROM v l JOIN v r ON r.doc_id = l.doc_id AND r.p = l.p + 1
+  WHERE l.p % 9 < 8 AND l.v < r.v
+),
+bands AS (
+  SELECT doc_id,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 0 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b0,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 1 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b1,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 2 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b2,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 3 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id
+),
+allb AS (
+  SELECT d.doc_id, COALESCE(b0, 0) AS b0, COALESCE(b1, 0) AS b1,
+         COALESCE(b2, 0) AS b2, COALESCE(b3, 0) AS b3
+  FROM documents d LEFT JOIN bands USING (doc_id)
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          AS INTEGER) AS hamming
+FROM allb x JOIN allb y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "multimodal_image_dhash_neardup": (
+        _q_multimodal_dhash_neardup,
+        _MULTIMODAL_DHASH_ORACLE,
+    ),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
     "multimodal_image_gif": (_q_multimodal_gif, _MULTIMODAL_ORACLE),
     "multimodal_image_tiff": (_q_multimodal_tiff, _MULTIMODAL_ORACLE),
