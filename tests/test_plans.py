@@ -286,3 +286,48 @@ def test_token_budget_full_bucket_path_is_filter_only(spark, sf_dir):
     text = plan_text(sel)
     assert "Window" not in text, text
     assert "Sort" not in text, text
+
+
+def test_interval_overlap_join_plan(qs, spark, sf_dir):
+    # both-sides binned equi-join: never a nested loop / cartesian, and
+    # the scans push their IsNotNull filters
+    s = _summary(qs, spark, sf_dir, "interval_overlap_join")
+    assert s["nested_loop_joins"] == 0, s
+    assert s["exchanges"] <= 3, s
+    assert any(s["pushed_filters"]), s
+
+
+def test_q13_plan_no_nested_loop(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "q13_customer_distribution")
+    assert s["nested_loop_joins"] == 0, s
+    # outer join + two aggregations: bounded exchanges
+    assert s["exchanges"] <= 4, s
+
+
+def test_q21_plan_hash_semi_anti_only(qs, spark, sf_dir):
+    # the exists / not-exists chain must plan as one-pass hash
+    # semi/anti joins, not per-row subquery rescans or nested loops
+    s = _summary(qs, spark, sf_dir, "q21_waiting_suppliers")
+    assert s["nested_loop_joins"] == 0, s
+    assert (
+        s["broadcast_hash_joins"] + s["sort_merge_joins"] >= 3
+    ), s
+    assert any(s["pushed_filters"]), s
+
+
+def test_sketch_corpus_overlap_plan(qs, spark, sf_dir):
+    # sketch build: one map-side-combinable min aggregate; overlap: k-row
+    # broadcast joins. No sort-merge join may ever touch the shingle
+    # stream, and nothing nested-loops.
+    s = _summary(qs, spark, sf_dir, "sketch_corpus_overlap")
+    assert s["nested_loop_joins"] == 0, s
+    assert s["broadcast_hash_joins"] >= 2, s
+    assert s["sort_merge_joins"] <= 1, s
+
+
+def test_dhash_neardup_plan_banded_not_allpairs(qs, spark, sf_dir):
+    # the pair source must be the banded self-equi-join (shared shuffle
+    # subtree), never a cartesian / nested loop over images
+    s = _summary(qs, spark, sf_dir, "multimodal_image_dhash_neardup")
+    assert s["nested_loop_joins"] == 0, s
+    assert s["exchanges"] <= 8, s
