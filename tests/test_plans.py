@@ -331,3 +331,9 @@ def test_dhash_neardup_plan_banded_not_allpairs(qs, spark, sf_dir):
     s = _summary(qs, spark, sf_dir, "multimodal_image_dhash_neardup")
     assert s["nested_loop_joins"] == 0, s
     assert s["exchanges"] <= 8, s
+
+
+def test_audio_fingerprint_neardup_plan_banded_not_allpairs(qs, spark, sf_dir):
+    s = _summary(qs, spark, sf_dir, "multimodal_audio_fingerprint_neardup")
+    assert s["nested_loop_joins"] == 0, s
+    assert s["exchanges"] <= 8, s

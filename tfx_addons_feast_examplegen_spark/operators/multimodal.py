@@ -4475,13 +4475,37 @@ def image_dhash_neardups(
     a boilerplate band (solid-color thumbnails) should surface it, and
     the caller can switch to ``observation`` + ``"drop"`` knowingly.
     """
+    hashed = image_dhash_bands(gray_df, id_col)
+    return _banded_hamming_pairs(
+        hashed,
+        id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        observation=observation,
+        on_over_cap=on_over_cap,
+    )
+
+
+def _banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    *,
+    max_hamming: int,
+    max_bucket: int,
+    observation,
+    on_over_cap: str,
+) -> DataFrame:
+    """Pairs within Hamming ``max_hamming`` of a 64-bit fingerprint
+    held as four 16-bit band columns b0..b3 — the shared join tail of
+    the image-dHash and audio-fingerprint near-dup operators. 4 bands
+    pigeonhole Hamming <= 3; candidates come from the capped
+    self-equi-join on (band_id, band), never an all-pairs scan."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"max_hamming must be in [0, 3] (4x16-bit pigeonhole): {max_hamming}"
         )
     from .dedup import _bucket_pairs
 
-    hashed = image_dhash_bands(gray_df, id_col)
     payload = F.struct(
         F.col(id_col).alias("id"),
         *[F.col(f"b{c}").alias(f"b{c}") for c in range(4)],
@@ -4519,4 +4543,209 @@ def image_dhash_neardups(
             hamming.cast("int").alias("hamming"),
         )
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate detection: frame-energy delta fingerprint over
+# decoded PCM16 samples — the audio leg of the modality triplet
+# (SimHash text / dHash image / this)
+# ---------------------------------------------------------------------------
+
+AUDIO_ENERGY_SCHEMA = "doc_id long, n_frames int, energies array<long>"
+
+# 65 frames of 4 samples -> 64 energy deltas -> a 64-bit fingerprint,
+# same band layout as dHash (Haitsma-Kalker-style sign-of-change
+# fingerprint reduced to frame energy — public technique).
+AFP_FRAME_LEN = 4
+AFP_N_FRAMES = 65
+AFP_MIN_SAMPLES = AFP_FRAME_LEN * AFP_N_FRAMES
+
+
+def decode_wav_pcm16_samples(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a PCM16 mono WAV into (sample_rate, samples) — the
+    sample-returning twin of :func:`decode_wav_pcm16` (which aggregates
+    to stats in-decoder and stays the cheap path for stats-only
+    consumers). Same RIFF chunk walk, same fail-loud truncation rules.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + sz > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {sz} bytes, "
+                f"{len(payload) - pos - 8} present"
+            )
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code != 1 or bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def attach_wav_neardup_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter: one real PCM16 mono WAV per row (260 samples)
+    with PLANTED near-duplicates. Samples are md5-derived
+    (``s(base, i) = int(md5(f"a{base}-{i}")[:4], 16) - 32768``); every
+    ``doc_id % 10 == 1`` row re-renders its neighbor's samples
+    (``base = doc_id - 1``) with sample 30 shifted by +24000 (mod the
+    16-bit ring) — one sample sits in one frame, so at most the two
+    deltas touching frame 7 flip: each planted pair is within Hamming 2
+    of its base by construction."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                dup = did % 10 == 1
+                base = did - 1 if dup else did
+                samples = [
+                    int(
+                        hashlib.md5(f"a{base}-{i}".encode()).hexdigest()[:4],
+                        16,
+                    )
+                    - 32768
+                    for i in range(AFP_MIN_SAMPLES)
+                ]
+                if dup:
+                    samples[30] = (
+                        (samples[30] + 32768 + 24000) % 65536
+                    ) - 32768
+                payloads.append(encode_wav_pcm16(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "format": "audio/wav",
+                    "n_samples": AFP_MIN_SAMPLES,
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _gen,
+        schema="doc_id long, payload binary, format string, n_samples int",
+    )
+
+
+def extract_audio_frame_energies(
+    media_df: DataFrame, *, on_error: str = "error"
+) -> DataFrame:
+    """Decode stage -> per-clip frame-energy vector: sum of squared
+    PCM16 samples over each of the first ``AFP_N_FRAMES`` frames of
+    ``AFP_FRAME_LEN`` samples (exact integers — 4·32768² fits easily in
+    64 bits). A clip shorter than ``AFP_MIN_SAMPLES`` is a DATA error
+    (quarantine-eligible under the same explicit policy as the image
+    extractors); the payload is consumed here."""
+    if on_error not in ("error", "null", "skip"):
+        raise ValueError("on_error must be 'error', 'null' or 'skip'")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, es = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _rate, samples = decode_wav_pcm16_samples(bytes(p))
+                    if len(samples) < AFP_MIN_SAMPLES:
+                        raise ValueError(
+                            f"clip too short for fingerprint: "
+                            f"{len(samples)} < {AFP_MIN_SAMPLES} samples"
+                        )
+                    e = [
+                        sum(
+                            s * s
+                            for s in samples[
+                                f * AFP_FRAME_LEN : (f + 1) * AFP_FRAME_LEN
+                            ]
+                        )
+                        for f in range(AFP_N_FRAMES)
+                    ]
+                    n = AFP_N_FRAMES
+                except (ValueError, struct.error):
+                    if on_error == "error":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    n, e = None, None
+                ids.append(did)
+                nf.append(n)
+                es.append(e)
+            if not ids:
+                continue  # see extract_image_gray: empty frames mistype
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames": nf, "energies": es}
+            )
+
+    return media_df.mapInPandas(_decode, schema=AUDIO_ENERGY_SCHEMA)
+
+
+def audio_fingerprint_bands(
+    energy_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit energy-delta fingerprint as four 16-bit bands: bit ``b``
+    is set iff ``energies[b] < energies[b+1]`` (0-based) — the
+    sign-of-change sequence, robust to level scaling just like dHash is
+    to brightness. JVM-side expressions only."""
+    ok = F.col("n_frames") == AFP_N_FRAMES
+    guard = F.when(
+        F.assert_true(
+            ok,
+            F.concat(
+                F.lit(
+                    f"audio_fingerprint_bands: expected {AFP_N_FRAMES}"
+                    f" frames, got "
+                ),
+                F.col("n_frames").cast("string"),
+            ),
+        ).isNull(),
+        F.col("energies"),
+    )
+    bands = []
+    for c in range(4):
+        terms = []
+        for j in range(16):
+            b = 16 * c + j
+            terms.append(
+                f"(CASE WHEN element_at(__e, {b + 1})"
+                f" < element_at(__e, {b + 2})"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        bands.append(F.expr(" + ".join(terms)).cast("long").alias(f"b{c}"))
+    return energy_df.select(
+        F.col(id_col), guard.alias("__e")
+    ).select(F.col(id_col), *bands)
+
+
+def audio_fingerprint_neardups(
+    energy_df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    observation=None,
+    on_over_cap: str = "error",
+) -> DataFrame:
+    """Audio near-duplicate pairs with fingerprint Hamming distance <=
+    ``max_hamming``: (doc_a, doc_b, hamming). Shares the capped
+    pigeonhole band join with the image path — see
+    :func:`_banded_hamming_pairs` for the recall contract."""
+    hashed = audio_fingerprint_bands(energy_df, id_col)
+    return _banded_hamming_pairs(
+        hashed,
+        id_col,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        observation=observation,
+        on_over_cap=on_over_cap,
     )

@@ -231,6 +231,7 @@ _ENTRY_ORDER = [
     "q21_waiting_suppliers",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
+    "multimodal_audio_fingerprint_neardup",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -300,7 +301,11 @@ _DRIVER_PRIORITY = [
     # shared stateful-join machinery re-attests via the inner variant
     # and the outer miss path stays pytest-covered. Moves to the head
     # of the r11 plan.
-    "temperature_mix",
+    # temperature_mix displaced by multimodal_audio_fingerprint_neardup:
+    # its sampling gate is the same fingerprint_bucket primitive
+    # attested driver-r9 via three_way_split_counts; only the per-group
+    # rate arithmetic is unique and that is r5-green with zero drift.
+    # Joins the head of the r11 plan.
     "text_heavy_hitters",
     "udtf_split_sentences",
     "windowed_event_counts_streaming",
@@ -357,6 +362,7 @@ _DRIVER_PRIORITY = [
     "q21_waiting_suppliers",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
+    "multimodal_audio_fingerprint_neardup",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST
     # latest_feature_snapshot (displaced by this session's new entries,
     # see cohort note above), THEN the

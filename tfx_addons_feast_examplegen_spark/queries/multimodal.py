@@ -542,11 +542,94 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 """
 
 
+def _q_multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # AUDIO near-dup detection end-to-end through the real WAV decode:
+    # 260-sample PCM16 clips (md5-derived samples, planted neighbor-
+    # duplicates with one shifted sample for doc_id % 10 == 1), frame
+    # energies in the decode stage, the 64-bit energy-delta fingerprint
+    # as JVM-side band expressions, pairs via the shared capped
+    # pigeonhole join. The oracle replays samples, energies, bits AND a
+    # brute-force pair search from the closed form.
+    from ..operators.multimodal import (
+        attach_wav_neardup_payloads,
+        audio_fingerprint_neardups,
+        extract_audio_frame_energies,
+    )
+
+    t = register_tables(spark, sf_dir)
+    energies = extract_audio_frame_energies(
+        attach_wav_neardup_payloads(t["documents"])
+    )
+    return audio_fingerprint_neardups(
+        energies, max_hamming=3, on_over_cap="error"
+    )
+
+
+_MULTIMODAL_AUDIO_FP_ORACLE = """
+WITH raw AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1 ELSE d.doc_id END
+           AS base,
+         d.doc_id % 10 = 1 AS dup, i.i
+  FROM documents d, LATERAL (SELECT unnest(range(0, 260)) AS i) i
+),
+s AS (
+  SELECT doc_id, i,
+    CASE WHEN dup AND i = 30
+      THEN (('0x' || substr(md5('a' || base || '-' || i), 1, 4))::INTEGER
+            + 24000) % 65536 - 32768
+      ELSE ('0x' || substr(md5('a' || base || '-' || i), 1, 4))::INTEGER
+           - 32768
+    END AS v
+  FROM raw
+),
+e AS (
+  SELECT doc_id, i // 4 AS f, SUM(CAST(v AS BIGINT) * v) AS energy
+  FROM s GROUP BY 1, 2
+),
+bits AS (
+  SELECT l.doc_id, l.f AS b
+  FROM e l JOIN e r ON r.doc_id = l.doc_id AND r.f = l.f + 1
+  WHERE l.f < 64 AND l.energy < r.energy
+),
+bands AS (
+  SELECT doc_id,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 0 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b0,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 1 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b1,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 2 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b2,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 3 THEN 1 << (b % 16) END), 0)
+         AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id
+),
+allb AS (
+  SELECT d.doc_id, COALESCE(b0, 0) AS b0, COALESCE(b1, 0) AS b1,
+         COALESCE(b2, 0) AS b2, COALESCE(b3, 0) AS b3
+  FROM documents d LEFT JOIN bands USING (doc_id)
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+          AS INTEGER) AS hamming
+FROM allb x JOIN allb y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
     "multimodal_image_dhash_neardup": (
         _q_multimodal_dhash_neardup,
         _MULTIMODAL_DHASH_ORACLE,
+    ),
+    "multimodal_audio_fingerprint_neardup": (
+        _q_multimodal_audio_fingerprint,
+        _MULTIMODAL_AUDIO_FP_ORACLE,
     ),
     "multimodal_image_png": (_q_multimodal_png, _MULTIMODAL_ORACLE),
     "multimodal_image_gif": (_q_multimodal_gif, _MULTIMODAL_ORACLE),
