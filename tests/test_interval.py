@@ -163,3 +163,51 @@ def test_no_nested_loop_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_auto_bin_width_equals_explicit_results(spark):
+    p, v, _, exp = _fixture(spark)
+    auto = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            p, v, ts="ts", lo="lo", hi="hi", bin_width="auto"
+        ).collect()
+    }
+    assert auto == exp
+    l, r, oexp = _overlap_fixture(spark)
+    got = {
+        (row["lid"], row["rid"])
+        for row in interval_overlap_join(
+            l, r, lo_l="lo", hi_l="hi", lo_r="rlo", hi_r="rhi",
+            bin_width="auto",
+        ).collect()
+    }
+    assert got == oexp
+
+
+def test_auto_bin_width_picks_larger_median(spark):
+    from tfx_addons_feast_examplegen_spark.operators.interval import (
+        _auto_bin_width,
+    )
+
+    short = spark.createDataFrame(
+        [(i, 0, 10) for i in range(9)], "i: long, lo: long, hi: long"
+    )
+    long = spark.createDataFrame(
+        [(i, 0, 1000) for i in range(9)], "j: long, a: long, b: long"
+    )
+    assert _auto_bin_width((short, "lo", "hi")) == 10
+    assert _auto_bin_width((short, "lo", "hi"), (long, "a", "b")) == 1000
+    empty = spark.createDataFrame([], "k: long, x: long, y: long")
+    assert _auto_bin_width((empty, "x", "y")) == 1
+    degenerate = spark.createDataFrame(
+        [(1, 5, 5)], "k: long, x: long, y: long"
+    )
+    assert _auto_bin_width((degenerate, "x", "y")) == 1
+
+
+def test_bin_width_rejects_bad_values(spark):
+    p = spark.createDataFrame([(1, 5)], "pid: long, ts: long")
+    v = spark.createDataFrame([(1, 0, 9)], "iid: long, lo: long, hi: long")
+    with pytest.raises(ValueError, match="auto"):
+        point_in_interval_join(p, v, ts="ts", lo="lo", hi="hi", bin_width="med")

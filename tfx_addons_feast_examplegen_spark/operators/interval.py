@@ -37,6 +37,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Bounded sample size for bin_width="auto" (one extra aggregate job at
+# operator-BUILD time, never on the repeated query path — the same
+# philosophy as the as-of join's registry-time depth probe).
+_AUTO_SAMPLE_ROWS = 100_000
+
+
+def _auto_bin_width(*sides: tuple[DataFrame, str, str]) -> int:
+    """Median interval length over a bounded sample, maximized across
+    the given (df, lo, hi) sides.
+
+    The docstrings' manual guidance — "pick W near the median interval
+    length: smaller W inflates the build side, larger W packs unrelated
+    rows into shared bins" — as a measurement instead of a guess. Of
+    several sides (the overlap join replicates BOTH), the larger median
+    wins: it caps the longer side's replication factor at ~2× while the
+    shorter side's packing loss is bounded by the ratio of medians —
+    the probe's W-sweep (docs/BENCH_NOTES_r10.md) shows the penalty
+    curve is mild above the median and steep below it. Empty/degenerate
+    sides contribute nothing; all-empty falls back to 1 (the join is
+    empty anyway)."""
+    medians = []
+    for df, lo, hi in sides:
+        row = (
+            df.where(
+                F.col(lo).isNotNull()
+                & F.col(hi).isNotNull()
+                & (F.col(hi) > F.col(lo))
+            )
+            .select(
+                (F.col(hi).cast("bigint") - F.col(lo).cast("bigint")).alias(
+                    "__len"
+                )
+            )
+            .limit(_AUTO_SAMPLE_ROWS)
+            .agg(F.percentile_approx("__len", 0.5).alias("m"))
+            .collect()[0]
+        )
+        if row["m"] is not None:
+            medians.append(int(row["m"]))
+    return max(1, max(medians)) if medians else 1
+
 
 def point_in_interval_join(
     points: DataFrame,
@@ -45,7 +86,7 @@ def point_in_interval_join(
     ts: str,
     lo: str,
     hi: str,
-    bin_width: int,
+    bin_width: int | str,
     max_bins_per_interval: int = 10_000,
     how: str = "inner",
 ) -> DataFrame:
@@ -59,9 +100,15 @@ def point_in_interval_join(
     ``left_outer``, byte-identical duplicate point rows are treated as
     one by the miss path (the anti-join compares values) — carry a
     unique point id if duplicates must survive independently.
+
+    ``bin_width="auto"`` measures the interval side's median length
+    with one bounded build-time job (:func:`_auto_bin_width`) instead
+    of requiring the caller to know the data.
     """
-    if bin_width < 1:
-        raise ValueError(f"bin_width must be >= 1: {bin_width}")
+    if bin_width == "auto":
+        bin_width = _auto_bin_width((intervals, lo, hi))
+    if not isinstance(bin_width, int) or bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1 or 'auto': {bin_width}")
     if how not in ("inner", "left_outer"):
         raise ValueError(f"how must be inner or left_outer: {how!r}")
     overlap = set(points.columns) & set(intervals.columns)
@@ -127,7 +174,7 @@ def interval_overlap_join(
     hi_l: str,
     lo_r: str,
     hi_r: str,
-    bin_width: int,
+    bin_width: int | str,
     max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """All (left, right) interval pairs that OVERLAP: ``lo_l < hi_r AND
@@ -153,9 +200,13 @@ def interval_overlap_join(
     disjoint. Empty/invalid intervals (``hi <= lo``) and NULL bounds
     match nothing. The same ``max_bins_per_interval`` fail-fast guards
     both sides (no silent truncation of a degenerate open interval).
+    ``bin_width="auto"`` takes the larger of the two sides' measured
+    median lengths (see :func:`_auto_bin_width` for why larger wins).
     """
-    if bin_width < 1:
-        raise ValueError(f"bin_width must be >= 1: {bin_width}")
+    if bin_width == "auto":
+        bin_width = _auto_bin_width((left, lo_l, hi_l), (right, lo_r, hi_r))
+    if not isinstance(bin_width, int) or bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1 or 'auto': {bin_width}")
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"overlapping column names: {sorted(overlap)}")
