@@ -496,3 +496,115 @@ def test_token_budget_check_catches_offset_drop(spark, monkeypatch):
         num_buckets=4, sample_fraction=1.0,
     ).count()
     assert mutated > ok
+
+
+def test_dhash_oracle_catches_gray_rounding_mutation(spark, monkeypatch):
+    # Drift the grayscale mean by one ulp ((r+g+b+1)//3 instead of
+    # (r+g+b)//3 — the classic rounding-mode bug): decoded gray no
+    # longer equals the md5 closed form the driver oracle replays, so
+    # band values shift and the hash compare must go red. Verified by
+    # re-deriving the closed form here, exactly as the oracle does.
+    import hashlib as _hl
+
+    from tfx_addons_feast_examplegen_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = mm.attach_bmp_neardup_payloads(docs)
+
+    real = mm.decode_bmp_24_pixels
+
+    def drifted(payload):
+        w, h, px = real(payload)
+        # +1 on every channel of pixel 0: integer-mean gray of pixel 0
+        # moves by exactly 1 — the smallest decode drift possible
+        r, g, b = px[0]
+        px = [((r + 1) % 256, (g + 1) % 256, (b + 1) % 256)] + px[1:]
+        return w, h, px
+
+    monkeypatch.setattr(mm, "decode_bmp_24_pixels", drifted)
+    rows = mm.extract_image_gray(media).collect()
+
+    def closed_form(did):
+        dup = did % 10 == 1
+        base = did - 1 if dup else did
+        v = [
+            int(_hl.md5(f"{base}-{p}".encode()).hexdigest()[:2], 16)
+            for p in range(72)
+        ]
+        if dup:
+            v[0] = (v[0] + 96) % 256
+            v[31] = (v[31] + 96) % 256
+        return v
+
+    diverged = [
+        r["doc_id"]
+        for r in rows
+        if list(r["gray"]) != closed_form(r["doc_id"])
+    ]
+    assert len(diverged) == 12, diverged  # every image drifts -> red
+
+
+def test_audio_fp_oracle_catches_frame_offset_mutation(spark, monkeypatch):
+    # Start framing one sample late (the off-by-one a header walk
+    # invites): every frame energy changes, the fingerprint diverges
+    # from the closed form, and planted pairs are no longer guaranteed
+    # within Hamming 2 — the pair-set/hash compare goes red.
+    from tfx_addons_feast_examplegen_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = mm.attach_wav_neardup_payloads(docs)
+    baseline = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.audio_fingerprint_neardups(
+            mm.extract_audio_frame_energies(media)
+        ).collect()
+    }
+    assert {(a, b) for a, b, _ in baseline} == {
+        (i - 1, i) for i in range(1, 40) if i % 10 == 1
+    }
+
+    real = mm.decode_wav_pcm16_samples
+
+    def offset(payload):
+        rate, samples = real(payload)
+        return rate, samples[1:] + [0]
+
+    monkeypatch.setattr(mm, "decode_wav_pcm16_samples", offset)
+    mutated = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.audio_fingerprint_neardups(
+            mm.extract_audio_frame_energies(mm.attach_wav_neardup_payloads(docs))
+        ).collect()
+    }
+    # the perturbed sample now straddles different frames; hamming
+    # values (and with them the driver's value hash) change
+    assert mutated != baseline, mutated
+
+
+def test_corpus_sketch_oracle_catches_wrong_winner_mutation(spark, monkeypatch):
+    # Keep the MAX hash per bucket instead of the MIN (the wrong-winner
+    # bug an agg refactor invites). NB a bucket-relabel drift ((h+1)%k)
+    # would NOT redden this entry — matched counts are invariant under
+    # a consistent relabel — so the mutation must change WHICH element
+    # each bucket samples: max-wise sampling picks different shared/
+    # unshared winners, matched shifts, and the driver oracle (which
+    # replays min exactly) goes value-hash red. Proven by the output
+    # differing from the unmutated run on the same corpora.
+    from tfx_addons_feast_examplegen_spark.operators import sketches as sk
+
+    rows = [("A", f"x{i} y{i} z{i} w{i}") for i in range(200)] + [
+        ("B", f"x{i} y{i} z{i} w{i}") for i in range(100, 300)
+    ]
+    df = spark.createDataFrame(rows, "corpus: string, text: string")
+    base = sk.minhash_corpus_overlap(
+        sk.minhash_corpus_sketch(df, "corpus", "text", k=64), "corpus"
+    ).collect()[0]
+
+    monkeypatch.setattr(sk.F, "min", sk.F.max)
+    mut = sk.minhash_corpus_overlap(
+        sk.minhash_corpus_sketch(df, "corpus", "text", k=64), "corpus"
+    ).collect()[0]
+    assert (base["matched"], base["jaccard_e4"]) != (
+        mut["matched"],
+        mut["jaccard_e4"],
+    ), (base, mut)
