@@ -192,6 +192,14 @@ def minhash_corpus_overlap(
     |A∪B| ≈ 16·k with k=256). Real corpora are always in the second
     regime; shrink k, not the corpus, if in doubt.
     """
+    # The sketch frame is consumed three times (both join sides + the
+    # filled counts); left lazy, each consumer would re-run the corpus
+    # scan + shingle explode. Pin it (eager localCheckpoint — the frame
+    # is ≤ k rows per group by construction) so the corpus is read
+    # exactly once.
+    from .dedup import _pin
+
+    sketch = _pin(sketch)
     g = group_col
     a = sketch.select(
         F.col(g).alias("group_a"), "bucket", F.col("min_h").alias("__ma")
