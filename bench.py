@@ -83,6 +83,14 @@ EXTENDED = [
     "similarity_ann_indexed",
     "bm25_ranked_search",
     "multimodal_image_jpeg",
+    # round-10 second-continuation additions: the image/audio
+    # fingerprint near-dup paths (decode + band hash + pigeonhole
+    # join), the one-pass corpus-overlap sketch, and the binned
+    # interval-overlap join
+    "multimodal_image_dhash_neardup",
+    "multimodal_audio_fingerprint_neardup",
+    "sketch_corpus_overlap",
+    "interval_overlap_join",
 ]
 
 # The two indexed-ANN registry entries are equivalence/recall CONTRACTS
