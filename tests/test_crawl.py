@@ -94,3 +94,106 @@ def test_both_are_pure_projections(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# robots_filter — RFC 9309 longest-match via prefix-explode equi-join
+# ---------------------------------------------------------------------------
+
+from tfx_addons_feast_examplegen_spark.operators.crawl import (  # noqa: E402
+    robots_filter,
+)
+
+
+def _robots_fixture(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/docs/x"),
+            (2, "a.com", "/private/public/y"),
+            (3, "a.com", "/open/z"),
+            (4, "b.com", "/private/docs/x"),   # no rules for b.com
+            (5, "a.com", "/tie/path"),
+            (6, "a.com", None),                # NULL path: default allow
+        ],
+        "url_id: long, host: string, path: string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/private", False),
+            ("a.com", "/private/public", True),   # longer allow wins
+            ("a.com", "/tie", False),
+            ("a.com", "/tie", True),              # equal length: allow wins
+            ("a.com", "", False),                 # empty prefix ignored
+            ("a.com", None, True),                # NULL prefix ignored
+        ],
+        "host: string, prefix: string, allow: boolean",
+    )
+    return urls, rules
+
+
+def test_robots_longest_match_tie_and_default(spark):
+    urls, rules = _robots_fixture(spark)
+    rows = {r["url_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert rows[1]["allowed"] is False and rows[1]["rule_len"] == 8
+    assert rows[2]["allowed"] is True and rows[2]["rule_len"] == 15
+    assert rows[3]["allowed"] is True and rows[3]["rule_len"] is None
+    assert rows[4]["allowed"] is True and rows[4]["rule_len"] is None
+    assert rows[5]["allowed"] is True and rows[5]["rule_len"] == 4
+    assert rows[6]["allowed"] is True and rows[6]["rule_len"] is None
+    assert len(rows) == 6  # every URL exactly once
+
+
+def test_robots_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(17)
+    urls = [
+        (i, f"h{rng.randint(0, 3)}",
+         "/" + "/".join(rng.choice("abcd") for _ in range(rng.randint(1, 5))))
+        for i in range(200)
+    ]
+    rules = []
+    for h in range(4):
+        for _ in range(6):
+            depth = rng.randint(1, 3)
+            rules.append(
+                (f"h{h}",
+                 "/" + "/".join(rng.choice("abcd") for _ in range(depth)),
+                 rng.random() < 0.5)
+            )
+    u = spark.createDataFrame(urls, "url_id: long, host: string, path: string")
+    r = spark.createDataFrame(rules, "host: string, prefix: string, allow: boolean")
+    got = {row["url_id"]: row["allowed"] for row in robots_filter(u, r).collect()}
+    for uid, host, path in urls:
+        cand = [
+            (len(p), a)
+            for rh, p, a in rules
+            if rh == host and p and path.startswith(p)
+        ]
+        exp = max(cand)[1] if cand else True
+        assert got[uid] == exp, (uid, path, sorted(cand, reverse=True))
+
+
+def test_robots_path_cap_fails_loud(spark):
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/" + "x" * 50)], "url_id: long, host: string, path: string"
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/x", False)], "host: string, prefix: string, allow: boolean"
+    )
+    with pytest.raises(Exception, match="max_path_len"):
+        robots_filter(urls, rules, max_path_len=10).collect()
+    with pytest.raises(ValueError):
+        robots_filter(urls, rules, max_path_len=0)
+
+
+def test_robots_plan_no_nested_loop(spark):
+    urls, rules = _robots_fixture(spark)
+    plan = (
+        robots_filter(urls, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -119,3 +119,94 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_id: str = "url_id",
+    host: str = "host",
+    path: str = "path",
+    prefix: str = "prefix",
+    allow: str = "allow",
+    max_path_len: int = 256,
+) -> DataFrame:
+    """Robots-exclusion verdict per URL by the longest-matching-prefix
+    rule (the REP tie-break standardized in RFC 9309 §2.2.2: the most
+    specific — longest — matching rule wins; on equal length, allow
+    wins; a URL matching no rule is allowed).
+
+    The 100 TB shape: rules are per-host string prefixes, so the naive
+    spelling is a theta-join (host equality + ``starts_with``) whose
+    cost is |urls| × rules-per-host — LINEAR in the rule count of each
+    host, and the hot hosts are exactly the mega-sites with the
+    biggest robots files. This operator makes it an EXACT equi-join:
+    each URL explodes into its ≤ ``max_path_len`` character prefixes
+    (expression-only ``transform(sequence(...))``), rules join on
+    ``(host, prefix)`` by equality, and one ``max(struct(len, allow))``
+    aggregate per URL implements longest-wins + allow-on-tie. Cost is
+    |urls|·path_len + matches — FLAT in rules-per-host,
+    hash-partitioned, AQE-splittable. Measured at 1M URLs on one host
+    (docs/BENCH_NOTES_r10.md): theta 4.3 s at 5k rules but 90.7 s at
+    20k and 296 s at 80k; this operator 2.7–5.4 s at every rule count.
+    The theta form stays ~4× faster when every host has only dozens of
+    rules — use it only when rules-per-host is provably small. Paths
+    longer than ``max_path_len`` fail in-plan (a rule prefix longer
+    than the cap could otherwise silently never match its URL).
+
+    ``urls``: (url_id, host, path); ``rules``: (host, prefix, allow
+    boolean). Output: urls columns + ``allowed`` boolean +
+    ``rule_len`` (length of the winning rule's prefix; NULL when no
+    rule matched). NULL paths/prefixes never match.
+    """
+    if max_path_len < 1:
+        raise ValueError(f"max_path_len must be >= 1: {max_path_len}")
+    guarded_len = F.when(
+        F.assert_true(
+            F.length(F.col(path)) <= max_path_len,
+            F.concat(
+                F.lit(
+                    f"robots_filter: path longer than max_path_len="
+                    f"{max_path_len}: "
+                ),
+                F.col(path),
+            ),
+        ).isNull(),
+        F.length(F.col(path)),
+    )
+    pfx = urls.where(F.col(path).isNotNull()).select(
+        F.col(url_id),
+        F.col(host),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), guarded_len),
+                lambda i: F.col(path).substr(F.lit(1), i),
+            )
+        ).alias("__pfx"),
+    )
+    matches = pfx.join(
+        rules.where(
+            F.col(prefix).isNotNull() & (F.length(F.col(prefix)) > 0)
+        ).select(
+            F.col(host),
+            F.col(prefix).alias("__pfx"),
+            F.col(allow).cast("int").alias("__allow"),
+        ),
+        [host, "__pfx"],
+    )
+    verdict = matches.groupBy(url_id).agg(
+        F.max(
+            F.struct(
+                F.length("__pfx").alias("len"), F.col("__allow").alias("a")
+            )
+        ).alias("__win")
+    )
+    return (
+        urls.join(verdict, url_id, "left_outer")
+        .select(
+            *urls.columns,
+            F.coalesce(F.col("__win.a") == 1, F.lit(True)).alias("allowed"),
+            F.col("__win.len").alias("rule_len"),
+        )
+    )

@@ -232,6 +232,7 @@ _ENTRY_ORDER = [
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
+    "url_robots_filter",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -293,7 +294,10 @@ _DRIVER_PRIORITY = [
     "skew_salted_agg",
     "source_jsonl_roundtrip",
     "split_pattern_routing",
-    "stratified_sample",
+    # stratified_sample displaced by url_robots_filter: its per-stratum
+    # gate is the same fingerprint_bucket primitive attested driver-r9
+    # via three_way_split_counts (the temperature_mix argument); joins
+    # the head of the r11 plan.
     "stream_static_enrichment",
     "stream_stream_join",
     # stream_stream_left_join displaced by sketch_corpus_overlap: the
@@ -363,10 +367,18 @@ _DRIVER_PRIORITY = [
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
-    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST
-    # latest_feature_snapshot (displaced by this session's new entries,
-    # see cohort note above), THEN the
-    # six r5-vintage SQL-surface rows displaced by this continuation's
+    "url_robots_filter",
+    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
+    # seven r5-vintage rows displaced by the SECOND continuation
+    # session's seven new entries (interval_overlap_join,
+    # q13_customer_distribution, q21_waiting_suppliers,
+    # sketch_corpus_overlap, multimodal_image_dhash_neardup,
+    # multimodal_audio_fingerprint_neardup, url_robots_filter) —
+    # latest_feature_snapshot, similarity_ann_exhaustive,
+    # source_csv_roundtrip, stream_stream_left_join, negative_sample,
+    # temperature_mix, stratified_sample (displacement rationale at
+    # each freed slot above) — THEN the six r5-vintage SQL-surface rows
+    # displaced by the FIRST continuation's
     # eight new entries (fuzzy_editdist_pairs, dedup_segments,
     # token_budget_select, bpe_encode, sketch_countmin,
     # sketch_countmin_join, graph_bfs_levels,

@@ -969,8 +969,86 @@ FROM enc WHERE ri = 9
 """
 
 
+
+def _q_url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robots-exclusion verdicts by RFC 9309 longest-match: the rewrite
+    # explodes each URL path into its character prefixes and equi-joins
+    # rules on (host, prefix) - never a per-rule starts_with scan - and
+    # one max(struct(len, allow)) per URL implements longest-wins +
+    # allow-on-tie. Fixture rules exercise the disallow, the longer
+    # allow override, a same-length tie (allow must win) and the
+    # no-match default-allow path.
+    from ..operators.crawl import robots_filter
+
+    t = register_tables(spark, sf_dir)
+    urls = t["documents"].select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("/"), F.col("source"), F.lit("/"), F.col("lang"),
+            F.lit("/p"), F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = (
+        spark.range(7)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            F.explode(
+                F.expr(
+                    "array("
+                    "struct('/src1' AS prefix, false AS allow),"
+                    "struct('/src1/en' AS prefix, true AS allow),"
+                    "struct(concat('/src', CAST(id AS STRING)) AS prefix,"
+                    " false AS allow),"
+                    "struct('/src2' AS prefix, false AS allow),"
+                    "struct('/src2' AS prefix, true AS allow))"
+                )
+            ).alias("r"),
+        )
+        .select("host", "r.prefix", "r.allow")
+    )
+    out = robots_filter(urls, rules)
+    return out.select(
+        F.col("url_id").alias("doc_id"),
+        "allowed",
+        F.col("rule_len").cast("int").alias("rule_len"),
+    )
+
+
+_URL_ROBOTS_FILTER_ORACLE = """
+WITH urls AS (
+  SELECT doc_id, 'h' || (doc_id % 7) AS host,
+         '/' || source || '/' || lang || '/p' || doc_id AS path
+  FROM documents
+),
+hosts AS (SELECT 'h' || h AS host, h FROM (SELECT unnest(range(0, 7)) AS h)),
+rules AS (
+  SELECT host, prefix, allow FROM hosts, (VALUES
+    ('/src1', FALSE), ('/src1/en', TRUE),
+    ('/src2', FALSE), ('/src2', TRUE)) v(prefix, allow)
+  UNION ALL
+  SELECT host, '/src' || h, FALSE FROM hosts
+),
+m AS (
+  SELECT u.doc_id, r.prefix, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+  FROM urls u JOIN rules r
+    ON r.host = u.host AND starts_with(u.path, r.prefix)
+)
+SELECT u.doc_id,
+       COALESCE(m.allow, TRUE) AS allowed,
+       CAST(length(m.prefix) AS INTEGER) AS rule_len
+FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "html_text_extract": (_q_html_text_extract, _HTML_TEXT_EXTRACT_ORACLE),
+    "url_robots_filter": (_q_url_robots_filter, _URL_ROBOTS_FILTER_ORACLE),
     "url_canonicalize": (_q_url_canonicalize, _URL_CANONICALIZE_ORACLE),
     "text_repetition": (_q_repetition, _REPETITION_ORACLE),
     "pii_redaction": (_q_pii_redaction, _PII_REDACTION_ORACLE),
