@@ -137,3 +137,24 @@ def test_max_hamming_validation(spark):
     df = _gray_df(spark, [(1, list(range(72)))])
     with pytest.raises(ValueError, match="max_hamming"):
         image_dhash_neardups(df, max_hamming=4)
+
+
+def test_multimodal_corpus_prep_planted_verdicts(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.queries.multimodal import (
+        _q_multimodal_corpus_prep,
+    )
+
+    rows = {r["doc_id"]: r for r in _q_multimodal_corpus_prep(spark, sf_dir).collect()}
+    assert rows, "capstone returned nothing"
+    for did, r in rows.items():
+        assert r["image_dup"] == (did % 10 == 1), did
+        assert r["audio_dup"] == (did % 10 == 1), did
+        # text dups planted at %10==5 (neighbor copy exists unless the
+        # neighbor id is absent from the fixture)
+        if did % 10 == 5 and (did - 1) in rows:
+            assert r["text_dup"] is True, did
+        if did % 10 not in (1, 5):
+            assert r["keep"] is True and r["text_dup"] is False, did
+        assert r["keep"] == (
+            not (r["text_dup"] or r["image_dup"] or r["audio_dup"])
+        ), did

@@ -337,3 +337,11 @@ def test_audio_fingerprint_neardup_plan_banded_not_allpairs(qs, spark, sf_dir):
     s = _summary(qs, spark, sf_dir, "multimodal_audio_fingerprint_neardup")
     assert s["nested_loop_joins"] == 0, s
     assert s["exchanges"] <= 8, s
+
+
+def test_multimodal_corpus_prep_plan(qs, spark, sf_dir):
+    # three modality legs composed: still zero nested loops, bounded
+    # exchanges (each fingerprint leg contributes its banded join)
+    s = _summary(qs, spark, sf_dir, "multimodal_corpus_prep")
+    assert s["nested_loop_joins"] == 0, s
+    assert s["exchanges"] <= 14, s

@@ -233,6 +233,7 @@ _ENTRY_ORDER = [
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
     "url_robots_filter",
+    "multimodal_corpus_prep",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -312,7 +313,11 @@ _DRIVER_PRIORITY = [
     # Joins the head of the r11 plan.
     "text_heavy_hitters",
     "udtf_split_sentences",
-    "windowed_event_counts_streaming",
+    # windowed_event_counts_streaming displaced by
+    # multimodal_corpus_prep: its batch twin windowed_event_counts is
+    # driver-r8 on the same window-agg logic and the streaming replay
+    # harness is driver-r8/r9 via sessionization_streaming and
+    # stream_dedup; joins the head of the r11 plan.
     # drifted by this round's changes (strategy auto-select + JPEG
     # SOFn/DAC rejection), must re-attest; multimodal_image_tiff is NEW
     # this round (baseline TIFF codec) and takes the slot of the last
@@ -368,15 +373,18 @@ _DRIVER_PRIORITY = [
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
     "url_robots_filter",
+    "multimodal_corpus_prep",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
-    # seven r5-vintage rows displaced by the SECOND continuation
-    # session's seven new entries (interval_overlap_join,
+    # eight r5-vintage rows displaced by the SECOND continuation
+    # session's eight new entries (interval_overlap_join,
     # q13_customer_distribution, q21_waiting_suppliers,
     # sketch_corpus_overlap, multimodal_image_dhash_neardup,
-    # multimodal_audio_fingerprint_neardup, url_robots_filter) —
+    # multimodal_audio_fingerprint_neardup, url_robots_filter,
+    # multimodal_corpus_prep) —
     # latest_feature_snapshot, similarity_ann_exhaustive,
     # source_csv_roundtrip, stream_stream_left_join, negative_sample,
-    # temperature_mix, stratified_sample (displacement rationale at
+    # temperature_mix, stratified_sample,
+    # windowed_event_counts_streaming (displacement rationale at
     # each freed slot above) — THEN the six r5-vintage SQL-surface rows
     # displaced by the FIRST continuation's
     # eight new entries (fuzzy_editdist_pairs, dedup_segments,

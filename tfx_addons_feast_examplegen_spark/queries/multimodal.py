@@ -10,6 +10,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..session import register_tables
 
 
@@ -621,8 +623,195 @@ WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
 """
 
 
+def _q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The multimodal capstone: one pass produces per-document keep/drop
+    # verdicts across ALL THREE modalities — exact text dedup (md5
+    # fingerprint, min-doc_id wins; duplicates planted at doc_id%10==5
+    # as neighbor copies), image near-dup (dHash pigeonhole pairs,
+    # larger side drops) and audio near-dup (energy-delta fingerprint,
+    # same rule) — each leg through its REAL decode path. The oracle
+    # replays every leg from the closed forms, including both
+    # brute-force pair searches. Flags are reported independently (no
+    # precedence collapse), keep = none set.
+    from ..operators.multimodal import (
+        attach_bmp_neardup_payloads,
+        attach_wav_neardup_payloads,
+        audio_fingerprint_neardups,
+        extract_audio_frame_energies,
+        extract_image_gray,
+        image_dhash_neardups,
+    )
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    neigh = docs.select(
+        (F.col("doc_id") + 1).alias("nid"), F.col("text").alias("prev_text")
+    )
+    eff = docs.join(neigh, F.col("doc_id") == F.col("nid"), "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 5) & F.col("prev_text").isNotNull(),
+            F.col("prev_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("eff_text"),
+    )
+    fp = eff.select("doc_id", F.md5("eff_text").alias("fp"))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    tdup = fp.join(F.broadcast(keepers), "fp").select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("text_dup")
+    )
+    img_dup = (
+        image_dhash_neardups(
+            extract_image_gray(attach_bmp_neardup_payloads(docs))
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__i", F.lit(True))
+    )
+    aud_dup = (
+        audio_fingerprint_neardups(
+            extract_audio_frame_energies(attach_wav_neardup_payloads(docs))
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__a", F.lit(True))
+    )
+    return (
+        tdup.join(img_dup, "doc_id", "left")
+        .join(aud_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_dup",
+            F.coalesce(F.col("__i"), F.lit(False)).alias("image_dup"),
+            F.coalesce(F.col("__a"), F.lit(False)).alias("audio_dup"),
+            (
+                ~(
+                    F.col("text_dup")
+                    | F.coalesce(F.col("__i"), F.lit(False))
+                    | F.coalesce(F.col("__a"), F.lit(False))
+                )
+            ).alias("keep"),
+        )
+    )
+
+
+_MULTIMODAL_CORPUS_PREP_ORACLE = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+eff AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 5 AND p.text IS NOT NULL
+              THEN p.text ELSE d.text END AS eff_text
+  FROM docs d LEFT JOIN docs p ON p.doc_id = d.doc_id - 1
+),
+fp AS (SELECT doc_id, md5(eff_text) AS f FROM eff),
+keepers AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
+tdup AS (
+  SELECT fp.doc_id, fp.doc_id <> k.keep_id AS text_dup
+  FROM fp JOIN keepers k USING (f)
+),
+ipx AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1 ELSE d.doc_id END
+           AS base,
+         d.doc_id % 10 = 1 AS dup, p.p
+  FROM documents d, LATERAL (SELECT unnest(range(0, 72)) AS p) p
+),
+iv AS (
+  SELECT doc_id, p,
+    CASE WHEN dup AND (p = 0 OR p = 31)
+      THEN (('0x' || substr(md5(base || '-' || p), 1, 2))::INTEGER + 96) % 256
+      ELSE ('0x' || substr(md5(base || '-' || p), 1, 2))::INTEGER
+    END AS v
+  FROM ipx
+),
+ibits AS (
+  SELECT l.doc_id, (l.p // 9) * 8 + (l.p % 9) AS b
+  FROM iv l JOIN iv r ON r.doc_id = l.doc_id AND r.p = l.p + 1
+  WHERE l.p % 9 < 8 AND l.v < r.v
+),
+ibands AS (
+  SELECT doc_id,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 0 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b0,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 1 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b1,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 2 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b2,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 3 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b3
+  FROM ibits GROUP BY doc_id
+),
+iallb AS (
+  SELECT d.doc_id, COALESCE(b0, 0) AS b0, COALESCE(b1, 0) AS b1,
+         COALESCE(b2, 0) AS b2, COALESCE(b3, 0) AS b3
+  FROM documents d LEFT JOIN ibands USING (doc_id)
+),
+idup AS (
+  SELECT DISTINCT y.doc_id
+  FROM iallb x JOIN iallb y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+),
+araw AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1 ELSE d.doc_id END
+           AS base,
+         d.doc_id % 10 = 1 AS dup, i.i
+  FROM documents d, LATERAL (SELECT unnest(range(0, 260)) AS i) i
+),
+asmp AS (
+  SELECT doc_id, i,
+    CASE WHEN dup AND i = 30
+      THEN (('0x' || substr(md5('a' || base || '-' || i), 1, 4))::INTEGER
+            + 24000) % 65536 - 32768
+      ELSE ('0x' || substr(md5('a' || base || '-' || i), 1, 4))::INTEGER
+           - 32768
+    END AS v
+  FROM araw
+),
+ae AS (
+  SELECT doc_id, i // 4 AS f, SUM(CAST(v AS BIGINT) * v) AS energy
+  FROM asmp GROUP BY 1, 2
+),
+abits AS (
+  SELECT l.doc_id, l.f AS b
+  FROM ae l JOIN ae r ON r.doc_id = l.doc_id AND r.f = l.f + 1
+  WHERE l.f < 64 AND l.energy < r.energy
+),
+abands AS (
+  SELECT doc_id,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 0 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b0,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 1 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b1,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 2 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b2,
+    CAST(COALESCE(SUM(CASE WHEN b // 16 = 3 THEN 1 << (b % 16) END), 0) AS BIGINT) AS b3
+  FROM abits GROUP BY doc_id
+),
+aallb AS (
+  SELECT d.doc_id, COALESCE(b0, 0) AS b0, COALESCE(b1, 0) AS b1,
+         COALESCE(b2, 0) AS b2, COALESCE(b3, 0) AS b3
+  FROM documents d LEFT JOIN abands USING (doc_id)
+),
+adup AS (
+  SELECT DISTINCT y.doc_id
+  FROM aallb x JOIN aallb y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+)
+SELECT d.doc_id, t.text_dup,
+       i.doc_id IS NOT NULL AS image_dup,
+       a.doc_id IS NOT NULL AS audio_dup,
+       NOT (t.text_dup OR i.doc_id IS NOT NULL OR a.doc_id IS NOT NULL)
+         AS keep
+FROM docs d
+JOIN tdup t USING (doc_id)
+LEFT JOIN idup i ON i.doc_id = d.doc_id
+LEFT JOIN adup a ON a.doc_id = d.doc_id
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "multimodal_features": (_q_multimodal, _MULTIMODAL_ORACLE),
+    "multimodal_corpus_prep": (
+        _q_multimodal_corpus_prep,
+        _MULTIMODAL_CORPUS_PREP_ORACLE,
+    ),
     "multimodal_image_dhash_neardup": (
         _q_multimodal_dhash_neardup,
         _MULTIMODAL_DHASH_ORACLE,
