@@ -158,3 +158,27 @@ def test_multimodal_corpus_prep_planted_verdicts(spark, sf_dir):
         assert r["keep"] == (
             not (r["text_dup"] or r["image_dup"] or r["audio_dup"])
         ), did
+
+
+def test_arbitrary_size_images_resize_then_dhash(spark):
+    # the production path for real corpora: varied-size images resample
+    # to the canonical 9x8 frame via resize_images, then hash — the
+    # whole chain through real encode/decode passes, no special-casing
+    from tfx_addons_feast_examplegen_spark.operators.multimodal import (
+        attach_bmp_payloads,
+        resize_images,
+    )
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    media = resize_images(  # fixture sizes vary 4..16 x 4..14
+        attach_bmp_payloads(docs), target_width=DHASH_W, target_height=DHASH_H
+    )
+    bands = image_dhash_bands(extract_image_gray(media)).collect()
+    assert len(bands) == 24
+    # resized content is deterministic: same doc twice -> same hash
+    again = image_dhash_bands(extract_image_gray(resize_images(
+        attach_bmp_payloads(docs), target_width=DHASH_W,
+        target_height=DHASH_H,
+    ))).collect()
+    key = lambda r: (r["doc_id"], r["b0"], r["b1"], r["b2"], r["b3"])  # noqa: E731
+    assert sorted(map(key, bands)) == sorted(map(key, again))
