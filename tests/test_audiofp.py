@@ -114,3 +114,12 @@ def test_wrong_frame_count_fails_in_plan(spark):
     )
     with pytest.raises(Exception, match="expected 65"):
         audio_fingerprint_bands(bad).collect()
+
+
+def test_quarantined_null_row_fails_loud_with_readable_message(spark):
+    df = spark.createDataFrame(
+        [(1, None, None)],
+        "doc_id long, n_frames int, energies array<long>",
+    )
+    with pytest.raises(Exception, match="quarantined decode row"):
+        audio_fingerprint_bands(df).collect()

@@ -197,3 +197,44 @@ def test_robots_plan_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_robots_null_allow_rule_is_ignored_not_allowed(spark):
+    # a rule whose verdict was lost upstream (NULL allow) must be
+    # IGNORED, not silently become the winning allow/deny
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/private/x")], "url_id: long, host: string, path: string"
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/private", None), ("a.com", "/pri", False)],
+        "host: string, prefix: string, allow: boolean",
+    )
+    r = robots_filter(urls, rules).collect()[0]
+    # the NULL-verdict longest rule is dropped; the shorter deny wins
+    assert r["allowed"] is False and r["rule_len"] == 4, r
+
+
+def test_robots_empty_path_no_spurious_prefixes(spark):
+    # sequence(1, 0) counts DOWN in Spark; an empty path must emit no
+    # prefix rows (and default to allowed), not two '' prefixes
+    urls = spark.createDataFrame(
+        [(1, "a.com", "")], "url_id: long, host: string, path: string"
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "", False)], "host: string, prefix: string, allow: boolean"
+    )
+    rows = robots_filter(urls, rules).collect()
+    assert len(rows) == 1
+    assert rows[0]["allowed"] is True and rows[0]["rule_len"] is None
+
+
+def test_robots_output_column_collision_rejected(spark):
+    urls = spark.createDataFrame(
+        [(1, "a.com", "/x", True)],
+        "url_id: long, host: string, path: string, allowed: boolean",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/x", False)], "host: string, prefix: string, allow: boolean"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        robots_filter(urls, rules)

@@ -182,3 +182,14 @@ def test_arbitrary_size_images_resize_then_dhash(spark):
     ))).collect()
     key = lambda r: (r["doc_id"], r["b0"], r["b1"], r["b2"], r["b3"])  # noqa: E731
     assert sorted(map(key, bands)) == sorted(map(key, again))
+
+
+def test_quarantined_null_row_fails_loud_with_readable_message(spark):
+    # an on_error='null' survivor reaching the hash stage must fail
+    # with the quarantine hint, not assert_true's null-message crash
+    df = spark.createDataFrame(
+        [(1, None, None, None)],
+        "doc_id long, width int, height int, gray array<int>",
+    )
+    with pytest.raises(Exception, match="quarantined decode row"):
+        image_dhash_bands(df).collect()

@@ -211,3 +211,18 @@ def test_bin_width_rejects_bad_values(spark):
     v = spark.createDataFrame([(1, 0, 9)], "iid: long, lo: long, hi: long")
     with pytest.raises(ValueError, match="auto"):
         point_in_interval_join(p, v, ts="ts", lo="lo", hi="hi", bin_width="med")
+
+
+def test_bin_width_accepts_numpy_ints_rejects_bool(spark):
+    import numpy as np
+
+    p = spark.createDataFrame([(1, 5)], "pid: long, ts: long")
+    v = spark.createDataFrame([(1, 0, 9)], "iid: long, lo: long, hi: long")
+    got = point_in_interval_join(
+        p, v, ts="ts", lo="lo", hi="hi", bin_width=np.int64(4)
+    ).collect()
+    assert len(got) == 1
+    with pytest.raises(ValueError, match="bool"):
+        point_in_interval_join(p, v, ts="ts", lo="lo", hi="hi", bin_width=True)
+    with pytest.raises(ValueError, match="integer"):
+        point_in_interval_join(p, v, ts="ts", lo="lo", hi="hi", bin_width=3.5)

@@ -158,10 +158,18 @@ def robots_filter(
     ``urls``: (url_id, host, path); ``rules``: (host, prefix, allow
     boolean). Output: urls columns + ``allowed`` boolean +
     ``rule_len`` (length of the winning rule's prefix; NULL when no
-    rule matched). NULL paths/prefixes never match.
+    rule matched). NULL paths never match; rules with a NULL/empty
+    prefix or a NULL ``allow`` verdict are malformed and ignored (a
+    verdict-less rule must not silently become an allow — or a deny).
     """
     if max_path_len < 1:
         raise ValueError(f"max_path_len must be >= 1: {max_path_len}")
+    reserved = {"allowed", "rule_len", "__win", "__pfx", "__allow"}
+    clash = reserved & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"urls columns collide with robots_filter outputs: {sorted(clash)}"
+        )
     guarded_len = F.when(
         F.assert_true(
             F.length(F.col(path)) <= max_path_len,
@@ -175,7 +183,12 @@ def robots_filter(
         ).isNull(),
         F.length(F.col(path)),
     )
-    pfx = urls.where(F.col(path).isNotNull()).select(
+    # the length > 0 conjunct matters: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]) — an empty path would otherwise emit two spurious
+    # ''-prefix rows per URL (the _grams_expr pitfall)
+    pfx = urls.where(
+        F.col(path).isNotNull() & (F.length(F.col(path)) > 0)
+    ).select(
         F.col(url_id),
         F.col(host),
         F.explode(
@@ -187,7 +200,9 @@ def robots_filter(
     )
     matches = pfx.join(
         rules.where(
-            F.col(prefix).isNotNull() & (F.length(F.col(prefix)) > 0)
+            F.col(prefix).isNotNull()
+            & (F.length(F.col(prefix)) > 0)
+            & F.col(allow).isNotNull()
         ).select(
             F.col(host),
             F.col(prefix).alias("__pfx"),

@@ -34,8 +34,33 @@ Spark-native extension inventoried in SURVEY.md §2.9.
 
 from __future__ import annotations
 
+import operator as _op
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _resolve_bin_width(bin_width, sides) -> int:
+    """Validate/normalize a ``bin_width`` argument: ``"auto"`` measures
+    (:func:`_auto_bin_width`); any integral type (int, numpy integer —
+    e.g. a width computed from a percentile) normalizes via
+    ``__index__``; bool and non-integrals are rejected with a
+    ValueError rather than leaking into SQL text."""
+    if isinstance(bin_width, str):
+        if bin_width != "auto":
+            raise ValueError(f"bin_width must be >= 1 or 'auto': {bin_width!r}")
+        return _auto_bin_width(*sides)
+    if isinstance(bin_width, bool):
+        raise ValueError(f"bin_width must be an integer, not bool: {bin_width}")
+    try:
+        bin_width = _op.index(bin_width)
+    except TypeError:
+        raise ValueError(
+            f"bin_width must be an integer or 'auto': {bin_width!r}"
+        ) from None
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1: {bin_width}")
+    return bin_width
 
 # Bounded sample size for bin_width="auto" (one extra aggregate job at
 # operator-BUILD time, never on the repeated query path — the same
@@ -105,10 +130,7 @@ def point_in_interval_join(
     with one bounded build-time job (:func:`_auto_bin_width`) instead
     of requiring the caller to know the data.
     """
-    if bin_width == "auto":
-        bin_width = _auto_bin_width((intervals, lo, hi))
-    if not isinstance(bin_width, int) or bin_width < 1:
-        raise ValueError(f"bin_width must be >= 1 or 'auto': {bin_width}")
+    bin_width = _resolve_bin_width(bin_width, [(intervals, lo, hi)])
     if how not in ("inner", "left_outer"):
         raise ValueError(f"how must be inner or left_outer: {how!r}")
     overlap = set(points.columns) & set(intervals.columns)
@@ -203,10 +225,9 @@ def interval_overlap_join(
     ``bin_width="auto"`` takes the larger of the two sides' measured
     median lengths (see :func:`_auto_bin_width` for why larger wins).
     """
-    if bin_width == "auto":
-        bin_width = _auto_bin_width((left, lo_l, hi_l), (right, lo_r, hi_r))
-    if not isinstance(bin_width, int) or bin_width < 1:
-        raise ValueError(f"bin_width must be >= 1 or 'auto': {bin_width}")
+    bin_width = _resolve_bin_width(
+        bin_width, [(left, lo_l, hi_l), (right, lo_r, hi_r)]
+    )
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"overlapping column names: {sorted(overlap)}")

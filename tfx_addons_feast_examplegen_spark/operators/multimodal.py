@@ -4408,6 +4408,40 @@ def extract_image_gray(
     return media_df.mapInPandas(_decode, schema=IMAGE_GRAY_SCHEMA)
 
 
+def _pack_bands(arr: str, index_for_bit) -> list:
+    """The 4×16-bit sign-comparison band layout, defined ONCE for both
+    fingerprint families: bit ``b`` of the 64-bit hash is set iff
+    ``arr[i] < arr[ii]`` for ``(i, ii) = index_for_bit(b)`` (1-based
+    element positions); band ``bc`` packs bits ``[16c, 16c+16)``. One
+    JVM-side expression per band inside whole-stage codegen."""
+    bands = []
+    for c in range(4):
+        terms = []
+        for j in range(16):
+            i, ii = index_for_bit(16 * c + j)
+            terms.append(
+                f"(CASE WHEN element_at({arr}, {i})"
+                f" < element_at({arr}, {ii})"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        bands.append(F.expr(" + ".join(terms)).cast("long").alias(f"b{c}"))
+    return bands
+
+
+def _frame_guard(ok, what: str, got) -> "F.Column":
+    """Null-safe in-plan dimension assert: a quarantined (on_error=
+    'null') row reaching the hash stage fails LOUD with a readable
+    message — a NULL condition must neither pass silently nor produce
+    assert_true's null-message crash."""
+    return F.assert_true(
+        F.coalesce(ok, F.lit(False)),
+        F.concat(
+            F.lit(what),
+            F.coalesce(got, F.lit("NULL (quarantined decode row?)")),
+        ),
+    ).isNull()
+
+
 def image_dhash_bands(gray_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Difference hash from a 9x8 grayscale frame, as FOUR 16-bit band
     values (b0..b3) — the banding IS the output representation, so the
@@ -4415,43 +4449,35 @@ def image_dhash_bands(gray_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the 64-bit sign bit.
 
     Bit ``b = y*8 + c`` (row-major comparisons) is set iff
-    ``gray[y*9 + c] < gray[y*9 + c + 1]``; band ``bc`` packs bits
-    ``[16c, 16c+16)``. All bit arithmetic is a single JVM-side
-    expression per band inside whole-stage codegen — Python touched
-    the bytes once, in the decode stage. Inputs must be exactly 9x8
-    (resample upstream with ``resize_images``); anything else fails
-    in-plan, not silently.
+    ``gray[y*9 + c] < gray[y*9 + c + 1]`` (:func:`_pack_bands`).
+    Python touched the bytes once, in the decode stage. Inputs must be
+    exactly 9x8 (resample upstream with ``resize_images``); anything
+    else — including quarantined NULL rows from ``on_error="null"``
+    decodes, which must be inspected and filtered BEFORE hashing —
+    fails in-plan with a readable message, not silently.
     """
-    ok = (F.col("width") == DHASH_W) & (F.col("height") == DHASH_H)
     guard = F.when(
-        F.assert_true(
-            ok,
+        _frame_guard(
+            (F.col("width") == DHASH_W) & (F.col("height") == DHASH_H),
+            "image_dhash_bands: expected 9x8 grayscale frame, got ",
+            # F.concat propagates NULL (unlike concat_ws), so a
+            # quarantined row falls through to the coalesce hint
             F.concat(
-                F.lit("image_dhash_bands: expected 9x8 grayscale frame, got "),
-                F.col("width").cast("string"),
-                F.lit("x"),
+                F.col("width").cast("string"), F.lit("x"),
                 F.col("height").cast("string"),
             ),
-        ).isNull(),
+        ),
         F.col("gray"),
     )
-    bands = []
-    for c in range(4):
-        terms = []
-        for j in range(16):
-            b = 16 * c + j
-            y, cx = divmod(b, 8)
-            i = y * DHASH_W + cx + 1  # element_at is 1-based
-            terms.append(
-                f"(CASE WHEN element_at(__g, {i}) < element_at(__g, {i + 1})"
-                f" THEN {1 << j} ELSE 0 END)"
-            )
-        bands.append(
-            F.expr(" + ".join(terms)).cast("long").alias(f"b{c}")
-        )
+
+    def _idx(b: int) -> tuple[int, int]:
+        y, cx = divmod(b, 8)
+        i = y * DHASH_W + cx + 1  # element_at is 1-based
+        return i, i + 1
+
     return gray_df.select(
         F.col(id_col), guard.alias("__g")
-    ).select(F.col(id_col), *bands)
+    ).select(F.col(id_col), *_pack_bands("__g", _idx))
 
 
 def image_dhash_neardups(
@@ -4696,35 +4722,22 @@ def audio_fingerprint_bands(
     """64-bit energy-delta fingerprint as four 16-bit bands: bit ``b``
     is set iff ``energies[b] < energies[b+1]`` (0-based) — the
     sign-of-change sequence, robust to level scaling just like dHash is
-    to brightness. JVM-side expressions only."""
-    ok = F.col("n_frames") == AFP_N_FRAMES
+    to brightness (:func:`_pack_bands` — one band layout for both
+    fingerprint families). Quarantined NULL rows from
+    ``on_error="null"`` decodes fail in-plan with a readable message;
+    inspect and filter them before hashing."""
     guard = F.when(
-        F.assert_true(
-            ok,
-            F.concat(
-                F.lit(
-                    f"audio_fingerprint_bands: expected {AFP_N_FRAMES}"
-                    f" frames, got "
-                ),
-                F.col("n_frames").cast("string"),
-            ),
-        ).isNull(),
+        _frame_guard(
+            F.col("n_frames") == AFP_N_FRAMES,
+            f"audio_fingerprint_bands: expected {AFP_N_FRAMES} frames,"
+            f" got ",
+            F.col("n_frames").cast("string"),
+        ),
         F.col("energies"),
     )
-    bands = []
-    for c in range(4):
-        terms = []
-        for j in range(16):
-            b = 16 * c + j
-            terms.append(
-                f"(CASE WHEN element_at(__e, {b + 1})"
-                f" < element_at(__e, {b + 2})"
-                f" THEN {1 << j} ELSE 0 END)"
-            )
-        bands.append(F.expr(" + ".join(terms)).cast("long").alias(f"b{c}"))
     return energy_df.select(
         F.col(id_col), guard.alias("__e")
-    ).select(F.col(id_col), *bands)
+    ).select(F.col(id_col), *_pack_bands("__e", lambda b: (b + 1, b + 2)))
 
 
 def audio_fingerprint_neardups(

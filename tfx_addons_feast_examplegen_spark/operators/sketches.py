@@ -181,8 +181,12 @@ def minhash_corpus_overlap(
     ``both_filled``, ``matched`` (co-filled buckets whose minima
     agree), and ``jaccard_e4 = round(matched / both_filled,
     round_to)`` — the one-permutation estimator restricted to
-    co-filled buckets. Every input here is sketch-sized: the joins
-    are broadcast by construction, nothing rescans a corpus.
+    co-filled buckets. A group pair with ZERO co-filled buckets is
+    absent from the output (there is nothing to estimate from — only
+    possible when k exceeds a corpus's distinct-shingle count, i.e.
+    outside the operating regime below). Every input here is
+    sketch-sized: the joins are broadcast by construction, nothing
+    rescans a corpus.
 
     Operating regime: choose ``k`` well BELOW the distinct-shingle
     count of the smaller corpus. When sets are k-sized, conditioning
@@ -194,9 +198,11 @@ def minhash_corpus_overlap(
     """
     # The sketch frame is consumed three times (both join sides + the
     # filled counts); left lazy, each consumer would re-run the corpus
-    # scan + shingle explode. Pin it (eager localCheckpoint — the frame
-    # is ≤ k rows per group by construction) so the corpus is read
-    # exactly once.
+    # scan + shingle explode. _pin is dedup's FIFO-bounded cache()
+    # (lazy — materialized at the first action, plan-matched for
+    # cross-invocation reuse, unpersisted on FIFO overflow); the frame
+    # is ≤ k rows per group by construction, so the corpus is read
+    # exactly once per materialization.
     from .dedup import _pin
 
     sketch = _pin(sketch)

@@ -657,8 +657,12 @@ def _q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("eff_text"),
     )
     fp = eff.select("doc_id", F.md5("eff_text").alias("fp"))
+    # keepers is corpus-proportional (one row per distinct text) — it
+    # must NOT be broadcast-hinted; a plain equi-join on fp shuffles
+    # both sides (the exact_dedup shape) and AQE may still broadcast
+    # it when it measures small
     keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    tdup = fp.join(F.broadcast(keepers), "fp").select(
+    tdup = fp.join(keepers, "fp").select(
         "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("text_dup")
     )
     img_dup = (
