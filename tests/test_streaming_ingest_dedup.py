@@ -65,3 +65,89 @@ def test_streamed_batches_dedup_against_index(spark, sf_dir, tmp_path):
 
     got = {(r.doc_a, r.doc_b) for r in spark.read.parquet(out_dir).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup gate (row-wise SimHash + stream-static band join)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from tfx_addons_feast_examplegen_spark.operators.dedup import (  # noqa: E402
+    neardup_gate_stream,
+    simhash,
+    simhash_band_index,
+    simhash_rowwise_expr,
+)
+
+
+def test_rowwise_simhash_equals_agg_simhash(spark, sf_dir):
+    from tfx_addons_feast_examplegen_spark.session import register_tables
+
+    docs = register_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text"
+    )
+    agg = simhash(docs, "doc_id", "text", portable=True)
+    row = docs.select(
+        "doc_id", simhash_rowwise_expr("text").alias("r")
+    )
+    diff = agg.join(row, "doc_id").where(F.col("simhash") != F.col("r"))
+    assert diff.count() == 0
+    assert row.count() == agg.count()
+
+
+def test_neardup_gate_stream_matches_bruteforce(spark, tmp_path):
+    # tiny corpus with planted near-dups straddling the corpus/stream
+    # split; the gate's output through a REAL streaming replay must
+    # equal the brute-force Hamming pair matrix
+    import itertools
+
+    from tfx_addons_feast_examplegen_spark.streaming.events import (
+        run_to_completion,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        toks = [words[(i * 3 + k) % 7] for k in range(5)]
+        if i >= 20 and i % 4 == 0:  # stream docs copying corpus doc i-20
+            toks = [words[((i - 20) * 3 + k) % 7] for k in range(5)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    corpus = docs.where(F.col("doc_id") < 20)
+    new = docs.where(F.col("doc_id") >= 20)
+    src = str(tmp_path / "stream_src")
+    new.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    gated = neardup_gate_stream(
+        stream,
+        simhash_band_index(corpus, "doc_id", "text"),
+        id_col="doc_id",
+        text_col="text",
+    )
+    got = {
+        (r["doc_id"], r["corpus_id"], r["hamming"])
+        for r in run_to_completion(gated, query_name="gate_test").collect()
+    }
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "doc_id", "text", portable=True).collect()
+    }
+    exp = {
+        (b, a, bin(sh[a] ^ sh[b]).count("1"))
+        for a, b in itertools.product(range(20), range(20, 40))
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert got == exp
+    assert any(h == 0 for _, _, h in exp), "fixture must plant exact copies"
+
+
+def test_neardup_gate_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+    idx = simhash_band_index(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="max_hamming"):
+        neardup_gate_stream(
+            df, idx, id_col="doc_id", text_col="text", max_hamming=4
+        )

@@ -1161,3 +1161,131 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup gate: row-wise SimHash + stream-static band join
+# ---------------------------------------------------------------------------
+
+
+def simhash_rowwise_expr(text_col: str) -> "F.Column":
+    """The portable 60-bit SimHash as a PURE per-row expression — no
+    explode, no aggregation, no state — so it runs inside a streaming
+    micro-batch projection (Structured Streaming forbids the
+    explode→groupBy spelling without stateful aggregation).
+
+    Semantics are EQUAL to ``simhash(..., portable=True)`` by
+    construction (pytest-enforced): tokens split on single spaces,
+    empties dropped, folded to the md5-derived 60-bit hash BEFORE the
+    distinct, per-bit majority votes ``2*s_j > n``. Cost per row is
+    60 passes over the (deduped) token-hash array — tokens×60 integer
+    ops, all inside whole-stage codegen. Rows with zero tokens hash to
+    0 (the agg form simply drops them; filter upstream when that
+    distinction matters).
+    """
+    hs = (
+        f"array_distinct(transform(filter(split(lower({text_col}), ' '),"
+        f" t -> t != ''),"
+        f" t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)))"
+    )
+    fold = " + ".join(
+        f"(CASE WHEN 2 * size(filter(__hs, h ->"
+        f" (shiftrightunsigned(h, {j}) & 1) = 1)) > size(__hs)"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {j})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_PORTABLE_BITS)
+    )
+    # aggregate() over a one-element array binds __hs as a lambda
+    # variable, so the token-hash array is computed ONCE per row and
+    # the 60-term fold references the bound name instead of inlining
+    # (and re-evaluating) the split/md5 chain 120 times
+    return F.expr(
+        f"aggregate(array({hs}), CAST(0 AS BIGINT),"
+        f" (acc, __hs) -> {fold}, acc -> acc)"
+    )
+
+
+def simhash_band_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Standing-corpus band index for the streaming gate:
+    ``(corpus_id, corpus_simhash, band_id, band)`` — four rows per
+    document, portable 60-bit SimHash split into 15-bit bands. Built
+    in BATCH (the agg-form simhash); persist it alongside the corpus
+    and merge-append new keepers per ingest cycle."""
+    sh = simhash(df, id_col, text_col, portable=True)
+    width = _PORTABLE_BITS // 4
+    mask = (1 << width) - 1
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("band_id"),
+                F.expr(f"(simhash >> {width * c}) & {mask}").alias("band"),
+            )
+            for c in range(4)
+        ])
+    ).alias("b")
+    return sh.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("simhash").alias("corpus_simhash"),
+        bands,
+    ).select("corpus_id", "corpus_simhash", "b.band_id", "b.band")
+
+
+def neardup_gate_stream(
+    stream_df: DataFrame,
+    index_df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming ingest near-dup gate: for each arriving document, the
+    standing-corpus documents within SimHash Hamming ``max_hamming``
+    (<= 3 — the 4×15-bit pigeonhole bound).
+
+    Everything is STATELESS per micro-batch: a per-row SimHash
+    projection (:func:`simhash_rowwise_expr`), a band explode, a
+    stream-static equi-join against the band index, and the exact
+    Hamming predicate. A pair sharing several bands duplicates across
+    rows — dedup after the sink (or feed an idempotent one); streaming
+    distinct would need stateful aggregation this gate deliberately
+    avoids. A degenerate hot band (near-empty boilerplate docs) must be
+    capped on the INDEX side at build/merge time — the stream side
+    cannot run the eager occupancy probe the batch path uses.
+
+    Output: (id_col, corpus_id, hamming) per candidate match.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4x15-bit pigeonhole): {max_hamming}"
+        )
+    width = _PORTABLE_BITS // 4
+    mask = (1 << width) - 1
+    hashed = stream_df.select(
+        F.col(id_col),
+        simhash_rowwise_expr(text_col).alias("__sh"),
+    )
+    banded = hashed.select(
+        F.col(id_col),
+        F.col("__sh"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("band_id"),
+                    F.expr(f"(__sh >> {width * c}) & {mask}").alias("band"),
+                )
+                for c in range(4)
+            ])
+        ).alias("b"),
+    ).select(id_col, "__sh", "b.band_id", "b.band")
+    hamming = F.bit_count(F.col("__sh").bitwiseXOR(F.col("corpus_simhash")))
+    return (
+        banded.join(index_df, ["band_id", "band"])
+        .where(hamming <= max_hamming)
+        .select(
+            F.col(id_col),
+            F.col("corpus_id"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )

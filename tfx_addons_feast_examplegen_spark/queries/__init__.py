@@ -234,6 +234,7 @@ _ENTRY_ORDER = [
     "multimodal_audio_fingerprint_neardup",
     "url_robots_filter",
     "multimodal_corpus_prep",
+    "stream_neardup_gate",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -299,7 +300,11 @@ _DRIVER_PRIORITY = [
     # gate is the same fingerprint_bucket primitive attested driver-r9
     # via three_way_split_counts (the temperature_mix argument); joins
     # the head of the r11 plan.
-    "stream_static_enrichment",
+    # stream_static_enrichment displaced by stream_neardup_gate: the
+    # new entry exercises a strictly richer stream-static join on the
+    # same read/replay harness (file stream + availableNow memory-sink
+    # replay) THIS round; the dimension-enrichment variant joins the
+    # head of the r11 plan.
     "stream_stream_join",
     # stream_stream_left_join displaced by sketch_corpus_overlap: the
     # left-outer variant of stream_stream_join (kept above) — the
@@ -374,17 +379,19 @@ _DRIVER_PRIORITY = [
     "multimodal_audio_fingerprint_neardup",
     "url_robots_filter",
     "multimodal_corpus_prep",
+    "stream_neardup_gate",
     # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
-    # eight r5-vintage rows displaced by the SECOND continuation
-    # session's eight new entries (interval_overlap_join,
+    # nine r5-vintage rows displaced by the SECOND continuation
+    # session's nine new entries (interval_overlap_join,
     # q13_customer_distribution, q21_waiting_suppliers,
     # sketch_corpus_overlap, multimodal_image_dhash_neardup,
     # multimodal_audio_fingerprint_neardup, url_robots_filter,
-    # multimodal_corpus_prep) —
+    # multimodal_corpus_prep, stream_neardup_gate) —
     # latest_feature_snapshot, similarity_ann_exhaustive,
     # source_csv_roundtrip, stream_stream_left_join, negative_sample,
     # temperature_mix, stratified_sample,
-    # windowed_event_counts_streaming (displacement rationale at
+    # windowed_event_counts_streaming, stream_static_enrichment
+    # (displacement rationale at
     # each freed slot above) — THEN the six r5-vintage SQL-surface rows
     # displaced by the FIRST continuation's
     # eight new entries (fuzzy_editdist_pairs, dedup_segments,

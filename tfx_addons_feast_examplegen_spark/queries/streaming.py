@@ -528,6 +528,89 @@ WHERE a.event_type = 'purchase' AND b.event_type = 'click'
 """
 
 
+
+def _q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming INGEST NEAR-DUP GATE: arriving documents are checked
+    # against a standing-corpus SimHash band index with zero streaming
+    # state - a per-row SimHash projection (no explode->groupBy, which
+    # Structured Streaming would reject without stateful agg), a band
+    # explode, a stream-static equi-join, the exact Hamming predicate.
+    # Corpus = doc_id < 400 (indexed in batch); stream = the rest,
+    # replayed as a 4-file parquet source. The oracle recomputes BOTH
+    # sides' portable SimHash from scratch in SQL and brute-forces the
+    # cross pair matrix - banding and streaming must change nothing.
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..operators.dedup import neardup_gate_stream, simhash_band_index
+    from ..streaming.events import run_to_completion
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    index = simhash_band_index(docs.where(F.col("doc_id") < 400), "doc_id", "text")
+    src = _tempfile.mkdtemp(prefix="neardup_src_")
+    new_docs = docs.where(F.col("doc_id") >= 400)
+    new_docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gated = neardup_gate_stream(
+        stream, index, id_col="doc_id", text_col="text", max_hamming=3
+    )
+    out = run_to_completion(
+        gated, query_name=f"neardup_gate_{_uuid.uuid4().hex[:8]}"
+    )
+    # a pair sharing several bands duplicates across the stateless
+    # stream output; dedup in the post-replay batch frame
+    return out.select(
+        F.col("doc_id").alias("new_doc"), F.col("corpus_id"), "hamming"
+    ).distinct()
+
+
+def _stream_neardup_oracle() -> str:
+    from ..operators import dedup as dd
+
+    nbits = dd._PORTABLE_BITS
+    votes = ",\n    ".join(
+        f"sum((h >> {j}) & 1) AS v{j}" for j in range(nbits)
+    )
+    fold = "\n      + ".join(
+        f"(CASE WHEN 2*v{j} > n THEN (CAST(1 AS BIGINT) << {j})"
+        f" ELSE 0 END)"
+        for j in range(nbits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS t
+    FROM documents
+  )
+),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+    {votes}
+  FROM tok GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+    {fold}
+    AS simhash
+  FROM agg
+)
+SELECT b.doc_id AS new_doc, a.doc_id AS corpus_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "windowed_event_counts_streaming": (
         _q_windowed_streaming,
@@ -541,6 +624,10 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_static_enrichment": (
         _q_stream_static_enrichment,
         _STREAM_STATIC_ENRICH_ORACLE,
+    ),
+    "stream_neardup_gate": (
+        _q_stream_neardup_gate,
+        _stream_neardup_oracle(),
     ),
     "streaming_matview_latest": (
         _q_streaming_matview,
