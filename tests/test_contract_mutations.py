@@ -608,3 +608,50 @@ def test_corpus_sketch_oracle_catches_wrong_winner_mutation(spark, monkeypatch):
         mut["matched"],
         mut["jaccard_e4"],
     ), (base, mut)
+
+
+def test_stream_gate_oracle_catches_broken_rowwise_fold(spark, monkeypatch):
+    # XOR the low band of the row-wise stream-side hash (the wrong-
+    # shift/mask bug band arithmetic invites): planted exact copies no
+    # longer meet the corpus at Hamming<=3 through EVERY band — pairs
+    # drop or change hamming, so the driver's value hash (and the
+    # from-scratch oracle) goes red. Mutation applied at the operator
+    # seam the entry calls; the banded join machinery runs unmodified.
+    from tfx_addons_feast_examplegen_spark.operators import dedup as dd
+    from tfx_addons_feast_examplegen_spark.streaming.events import (
+        run_to_completion,
+    )
+
+    rows = [(i, f"tok{i % 12} alpha beta gamma delta") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    corpus, new = docs.where("doc_id < 15"), docs.where("doc_id >= 15")
+    idx = dd.simhash_band_index(corpus, "doc_id", "text")
+
+    def run():
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="gate_mut_")
+        new.repartition(2).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        out = run_to_completion(
+            dd.neardup_gate_stream(
+                stream, idx, id_col="doc_id", text_col="text"
+            ),
+            query_name="gate_mut",
+        )
+        return {
+            (r["doc_id"], r["corpus_id"], r["hamming"])
+            for r in out.collect()
+        }
+
+    baseline = run()
+    assert baseline, "fixture must produce matches (doc i vs i-15 twins)"
+
+    real = dd.simhash_rowwise_expr
+
+    def broken(text_col):
+        return real(text_col).bitwiseXOR(F.lit(0x7FFF))
+
+    monkeypatch.setattr(dd, "simhash_rowwise_expr", broken)
+    mutated = run()
+    assert mutated != baseline, mutated
