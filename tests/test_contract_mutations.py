@@ -610,7 +610,9 @@ def test_corpus_sketch_oracle_catches_wrong_winner_mutation(spark, monkeypatch):
     ), (base, mut)
 
 
-def test_stream_gate_oracle_catches_broken_rowwise_fold(spark, monkeypatch):
+def test_stream_gate_oracle_catches_broken_rowwise_fold(
+    spark, monkeypatch, tmp_path
+):
     # XOR the low band of the row-wise stream-side hash (the wrong-
     # shift/mask bug band arithmetic invites): planted exact copies no
     # longer meet the corpus at Hamming<=3 through EVERY band — pairs
@@ -627,10 +629,11 @@ def test_stream_gate_oracle_catches_broken_rowwise_fold(spark, monkeypatch):
     corpus, new = docs.where("doc_id < 15"), docs.where("doc_id >= 15")
     idx = dd.simhash_band_index(corpus, "doc_id", "text")
 
-    def run():
-        import tempfile
+    runs = [0]
 
-        src = tempfile.mkdtemp(prefix="gate_mut_")
+    def run():
+        runs[0] += 1
+        src = str(tmp_path / f"gate_mut_{runs[0]}")
         new.repartition(2).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(new.schema).parquet(src)
         out = run_to_completion(

@@ -1205,6 +1205,26 @@ def simhash_rowwise_expr(text_col: str) -> "F.Column":
     )
 
 
+def _gate_band_structs(hash_col: str) -> "F.Column":
+    """The 15-bit band decomposition shared by the gate's two sides
+    (:func:`simhash_band_index` and the stream side of
+    :func:`neardup_gate_stream`) — ONE spelling, so a band-width change
+    cannot desynchronize index and probe. ``simhash_pairs`` keeps its
+    own chunk spelling deliberately: touching it would drift the
+    attested batch entries for a cosmetic unification."""
+    width = _PORTABLE_BITS // 4
+    mask = (1 << width) - 1
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("band_id"),
+                F.expr(f"({hash_col} >> {width * c}) & {mask}").alias("band"),
+            )
+            for c in range(4)
+        ])
+    )
+
+
 def simhash_band_index(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -1214,21 +1234,10 @@ def simhash_band_index(
     in BATCH (the agg-form simhash); persist it alongside the corpus
     and merge-append new keepers per ingest cycle."""
     sh = simhash(df, id_col, text_col, portable=True)
-    width = _PORTABLE_BITS // 4
-    mask = (1 << width) - 1
-    bands = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(c).alias("band_id"),
-                F.expr(f"(simhash >> {width * c}) & {mask}").alias("band"),
-            )
-            for c in range(4)
-        ])
-    ).alias("b")
     return sh.select(
         F.col(id_col).alias("corpus_id"),
         F.col("simhash").alias("corpus_simhash"),
-        bands,
+        _gate_band_structs("simhash").alias("b"),
     ).select("corpus_id", "corpus_simhash", "b.band_id", "b.band")
 
 
@@ -1260,24 +1269,23 @@ def neardup_gate_stream(
         raise ValueError(
             f"max_hamming must be in [0, 3] (4x15-bit pigeonhole): {max_hamming}"
         )
-    width = _PORTABLE_BITS // 4
-    mask = (1 << width) - 1
-    hashed = stream_df.select(
+    # token-less rows are DROPPED, matching the agg-form simhash (which
+    # has no row to emit for them), the index, and the external oracle
+    # — otherwise an empty/NULL-text row would hash to 0 and band-join
+    # any low-popcount corpus hash the oracle never pairs
+    has_tokens = F.expr(
+        f"size(filter(split(lower({text_col}), ' '), t -> t != '')) > 0"
+    )
+    hashed = stream_df.where(
+        F.col(text_col).isNotNull() & has_tokens
+    ).select(
         F.col(id_col),
         simhash_rowwise_expr(text_col).alias("__sh"),
     )
     banded = hashed.select(
         F.col(id_col),
         F.col("__sh"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("band_id"),
-                    F.expr(f"(__sh >> {width * c}) & {mask}").alias("band"),
-                )
-                for c in range(4)
-            ])
-        ).alias("b"),
+        _gate_band_structs("__sh").alias("b"),
     ).select(id_col, "__sh", "b.band_id", "b.band")
     hamming = F.bit_count(F.col("__sh").bitwiseXOR(F.col("corpus_simhash")))
     return (

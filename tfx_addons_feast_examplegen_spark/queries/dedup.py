@@ -240,7 +240,12 @@ def _q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_portable_oracle() -> str:
+def _simhash_sh_cte() -> str:
+    """The DuckDB portable-SimHash derivation (tok → agg → sh CTEs),
+    shared by this module's pair oracle and the streaming gate's oracle
+    (queries/streaming.py) — ONE generator, so a change to the portable
+    hash cannot silently diverge the two replays. Emits byte-identical
+    text to the pre-refactor inline version (attestation stability)."""
     nbits = dd._PORTABLE_BITS
     votes = ",\n    ".join(
         f"sum((h >> {j}) & 1) AS v{j}" for j in range(nbits)
@@ -250,8 +255,7 @@ def _simhash_portable_oracle() -> str:
         f" ELSE 0 END)"
         for j in range(nbits)
     )
-    return f"""
-WITH tok AS (
+    return f"""WITH tok AS (
   SELECT DISTINCT doc_id,
          CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
   FROM (
@@ -271,7 +275,12 @@ sh AS (
     {fold}
     AS simhash
   FROM agg
-)
+)"""
+
+
+def _simhash_portable_oracle() -> str:
+    return f"""
+{_simhash_sh_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -539,16 +539,24 @@ def _q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replayed as a 4-file parquet source. The oracle recomputes BOTH
     # sides' portable SimHash from scratch in SQL and brute-forces the
     # cross pair matrix - banding and streaming must change nothing.
-    import os as _os
     import tempfile as _tempfile
     import uuid as _uuid
 
-    from ..operators.dedup import neardup_gate_stream, simhash_band_index
+    from ..operators.dedup import (
+        _pin,
+        neardup_gate_stream,
+        simhash_band_index,
+    )
     from ..streaming.events import run_to_completion
 
     t = register_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
-    index = simhash_band_index(docs.where(F.col("doc_id") < 400), "doc_id", "text")
+    # pin the index: the stream-static join re-evaluates the static
+    # side's plan EVERY micro-batch — unpinned, each of the 4 replay
+    # batches would rebuild the full corpus SimHash aggregation
+    index = _pin(
+        simhash_band_index(docs.where(F.col("doc_id") < 400), "doc_id", "text")
+    )
     src = _tempfile.mkdtemp(prefix="neardup_src_")
     new_docs = docs.where(F.col("doc_id") >= 400)
     new_docs.repartition(4).write.mode("overwrite").parquet(src)
@@ -571,39 +579,13 @@ def _q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_neardup_oracle() -> str:
-    from ..operators import dedup as dd
+    # reuses the SAME portable-SimHash CTE generator as the batch pair
+    # oracle (queries/dedup.py:_simhash_sh_cte) — one derivation, two
+    # final SELECTs, so the hash arithmetic cannot silently diverge
+    from .dedup import _simhash_sh_cte
 
-    nbits = dd._PORTABLE_BITS
-    votes = ",\n    ".join(
-        f"sum((h >> {j}) & 1) AS v{j}" for j in range(nbits)
-    )
-    fold = "\n      + ".join(
-        f"(CASE WHEN 2*v{j} > n THEN (CAST(1 AS BIGINT) << {j})"
-        f" ELSE 0 END)"
-        for j in range(nbits)
-    )
     return f"""
-WITH tok AS (
-  SELECT DISTINCT doc_id,
-         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
-  FROM (
-    SELECT doc_id,
-           unnest(list_filter(string_split(lower(text), ' '),
-                              x -> x <> '')) AS t
-    FROM documents
-  )
-),
-agg AS (
-  SELECT doc_id, count(*) AS n,
-    {votes}
-  FROM tok GROUP BY doc_id
-),
-sh AS (
-  SELECT doc_id,
-    {fold}
-    AS simhash
-  FROM agg
-)
+{_simhash_sh_cte()}
 SELECT b.doc_id AS new_doc, a.doc_id AS corpus_id,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < 400 AND b.doc_id >= 400
