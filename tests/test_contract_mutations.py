@@ -658,3 +658,53 @@ def test_stream_gate_oracle_catches_broken_rowwise_fold(
     monkeypatch.setattr(dd, "simhash_rowwise_expr", broken)
     mutated = run()
     assert mutated != baseline, mutated
+
+
+def test_robots_oracle_catches_broken_longest_match_tiebreak(
+    spark, monkeypatch
+):
+    # Flip the winner aggregate (max -> min over struct(len, allow)):
+    # the verdict becomes SHORTEST-match with deny-on-tie — both RFC
+    # 9309 §2.2.2 properties broken at once. On the registry fixture's
+    # rule shapes (longer allow overriding a disallow; an equal-length
+    # allow/deny tie) the flipped verdicts diverge from the driver
+    # oracle's ROW_NUMBER ... ORDER BY length DESC, allow DESC spelling,
+    # so the url_robots_filter contract row must go red.
+    from tfx_addons_feast_examplegen_spark.operators import crawl as cr
+
+    urls = spark.createDataFrame(
+        [
+            (1, "h0", "/src1/en/p1"),   # /src1 deny(5) vs /src1/en allow(8)
+            (2, "h0", "/src2/x"),       # /src2 deny vs /src2 allow — tie
+            (3, "h0", "/other/p3"),     # no rule matches — default allow
+        ],
+        ["url_id", "host", "path"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h0", "/src1", False),
+            ("h0", "/src1/en", True),
+            ("h0", "/src2", False),
+            ("h0", "/src2", True),
+        ],
+        ["host", "prefix", "allow"],
+    )
+
+    def run():
+        return {
+            r["url_id"]: (r["allowed"], r["rule_len"])
+            for r in cr.robots_filter(urls, rules).collect()
+        }
+
+    baseline = run()
+    assert baseline == {1: (True, 8), 2: (True, 5), 3: (True, None)}
+
+    monkeypatch.setattr(cr.F, "max", F.min)
+    mutated = run()
+    # longest-match broken: url 1 now sees the /src1 disallow win
+    assert mutated[1] == (False, 5)
+    # allow-on-tie broken: the /src2 tie now resolves to deny
+    assert mutated[2] == (False, 5)
+    # the no-match default-allow path is aggregate-free and must hold
+    assert mutated[3] == (True, None)
+    assert mutated != baseline

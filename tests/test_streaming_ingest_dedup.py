@@ -151,3 +151,72 @@ def test_neardup_gate_validation(spark):
         neardup_gate_stream(
             df, idx, id_col="doc_id", text_col="text", max_hamming=4
         )
+    with pytest.raises(ValueError, match="on_over_cap"):
+        simhash_band_index(
+            df, "doc_id", "text", max_band=8, on_over_cap="warn"
+        )
+
+
+def _boilerplate_corpus(spark):
+    """30 identical boilerplate docs (one hot band value per band slot,
+    occupancy 30) + 5 distinct docs whose bands stay under any cap >= 1."""
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = [(i, "cookie notice accept terms") for i in range(30)]
+    rows += [
+        (100 + i, " ".join(words[(i * 3 + k) % 7] for k in range(5)))
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_band_index_cap_drops_hot_bands_and_fills_observation(spark):
+    from pyspark.sql import Observation
+
+    docs = _boilerplate_corpus(spark)
+    obs = Observation("band_index")
+    idx = simhash_band_index(
+        docs, "doc_id", "text", max_band=8, observation=obs
+    )
+    rows = idx.collect()
+    # observation filled eagerly at build time, before any action on idx
+    assert obs.get["dropped_bands"] == 4  # all 4 bands of the hot hash
+    assert obs.get["max_band_size"] == 30
+    # every boilerplate band row pruned; distinct docs keep all 4 bands
+    ids = {r["corpus_id"] for r in rows}
+    assert ids == {100, 101, 102, 103, 104}
+    assert len(rows) == 20
+    # the gate over the capped index cannot fan out on the hot band: a
+    # streamed boilerplate copy matches nothing, a distinct-doc copy
+    # still matches its corpus original
+    doc_100_text = "alpha beta gamma delta eps"  # _boilerplate_corpus i=0
+    probe = spark.createDataFrame(
+        [(200, "cookie notice accept terms"), (201, doc_100_text)],
+        "doc_id: long, text: string",
+    )
+    got = (
+        neardup_gate_stream(probe, idx, id_col="doc_id", text_col="text")
+        .select("doc_id", "corpus_id")
+        .distinct()
+        .collect()
+    )
+    assert {(r["doc_id"], r["corpus_id"]) for r in got} == {(201, 100)}
+
+
+def test_band_index_cap_error_mode_fails_on_hot_band(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = _boilerplate_corpus(spark)
+    idx = simhash_band_index(
+        docs, "doc_id", "text", max_band=8, on_over_cap="error"
+    )
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException), match="band over cap"
+    ):
+        idx.collect()
+    # under-cap corpora pass untouched in error mode
+    clean = docs.where(F.col("doc_id") >= 100)
+    ok = simhash_band_index(
+        clean, "doc_id", "text", max_band=8, on_over_cap="error"
+    )
+    assert ok.count() == 20

@@ -428,6 +428,18 @@ def token_budget_select(
     decomposition unsound); scores must be non-null numeric; ids must
     be a unique total-order tiebreak. Returns the selected rows with
     the input's columns.
+
+    Float-boundary caveat: the full-bucket totals accumulate in a
+    driver-side double and the boundary bucket is tested as
+    ``in_bucket_cumsum + acc <= budget``, which associates the
+    additions differently from the single global-window spelling. With
+    integer-valued weights (token counts — the intended use, and what
+    the shipped registry entry feeds) every partial sum is exact and
+    the selection is bit-identical to the global window. With
+    arbitrary doubles, a row whose cumulative weight lands within
+    ~1 ulp of ``budget`` can flip inclusion versus that spelling —
+    pre-scale fractional weights to exact integer units (the repo's
+    cents pattern) when exact boundary equivalence matters.
     """
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1: {num_buckets}")

@@ -1226,19 +1226,83 @@ def _gate_band_structs(hash_col: str) -> "F.Column":
 
 
 def simhash_band_index(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_band: int | None = None,
+    observation=None,
+    on_over_cap: str = "drop",
 ) -> DataFrame:
     """Standing-corpus band index for the streaming gate:
     ``(corpus_id, corpus_simhash, band_id, band)`` — four rows per
     document, portable 60-bit SimHash split into 15-bit bands. Built
     in BATCH (the agg-form simhash); persist it alongside the corpus
-    and merge-append new keepers per ingest cycle."""
+    and merge-append new keepers per ingest cycle.
+
+    Hot-band cap (``max_band``): a degenerate band — thousands of
+    near-empty boilerplate documents sharing one 15-bit band value —
+    would fan out against EVERY matching micro-batch row on the stream
+    side, where no occupancy probe can run. The cap is therefore
+    enforced HERE, at index build/merge time, with the same no-silent-
+    caps machinery as :func:`_bucket_pairs`:
+
+    - ``on_over_cap="drop"`` (default): ``(band_id, band)`` groups
+      larger than ``max_band`` are pruned from the index via a
+      broadcast anti-join on the per-band ``count`` aggregate
+      (map-side combinable — the occupancy shuffle moves one row per
+      distinct band, not the corpus). Documents keep their other
+      bands, so recall degrades only for pairs whose every shared band
+      is hot.
+    - ``on_over_cap="error"``: a lazy in-plan ``assert_true`` conjunct
+      fails the index build on the first over-cap band instead of
+      dropping it (short-circuit: in-cap bands never evaluate the
+      assert). Use when the gate's recall contract forbids drops.
+    - ``observation`` (a ``pyspark.sql.Observation``): records
+      ``dropped_bands`` / ``max_band_size`` via a dedicated metrics
+      job run EAGERLY at build time — same rationale as
+      ``_bucket_pairs``: an in-plan CollectMetrics node rides a join
+      subtree AQE can prune in exactly the readings that matter.
+
+    ``max_band=None`` (default) preserves the uncapped plan
+    byte-for-byte for existing callers and the driver oracle entry.
+    """
+    if on_over_cap not in ("drop", "error"):
+        raise ValueError(
+            f"on_over_cap must be 'drop' or 'error': {on_over_cap!r}"
+        )
     sh = simhash(df, id_col, text_col, portable=True)
-    return sh.select(
+    banded = sh.select(
         F.col(id_col).alias("corpus_id"),
         F.col("simhash").alias("corpus_simhash"),
         _gate_band_structs("simhash").alias("b"),
     ).select("corpus_id", "corpus_simhash", "b.band_id", "b.band")
+    if max_band is None:
+        return banded
+    sizes = banded.groupBy("band_id", "band").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    if observation is not None:
+        sizes.observe(
+            observation,
+            F.sum((F.col("__n") > max_band).cast("long")).alias(
+                "dropped_bands"
+            ),
+            F.max("__n").alias("max_band_size"),
+        ).count()
+    over_cond = F.col("__n") > max_band
+    if on_over_cap == "error":
+        over_cond = over_cond & F.assert_true(
+            F.col("__n") <= max_band,
+            F.concat(
+                F.lit(
+                    f"simhash_band_index: band over cap ({max_band}); size="
+                ),
+                F.col("__n").cast("string"),
+            ),
+        ).isNull()
+    over = sizes.filter(over_cond).select("band_id", "band")
+    return banded.join(F.broadcast(over), ["band_id", "band"], "left_anti")
 
 
 def neardup_gate_stream(
@@ -1261,7 +1325,10 @@ def neardup_gate_stream(
     distinct would need stateful aggregation this gate deliberately
     avoids. A degenerate hot band (near-empty boilerplate docs) must be
     capped on the INDEX side at build/merge time — the stream side
-    cannot run the eager occupancy probe the batch path uses.
+    cannot run the eager occupancy probe the batch path uses; pass
+    ``max_band``/``on_over_cap``/``observation`` to
+    :func:`simhash_band_index`, which enforces the cap with the same
+    no-silent-caps machinery as the batch path's ``_bucket_pairs``.
 
     Output: (id_col, corpus_id, hamming) per candidate match.
     """

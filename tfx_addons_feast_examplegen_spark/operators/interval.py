@@ -122,9 +122,11 @@ def point_in_interval_join(
     is ``inner`` or ``left_outer`` (every point at least once, interval
     columns NULL when nothing contains it — the enrich-else-keep
     shape). Returns points columns + intervals columns. For
-    ``left_outer``, byte-identical duplicate point rows are treated as
-    one by the miss path (the anti-join compares values) — carry a
-    unique point id if duplicates must survive independently.
+    ``left_outer``, byte-identical duplicate point rows are classified
+    by value — all copies match together, or all miss together — but a
+    left-anti join preserves left-side multiplicity, so every unmatched
+    copy survives as its own NULL-extended row; a unique point id is
+    only needed when per-copy lineage matters.
 
     ``bin_width="auto"`` measures the interval side's median length
     with one bounded build-time job (:func:`_auto_bin_width`) instead

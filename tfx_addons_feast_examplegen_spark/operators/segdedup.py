@@ -83,6 +83,11 @@ def segment_dedup(
     First-wins order is ``(doc_id, seg_idx)`` lexicographic, so the
     result is deterministic and idempotent (re-running dedups nothing:
     every surviving segment is already its group's minimum).
+
+    NULL-text contract: a NULL ``text_col`` input contributes no
+    segments and comes back as ``('', n_segs=0, n_kept=0)`` — the same
+    row shape as a document whose every segment lost (all four output
+    columns are non-null for every input row).
     """
     occ = segment_occurrences(df, id_col, text_col, width=width)
     if hashed:
@@ -120,8 +125,11 @@ def segment_dedup(
         F.count(F.lit(1)).alias("n_kept"),
     )
     # n_segs is segmentation arithmetic, not data: no explode, no agg.
+    # coalesce(0) covers NULL text (split(NULL) is NULL), keeping the
+    # row shape consistent with the coalesced n_kept/text below.
     n_segs = F.expr(
-        f"CAST(ceil(size(split({text_col}, ' ')) / {width}) AS BIGINT)"
+        f"coalesce(CAST(ceil(size(split({text_col}, ' ')) / {width})"
+        f" AS BIGINT), CAST(0 AS BIGINT))"
     )
     return (
         df.select(F.col(id_col), n_segs.alias("n_segs"))

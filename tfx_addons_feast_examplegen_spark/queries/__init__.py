@@ -259,166 +259,85 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # Round-10 rotation (VERDICT r9 items 2-4). Slot 0: pit_join
-    # (entry() smoke; also fingerprint-drifted this round by the
-    # strategy-dispatch change in materialize_features). Then: the 28
-    # r5-vintage entries recorded last round as the r10 cohort —
-    # executing them leaves NO registry entry with a driver row older
-    # than r7, completing the fleet-wide attestation refresh; the 10
-    # additional entries whose fingerprints drift with this round's
-    # changes (the per-view as-of strategy field reaches every
-    # materialize_features caller; the JPEG SOFn rejection reaches every
-    # image entry through the sniffing dispatch); and the
-    # alphabetically-first 11 r7-vintage rows.
-    #
-    # r5-vintage cohort (recorded r10 plan, VERDICT r8 item 2).
-    # latest_feature_snapshot was displaced by interval_overlap_join
-    # (below): its latest-record max_by machinery re-attests every
-    # round inside every pit_join* hash (SURVEY J3, driver-r9), making
-    # it the lowest-information re-attestation left in the cohort; it
-    # moves to the head of the r11 plan.
-    # negative_sample displaced by multimodal_image_dhash_neardup: its
-    # fingerprint-bucket draw machinery is r5-green with zero code
-    # drift since (per the ledger), the next lowest-information
-    # re-attestation; it joins the head of the r11 plan.
-    "param_substitution",
-    "pii_redaction",
-    "pit_join_composite_key",
-    "pit_join_field_mapping",
-    "pit_join_prefixed",
-    # similarity_ann_exhaustive displaced by q13_customer_distribution:
-    # the exhaustive scorer executes INSIDE both *_recall entries as
-    # their recall baseline (driver-r9 on the same machinery).
-    # source_csv_roundtrip displaced by q21_waiting_suppliers: it
-    # shares the roundtrip harness with source_jsonl (kept, same
-    # vintage) and source_tfrecord (driver-r9). Both move to the head
-    # of the r11 plan.
-    "skew_salted_agg",
-    "source_jsonl_roundtrip",
-    "split_pattern_routing",
-    # stratified_sample displaced by url_robots_filter: its per-stratum
-    # gate is the same fingerprint_bucket primitive attested driver-r9
-    # via three_way_split_counts (the temperature_mix argument); joins
-    # the head of the r11 plan.
-    # stream_static_enrichment displaced by stream_neardup_gate: the
-    # new entry exercises a strictly richer stream-static join on the
-    # same read/replay harness (file stream + availableNow memory-sink
-    # replay) THIS round; the dimension-enrichment variant joins the
-    # head of the r11 plan.
-    "stream_stream_join",
-    # stream_stream_left_join displaced by sketch_corpus_overlap: the
-    # left-outer variant of stream_stream_join (kept above) — the
-    # shared stateful-join machinery re-attests via the inner variant
-    # and the outer miss path stays pytest-covered. Moves to the head
-    # of the r11 plan.
-    # temperature_mix displaced by multimodal_audio_fingerprint_neardup:
-    # its sampling gate is the same fingerprint_bucket primitive
-    # attested driver-r9 via three_way_split_counts; only the per-group
-    # rate arithmetic is unique and that is r5-green with zero drift.
-    # Joins the head of the r11 plan.
-    "text_heavy_hitters",
-    "udtf_split_sentences",
-    # windowed_event_counts_streaming displaced by
-    # multimodal_corpus_prep: its batch twin windowed_event_counts is
-    # driver-r8 on the same window-agg logic and the streaming replay
-    # harness is driver-r8/r9 via sessionization_streaming and
-    # stream_dedup; joins the head of the r11 plan.
-    # drifted by this round's changes (strategy auto-select + JPEG
-    # SOFn/DAC rejection), must re-attest; multimodal_image_tiff is NEW
-    # this round (baseline TIFF codec) and takes the slot of the last
-    # r7 alphabetical filler (embedding_outliers, moved to the r11
-    # plan below):
-    "feature_service",
-    "multimodal_features",
-    "multimodal_image_gif",
-    "multimodal_image_jpeg",
-    "multimodal_image_jpeg_progressive",
-    "multimodal_image_png",
-    "multimodal_image_resize",
-    "multimodal_image_tiff",
-    "multimodal_video_mp4_stats",
-    "multimodal_audio_flac_stats",
-    "multimodal_audio_ogg_stats",
-    "multimodal_audio_g711_stats",
-    "pit_join_multiview",
-    "pit_join_ttl",
-    "pit_join_union_window",
-    # NEW this round (continued): WARC record walking — takes the slot
-    # of the last r7 alphabetical filler (dedup_containment_scoped,
-    # moved to the r11 plan below):
-    "source_warc_records",
-    # NEW this session (each displaces one r7 alphabetical filler into
-    # the r11 plan below — new entries MUST sit in the 50-slot window
-    # per tests/test_attestation.py):
-    "bloom_prejoin_filter",
-    "global_row_ids",
-    "html_text_extract",
-    "url_canonicalize",
-    "graph_pagerank",
-    # NEW in the continuation session (never-attested entries MUST sit
-    # in the window): each displaces one r5-vintage SQL-surface entry —
-    # rollup_region_nation, setop_intersect, setop_except, the three
-    # lowest-information re-attestations in the r5 cohort (operator ==
-    # oracle text by design, SURVEY A2) — into the r11 plan head below:
-    "fuzzy_editdist_pairs",
-    "dedup_segments",
-    "token_budget_select",
-    "bpe_encode",
-    "sketch_countmin",
-    "sketch_countmin_join",
-    "graph_bfs_levels",
-    "interval_containment_join",
-    # NEW in the second continuation session (never-attested entries
-    # MUST sit in the window); displacements documented at each slot
-    # they freed above:
-    "interval_overlap_join",
-    "q13_customer_distribution",
-    "q21_waiting_suppliers",
-    "sketch_corpus_overlap",
-    "multimodal_image_dhash_neardup",
-    "multimodal_audio_fingerprint_neardup",
-    "url_robots_filter",
-    "multimodal_corpus_prep",
+    # ROUND-11 ROTATION (VERDICT r10 item 2; the plan recorded in the
+    # r10 comment block executes here). Slot 0: pit_join (entry()
+    # smoke, convention since r7). Slots 1-17: the SEVENTEEN r5-vintage
+    # entries — the oldest attestation cohort, every one displaced from
+    # the r10 window by that round's 28 new operators with per-slot
+    # rationale recorded then. After these re-attest, no registry entry
+    # carries a driver row older than r7. Order: the nine displaced by
+    # the second r10 continuation first, then the six SQL-surface rows
+    # displaced by the first continuation, then the two ANN variants
+    # (each already covered by its driver-r9 *_recall twin on the same
+    # machinery — lowest-urgency r5 rows, hence last).
+    "latest_feature_snapshot",
+    "similarity_ann_exhaustive",
+    "source_csv_roundtrip",
+    "stream_stream_left_join",
+    "negative_sample",
+    "temperature_mix",
+    "stratified_sample",
+    "windowed_event_counts_streaming",
+    "stream_static_enrichment",
+    "rollup_region_nation",
+    "setop_intersect",
+    "setop_except",
+    "unpivot_stack",
+    "range_interval_window",
+    "scd2_validity_intervals",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    # Slots 18-22: the five entries whose fingerprints drift with THIS
+    # round's hardening (tests/test_attestation.py forces them into the
+    # window; all five were driver-r10 green on the pre-edit tree):
+    # - stream_neardup_gate: simhash_band_index grew the index-side
+    #   hot-band cap (max_band/on_over_cap/observation — VERDICT r10
+    #   item 3); the gate docstring now names the mechanism.
+    # - dedup_segments: n_segs wrapped in coalesce(.., 0) + the
+    #   NULL-text contract documented (ADVICE).
+    # - source_warc_records: truncated-payload diagnostic now reports
+    #   actual remaining bytes instead of remaining-minus-trailer
+    #   (ADVICE; framing check unchanged).
+    # - interval_containment_join: point_in_interval_join left_outer
+    #   duplicate caveat reworded (ADVICE; plan unchanged).
+    # - token_budget_select: float-boundary exactness contract
+    #   documented (ADVICE; integer-weight path — the shipped entry —
+    #   is exact and unchanged).
     "stream_neardup_gate",
-    # ROUND-11 WINDOW PLAN (record per VERDICT r9 item 3): FIRST the
-    # nine r5-vintage rows displaced by the SECOND continuation
-    # session's nine new entries (interval_overlap_join,
-    # q13_customer_distribution, q21_waiting_suppliers,
-    # sketch_corpus_overlap, multimodal_image_dhash_neardup,
-    # multimodal_audio_fingerprint_neardup, url_robots_filter,
-    # multimodal_corpus_prep, stream_neardup_gate) —
-    # latest_feature_snapshot, similarity_ann_exhaustive,
-    # source_csv_roundtrip, stream_stream_left_join, negative_sample,
-    # temperature_mix, stratified_sample,
-    # windowed_event_counts_streaming, stream_static_enrichment
-    # (displacement rationale at
-    # each freed slot above) — THEN the six r5-vintage SQL-surface rows
-    # displaced by the FIRST continuation's
-    # eight new entries (fuzzy_editdist_pairs, dedup_segments,
-    # token_budget_select, bpe_encode, sketch_countmin,
-    # sketch_countmin_join, graph_bfs_levels,
-    # interval_containment_join) — rollup_region_nation,
-    # setop_intersect, setop_except, unpivot_stack,
-    # range_interval_window, scd2_validity_intervals (SQL-surface), and
-    # similarity_ann_lsh + similarity_ann_ivf (displaced last: each
-    # carries a driver-r9 row via its stricter *_recall twin on the
-    # same machinery) — then the remaining
-    # r7-vintage rows — dedup_containment_scoped, dedup_exact_substring,
-    # dedup_pair_evidence, dedup_remove_shared_runs, dedup_simhash,
-    # embedding_outliers, corpus_report, decayed_activity_score,
-    # bpe_pair_merges, contrastive_hard_negatives and
-    # bm25_ranked_search (displaced from this window by the eleven new
-    # round-10 entries: multimodal_image_tiff,
-    # multimodal_video_mp4_stats, multimodal_audio_flac_stats,
-    # multimodal_audio_ogg_stats, multimodal_audio_g711_stats,
-    # source_warc_records, bloom_prejoin_filter, global_row_ids,
-    # html_text_extract, url_canonicalize, graph_pagerank),
-    # epoch_shuffle_shards, event_type_pmi,
-    # feature_drift_psi, federated_union_agg, graph_triangle_count,
-    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg,
-    # keyword_search_indexed, kfold_assignment, length_bucketing,
-    # mad_outliers, merge_upsert_cdc, nearest_event_join,
-    # percent_rank_transform, phrase_search_positional,
+    "dedup_segments",
+    "source_warc_records",
+    "interval_containment_join",
+    "token_budget_select",
+    # Slots 23-49: the alphabetically-first 27 of the 46 r7-vintage
+    # rows (the freshness tail after the r5 cohort clears):
+    "bm25_ranked_search",
+    "bpe_pair_merges",
+    "contrastive_hard_negatives",
+    "corpus_report",
+    "decayed_activity_score",
+    "dedup_containment_scoped",
+    "dedup_exact_substring",
+    "dedup_pair_evidence",
+    "dedup_remove_shared_runs",
+    "dedup_simhash",
+    "embedding_outliers",
+    "epoch_shuffle_shards",
+    "event_type_pmi",
+    "feature_drift_psi",
+    "federated_union_agg",
+    "graph_triangle_count",
+    "grouped_split_no_leakage",
+    "interpolate_timeseries",
+    "ivm_delta_agg",
+    "keyword_search_indexed",
+    "kfold_assignment",
+    "length_bucketing",
+    "mad_outliers",
+    "merge_upsert_cdc",
+    "nearest_event_join",
+    "percent_rank_transform",
+    "phrase_search_positional",
+    # ROUND-12 WINDOW PLAN: the remaining 19 r7-vintage rows —
     # props_map_explode, retention_cohorts, rolling_wau,
     # similarity_ann_indexed, similarity_ann_pq_recall,
     # sketch_hll_mergeable, skew_report, source_orc_roundtrip,
@@ -426,10 +345,9 @@ _DRIVER_PRIORITY = [
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — plus the oldest r8 rows to fill 50. After
-    # r11 executes, no registry entry has a driver row older than r7
-    # (the six displaced SQL-surface rows refresh r5 -> r11; the
-    # remaining r7 tail finishes in r12).
+    # vocab_coverage_curve — then the oldest r8 rows (31 of 40) to fill
+    # 50. After r12 executes, the oldest driver row anywhere is r8 and
+    # the steady-state cadence is a full-fleet refresh every ~4 rounds.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -135,7 +135,8 @@ def parse_warc_records(
         if pos + clen + 4 > len(data):
             raise WarcFormatError(
                 f"record {idx}: payload overruns archive "
-                f"({clen} declared, {len(data) - pos - 4} present)"
+                f"({clen} declared + 4-byte trailer, "
+                f"{len(data) - pos} remaining)"
             )
         payload = data[pos : pos + clen]
         pos += clen
