@@ -4525,12 +4525,26 @@ def _banded_hamming_pairs(
     held as four 16-bit band columns b0..b3 — the shared join tail of
     the image-dHash and audio-fingerprint near-dup operators. 4 bands
     pigeonhole Hamming <= 3; candidates come from the capped
-    self-equi-join on (band_id, band), never an all-pairs scan."""
+    self-equi-join on (band_id, band), never an all-pairs scan.
+
+    The ``hashed`` frame is PINNED (``dedup._pin`` — the FIFO-bounded
+    cache registry ``simhash_pairs`` uses for the identical shape): the
+    capped pair join consumes it up to three times (bucket-occupancy
+    aggregate + both self-join sides), and each consumption would
+    otherwise re-run the upstream DECODE stage — the Arrow-batched
+    Python codec pass that dominates these operators' cost (measured at
+    sf0.1: 1.44 s decode vs 0.79 s join; the unpinned plan paid decode
+    twice, 4.8 s end-to-end vs ~2.3 s pinned). The pinned frame is one
+    ``(id, 4 x int)`` row per document — negligible next to the media
+    bytes it replaces — and the registry unpersists oldest-first, so
+    storage is bounded across invocations."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"max_hamming must be in [0, 3] (4x16-bit pigeonhole): {max_hamming}"
         )
-    from .dedup import _bucket_pairs
+    from .dedup import _bucket_pairs, _pin
+
+    hashed = _pin(hashed)
 
     payload = F.struct(
         F.col(id_col).alias("id"),

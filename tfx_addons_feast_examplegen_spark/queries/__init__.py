@@ -287,9 +287,9 @@ _DRIVER_PRIORITY = [
     "scd2_validity_intervals",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
-    # Slots 18-22: the five entries whose fingerprints drift with THIS
+    # Slots 18-25: the eight entries whose fingerprints drift with THIS
     # round's hardening (tests/test_attestation.py forces them into the
-    # window; all five were driver-r10 green on the pre-edit tree):
+    # window; all eight were driver-r10 green on the pre-edit tree):
     # - stream_neardup_gate: simhash_band_index grew the index-side
     #   hot-band cap (max_band/on_over_cap/observation — VERDICT r10
     #   item 3); the gate docstring now names the mechanism.
@@ -303,12 +303,22 @@ _DRIVER_PRIORITY = [
     # - token_budget_select: float-boundary exactness contract
     #   documented (ADVICE; integer-weight path — the shipped entry —
     #   is exact and unchanged).
+    # - multimodal_image_dhash_neardup / multimodal_audio_fingerprint_
+    #   neardup / multimodal_corpus_prep: _banded_hamming_pairs now
+    #   PINS the hashed frame (dedup._pin — simhash_pairs precedent),
+    #   so the bucket-occupancy aggregate and both self-join sides no
+    #   longer each re-run the Arrow-batched decode stage (measured
+    #   sf0.1: 4.82 s -> 2.3 s cold / 0.71 s warm end-to-end; decode
+    #   1.5 s is now paid once).
     "stream_neardup_gate",
     "dedup_segments",
     "source_warc_records",
     "interval_containment_join",
     "token_budget_select",
-    # Slots 23-49: the alphabetically-first 27 of the 46 r7-vintage
+    "multimodal_image_dhash_neardup",
+    "multimodal_audio_fingerprint_neardup",
+    "multimodal_corpus_prep",
+    # Slots 26-49: the alphabetically-first 24 of the 46 r7-vintage
     # rows (the freshness tail after the r5 cohort clears):
     "bm25_ranked_search",
     "bpe_pair_merges",
@@ -334,18 +344,18 @@ _DRIVER_PRIORITY = [
     "length_bucketing",
     "mad_outliers",
     "merge_upsert_cdc",
-    "nearest_event_join",
-    "percent_rank_transform",
-    "phrase_search_positional",
-    # ROUND-12 WINDOW PLAN: the remaining 19 r7-vintage rows —
-    # props_map_explode, retention_cohorts, rolling_wau,
+    # ROUND-12 WINDOW PLAN: the remaining 22 r7-vintage rows —
+    # nearest_event_join, percent_rank_transform,
+    # phrase_search_positional (the alphabetical tail displaced from
+    # this window by the three multimodal entries the _pin change
+    # drifted), props_map_explode, retention_cohorts, rolling_wau,
     # similarity_ann_indexed, similarity_ann_pq_recall,
     # sketch_hll_mergeable, skew_report, source_orc_roundtrip,
     # source_overlap_audit, stream_error_recovery,
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (31 of 40) to fill
+    # vocab_coverage_curve — then the oldest r8 rows (28 of 40) to fill
     # 50. After r12 executes, the oldest driver row anywhere is r8 and
     # the steady-state cadence is a full-fleet refresh every ~4 rounds.
 ]
