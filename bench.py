@@ -91,6 +91,9 @@ EXTENDED = [
     "multimodal_audio_fingerprint_neardup",
     "sketch_corpus_overlap",
     "interval_overlap_join",
+    # round-11 addition: SemDeDup-style semantic dedup (k-means train +
+    # capped within-cluster pair suppression over planted copies)
+    "semantic_dedup",
 ]
 
 # The two indexed-ANN registry entries are equivalence/recall CONTRACTS

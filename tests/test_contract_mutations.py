@@ -708,3 +708,34 @@ def test_robots_oracle_catches_broken_longest_match_tiebreak(
     # the no-match default-allow path is aggregate-free and must hold
     assert mutated[3] == (True, None)
     assert mutated != baseline
+
+
+def test_semdedup_oracle_catches_broken_cosine(spark, sf_dir, monkeypatch):
+    # Negate the pair-cosine dot product inside semantic_dedup: every
+    # planted copy pair scores -1 instead of ~1, no row is suppressed,
+    # and the vec_id%10 IN (1,2) rows come back kept=true — diverging
+    # from the driver oracle's brute-force pairwise replay, which would
+    # turn the row red.
+    from tfx_addons_feast_examplegen_spark.operators import semdedup as sd
+    from tfx_addons_feast_examplegen_spark.queries.similarity import (
+        _q_semantic_dedup,
+    )
+
+    baseline = {
+        r["vec_id"]: r["kept"] for r in _q_semantic_dedup(spark, sf_dir).collect()
+    }
+    planted = [i for i in baseline if i % 10 in (1, 2)]
+    assert planted and all(baseline[i] is False for i in planted)
+    assert all(v for i, v in baseline.items() if i % 10 not in (1, 2))
+
+    real = sd._dot
+
+    def negated(a, b):
+        return -real(a, b)
+
+    monkeypatch.setattr(sd, "_dot", negated)
+    mutated = {
+        r["vec_id"]: r["kept"] for r in _q_semantic_dedup(spark, sf_dir).collect()
+    }
+    assert all(mutated[i] is True for i in planted)
+    assert mutated != baseline

@@ -1,0 +1,155 @@
+"""Semantic dedup (SemDeDup-style): hand-built vectors pin down the
+exact suppression semantics — triangular earlier-order suppression,
+centroid-sim ASC ordering, id tie-breaks, cluster-blindness — the
+float-robust driver entry can't exercise on random fixture vectors."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfx_addons_feast_examplegen_spark.operators.semdedup import (
+    semantic_dedup,
+)
+
+
+def _run(spark, rows, *, threshold, centroids, **kw):
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = semantic_dedup(
+        df, threshold=threshold, centroids=centroids, **kw
+    )
+    return {r["vec_id"]: r for r in out.collect()}
+
+
+def test_triangular_suppression_not_kept_only(spark):
+    # Chain on the unit circle: angles 40, 20, 0 degrees vs centroid
+    # [1,0]: sim(40,20)=sim(20,0)=cos20 >= t, sim(40,0)=cos40 < t.
+    # Order by centroid_sim ASC: 40 first, then 20, then 0. The paper's
+    # triangular rule suppresses 0 via the ALREADY-SUPPRESSED 20 — a
+    # keep-only rule would keep it. This pins the implemented variant.
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    t = math.cos(math.radians(25))  # ~0.906
+    got = _run(
+        spark,
+        [(0, v(0)), (1, v(20)), (2, v(40))],
+        threshold=t,
+        centroids=[[1.0, 0.0]],
+    )
+    assert {i: r["kept"] for i, r in got.items()} == {
+        2: True,   # farthest from centroid — first in order, kept
+        1: False,  # suppressed by 2 (cos20 >= t)
+        0: False,  # suppressed by the suppressed 1 (triangular rule)
+    }
+    assert all(r["cluster"] == 0 for r in got.values())
+    assert got[2]["centroid_sim"] == pytest.approx(math.cos(math.radians(40)))
+
+
+def test_id_tiebreak_and_scaled_copies(spark):
+    # Identical vectors tie on centroid_sim -> lowest id survives;
+    # a positively scaled copy has cosine 1.0 and the same
+    # centroid_sim, so it joins the same tie group.
+    base = [0.6, 0.8]
+    got = _run(
+        spark,
+        [(7, base), (3, base), (9, [x * 2 for x in base])],
+        threshold=0.95,
+        centroids=[[1.0, 0.0]],
+    )
+    assert {i: r["kept"] for i, r in got.items()} == {
+        3: True, 7: False, 9: False
+    }
+
+
+def test_cluster_blindness_across_cells(spark):
+    # A near-dup pair split across clusters is NOT suppressed — the
+    # paper's within-cluster-only trade-off, stated and pinned. Two
+    # orthogonal centroids; v near [1,0], its near-copy nudged past the
+    # 45-degree boundary toward [0,1].
+    got = _run(
+        spark,
+        [(1, [1.0, 0.2]), (2, [0.2, 1.0])],  # cos(v1,v2) ~ 0.38 — far
+        threshold=0.3,
+        centroids=[[1.0, 0.0], [0.0, 1.0]],
+    )
+    assert got[1]["cluster"] != got[2]["cluster"]
+    assert got[1]["kept"] and got[2]["kept"]
+
+
+def test_zero_vector_total_order(spark):
+    # zero vectors get centroid_sim 0.0 (not NULL/NaN) and cosine 0 to
+    # everything — always kept, never a suppressor
+    got = _run(
+        spark,
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+        threshold=0.9,
+        centroids=[[1.0, 0.0]],
+    )
+    assert got[1]["kept"] is True
+    assert got[1]["centroid_sim"] == 0.0
+    assert got[2]["kept"] is True and got[3]["kept"] is False
+
+
+def test_cap_machinery_and_validation(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        semantic_dedup(
+            df, threshold=0.9, centroids=[[1.0, 0.0]],
+            max_cluster=5, on_over_cap="error",
+        ).collect()
+    # drop mode: the over-cap cluster produces no pairs -> all kept
+    dropped = semantic_dedup(
+        df, threshold=0.9, centroids=[[1.0, 0.0]],
+        max_cluster=5, on_over_cap="drop",
+    )
+    assert all(r["kept"] for r in dropped.collect())
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=1.5, centroids=[[1.0, 0.0]])
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=0.0, centroids=[[1.0, 0.0]])
+    with pytest.raises(ValueError, match="n_clusters"):
+        semantic_dedup(df, threshold=0.9, n_clusters=0)
+
+
+def test_idempotent_with_fixed_centroids(spark):
+    def v(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(i, v(3 * i)) for i in range(20)]
+    cents = [[1.0, 0.0]]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    first = semantic_dedup(df, threshold=0.99, centroids=cents)
+    kept = first.where("kept").select("vec_id", "embedding")
+    second = semantic_dedup(kept, threshold=0.99, centroids=cents)
+    assert second.where(~F.col("kept")).count() == 0
+
+
+def test_trained_quantizer_path(spark):
+    # end-to-end with real spherical k-means training (no explicit
+    # centroids): planted exact copies are suppressed regardless of
+    # which cell the group lands in
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, v))
+    rows += [(100 + i, list(rows[i][1])) for i in range(5)]  # copies
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, threshold=0.999, n_clusters=4, seed=7, refine_iters=2
+        ).collect()
+    }
+    for i in range(5):
+        assert out[i] is True and out[100 + i] is False
+    assert sum(1 for k in out.values() if not k) == 5

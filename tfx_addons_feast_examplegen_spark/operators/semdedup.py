@@ -1,0 +1,156 @@
+"""Semantic deduplication over an embedding column (SemDeDup-style).
+
+SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" — public paper) removes
+*semantic* duplicates — re-encodings, translations-of-boilerplate,
+near-paraphrases — that no lexical dedup (exact / MinHash / SimHash —
+``dedup.py``) can see, by thresholding cosine similarity in embedding
+space. The published algorithm: k-means-cluster all embeddings, compute
+pairwise cosine similarity WITHIN each cluster only, and for every
+group of mutual near-duplicates keep the member with the LOWEST cosine
+similarity to its cluster centroid (the least-"typical" exemplar,
+preserving diversity).
+
+Suppression rule (matching the paper's released triangular-matrix
+implementation, which is parallel rather than sequential): order each
+cluster by ``(centroid_sim ASC, id ASC)``; a row is SUPPRESSED iff some
+row EARLIER in that order — kept or not — is within ``threshold``
+cosine similarity. This is a pure join + aggregate, no iteration: the
+earlier-than relation is exactly the ``doc_a < doc_b`` struct order of
+the shared candidate-pair machinery.
+
+Spark shape, chosen for the 100 TB case:
+- clustering is the existing IVF coarse quantizer
+  (``similarity.ivf_centroids`` — spherical k-means, only the
+  ``n_clusters x dim`` matrix ever reaches the driver) and assignment
+  is the constant-size-expression dot-product argmax
+  (``similarity.ivf_assign`` — narrow projection, no shuffle);
+- within-cluster pairs come from ``dedup._bucket_pairs`` on the
+  cluster id — the same capped single-shuffle self-equi-join every
+  pair-producer in this repo uses, so a degenerate giant cluster is
+  bounded by ``max_cluster`` and observable/fail-fast instead of
+  quadratic (k-means offers no size guarantee; the paper's 50k-cluster
+  config exists precisely to keep clusters small);
+- the pair payload carries ``(centroid_sim, id, vector)`` so the
+  cosine test runs directly on the exploded candidates — no join back.
+  At very high dim the vector dominates the one bucket shuffle; the
+  ids-only + re-join alternative (PassJoin's shape, ``editdist.py``)
+  trades that for two extra shuffles and wins only when
+  ``dim * 8 >> row overhead`` — switch there if profiling says so.
+
+Reference scope: the reference delegates all execution to BigQuery and
+has no dedup surface (feast_component/executor.py:128-163); this
+operator extends the Spark-native training-data inventory
+(SURVEY.md §2.9) alongside the lexical dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _bucket_pairs
+from .similarity import _dot, _norm, _sql_vec, ivf_assign, ivf_centroids
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float,
+    n_clusters: int = 16,
+    seed: int = 42,
+    refine_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int = 10_000,
+    observation=None,
+    on_over_cap: str = "error",
+) -> DataFrame:
+    """Semantic near-duplicate suppression: one row per input row with
+    ``cluster`` (assigned k-means cell), ``centroid_sim`` (cosine to
+    that cell's centroid) and ``kept`` (false iff an earlier row in the
+    cluster's ``(centroid_sim ASC, id ASC)`` order is within
+    ``threshold`` cosine similarity).
+
+    ``centroids`` short-circuits training (reuse a trained quantizer
+    across corpus shards — the merge path a 100 TB run needs; cluster
+    ids are then comparable across shards). ``threshold`` must be in
+    (0, 1]: exact duplicates have cosine 1.0, so a threshold above 1
+    would keep everything and silently disable the operator.
+
+    Determinism: assignment and ``centroid_sim`` are pure functions of
+    the vector (identical — or positively scaled — vectors land in the
+    same cluster with the same centroid_sim), and the order tie-break
+    is the unique id, so the kept set is deterministic — and, when the
+    same ``centroids`` are passed back in, idempotent (re-running on
+    the kept rows suppresses nothing: every survivor's earlier-
+    neighbour set only shrinks; retraining the quantizer on the kept
+    subset would instead re-draw the cluster boundaries).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1: {n_clusters}")
+    cents = centroids if centroids is not None else ivf_centroids(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_clusters,
+        seed=seed,
+        refine_iters=refine_iters,
+    )
+    if any(len(c) == 0 for c in cents):
+        raise ValueError("empty centroid in quantizer")
+
+    assigned = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1)
+    # cosine to the assigned (unit-norm) centroid; zero vectors get
+    # centroid_sim 0 rather than NULL/NaN so the order stays total
+    matrix = "array(" + ", ".join(_sql_vec(c) for c in cents) + ")"
+    cent_vec = F.expr(f"element_at({matrix}, cell + 1)")
+    norm = _norm(F.col(vec_col))
+    c_sim = F.when(
+        norm > 0, _dot(F.col(vec_col), cent_vec) / norm
+    ).otherwise(F.lit(0.0))
+    scored = assigned.select(
+        "*", c_sim.alias("centroid_sim")
+    ).withColumnRenamed("cell", "cluster")
+
+    # candidate pairs within a cluster, earlier-order side first:
+    # struct (centroid_sim, id, vec) compares lexicographically, so
+    # doc_a < doc_b IS the paper's ordering (ties impossible past the
+    # unique id; the vector field never participates in the compare)
+    payload = F.struct(
+        F.col("centroid_sim").alias("cs"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    ).alias("__sd")
+    banded = scored.select(F.col("cluster"), payload)
+    cand = _bucket_pairs(
+        banded,
+        ["cluster"],
+        "__sd",
+        max_size=max_cluster,
+        observation=observation,
+        on_over_cap=on_over_cap,
+    )
+    na, nb = _norm(F.col("doc_a.vec")), _norm(F.col("doc_b.vec"))
+    cos = F.when(
+        (na > 0) & (nb > 0),
+        _dot(F.col("doc_a.vec"), F.col("doc_b.vec")) / (na * nb),
+    ).otherwise(F.lit(0.0))
+    suppressed = (
+        cand.filter(cos >= threshold)
+        .select(F.col("doc_b.id").alias(id_col))
+        .distinct()
+    )
+    return (
+        scored.join(
+            suppressed.select(
+                F.col(id_col), F.lit(False).alias("kept")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(True)))
+    )

@@ -450,7 +450,88 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_IVF_PROBE4_ORACLE = _ANN_LSH_RECALL_ORACLE  # same portable shape
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style semantic dedup (Abbas et al. 2023) end-to-end
+    # through REAL spherical k-means training: plant vec_id%10==1 as an
+    # exact copy of vec_id-1's embedding and vec_id%10==2 as a 2x
+    # positively-scaled copy of vec_id-2's (cosine exactly 1.0, same
+    # cluster assignment and centroid_sim by exact-float scaling), then
+    # suppress at threshold 0.95 — far above the fixture's natural max
+    # pairwise cosine (~0.51), so the ONLY suppressions are within
+    # identical-direction groups, where centroid_sim ties make the
+    # greedy order id-only and clustering provably cannot split a
+    # group. That makes the kept set cluster-independent and lets the
+    # oracle verify it by replaying the planting and a brute-force
+    # pairwise-cosine suppression in SQL — a real independent check: a
+    # broken cosine, threshold, tie-break, or an assignment bug that
+    # split a copy group would all disagree. The graded rank-order
+    # semantics clustering CAN affect are pinned by tests/
+    # test_semdedup.py on hand-built vectors instead.
+    from ..operators.semdedup import semantic_dedup
+
+    t = register_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "label", "embedding")
+    base = e.select(
+        F.col("vec_id").alias("__b"), F.col("embedding").alias("__bv")
+    )
+    planted = (
+        e.withColumn(
+            "__base",
+            F.when(F.col("vec_id") % 10 == 1, F.col("vec_id") - 1).when(
+                F.col("vec_id") % 10 == 2, F.col("vec_id") - 2
+            ),
+        )
+        .join(base, F.col("__base") == F.col("__b"), "left")
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("vec_id") % 10 == 1, F.col("__bv"))
+            .when(
+                F.col("vec_id") % 10 == 2,
+                F.expr("transform(__bv, x -> x * CAST(2.0 AS FLOAT))"),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    out = semantic_dedup(
+        planted,
+        threshold=0.95,
+        n_clusters=16,
+        seed=42,
+        refine_iters=2,
+        on_over_cap="error",
+    )
+    return out.select("vec_id", "label", "kept")
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planted AS (
+  SELECT e.vec_id, e.label,
+         CASE
+           WHEN e.vec_id % 10 = 1 THEN b1.v
+           WHEN e.vec_id % 10 = 2 THEN list_transform(b2.v, x -> x * 2)
+           ELSE e.v
+         END AS v
+  FROM base e
+  LEFT JOIN base b1 ON b1.vec_id = e.vec_id - 1
+  LEFT JOIN base b2 ON b2.vec_id = e.vec_id - 2
+),
+sup AS (
+  SELECT DISTINCT b.vec_id
+  FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+)
+SELECT p.vec_id, p.label, (s.vec_id IS NULL) AS kept
+FROM planted p LEFT JOIN sup s ON s.vec_id = p.vec_id
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "semantic_dedup": (_q_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
     "similarity_ann_exhaustive": (_q_ann_exhaustive, _SIM_TOPK_ORACLE),
     "embedding_quantization": (_q_embedding_quantization, _EMB_QUANT_ORACLE),
     "contrastive_hard_negatives": (_q_hard_negatives, _HARD_NEGATIVES_ORACLE),
