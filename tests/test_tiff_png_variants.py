@@ -264,3 +264,79 @@ def test_attach_tiff_payloads_matches_bmp_adapter(spark, sf_dir):
     assert set(tiff) == set(bmp) and len(tiff) == 40
     for k in tiff:
         assert tiff[k] == bmp[k]
+
+
+def test_png_adam7_interlace_rejected_by_name():
+    # Adam7-interlaced PNGs exist in real corpora; the decoder must
+    # reject them with the named reason (quarantine class), never by
+    # decoding garbage scanlines.
+    import zlib
+
+    pay = bytearray(mm.encode_png_typed(4, 4, 2, _pat(48)))
+    pay[28] = 1  # IHDR interlace byte (sig 8 + len 4 + type 4 + 12)
+    struct.pack_into(
+        ">I", pay, 29, zlib.crc32(b"IHDR" + bytes(pay[16:29])) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="interlace=1"):
+        mm.decode_png_rgb8_pixels(bytes(pay))
+
+
+def test_tiff_exif_baggage_tolerated():
+    # Exif-bearing TIFFs interleave tags baseline decode doesn't need:
+    # RATIONAL resolutions (type 5 — skipped by TYPE), ASCII
+    # description/DateTime (type 2 — bounds-checked then skipped by
+    # CLASS), and the ExifIFD pointer 34665 (a LONG the walker stores
+    # but never follows). The IFD walk must step over all of them and
+    # still decode the pixels — hand-assembled 2x2 gray II TIFF, since
+    # the repo encoder never emits metadata tags.
+    gray = bytes([10, 20, 30, 40])
+    desc = b"round-11 exif fixture\x00"
+    dt = b"2026:08:15 00:00:00\x00"
+
+    specs = [
+        # (tag, typ, count, inline_value or None, outofline_bytes or None)
+        (256, 3, 1, 2, None),            # width
+        (257, 3, 1, 2, None),            # height
+        (258, 3, 1, 8, None),            # bits per sample
+        (259, 3, 1, 1, None),            # uncompressed
+        (262, 3, 1, 1, None),            # BlackIsZero gray
+        (270, 2, len(desc), None, desc),  # ImageDescription (ASCII)
+        (273, 4, 1, "STRIP", None),      # strip offset (patched below)
+        (277, 3, 1, 1, None),            # samples per pixel
+        (278, 3, 1, 2, None),            # rows per strip
+        (279, 4, 1, 4, None),            # strip byte count
+        (282, 5, 1, None, struct.pack("<II", 72, 1)),  # XResolution 72/1
+        (306, 2, len(dt), None, dt),     # DateTime (ASCII)
+        (34665, 4, 1, 8, None),          # ExifIFD pointer (unfollowed)
+    ]
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(specs) + 4
+    val_off = ifd_off + ifd_len
+    values = bytearray()
+    offsets = {}
+    for tag, typ, count, inline, data in specs:
+        if data is not None:
+            offsets[tag] = val_off + len(values)
+            values += data
+            if len(values) % 2:
+                values += b"\x00"
+    strip_off = val_off + len(values)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", len(specs))
+    size = {2: 1, 3: 2, 4: 4, 5: 8}
+    fmt = {3: "<H", 4: "<I"}
+    for tag, typ, count, inline, data in specs:
+        out += struct.pack("<HHI", tag, typ, count)
+        if data is not None:
+            out += struct.pack("<I", offsets[tag])
+        else:
+            v = strip_off if inline == "STRIP" else inline
+            out += struct.pack(fmt[typ], v).ljust(4, b"\x00")
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += values
+    out += gray
+
+    w, h, px = mm.decode_tiff_rgb8_pixels(bytes(out))
+    assert (w, h) == (2, 2)
+    assert px == [(v, v, v) for v in gray]
