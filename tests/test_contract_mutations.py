@@ -739,3 +739,31 @@ def test_semdedup_oracle_catches_broken_cosine(spark, sf_dir, monkeypatch):
     }
     assert all(mutated[i] is True for i in planted)
     assert mutated != baseline
+
+
+def test_dsir_oracle_catches_negated_log_ratio(spark, sf_dir, monkeypatch):
+    # Negate the bucket log-ratios inside dsir_select: the importance
+    # weights invert (target-like docs now score LOWEST), so the Gumbel
+    # top-200 flips toward off-target documents and the driver oracle's
+    # full SQL replay — which computes the true ratios — must go red.
+    from tfx_addons_feast_examplegen_spark.operators import dsir as ds
+    from tfx_addons_feast_examplegen_spark.queries.curation import (
+        _q_dsir_select,
+    )
+
+    baseline = {r["doc_id"] for r in _q_dsir_select(spark, sf_dir).collect()}
+    assert len(baseline) == 200
+
+    real = ds.dsir_log_ratios
+
+    def negated(*a, **kw):
+        out = real(*a, **kw)
+        return out.select(
+            "bucket", (-out["log_ratio"]).alias("log_ratio")
+        )
+
+    monkeypatch.setattr(ds, "dsir_log_ratios", negated)
+    mutated = {r["doc_id"] for r in _q_dsir_select(spark, sf_dir).collect()}
+    assert mutated != baseline
+    # the flip is substantive, not a one-row boundary wiggle
+    assert len(baseline - mutated) > 50

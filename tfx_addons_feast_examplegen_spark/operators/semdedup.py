@@ -31,6 +31,15 @@ Spark shape, chosen for the 100 TB case:
   bounded by ``max_cluster`` and observable/fail-fast instead of
   quadratic (k-means offers no size guarantee; the paper's 50k-cluster
   config exists precisely to keep clusters small);
+- SIZING LAW: candidate pairs total ~``n²/n_clusters`` (uniform
+  occupancy), so ``n_clusters`` must grow LINEARLY with the corpus to
+  hold the pair stage flat — that is the paper's 50k-clusters-for-100M
+  choice, measured in ``scripts/scale_probe_semdedup.py``. The
+  counter-pressure is the assignment scan (``n * n_clusters * dim``
+  inside one constant-size HOF expression): past ~10k clusters an
+  assignment index (coarse-quantize the centroids themselves, probe a
+  few super-cells) is the next rung — not built until a workload needs
+  it;
 - the pair payload carries ``(centroid_sim, id, vector)`` so the
   cosine test runs directly on the exploded candidates — no join back.
   At very high dim the vector dominates the one bucket shuffle; the

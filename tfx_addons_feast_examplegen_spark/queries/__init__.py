@@ -222,6 +222,7 @@ _ENTRY_ORDER = [
     "fuzzy_editdist_pairs",
     "dedup_segments",
     "token_budget_select",
+    "dsir_select",
     "bpe_encode",
     "sketch_countmin",
     "sketch_countmin_join",
@@ -343,26 +344,30 @@ _DRIVER_PRIORITY = [
     "keyword_search_indexed",
     "kfold_assignment",
     "length_bucketing",
-    "mad_outliers",
     # NEW this round (never-attested entries MUST sit in the window):
     # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
     # 2023), spherical-k-means clusters + capped within-cluster
-    # suppression, brute-force pairwise replay oracle. Displaces the
-    # last alphabetical r7 filler (merge_upsert_cdc) into the r12 plan.
+    # suppression, brute-force pairwise replay oracle; dsir_select —
+    # DSIR importance resampling (Xie et al. 2023), hashed-n-gram
+    # models + Gumbel top-k WOR, full SQL replay oracle. They displace
+    # the last two alphabetical r7 fillers (mad_outliers,
+    # merge_upsert_cdc) into the r12 plan.
     "semantic_dedup",
-    # ROUND-12 WINDOW PLAN: the remaining 23 r7-vintage rows —
-    # merge_upsert_cdc, nearest_event_join, percent_rank_transform,
+    "dsir_select",
+    # ROUND-12 WINDOW PLAN: the remaining 24 r7-vintage rows —
+    # mad_outliers, merge_upsert_cdc, nearest_event_join,
+    # percent_rank_transform,
     # phrase_search_positional (the alphabetical tail displaced from
     # this window by the three multimodal entries the _pin change
-    # drifted and the new semantic_dedup entry), props_map_explode,
-    # retention_cohorts, rolling_wau,
+    # drifted and the new semantic_dedup/dsir_select entries),
+    # props_map_explode, retention_cohorts, rolling_wau,
     # similarity_ann_indexed, similarity_ann_pq_recall,
     # sketch_hll_mergeable, skew_report, source_orc_roundtrip,
     # source_overlap_audit, stream_error_recovery,
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (27 of 40) to fill
+    # vocab_coverage_curve — then the oldest r8 rows (26 of 40) to fill
     # 50. After r12 executes, the oldest driver row anywhere is r8 and
     # the steady-state cadence is a full-fleet refresh every ~4 rounds.
 ]

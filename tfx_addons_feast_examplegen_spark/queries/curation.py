@@ -870,7 +870,90 @@ WHERE cum <= 15000
 """
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance resampling (Xie et al. 2023): target = the
+    # English documents, raw = the whole pool; hashed 1/2-gram models
+    # (portable md5 buckets), add-1 smoothing, deterministic Gumbel
+    # top-200 WOR. The oracle replays the ENTIRE pipeline in SQL —
+    # tokenization, bigrams, bucket hash, both corpus models, the
+    # log-ratio scoring join, the fingerprint-derived Gumbel noise and
+    # the final top-k — so a drift anywhere (a hash mismatch, a
+    # smoothing slip, a noise-formula change, a tie-order bug) reddens.
+    from ..operators.dsir import dsir_select
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    out = dsir_select(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        n_select=200,
+        buckets=8192,
+        smoothing=1.0,
+        noise_denom=1 << 20,
+    )
+    return out.select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("sample_key", 6).alias("sample_key"),
+    )
+
+
+_DSIR_SELECT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, lang, g FROM (
+    SELECT doc_id, lang, unnest(ts) AS g FROM toks
+    UNION ALL
+    SELECT t.doc_id, t.lang, t.ts[i] || ' ' || t.ts[i + 1] AS g
+    FROM toks t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.ts) - 1)) AS i) x
+    WHERE len(t.ts) >= 2
+  )
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 8192 AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+),
+tcnt AS (SELECT bucket, sum(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+rcnt AS (SELECT bucket, sum(cnt) AS cr FROM feats GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) AS t_n,
+               (SELECT coalesce(sum(cr), 0) FROM rcnt) AS r_n),
+dom AS (SELECT unnest(range(0, 8192)) AS bucket),
+lr AS (
+  SELECT d.bucket,
+         ln((coalesce(t.ct, 0) + 1.0) / (tot.t_n + 8192.0))
+           - ln((coalesce(r.cr, 0) + 1.0) / (tot.r_n + 8192.0)) AS log_ratio
+  FROM dom d CROSS JOIN tot
+  LEFT JOIN tcnt t ON t.bucket = d.bucket
+  LEFT JOIN rcnt r ON r.bucket = d.bucket
+),
+scored AS (
+  SELECT f.doc_id, sum(f.cnt * lr.log_ratio) AS lw
+  FROM feats f JOIN lr ON lr.bucket = f.bucket
+  GROUP BY 1
+),
+keyed AS (
+  SELECT d.doc_id, coalesce(s.lw, 0.0) AS lw,
+         coalesce(s.lw, 0.0) - ln(-ln(
+           (((d.doc_id * 2654435761) % 2147483648 + 2147483648)
+              % 2147483648 % 1048576 + 0.5) / 1048576.0)) AS key
+  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, round(lw, 6) AS log_weight, round(key, 6) AS sample_key
+FROM keyed ORDER BY key DESC, doc_id LIMIT 200
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "dsir_select": (_q_dsir_select, _DSIR_SELECT_ORACLE),
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
