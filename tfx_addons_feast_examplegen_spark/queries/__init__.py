@@ -231,6 +231,9 @@ _ENTRY_ORDER = [
     "interval_overlap_join",
     "q13_customer_distribution",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -341,25 +344,30 @@ _DRIVER_PRIORITY = [
     "grouped_split_no_leakage",
     "interpolate_timeseries",
     "ivm_delta_agg",
-    "keyword_search_indexed",
-    "kfold_assignment",
-    "length_bucketing",
     # NEW this round (never-attested entries MUST sit in the window):
     # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
     # 2023), spherical-k-means clusters + capped within-cluster
     # suppression, brute-force pairwise replay oracle; dsir_select —
     # DSIR importance resampling (Xie et al. 2023), hashed-n-gram
-    # models + Gumbel top-k WOR, full SQL replay oracle. They displace
-    # the last two alphabetical r7 fillers (mad_outliers,
+    # models + Gumbel top-k WOR, full SQL replay oracle; the three
+    # TPC-H decorrelation shapes q2/q17/q22 (correlated scalar-min
+    # join-back, per-group scalar-avg, global-scalar + anti join),
+    # DataFrame-composed vs independent ANSI oracles. They displace
+    # the five last alphabetical r7 fillers (keyword_search_indexed,
+    # kfold_assignment, length_bucketing, mad_outliers,
     # merge_upsert_cdc) into the r12 plan.
     "semantic_dedup",
     "dsir_select",
-    # ROUND-12 WINDOW PLAN: the remaining 24 r7-vintage rows —
+    "q2_min_cost_supplier",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    # ROUND-12 WINDOW PLAN: the remaining 27 r7-vintage rows —
+    # keyword_search_indexed, kfold_assignment, length_bucketing,
     # mad_outliers, merge_upsert_cdc, nearest_event_join,
     # percent_rank_transform,
     # phrase_search_positional (the alphabetical tail displaced from
     # this window by the three multimodal entries the _pin change
-    # drifted and the new semantic_dedup/dsir_select entries),
+    # drifted and the five new entries),
     # props_map_explode, retention_cohorts, rolling_wau,
     # similarity_ann_indexed, similarity_ann_pq_recall,
     # sketch_hll_mergeable, skew_report, source_orc_roundtrip,
@@ -367,7 +375,7 @@ _DRIVER_PRIORITY = [
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (26 of 40) to fill
+    # vocab_coverage_curve — then the oldest r8 rows (23 of 40) to fill
     # 50. After r12 executes, the oldest driver row anywhere is r8 and
     # the steady-state cadence is a full-fleet refresh every ~4 rounds.
 ]

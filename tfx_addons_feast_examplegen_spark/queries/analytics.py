@@ -790,6 +790,169 @@ LIMIT 10
 """
 
 
+def _q_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 SHAPE over the available tables (the fixture has no
+    # partsupp, so "supply cost" is the lineitem unit price): for each
+    # medium-size part of a given type prefix, the supplier(s) whose
+    # line matched the part's MINIMUM unit price — the correlated
+    # scalar-min subquery joined back on equality, Q2's defining
+    # decorrelation test. DataFrame composition: per-part min as one
+    # combinable aggregate, equality join back (doubles: both engines
+    # do IEEE division on the same parquet values, so min and the
+    # equality match bit-identically), then supplier/nation broadcast
+    # enrich. Top-10 by supplier balance plans as TakeOrdered.
+    t = register_tables(spark, sf_dir)
+    parts = t["part"].where(
+        (F.col("p_size") <= 15) & F.col("p_type").startswith("PROMO")
+    ).select("p_partkey", "p_type")
+    li = t["lineitem"].where(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
+    )
+    li_parts = li.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    min_unit = li_parts.groupBy("p_partkey").agg(
+        F.min("__unit").alias("__min_unit")
+    )
+    winners = li_parts.join(min_unit, "p_partkey").where(
+        F.col("__unit") == F.col("__min_unit")
+    )
+    sup = t["supplier"].join(
+        F.broadcast(t["nation"]),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    return (
+        winners.select("p_partkey", "p_type", "l_suppkey", "__min_unit")
+        .distinct()
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey")
+        )
+        .limit(10)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("__min_unit", 4).alias("min_unit_price"),
+        )
+    )
+
+
+_Q2_ORACLE = """
+WITH parts AS (
+  SELECT p_partkey, p_type FROM part
+  WHERE p_size <= 15 AND p_type LIKE 'PROMO%'
+),
+lu AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit
+  FROM lineitem WHERE l_quantity > 0
+),
+w AS (
+  SELECT DISTINCT p.p_partkey, p.p_type, l.l_suppkey, l.unit
+  FROM parts p JOIN lu l ON l.l_partkey = p.p_partkey
+  WHERE l.unit = (SELECT min(l2.unit) FROM lu l2
+                  WHERE l2.l_partkey = p.p_partkey)
+)
+SELECT s.s_suppkey, s.s_name, n.n_name, w.p_partkey, w.p_type,
+       round(w.unit, 4) AS min_unit_price
+FROM w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s.s_acctbal DESC, w.p_partkey, s.s_suppkey
+LIMIT 10
+"""
+
+
+def _q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: revenue lost to small-quantity orders — lines
+    # whose quantity is below 20% of the PER-PART average quantity (the
+    # per-group scalar-avg subquery), for one brand's parts, summed and
+    # scaled by 1/7. Spark decorrelates as one combinable avg aggregate
+    # joined back; the part filter broadcasts ahead of both scans of
+    # lineitem so the avg is computed only for the brand's parts.
+    t = register_tables(spark, sf_dir)
+    parts = t["part"].where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = t["lineitem"].select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li.groupBy("p_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__q20")
+    )
+    return (
+        li.join(avg_qty, "p_partkey")
+        .where(F.col("l_quantity") < F.col("__q20"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q17_ORACLE = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+WHERE l.l_quantity < (
+  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _q_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: positive-balance customers in a nation set who
+    # are RICHER than the average such customer (a one-row global
+    # scalar subquery, broadcast-attached) and are DORMANT — no order
+    # since 2000-01-01 (anti join on the date-filtered orders; the
+    # fixture has no phone column and every customer has SOME order, so
+    # the country-code and no-orders predicates become the nation set
+    # and a recency cutoff — same plan shape: scalar agg -> broadcast
+    # one-row cross join -> anti join -> agg).
+    t = register_tables(spark, sf_dir)
+    cust = t["customer"].where(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5)
+        & (F.col("c_acctbal") > 0.0)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            t["orders"]
+            .where(F.col("o_orderdate") >= "2000-01-01")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_Q22_ORACLE = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 2, 3, 4, 5) AND c.c_acctbal > 0.0
+  AND c.c_acctbal > (
+    SELECT avg(c2.c_acctbal) FROM customer c2
+    WHERE c2.c_nationkey IN (1, 2, 3, 4, 5) AND c2.c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
     "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
@@ -803,6 +966,9 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fk_integrity_audit": (_q_fk_audit_df, _QFK_AUDIT),
     "revenue_concentration": (_q_pareto_df, _QPARETO),
     "group_ols_trend": (_q_ols_trend_df, _QOLS_TREND_ORACLE),
+    "q2_min_cost_supplier": (_q_q2_min_cost, _Q2_ORACLE),
+    "q17_small_quantity_revenue": (_q_q17_small_qty, _Q17_ORACLE),
+    "q22_dormant_customers": (_q_q22_dormant, _Q22_ORACLE),
     "q7_nation_volume": (_sql_query(_Q7), _Q7),
     "q10_returned_items": (_sql_query(_Q10), _Q10),
     "q18_large_orders": (_sql_query(_Q18), _Q18),
