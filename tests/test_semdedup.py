@@ -153,3 +153,93 @@ def test_trained_quantizer_path(spark):
     for i in range(5):
         assert out[i] is True and out[100 + i] is False
     assert sum(1 for k in out.values() if not k) == 5
+
+
+# ---------------------------------------------------------------------
+# Indexed (two-stage) assignment
+
+
+def test_indexed_assignment_equals_exact_when_fully_probed(spark):
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_indexed,
+        ivf_centroids,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = ivf_centroids(df, n_cells=16, seed=5, refine_iters=1)
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(df, cents, n_probe=1).collect()
+    }
+    # fully probed (n_probe_super = n_super) must equal the flat scan
+    full = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_indexed(
+            df, cents, n_super=4, n_probe_super=4, n_probe=1
+        ).collect()
+    }
+    assert full == exact
+    # partial probing: a pure function of the vector (replay-stable),
+    # mostly agreeing with exact on this easy fixture
+    part = ivf_assign_indexed(df, cents, n_super=4, n_probe_super=2)
+    a = {r["vec_id"]: r["cell"] for r in part.collect()}
+    b = {r["vec_id"]: r["cell"] for r in part.collect()}
+    assert a == b
+    agree = sum(1 for i in exact if a[i] == exact[i])
+    assert agree >= 150  # approximation, not garbage
+
+
+def test_indexed_assignment_validation_and_copies_coassign(spark):
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_assign_indexed,
+    )
+
+    base = [0.1, 0.9, -0.3, 0.4]
+    df = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, [x * 2 for x in base])],
+        "vec_id: long, embedding: array<float>",
+    )
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_indexed(
+            df, cents, n_super=2, n_probe_super=1
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3]
+    with _pytest.raises(ValueError, match="n_probe_super"):
+        ivf_assign_indexed(df, cents, n_super=2, n_probe_super=3)
+
+
+def test_semdedup_with_indexed_assignment_keeps_exact_recall(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    rows += [(200 + i, list(rows[i][1])) for i in range(8)]  # copies
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df,
+            threshold=0.999,
+            n_clusters=16,
+            seed=9,
+            refine_iters=1,
+            assign_via_index=True,
+        ).collect()
+    }
+    for i in range(8):
+        assert out[i] is True and out[200 + i] is False
+    assert sum(1 for k in out.values() if not k) == 8

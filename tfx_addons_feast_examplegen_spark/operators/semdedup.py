@@ -75,6 +75,7 @@ def semantic_dedup(
     max_cluster: int = 10_000,
     observation=None,
     on_over_cap: str = "error",
+    assign_via_index: bool | int = False,
 ) -> DataFrame:
     """Semantic near-duplicate suppression: one row per input row with
     ``cluster`` (assigned k-means cell), ``centroid_sim`` (cosine to
@@ -96,6 +97,15 @@ def semantic_dedup(
     the kept rows suppresses nothing: every survivor's earlier-
     neighbour set only shrinks; retraining the quantizer on the kept
     subset would instead re-draw the cluster boundaries).
+
+    ``assign_via_index``: route assignment through
+    ``similarity.ivf_assign_indexed`` (truthy = on; an int sets
+    ``n_probe_super``) — the measured cure for the flat assignment
+    scan's ``n x n_clusters x dim`` wall past ~1-2k clusters
+    (``docs/BENCH_NOTES_r11.md``). The indexed assignment is still a
+    pure function of the vector, so exact/scaled duplicate groups
+    still co-cluster and their suppression is unchanged; only the
+    cluster BOUNDARIES for non-duplicate vectors are approximate.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
@@ -112,7 +122,15 @@ def semantic_dedup(
     if any(len(c) == 0 for c in cents):
         raise ValueError("empty centroid in quantizer")
 
-    assigned = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1)
+    if assign_via_index:
+        from .similarity import ivf_assign_indexed
+
+        nps = assign_via_index if isinstance(assign_via_index, int) and not isinstance(assign_via_index, bool) else 2
+        assigned = ivf_assign_indexed(
+            emb, cents, vec_col=vec_col, n_probe_super=nps, n_probe=1
+        )
+    else:
+        assigned = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1)
     # cosine to the assigned (unit-norm) centroid; zero vectors get
     # centroid_sim 0 rather than NULL/NaN so the order stays total
     matrix = "array(" + ", ".join(_sql_vec(c) for c in cents) + ")"

@@ -520,6 +520,120 @@ def ivf_assign(
     return emb.select("*", F.expr(f"explode({ranked}) AS cell"))
 
 
+def _supercell_groups(
+    centroids: list[list[float]], n_super: int, lloyd_iters: int = 5
+) -> tuple[list[list[float]], list[list[int]]]:
+    """Driver-side k-means over the CENTROIDS themselves: returns
+    (super_centroids, groups) with ``groups[s]`` the centroid indices
+    owned by super-cell ``s``. Deterministic: init takes every
+    ``k/n_super``-th centroid, Lloyd on plain dot products (centroids
+    are already unit-norm), empty super-cells keep their previous
+    position. Pure Python over a k x dim list — the quantizer is
+    parameters, not data."""
+    k = len(centroids)
+    n_super = min(n_super, k)
+    sup = [list(centroids[(i * k) // n_super]) for i in range(n_super)]
+
+    def _assign() -> list[list[int]]:
+        groups: list[list[int]] = [[] for _ in range(n_super)]
+        for ci, c in enumerate(centroids):
+            best, best_s = None, 0
+            for si, s in enumerate(sup):
+                d = sum(x * y for x, y in zip(c, s))
+                if best is None or d > best:
+                    best, best_s = d, si
+            groups[best_s].append(ci)
+        return groups
+
+    groups = _assign()
+    for _ in range(lloyd_iters):
+        for si, members in enumerate(groups):
+            if not members:
+                continue
+            dim = len(sup[si])
+            m = [
+                sum(centroids[ci][j] for ci in members) / len(members)
+                for j in range(dim)
+            ]
+            n = math.sqrt(sum(x * x for x in m)) or 1.0
+            sup[si] = [x / n for x in m]
+        groups = _assign()
+    return sup, groups
+
+
+def ivf_assign_indexed(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    n_super: int | None = None,
+    n_probe_super: int = 2,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Two-stage (coarse-quantized) IVF assignment — the scale rung
+    past :func:`ivf_assign`'s flat scan, whose cost is
+    ``n x n_cells x dim`` and becomes the measured wall past ~1-2k
+    cells (``docs/BENCH_NOTES_r11.md``, semdedup probe: 4096 cells,
+    400k rows -> the assignment dominates a 23-minute run). Standard
+    IVF-on-the-centroids construction: k-means the centroids into
+    ``n_super ~ sqrt(n_cells)`` super-cells (driver-side — the
+    quantizer is parameters), score the ``n_super`` super-centroids per
+    row, then score only the centroids owned by the ``n_probe_super``
+    nearest super-cells. Cost per row falls to
+    ``(n_super + n_probe_super x n_cells/n_super) x dim`` —
+    ~``2 sqrt(n_cells)/n_cells`` of the flat scan (4096 cells, 2
+    probes: ~32x fewer dot products).
+
+    APPROXIMATE: a vector whose true nearest centroid lives outside its
+    probed super-cells is assigned to the best PROBED centroid. The
+    assignment remains a pure deterministic function of the vector —
+    identical (or positively scaled) vectors co-assign, which is the
+    property exact-duplicate suppression in ``semdedup`` relies on;
+    raise ``n_probe_super`` toward ``n_super`` to converge on the exact
+    argmax (equality at ``n_probe_super = n_super``, pytest-pinned).
+    Output matches :func:`ivf_assign`: input columns + ``cell``, one
+    row per probed cell (``n_probe`` nearest among the candidates).
+    """
+    k = len(centroids)
+    if n_super is None:
+        n_super = max(1, int(math.isqrt(k)))
+    n_super = min(n_super, k)
+    if not 1 <= n_probe_super <= n_super:
+        raise ValueError(
+            f"n_probe_super must be in [1, n_super={n_super}]: {n_probe_super}"
+        )
+    sup, groups = _supercell_groups(centroids, n_super)
+    sup_matrix = "array(" + ", ".join(_sql_vec(s) for s in sup) + ")"
+    # per super-cell: the owned centroids as (cell id, vector) structs —
+    # one nested literal, k x (dim + 1) values total (same volume as the
+    # flat matrix), constant-size expression tree
+    grp_sql = "array(" + ", ".join(
+        "array(" + ", ".join(
+            f"struct({ci} AS cid, {_sql_vec(centroids[ci])} AS cv)"
+            for ci in members
+        ) + ")" if members else "array(struct(-1 AS cid, array() AS cv))"
+        for members in groups
+    ) + ")"
+    scored_super = (
+        f"transform({sup_matrix}, (c, i) -> struct("
+        f"-aggregate(zip_with({vec_col}, c, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS neg_sim, i AS sc))"
+    )
+    probes = f"slice(array_sort({scored_super}), 1, {int(n_probe_super)})"
+    cands = f"flatten(transform({probes}, s -> element_at({grp_sql}, s.sc + 1)))"
+    scored = (
+        f"transform(filter({cands}, x -> x.cid >= 0), x -> struct("
+        f"-aggregate(zip_with({vec_col}, x.cv, (x0, y0) -> x0 * y0), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS neg_sim, "
+        f"x.cid AS cell))"
+    )
+    ranked = (
+        f"transform(slice(array_sort({scored}), 1, {int(n_probe)}),"
+        f" s -> s.cell)"
+    )
+    return emb.select("*", F.expr(f"explode({ranked}) AS cell"))
+
+
 def ivf_topk(
     emb: DataFrame,
     *,
