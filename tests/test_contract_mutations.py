@@ -767,3 +767,124 @@ def test_dsir_oracle_catches_negated_log_ratio(spark, sf_dir, monkeypatch):
     assert mutated != baseline
     # the flip is substantive, not a one-row boundary wiggle
     assert len(baseline - mutated) > 50
+
+
+def test_winnowing_oracle_catches_broken_min_selection(spark, monkeypatch):
+    # Swap the window minimum for a maximum: winnowing now records the
+    # per-window LARGEST gram hash, so the selected fingerprint sets —
+    # and every downstream pair score — diverge from the paper
+    # algorithm the DuckDB replay implements. Verified against the
+    # independent pure-Python reference rather than the unmutated
+    # operator, so a bug in BOTH paths cannot self-certify.
+    from tests.test_winnowing import ref_winnow
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    want = {(d, h, p) for d, t in docs for (h, p) in ref_winnow(t, 4, 4)}
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in dd.winnow_fingerprints(df, k=4, w=4).collect()
+    }
+    assert got == want
+    real_min = dd.F.min
+    monkeypatch.setattr(dd.F, "min", dd.F.max)
+    try:
+        mutated = {
+            (r.doc_id, r.fp_hash, r.fp_pos)
+            for r in dd.winnow_fingerprints(df, k=4, w=4).collect()
+        }
+    finally:
+        monkeypatch.setattr(dd.F, "min", real_min)
+    assert mutated != want
+
+
+def test_winnowing_oracle_catches_broken_window_bound(spark, monkeypatch):
+    # Break the full-window-start filter (pos <= greatest(1, ng - w + 1))
+    # by making greatest() return its ng-derived argument unclamped and
+    # the bound one window too wide: the k-1 tail positions now each
+    # contribute a partial-window minimum, adding fingerprints the paper
+    # algorithm never selects. Verified against the independent
+    # pure-Python reference, which implements the correct bound.
+    from tests.test_winnowing import ref_winnow
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    want = {(d, h, p) for d, t in docs for (h, p) in ref_winnow(t, 4, 4)}
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in dd.winnow_fingerprints(df, k=4, w=4).collect()
+    }
+    assert got == want
+
+    real_greatest = dd.F.greatest
+
+    def too_wide(a, b):
+        # the filter's only greatest() call: widen the bound past the
+        # last full window (the off-by-w this decomposition invites)
+        return real_greatest(a, b + dd.F.lit(3))
+
+    monkeypatch.setattr(dd.F, "greatest", too_wide)
+    try:
+        mutated = {
+            (r.doc_id, r.fp_hash, r.fp_pos)
+            for r in dd.winnow_fingerprints(df, k=4, w=4).collect()
+        }
+    finally:
+        monkeypatch.setattr(dd.F, "greatest", real_greatest)
+    assert mutated != want
+    # strictly MORE fingerprints: partial tail windows add selections
+    assert mutated > want
+
+
+def test_dp_noise_oracle_catches_negated_sign(spark, monkeypatch):
+    # Negate the Laplace sign term: every group's noise flips around
+    # the raw count, so the released values diverge from the
+    # inverse-CDF draw the oracle replays — caught by comparing to the
+    # independent Python derivation of the same md5 uniform.
+    import hashlib
+    import math
+
+    from tfx_addons_feast_examplegen_spark.operators import privacy as pv
+
+    rows = [("A", i % 3) for i in range(20)] + [("B", 0)] * 7
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    def ref(group, n, eps, salt):
+        u = (
+            int(hashlib.md5(f"{group}\x1f{salt}".encode()).hexdigest()[:13], 16)
+            + 0.5
+        ) / 2**52
+        noise = (
+            -(1 / eps)
+            * math.copysign(1.0, u - 0.5)
+            * math.log(1 - 2 * abs(u - 0.5))
+        )
+        return round(n + noise, 4)
+
+    want = {"A": ref("A", 20, 1.0, "m"), "B": ref("B", 7, 1.0, "m")}
+    got = {
+        r.g: r.noisy_count
+        for r in pv.dp_noisy_counts(df, ["g"], epsilon=1.0, salt="m").collect()
+    }
+    assert got == want
+
+    real_signum = pv.F.signum
+    monkeypatch.setattr(pv.F, "signum", lambda c: -real_signum(c))
+    try:
+        mutated = {
+            r.g: r.noisy_count
+            for r in pv.dp_noisy_counts(
+                df, ["g"], epsilon=1.0, salt="m"
+            ).collect()
+        }
+    finally:
+        monkeypatch.setattr(pv.F, "signum", real_signum)
+    assert mutated != want
+    # the flip mirrors the noise around the raw count exactly
+    assert mutated["A"] == round(2 * 20 - want["A"], 4)

@@ -683,6 +683,200 @@ def remove_shared_runs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+# Packed (hash, position) encoding: 44 hash bits (11 hex chars of md5)
+# above 16 position bits keeps the packed value inside a signed 64-bit
+# long. min() over the packed value picks the smallest hash and, on hash
+# ties, the RIGHTMOST position (65535 - pos inverts the order) — the
+# "robust winnowing" tie-break from the paper that maximizes fingerprint
+# reuse across overlapping windows.
+_WINNOW_POS_MOD = 1 << 16
+_WINNOW_HASH = "CAST(conv(substr(md5(gram), 1, 11), 16, 10) AS BIGINT)"
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: (id, fp_hash, fp_pos).
+
+    The MOSS local fingerprint selection (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003), over word ``k``-grams: hash every k-gram, slide a window of
+    ``w`` consecutive gram hashes, and record the minimum of each window
+    (rightmost occurrence on ties). Selecting per-window minima gives
+    the paper's detection guarantee — any shared token run of at least
+    ``w + k - 1`` tokens yields at least one shared fingerprint — while
+    keeping only ~2/(w+1) of the grams, so downstream joins move a
+    fraction of the shingle volume full-Jaccard would.
+
+    Plan shape (scale notes): tokens are position-exploded ONCE and
+    k-grams assembled with ``lead()`` — NOT the shingle module's
+    transform-over-slices expression, whose per-gram re-evaluation of
+    the split is quadratic in document length (fine for short shingled
+    docs, pathological at book length; measured: a 66k-token document
+    never finishes under the slice spelling, milliseconds under this
+    one). Gram assembly, the gram count, and the window minimum are
+    three window functions over the SAME partition-by-document ordering,
+    so they share one hash shuffle on the id; there is no global or
+    single-partition window anywhere. The output is DISTINCT
+    (id, packed) — the same fingerprint selected by several overlapping
+    windows is recorded once (paper semantics).
+
+    Tokenization is ``split(lower(text), ' ')`` — single-space split
+    with NO empty-token filtering, matching :func:`shingles` and the
+    ANSI replay exactly (string_split agrees engine-for-engine,
+    including the empty-string token an empty text produces).
+
+    Portability: the gram hash is the first 11 hex chars of md5 (44
+    bits) so every value replays exactly in an ANSI oracle; positions
+    above 65535 grams/document would corrupt the packing, so an in-plan
+    assert fails loudly first (raise the budget by re-packing wider if
+    a corpus ever legitimately exceeds it).
+
+    Documents with fewer than ``k`` tokens have no grams and emit no
+    fingerprints; documents with fewer than ``w`` grams form one partial
+    window (minimum of all their grams) — both straight from the paper.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
+    from pyspark.sql import Window
+
+    pos_guard = F.assert_true(
+        F.col("pos") < F.lit(_WINNOW_POS_MOD),
+        F.concat(
+            F.lit("winnow_fingerprints: document exceeds "),
+            F.lit(_WINNOW_POS_MOD - 1).cast("string"),
+            F.lit(" k-grams; widen the position packing"),
+        ),
+    )
+    packed = (
+        F.expr(_WINNOW_HASH) * F.lit(_WINNOW_POS_MOD)
+        + (F.lit(_WINNOW_POS_MOD - 1) - F.col("pos"))
+    )
+    order = Window.partitionBy(id_col).orderBy("pos")
+    toks = rebalance_for_compute(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos0", "tok"
+        ),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("tok"))
+    # k-gram at token position p: tokens p..p+k-1, assembled with lead()
+    # over the per-document order (linear — see plan shape above). The
+    # last-lead null check drops the k-1 tail positions that have no
+    # full gram; split() never yields NULL tokens, so the check is
+    # exact.
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(order) for j in range(1, k)
+    ]
+    grams = toks.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.concat_ws(" ", *parts).alias("gram"),
+        (
+            parts[-1].isNotNull() if k > 1 else F.lit(True)
+        ).alias("__full"),
+    ).filter(F.col("__full"))
+    grams = grams.select(
+        F.col(id_col),
+        F.max("pos").over(Window.partitionBy(id_col)).alias("ng"),
+        F.col("pos"),
+        F.when(pos_guard.isNull(), packed).alias("packed"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        grams.select(
+            F.col(id_col),
+            F.col("ng"),
+            F.col("pos"),
+            F.min("packed").over(win).alias("sel"),
+        )
+        # every FULL window start, plus the single partial window of a
+        # document shorter than w grams (paper: min of all its grams)
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.lit(1), F.col("ng") - F.lit(w) + F.lit(1))
+        )
+        .select(F.col(id_col), F.col("sel"))
+        .distinct()
+    )
+    return selected.select(
+        F.col(id_col),
+        F.expr(f"sel DIV {_WINNOW_POS_MOD}").alias("fp_hash"),
+        (
+            F.lit(_WINNOW_POS_MOD - 1) - F.col("sel") % F.lit(_WINNOW_POS_MOD)
+        ).cast("int").alias("fp_pos"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    observation=None,
+    on_over_cap: str = "drop",
+) -> DataFrame:
+    """Near-duplicate pairs by Jaccard over winnowing fingerprint sets.
+
+    :func:`winnow_fingerprints` selects ~2/(w+1) of each document's
+    k-gram hashes; pairs are generated by the capped per-fingerprint
+    bucket join (:func:`_bucket_pairs` — one shuffle, never all-pairs)
+    and scored with exact Jaccard over the DISTINCT selected-hash sets.
+    Versus full-shingle Jaccard this moves a w-fold smaller frame
+    through the self-join at the cost of sampling noise the winnowing
+    guarantee bounds: any shared run of ``w + k - 1`` tokens is
+    represented in BOTH documents' fingerprint sets, so long verbatim
+    overlaps can never be missed — the standard plagiarism/near-dup
+    trade at corpus scale (MOSS, Dolos, content-defined chunking).
+
+    Output: (doc_a, doc_b, shared_fps, jaccard) with doc_a < doc_b.
+    """
+    fp = _pin(
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col), F.col("fp_hash"))
+        .distinct()
+    )
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("nfp"))
+    pairs = (
+        _bucket_pairs(
+            fp, ["fp_hash"], id_col, max_size=max_bucket,
+            observation=observation, on_over_cap=on_over_cap,
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nfp").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nfp").alias("nb"))
+    jac = F.col("shared_fps") / (F.col("na") + F.col("nb") - F.col("shared_fps"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------
 

@@ -221,6 +221,9 @@ _ENTRY_ORDER = [
     "graph_pagerank",
     "fuzzy_editdist_pairs",
     "dedup_segments",
+    "dedup_winnowing",
+    "k_anonymity_audit",
+    "dp_noisy_counts",
     "token_budget_select",
     "dsir_select",
     "bpe_encode",
@@ -341,10 +344,22 @@ _DRIVER_PRIORITY = [
     "feature_drift_psi",
     "federated_union_agg",
     "graph_triangle_count",
-    "grouped_split_no_leakage",
-    "interpolate_timeseries",
-    "ivm_delta_agg",
     # NEW this round (never-attested entries MUST sit in the window):
+    # dedup_winnowing — MOSS winnowing fingerprint near-dup (Schleimer
+    # et al., SIGMOD 2003), per-window min k-gram hash selection with
+    # the rightmost-min tie-break replayed bit-for-bit in the oracle's
+    # packed (hash, inverted-pos) arithmetic;
+    # k_anonymity_audit — per-equivalence-class k-anonymity +
+    # l-diversity verdicts (Sweeney 2002 / Machanavajjhala 2007), one
+    # combinable aggregate, trivially-full oracle;
+    # dp_noisy_counts — Laplace-mechanism DP count release (Dwork
+    # 2006) with deterministic hash-derived noise the oracle replays
+    # exactly (the DSIR Gumbel precedent applied to privacy).
+    # They displace grouped_split_no_leakage, interpolate_timeseries,
+    # ivm_delta_agg (all r7) into the r12 plan.
+    "dedup_winnowing",
+    "k_anonymity_audit",
+    "dp_noisy_counts",
     # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
     # 2023), spherical-k-means clusters + capped within-cluster
     # suppression, brute-force pairwise replay oracle; dsir_select —
@@ -361,7 +376,9 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
-    # ROUND-12 WINDOW PLAN: the remaining 27 r7-vintage rows —
+    # ROUND-12 WINDOW PLAN: the remaining 30 r7-vintage rows —
+    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
+    # (displaced by the three new privacy/fingerprint entries),
     # keyword_search_indexed, kfold_assignment, length_bucketing,
     # mad_outliers, merge_upsert_cdc, nearest_event_join,
     # percent_rank_transform,

@@ -952,8 +952,81 @@ FROM keyed ORDER BY key DESC, doc_id LIMIT 200
 """
 
 
+# ---------------------------------------------------------------------------
+# Privacy / governance: k-anonymity audit + DP noisy counts
+# ---------------------------------------------------------------------------
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quasi-identifiers (nation, market segment) with account-balance
+    # buckets as the sensitive attribute: per-equivalence-class size,
+    # l-diversity, and both pass/fail verdicts — the audit a governance
+    # gate runs before releasing a table keyed on demographics. One
+    # map-side-combinable aggregate (see operators/privacy.py).
+    from ..operators import privacy as pv
+
+    t = register_tables(spark, sf_dir)
+    cust = t["customer"].withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    return pv.k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=10,
+        sensitive_col="bal_bucket", l=3,
+    )
+
+
+_K_ANONYMITY_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+            AS BIGINT) AS l_diversity,
+       count(*) >= 10 AS is_k_anonymous,
+       count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) >= 3
+           AS is_l_diverse
+FROM customer GROUP BY 1, 2
+"""
+
+
+def _q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Laplace-mechanism release of daily event counts (epsilon = 0.5,
+    # sensitivity 1): the noise is a DETERMINISTIC function of
+    # (group key, salt) — an inverse-CDF draw from a md5-derived
+    # uniform — so the exact release replays in the oracle. The raw
+    # count never appears in the output.
+    from ..operators import privacy as pv
+
+    t = register_tables(spark, sf_dir)
+    ev = t["events"].withColumn("day", F.col("ts").cast("date"))
+    return pv.dp_noisy_counts(
+        ev, ["event_type", "day"], epsilon=0.5, salt="release-r11"
+    )
+
+
+# Full replay: the same md5 -> uniform -> inverse-CDF Laplace draw,
+# scale = 1/epsilon = 2.0, unit-separated group key. concat_ws skips
+# NULLs identically in both engines.
+_DP_NOISY_COUNTS_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+k AS (
+  SELECT event_type, day, n,
+         (CAST(('0x' || substr(md5(concat_ws(chr(31), event_type,
+                   CAST(day AS VARCHAR), 'release-r11')), 1, 13))
+               AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+  FROM g
+)
+SELECT event_type, day,
+       round(n + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+           AS noisy_count
+FROM k
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dsir_select": (_q_dsir_select, _DSIR_SELECT_ORACLE),
+    "k_anonymity_audit": (_q_k_anonymity, _K_ANONYMITY_ORACLE),
+    "dp_noisy_counts": (_q_dp_noisy_counts, _DP_NOISY_COUNTS_ORACLE),
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),

@@ -759,6 +759,59 @@ LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
 """
 
 
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Winnowing fingerprint near-dup (Schleimer/Wilkerson/Aiken, SIGMOD
+    # 2003): per-window minimum k-gram hashes (rightmost-min tie-break)
+    # selected entirely in SQL window frames, Jaccard over the selected
+    # sets. The md5-derived 44-bit gram hash and the packed
+    # (hash, inverted-pos) ordering replay bit-for-bit in the oracle,
+    # so selection, dedup, and scoring are all verified externally.
+    t = register_tables(spark, sf_dir)
+    return dd.winnow_pairs(
+        t["documents"], "doc_id", "text", k=4, w=4, threshold=0.3,
+        on_over_cap="error",  # gated by the uncapped oracle — no silent drops
+    )
+
+
+# Full independent replay: DuckDB rebuilds the k-grams (list slices +
+# lateral unnest), the packed min-hash window selection, and the
+# fingerprint-set Jaccard from scratch.
+_WINNOWING_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, len(w) - 3 AS ng, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 11))
+              AS BIGINT) * 65536 + (65535 - i) AS packed
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i)
+  WHERE len(w) >= 4
+),
+selw AS (
+  SELECT doc_id, ng, pos,
+         min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, sel // 65536 AS fp_hash
+  FROM selw WHERE pos <= greatest(1, ng - 3)
+),
+sizes AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared_fps,
+       round(shared * 1.0 / (sa.nfp + sb.nfp - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1.0 / (sa.nfp + sb.nfp - shared) >= 0.3
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dedup_exact_substring": (_q_shared_run, _SHARED_RUN_ORACLE),
     "dedup_remove_shared_runs": (
@@ -784,4 +837,5 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_neardup": (_q_embedding_neardup, _EMB_NEARDUP_ORACLE),
     "fuzzy_editdist_pairs": (_q_editdist_pairs, _EDITDIST_ORACLE),
     "dedup_segments": (_q_dedup_segments, _DEDUP_SEGMENTS_ORACLE),
+    "dedup_winnowing": (_q_winnowing, _WINNOWING_ORACLE),
 }
