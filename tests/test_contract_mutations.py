@@ -888,3 +888,38 @@ def test_dp_noise_oracle_catches_negated_sign(spark, monkeypatch):
     assert mutated != want
     # the flip mirrors the noise around the raw count exactly
     assert mutated["A"] == round(2 * 20 - want["A"], 4)
+
+
+def test_target_encode_oracle_catches_fold_drift(spark, sf_dir, monkeypatch):
+    # Swap the fold hash for a different (still deterministic) one: fold
+    # assignment now disagrees with the oracle's Knuth spelling, so both
+    # the fold column and every out-of-fold statistic move — the driver
+    # comparison reddens on the first row. This is the likeliest silent
+    # break for this entry (the encoding arithmetic is pinned by its own
+    # pytest; the hash is shared convention with the split family).
+    from tfx_addons_feast_examplegen_spark.operators import curation as cu
+    from tfx_addons_feast_examplegen_spark.queries.curation import (
+        _q_target_encode,
+    )
+
+    baseline = {
+        r.c_custkey: (r.fold, r.te)
+        for r in _q_target_encode(spark, sf_dir).collect()
+    }
+    assert len(baseline) > 0
+
+    real_bucket = cu.fingerprint_bucket
+    monkeypatch.setattr(
+        cu, "fingerprint_bucket",
+        lambda key, total: real_bucket(key + F.lit(1), total),
+    )
+    try:
+        mutated = {
+            r.c_custkey: (r.fold, r.te)
+            for r in _q_target_encode(spark, sf_dir).collect()
+        }
+    finally:
+        monkeypatch.setattr(cu, "fingerprint_bucket", real_bucket)
+    assert mutated != baseline
+    moved = sum(1 for k in baseline if baseline[k][0] != mutated[k][0])
+    assert moved > len(baseline) // 2  # wholesale drift, not a wiggle

@@ -504,3 +504,116 @@ def token_budget_select(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    folds: int = 5,
+    smoothing: float = 20.0,
+    out_col: str = "te",
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Leakage-free out-of-fold target encoding of a categorical column.
+
+    The standard high-cardinality-categorical feature for tabular
+    training (Micci-Barreca, SIGKDD Explorations 2001): each row's
+    encoding is the smoothed mean of ``label_col`` over all OTHER
+    folds' rows of the same category —
+
+        te = (oof_sum + smoothing * prior) / (oof_n + smoothing)
+
+    where ``oof_*`` exclude the row's own fold entirely (stronger than
+    leave-one-out: a duplicate-heavy category cannot leak its own fold's
+    labels) and ``prior`` is the label mean over the other folds
+    globally, so even the prior is leakage-free. Categories seen only
+    inside the row's own fold fall back to exactly ``prior`` (the
+    smoothing limit at oof_n = 0).
+
+    Folds come from :func:`~.split.fingerprint_bucket` over ``id_col``
+    — deterministic, engine-portable, and the same spelling the split
+    operators use, so fold assignment agrees with an ANSI replay.
+
+    Plan shape (scale notes): two map-side-combinable aggregates — one
+    over (category, fold), one over fold — produce frames bounded by
+    |categories| × folds and folds; both broadcast back onto the rows
+    (one BroadcastHashJoin each, no row-side shuffle at all). No
+    windows. The encoding arithmetic is post-join scalar expressions,
+    rounded to 4 decimals for cross-engine float stability.
+
+    ``broadcast_stats=False`` drops the broadcast HINTS for
+    billion-category corpora whose (category, fold) frame outgrows
+    executor memory: the joins fall back to AQE's choice (shuffled hash
+    on the stats key — the rows shuffle once on category, the classic
+    trade). The default forces broadcast because the stats frame is
+    |categories| × folds ROWS of four numbers — tiny for any
+    vocabulary-sized categorical.
+
+    Output: the input columns plus ``fold`` (int) and ``out_col``
+    (double). Rows with a NULL label still receive an encoding (their
+    label simply contributes nothing to any sum); rows with a NULL
+    category are their own category per SQL grouping semantics.
+    """
+    if folds < 2:
+        raise ValueError(f"folds must be >= 2: {folds}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0: {smoothing}")
+    require_integral_key(df, id_col, "target_encode_loo")
+    fold = fingerprint_bucket(F.col(id_col), folds).cast("int")
+    base = df.withColumn("fold", fold)
+
+    cat_fold = base.groupBy(cat_col, "fold").agg(
+        F.sum(label_col).alias("__s"), F.count(label_col).alias("__n")
+    )
+    cat_tot = cat_fold.groupBy(cat_col).agg(
+        F.sum("__s").alias("__ts"), F.sum("__n").alias("__tn")
+    )
+    cat_stats = cat_fold.join(cat_tot, cat_col).select(
+        F.col(cat_col).alias("__cat"),
+        F.col("fold").alias("__fold"),
+        (F.col("__ts") - F.col("__s")).alias("__oof_s"),
+        (F.col("__tn") - F.col("__n")).alias("__oof_n"),
+    )
+    fold_tot = base.groupBy("fold").agg(
+        F.sum(label_col).alias("__fs"), F.count(label_col).alias("__fn")
+    )
+    gs = fold_tot.agg(
+        F.sum("__fs").alias("__gs"), F.sum("__fn").alias("__gn")
+    )
+    prior_by_fold = fold_tot.crossJoin(F.broadcast(gs)).select(
+        F.col("fold").alias("__pfold"),
+        (
+            (F.col("__gs") - F.col("__fs"))
+            / (F.col("__gn") - F.col("__fn"))
+        ).alias("__prior"),
+    )
+
+    hint = F.broadcast if broadcast_stats else (lambda d: d)
+    joined = (
+        base.join(
+            hint(cat_stats),
+            (F.col(cat_col).eqNullSafe(F.col("__cat")))
+            & (F.col("fold") == F.col("__fold")),
+            "left",
+        )
+        .join(
+            hint(prior_by_fold),
+            F.col("fold") == F.col("__pfold"),
+            "left",
+        )
+    )
+    # a (category, own-fold) miss means the category exists ONLY in this
+    # row's fold (cat_fold always has the row's own cell): oof stats 0
+    oof_s = F.coalesce(F.col("__oof_s"), F.lit(0.0))
+    oof_n = F.coalesce(F.col("__oof_n"), F.lit(0))
+    te = (oof_s + F.lit(smoothing) * F.col("__prior")) / (
+        oof_n + F.lit(smoothing)
+    )
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.col("fold"),
+        F.round(te, 4).alias(out_col),
+    )

@@ -1023,10 +1023,65 @@ FROM k
 """
 
 
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-free out-of-fold target encoding (Micci-Barreca 2001):
+    # encode nation by account balance with the row's own fold excluded
+    # from numerator, denominator AND prior. Balances fold to integer
+    # cents first so every sum is exact long arithmetic — the final
+    # encoding is then a fixed expression over exact integers, stable
+    # across engines (the repo's cents pattern; double sums would be
+    # order-sensitive at the 4th decimal).
+    from ..operators.curation import target_encode_loo
+
+    t = register_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    return target_encode_loo(
+        cust, "c_nationkey", "bal_cents", "c_custkey",
+        folds=5, smoothing=20.0,
+    )
+
+
+_TARGET_ENCODE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         CAST(((c_custkey * 2654435761) % 2147483648 + 2147483648)
+              % 2147483648 % 5 AS INT) AS fold
+  FROM customer
+),
+cf AS (
+  SELECT c_nationkey AS cat, fold,
+         sum(bal_cents) AS s, count(bal_cents) AS n
+  FROM base GROUP BY 1, 2
+),
+ct AS (SELECT cat, sum(s) AS ts, sum(n) AS tn FROM cf GROUP BY 1),
+ft AS (
+  SELECT fold, sum(bal_cents) AS fs, count(bal_cents) AS fn
+  FROM base GROUP BY 1
+),
+g AS (SELECT sum(fs) AS gs, sum(fn) AS gn FROM ft),
+pr AS (SELECT fold, (gs - fs) * 1.0 / (gn - fn) AS prior FROM ft, g)
+SELECT b.c_custkey, b.c_nationkey, b.bal_cents, b.fold,
+       round(((ct.ts - cf.s) + 20.0 * pr.prior)
+             / ((ct.tn - cf.n) + 20.0), 4) AS te
+FROM base b
+JOIN cf ON cf.cat = b.c_nationkey AND cf.fold = b.fold
+JOIN ct ON ct.cat = b.c_nationkey
+JOIN pr ON pr.fold = b.fold
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dsir_select": (_q_dsir_select, _DSIR_SELECT_ORACLE),
     "k_anonymity_audit": (_q_k_anonymity, _K_ANONYMITY_ORACLE),
     "dp_noisy_counts": (_q_dp_noisy_counts, _DP_NOISY_COUNTS_ORACLE),
+    "target_encode_loo": (_q_target_encode, _TARGET_ENCODE_ORACLE),
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
