@@ -94,6 +94,9 @@ EXTENDED = [
     # round-11 addition: SemDeDup-style semantic dedup (k-means train +
     # capped within-cluster pair suppression over planted copies)
     "semantic_dedup",
+    # round-11 continuation: winnowing fingerprint near-dup (lead()-
+    # assembled grams, packed min-window selection, capped bucket join)
+    "dedup_winnowing",
 ]
 
 # The two indexed-ANN registry entries are equivalence/recall CONTRACTS
