@@ -225,6 +225,7 @@ _ENTRY_ORDER = [
     "k_anonymity_audit",
     "dp_noisy_counts",
     "target_encode_loo",
+    "ivm_delta_join",
     "token_budget_select",
     "dsir_select",
     "bpe_encode",
@@ -343,7 +344,6 @@ _DRIVER_PRIORITY = [
     "epoch_shuffle_shards",
     "event_type_pmi",
     "feature_drift_psi",
-    "federated_union_agg",
     # NEW this round (never-attested entries MUST sit in the window):
     # dedup_winnowing — MOSS winnowing fingerprint near-dup (Schleimer
     # et al., SIGMOD 2003), per-window min k-gram hash selection with
@@ -356,13 +356,18 @@ _DRIVER_PRIORITY = [
     # 2006) with deterministic hash-derived noise the oracle replays
     # exactly (the DSIR Gumbel precedent applied to privacy);
     # target_encode_loo — leakage-free out-of-fold target encoding
-    # (Micci-Barreca 2001) in exact integer cents, full replay oracle.
-    # They displace graph_triangle_count, grouped_split_no_leakage,
-    # interpolate_timeseries, ivm_delta_agg (all r7) into the r12 plan.
+    # (Micci-Barreca 2001) in exact integer cents, full replay oracle;
+    # ivm_delta_join — insert-delta maintenance of a join view
+    # (dA x (B+dB) UNION A x dB, deltas broadcast, bases unshuffled),
+    # oracled by the full-minus-full EXCEPT ALL respelling.
+    # They displace federated_union_agg, graph_triangle_count,
+    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
+    # (all r7) into the r12 plan.
     "dedup_winnowing",
     "k_anonymity_audit",
     "dp_noisy_counts",
     "target_encode_loo",
+    "ivm_delta_join",
     # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
     # 2023), spherical-k-means clusters + capped within-cluster
     # suppression, brute-force pairwise replay oracle; dsir_select —
@@ -379,10 +384,10 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
-    # ROUND-12 WINDOW PLAN: the remaining 31 r7-vintage rows —
-    # graph_triangle_count, grouped_split_no_leakage,
-    # interpolate_timeseries, ivm_delta_agg (displaced by the four new
-    # privacy/fingerprint/encoding entries),
+    # ROUND-12 WINDOW PLAN: the remaining 32 r7-vintage rows —
+    # federated_union_agg, graph_triangle_count,
+    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
+    # (displaced by the five new r11-continuation entries),
     # keyword_search_indexed, kfold_assignment, length_bucketing,
     # mad_outliers, merge_upsert_cdc, nearest_event_join,
     # percent_rank_transform,

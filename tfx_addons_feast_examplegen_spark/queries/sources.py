@@ -469,6 +469,57 @@ GROUP BY user_id
 """
 
 
+def _q_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVM for a JOIN view: orders x lineitem split at 1996-01-01 into
+    # base and insert batches on BOTH sides (cutoff 2001-01-01 — the
+    # fixture's last ~8 months arriving as one ingest); the emitted frame is the
+    # textbook delta dA x (B + dB) UNION A x dB — two joins, each with
+    # the small delta side broadcast, neither base table shuffled. The
+    # oracle derives the same delta the expensive way the operator
+    # exists to avoid: full-minus-full via EXCEPT ALL (bag semantics).
+    from ..operators.ivm import delta_join
+
+    t = register_tables(spark, sf_dir)
+    o = t["orders"].select(
+        F.col("o_orderkey").alias("okey"), "o_orderdate"
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"),
+        "l_linenumber",
+        "l_shipdate",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    cut = "2001-01-01"
+    return delta_join(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(F.col("o_orderdate") >= cut),
+        li.where(F.col("l_shipdate") < cut),
+        li.where(F.col("l_shipdate") >= cut),
+        ["okey"],
+    )
+
+
+_IVM_DELTA_JOIN_ORACLE = """
+WITH o AS (SELECT o_orderkey AS okey, o_orderdate FROM orders),
+li AS (
+  SELECT l_orderkey AS okey, l_linenumber, l_shipdate,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT o.okey, o.o_orderdate, li.l_linenumber, li.l_shipdate,
+       li.price_cents
+FROM o JOIN li ON o.okey = li.okey
+EXCEPT ALL
+SELECT o.okey, o.o_orderdate, li.l_linenumber, li.l_shipdate,
+       li.price_cents
+FROM o JOIN li ON o.okey = li.okey
+WHERE o.o_orderdate < TIMESTAMP'2001-01-01 00:00:00'
+  AND li.l_shipdate < TIMESTAMP'2001-01-01 00:00:00'
+"""
+
+
 def _q_sequence_example_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S8 beyond parity, end-to-end: per-user event sequences (ordered by
     # (ts, event_id) via sort_array on a struct) are encoded as REAL
@@ -773,6 +824,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "source_orc_roundtrip": (_q_orc_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "federated_union_agg": (_q_federated_union, _FEDERATED_UNION_ORACLE),
     "ivm_delta_agg": (_q_ivm_delta_agg, _IVM_DELTA_AGG_ORACLE),
+    "ivm_delta_join": (_q_ivm_delta_join, _IVM_DELTA_JOIN_ORACLE),
     "table_time_travel_diff": (
         _q_time_travel_diff,
         _TIME_TRAVEL_DIFF_ORACLE,
