@@ -60,6 +60,30 @@ def main() -> None:
     print({"stage": "train", "n": n, "k": k, "wall_sec": round(t_train, 1)},
           flush=True)
 
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_centroids_indexed,
+    )
+
+    t0 = time.perf_counter()
+    cents_idx = ivf_centroids_indexed(
+        df, id_col="vec_id", vec_col="embedding", n_cells=k, seed=42,
+        refine_iters=2, n_probe_super=2,
+    )
+    t_train_idx = time.perf_counter() - t0
+    print(
+        {
+            "stage": "train_indexed",
+            "wall_sec": round(t_train_idx, 1),
+            "speedup": round(t_train / t_train_idx, 1),
+            "n_unit": sum(
+                1
+                for c in cents_idx
+                if abs(sum(x * x for x in c) - 1.0) < 1e-9
+            ),
+        },
+        flush=True,
+    )
+
     t0 = time.perf_counter()
     flat = ivf_assign(df, cents, vec_col="embedding", n_probe=1).cache()
     flat.count()

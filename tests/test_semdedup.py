@@ -243,3 +243,66 @@ def test_semdedup_with_indexed_assignment_keeps_exact_recall(spark):
     for i in range(8):
         assert out[i] is True and out[200 + i] is False
     assert sum(1 for k in out.values() if not k) == 8
+
+
+# ---------------------------------------------------------------------
+# Indexed (approximate-Lloyd) training
+
+
+def test_indexed_training_equals_flat_when_fully_probed(spark):
+    # n_probe_super=None probes every super-cell, so each Lloyd
+    # iteration assigns identically to the flat scan and the trained
+    # centroids must be byte-equal to ivf_centroids' (same init, same
+    # mean update).
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_centroids_indexed,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    flat = ivf_centroids(df, n_cells=25, seed=9, refine_iters=2)
+    exact = ivf_centroids_indexed(
+        df, n_cells=25, seed=9, refine_iters=2, n_probe_super=None
+    )
+    assert flat == exact
+
+
+def test_indexed_training_partial_probe_properties(spark):
+    # partial probing: centroids stay unit-norm, count is preserved,
+    # and a semdedup run through the approximate quantizer (indexed
+    # assignment too) still suppresses every planted copy — the
+    # suppression contract depends on deterministic co-assignment, not
+    # on Lloyd exactness.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_centroids_indexed,
+    )
+
+    rng = random.Random(4)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(300)
+    ]
+    rows += [(1000 + i, list(rows[i][1])) for i in range(6)]  # copies
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = ivf_centroids_indexed(
+        df, n_cells=16, seed=5, refine_iters=2, n_probe_super=2
+    )
+    assert len(cents) == 16
+    assert all(abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9 for c in cents)
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, threshold=0.999, n_clusters=16, centroids=cents,
+            assign_via_index=2, max_cluster=10_000,
+        ).collect()
+    }
+    assert sum(1 for k in out.values() if not k) == 6
+    for i in range(6):
+        assert out[i] is True and out[1000 + i] is False

@@ -401,8 +401,9 @@ _DRIVER_PRIORITY = [
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (23 of 40) to fill
-    # 50. After r12 executes, the oldest driver row anywhere is r8 and
+    # vocab_coverage_curve — then the oldest r8 rows (17 of 40, after
+    # pit_join's slot-0 convention) to fill 50. After r12 executes, the
+    # oldest driver row anywhere is r8 and
     # the steady-state cadence is a full-fleet refresh every ~4 rounds.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
