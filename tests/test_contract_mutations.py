@@ -923,3 +923,54 @@ def test_target_encode_oracle_catches_fold_drift(spark, sf_dir, monkeypatch):
     assert mutated != baseline
     moved = sum(1 for k in baseline if baseline[k][0] != mutated[k][0])
     assert moved > len(baseline) // 2  # wholesale drift, not a wiggle
+
+
+def test_ivm_delta_join_oracle_catches_dropped_cross_term(spark, monkeypatch):
+    # Forget dA x dB (use B instead of B + dB in the first term) — THE
+    # classic IVM bug: rows where both sides arrived in the same batch
+    # vanish from the delta. Caught by the maintenance property the
+    # driver oracle encodes (full-minus-full EXCEPT ALL): the mutated
+    # delta is a strict subset missing exactly the dA x dB pairs.
+    from collections import Counter
+
+    from tfx_addons_feast_examplegen_spark.operators import ivm
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "va"])
+    da = spark.createDataFrame([(3, "a3")], ["k", "va"])
+    b = spark.createDataFrame([(1, "b1")], ["k", "vb"])
+    db = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "vb"])
+
+    def bag(rows):
+        return Counter(tuple(r) for r in rows)
+
+    want = bag(
+        a.unionByName(da).join(b.unionByName(db), "k")
+        .select("k", "va", "vb").collect()
+    ) - bag(a.join(b, "k").select("k", "va", "vb").collect())
+    got = bag(ivm.delta_join(a, da, b, db, ["k"]).collect())
+    assert got == want
+    assert (3, "a3", "b3") in got  # the cross-term pair is present
+
+    # mutate: the FIRST unionByName call inside delta_join builds
+    # B + dB; make it return the bare base instead (call-order seam —
+    # delta_join's only other unionByName is the final output union)
+    # Spark 4: runtime frames are the CLASSIC DataFrame subclass, which
+    # overrides unionByName — patch the instance's class, not the base
+    cls = type(a)
+    real_union = cls.unionByName
+    state = {"first": True}
+
+    def drop_first_union(self, other, *args, **kwargs):
+        if state["first"]:
+            state["first"] = False
+            return self
+        return real_union(self, other, *args, **kwargs)
+
+    monkeypatch.setattr(cls, "unionByName", drop_first_union)
+    try:
+        mutated = bag(ivm.delta_join(a, da, b, db, ["k"]).collect())
+    finally:
+        monkeypatch.setattr(cls, "unionByName", real_union)
+    assert mutated != want
+    missing = want - mutated
+    assert set(missing) == {(3, "a3", "b3")}  # exactly the dAxdB pairs
