@@ -217,6 +217,90 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), "cluster")
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iters: int = 22,
+    telemetry: dict | None = None,
+) -> DataFrame:
+    """Absorb a batch of NEW edges into an existing component labeling
+    without re-running connected components over the full graph — the
+    IVM companion to :func:`connected_components` for the incremental-
+    dedup regime (yesterday's clusters + today's arrivals).
+
+    ``labels`` must be CANONICAL min-id labels — the output of
+    :func:`connected_components` (or this function): every cluster id
+    is the minimum member id. ``new_pairs`` is (doc_a, doc_b) edges
+    whose endpoints may be labeled nodes, brand-new nodes, or both.
+
+    Algorithm (pure composition): map each new edge's endpoints through
+    the labeling (unlabeled nodes keep their own id), drop edges that
+    land inside one cluster, and run the SAME propagation loop over the
+    resulting SUPER-GRAPH — whose nodes are cluster representatives and
+    new ids, i.e. its size scales with the batch and the components it
+    touches, never with the corpus. Contracting a connected component
+    to its min-id representative preserves both connectivity and the
+    min label, so relabeling old nodes through the super-graph's output
+    is exactly the full recompute's answer (the registry entry's oracle
+    proves this equality against the from-scratch recursive closure).
+
+    Output: (id_col, cluster) for every node in ``labels`` plus every
+    node appearing in ``new_pairs``. One broadcast-or-shuffle join per
+    edge endpoint, the O(log diameter) loop over the contracted graph,
+    and one relabeling join at the end; the full corpus frame is
+    touched exactly once (the relabel), with no iteration over it.
+    """
+    lab_a = labels.select(
+        F.col(id_col).alias("doc_a"), F.col("cluster").alias("__la")
+    )
+    lab_b = labels.select(
+        F.col(id_col).alias("doc_b"), F.col("cluster").alias("__lb")
+    )
+    mapped = (
+        new_pairs.select("doc_a", "doc_b")
+        .join(lab_a, "doc_a", "left")
+        .join(lab_b, "doc_b", "left")
+        .select(
+            F.coalesce(F.col("__la"), F.col("doc_a")).alias("sa"),
+            F.coalesce(F.col("__lb"), F.col("doc_b")).alias("sb"),
+        )
+    )
+    super_edges = mapped.filter(F.col("sa") != F.col("sb")).select(
+        F.col("sa").alias("doc_a"), F.col("sb").alias("doc_b")
+    )
+    merged = connected_components(
+        super_edges, id_col="__rep", max_iters=max_iters,
+        telemetry=telemetry,
+    ).select(F.col("__rep"), F.col("cluster").alias("__merged"))
+
+    relabeled_old = (
+        labels.join(
+            merged, labels["cluster"] == merged["__rep"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__merged"), F.col("cluster")).alias("cluster"),
+        )
+    )
+    new_nodes = (
+        new_pairs.select(F.col("doc_a").alias(id_col))
+        .union(new_pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+        .join(labels.select(id_col), id_col, "left_anti")
+    )
+    relabeled_new = new_nodes.join(
+        merged, new_nodes[id_col] == merged["__rep"], "left"
+    ).select(
+        F.col(id_col),
+        # a new node outside the super-graph only had self-edges: it is
+        # its own singleton cluster
+        F.coalesce(F.col("__merged"), F.col(id_col)).alias("cluster"),
+    )
+    return relabeled_old.unionByName(relabeled_new)
+
+
 def corpus_report(
     df: DataFrame,
     id_col: str = "doc_id",

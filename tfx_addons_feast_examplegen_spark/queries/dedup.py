@@ -812,7 +812,35 @@ WHERE shared * 1.0 / (sa.nfp + sb.nfp - shared) >= 0.3
 """
 
 
+def _q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental connected components: an "arrival" stripe of documents
+    # (doc_id % 5 == 4) is withheld from yesterday's clustering, then
+    # absorbed by contracting its edges onto cluster representatives and
+    # propagating over the SUPER-graph only (operators/corpus.py). The
+    # oracle recomputes the full-corpus closure from scratch — the
+    # maintenance-equals-recompute equality is the entire point.
+    from ..operators.corpus import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    t = register_tables(spark, sf_dir)
+    pairs = dd.jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.5,
+        on_over_cap="error",
+    ).select("doc_a", "doc_b")
+    is_new_a = F.col("doc_a") % 5 == 4
+    is_new_b = F.col("doc_b") % 5 == 4
+    old_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    new_pairs = pairs.filter(is_new_a | is_new_b)
+    labels = connected_components(old_pairs)
+    return connected_components_incremental(labels, new_pairs)
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # oracle shared with dedup_clusters BY DESIGN: the incremental
+    # maintenance must equal the from-scratch closure exactly
+    "cc_incremental": (_q_cc_incremental, _DEDUP_CLUSTERS_ORACLE),
     "dedup_exact_substring": (_q_shared_run, _SHARED_RUN_ORACLE),
     "dedup_remove_shared_runs": (
         _q_remove_shared_runs,
