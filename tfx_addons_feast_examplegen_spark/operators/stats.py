@@ -152,3 +152,140 @@ def fixed_width_histogram(
             "n",
         )
     )
+
+
+# Truncated Poisson(1) CDF, P(K > 12) ~ 6e-11: the same double literals
+# evaluate identically in any engine, so the bootstrap replays exactly.
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+    0.9999998885745216,
+    0.9999999899522336,
+    0.9999999991683892,
+    0.9999999999364022,
+]
+
+
+def bootstrap_metric_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    replicates: int = 100,
+    level: float = 0.95,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a per-group mean.
+
+    The scale-out bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012; ubiquitous in A/B metric
+    pipelines): instead of resampling n rows with replacement per
+    replicate — which needs global coordination — each (row, replicate)
+    pair draws an independent Poisson(1) weight, which converges to the
+    multinomial bootstrap for large n. Every weight here is a
+    DETERMINISTIC function of (row id, replicate, salt) via the md5
+    uniform + inverse-CDF trick (the repo's DSIR/DP precedent), so the
+    whole procedure — weights, replicate metrics, percentile bounds —
+    replays bit-for-bit in an ANSI oracle and across retries.
+
+    Output per group: ``point`` (the unweighted mean), ``ci_lo`` /
+    ``ci_hi`` (the ``level`` percentile interval of the replicate
+    means, discrete — element at ceil(q * n_replicates) of the sorted
+    replicate metrics), and ``n_replicates`` actually used. Replicates
+    whose resample is empty (all weights 0 — probability ~e^-n per
+    replicate, only relevant for tiny groups) are dropped from the
+    percentile basis and reflected in ``n_replicates``.
+
+    Exactness: pass an INTEGER ``value_col`` (the cents pattern) and
+    every replicate sum is exact 64-bit arithmetic; the only floats are
+    the final divisions and the CDF thresholds, both deterministic.
+
+    Plan shape (scale notes): the replicate dimension explodes
+    MAP-LOCALLY (``explode(sequence(...))`` — no join, no shuffle for
+    the blowup) and immediately partial-aggregates: the shuffle carries
+    one row per (group, replicate) per mapper, never the exploded data.
+    The percentile step sorts ``replicates`` values per group inside an
+    array — bounded, driver-free. Total shuffle volume:
+    |groups| x replicates tiny rows.
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2: {replicates}")
+    if not 0.0 < level < 1.0:
+        raise ValueError(f"level must be in (0, 1): {level}")
+    gcols = list(group_cols or [])
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col(id_col).cast("string"),
+                        F.col("__rep").cast("string"),
+                        F.lit(salt),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+
+    exploded = df.select(
+        *gcols,
+        F.col(id_col),
+        F.col(value_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("__rep"),
+    ).withColumn("__w", w)
+    rep_metrics = (
+        exploded.groupBy(*gcols, "__rep")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__s"),
+            F.sum("__w").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            *gcols,
+            (F.col("__s") / F.col("__n")).alias("__m"),
+        )
+    )
+    lo_q = (1.0 - level) / 2.0
+    hi_q = (1.0 + level) / 2.0
+    per_group = rep_metrics.groupBy(*gcols).agg(
+        F.array_sort(F.collect_list("__m")).alias("__arr"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    lo_idx = F.ceil(F.lit(lo_q) * F.col("n_replicates")).cast("int")
+    hi_idx = F.ceil(F.lit(hi_q) * F.col("n_replicates")).cast("int")
+    point = df.groupBy(*gcols).agg(
+        (F.sum(value_col) / F.count(value_col)).alias("__point")
+    )
+    joined = (
+        per_group.join(point, gcols) if gcols
+        else per_group.crossJoin(point)
+    )
+    return joined.select(
+        *gcols,
+        F.round(F.col("__point"), 4).alias("point"),
+        F.round(
+            F.element_at(F.col("__arr"), F.greatest(lo_idx, F.lit(1))), 4
+        ).alias("ci_lo"),
+        F.round(
+            F.element_at(F.col("__arr"), F.greatest(hi_idx, F.lit(1))), 4
+        ).alias("ci_hi"),
+        F.col("n_replicates").cast("long").alias("n_replicates"),
+    )

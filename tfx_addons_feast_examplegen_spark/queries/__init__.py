@@ -227,6 +227,7 @@ _ENTRY_ORDER = [
     "target_encode_loo",
     "ivm_delta_join",
     "cc_incremental",
+    "bootstrap_metric_ci",
     "token_budget_select",
     "dsir_select",
     "bpe_encode",
@@ -343,7 +344,6 @@ _DRIVER_PRIORITY = [
     "dedup_simhash",
     "embedding_outliers",
     "epoch_shuffle_shards",
-    "event_type_pmi",
     # NEW this round (never-attested entries MUST sit in the window):
     # dedup_winnowing — MOSS winnowing fingerprint near-dup (Schleimer
     # et al., SIGMOD 2003), per-window min k-gram hash selection with
@@ -362,16 +362,20 @@ _DRIVER_PRIORITY = [
     # oracled by the full-minus-full EXCEPT ALL respelling;
     # cc_incremental — incremental connected components (new edges
     # contracted onto cluster representatives, propagation over the
-    # super-graph only), oracled by the from-scratch recursive closure.
-    # They displace feature_drift_psi, federated_union_agg,
-    # graph_triangle_count, grouped_split_no_leakage,
-    # interpolate_timeseries, ivm_delta_agg (all r7) into the r12 plan.
+    # super-graph only), oracled by the from-scratch recursive closure;
+    # bootstrap_metric_ci — Poisson-bootstrap CI (Chamandy 2012),
+    # deterministic md5 Poisson(1) weights, full replay oracle.
+    # They displace event_type_pmi, feature_drift_psi,
+    # federated_union_agg, graph_triangle_count,
+    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
+    # (all r7) into the r12 plan.
     "dedup_winnowing",
     "k_anonymity_audit",
     "dp_noisy_counts",
     "target_encode_loo",
     "ivm_delta_join",
     "cc_incremental",
+    "bootstrap_metric_ci",
     # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
     # 2023), spherical-k-means clusters + capped within-cluster
     # suppression, brute-force pairwise replay oracle; dsir_select —
@@ -388,10 +392,11 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
-    # ROUND-12 WINDOW PLAN: the remaining 33 r7-vintage rows —
-    # feature_drift_psi, federated_union_agg, graph_triangle_count,
-    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
-    # (displaced by the six new r11-continuation entries),
+    # ROUND-12 WINDOW PLAN: the remaining 34 r7-vintage rows —
+    # event_type_pmi, feature_drift_psi, federated_union_agg,
+    # graph_triangle_count, grouped_split_no_leakage,
+    # interpolate_timeseries, ivm_delta_agg
+    # (displaced by the seven new r11-continuation entries),
     # keyword_search_indexed, kfold_assignment, length_bucketing,
     # mad_outliers, merge_upsert_cdc, nearest_event_join,
     # percent_rank_transform,
@@ -405,7 +410,7 @@ _DRIVER_PRIORITY = [
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (16 of 40, after
+    # vocab_coverage_curve — then the oldest r8 rows (15 of 40, after
     # pit_join's slot-0 convention) to fill 50. After r12 executes, the
     # oldest driver row anywhere is r8 and
     # the steady-state cadence is a full-fleet refresh every ~4 rounds.

@@ -953,7 +953,82 @@ ORDER BY c_nationkey
 """
 
 
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Poisson-bootstrap 95% CI for mean order value per priority
+    # (Chamandy et al. 2012): every per-(row, replicate) Poisson(1)
+    # weight is a deterministic md5-uniform inverse-CDF draw, so the
+    # full procedure — weights, replicate means, discrete percentile
+    # bounds — replays exactly in the oracle. Values in integer cents:
+    # replicate sums are exact 64-bit arithmetic.
+    from ..operators.stats import bootstrap_metric_ci
+
+    t = register_tables(spark, sf_dir)
+    orders = t["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    return bootstrap_metric_ci(
+        orders, "cents", "o_orderkey",
+        group_cols=["o_orderpriority"], replicates=100, level=0.95,
+        salt="r11",
+    )
+
+
+_BOOTSTRAP_CI_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS prio, o_orderkey AS id,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
+ex AS (
+  SELECT prio, rep, v,
+         (CAST(('0x' || substr(md5(concat_ws(chr(31),
+                   CAST(id AS VARCHAR), CAST(rep AS VARCHAR), 'r11')),
+                   1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+  FROM base, reps
+),
+wx AS (
+  SELECT prio, rep, v,
+    CASE WHEN u < 0.36787944117144233 THEN 0
+         WHEN u < 0.7357588823428847 THEN 1
+         WHEN u < 0.9196986029286058 THEN 2
+         WHEN u < 0.9810118431238463 THEN 3
+         WHEN u < 0.9963401531726563 THEN 4
+         WHEN u < 0.9994058151824183 THEN 5
+         WHEN u < 0.999916758850712 THEN 6
+         WHEN u < 0.9999897508033253 THEN 7
+         WHEN u < 0.999998874797402 THEN 8
+         WHEN u < 0.9999998885745216 THEN 9
+         WHEN u < 0.9999999899522336 THEN 10
+         WHEN u < 0.9999999991683892 THEN 11
+         WHEN u < 0.9999999999364022 THEN 12
+         ELSE 13 END AS w
+  FROM ex
+),
+rm AS (
+  SELECT prio, rep, sum(w * v) * 1.0 / sum(w) AS m
+  FROM wx GROUP BY prio, rep HAVING sum(w) > 0
+),
+pg AS (
+  SELECT prio, list_sort(list(m)) AS arr, count(*) AS nr
+  FROM rm GROUP BY prio
+),
+pt AS (SELECT prio, sum(v) * 1.0 / count(v) AS p FROM base GROUP BY prio)
+SELECT pg.prio AS o_orderpriority,
+       round(pt.p, 4) AS point,
+       round(arr[greatest(CAST(ceil(0.025 * nr) AS INT), 1)], 4) AS ci_lo,
+       round(arr[greatest(CAST(ceil(0.975 * nr) AS INT), 1)], 4) AS ci_hi,
+       CAST(nr AS BIGINT) AS n_replicates
+FROM pg JOIN pt ON pg.prio = pt.prio
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "bootstrap_metric_ci": (_q_bootstrap_ci, _BOOTSTRAP_CI_ORACLE),
     "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
     "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
     "lateral_topk_per_key": (_sql_query(_QLATERAL), _QLATERAL),
