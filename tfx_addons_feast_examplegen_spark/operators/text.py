@@ -849,3 +849,121 @@ def bpe_apply_merges(
         toks.alias("tokens"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+def naive_bayes_fit_score(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str,
+    text_col: str,
+    id_col: str,
+    *,
+    n_buckets: int = 32768,
+) -> DataFrame:
+    """Multinomial Naive Bayes: fit on ``train``, classify ``test``.
+
+    The classic corpus-labeling baseline (quality/language/domain
+    classifiers over token counts), expressed entirely as joins and
+    aggregates — no driver-side model object, no UDFs:
+
+    - features are hashed token buckets (first 11 md5 hex chars mod
+      ``n_buckets`` — the portable hashing-trick bound that keeps the
+      model frame at |classes| x n_buckets regardless of vocabulary);
+    - all log-probabilities ride MICRO-NAT BIGINTs
+      (``floor(-ln(p) * 1e6)``, the repo's established log-domain
+      portability pattern): per-document class scores are exact integer
+      sums, so the argmin — smallest total cost, ties to the
+      lexicographically smallest class — is deterministic across
+      engines and row orders;
+    - add-1 smoothing over the FIXED bucket space: an unseen
+      (class, bucket) cell costs ``floor(-ln(1/(tot_c + n_buckets))
+      * 1e6)`` — the same closed form the model rows use at cnt = 0,
+      so scoring needs only a left join + coalesce.
+
+    Plan shape (scale notes): fitting is two map-side-combinable
+    aggregates (token counts per (class, bucket); document counts per
+    class); the model and prior frames are bounded by
+    |classes| x n_buckets and BROADCAST. Scoring explodes test tokens
+    once, cross-joins the |classes|-row class frame (broadcast,
+    map-local blowup), left-joins the model, and aggregates per
+    (document, class) — combinable, shuffle keyed on the document id.
+    No windows; the only per-document state is the running integer sum.
+
+    Output: (id_col, label_col [actual], predicted, correct) — one row
+    per test document with at least one token.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 11), 16, 10)
+        .cast("bigint") % F.lit(n_buckets)
+    )
+    tr_toks = train.select(
+        F.col(label_col).alias("__c"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select("__c", bucket.alias("__b"))
+
+    counts = tr_toks.groupBy("__c", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    tots = tr_toks.groupBy("__c").agg(F.count(F.lit(1)).alias("__tot"))
+    n_train = train.count()
+    priors = (
+        train.groupBy(F.col(label_col).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .select(
+            "__c",
+            F.floor(
+                -F.log(F.col("__nd") / F.lit(float(n_train))) * 1e6
+            ).cast("bigint").alias("__prior_cost"),
+        )
+    )
+    model = counts.join(tots, "__c").select(
+        "__c",
+        "__b",
+        F.floor(
+            -F.log(
+                (F.col("__cnt") + 1)
+                / (F.col("__tot") + F.lit(n_buckets)).cast("double")
+            )
+            * 1e6
+        ).cast("bigint").alias("__cost"),
+    )
+    default_cost = tots.select(
+        "__c",
+        F.floor(
+            -F.log(
+                F.lit(1.0) / (F.col("__tot") + F.lit(n_buckets)).cast("double")
+            )
+            * 1e6
+        ).cast("bigint").alias("__def_cost"),
+    )
+    classes = priors.join(default_cost, "__c")
+
+    te_toks = test.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(F.col(id_col), bucket.alias("__b"))
+    scored = (
+        te_toks.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(model), ["__c", "__b"], "left")
+        .groupBy(id_col, "__c")
+        .agg(
+            (
+                F.first("__prior_cost")
+                + F.sum(F.coalesce(F.col("__cost"), F.col("__def_cost")))
+            ).alias("__total")
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__total"), F.col("__c"))).alias("__best")
+    )
+    return (
+        best.join(test.select(id_col, label_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("__best.__c").alias("predicted"),
+            (F.col("__best.__c") == F.col(label_col)).alias("correct"),
+        )
+    )

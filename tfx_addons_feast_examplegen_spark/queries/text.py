@@ -1046,7 +1046,115 @@ FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
 """
 
 
+def _q_nb_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Classifier distillation, the production pattern for corpus
+    # labeling at scale: an expensive rule/model (here the lang_id
+    # stopword heuristic) labels the training split, and a multinomial
+    # Naive Bayes over hashed token buckets learns to mimic it — the
+    # cheap student then scores the whole corpus. Fit + score are pure
+    # joins/aggregates with micro-nat integer log-costs (operator
+    # docstring), so the full procedure — labeling rule, token
+    # bucketing, smoothing, argmin with lexicographic tie-break —
+    # replays exactly in the oracle.
+    t = register_tables(spark, sf_dir)
+    labeled = t["documents"].select(
+        "doc_id", "text", tx.lang_id("text").alias("y")
+    )
+    train = labeled.filter(F.col("doc_id") % 5 != 0)
+    test = labeled.filter(F.col("doc_id") % 5 == 0)
+    return tx.naive_bayes_fit_score(
+        train, test, "y", "text", "doc_id", n_buckets=32768
+    )
+
+
+def _nb_distill_oracle() -> str:
+    langs = list(tx.LANG_PROFILES)
+    hit_defs = ",\n    ".join(
+        f"len(list_intersect(toks, {_dd_profile(tx.LANG_PROFILES[lang])}))"
+        f" AS h_{lang}"
+        for lang in langs
+    )
+    branches = []
+    for lang in langs:
+        conds = [f"h_{lang} > 0"] + [
+            f"h_{lang} >= h_{o}" for o in langs if o != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    bucket = "CAST(('0x' || substr(md5(tok), 1, 11)) AS BIGINT) % 32768"
+    return f"""
+WITH raw AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, text,
+    {hit_defs}
+  FROM raw
+), lab AS (
+  SELECT doc_id, text, {case} AS y FROM h
+),
+train AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM lab WHERE doc_id % 5 = 0),
+trt AS (
+  SELECT y AS c, {bucket} AS b
+  FROM train, LATERAL (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS tok
+  )
+),
+counts AS (SELECT c, b, count(*) AS cnt FROM trt GROUP BY 1, 2),
+tots AS (SELECT c, count(*) AS tot FROM trt GROUP BY 1),
+priors AS (
+  SELECT y AS c,
+         CAST(floor(-ln(count(*) * 1.0 /
+              (SELECT count(*) FROM train)) * 1000000) AS BIGINT)
+           AS prior_cost
+  FROM train GROUP BY 1
+),
+model AS (
+  SELECT counts.c, b,
+         CAST(floor(-ln((cnt + 1) * 1.0 / (tot + 32768)) * 1000000)
+              AS BIGINT) AS cost
+  FROM counts JOIN tots ON counts.c = tots.c
+),
+defc AS (
+  SELECT c, CAST(floor(-ln(1.0 / (tot + 32768)) * 1000000) AS BIGINT)
+           AS def_cost
+  FROM tots
+),
+tet AS (
+  SELECT doc_id, {bucket} AS b
+  FROM test, LATERAL (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS tok
+  )
+),
+scored AS (
+  SELECT tet.doc_id, cl.c,
+         any_value(pr.prior_cost)
+           + sum(coalesce(model.cost, dc.def_cost)) AS total
+  FROM tet
+  CROSS JOIN (SELECT c FROM tots) cl
+  JOIN priors pr ON pr.c = cl.c
+  JOIN defc dc ON dc.c = cl.c
+  LEFT JOIN model ON model.c = cl.c AND model.b = tet.b
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total, c) AS rn
+  FROM scored
+)
+SELECT r.doc_id, t.y, r.c AS predicted, r.c = t.y AS correct
+FROM ranked r JOIN test t ON t.doc_id = r.doc_id
+WHERE r.rn = 1
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "nb_distill_classifier": (_q_nb_distill, _nb_distill_oracle()),
     "html_text_extract": (_q_html_text_extract, _HTML_TEXT_EXTRACT_ORACLE),
     "url_robots_filter": (_q_url_robots_filter, _URL_ROBOTS_FILTER_ORACLE),
     "url_canonicalize": (_q_url_canonicalize, _URL_CANONICALIZE_ORACLE),
