@@ -159,3 +159,56 @@ def test_validation(spark):
         pv.dp_noisy_counts(df, ["nation"], epsilon=0.0)
     with pytest.raises(ValueError, match="non-empty"):
         pv.dp_noisy_counts(df, [])
+
+
+def test_pseudonymize_preserves_referential_integrity(spark):
+    from tfx_addons_feast_examplegen_spark.operators.privacy import (
+        pseudonymize_tables,
+    )
+
+    cust = spark.createDataFrame(
+        [(i, f"n{i % 3}") for i in range(20)], ["ck", "nation"]
+    )
+    orders = spark.createDataFrame(
+        [(i % 20, i * 10) for i in range(60)], ["ck", "amount"]
+    )
+    rel = pseudonymize_tables(
+        {"c": (cust, "ck"), "o": (orders, "ck")}, salt="s1"
+    )
+    # same join cardinality and same per-nation aggregates as raw keys
+    raw = (
+        orders.join(cust, "ck").groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+    )
+    rel_joined = (
+        rel["o"].join(rel["c"], "ck").groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amt"))
+    )
+    assert sorted(map(tuple, raw.collect())) == sorted(
+        map(tuple, rel_joined.collect())
+    )
+    # keys actually changed, injectively on this fixture
+    released_keys = {r.ck for r in rel["c"].collect()}
+    assert released_keys.isdisjoint(set(range(20)))
+    assert len(released_keys) == 20
+
+
+def test_pseudonymize_salt_changes_mapping(spark):
+    from tfx_addons_feast_examplegen_spark.operators.privacy import (
+        pseudonymize_tables,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    a = {r.k for r in pseudonymize_tables({"t": (df, "k")}, salt="a")["t"].collect()}
+    b = {r.k for r in pseudonymize_tables({"t": (df, "k")}, salt="b")["t"].collect()}
+    a2 = {r.k for r in pseudonymize_tables({"t": (df, "k")}, salt="a")["t"].collect()}
+    assert a == a2 and a != b
+
+
+def test_pseudonymize_validation(spark):
+    from tfx_addons_feast_examplegen_spark.operators.privacy import (
+        pseudonymize_key,
+    )
+
+    with pytest.raises(ValueError, match="bits"):
+        pseudonymize_key("k", salt="s", bits=0)

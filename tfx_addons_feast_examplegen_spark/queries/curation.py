@@ -1077,8 +1077,74 @@ JOIN pr ON pr.fold = b.fold
 """
 
 
+def _q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenization-style pseudonymization with referential integrity:
+    # customer and orders re-keyed by the SAME keyed surrogate
+    # (md5(salt || key) folded to 60 bits), then an FK audit over the
+    # RELEASED tables — per-nation order counts, distinct pseudonymized
+    # customers, and order cents, which must equal the raw-key join's
+    # numbers (the oracle computes them from the original keys with the
+    # surrogate formula replayed for the distinct-count check).
+    from ..operators import privacy as pv
+
+    t = register_tables(spark, sf_dir)
+    released = pv.pseudonymize_tables(
+        {
+            "customer": (
+                t["customer"].select("c_custkey", "c_nationkey"),
+                "c_custkey",
+            ),
+            "orders": (
+                t["orders"].select(
+                    "o_custkey",
+                    F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .cast("long")
+                    .alias("cents"),
+                ),
+                "o_custkey",
+            ),
+        },
+        salt="release-r11",
+    )
+    cust, orders = released["customer"], released["orders"]
+    return (
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "inner"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+_PSEUDONYMIZE_ORACLE = """
+WITH c AS (
+  SELECT CAST(('0x' || substr(md5('release-r11' || CAST(c_custkey AS VARCHAR)),
+              1, 15)) AS BIGINT) % 1152921504606846976 AS pk,
+         c_nationkey
+  FROM customer
+),
+o AS (
+  SELECT CAST(('0x' || substr(md5('release-r11' || CAST(o_custkey AS VARCHAR)),
+              1, 15)) AS BIGINT) % 1152921504606846976 AS pk,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT c.pk) AS BIGINT) AS n_customers,
+       CAST(sum(o.cents) AS BIGINT) AS cents
+FROM o JOIN c ON o.pk = c.pk
+GROUP BY 1
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "dsir_select": (_q_dsir_select, _DSIR_SELECT_ORACLE),
+    "pseudonymize_fk_audit": (_q_pseudonymize, _PSEUDONYMIZE_ORACLE),
     "k_anonymity_audit": (_q_k_anonymity, _K_ANONYMITY_ORACLE),
     "dp_noisy_counts": (_q_dp_noisy_counts, _DP_NOISY_COUNTS_ORACLE),
     "target_encode_loo": (_q_target_encode, _TARGET_ENCODE_ORACLE),
