@@ -230,6 +230,7 @@ _ENTRY_ORDER = [
     "bootstrap_metric_ci",
     "nb_distill_classifier",
     "pseudonymize_fk_audit",
+    "stream_quota_gate",
     "token_budget_select",
     "dsir_select",
     "bpe_encode",
@@ -339,7 +340,6 @@ _DRIVER_PRIORITY = [
     "contrastive_hard_negatives",
     "corpus_report",
     "decayed_activity_score",
-    "dedup_exact_substring",
     "dedup_pair_evidence",
     "dedup_simhash",
     "embedding_outliers",
@@ -369,9 +369,12 @@ _DRIVER_PRIORITY = [
     # lang_id rule (hashed buckets, micro-nat integer costs, full
     # replay oracle incl. the argmin tie-break);
     # pseudonymize_fk_audit — keyed-surrogate tokenization with the
-    # referential-integrity audit over the released tables.
-    # They displace dedup_containment_scoped, dedup_remove_shared_runs,
-    # event_type_pmi, feature_drift_psi,
+    # referential-integrity audit over the released tables;
+    # stream_quota_gate — bounded-state windowed admission quota
+    # (applyInPandasWithState, state capped at quota entries per open
+    # window), sentinel-watermark full replay vs the batch ROW_NUMBER.
+    # They displace dedup_containment_scoped, dedup_exact_substring,
+    # dedup_remove_shared_runs, event_type_pmi, feature_drift_psi,
     # federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
     # (all r7) into the r12 plan.
@@ -384,6 +387,7 @@ _DRIVER_PRIORITY = [
     "bootstrap_metric_ci",
     "nb_distill_classifier",
     "pseudonymize_fk_audit",
+    "stream_quota_gate",
     # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
     # 2023), spherical-k-means clusters + capped within-cluster
     # suppression, brute-force pairwise replay oracle; dsir_select —
@@ -400,12 +404,12 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
-    # ROUND-12 WINDOW PLAN: the remaining 36 r7-vintage rows —
-    # dedup_containment_scoped, dedup_remove_shared_runs,
-    # event_type_pmi, feature_drift_psi, federated_union_agg,
-    # graph_triangle_count, grouped_split_no_leakage,
-    # interpolate_timeseries, ivm_delta_agg
-    # (displaced by the nine new r11-continuation entries),
+    # ROUND-12 WINDOW PLAN: the remaining 37 r7-vintage rows —
+    # dedup_containment_scoped, dedup_exact_substring,
+    # dedup_remove_shared_runs, event_type_pmi, feature_drift_psi,
+    # federated_union_agg, graph_triangle_count,
+    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
+    # (displaced by the ten new r11-continuation entries),
     # keyword_search_indexed, kfold_assignment, length_bucketing,
     # mad_outliers, merge_upsert_cdc, nearest_event_join,
     # percent_rank_transform,
@@ -419,7 +423,7 @@ _DRIVER_PRIORITY = [
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (13 of 40, after
+    # vocab_coverage_curve — then the oldest r8 rows (12 of 40, after
     # pit_join's slot-0 convention) to fill 50. After r12 executes, the
     # oldest driver row anywhere is r8 and
     # the steady-state cadence is a full-fleet refresh every ~4 rounds.

@@ -85,6 +85,89 @@ def _q_sessionization_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_quota_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Third custom stateful operator: bounded-state windowed admission
+    # quota — admit the 3 earliest events per (event_type, day) by
+    # (ts, event_id), late data included, state capped at quota entries
+    # per open window (streaming/quota.py). Same sentinel-watermark
+    # full-replay technique as the streaming sessionizer: a far-future
+    # sentinel advances the watermark past every real window end, so
+    # bounded replay finalizes every window and equals the batch
+    # ROW_NUMBER spelling exactly.
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from ..session import load_table
+    from ..streaming.events import read_events_stream, run_to_completion
+    from ..streaming.quota import quota_gate_stream
+
+    register_tables(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="quota_stream_") + "/ev"
+    mid = "2024-01-16 00:00:00"
+    sentinel = (
+        ev.orderBy(F.desc("ts"))
+        .limit(1)
+        .select(
+            *[
+                (F.col("ts") + F.expr("INTERVAL 4 DAYS")).alias("ts")
+                if c == "ts"
+                else F.lit("__sentinel").alias(c)
+                if c == "event_type"
+                else F.lit(-1).cast("long").alias(c)
+                if c == "event_id"
+                else F.col(c)
+                for c in ev.columns
+            ]
+        )
+    )
+    slices = [
+        ev.filter(F.col("ts") < mid),
+        ev.filter(F.col("ts") >= mid),
+        sentinel,
+    ]
+    base = _time.time() - 60
+    stamped: set[str] = set()
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        for fname in _os.listdir(src):
+            pth = _os.path.join(src, fname)
+            if pth not in stamped:
+                _os.utime(pth, (base + 10 * i, base + 10 * i))
+                stamped.add(pth)
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = run_to_completion(
+        quota_gate_stream(stream, quota=3, window="1 day"),
+        query_name="q_stream_quota_gate",
+    )
+    return out.filter(F.col("event_type") != "__sentinel").select(
+        "event_type",
+        F.unix_timestamp("window_start").alias("window_start_ts"),
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("admit_rank").cast("int").alias("admit_rank"),
+    )
+
+
+# Batch replay of the admission rule: the quota gate's output must be
+# byte-equal to the ROW_NUMBER spelling over the full event set.
+_STREAM_QUOTA_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('day', ts) AS w, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS admit_rank
+  FROM events
+)
+SELECT event_type,
+       CAST(epoch(w) AS BIGINT) AS window_start_ts,
+       event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       CAST(admit_rank AS INT) AS admit_rank
+FROM ranked WHERE admit_rank <= 3
+"""
+
+
 def _q_stream_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Second custom stateful operator (CEP-lite pattern matching): each
     # 'error' event matches its EARLIEST 'purchase' within 30 min, or
@@ -620,6 +703,10 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _STREAM_RECOVERY_ORACLE,
     ),
     "stream_dedup": (_q_stream_dedup, _STREAM_DEDUP_ORACLE),
+    "stream_quota_gate": (
+        _q_stream_quota_gate,
+        _STREAM_QUOTA_ORACLE,  # sentinel-watermark full replay
+    ),
     "sessionization_streaming": (
         _q_sessionization_streaming,
         _SESSIONIZATION_STREAM_ORACLE,  # sentinel-watermark full replay
