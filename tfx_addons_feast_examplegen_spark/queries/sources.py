@@ -815,6 +815,59 @@ FROM s
 """
 
 
+def _q_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC as a REGISTERED READER FORMAT (Spark 4 Python DataSource
+    # API): the same deterministic fixture archives land on disk as
+    # <doc_id>.warc files, and spark.read.format("warc").load(dir)
+    # plans one partition per archive and walks each with the SAME
+    # strict parser the mapInPandas path uses — so this entry proves
+    # the pluggable-source seam end to end against the identical
+    # closed-form oracle (restricted to the doc_id % 5 = 0 stripe the
+    # fixture writes).
+    import tempfile as _tempfile
+
+    from ..sources.warc import attach_warc_payloads
+    from ..sources.warc_datasource import register_warc_source
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") % 5 == 0)
+    base = _tempfile.mkdtemp(prefix="warc_ds_")
+    # fixture construction (driver-side, ~100 small files at sf0.01);
+    # the measured operator is the distributed datasource READ below
+    for r in attach_warc_payloads(docs).collect():
+        with open(f"{base}/{r['doc_id']}.warc", "wb") as f:
+            f.write(bytes(r["payload"]))
+    register_warc_source(spark)
+    return spark.read.format("warc").load(base)
+
+
+_WARC_DATASOURCE_ORACLE = """
+WITH r AS (
+  SELECT d.doc_id, CAST(i.i AS INT) AS rec_idx,
+         (d.doc_id * 17 + i.i * 31) % 120 + 16 AS clen
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, d.doc_id % 6 + 2)) AS i) i
+  WHERE d.doc_id % 5 = 0
+),
+s AS (
+  SELECT r.doc_id, r.rec_idx, r.clen,
+         SUM((r.doc_id + r.rec_idx * 7 + j.j * 3) % 256) AS psum
+  FROM r, LATERAL (SELECT unnest(range(0, r.clen)) AS j) j
+  GROUP BY r.doc_id, r.rec_idx, r.clen
+)
+SELECT doc_id,
+       rec_idx,
+       CASE (doc_id + rec_idx) % 3
+         WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+         ELSE 'resource' END AS rec_type,
+       'http://example.com/' || doc_id || '/' || rec_idx AS uri,
+       CAST(clen AS BIGINT) AS content_length,
+       CAST(psum AS BIGINT) AS payload_sum,
+       doc_id % 2 = 1 AS was_gzip
+FROM s
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "source_jsonl_roundtrip": (_q_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
     "source_csv_roundtrip": (_q_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
@@ -842,4 +895,5 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "snapshot_diff": (_q_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
     "bucketed_join": (_q_bucketed_join, _BUCKETED_JOIN_ORACLE),
     "source_warc_records": (_q_warc_records, _WARC_RECORDS_ORACLE),
+    "source_warc_datasource": (_q_warc_datasource, _WARC_DATASOURCE_ORACLE),
 }
