@@ -128,3 +128,48 @@ def test_validation(spark):
     with pytest.raises(ValueError, match="interval"):
         _interval_micros("0 days")
     assert _interval_micros("2 hours") == 2 * 3600 * 1_000_000
+
+
+def test_tws_twin_guards_missing_protobuf_or_matches(spark, tmp_path):
+    # The transformWithStateInPandas twin: on protobuf-equipped
+    # environments it must match the applyInPandasWithState gate
+    # row-for-row; here (no google.protobuf in the container) it must
+    # fail FAST with a named reason instead of a mid-query JVM crash.
+    from tfx_addons_feast_examplegen_spark.streaming.quota_tws import (
+        quota_gate_stream_tws,
+    )
+
+    rows = [
+        _ev(5, "2024-01-01 10:00:00"),
+        _ev(2, "2024-01-01 09:00:00"),
+        _ev(9, "2024-01-01 09:00:00"),
+    ]
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        df = spark.createDataFrame(rows, SCHEMA)
+        with pytest.raises(RuntimeError, match="protobuf"):
+            quota_gate_stream_tws(df, quota=2)
+        return
+
+    src = str(tmp_path / "tws")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    spark.createDataFrame(SENTINEL, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = read_events_stream(spark, src)
+    out = run_to_completion(
+        quota_gate_stream_tws(stream, quota=2, window="1 day"),
+        query_name="q_tws_twin",
+    )
+    got = sorted(
+        (r.event_type, r.event_id, r.admit_rank)
+        for r in out.collect()
+        if r.event_type != "zz"
+    )
+    assert got == [("a", 2, 1), ("a", 9, 2)]
