@@ -80,3 +80,57 @@ def test_bad_filename_and_empty_dir_rejected(tmp_path):
         WarcReader({"path": str(base)}).partitions()
     with pytest.raises(ValueError, match="path"):
         WarcReader({})
+
+
+def test_writer_roundtrip_and_layout(spark, sf_dir, tmp_path):
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    rows = docs.select(
+        F.concat(F.lit("http://e/"), F.col("doc_id")).alias("uri"),
+        F.lit("resource").alias("rec_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("rec_id"),
+    )
+    base = str(tmp_path / "out")
+    register_warc_source(spark)
+    rows.repartition(4).write.format("warc").mode("append").save(base)
+    import os
+
+    # one archive per non-empty task
+    assert 1 <= len(os.listdir(base)) <= 4
+    back = spark.read.format("warc").load(base)
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("content_length").alias("cl"),
+    ).collect()[0]
+    want = docs.agg(
+        F.count(F.lit(1)), F.sum(F.length("text"))
+    ).collect()[0]
+    assert (agg.n, agg.cl) == (want[0], want[1])
+    # URIs survive exactly
+    assert {r.uri for r in back.collect()} == {
+        f"http://e/{r.doc_id}" for r in docs.collect()
+    }
+
+
+def test_writer_rejects_wrong_schema(spark, tmp_path):
+    register_warc_source(spark)
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    with pytest.raises(Exception, match="must carry|missing"):
+        df.write.format("warc").mode("append").save(str(tmp_path / "w3"))
+
+
+def test_writer_empty_partitions_write_no_file(spark, tmp_path):
+    register_warc_source(spark)
+    df = spark.createDataFrame(
+        [("http://e/1", "resource", b"abc", "r1")],
+        ["uri", "rec_type", "payload", "rec_id"],
+    ).repartition(8)
+    base = str(tmp_path / "w4")
+    df.write.format("warc").mode("append").save(base)
+    import os
+
+    assert len(os.listdir(base)) == 1  # 7 empty tasks wrote nothing

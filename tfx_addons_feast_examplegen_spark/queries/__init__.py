@@ -232,6 +232,7 @@ _ENTRY_ORDER = [
     "pseudonymize_fk_audit",
     "stream_quota_gate",
     "source_warc_datasource",
+    "source_warc_write_roundtrip",
     "token_budget_select",
     "dsir_select",
     "bpe_encode",
@@ -339,7 +340,6 @@ _DRIVER_PRIORITY = [
     "bm25_ranked_search",
     "bpe_pair_merges",
     "contrastive_hard_negatives",
-    "corpus_report",
     "dedup_pair_evidence",
     "dedup_simhash",
     "embedding_outliers",
@@ -375,9 +375,11 @@ _DRIVER_PRIORITY = [
     # window), sentinel-watermark full replay vs the batch ROW_NUMBER;
     # source_warc_datasource — WARC as a registered reader format
     # (Spark 4 Python DataSource API), one partition per archive,
-    # shared strict parser, same closed-form oracle.
-    # They displace decayed_activity_score, dedup_containment_scoped,
-    # dedup_exact_substring,
+    # shared strict parser, same closed-form oracle;
+    # source_warc_write_roundtrip — the format's WRITE side (one
+    # archive per task), byte-sum round trip vs the original table.
+    # They displace corpus_report, decayed_activity_score,
+    # dedup_containment_scoped, dedup_exact_substring,
     # dedup_remove_shared_runs, event_type_pmi, feature_drift_psi,
     # federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
@@ -393,6 +395,7 @@ _DRIVER_PRIORITY = [
     "pseudonymize_fk_audit",
     "stream_quota_gate",
     "source_warc_datasource",
+    "source_warc_write_roundtrip",
     # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
     # 2023), spherical-k-means clusters + capped within-cluster
     # suppression, brute-force pairwise replay oracle; dsir_select —
@@ -409,12 +412,12 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
-    # ROUND-12 WINDOW PLAN: the remaining 38 r7-vintage rows —
-    # decayed_activity_score, dedup_containment_scoped,
+    # ROUND-12 WINDOW PLAN: the remaining 39 r7-vintage rows —
+    # corpus_report, decayed_activity_score, dedup_containment_scoped,
     # dedup_exact_substring, dedup_remove_shared_runs, event_type_pmi,
     # feature_drift_psi, federated_union_agg, graph_triangle_count,
     # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
-    # (displaced by the eleven new r11-continuation entries),
+    # (displaced by the twelve new r11-continuation entries),
     # keyword_search_indexed, kfold_assignment, length_bucketing,
     # mad_outliers, merge_upsert_cdc, nearest_event_join,
     # percent_rank_transform,
@@ -428,7 +431,7 @@ _DRIVER_PRIORITY = [
     # streaming_matview_latest, table_pruned_scan,
     # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
     # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (11 of 40, after
+    # vocab_coverage_curve — then the oldest r8 rows (10 of 40, after
     # pit_join's slot-0 convention) to fill 50. After r12 executes, the
     # oldest driver row anywhere is r8 and
     # the steady-state cadence is a full-fleet refresh every ~4 rounds.

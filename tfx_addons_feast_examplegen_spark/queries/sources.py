@@ -868,8 +868,63 @@ FROM s
 """
 
 
+def _q_warc_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The WRITE side of the registered warc format: every document
+    # becomes one record, df.write.format("warc") archives each task's
+    # rows into one ISO 28500 file (the Common Crawl many-records-per-
+    # archive layout), and the registered reader walks them back. The
+    # aggregate — record count, distinct URIs, total declared bytes,
+    # and the payload BYTE SUM (evidence the bodies survived framing
+    # byte-for-byte) — is replayed by the oracle from the original
+    # table (text is pure ASCII, so ord(char) == byte value).
+    import tempfile as _tempfile
+
+    from ..sources.warc_datasource import register_warc_source
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    rows = docs.select(
+        F.concat(F.lit("http://example.com/"), F.col("doc_id")).alias("uri"),
+        F.lit("resource").alias("rec_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lpad(
+            F.conv(F.col("doc_id").cast("string"), 10, 16), 12, "0"
+        ).alias("rec_id"),
+    )
+    base = _tempfile.mkdtemp(prefix="warc_write_") + "/out"
+    register_warc_source(spark)
+    rows.repartition(8).write.format("warc").mode("append").save(base)
+    back = spark.read.format("warc").load(base)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("uri").cast("long").alias("n_uris"),
+        F.sum("content_length").cast("long").alias("total_bytes"),
+        F.sum("payload_sum").cast("long").alias("payload_bytes_sum"),
+    )
+
+
+_WARC_WRITE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text,
+         coalesce(list_sum(list_transform(
+             range(1, length(text) + 1), i -> ord(substr(text, i, 1)))), 0)
+           AS bytesum
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_uris,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+       CAST(sum(bytesum) AS BIGINT) AS payload_bytes_sum
+FROM b
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "source_jsonl_roundtrip": (_q_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE),
+    "source_warc_write_roundtrip": (
+        _q_warc_write_roundtrip,
+        _WARC_WRITE_ORACLE,
+    ),
     "source_csv_roundtrip": (_q_csv_roundtrip, _CSV_ROUNDTRIP_ORACLE),
     "split_pattern_routing": (_q_split_routing, _SPLIT_ROUTING_ORACLE),
     "param_substitution": (_q_param_substitution, _PARAM_SUBSTITUTION_ORACLE),

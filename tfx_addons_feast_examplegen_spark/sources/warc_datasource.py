@@ -27,7 +27,13 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 # doc_id parsed from the file name (``<doc_id>.warc[.gz]``), then the
 # record tuple the shared parser emits
@@ -77,9 +83,63 @@ class WarcReader(DataSourceReader):
             yield (partition.doc_id, *rec)
 
 
+# write-side input contract: one row per record to archive
+WARC_WRITE_COLUMNS = ("uri", "rec_type", "payload", "rec_id")
+
+
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, path: str | None, n_records: int):
+        self.path = path
+        self.n_records = n_records
+
+
+class WarcWriter(DataSourceWriter):
+    """One WARC archive per write TASK (``<partition_id>.warc``) — the
+    Common Crawl layout (many records per ~fixed-size archive), built
+    by the same :func:`..sources.warc.build_warc` framer the tests and
+    fixture generator use. Empty partitions write no file."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc datasource requires a path")
+        self._dir = path
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        from tfx_addons_feast_examplegen_spark.sources.warc import build_warc
+
+        recs = [
+            (row.rec_type, row.uri, bytes(row.payload), row.rec_id)
+            for row in iterator
+        ]
+        if not recs:
+            return _WarcCommit(None, 0)
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        path = os.path.join(self._dir, f"{pid}.warc")
+        with open(path, "wb") as f:
+            f.write(build_warc(recs, gzip_members=False))
+        return _WarcCommit(path, len(recs))
+
+    def commit(self, messages) -> None:
+        pass  # files are final on write; nothing to move
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "path", None):
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("warc").load(dir)`` over ``<doc_id>.warc``
-    files. Register once per session via :func:`register_warc_source`.
+    files, and ``df.write.format("warc").save(dir)`` producing one
+    archive per task. Register once per session via
+    :func:`register_warc_source`.
     """
 
     @classmethod
@@ -91,6 +151,15 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> WarcWriter:
+        missing = [c for c in WARC_WRITE_COLUMNS if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"warc writer input must carry {WARC_WRITE_COLUMNS}; "
+                f"missing {missing}"
+            )
+        return WarcWriter(self.options)
 
 
 def register_warc_source(spark) -> None:
