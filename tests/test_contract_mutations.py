@@ -974,3 +974,116 @@ def test_ivm_delta_join_oracle_catches_dropped_cross_term(spark, monkeypatch):
     assert mutated != want
     missing = want - mutated
     assert set(missing) == {(3, "a3", "b3")}  # exactly the dAxdB pairs
+
+
+def test_cc_incremental_oracle_catches_dropped_contraction(spark, monkeypatch):
+    # Skip the endpoint->label contraction (map new edges through RAW
+    # ids instead of cluster representatives): two old components
+    # joined indirectly — new edges touching different MEMBERS of the
+    # same old cluster — no longer share a super-node, so the merged
+    # labeling splits and diverges from the from-scratch closure the
+    # driver oracle computes.
+    from tfx_addons_feast_examplegen_spark.operators import corpus as cp
+
+    old = spark.createDataFrame([(1, 2), (3, 4)], ["doc_a", "doc_b"])
+    labels = cp.connected_components(old)
+    # 2-5 and 5-3: merges {1,2} and {3,4} THROUGH new node 5
+    new = spark.createDataFrame([(2, 5), (5, 3)], ["doc_a", "doc_b"])
+    want = {
+        (r.doc_id, r.cluster)
+        for r in cp.connected_components(
+            old.unionByName(new)
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster)
+        for r in cp.connected_components_incremental(labels, new).collect()
+    }
+    assert got == want
+
+    real_coalesce = cp.F.coalesce
+    state = {"n": 0}
+
+    def drop_label_mapping(*cols):
+        # the first two coalesce calls inside the incremental operator
+        # are the endpoint->label lookups (sa, sb); make them ignore
+        # the label and keep the raw id
+        state["n"] += 1
+        if state["n"] <= 2:
+            return real_coalesce(cols[-1])
+        return real_coalesce(*cols)
+
+    monkeypatch.setattr(cp.F, "coalesce", drop_label_mapping)
+    try:
+        mutated = {
+            (r.doc_id, r.cluster)
+            for r in cp.connected_components_incremental(
+                labels, new
+            ).collect()
+        }
+    finally:
+        monkeypatch.setattr(cp.F, "coalesce", real_coalesce)
+    assert mutated != want
+    # the split is substantive: node 4 no longer reaches cluster 1
+    assert (4, 1) in want and (4, 1) not in mutated
+
+
+def test_bootstrap_oracle_catches_percentile_off_by_one(spark, monkeypatch):
+    # Shift the discrete percentile index by one: both CI bounds move to
+    # neighboring order statistics, diverging from the ceil(q * n)
+    # selection the oracle replays.
+    from tfx_addons_feast_examplegen_spark.operators import stats as st
+
+    rows = [(i, (i * 37) % 100) for i in range(150)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    base = st.bootstrap_metric_ci(df, "v", "id", replicates=60).collect()[0]
+
+    real_ceil = st.F.ceil
+    monkeypatch.setattr(st.F, "ceil", lambda c: real_ceil(c) + st.F.lit(1))
+    try:
+        mutated = st.bootstrap_metric_ci(
+            df, "v", "id", replicates=60
+        ).collect()[0]
+    finally:
+        monkeypatch.setattr(st.F, "ceil", real_ceil)
+    assert (mutated.ci_lo, mutated.ci_hi) != (base.ci_lo, base.ci_hi)
+    # shifted UP the sorted replicate array: bounds can only grow
+    assert mutated.ci_lo >= base.ci_lo and mutated.ci_hi >= base.ci_hi
+
+
+def test_nb_oracle_catches_cost_drift(spark, monkeypatch):
+    # The entry exposes the winner's exact micro-nat cost, so ANY drift
+    # in the fit arithmetic — smoothing, priors, bucket hash — reddens
+    # the oracle even when no boundary prediction flips. Perturb every
+    # -log(p) cost (the way a broken smoothing constant would) and
+    # assert the exposed costs move while the reference pins the
+    # unmutated ones.
+    from tests.test_naive_bayes import TEST, TRAIN, _ref
+
+    from tfx_addons_feast_examplegen_spark.operators import text as tx
+
+    train = spark.createDataFrame(TRAIN, ["doc_id", "y", "text"])
+    test = spark.createDataFrame(TEST, ["doc_id", "y", "text"])
+    ref = _ref(TRAIN, TEST)
+    base = {
+        r.doc_id: r.cost_micronats
+        for r in tx.naive_bayes_fit_score(
+            train, test, "y", "text", "doc_id", n_buckets=64
+        ).collect()
+    }
+    assert base == {i: v[3] for i, v in ref.items()}
+
+    real_log = tx.F.log
+    monkeypatch.setattr(tx.F, "log", lambda col: real_log(col * tx.F.lit(0.5)))
+    try:
+        mutated = {
+            r.doc_id: r.cost_micronats
+            for r in tx.naive_bayes_fit_score(
+                train, test, "y", "text", "doc_id", n_buckets=64
+            ).collect()
+        }
+    finally:
+        monkeypatch.setattr(tx.F, "log", real_log)
+    assert mutated != base
+    # halving every probability ADDS ln(2) micro-nats per cost term
+    assert all(mutated[i] > base[i] for i in base)

@@ -43,7 +43,7 @@ def _ref(train, test):
             key = (cost, c)
             if best is None or key < best:
                 best = key
-        out[i] = (actual, best[1], best[1] == actual)
+        out[i] = (actual, best[1], best[1] == actual, best[0])
     return out
 
 
@@ -68,7 +68,7 @@ def test_matches_reference_and_separates(spark):
     train = spark.createDataFrame(TRAIN, ["doc_id", "y", "text"])
     test = spark.createDataFrame(TEST, ["doc_id", "y", "text"])
     got = {
-        r.doc_id: (r.y, r.predicted, r.correct)
+        r.doc_id: (r.y, r.predicted, r.correct, r.cost_micronats)
         for r in naive_bayes_fit_score(
             train, test, "y", "text", "doc_id", n_buckets=N_BUCKETS
         ).collect()
@@ -86,12 +86,13 @@ def test_unseen_tokens_fall_to_prior(spark):
     train = spark.createDataFrame(TRAIN, ["doc_id", "y", "text"])
     test = spark.createDataFrame(TEST, ["doc_id", "y", "text"])
     got = {
-        r.doc_id: r.predicted
+        r.doc_id: (r.predicted, r.cost_micronats)
         for r in naive_bayes_fit_score(
             train, test, "y", "text", "doc_id", n_buckets=N_BUCKETS
         ).collect()
     }
-    assert got[14] == _ref(TRAIN, TEST)[14][1]
+    ref = _ref(TRAIN, TEST)
+    assert got[14] == (ref[14][1], ref[14][3])
 
 
 def test_empty_text_test_docs_are_dropped(spark):

@@ -965,5 +965,10 @@ def naive_bayes_fit_score(
             F.col(label_col),
             F.col("__best.__c").alias("predicted"),
             (F.col("__best.__c") == F.col(label_col)).alias("correct"),
+            # the winner's exact integer cost: exposing it makes the
+            # whole fit — smoothing, bucket hash, priors — externally
+            # checkable, not just the argmin (a smoothing bug that
+            # doesn't flip any boundary prediction still moves this)
+            F.col("__best.__total").cast("long").alias("cost_micronats"),
         )
     )

@@ -1143,11 +1143,12 @@ scored AS (
   GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT doc_id, c,
+  SELECT doc_id, c, total,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total, c) AS rn
   FROM scored
 )
-SELECT r.doc_id, t.y, r.c AS predicted, r.c = t.y AS correct
+SELECT r.doc_id, t.y, r.c AS predicted, r.c = t.y AS correct,
+       CAST(r.total AS BIGINT) AS cost_micronats
 FROM ranked r JOIN test t ON t.doc_id = r.doc_id
 WHERE r.rn = 1
 """
