@@ -306,3 +306,99 @@ def test_indexed_training_partial_probe_properties(spark):
     assert sum(1 for k in out.values() if not k) == 6
     for i in range(6):
         assert out[i] is True and out[1000 + i] is False
+
+
+def test_auto_rule_routes_by_measured_cell_wall(spark, monkeypatch):
+    # The "auto" default resolves against ASSIGN_INDEX_AUTO_CELLS on
+    # the TRAINED centroid count: above the wall it must route through
+    # ivf_assign_indexed, at/below it the exact flat scan.
+    from tfx_addons_feast_examplegen_spark.operators import (
+        semdedup as semdedup_mod,
+    )
+    from tfx_addons_feast_examplegen_spark.operators import (
+        similarity as similarity_mod,
+    )
+
+    calls = []
+    real_flat = similarity_mod.ivf_assign
+    real_idx = similarity_mod.ivf_assign_indexed
+
+    def spy_flat(*a, **kw):
+        calls.append("flat")
+        return real_flat(*a, **kw)
+
+    def spy_idx(*a, **kw):
+        calls.append("indexed")
+        return real_idx(*a, **kw)
+
+    # semdedup binds ivf_assign at import time; the indexed form is a
+    # function-local import, so patch both binding sites.
+    monkeypatch.setattr(semdedup_mod, "ivf_assign", spy_flat)
+    monkeypatch.setattr(similarity_mod, "ivf_assign_indexed", spy_idx)
+
+    base = [0.6, 0.8, 0.0, 0.0]
+    rows = [(1, base), (2, list(base)), (3, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+
+    # 4 cells <= wall (1024): auto stays on the exact flat scan
+    semdedup_mod.semantic_dedup(df, threshold=0.99, centroids=cents).collect()
+    assert calls == ["flat"]
+
+    # drop the wall below the cell count: auto must route indexed
+    calls.clear()
+    monkeypatch.setattr(semdedup_mod, "ASSIGN_INDEX_AUTO_CELLS", 2)
+    out = semdedup_mod.semantic_dedup(
+        df, threshold=0.99, centroids=cents
+    )
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert calls == ["indexed"]
+    # duplicate co-clustering preserved under the indexed route: the
+    # copy pair still lands in one cell and the later id is suppressed
+    assert got == {1: True, 2: False, 3: True}
+
+    # explicit pins override auto in both directions
+    calls.clear()
+    semdedup_mod.semantic_dedup(
+        df, threshold=0.99, centroids=cents, assign_via_index=False
+    ).collect()
+    assert calls == ["flat"]
+    calls.clear()
+    monkeypatch.setattr(semdedup_mod, "ASSIGN_INDEX_AUTO_CELLS", 1024)
+    semdedup_mod.semantic_dedup(
+        df, threshold=0.99, centroids=cents, assign_via_index=True
+    ).collect()
+    assert calls == ["indexed"]
+
+    # any other string is a loud error, not a silent flat fallback
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assign_via_index"):
+        semdedup_mod.semantic_dedup(
+            df, threshold=0.99, centroids=cents, assign_via_index="flat"
+        )
+
+
+def test_short_corpus_trains_fewer_cells_with_refinement(spark):
+    # corpus shorter than n_cells: the trained quantizer is the smaller
+    # cell set, and refine_iters > 0 must not blow up on cells that
+    # never existed (both trainers share the clamp).
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_centroids_indexed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8])],
+        "vec_id: long, embedding: array<float>",
+    )
+    flat = ivf_centroids(df, n_cells=16, seed=5, refine_iters=2)
+    idx = ivf_centroids_indexed(
+        df, n_cells=16, seed=5, refine_iters=2, n_probe_super=None
+    )
+    assert len(flat) == 3 and flat == idx
+    # and semantic_dedup end-to-end on the tiny corpus still works
+    out = semantic_dedup(df, threshold=0.999, n_clusters=16, seed=5)
+    assert {r["vec_id"]: r["kept"] for r in out.collect()} == {
+        1: True, 2: True, 3: True
+    }

@@ -107,3 +107,57 @@ def test_boundary_bucket_window_is_bucket_scoped(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 1
     assert "__bucket" in plan
+
+
+def test_fractional_weights_exact_with_weight_scale(spark):
+    from fractions import Fraction
+
+    # Quarter-token weights engineered so cumulative sums graze the
+    # budget exactly: in float, 0.1-style weights drift off by ulps;
+    # in scaled-integer units the prefix is exact. The reference
+    # replays the global window in exact rational arithmetic.
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice([0.1, 0.5, 0.9]), rng.randrange(0, 40) / 4)
+        for i in range(200)
+    ]
+    budget = 91.25  # 365 quarter-units — reachable exactly
+
+    def ref(rows, budget):
+        cum, out = Fraction(0), set()
+        for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += Fraction(w).limit_denominator(4)
+            if cum <= Fraction(budget).limit_denominator(4):
+                out.add(i)
+        return out
+
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(
+            _frame(spark, rows), "score", "toks", budget,
+            id_col="doc_id", num_buckets=8, sample_fraction=1.0,
+            weight_scale=4,
+        ).collect()
+    }
+    assert got == ref(rows, budget)
+
+
+def test_fractional_weights_without_scale_fail_loud(spark):
+    rows = [(1, 1.0, 0.5), (2, 0.5, 1.0)]
+    with pytest.raises(ValueError, match="not integral"):
+        token_budget_select(
+            _frame(spark, rows), "score", "toks", 10,
+            id_col="doc_id", num_buckets=2, sample_fraction=1.0,
+        ).collect()
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_select(
+            _frame(spark, rows), "score", "toks", 10.3,
+            id_col="doc_id", num_buckets=2, sample_fraction=1.0,
+            weight_scale=2,
+        )
+    with pytest.raises(ValueError, match="weight_scale"):
+        token_budget_select(
+            _frame(spark, rows), "score", "toks", 10,
+            id_col="doc_id", num_buckets=2, sample_fraction=1.0,
+            weight_scale=0,
+        )

@@ -134,3 +134,46 @@ def test_writer_empty_partitions_write_no_file(spark, tmp_path):
     import os
 
     assert len(os.listdir(base)) == 1  # 7 empty tasks wrote nothing
+
+
+def _rows(spark, ids):
+    return spark.createDataFrame(
+        [(f"http://e/{i}", "resource", f"body-{i}".encode(), f"r{i}")
+         for i in ids],
+        ["uri", "rec_type", "payload", "rec_id"],
+    )
+
+
+def test_overwrite_clears_stale_archives(spark, tmp_path):
+    # A previous write with MORE partitions must not leak stale
+    # archives into an overwrite: 8 tasks then overwrite with 1 — the
+    # reader must see only the second write's records.
+    register_warc_source(spark)
+    base = str(tmp_path / "ow")
+    _rows(spark, range(8)).repartition(8).write.format("warc").mode(
+        "append"
+    ).save(base)
+    _rows(spark, [99]).coalesce(1).write.format("warc").mode(
+        "overwrite"
+    ).save(base)
+    back = spark.read.format("warc").load(base).collect()
+    assert {r.uri for r in back} == {"http://e/99"}
+    import os
+
+    assert os.listdir(base) == ["0.warc"]  # partition-id layout
+
+
+def test_append_never_clobbers_prior_write(spark, tmp_path):
+    # Two successive appends with the same partitioning: attempt-id
+    # naming keeps both writes' archives (bare partition-id naming
+    # silently clobbered the first write's files).
+    register_warc_source(spark)
+    base = str(tmp_path / "ap")
+    _rows(spark, [1]).coalesce(1).write.format("warc").mode("append").save(base)
+    _rows(spark, [2]).coalesce(1).write.format("warc").mode("append").save(base)
+    back = spark.read.format("warc").load(base).collect()
+    assert {r.uri for r in back} == {"http://e/1", "http://e/2"}
+    import os
+
+    stems = [f.split(".")[0] for f in os.listdir(base)]
+    assert len(stems) == 2 and all(s.isdigit() for s in stems)

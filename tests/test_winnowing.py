@@ -17,8 +17,15 @@ from tfx_addons_feast_examplegen_spark.operators import dedup as dd
 
 
 def ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
-    """Straight-from-the-paper reference: set of (hash, 1-based pos)."""
-    toks = [t for t in text.lower().split(" ") if t != ""]
+    """Straight-from-the-paper reference: set of (hash, 1-based pos).
+
+    Matches the operator's no-empty-filtering contract: ``split`` on a
+    single space KEEPS empty tokens from consecutive spaces, and an
+    empty text produces one empty token (both the operator and its
+    DuckDB oracle agree on this; Python's ``"".split(" ") == [""]``
+    matches), so the reference must not filter them.
+    """
+    toks = text.lower().split(" ")
     if len(toks) < k:
         return set()
     grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -38,7 +45,9 @@ DOCS = [
     (3, "a b c d"),  # exactly k tokens -> one gram, one partial window
     (4, "x x x x x x x x"),  # identical grams -> tie-break exercised
     (5, "one two three four five six"),  # ng < w -> single partial window
-    (6, ""),  # empty text -> no fingerprints
+    (6, ""),  # empty text -> one empty token -> no fingerprints at k>=2
+    (7, "gap  between and  more gap  between"),  # double spaces -> empty
+    # tokens KEPT: grams spanning them must match operator + oracle
 ]
 
 

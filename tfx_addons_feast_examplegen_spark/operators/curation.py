@@ -396,6 +396,7 @@ def token_budget_select(
     id_col: str,
     num_buckets: int = 64,
     sample_fraction: float = 0.1,
+    weight_scale: int = 1,
 ) -> DataFrame:
     """Exact greedy budget selection WITHOUT a global sort.
 
@@ -429,18 +430,30 @@ def token_budget_select(
     be a unique total-order tiebreak. Returns the selected rows with
     the input's columns.
 
-    Float-boundary caveat: the full-bucket totals accumulate in a
-    driver-side double and the boundary bucket is tested as
-    ``in_bucket_cumsum + acc <= budget``, which associates the
-    additions differently from the single global-window spelling. With
-    integer-valued weights (token counts — the intended use, and what
-    the shipped registry entry feeds) every partial sum is exact and
-    the selection is bit-identical to the global window. With
-    arbitrary doubles, a row whose cumulative weight lands within
-    ~1 ulp of ``budget`` can flip inclusion versus that spelling —
-    pre-scale fractional weights to exact integer units (the repo's
-    cents pattern) when exact boundary equivalence matters.
+    Exactness: ALL accumulation happens in integer units —
+    ``weight * weight_scale`` is validated to be exactly integral for
+    every row (one extra term in the existing stats aggregate; a
+    fractional remainder fails loud with the offending buckets) and is
+    summed as a long, so every partial sum is associativity-free and
+    the selection is bit-identical to the global-window spelling over
+    the same units regardless of addition order. ``weight_scale=1``
+    (the default) covers integer-valued weights (token counts — the
+    intended use, and what the shipped registry entry feeds);
+    fractional weights pass their exact denominator (the repo's cents
+    pattern: 0.25-token subword credits -> ``weight_scale=4``).
+    ``budget * weight_scale`` must be integral under the same rule.
+    Unit totals must stay inside long range (token counts at 100 TB
+    are ~2^45 — comfortable).
     """
+    if weight_scale < 1:
+        raise ValueError(f"weight_scale must be >= 1: {weight_scale}")
+    budget_units = budget * weight_scale
+    if budget_units != int(budget_units):
+        raise ValueError(
+            f"budget * weight_scale must be integral: "
+            f"{budget} * {weight_scale} = {budget_units}"
+        )
+    budget_units = int(budget_units)
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
     score = F.col(score_col)
@@ -461,23 +474,39 @@ def token_budget_select(
         bucket = F.lit(0)
     with_bucket = df.where(score.isNotNull()).withColumn("__bucket", bucket)
 
+    # exact integer units: weight * scale must be integral (checked in
+    # the same aggregate pass), then sums are longs — no float
+    # association anywhere between here and the boundary compare
+    scaled = weight * F.lit(weight_scale)
+    w_units = F.round(scaled).cast("long")
     stats = {
-        r["__bucket"]: (r["s"], r["mn"])
+        r["__bucket"]: (r["s"], r["mn"], r["frac"])
         for r in with_bucket.groupBy("__bucket")
-        .agg(F.sum(weight).alias("s"), F.min(weight).alias("mn"))
+        .agg(
+            F.sum(w_units).alias("s"),
+            F.min(weight).alias("mn"),
+            F.max(F.abs(scaled - F.round(scaled))).alias("frac"),
+        )
         .collect()
     }
-    neg = [b for b, (_, mn) in stats.items() if mn is not None and mn < 0]
+    neg = [b for b, (_, mn, _f) in stats.items() if mn is not None and mn < 0]
     if neg:
         raise ValueError(
             f"negative weights in {weight_col} (buckets {sorted(neg)}): "
             "prefix selection requires non-negative weights"
         )
+    frac = [b for b, (_, _mn, f) in stats.items() if f is not None and f != 0.0]
+    if frac:
+        raise ValueError(
+            f"{weight_col} * weight_scale={weight_scale} is not integral "
+            f"(buckets {sorted(frac)}): pass the weights' exact "
+            "denominator as weight_scale for exact-unit accumulation"
+        )
 
-    full, boundary, acc = [], None, 0.0
+    full, boundary, acc = [], None, 0
     for b in sorted(stats, reverse=True):
-        s = stats[b][0] or 0.0
-        if acc + s <= budget:
+        s = stats[b][0] or 0
+        if acc + s <= budget_units:
             full.append(b)
             acc += s
         else:
@@ -494,8 +523,8 @@ def token_budget_select(
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         parts.append(
             with_bucket.where(F.col("__bucket") == boundary)
-            .withColumn("__cum", F.sum(weight).over(w))
-            .where(F.col("__cum") + F.lit(acc) <= budget)
+            .withColumn("__cum", F.sum(w_units).over(w))
+            .where(F.col("__cum") + F.lit(acc) <= F.lit(budget_units))
             .drop("__bucket", "__cum")
         )
     if not parts:

@@ -456,9 +456,14 @@ def jaccard_pairs_prefix(
     # a per-doc shingle count (< 2^31), p/q come from a short decimal —
     # the product stays far inside long range.
     prefix_len = F.col("nsh") - _required_overlap_expr(threshold) + 1
-    pref = ranked.filter(F.col("__rk") <= prefix_len).select(
+    # pref is consumed twice inside _bucket_pairs (the bucket-size
+    # aggregate and the shared self-join subtree); unpinned, each
+    # consumption re-runs the df join + per-doc ranking window above.
+    # The frame is small (prefix tokens only), so pin it — the
+    # decode-pin audit's defect class (docs/BENCH_NOTES_r12.md).
+    pref = _pin(ranked.filter(F.col("__rk") <= prefix_len).select(
         id_col, "shingle"
-    )
+    ))
     # _bucket_pairs emits one row per SHARED BUCKET (its consumers count
     # those rows as the intersection size); here candidates must be
     # distinct pairs — the verify join below recomputes the full-set

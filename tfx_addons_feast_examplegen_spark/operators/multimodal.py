@@ -4353,13 +4353,21 @@ def attach_bmp_neardup_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
 
 
 def extract_image_gray(
-    media_df: DataFrame, *, on_error: str = "error"
+    media_df: DataFrame, *, on_error: str = "error", decode_counter=None
 ) -> DataFrame:
     """Decode stage -> per-image grayscale vector (row-major,
     ``(r + g + b) // 3`` integer mean), via the same magic-byte
     sniffing decoders and quarantine policy as
     :func:`extract_image_stats`. The payload column is consumed here —
     downstream hashing sees width/height and a small int array only.
+
+    ``decode_counter`` (optional, accumulator-like with ``.add(n)``,
+    e.g. ``sparkContext.accumulator(0)``) counts decode ATTEMPTS —
+    one per payload reaching the codec, before the quarantine policy.
+    This is the executable form of the decode-once contract behind the
+    ``_banded_hamming_pairs`` pin (docs/BENCH_NOTES_r12.md): a plan
+    that re-runs this stage shows ``counter > n_rows``, which
+    tests/test_decode_once.py pins at exactly ``n_rows``.
     """
     if on_error not in ("error", "null", "skip"):
         raise ValueError("on_error must be 'error', 'null' or 'skip'")
@@ -4381,6 +4389,8 @@ def extract_image_gray(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decode_counter is not None:
+                decode_counter.add(len(pdf))
             ids, ws, hs, grays = [], [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:
@@ -4680,19 +4690,23 @@ def attach_wav_neardup_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
 
 
 def extract_audio_frame_energies(
-    media_df: DataFrame, *, on_error: str = "error"
+    media_df: DataFrame, *, on_error: str = "error", decode_counter=None
 ) -> DataFrame:
     """Decode stage -> per-clip frame-energy vector: sum of squared
     PCM16 samples over each of the first ``AFP_N_FRAMES`` frames of
     ``AFP_FRAME_LEN`` samples (exact integers — 4·32768² fits easily in
     64 bits). A clip shorter than ``AFP_MIN_SAMPLES`` is a DATA error
     (quarantine-eligible under the same explicit policy as the image
-    extractors); the payload is consumed here."""
+    extractors); the payload is consumed here. ``decode_counter``:
+    decode-attempt counter, same contract as
+    :func:`extract_image_gray`."""
     if on_error not in ("error", "null", "skip"):
         raise ValueError("on_error must be 'error', 'null' or 'skip'")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if decode_counter is not None:
+                decode_counter.add(len(pdf))
             ids, nf, es = [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
                 try:

@@ -179,6 +179,17 @@ def dp_noisy_counts(
     release id: one salt, one epsilon spend; re-releasing under a new
     salt is a NEW draw and composes additively.
 
+    SALT SECRECY IS THE GUARANTEE. Because the noise is a pure
+    function of (group key, salt), anyone who knows the salt can
+    recompute the noise and subtract it, recovering the exact counts —
+    the epsilon-DP claim holds only as COMPUTATIONAL DP over the salt:
+    the salt must be a secret, uniformly random, single-use value
+    (generated per release, stored like a key, never committed to a
+    repo or reused across releases). A public, guessable, or reused
+    salt yields NO privacy — the release degrades to exact counts with
+    reversible decoration. The registry/oracle entry hardcodes a salt
+    only because it demonstrates replay determinism, not privacy.
+
     Output: group columns + ``noisy_count`` (rounded to 4 decimals; the
     raw count is deliberately NOT in the output — including it would
     defeat the release).

@@ -92,10 +92,16 @@ def segment_dedup(
     occ = segment_occurrences(df, id_col, text_col, width=width)
     if hashed:
         # winners carry only the 8-byte key, so the segment text must
-        # re-attach by an equi-join on (key, doc, idx).
-        keyed = occ.select(
+        # re-attach by an equi-join on (key, doc, idx). The keyed frame
+        # has TWO consumers (the winners aggregate and the join back),
+        # each of which would re-run the corpus scan + segment explode
+        # + hash — the decode-pin audit's defect class (dedup._pin,
+        # docs/BENCH_NOTES_r12.md); pin it so the explode runs once.
+        from .dedup import _pin
+
+        keyed = _pin(occ.select(
             F.col(id_col), "seg_idx", "seg", F.xxhash64("seg").alias("__k")
-        )
+        ))
         winners = keyed.groupBy("__k").agg(
             F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("w")
         ).select(

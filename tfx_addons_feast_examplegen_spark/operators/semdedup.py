@@ -61,6 +61,14 @@ from pyspark.sql import functions as F
 from .dedup import _bucket_pairs
 from .similarity import _dot, _norm, _sql_vec, ivf_assign, ivf_centroids
 
+# Cluster count past which ``assign_via_index="auto"`` routes
+# assignment through the two-stage index. Measured wall
+# (docs/BENCH_NOTES_r11.md): the flat ``n x n_cells x dim`` scan turns
+# superlinear at ~1-2k cells (400k x 4096-dim, 4096 cells: 280 s flat
+# vs 21 s indexed); below ~1k the constant-size flat expression is
+# exact and cheaper than the index's extra super-cell stage.
+ASSIGN_INDEX_AUTO_CELLS = 1024
+
 
 def semantic_dedup(
     emb: DataFrame,
@@ -75,7 +83,7 @@ def semantic_dedup(
     max_cluster: int = 10_000,
     observation=None,
     on_over_cap: str = "error",
-    assign_via_index: bool | int = False,
+    assign_via_index: bool | int | str = "auto",
 ) -> DataFrame:
     """Semantic near-duplicate suppression: one row per input row with
     ``cluster`` (assigned k-means cell), ``centroid_sim`` (cosine to
@@ -99,13 +107,19 @@ def semantic_dedup(
     subset would instead re-draw the cluster boundaries).
 
     ``assign_via_index``: route assignment through
-    ``similarity.ivf_assign_indexed`` (truthy = on; an int sets
-    ``n_probe_super``) — the measured cure for the flat assignment
-    scan's ``n x n_clusters x dim`` wall past ~1-2k clusters
-    (``docs/BENCH_NOTES_r11.md``). The indexed assignment is still a
-    pure function of the vector, so exact/scaled duplicate groups
-    still co-cluster and their suppression is unchanged; only the
-    cluster BOUNDARIES for non-duplicate vectors are approximate.
+    ``similarity.ivf_assign_indexed`` (``True`` = on; an int sets
+    ``n_probe_super``; ``False`` pins the flat scan). The default
+    ``"auto"`` applies the measured rule (the ``pit_join`` auto-
+    strategy precedent): the flat scan's ``n x n_clusters x dim`` cost
+    is the wall past ~1-2k clusters (``docs/BENCH_NOTES_r11.md``
+    probes: 4096 cells, 400k x 4096 -> assign 280 s flat vs 21 s
+    indexed), so auto routes through the index once ``n_clusters``
+    exceeds :data:`ASSIGN_INDEX_AUTO_CELLS` and keeps the exact flat
+    argmax below it (where the index's two-stage overhead cannot pay
+    for itself). The indexed assignment is still a pure function of
+    the vector, so exact/scaled duplicate groups still co-cluster and
+    their suppression is unchanged; only the cluster BOUNDARIES for
+    non-duplicate vectors are approximate.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
@@ -122,6 +136,16 @@ def semantic_dedup(
     if any(len(c) == 0 for c in cents):
         raise ValueError("empty centroid in quantizer")
 
+    if assign_via_index == "auto":
+        # Measured rule (docs/BENCH_NOTES_r11.md): the flat scan wins
+        # below the wall (no two-stage overhead), the index wins past
+        # it (13.3x at 4096 cells). Resolve on the TRAINED cell count —
+        # a short corpus can hand back fewer centroids than requested.
+        assign_via_index = len(cents) > ASSIGN_INDEX_AUTO_CELLS
+    elif isinstance(assign_via_index, str):
+        raise ValueError(
+            f"assign_via_index must be 'auto', bool, or int: {assign_via_index!r}"
+        )
     if assign_via_index:
         from .similarity import ivf_assign_indexed
 

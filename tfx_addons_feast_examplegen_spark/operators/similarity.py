@@ -452,6 +452,10 @@ def ivf_centroids(
         .collect()
     )
     cents = [_unit([float(x) for x in r[0]]) for r in rows]
+    # corpus shorter than n_cells: the smaller cell set IS the trained
+    # quantizer (same clamp as ivf_centroids_indexed — without it the
+    # refine rebuild below indexes cells that never existed)
+    n_cells = min(n_cells, len(cents))
     for _ in range(refine_iters):
         assigned = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1)
         means = (
@@ -680,6 +684,11 @@ def ivf_centroids_indexed(
         .collect()
     )
     cents = [_unit([float(x) for x in r[0]]) for r in rows]
+    # A corpus shorter than n_cells hands back fewer init vectors; the
+    # trained quantizer IS that smaller cell set (every row already has
+    # its own centroid). Without the clamp the refine loop's
+    # ``range(n_cells)`` rebuild indexes cells that never existed.
+    n_cells = min(n_cells, len(cents))
     n_super = max(1, int(math.isqrt(len(cents))))
     nps = n_super if n_probe_super is None else min(n_probe_super, n_super)
     for _ in range(refine_iters):

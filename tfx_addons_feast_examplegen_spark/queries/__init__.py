@@ -276,165 +276,116 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # ROUND-11 ROTATION (VERDICT r10 item 2; the plan recorded in the
-    # r10 comment block executes here). Slot 0: pit_join (entry()
-    # smoke, convention since r7). Slots 1-17: the SEVENTEEN r5-vintage
-    # entries — the oldest attestation cohort, every one displaced from
-    # the r10 window by that round's 28 new operators with per-slot
-    # rationale recorded then. After these re-attest, no registry entry
-    # carries a driver row older than r7. Order: the nine displaced by
-    # the second r10 continuation first, then the six SQL-surface rows
-    # displaced by the first continuation, then the two ANN variants
-    # (each already covered by its driver-r9 *_recall twin on the same
-    # machinery — lowest-urgency r5 rows, hence last).
-    "latest_feature_snapshot",
-    "similarity_ann_exhaustive",
-    "source_csv_roundtrip",
-    "stream_stream_left_join",
-    "negative_sample",
-    "temperature_mix",
-    "stratified_sample",
-    "windowed_event_counts_streaming",
-    "stream_static_enrichment",
-    "rollup_region_nation",
-    "setop_intersect",
-    "setop_except",
-    "unpivot_stack",
-    "range_interval_window",
-    "scd2_validity_intervals",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    # Slots 18-25: the eight entries whose fingerprints drift with THIS
-    # round's hardening (tests/test_attestation.py forces them into the
-    # window; all eight were driver-r10 green on the pre-edit tree):
-    # - stream_neardup_gate: simhash_band_index grew the index-side
-    #   hot-band cap (max_band/on_over_cap/observation — VERDICT r10
-    #   item 3); the gate docstring now names the mechanism.
-    # - dedup_segments: n_segs wrapped in coalesce(.., 0) + the
-    #   NULL-text contract documented (ADVICE).
-    # - source_warc_records: truncated-payload diagnostic now reports
-    #   actual remaining bytes instead of remaining-minus-trailer
-    #   (ADVICE; framing check unchanged).
-    # - interval_containment_join: point_in_interval_join left_outer
-    #   duplicate caveat reworded (ADVICE; plan unchanged).
-    # - token_budget_select: float-boundary exactness contract
-    #   documented (ADVICE; integer-weight path — the shipped entry —
-    #   is exact and unchanged).
+    # ROUND-12 ROTATION (VERDICT r11 items 1-2; the plan recorded in
+    # the r11 comment block executes here, adjusted for this round's
+    # fingerprint drift exactly as the r10/r11 precedent). Slot 0:
+    # pit_join (entry() smoke, convention since r7).
+    #
+    # Slots 1-13: the THIRTEEN entries whose fingerprints drift with
+    # this round's hardening (tests/test_attestation.py forces them
+    # into the window; all were driver-green on the pre-edit tree):
+    # - semantic_dedup: assign_via_index now defaults to "auto" — the
+    #   measured rule (ASSIGN_INDEX_AUTO_CELLS = 1024, from the r11
+    #   scale probes) routing assignment through the two-stage index
+    #   past the flat scan's wall (VERDICT r11 item 3); the registry
+    #   entry trains 16 clusters, so its plan and answer are unchanged.
+    # - similarity_ann_exhaustive / similarity_ann_ivf /
+    #   similarity_ann_ivf_recall: both IVF trainers clamp
+    #   n_cells = min(n_cells, len(init rows)) so a corpus shorter
+    #   than n_cells trains the smaller cell set instead of KeyError-
+    #   ing in the refine rebuild (ADVICE); non-degenerate inputs are
+    #   byte-identical.
+    # - token_budget_select: ALL accumulation now runs in exact
+    #   integer units (weight * weight_scale validated integral in the
+    #   existing stats aggregate, summed as long) — the float-boundary
+    #   caveat is eliminated rather than documented (VERDICT r11
+    #   item 7); integer-weight inputs (the registry entry) select
+    #   identically.
+    # - dp_noisy_counts: docstring now states the DP guarantee is
+    #   computational over a SECRET, uniformly random, single-use
+    #   salt, and that a public/reused salt yields no privacy
+    #   (ADVICE).
+    # - source_warc_datasource / source_warc_write_roundtrip: the
+    #   writer honors mode("overwrite") (clears existing *.warc[.gz]
+    #   at planning) and append-mode files are named by task ATTEMPT
+    #   id — unique per write, still all-digits — so appends never
+    #   clobber on partition-id collision (ADVICE).
     # - multimodal_image_dhash_neardup / multimodal_audio_fingerprint_
-    #   neardup / multimodal_corpus_prep: _banded_hamming_pairs now
-    #   PINS the hashed frame (dedup._pin — simhash_pairs precedent),
-    #   so the bucket-occupancy aggregate and both self-join sides no
-    #   longer each re-run the Arrow-batched decode stage (measured
-    #   sf0.1: 4.82 s -> 2.3 s cold / 0.71 s warm end-to-end; decode
-    #   1.5 s is now paid once).
-    "stream_neardup_gate",
+    #   neardup / multimodal_corpus_prep: the decode stages grew the
+    #   optional decode_counter hook (accumulator, off-path when
+    #   unset) that makes the decode-once contract executable —
+    #   tests/test_decode_once.py pins counter == n_rows through both
+    #   near-dup queries (VERDICT r11 item 4).
+    # - dedup_segments: hashed mode pins the keyed segment frame
+    #   (two consumers re-ran the corpus scan + explode + hash).
+    # - dedup_jaccard_prefix_filter: pins the prefix frame (its
+    #   _bucket_pairs consumption re-ran the df join + ranking
+    #   window); also the oldest-r8 fill row the r11 plan scheduled.
+    "dedup_jaccard_prefix_filter",
     "dedup_segments",
-    "source_warc_records",
-    "interval_containment_join",
-    "token_budget_select",
-    "multimodal_image_dhash_neardup",
+    "dp_noisy_counts",
     "multimodal_audio_fingerprint_neardup",
     "multimodal_corpus_prep",
-    # Slots 26-49: the alphabetically-first 24 of the 46 r7-vintage
-    # rows (the freshness tail after the r5 cohort clears):
-    "bm25_ranked_search",
-    "bpe_pair_merges",
-    "contrastive_hard_negatives",
-    "dedup_pair_evidence",
-    "dedup_simhash",
-    "embedding_outliers",
-    "epoch_shuffle_shards",
-    # NEW this round (never-attested entries MUST sit in the window):
-    # dedup_winnowing — MOSS winnowing fingerprint near-dup (Schleimer
-    # et al., SIGMOD 2003), per-window min k-gram hash selection with
-    # the rightmost-min tie-break replayed bit-for-bit in the oracle's
-    # packed (hash, inverted-pos) arithmetic;
-    # k_anonymity_audit — per-equivalence-class k-anonymity +
-    # l-diversity verdicts (Sweeney 2002 / Machanavajjhala 2007), one
-    # combinable aggregate, trivially-full oracle;
-    # dp_noisy_counts — Laplace-mechanism DP count release (Dwork
-    # 2006) with deterministic hash-derived noise the oracle replays
-    # exactly (the DSIR Gumbel precedent applied to privacy);
-    # target_encode_loo — leakage-free out-of-fold target encoding
-    # (Micci-Barreca 2001) in exact integer cents, full replay oracle;
-    # ivm_delta_join — insert-delta maintenance of a join view
-    # (dA x (B+dB) UNION A x dB, deltas broadcast, bases unshuffled),
-    # oracled by the full-minus-full EXCEPT ALL respelling;
-    # cc_incremental — incremental connected components (new edges
-    # contracted onto cluster representatives, propagation over the
-    # super-graph only), oracled by the from-scratch recursive closure;
-    # bootstrap_metric_ci — Poisson-bootstrap CI (Chamandy 2012),
-    # deterministic md5 Poisson(1) weights, full replay oracle;
-    # nb_distill_classifier — multinomial Naive Bayes distilling the
-    # lang_id rule (hashed buckets, micro-nat integer costs, full
-    # replay oracle incl. the argmin tie-break);
-    # pseudonymize_fk_audit — keyed-surrogate tokenization with the
-    # referential-integrity audit over the released tables;
-    # stream_quota_gate — bounded-state windowed admission quota
-    # (applyInPandasWithState, state capped at quota entries per open
-    # window), sentinel-watermark full replay vs the batch ROW_NUMBER;
-    # source_warc_datasource — WARC as a registered reader format
-    # (Spark 4 Python DataSource API), one partition per archive,
-    # shared strict parser, same closed-form oracle;
-    # source_warc_write_roundtrip — the format's WRITE side (one
-    # archive per task), byte-sum round trip vs the original table.
-    # They displace corpus_report, decayed_activity_score,
-    # dedup_containment_scoped, dedup_exact_substring,
-    # dedup_remove_shared_runs, event_type_pmi, feature_drift_psi,
-    # federated_union_agg, graph_triangle_count,
-    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
-    # (all r7) into the r12 plan.
-    "dedup_winnowing",
-    "k_anonymity_audit",
-    "dp_noisy_counts",
-    "target_encode_loo",
-    "ivm_delta_join",
-    "cc_incremental",
-    "bootstrap_metric_ci",
-    "nb_distill_classifier",
-    "pseudonymize_fk_audit",
-    "stream_quota_gate",
+    "multimodal_image_dhash_neardup",
+    "semantic_dedup",
+    "similarity_ann_exhaustive",
+    "similarity_ann_ivf",
+    "similarity_ann_ivf_recall",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    # semantic_dedup — SemDeDup-style embedding dedup (Abbas et al.
-    # 2023), spherical-k-means clusters + capped within-cluster
-    # suppression, brute-force pairwise replay oracle; dsir_select —
-    # DSIR importance resampling (Xie et al. 2023), hashed-n-gram
-    # models + Gumbel top-k WOR, full SQL replay oracle; the three
-    # TPC-H decorrelation shapes q2/q17/q22 (correlated scalar-min
-    # join-back, per-group scalar-avg, global-scalar + anti join),
-    # DataFrame-composed vs independent ANSI oracles. They displace
-    # the five last alphabetical r7 fillers (keyword_search_indexed,
-    # kfold_assignment, length_bucketing, mad_outliers,
-    # merge_upsert_cdc) into the r12 plan.
-    "semantic_dedup",
-    "dsir_select",
-    "q2_min_cost_supplier",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    # ROUND-12 WINDOW PLAN: the remaining 39 r7-vintage rows —
-    # corpus_report, decayed_activity_score, dedup_containment_scoped,
-    # dedup_exact_substring, dedup_remove_shared_runs, event_type_pmi,
-    # feature_drift_psi, federated_union_agg, graph_triangle_count,
-    # grouped_split_no_leakage, interpolate_timeseries, ivm_delta_agg
-    # (displaced by the twelve new r11-continuation entries),
-    # keyword_search_indexed, kfold_assignment, length_bucketing,
-    # mad_outliers, merge_upsert_cdc, nearest_event_join,
-    # percent_rank_transform,
-    # phrase_search_positional (the alphabetical tail displaced from
-    # this window by the three multimodal entries the _pin change
-    # drifted and the five new entries),
-    # props_map_explode, retention_cohorts, rolling_wau,
-    # similarity_ann_indexed, similarity_ann_pq_recall,
-    # sketch_hll_mergeable, skew_report, source_orc_roundtrip,
-    # source_overlap_audit, stream_error_recovery,
-    # streaming_matview_latest, table_pruned_scan,
-    # table_time_travel_diff, text_bigram_logprob, text_unigram_logprob,
-    # time_rollup_multigrain, training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve — then the oldest r8 rows (10 of 40, after
-    # pit_join's slot-0 convention) to fill 50. After r12 executes, the
-    # oldest driver row anywhere is r8 and
-    # the steady-state cadence is a full-fleet refresh every ~4 rounds.
+    "token_budget_select",
+    # Slots 14-49: 36 of the 39 remaining r7-vintage rows (oldest
+    # attestation cohort, alphabetical). The drift cohort above costs
+    # three of the slots the r11 plan reserved for them — the
+    # alphabetical tail (training_pipeline_v2, variant_props_typed,
+    # vocab_coverage_curve) moves to the ROUND-13 plan below.
+    "corpus_report",
+    "decayed_activity_score",
+    "dedup_containment_scoped",
+    "dedup_exact_substring",
+    "dedup_remove_shared_runs",
+    "event_type_pmi",
+    "feature_drift_psi",
+    "federated_union_agg",
+    "graph_triangle_count",
+    "grouped_split_no_leakage",
+    "interpolate_timeseries",
+    "ivm_delta_agg",
+    "keyword_search_indexed",
+    "kfold_assignment",
+    "length_bucketing",
+    "mad_outliers",
+    "merge_upsert_cdc",
+    "nearest_event_join",
+    "percent_rank_transform",
+    "phrase_search_positional",
+    "props_map_explode",
+    "retention_cohorts",
+    "rolling_wau",
+    "similarity_ann_indexed",
+    "similarity_ann_pq_recall",
+    "sketch_hll_mergeable",
+    "skew_report",
+    "source_orc_roundtrip",
+    "source_overlap_audit",
+    "stream_error_recovery",
+    "streaming_matview_latest",
+    "table_pruned_scan",
+    "table_time_travel_diff",
+    "text_bigram_logprob",
+    "text_unigram_logprob",
+    "time_rollup_multigrain",
+    # ROUND-13 WINDOW PLAN: the last 3 r7-vintage rows —
+    # training_pipeline_v2, variant_props_typed, vocab_coverage_curve
+    # (displaced by this round's 13-entry drift cohort) — then the
+    # oldest r8 rows alphabetically (chunk_documents,
+    # column_correlations, corpus_novelty_rate, corpus_prep_pipeline,
+    # cusum_changepoints, dedup_exact, dedup_minhash_lsh,
+    # dedup_ngram_jaccard, dedup_simhash_portable,
+    # embedding_dedup_clusters, ... — dedup_jaccard_prefix_filter
+    # re-attests THIS round) to fill 50 after pit_join's slot-0
+    # convention. After r13 executes, the oldest driver row anywhere
+    # is r8's tail and the ~4-round full-fleet refresh cadence holds.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -470,9 +470,9 @@ GROUP BY user_id
 
 
 def _q_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVM for a JOIN view: orders x lineitem split at 1996-01-01 into
-    # base and insert batches on BOTH sides (cutoff 2001-01-01 — the
-    # fixture's last ~8 months arriving as one ingest); the emitted frame is the
+    # IVM for a JOIN view: orders x lineitem split at the 2001-01-01
+    # cutoff into base and insert batches on BOTH sides (the fixture's
+    # last ~8 months arriving as one ingest); the emitted frame is the
     # textbook delta dA x (B + dB) UNION A x dB — two joins, each with
     # the small delta side broadcast, neither base table shuffled. The
     # oracle derives the same delta the expensive way the operator

@@ -94,16 +94,30 @@ class _WarcCommit(WriterCommitMessage):
 
 
 class WarcWriter(DataSourceWriter):
-    """One WARC archive per write TASK (``<partition_id>.warc``) — the
-    Common Crawl layout (many records per ~fixed-size archive), built
-    by the same :func:`..sources.warc.build_warc` framer the tests and
-    fixture generator use. Empty partitions write no file."""
+    """One WARC archive per write TASK — the Common Crawl layout (many
+    records per ~fixed-size archive), built by the same
+    :func:`..sources.warc.build_warc` framer the tests and fixture
+    generator use. Empty partitions write no file.
 
-    def __init__(self, options: dict):
+    Modes: ``overwrite`` clears every existing ``*.warc[.gz]`` under
+    the target (driver-side, at write planning) and names files by
+    partition id — a fresh deterministic layout; ``append`` names
+    files by the task ATTEMPT id (unique per write within the
+    application, still the all-digits stem the reader's
+    ``<doc_id>.warc`` contract requires), so successive appends can
+    never clobber an earlier write's archives on a partition-id
+    collision."""
+
+    def __init__(self, options: dict, *, overwrite: bool):
         path = options.get("path")
         if not path:
             raise ValueError("warc datasource requires a path")
         self._dir = path
+        self._overwrite = overwrite
+        if overwrite and os.path.isdir(path):
+            for fname in os.listdir(path):
+                if fname.endswith((".warc", ".warc.gz")):
+                    os.remove(os.path.join(path, fname))
 
     def write(self, iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
@@ -116,9 +130,10 @@ class WarcWriter(DataSourceWriter):
         ]
         if not recs:
             return _WarcCommit(None, 0)
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        stem = ctx.partitionId() if self._overwrite else ctx.taskAttemptId()
         os.makedirs(self._dir, exist_ok=True)
-        path = os.path.join(self._dir, f"{pid}.warc")
+        path = os.path.join(self._dir, f"{stem}.warc")
         with open(path, "wb") as f:
             f.write(build_warc(recs, gzip_members=False))
         return _WarcCommit(path, len(recs))
@@ -159,7 +174,7 @@ class WarcDataSource(DataSource):
                 f"warc writer input must carry {WARC_WRITE_COLUMNS}; "
                 f"missing {missing}"
             )
-        return WarcWriter(self.options)
+        return WarcWriter(self.options, overwrite=overwrite)
 
 
 def register_warc_source(spark) -> None:
