@@ -1087,3 +1087,121 @@ def test_nb_oracle_catches_cost_drift(spark, monkeypatch):
     assert mutated != base
     # halving every probability ADDS ln(2) micro-nats per cost term
     assert all(mutated[i] > base[i] for i in base)
+
+
+def test_dsir_oracle_catches_broken_gumbel_noise(spark, sf_dir, monkeypatch):
+    # Invert the deterministic uniform draw behind the Gumbel keys
+    # (u -> 1 - u, via the fingerprint the noise is a pure function
+    # of): the WOR tie-breaking noise now ranks documents in the
+    # opposite order, so boundary selections flip while the importance
+    # weights stay correct — exactly the replay-drift the driver
+    # oracle's full SQL reconstruction of key = log_w + g(u) catches.
+    from tfx_addons_feast_examplegen_spark.operators import dsir as ds
+    from tfx_addons_feast_examplegen_spark.queries.curation import (
+        _q_dsir_select,
+    )
+
+    baseline = {r["doc_id"] for r in _q_dsir_select(spark, sf_dir).collect()}
+    assert len(baseline) == 200
+
+    real = ds.fingerprint_bucket
+
+    def inverted(col, denom):
+        return F.lit(denom - 1) - real(col, denom)
+
+    monkeypatch.setattr(ds, "fingerprint_bucket", inverted)
+    mutated = {r["doc_id"] for r in _q_dsir_select(spark, sf_dir).collect()}
+    assert mutated != baseline, "noise inversion must move the selection"
+
+
+def test_semdedup_oracle_catches_inverted_suppression_order(
+    spark, sf_dir, monkeypatch
+):
+    # Swap the pair orientation semantic_dedup's suppression reads
+    # (doc_a <-> doc_b): the paper's rule suppresses the LATER row in
+    # (centroid_sim ASC, id ASC) order; inverted, the EARLIER row of
+    # every near-dup pair is marked instead — on the planted
+    # identical-direction groups (centroid_sim ties, id tie-break)
+    # that keeps the copy and drops the base, diverging from the
+    # driver oracle's replay of the ASC rule.
+    from tfx_addons_feast_examplegen_spark.operators import semdedup as sd
+    from tfx_addons_feast_examplegen_spark.queries.similarity import (
+        _q_semantic_dedup,
+    )
+
+    baseline = {
+        r["vec_id"]: r["kept"]
+        for r in _q_semantic_dedup(spark, sf_dir).collect()
+    }
+    planted = sorted(i for i in baseline if i % 10 in (1, 2))
+    assert planted and all(baseline[i] is False for i in planted)
+
+    real = sd._bucket_pairs
+
+    def swapped(*a, **kw):
+        out = real(*a, **kw)
+        return out.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+
+    monkeypatch.setattr(sd, "_bucket_pairs", swapped)
+    mutated = {
+        r["vec_id"]: r["kept"]
+        for r in _q_semantic_dedup(spark, sf_dir).collect()
+    }
+    assert mutated != baseline
+    # inverted order suppresses the EARLIER members of each planted
+    # {base, copy, scaled-copy} group: the base (id b) flips to
+    # suppressed, the last member (the %10==2 scaled copy) flips to
+    # kept, and the middle copy stays suppressed via the swapped
+    # (copy, scaled) pair — so every planted group moves.
+    assert all(mutated[i] is True for i in planted if i % 10 == 2)
+    assert all(mutated[i - 2] is False for i in planted if i % 10 == 2)
+
+
+def test_pseudonymize_oracle_catches_salt_misuse(spark, sf_dir, monkeypatch):
+    # Two regressions the FK-audit entry must catch:
+    # (a) per-table salt mismatch — referential integrity collapses,
+    #     the released join goes empty and the row count diverges;
+    # (b) salt silently DROPPED — joins still line up (consistent
+    #     surrogate), counts and cents stay correct, and only the
+    #     pk_checksum column (the salt-sensitivity contract) reddens.
+    from tfx_addons_feast_examplegen_spark.operators import privacy as pv
+    from tfx_addons_feast_examplegen_spark.queries.curation import (
+        _q_pseudonymize,
+    )
+
+    base = {
+        r["c_nationkey"]: (r["n_orders"], r["pk_checksum"])
+        for r in _q_pseudonymize(spark, sf_dir).collect()
+    }
+    assert len(base) == 25
+
+    real_tables = pv.pseudonymize_tables
+
+    def mismatched(tables, *, salt, **kw):
+        out = {}
+        for i, (name, spec) in enumerate(tables.items()):
+            out.update(real_tables({name: spec}, salt=f"{salt}-{i}", **kw))
+        return out
+
+    monkeypatch.setattr(pv, "pseudonymize_tables", mismatched)
+    assert _q_pseudonymize(spark, sf_dir).count() == 0  # (a)
+
+    real_key = pv.pseudonymize_key
+
+    def saltless(col, *, salt, bits=60):
+        return real_key(col, salt="", bits=bits)
+
+    monkeypatch.setattr(pv, "pseudonymize_tables", real_tables)
+    monkeypatch.setattr(pv, "pseudonymize_key", saltless)
+    dropped = {
+        r["c_nationkey"]: (r["n_orders"], r["pk_checksum"])
+        for r in _q_pseudonymize(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in dropped.items()} == {
+        k: v[0] for k, v in base.items()
+    }, "counts are salt-invariant — they must NOT be the catch"
+    assert any(
+        dropped[k][1] != base[k][1] for k in base
+    ), "pk_checksum must redden when the salt is dropped"  # (b)

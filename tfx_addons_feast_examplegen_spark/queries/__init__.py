@@ -281,7 +281,7 @@ _DRIVER_PRIORITY = [
     # fingerprint drift exactly as the r10/r11 precedent). Slot 0:
     # pit_join (entry() smoke, convention since r7).
     #
-    # Slots 1-13: the THIRTEEN entries whose fingerprints drift with
+    # Slots 1-14: the FOURTEEN entries whose fingerprints drift with
     # this round's hardening (tests/test_attestation.py forces them
     # into the window; all were driver-green on the pre-edit tree):
     # - semantic_dedup: assign_via_index now defaults to "auto" — the
@@ -321,6 +321,12 @@ _DRIVER_PRIORITY = [
     # - dedup_jaccard_prefix_filter: pins the prefix frame (its
     #   _bucket_pairs consumption re-ran the df join + ranking
     #   window); also the oldest-r8 fill row the r11 plan scheduled.
+    # - pseudonymize_fk_audit: the entry grew pk_checksum
+    #   (sum(surrogate % 997) per nation) — counts/cents are
+    #   salt-invariant for any consistent injective surrogate, so the
+    #   checksum is what makes the oracle salt-SENSITIVE; the salt-
+    #   dropped and per-table-mismatch regressions are mutation-tested
+    #   red (VERDICT r11 item 6).
     "dedup_jaccard_prefix_filter",
     "dedup_segments",
     "dp_noisy_counts",
@@ -331,14 +337,16 @@ _DRIVER_PRIORITY = [
     "similarity_ann_exhaustive",
     "similarity_ann_ivf",
     "similarity_ann_ivf_recall",
+    "pseudonymize_fk_audit",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
     "token_budget_select",
-    # Slots 14-49: 36 of the 39 remaining r7-vintage rows (oldest
+    # Slots 15-49: 35 of the 39 remaining r7-vintage rows (oldest
     # attestation cohort, alphabetical). The drift cohort above costs
-    # three of the slots the r11 plan reserved for them — the
-    # alphabetical tail (training_pipeline_v2, variant_props_typed,
-    # vocab_coverage_curve) moves to the ROUND-13 plan below.
+    # four of the slots the r11 plan reserved for them — the
+    # alphabetical tail (time_rollup_multigrain, training_pipeline_v2,
+    # variant_props_typed, vocab_coverage_curve) moves to the ROUND-13
+    # plan below.
     "corpus_report",
     "decayed_activity_score",
     "dedup_containment_scoped",
@@ -374,10 +382,10 @@ _DRIVER_PRIORITY = [
     "table_time_travel_diff",
     "text_bigram_logprob",
     "text_unigram_logprob",
-    "time_rollup_multigrain",
-    # ROUND-13 WINDOW PLAN: the last 3 r7-vintage rows —
-    # training_pipeline_v2, variant_props_typed, vocab_coverage_curve
-    # (displaced by this round's 13-entry drift cohort) — then the
+    # ROUND-13 WINDOW PLAN: the last 4 r7-vintage rows —
+    # time_rollup_multigrain, training_pipeline_v2,
+    # variant_props_typed, vocab_coverage_curve
+    # (displaced by this round's 14-entry drift cohort) — then the
     # oldest r8 rows alphabetically (chunk_documents,
     # column_correlations, corpus_novelty_rate, corpus_prep_pipeline,
     # cusum_changepoints, dedup_exact, dedup_minhash_lsh,

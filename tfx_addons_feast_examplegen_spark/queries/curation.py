@@ -1085,6 +1085,11 @@ def _q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customers, and order cents, which must equal the raw-key join's
     # numbers (the oracle computes them from the original keys with the
     # surrogate formula replayed for the distinct-count check).
+    # pk_checksum pins the surrogate VALUES, not just their join
+    # behavior: counts/cents are salt-invariant for any consistent
+    # injective surrogate, so a release that silently dropped or
+    # swapped the salt would otherwise stay green — the checksum is
+    # the salt-sensitivity contract (mutation-tested).
     from ..operators import privacy as pv
 
     t = register_tables(spark, sf_dir)
@@ -1116,6 +1121,9 @@ def _q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.countDistinct("c_custkey").cast("long").alias("n_customers"),
             F.sum("cents").cast("long").alias("cents"),
+            F.sum(F.col("c_custkey") % F.lit(997))
+            .cast("long")
+            .alias("pk_checksum"),
         )
     )
 
@@ -1136,7 +1144,8 @@ o AS (
 SELECT c.c_nationkey,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count(DISTINCT c.pk) AS BIGINT) AS n_customers,
-       CAST(sum(o.cents) AS BIGINT) AS cents
+       CAST(sum(o.cents) AS BIGINT) AS cents,
+       CAST(sum(c.pk % 997) AS BIGINT) AS pk_checksum
 FROM o JOIN c ON o.pk = c.pk
 GROUP BY 1
 """
