@@ -474,20 +474,21 @@ def test_token_budget_check_catches_offset_drop(spark, monkeypatch):
 
     rows = [(i, float(i), 1) for i in range(100)]
     df = spark.createDataFrame(rows, ["doc_id", "score", "toks"])
-    budget = 50
+    budget = 60
     ok = cu.token_budget_select(
         df, "score", "toks", budget, id_col="doc_id",
         num_buckets=4, sample_fraction=1.0,
     ).count()
     assert ok == budget
-    # the cross-bucket offset is the ONLY F.lit of exactly 50.0 in this
-    # plan (quantile bounds over scores 0..99 land at 24/49/74); zero
-    # just that literal.
+    # accumulation is integer-unit (round 12): acc reaches the boundary
+    # bucket as the INT literal 50 (two full 25-row buckets; quantile
+    # bounds over scores 0..99 land at 24/49/74) while the budget
+    # literal is 60 — so exactly-50 pins the offset alone.
     real_lit = cu.F.lit
 
     def zero_acc(v):
-        if isinstance(v, float) and v == 50.0:
-            return real_lit(0.0)
+        if type(v) is int and v == 50:
+            return real_lit(0)
         return real_lit(v)
 
     monkeypatch.setattr(cu.F, "lit", zero_acc)

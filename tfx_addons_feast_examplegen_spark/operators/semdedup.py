@@ -36,10 +36,11 @@ Spark shape, chosen for the 100 TB case:
   hold the pair stage flat — that is the paper's 50k-clusters-for-100M
   choice, measured in ``scripts/scale_probe_semdedup.py``. The
   counter-pressure is the assignment scan (``n * n_clusters * dim``
-  inside one constant-size HOF expression): past ~10k clusters an
-  assignment index (coarse-quantize the centroids themselves, probe a
-  few super-cells) is the next rung — not built until a workload needs
-  it;
+  inside one constant-size HOF expression): past the measured ~1-2k
+  cluster wall, assignment auto-routes through the two-stage index
+  (``similarity.ivf_assign_indexed`` — coarse-quantize the centroids
+  themselves, probe a few super-cells; 13.3× measured at 4096 cells,
+  see ``assign_via_index`` below);
 - the pair payload carries ``(centroid_sim, id, vector)`` so the
   cosine test runs directly on the exploded candidates — no join back.
   At very high dim the vector dominates the one bucket shuffle; the
@@ -59,7 +60,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _bucket_pairs
-from .similarity import _dot, _norm, _sql_vec, ivf_assign, ivf_centroids
+from .similarity import _dot, _norm, ivf_assign, ivf_centroids
 
 # Cluster count past which ``assign_via_index="auto"`` routes
 # assignment through the two-stage index. Measured wall
@@ -156,16 +157,33 @@ def semantic_dedup(
     else:
         assigned = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1)
     # cosine to the assigned (unit-norm) centroid; zero vectors get
-    # centroid_sim 0 rather than NULL/NaN so the order stays total
-    matrix = "array(" + ", ".join(_sql_vec(c) for c in cents) + ")"
-    cent_vec = F.expr(f"element_at({matrix}, cell + 1)")
+    # centroid_sim 0 rather than NULL/NaN so the order stays total.
+    # The centroid reaches each row via a BROADCAST JOIN on the cell id
+    # — NOT the element_at(<k x dim literal array>, cell + 1) spelling:
+    # that embeds the whole quantizer in the expression tree, and past
+    # ~1-2k cells the giant literal falls out of whole-stage codegen
+    # into per-row interpreted evaluation (measured at 2048 x 256:
+    # 72 s vs 5.6 s for this join on 60k rows — 13x, identical sums;
+    # docs/BENCH_NOTES_r12.md). At the paper's 50k-cluster config the
+    # literal would be 10^7-scale plan nodes — a driver wall, while
+    # the centroid TABLE stays exactly what it is: k parameter rows,
+    # broadcast once. (ivf_assign's argmax legitimately keeps the HOF
+    # matrix — every cell is scored per row there, and the two-stage
+    # index is its scale rung.)
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    cdf = emb.sparkSession.createDataFrame(
+        cent_rows, "cell: int, __cent: array<double>"
+    )
     norm = _norm(F.col(vec_col))
     c_sim = F.when(
-        norm > 0, _dot(F.col(vec_col), cent_vec) / norm
+        norm > 0, _dot(F.col(vec_col), F.col("__cent")) / norm
     ).otherwise(F.lit(0.0))
-    scored = assigned.select(
-        "*", c_sim.alias("centroid_sim")
-    ).withColumnRenamed("cell", "cluster")
+    scored = (
+        assigned.join(F.broadcast(cdf), "cell")
+        .select("*", c_sim.alias("centroid_sim"))
+        .drop("__cent")
+        .withColumnRenamed("cell", "cluster")
+    )
 
     # candidate pairs within a cluster, earlier-order side first:
     # struct (centroid_sim, id, vec) compares lexicographically, so
