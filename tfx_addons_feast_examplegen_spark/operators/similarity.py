@@ -607,26 +607,53 @@ def ivf_assign_indexed(
             f"n_probe_super must be in [1, n_super={n_super}]: {n_probe_super}"
         )
     sup, groups = _supercell_groups(centroids, n_super)
+    # Stage 1 — super-cell scoring: n_super ~ sqrt(k) centroids as a
+    # SMALL literal matrix (the only quantizer content that lives in
+    # the expression tree).
     sup_matrix = "array(" + ", ".join(_sql_vec(s) for s in sup) + ")"
-    # per super-cell: the owned centroids as (cell id, vector) structs —
-    # one nested literal, k x (dim + 1) values total (same volume as the
-    # flat matrix), constant-size expression tree
-    grp_sql = "array(" + ", ".join(
-        "array(" + ", ".join(
-            f"struct({ci} AS cid, {_sql_vec(centroids[ci])} AS cv)"
-            for ci in members
-        ) + ")" if members else "array(struct(-1 AS cid, array() AS cv))"
-        for members in groups
-    ) + ")"
     scored_super = (
         f"transform({sup_matrix}, (c, i) -> struct("
         f"-aggregate(zip_with({vec_col}, c, (x, y) -> x * y), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS neg_sim, i AS sc))"
     )
     probes = f"slice(array_sort({scored_super}), 1, {int(n_probe_super)})"
-    cands = f"flatten(transform({probes}, s -> element_at({grp_sql}, s.sc + 1)))"
+    # Stage 2 — candidate fetch: the owned centroids reach each row by
+    # n_probe_super BROADCAST JOINS against a (super-cell -> members)
+    # table, NOT the former element_at(<k x (dim+1) literal>, sc + 1):
+    # past ~1-2k cells that giant literal leaves whole-stage codegen
+    # and is re-evaluated interpreted per row (the semantic_dedup
+    # centroid_sim wall, measured 13x at 2048 x 256 —
+    # docs/BENCH_NOTES_r12.md). The joins stay shuffle-free (the build
+    # side is k parameter rows, broadcast once) and each input row
+    # keeps exactly one output row per probe slot, so the plan shape
+    # downstream is unchanged.
+    cent_rows = [
+        (s, [(ci, [float(x) for x in centroids[ci]]) for ci in members])
+        for s, members in enumerate(groups)
+    ]
+    cdf = emb.sparkSession.createDataFrame(
+        cent_rows, "sc: int, members: array<struct<cid: int, cv: array<double>>>"
+    )
+    orig_cols = list(emb.columns)
+    out = emb.select("*", F.expr(probes).alias("__ivf_probes"))
+    member_cols = []
+    for j in range(int(n_probe_super)):
+        mcol = f"__ivf_m{j}"
+        side = cdf.select(
+            F.col("sc").alias(f"__ivf_sc{j}"), F.col("members").alias(mcol)
+        )
+        out = out.join(
+            F.broadcast(side),
+            F.expr(f"element_at(__ivf_probes, {j + 1}).sc") == F.col(f"__ivf_sc{j}"),
+        )
+        member_cols.append(mcol)
+    cands = (
+        member_cols[0]
+        if len(member_cols) == 1
+        else "concat(" + ", ".join(member_cols) + ")"
+    )
     scored = (
-        f"transform(filter({cands}, x -> x.cid >= 0), x -> struct("
+        f"transform({cands}, x -> struct("
         f"-aggregate(zip_with({vec_col}, x.cv, (x0, y0) -> x0 * y0), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS neg_sim, "
         f"x.cid AS cell))"
@@ -635,7 +662,7 @@ def ivf_assign_indexed(
         f"transform(slice(array_sort({scored}), 1, {int(n_probe)}),"
         f" s -> s.cell)"
     )
-    return emb.select("*", F.expr(f"explode({ranked}) AS cell"))
+    return out.select(*orig_cols, F.expr(f"explode({ranked}) AS cell"))
 
 
 def ivf_centroids_indexed(
