@@ -402,3 +402,54 @@ def test_short_corpus_trains_fewer_cells_with_refinement(spark):
     assert {r["vec_id"]: r["kept"] for r in out.collect()} == {
         1: True, 2: True, 3: True
     }
+
+
+def test_ivf_topk_auto_rule(spark, monkeypatch):
+    # ivf_topk shares semantic_dedup's measured-auto rule: big n_cells
+    # routes training AND assignment through the index, small stays
+    # flat, pins override, bad strings fail loud.
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators import (
+        similarity as sim,
+    )
+
+    calls = []
+    for name in ("ivf_assign", "ivf_assign_indexed", "ivf_centroids",
+                 "ivf_centroids_indexed"):
+        real = getattr(sim, name)
+
+        def spy(*a, _real=real, _name=name, **kw):
+            calls.append(_name)
+            return _real(*a, **kw)
+
+        monkeypatch.setattr(sim, name, spy)
+
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    sim.ivf_topk(df, query_filter="vec_id < 3", n_cells=8, k=2).collect()
+    assert "ivf_centroids" in calls and "ivf_assign" in calls
+    assert "ivf_assign_indexed" not in calls
+
+    calls.clear()
+    monkeypatch.setattr(sim, "ASSIGN_INDEX_AUTO_CELLS", 4)
+    sim.ivf_topk(df, query_filter="vec_id < 3", n_cells=8, k=2).collect()
+    assert "ivf_centroids_indexed" in calls and "ivf_assign_indexed" in calls
+    assert "ivf_assign" not in calls
+
+    calls.clear()
+    sim.ivf_topk(
+        df, query_filter="vec_id < 3", n_cells=8, k=2,
+        assign_via_index=False,
+    ).collect()
+    assert "ivf_assign" in calls and "ivf_assign_indexed" not in calls
+
+    with _pytest.raises(ValueError, match="assign_via_index"):
+        sim.ivf_topk(
+            df, query_filter="vec_id < 3", n_cells=8, k=2,
+            assign_via_index="indexed",
+        )

@@ -60,15 +60,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _bucket_pairs
-from .similarity import _dot, _norm, ivf_assign, ivf_centroids
 
-# Cluster count past which ``assign_via_index="auto"`` routes
-# assignment through the two-stage index. Measured wall
-# (docs/BENCH_NOTES_r11.md): the flat ``n x n_cells x dim`` scan turns
-# superlinear at ~1-2k cells (400k x 4096-dim, 4096 cells: 280 s flat
-# vs 21 s indexed); below ~1k the constant-size flat expression is
-# exact and cheaper than the index's extra super-cell stage.
-ASSIGN_INDEX_AUTO_CELLS = 1024
+# ASSIGN_INDEX_AUTO_CELLS: the measured ~1-2k-cell wall past which
+# "auto" routes assignment through the two-stage index — defined with
+# the index machinery in .similarity, bound here as a module global so
+# tests (and callers) can pin this operator's rule independently.
+from .similarity import (
+    ASSIGN_INDEX_AUTO_CELLS,
+    _dot,
+    _norm,
+    ivf_assign,
+    ivf_centroids,
+)
 
 
 def semantic_dedup(

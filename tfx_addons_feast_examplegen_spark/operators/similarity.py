@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 from ..session import rebalance_for_compute
 
 
+# Cell count past which "auto" assignment routing prefers the
+# two-stage index (ivf_assign_indexed) over the flat argmax scan.
+# Measured wall (docs/BENCH_NOTES_r11/r12.md): the flat
+# ``n x n_cells x dim`` scan turns superlinear at ~1-2k cells
+# (400k x 16-dim, 4096 cells: 204 s flat vs 10 s indexed); below ~1k
+# the constant-size flat expression is exact and cheaper than the
+# index's extra super-cell stage. Shared by semdedup.semantic_dedup
+# and ivf_topk.
+ASSIGN_INDEX_AUTO_CELLS = 1024
+
+
 def _require_filter(query_filter: str | None) -> str:
     """Fail with a usable message instead of `df.filter(None)`'s opaque
     Py4J type error when the caller supplies neither query source."""
@@ -752,16 +763,33 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     refine_iters: int = 0,
+    assign_via_index: bool | str = "auto",
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus vectors live in 1 cell each,
     queries probe their ``n_probe`` nearest cells; exact cosine ranks the
     candidates. Candidate generation is an equi-join on ``cell`` — the
     scale path when the corpus is too large for per-query full scans.
+
+    ``assign_via_index``: same measured-auto rule as
+    ``semdedup.semantic_dedup`` — ``"auto"`` (default) trains and
+    assigns through the two-stage index past the
+    ``ASSIGN_INDEX_AUTO_CELLS`` wall (the flat ``n x n_cells x dim``
+    scan turns superlinear there — docs/BENCH_NOTES_r12.md), exact
+    flat below it; ``True``/``False`` pin. Indexed assignment is a
+    pure function of the vector, so corpus/query cells stay comparable
+    — only cluster boundaries for outlying vectors are approximate.
     """
+    if assign_via_index == "auto":
+        assign_via_index = n_cells > ASSIGN_INDEX_AUTO_CELLS
+    elif isinstance(assign_via_index, str):
+        raise ValueError(
+            f"assign_via_index must be 'auto' or bool: {assign_via_index!r}"
+        )
     # One quantizer, trained on the corpus, shared by both sides — cells
     # are only comparable within a single centroid set.
     emb = rebalance_for_compute(emb)  # parallel assignment + scoring
-    cents = ivf_centroids(
+    train = ivf_centroids_indexed if assign_via_index else ivf_centroids
+    cents = train(
         emb,
         id_col=id_col,
         vec_col=vec_col,
@@ -769,10 +797,15 @@ def ivf_topk(
         seed=seed,
         refine_iters=refine_iters,
     )
-    corpus_cells = ivf_assign(emb, cents, vec_col=vec_col, n_probe=1).select(
+    assign = (
+        (lambda df, c, **kw: ivf_assign_indexed(df, c, **kw))
+        if assign_via_index
+        else (lambda df, c, **kw: ivf_assign(df, c, **kw))
+    )
+    corpus_cells = assign(emb, cents, vec_col=vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
     )
-    query_cells = ivf_assign(
+    query_cells = assign(
         emb.filter(query_filter), cents, vec_col=vec_col, n_probe=n_probe
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell")
 
