@@ -290,9 +290,27 @@ def main() -> None:
         )
     out = os.path.join(os.path.dirname(os.path.dirname(__file__)), "docs", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    # MERGE, don't clobber: PLANS.md has accreted hand-written sections
+    # (scale-probe findings, operators added after this script's COMMENT
+    # dict) that a from-scratch rewrite silently drops — round 12 lost
+    # and restored three of them. Preserve every existing "## name"
+    # section this run didn't regenerate, in original order.
+    regenerated = {name for name in COMMENT}
+    preserved = []
+    if os.path.exists(out):
+        body = open(out).read()
+        chunks = body.split("\n## ")
+        for ch in chunks[1:]:
+            name = ch.split("\n", 1)[0].strip()
+            if name not in regenerated:
+                preserved.append("## " + ch.rstrip() + "\n")
+    pieces = sections + preserved
     with open(out, "w") as f:
-        f.write(HDR + "\n" + "\n".join(sections) + "\n" + FOOTER)
-    print(f"wrote {out}")
+        f.write(HDR + "\n" + "\n".join(pieces) + "\n")
+    print(
+        f"wrote {out} ({len(sections)} regenerated, "
+        f"{len(preserved)} preserved)"
+    )
 
 
 if __name__ == "__main__":
