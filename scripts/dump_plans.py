@@ -197,6 +197,20 @@ itself warns about; measured 2.3x slower at 60M rows locally and
 unrunnable at cluster scale (scripts/scale_probe_newops_r10.py).
 Boundary/count passes are O(num_buckets) parameter jobs embedded as
 literals.""",
+    "semantic_dedup": """SemDeDup over real spherical-k-means training (the registry entry
+trains 16 cells; past ASSIGN_INDEX_AUTO_CELLS the auto rule swaps the
+assignment subtree for the two-stage index — same downstream shape).
+Reading bottom-up: assignment is a narrow projection over the
+embeddings scan (the k x dim quantizer rides the expression only for
+the argmax, where every cell is consumed); centroid_sim arrives by a
+BROADCAST JOIN against the k-row centroid table — round 12 replaced
+the element_at(<k x dim literal>, cell+1) spelling, whose giant
+literal fell out of codegen into per-row interpreted evaluation past
+~1-2k cells (measured 13x at 2048 cells, docs/BENCH_NOTES_r12.md).
+Within-cluster candidate pairs come from the capped _bucket_pairs
+self-equi-join on the cluster id (ReusedExchange on the shared
+subtree), and the suppression verdict joins back on the id — the only
+corpus-keyed shuffles are the bucket join and that final left join.""",
     "sketch_countmin": """Frequency sketch in one combinable aggregate: the build side is
 explode(depth) feeding partial_count -> count grouped on (row, bucket)
 — the shuffle is capped at depth x width partial rows per mapper
