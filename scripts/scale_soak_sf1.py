@@ -11,18 +11,19 @@ are fast at sf0.1 stay near-linear at sf1.
 
 Usage: python scripts/scale_soak_sf1.py [scale]
 
-Measured (local[32], 2026-08-14, round 6; ambient host load, so these
-are upper bounds):
+Measured (local[32]; ambient host load, so these are upper bounds).
+Round 6 (2026-08-14) vs round 12 re-stamp (2026-08-16) — the ratio
+band is stable across six rounds of hardening:
 
-  query                    1x (sf0.1)   10x (sf1)   wall ratio
-  pit_join                    1.00s        2.78s        2.8x
-  dedup_ngram_jaccard         2.33s        8.26s        3.5x
-  dedup_minhash_lsh           1.23s        4.50s        3.6x
-  similarity_ann_lsh          0.87s        1.54s        1.8x
-  dedup_exact_substring       1.39s        5.38s        3.9x
-  dedup_remove_shared_runs    2.09s        7.02s        3.4x
-  pq_index_build             13.84s       13.97s        1.0x
-  similarity_ann_pq_probe     0.71s        1.35s        1.9x
+  query                    r6 ratio   r12 1x    r12 10x   r12 ratio
+  pit_join                    2.8x      1.44s     3.97s      2.8x
+  dedup_ngram_jaccard         3.5x      2.47s     9.33s      3.8x
+  dedup_minhash_lsh           3.6x      1.62s     7.56s      4.7x
+  similarity_ann_lsh          1.8x      1.07s     2.96s      2.8x
+  dedup_exact_substring       3.9x      1.58s     7.93s      5.0x
+  dedup_remove_shared_runs    3.4x      2.43s     8.07s      3.3x
+  pq_index_build              1.0x     15.94s    19.01s      1.2x
+  similarity_ann_pq_probe     1.9x      0.93s     1.65s      1.8x
 
 All scale SUBLINEARLY in wall clock for 10x data on 32 cores (the
 1x runs underutilize the machine; the 10x runs amortize fixed costs),
