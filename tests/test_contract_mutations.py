@@ -1206,3 +1206,39 @@ def test_pseudonymize_oracle_catches_salt_misuse(spark, sf_dir, monkeypatch):
     assert any(
         dropped[k][1] != base[k][1] for k in base
     ), "pk_checksum must redden when the salt is dropped"  # (b)
+
+
+def test_semantic_gate_oracle_catches_broken_co_assignment(
+    spark, sf_dir, monkeypatch
+):
+    # Offset the stream side's probed cells by one: arriving copies no
+    # longer land in their corpus twin's cell, the stream-static join
+    # finds nothing, and the driver oracle's full cross-cosine replay
+    # (which has one row per planted pair) reddens on row count. The
+    # index side and the exact cosine predicate run unmodified — the
+    # mutation isolates the co-assignment guarantee the gate rests on.
+    from tfx_addons_feast_examplegen_spark.operators import semdedup as sd
+    from tfx_addons_feast_examplegen_spark.queries.streaming import (
+        _q_stream_semantic_gate,
+    )
+
+    baseline = _q_stream_semantic_gate(spark, sf_dir).collect()
+    assert len(baseline) == 20  # the planted copies, sf0.001
+    assert all(r["cos"] == 1.0 for r in baseline)
+
+    real = sd.ivf_assign
+
+    calls = {"n": 0}
+
+    def shifted(df, cents, **kw):
+        calls["n"] += 1
+        out = real(df, cents, **kw)
+        if calls["n"] > 1:  # 1st call = index build; later = stream probes
+            out = out.withColumn(
+                "cell", (F.col("cell") + 1) % F.lit(len(cents))
+            )
+        return out
+
+    monkeypatch.setattr(sd, "ivf_assign", shifted)
+    mutated = _q_stream_semantic_gate(spark, sf_dir).collect()
+    assert len(mutated) < len(baseline)  # oracle rows_match would go red

@@ -1,0 +1,134 @@
+"""Streaming semantic ingest gate: duplicate-never-missed guarantee,
+zero-vector semantics, validation, and auto routing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfx_addons_feast_examplegen_spark.operators.semdedup import (
+    semantic_cell_index,
+    semantic_gate_stream,
+)
+
+
+CENTS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def _frames(spark):
+    corpus = spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.2]), (3, [0.1, 0.0, 1.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    return corpus, semantic_cell_index(corpus, CENTS)
+
+
+def test_exact_and_scaled_duplicates_never_missed(spark):
+    # co-assignment is a pure function of direction: an exact copy and
+    # a positively scaled copy of an indexed vector MUST match at any
+    # n_probe >= 1 — the gate's pigeonhole-style guarantee.
+    corpus, index = _frames(spark)
+    arriving = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1, 0.0]),            # exact copy of 1
+            (11, [0.0, 2.0, 0.4]),            # 2x scaled copy of 2
+            (12, [-0.9, -0.1, 0.0]),          # NEGATED: different direction
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {
+        (r["vec_id"], r["corpus_id"]): r["cos"]
+        for r in semantic_gate_stream(
+            arriving, index, CENTS, threshold=0.999, n_probe=1
+        ).collect()
+    }
+    assert got[(10, 1)] == pytest.approx(1.0)
+    assert got[(11, 2)] == pytest.approx(1.0)
+    assert not any(k[0] == 12 for k in got)
+
+
+def test_zero_vector_matches_nothing_and_threshold_filters(spark):
+    corpus, index = _frames(spark)
+    arriving = spark.createDataFrame(
+        [(20, [0.0, 0.0, 0.0]), (21, [0.8, 0.6, 0.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    rows = semantic_gate_stream(
+        arriving, index, CENTS, threshold=0.999, n_probe=3
+    ).collect()
+    # zero vector: no row; 21 is within ~26 degrees of corpus 1 but far
+    # below the 0.999 threshold even when probed
+    assert rows == []
+    loose = semantic_gate_stream(
+        arriving, index, CENTS, threshold=0.5, n_probe=3
+    ).collect()
+    assert {r["vec_id"] for r in loose} == {21}
+
+
+def test_validation_and_auto_routing(spark, monkeypatch):
+    corpus, index = _frames(spark)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_gate_stream(corpus, index, CENTS, threshold=0.0)
+    with pytest.raises(ValueError, match="n_probe"):
+        semantic_gate_stream(corpus, index, CENTS, threshold=0.9, n_probe=0)
+    with pytest.raises(ValueError, match="assign_via_index"):
+        semantic_gate_stream(
+            corpus, index, CENTS, threshold=0.9, assign_via_index="flat"
+        )
+
+    # auto routes indexed past the wall on BOTH the index build and
+    # the probe side (spy at the similarity seam)
+    from tfx_addons_feast_examplegen_spark.operators import (
+        semdedup as sd,
+    )
+    from tfx_addons_feast_examplegen_spark.operators import (
+        similarity as sim,
+    )
+
+    calls = []
+    real_flat, real_idx = sim.ivf_assign, sim.ivf_assign_indexed
+    monkeypatch.setattr(
+        sd, "ivf_assign",
+        lambda *a, **kw: calls.append("flat") or real_flat(*a, **kw),
+    )
+    monkeypatch.setattr(
+        sim, "ivf_assign_indexed",
+        lambda *a, **kw: calls.append("indexed") or real_idx(*a, **kw),
+    )
+    monkeypatch.setattr(sd, "ASSIGN_INDEX_AUTO_CELLS", 2)
+    idx2 = semantic_cell_index(corpus, CENTS)
+    semantic_gate_stream(
+        corpus, idx2, CENTS, threshold=0.999, n_probe=1
+    ).collect()
+    assert calls and all(c == "indexed" for c in calls)
+
+
+def test_gate_runs_as_a_real_stream(spark, tmp_path):
+    # the plan must be Structured-Streaming-legal (no aggregation on
+    # the stream side) and produce the same matches as the batch run
+    from tfx_addons_feast_examplegen_spark.streaming.events import (
+        run_to_completion,
+    )
+
+    corpus, index = _frames(spark)
+    arriving = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0]), (11, [0.0, 1.0, 0.2]), (12, [0.5, -0.5, 0.1])],
+        "vec_id: long, embedding: array<float>",
+    )
+    src = str(tmp_path / "src")
+    arriving.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_to_completion(
+        semantic_gate_stream(stream, index, CENTS, threshold=0.999, n_probe=2),
+        query_name="semgate_test",
+    )
+    batch = semantic_gate_stream(
+        arriving, index, CENTS, threshold=0.999, n_probe=2
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in batch.collect()
+    } == {(10, 1, 1.0), (11, 2, 1.0)}

@@ -216,8 +216,23 @@ def test_indexed_assignment_validation_and_copies_coassign(spark):
         ).collect()
     }
     assert got[1] == got[2] == got[3]
+    # over-probing clamps to n_super (== the exact argmax), it does
+    # not raise — a tiny quantizer must accept the default probe count
+    over = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_indexed(
+            df, cents, n_super=2, n_probe_super=3
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_indexed(
+            df, cents, n_super=2, n_probe_super=2
+        ).collect()
+    }
+    assert over == exact
     with _pytest.raises(ValueError, match="n_probe_super"):
-        ivf_assign_indexed(df, cents, n_super=2, n_probe_super=3)
+        ivf_assign_indexed(df, cents, n_super=2, n_probe_super=0)
 
 
 def test_semdedup_with_indexed_assignment_keeps_exact_recall(spark):

@@ -226,3 +226,110 @@ def semantic_dedup(
         )
         .withColumn("kept", F.coalesce(F.col("kept"), F.lit(True)))
     )
+
+
+def _resolve_assign(assign_via_index, n_cells: int):
+    """Shared "auto" resolution for the gate functions below (the
+    semantic_dedup body keeps its own inline spelling — attested)."""
+    if assign_via_index == "auto":
+        return n_cells > ASSIGN_INDEX_AUTO_CELLS
+    if isinstance(assign_via_index, str):
+        raise ValueError(
+            f"assign_via_index must be 'auto', bool, or int: {assign_via_index!r}"
+        )
+    return bool(assign_via_index)
+
+
+def semantic_cell_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    assign_via_index: bool | str = "auto",
+) -> DataFrame:
+    """Standing-corpus cell index for the streaming semantic gate:
+    ``(corpus_id, corpus_vec, cell)`` — one row per corpus vector,
+    assigned to its nearest cell of the shared quantizer. Built in
+    BATCH; persist it beside the corpus and merge-append new keepers
+    per ingest cycle (the ``simhash_band_index`` lifecycle, embedding
+    edition). Cells are only comparable within one centroid set, so
+    the SAME ``centroids`` must feed index build and stream probe.
+
+    ``assign_via_index="auto"``: the measured routing rule
+    (:data:`similarity.ASSIGN_INDEX_AUTO_CELLS`) — two-stage indexed
+    assignment past the ~1k-cell wall, exact flat argmax below it.
+    """
+    from .similarity import ivf_assign_indexed
+
+    if _resolve_assign(assign_via_index, len(centroids)):
+        assigned = ivf_assign_indexed(emb, centroids, vec_col=vec_col, n_probe=1)
+    else:
+        assigned = ivf_assign(emb, centroids, vec_col=vec_col, n_probe=1)
+    return assigned.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        "cell",
+    )
+
+
+def semantic_gate_stream(
+    stream_df: DataFrame,
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+    n_probe: int = 2,
+    assign_via_index: bool | str = "auto",
+) -> DataFrame:
+    """Streaming ingest SEMANTIC near-dup gate: for each arriving
+    embedding, the standing-corpus vectors with cosine similarity >=
+    ``threshold`` — the embedding-space edition of
+    ``dedup.neardup_gate_stream`` (re-encodings and near-paraphrases
+    no lexical gate can see), completing the semdedup ingest loop:
+    batch :func:`semantic_dedup` curates the corpus, this gate holds
+    the live ingest against it.
+
+    Everything is STATELESS per micro-batch: the arriving vector is
+    assigned to its ``n_probe`` nearest cells (a narrow projection +
+    explode — no aggregation, so Structured Streaming accepts it; the
+    "auto" rule routes through the two-stage index past the measured
+    cell wall, whose broadcast joins are stream-static and equally
+    stateless), then a stream-static equi-join on ``cell`` against the
+    index and the EXACT cosine predicate. Candidate recall follows
+    IVF probing: a borderline neighbor in an unprobed cell can be
+    missed, but exact and positively-scaled duplicates CO-ASSIGN
+    (assignment is a pure function of direction), so a true duplicate
+    of an indexed vector is never missed at any ``n_probe >= 1`` —
+    the gate's pigeonhole-style guarantee. Degenerate hot cells are
+    the index build's concern (re-train with more cells; k-means has
+    no size guarantee), observable from the index frame itself.
+
+    Output: ``(id_col, corpus_id, cos)`` per match; a zero-norm
+    vector matches nothing (cosine undefined -> no row).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1: {n_probe}")
+    from .similarity import ivf_assign_indexed
+
+    if _resolve_assign(assign_via_index, len(centroids)):
+        probed = ivf_assign_indexed(
+            stream_df, centroids, vec_col=vec_col, n_probe=n_probe
+        )
+    else:
+        probed = ivf_assign(stream_df, centroids, vec_col=vec_col, n_probe=n_probe)
+    nq, nc = _norm(F.col(vec_col)), _norm(F.col("corpus_vec"))
+    cos = _dot(F.col(vec_col), F.col("corpus_vec")) / (nq * nc)
+    return (
+        probed.join(index_df, "cell")
+        .where((nq > 0) & (nc > 0) & (cos >= threshold))
+        .select(
+            F.col(id_col),
+            F.col("corpus_id"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )

@@ -613,10 +613,13 @@ def ivf_assign_indexed(
     if n_super is None:
         n_super = max(1, int(math.isqrt(k)))
     n_super = min(n_super, k)
-    if not 1 <= n_probe_super <= n_super:
-        raise ValueError(
-            f"n_probe_super must be in [1, n_super={n_super}]: {n_probe_super}"
-        )
+    if n_probe_super < 1:
+        raise ValueError(f"n_probe_super must be >= 1: {n_probe_super}")
+    # probing more super-cells than exist is just the exact argmax —
+    # clamp (a tiny quantizer, e.g. 3 cells -> n_super=1, must accept
+    # the default n_probe_super=2; the fully-probed == flat pytest
+    # pins the equality this clamp relies on)
+    n_probe_super = min(n_probe_super, n_super)
     sup, groups = _supercell_groups(centroids, n_super)
     # Stage 1 — super-cell scoring: n_super ~ sqrt(k) centroids as a
     # SMALL literal matrix (the only quantizer content that lives in

@@ -246,6 +246,7 @@ _ENTRY_ORDER = [
     "q2_min_cost_supplier",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
+    "stream_semantic_gate",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -341,10 +342,20 @@ _DRIVER_PRIORITY = [
     "source_warc_datasource",
     "source_warc_write_roundtrip",
     "token_budget_select",
-    # Slots 15-49: 35 of the 39 remaining r7-vintage rows (oldest
-    # attestation cohort, alphabetical). The drift cohort above costs
-    # four of the slots the r11 plan reserved for them — the
-    # alphabetical tail (time_rollup_multigrain, training_pipeline_v2,
+    # Slot 15: NEW this round (never-attested entries MUST sit in the
+    # window): stream_semantic_gate — streaming SEMANTIC ingest gate
+    # (embedding edition of stream_neardup_gate): stateless per-row
+    # IVF cell assignment + stream-static equi-join on cell + exact
+    # cosine, vs a batch-built semantic_cell_index sharing the
+    # corpus-trained quantizer; planted exact-copy fixture makes the
+    # full cross cosine matrix SQL-replayable (threshold 0.95 >> the
+    # fixture's natural 0.6 ceiling, measured at all three SFs).
+    "stream_semantic_gate",
+    # Slots 16-49: 34 of the 39 remaining r7-vintage rows (oldest
+    # attestation cohort, alphabetical). The drift cohort + new entry
+    # above cost five of the slots the r11 plan reserved for them —
+    # the alphabetical tail (text_unigram_logprob,
+    # time_rollup_multigrain, training_pipeline_v2,
     # variant_props_typed, vocab_coverage_curve) moves to the ROUND-13
     # plan below.
     "corpus_report",
@@ -381,11 +392,11 @@ _DRIVER_PRIORITY = [
     "table_pruned_scan",
     "table_time_travel_diff",
     "text_bigram_logprob",
-    "text_unigram_logprob",
-    # ROUND-13 WINDOW PLAN: the last 4 r7-vintage rows —
-    # time_rollup_multigrain, training_pipeline_v2,
-    # variant_props_typed, vocab_coverage_curve
-    # (displaced by this round's 14-entry drift cohort) — then the
+    # ROUND-13 WINDOW PLAN: the last 5 r7-vintage rows —
+    # text_unigram_logprob, time_rollup_multigrain,
+    # training_pipeline_v2, variant_props_typed, vocab_coverage_curve
+    # (displaced by this round's 14-entry drift cohort + the new
+    # stream_semantic_gate) — then the
     # oldest r8 rows alphabetically (chunk_documents,
     # column_correlations, corpus_novelty_rate, corpus_prep_pipeline,
     # cusum_changepoints, dedup_exact, dedup_minhash_lsh,

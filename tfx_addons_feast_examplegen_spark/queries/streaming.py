@@ -676,6 +676,94 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+
+
+def _q_stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming SEMANTIC ingest gate: arriving EMBEDDINGS are checked
+    # against a standing-corpus IVF cell index with zero streaming
+    # state — per-row cell assignment (narrow projection + explode),
+    # stream-static equi-join on cell, exact cosine predicate. The
+    # embedding edition of stream_neardup_gate, closing the semdedup
+    # ingest loop (batch semantic_dedup curates, this gate holds the
+    # live ingest against the curated corpus). Corpus = vec_id < 300
+    # (indexed in batch with a quantizer trained on the corpus only);
+    # stream = the rest, replayed as a 4-file parquet source, with
+    # vec_id % 10 == 7 rows planted as EXACT copies of corpus vector
+    # (vec_id % 300). Threshold 0.95 sits far above the fixture's
+    # natural cross-pair cosine (~0.5), so the matches are exactly the
+    # planted pairs — which co-assign by purity of the assignment —
+    # and the oracle can replay the full cross cosine matrix in SQL:
+    # IVF probing and streaming must change nothing.
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..operators.dedup import _pin
+    from ..operators.semdedup import (
+        semantic_cell_index,
+        semantic_gate_stream,
+    )
+    from ..operators.similarity import ivf_centroids
+    from ..streaming.events import run_to_completion
+
+    t = register_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") < 300)
+    base = corpus.select(
+        F.col("vec_id").alias("__b"), F.col("embedding").alias("__bv")
+    )
+    arriving = (
+        emb.where(F.col("vec_id") >= 300)
+        .join(base, F.col("vec_id") % 300 == F.col("__b"), "left")
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 10 == 7, F.col("__bv"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    cents = ivf_centroids(
+        corpus, n_cells=16, seed=42, refine_iters=1
+    )
+    # pin the index: the stream-static join re-evaluates the static
+    # side every micro-batch — unpinned, each of the 4 replay batches
+    # would re-run the corpus assignment scan
+    index = _pin(semantic_cell_index(corpus, cents))
+    src = _tempfile.mkdtemp(prefix="semgate_src_")
+    arriving.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    gated = semantic_gate_stream(
+        stream, index, cents, threshold=0.95, n_probe=2
+    )
+    out = run_to_completion(
+        gated, query_name=f"semantic_gate_{_uuid.uuid4().hex[:8]}"
+    )
+    return out.select(
+        F.col("vec_id").alias("new_vec"), "corpus_id", "cos"
+    ).distinct()
+
+
+_STREAM_SEMANTIC_GATE_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+corpus AS (SELECT * FROM base WHERE vec_id < 300),
+arriving AS (
+  SELECT a.vec_id,
+         CASE WHEN a.vec_id % 10 = 7 THEN c.v ELSE a.v END AS v
+  FROM base a LEFT JOIN corpus c ON c.vec_id = a.vec_id % 300
+  WHERE a.vec_id >= 300
+)
+SELECT a.vec_id AS new_vec, c.vec_id AS corpus_id,
+       round(list_cosine_similarity(a.v, c.v), 4) AS cos
+FROM arriving a JOIN corpus c
+  ON list_cosine_similarity(a.v, c.v) >= 0.95
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "windowed_event_counts_streaming": (
         _q_windowed_streaming,
@@ -693,6 +781,10 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_neardup_gate": (
         _q_stream_neardup_gate,
         _stream_neardup_oracle(),
+    ),
+    "stream_semantic_gate": (
+        _q_stream_semantic_gate,
+        _STREAM_SEMANTIC_GATE_ORACLE,
     ),
     "streaming_matview_latest": (
         _q_streaming_matview,
