@@ -132,3 +132,50 @@ def test_gate_runs_as_a_real_stream(spark, tmp_path):
     assert {tuple(r) for r in out.collect()} == {
         tuple(r) for r in batch.collect()
     } == {(10, 1, 1.0), (11, 2, 1.0)}
+
+
+def test_hot_cell_cap_machinery(spark):
+    # k-means offers no cell-size guarantee: a degenerate cell must be
+    # cappable at index BUILD time (the stream side cannot probe
+    # occupancy), with the same drop/error/observe contract as
+    # simhash_band_index.
+    from pyspark.sql import Observation
+
+    # all corpus vectors share one direction -> one hot cell of 5
+    corpus = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100, 0.0]) for i in range(5)]
+        + [(99, [0.0, 0.0, 1.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    obs = Observation()
+    idx = semantic_cell_index(
+        corpus, CENTS, max_cell=3, observation=obs, on_over_cap="drop"
+    )
+    kept = idx.collect()
+    assert {r["corpus_id"] for r in kept} == {99}  # hot cell pruned
+    assert obs.get["dropped_cells"] == 1
+    assert obs.get["max_cell_size"] == 5
+
+    # the gate sees only the surviving cells
+    arriving = spark.createDataFrame(
+        [(10, [1.0, 0.01, 0.0]), (11, [0.0, 0.0, 1.0])],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {
+        r["vec_id"]
+        for r in semantic_gate_stream(
+            arriving, idx, CENTS, threshold=0.999, n_probe=3
+        ).collect()
+    }
+    assert got == {11}
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="cell over cap"):
+        semantic_cell_index(
+            corpus, CENTS, max_cell=3, on_over_cap="error"
+        ).collect()
+    with _pytest.raises(ValueError, match="on_over_cap"):
+        semantic_cell_index(corpus, CENTS, max_cell=3, on_over_cap="warn")
+    # max_cell=None: uncapped plan, all rows present
+    assert semantic_cell_index(corpus, CENTS).count() == 6

@@ -247,6 +247,9 @@ def semantic_cell_index(
     vec_col: str = "embedding",
     *,
     assign_via_index: bool | str = "auto",
+    max_cell: int | None = None,
+    observation=None,
+    on_over_cap: str = "drop",
 ) -> DataFrame:
     """Standing-corpus cell index for the streaming semantic gate:
     ``(corpus_id, corpus_vec, cell)`` — one row per corpus vector,
@@ -259,18 +262,63 @@ def semantic_cell_index(
     ``assign_via_index="auto"``: the measured routing rule
     (:data:`similarity.ASSIGN_INDEX_AUTO_CELLS`) — two-stage indexed
     assignment past the ~1k-cell wall, exact flat argmax below it.
+
+    Hot-cell cap (``max_cell``): k-means offers no cell-size
+    guarantee, and a degenerate cell (an embedding-collapsed
+    boilerplate cluster) fans out against EVERY matching stream row on
+    the probe side, where no occupancy check can run — so, exactly as
+    ``dedup.simhash_band_index`` does for hot bands, the cap is
+    enforced HERE at build/merge time with the same no-silent-caps
+    machinery: ``on_over_cap="drop"`` prunes over-cap cells via a
+    broadcast anti-join on the per-cell count aggregate (recall
+    degrades only for members of the dropped cell — retrain with more
+    cells to recover them); ``"error"`` fails the build loudly on the
+    first over-cap cell via a lazy in-plan ``assert_true`` conjunct;
+    ``observation`` (a ``pyspark.sql.Observation``) records
+    ``dropped_cells`` / ``max_cell_size`` through an eager metrics job
+    (an in-plan CollectMetrics node rides a join subtree AQE can prune
+    in exactly the readings that matter). ``max_cell=None`` (default)
+    preserves the uncapped plan byte-for-byte.
     """
+    if on_over_cap not in ("drop", "error"):
+        raise ValueError(
+            f"on_over_cap must be 'drop' or 'error': {on_over_cap!r}"
+        )
     from .similarity import ivf_assign_indexed
 
     if _resolve_assign(assign_via_index, len(centroids)):
         assigned = ivf_assign_indexed(emb, centroids, vec_col=vec_col, n_probe=1)
     else:
         assigned = ivf_assign(emb, centroids, vec_col=vec_col, n_probe=1)
-    return assigned.select(
+    index = assigned.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("corpus_vec"),
         "cell",
     )
+    if max_cell is None:
+        return index
+    sizes = index.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    if observation is not None:
+        sizes.observe(
+            observation,
+            F.sum((F.col("__n") > max_cell).cast("long")).alias(
+                "dropped_cells"
+            ),
+            F.max("__n").alias("max_cell_size"),
+        ).count()
+    over_cond = F.col("__n") > max_cell
+    if on_over_cap == "error":
+        over_cond = over_cond & F.assert_true(
+            F.col("__n") <= max_cell,
+            F.concat(
+                F.lit(
+                    f"semantic_cell_index: cell over cap ({max_cell}); size="
+                ),
+                F.col("__n").cast("string"),
+            ),
+        ).isNull()
+    over = sizes.filter(over_cond).select("cell")
+    return index.join(F.broadcast(over), "cell", "left_anti")
 
 
 def semantic_gate_stream(
