@@ -181,7 +181,13 @@ def semantic_dedup(
     c_sim = F.when(
         norm > 0, _dot(F.col(vec_col), F.col("__cent")) / norm
     ).otherwise(F.lit(0.0))
-    scored = (
+    # scored has TWO consumers (the pair-candidate side and the final
+    # verdict join-back), each of which would re-run the corpus scan +
+    # assignment + centroid join — the decode-pin audit's defect class
+    # (dedup._pin, FIFO-bounded; docs/BENCH_NOTES_r12.md).
+    from .dedup import _pin
+
+    scored = _pin(
         assigned.join(F.broadcast(cdf), "cell")
         .select("*", c_sim.alias("centroid_sim"))
         .drop("__cent")
