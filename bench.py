@@ -186,6 +186,73 @@ def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus):
     )
 
 
+def _bench_prev_tree(sf_dir: str) -> dict | None:
+    """Same-sitting A/B (round-13 protocol): re-run the PREVIOUS
+    round's tree with this round's ambient load, so artifact-to-
+    artifact deltas separate code delta from machine delta without
+    archaeology (round 12 measured 10.66 vs 13.04 s for the SAME tree
+    at different sittings — pure load).
+
+    The previous tree is the last driver round-artifact commit
+    (message ``round N: verdict/advice/...``), checked out into a
+    throwaway git worktree; its own ``bench.py`` runs as a child
+    process with the same SF dir and the recursion guard set. Any
+    failure (no git history, worktree or child error, timeout) is
+    reported on stderr and skipped — the primary bench never breaks.
+    """
+    if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
+        return None
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        ref = subprocess.run(
+            ["git", "-C", repo, "log", "--extended-regexp",
+             "--grep", r"^round [0-9]+:", "-n", "1", "--format=%H"],
+            capture_output=True, text=True, timeout=60, check=True,
+        ).stdout.strip()
+    except Exception as e:  # pragma: no cover - git missing/odd repo
+        print(f"ab_prev skipped: git log failed: {e}", file=sys.stderr)
+        return None
+    if not ref:
+        print("ab_prev skipped: no prior round commit", file=sys.stderr)
+        return None
+    wt = tempfile.mkdtemp(prefix="bench_ab_prev_")
+    env = dict(os.environ)
+    env.update({
+        "SPARK_GRAFT_AB": "0",  # the child must not recurse
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+    })
+    try:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
+            capture_output=True, text=True, timeout=120, check=True,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            capture_output=True, text=True, timeout=5400, env=env, cwd=wt,
+        )
+        last = out.stdout.strip().rsplit("\n", 1)[-1]
+        parsed = json.loads(last)
+        return {
+            "ref": ref,
+            "value": parsed["value"],
+            "extended_total": parsed.get("extended_total"),
+            "queries": parsed.get("queries"),
+        }
+    except Exception as e:
+        print(f"ab_prev skipped: {e}", file=sys.stderr)
+        return None
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True, timeout=120,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -264,6 +331,15 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+
+    # Same-sitting A/B: the parent session is done timing, so release
+    # its executors before the previous-round child JVM runs (both
+    # trees then see comparable free memory; the shared page cache is
+    # warm for both — min-of-n passes with warm-up makes each tree's
+    # floors steady-state either way).
+    spark.stop()
+    ab_prev = _bench_prev_tree(sf_dir)
+
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -288,6 +364,10 @@ def main() -> None:
         "extended_load_1min_per_pass": ext_loads,
         "extended_load_at_floor": ext_floor_loads,
     }
+    if ab_prev is not None:
+        # previous round's tree, measured at THIS sitting: the code
+        # delta is (value / ab_prev.value); anything else is machine
+        full["ab_prev"] = ab_prev
     # The full payload (~2.6 KB) outgrew the driver's 2000-char stdout
     # tail capture and BENCH_r09.json recorded parsed:null, losing the
     # round's headline number (VERDICT r9 item 1). Persist everything to
@@ -310,6 +390,12 @@ def main() -> None:
         "extended": ext_timings,
         "full": "BENCH_FULL.json",
     }
+    if ab_prev is not None:
+        compact["ab_prev"] = {
+            "ref": ab_prev["ref"][:12],
+            "value": ab_prev["value"],
+            "extended_total": ab_prev["extended_total"],
+        }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:
         # Degrade gracefully rather than ever overflowing the capture

@@ -318,6 +318,17 @@ def main() -> None:
             name = ch.split("\n", 1)[0].strip()
             if name not in regenerated:
                 preserved.append("## " + ch.rstrip() + "\n")
+    # FOOTER (the Round-8 conversions audit) is hand-audited content
+    # this script owns: on a fresh checkout (or if PLANS.md was
+    # removed) there is no existing section to preserve, so append it
+    # whenever neither the regenerated nor the preserved set carries
+    # its heading — otherwise a regeneration silently drops it.
+    footer_name = FOOTER.split("\n", 1)[0].removeprefix("## ").strip()
+    preserved_names = {
+        p.split("\n", 1)[0].removeprefix("## ").strip() for p in preserved
+    }
+    if footer_name not in regenerated | preserved_names:
+        preserved.append(FOOTER.rstrip() + "\n")
     pieces = sections + preserved
     with open(out, "w") as f:
         f.write(HDR + "\n" + "\n".join(pieces) + "\n")

@@ -103,6 +103,103 @@ def test_validation_and_auto_routing(spark, monkeypatch):
     assert calls and all(c == "indexed" for c in calls)
 
 
+def test_build_probe_routing_must_match(spark, monkeypatch):
+    # The never-missed guarantee requires build and probe to resolve
+    # assignment identically (flat vs indexed can place the same vector
+    # in different cells). The index records its resolved route in the
+    # cell column metadata; the probe validates it.
+    corpus, index = _frames(spark)  # 3 cells <= wall -> built flat
+    assert index.schema["cell"].metadata == {"assign_via_index": False}
+    # the hot-cell cap's anti-join must not strip the routing metadata
+    capped = semantic_cell_index(corpus, CENTS, max_cell=10)
+    assert capped.schema["cell"].metadata == {"assign_via_index": False}
+
+    from tfx_addons_feast_examplegen_spark.operators import semdedup as sd
+
+    # wall lowered AFTER the build: probe's auto now resolves indexed
+    monkeypatch.setattr(sd, "ASSIGN_INDEX_AUTO_CELLS", 2)
+    with pytest.raises(ValueError, match="co-assignment"):
+        semantic_gate_stream(corpus, index, CENTS, threshold=0.9)
+    with pytest.raises(ValueError, match="pin assign_via_index"):
+        semantic_gate_stream(
+            corpus, index, CENTS, threshold=0.9, assign_via_index=True
+        )
+    # pinning the probe to the build's recorded route is accepted
+    semantic_gate_stream(
+        corpus, index, CENTS, threshold=0.9, assign_via_index=False
+    ).collect()
+
+
+def test_routing_metadata_parquet_roundtrip_and_bare_index(
+    spark, tmp_path, monkeypatch
+):
+    corpus, index = _frames(spark)
+    p = str(tmp_path / "idx")
+    index.write.parquet(p)
+    back = spark.read.parquet(p)
+    # field metadata persists through the standing-index parquet cycle
+    assert back.schema["cell"].metadata.get("assign_via_index") is False
+
+    from tfx_addons_feast_examplegen_spark.operators import semdedup as sd
+
+    monkeypatch.setattr(sd, "ASSIGN_INDEX_AUTO_CELLS", 2)
+    with pytest.raises(ValueError, match="assign_via_index=False"):
+        semantic_gate_stream(corpus, back, CENTS, threshold=0.9)
+    # a hand-built index without the metadata is accepted — the
+    # constraint then holds by documentation, like centroids sharing
+    bare = back.select(
+        "corpus_id", "corpus_vec", (F.col("cell") + F.lit(0)).alias("cell")
+    )
+    assert bare.schema["cell"].metadata.get("assign_via_index") is None
+    semantic_gate_stream(corpus, bare, CENTS, threshold=0.9).collect()
+
+
+def test_shard_merge_index_equals_one_shot(spark, sf_dir):
+    # The 100 TB lifecycle: per-shard index builds with SHARED
+    # centroids, merge-appended into the standing index, must equal the
+    # one-shot whole-corpus build row-for-row — both as index content
+    # and through the gate (the dedup_incremental_indexed composition
+    # property, embedding edition).
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    from tfx_addons_feast_examplegen_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") < 300)
+    cents = ivf_centroids(corpus, n_cells=8, seed=42, refine_iters=1)
+    one_shot = semantic_cell_index(corpus, cents)
+    shard_a = semantic_cell_index(
+        corpus.where(F.col("vec_id") % 2 == 0), cents
+    )
+    shard_b = semantic_cell_index(
+        corpus.where(F.col("vec_id") % 2 == 1), cents
+    )
+    merged = shard_a.unionByName(shard_b)
+    assert merged.schema["cell"].metadata == {"assign_via_index": False}
+
+    def _idx_rows(df):
+        return sorted((r["corpus_id"], r["cell"]) for r in df.collect())
+
+    assert _idx_rows(merged) == _idx_rows(one_shot)
+
+    arriving = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 360))
+
+    def _gate_rows(idx):
+        return sorted(
+            tuple(r)
+            for r in semantic_gate_stream(
+                arriving, idx, cents, threshold=0.3, n_probe=2
+            ).collect()
+        )
+
+    got = _gate_rows(merged)
+    assert got == _gate_rows(one_shot)
+    assert len(got) > 0  # the equivalence is not vacuous
+
+
 def test_gate_runs_as_a_real_stream(spark, tmp_path):
     # the plan must be Structured-Streaming-legal (no aggregation on
     # the stream side) and produce the same matches as the batch run

@@ -468,3 +468,14 @@ def test_ivf_topk_auto_rule(spark, monkeypatch):
             df, query_filter="vec_id < 3", n_cells=8, k=2,
             assign_via_index="indexed",
         )
+
+    # Clamped-corpus auto re-resolution (ADVICE r12): a 60-row corpus
+    # with a 200-cell REQUEST trains only 60 centroids; the trainer is
+    # picked on the request (> wall -> indexed), but assignment must
+    # re-resolve on the TRAINED count (60 <= wall -> exact flat scan),
+    # matching how semantic_dedup resolves on len(cents).
+    calls.clear()
+    monkeypatch.setattr(sim, "ASSIGN_INDEX_AUTO_CELLS", 100)
+    sim.ivf_topk(df, query_filter="vec_id < 3", n_cells=200, k=2).collect()
+    assert "ivf_centroids_indexed" in calls
+    assert "ivf_assign" in calls and "ivf_assign_indexed" not in calls

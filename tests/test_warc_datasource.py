@@ -163,10 +163,83 @@ def test_overwrite_clears_stale_archives(spark, tmp_path):
     assert os.listdir(base) == ["0.warc"]  # partition-id layout
 
 
+class _FakeTaskCtx:
+    def __init__(self, pid, attempt):
+        self._pid, self._attempt = pid, attempt
+
+    def partitionId(self):
+        return self._pid
+
+    def taskAttemptId(self):
+        return self._attempt
+
+
+def test_append_survives_attempt_id_restart(monkeypatch, tmp_path):
+    # The ADVICE scenario: task attempt ids are unique only within one
+    # SparkContext — a LATER APPLICATION RUN restarts them near 0, so a
+    # bare attempt-id stem would open(path, 'wb') over the previous
+    # run's archive. The per-write driver salt must keep the stems
+    # distinct even when both runs present the identical attempt id.
+    import time as _time
+
+    import pyspark
+
+    from tfx_addons_feast_examplegen_spark.sources.warc_datasource import (
+        WarcWriter,
+    )
+
+    base = str(tmp_path / "xapp")
+    monkeypatch.setattr(
+        pyspark.TaskContext, "get", staticmethod(lambda: _FakeTaskCtx(0, 0))
+    )
+    w1 = WarcWriter({"path": base}, overwrite=False)
+    while True:  # two writers = two "applications"; force distinct salts
+        w2 = WarcWriter({"path": base}, overwrite=False)
+        if w2._write_salt != w1._write_salt:
+            break
+        _time.sleep(0.001)
+    row1 = type("R", (), {"uri": "http://e/1", "rec_type": "resource",
+                          "payload": b"one", "rec_id": "r1"})()
+    row2 = type("R", (), {"uri": "http://e/2", "rec_type": "resource",
+                          "payload": b"two", "rec_id": "r2"})()
+    m1 = w1.write(iter([row1]))
+    m2 = w2.write(iter([row2]))
+    assert m1.path != m2.path
+    import os
+
+    files = sorted(os.listdir(base))
+    assert len(files) == 2 and all(f.endswith(".warc") for f in files)
+    stems = [f.split(".")[0] for f in files]
+    assert all(s.isdigit() for s in stems)  # reader contract holds
+    assert all(int(s) < 2**63 for s in stems)  # doc_id long parse
+    # a RETRY of the same task (same writer, same partition) is
+    # idempotent: identical content renamed onto the same final path
+    m1b = w1.write(iter([row1]))
+    assert m1b.path == m1.path
+    assert sorted(os.listdir(base)) == files
+
+
+def test_reader_ignores_leftover_tmp_files(spark, tmp_path):
+    # A task attempt that dies mid-write leaves only <stem>.warc.tmp
+    # (temp-then-rename); abort gets no commit message for it, so the
+    # reader — not abort — is what keeps it from corrupting reads.
+    base = tmp_path / "tmpleft"
+    base.mkdir()
+    good = build_warc(
+        [("response", "http://e/1", b"x" * 20, "0001")], gzip_members=False
+    )
+    (base / "7.warc").write_bytes(good)
+    (base / "123456789000000000001.warc.tmp").write_bytes(good[:10])
+    register_warc_source(spark)
+    rows = spark.read.format("warc").load(str(base)).collect()
+    assert {r.uri for r in rows} == {"http://e/1"}
+    assert len({r.doc_id for r in rows}) == 1
+
+
 def test_append_never_clobbers_prior_write(spark, tmp_path):
-    # Two successive appends with the same partitioning: attempt-id
-    # naming keeps both writes' archives (bare partition-id naming
-    # silently clobbered the first write's files).
+    # Two successive appends with the same partitioning: salted
+    # (salt<<22 | pid) naming keeps both writes' archives (bare
+    # partition-id naming silently clobbered the first write's files).
     register_warc_source(spark)
     base = str(tmp_path / "ap")
     _rows(spark, [1]).coalesce(1).write.format("warc").mode("append").save(base)

@@ -268,6 +268,15 @@ def semantic_cell_index(
     ``assign_via_index="auto"``: the measured routing rule
     (:data:`similarity.ASSIGN_INDEX_AUTO_CELLS`) — two-stage indexed
     assignment past the ~1k-cell wall, exact flat argmax below it.
+    The RESOLVED route (flat vs indexed) is recorded in the ``cell``
+    column's metadata (``{"assign_via_index": bool}``, which survives
+    a parquet round-trip of the persisted index) because the gate's
+    duplicate-never-missed guarantee requires build and probe to
+    assign identically — flat and indexed assignment can place the
+    same vector in different cells near cluster boundaries.
+    :func:`semantic_gate_stream` validates it at probe time and fails
+    loud on a mismatch, exactly as it already must share
+    ``centroids``.
 
     Hot-cell cap (``max_cell``): k-means offers no cell-size
     guarantee, and a degenerate cell (an embedding-collapsed
@@ -292,14 +301,17 @@ def semantic_cell_index(
         )
     from .similarity import ivf_assign_indexed
 
-    if _resolve_assign(assign_via_index, len(centroids)):
+    routed = _resolve_assign(assign_via_index, len(centroids))
+    if routed:
         assigned = ivf_assign_indexed(emb, centroids, vec_col=vec_col, n_probe=1)
     else:
         assigned = ivf_assign(emb, centroids, vec_col=vec_col, n_probe=1)
     index = assigned.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("corpus_vec"),
-        "cell",
+        # resolved routing travels WITH the index (parquet-persistent
+        # field metadata) so the probe can enforce the must-match rule
+        F.col("cell").alias("cell", metadata={"assign_via_index": routed}),
     )
     if max_cell is None:
         return index
@@ -361,6 +373,17 @@ def semantic_gate_stream(
     the index build's concern (re-train with more cells; k-means has
     no size guarantee), observable from the index frame itself.
 
+    Build/probe routing must MATCH: the never-missed guarantee rests
+    on the index build and the stream probe resolving cell assignment
+    identically — flat vs indexed assignment can place the same vector
+    in different cells near cluster boundaries, silently voiding
+    co-assignment. :func:`semantic_cell_index` records its resolved
+    route in the ``cell`` column's metadata; when present, this probe
+    validates its own resolved route against it and raises on a
+    mismatch (pin ``assign_via_index`` on one side to fix). An index
+    built by hand without the metadata is accepted — the constraint
+    then holds by documentation, as it already does for ``centroids``.
+
     Output: ``(id_col, corpus_id, cos)`` per match; a zero-norm
     vector matches nothing (cosine undefined -> no row).
     """
@@ -370,7 +393,18 @@ def semantic_gate_stream(
         raise ValueError(f"n_probe must be >= 1: {n_probe}")
     from .similarity import ivf_assign_indexed
 
-    if _resolve_assign(assign_via_index, len(centroids)):
+    routed = _resolve_assign(assign_via_index, len(centroids))
+    if "cell" in index_df.columns:
+        built = index_df.schema["cell"].metadata.get("assign_via_index")
+        if built is not None and bool(built) != routed:
+            raise ValueError(
+                "semantic_gate_stream: index was built with "
+                f"assign_via_index={bool(built)} but the probe resolved "
+                f"{routed}; flat and indexed assignment can disagree near "
+                "cluster boundaries, voiding the co-assignment guarantee — "
+                "pin assign_via_index identically on build and probe"
+            )
+    if routed:
         probed = ivf_assign_indexed(
             stream_df, centroids, vec_col=vec_col, n_probe=n_probe
         )

@@ -781,8 +781,17 @@ def ivf_topk(
     flat below it; ``True``/``False`` pin. Indexed assignment is a
     pure function of the vector, so corpus/query cells stay comparable
     — only cluster boundaries for outlying vectors are approximate.
+
+    The ``"auto"`` decision is resolved in two steps, mirroring
+    ``semantic_dedup``: the TRAINER is picked on the requested
+    ``n_cells`` (training cost scales with the request), but the
+    ASSIGNMENT route is re-resolved on ``len(cents)`` AFTER training —
+    a corpus shorter than ``n_cells`` trains fewer centroids (both
+    trainers clamp), and the measured rule prescribes the exact flat
+    scan for a small trained cell set even when the request was large.
     """
-    if assign_via_index == "auto":
+    auto = assign_via_index == "auto"
+    if auto:
         assign_via_index = n_cells > ASSIGN_INDEX_AUTO_CELLS
     elif isinstance(assign_via_index, str):
         raise ValueError(
@@ -800,6 +809,8 @@ def ivf_topk(
         seed=seed,
         refine_iters=refine_iters,
     )
+    if auto:  # re-check on the TRAINED count (may be clamped below n_cells)
+        assign_via_index = len(cents) > ASSIGN_INDEX_AUTO_CELLS
     assign = (
         (lambda df, c, **kw: ivf_assign_indexed(df, c, **kw))
         if assign_via_index

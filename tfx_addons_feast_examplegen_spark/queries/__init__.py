@@ -277,134 +277,90 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # ROUND-12 ROTATION (VERDICT r11 items 1-2; the plan recorded in
-    # the r11 comment block executes here, adjusted for this round's
-    # fingerprint drift exactly as the r10/r11 precedent). Slot 0:
-    # pit_join (entry() smoke, convention since r7).
+    # ROUND-13 ROTATION (VERDICT r12 item 2 executes the plan recorded
+    # in the r12 comment block below). Slot 0: pit_join (entry()
+    # smoke, convention since r7).
     #
-    # Slots 1-14: the FOURTEEN entries whose fingerprints drift with
-    # this round's hardening (tests/test_attestation.py forces them
-    # into the window; all were driver-green on the pre-edit tree):
-    # - semantic_dedup: assign_via_index now defaults to "auto" — the
-    #   measured rule (ASSIGN_INDEX_AUTO_CELLS = 1024, from the r11
-    #   scale probes) routing assignment through the two-stage index
-    #   past the flat scan's wall (VERDICT r11 item 3); the registry
-    #   entry trains 16 clusters, so its plan and answer are unchanged.
-    # - similarity_ann_exhaustive / similarity_ann_ivf /
-    #   similarity_ann_ivf_recall: both IVF trainers clamp
-    #   n_cells = min(n_cells, len(init rows)) so a corpus shorter
-    #   than n_cells trains the smaller cell set instead of KeyError-
-    #   ing in the refine rebuild (ADVICE); non-degenerate inputs are
-    #   byte-identical.
-    # - token_budget_select: ALL accumulation now runs in exact
-    #   integer units (weight * weight_scale validated integral in the
-    #   existing stats aggregate, summed as long) — the float-boundary
-    #   caveat is eliminated rather than documented (VERDICT r11
-    #   item 7); integer-weight inputs (the registry entry) select
-    #   identically.
-    # - dp_noisy_counts: docstring now states the DP guarantee is
-    #   computational over a SECRET, uniformly random, single-use
-    #   salt, and that a public/reused salt yields no privacy
-    #   (ADVICE).
-    # - source_warc_datasource / source_warc_write_roundtrip: the
-    #   writer honors mode("overwrite") (clears existing *.warc[.gz]
-    #   at planning) and append-mode files are named by task ATTEMPT
-    #   id — unique per write, still all-digits — so appends never
-    #   clobber on partition-id collision (ADVICE).
-    # - multimodal_image_dhash_neardup / multimodal_audio_fingerprint_
-    #   neardup / multimodal_corpus_prep: the decode stages grew the
-    #   optional decode_counter hook (accumulator, off-path when
-    #   unset) that makes the decode-once contract executable —
-    #   tests/test_decode_once.py pins counter == n_rows through both
-    #   near-dup queries (VERDICT r11 item 4).
-    # - dedup_segments: hashed mode pins the keyed segment frame
-    #   (two consumers re-ran the corpus scan + explode + hash).
-    # - dedup_jaccard_prefix_filter: pins the prefix frame (its
-    #   _bucket_pairs consumption re-ran the df join + ranking
-    #   window); also the oldest-r8 fill row the r11 plan scheduled.
-    # - pseudonymize_fk_audit: the entry grew pk_checksum
-    #   (sum(surrogate % 997) per nation) — counts/cents are
-    #   salt-invariant for any consistent injective surrogate, so the
-    #   checksum is what makes the oracle salt-SENSITIVE; the salt-
-    #   dropped and per-table-mismatch regressions are mutation-tested
-    #   red (VERDICT r11 item 6).
-    "dedup_jaccard_prefix_filter",
-    "dedup_segments",
-    "dp_noisy_counts",
-    "multimodal_audio_fingerprint_neardup",
-    "multimodal_corpus_prep",
-    "multimodal_image_dhash_neardup",
-    "semantic_dedup",
+    # Slots 1-6: the entries whose fingerprints drift with this
+    # round's hardening (all driver-green r12 on the pre-edit tree):
+    # - similarity_ann_exhaustive/_ivf/_ivf_recall: ivf_topk's
+    #   assign_via_index="auto" now re-resolves on the TRAINED
+    #   centroid count after training (a corpus shorter than n_cells
+    #   clamps; the measured rule prescribes the flat scan for a
+    #   small trained set even when the request was large — ADVICE
+    #   r12); non-clamped inputs, including these entries, plan
+    #   byte-identically.
+    # - source_warc_datasource / source_warc_write_roundtrip: append
+    #   stems are now (planning-time-salt << 22 | partitionId) — a
+    #   63-bit all-digits stem unique ACROSS application runs (bare
+    #   attempt ids restart near 0 in a new app and clobbered), and
+    #   every task writes temp-then-rename so a failed attempt never
+    #   leaves a readable archive (ADVICE r12 medium); the reader
+    #   considers only *.warc[.gz] names so leftover temps are inert.
+    # - stream_semantic_gate: semantic_cell_index records its resolved
+    #   flat/indexed routing in the cell column's metadata and
+    #   semantic_gate_stream validates it at probe time (ADVICE r12 —
+    #   the co-assignment guarantee requires build and probe to
+    #   assign identically); matching-route runs are byte-identical.
     "similarity_ann_exhaustive",
     "similarity_ann_ivf",
     "similarity_ann_ivf_recall",
-    "pseudonymize_fk_audit",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    "token_budget_select",
-    # Slot 15: NEW this round (never-attested entries MUST sit in the
-    # window): stream_semantic_gate — streaming SEMANTIC ingest gate
-    # (embedding edition of stream_neardup_gate): stateless per-row
-    # IVF cell assignment + stream-static equi-join on cell + exact
-    # cosine, vs a batch-built semantic_cell_index sharing the
-    # corpus-trained quantizer; planted exact-copy fixture makes the
-    # full cross cosine matrix SQL-replayable (threshold 0.95 >> the
-    # fixture's natural 0.6 ceiling, measured at all three SFs).
     "stream_semantic_gate",
-    # Slots 16-49: 34 of the 39 remaining r7-vintage rows (oldest
-    # attestation cohort, alphabetical). The drift cohort + new entry
-    # above cost five of the slots the r11 plan reserved for them —
-    # the alphabetical tail (text_unigram_logprob,
-    # time_rollup_multigrain, training_pipeline_v2,
-    # variant_props_typed, vocab_coverage_curve) moves to the ROUND-13
-    # plan below.
-    "corpus_report",
-    "decayed_activity_score",
-    "dedup_containment_scoped",
-    "dedup_exact_substring",
-    "dedup_remove_shared_runs",
-    "event_type_pmi",
-    "feature_drift_psi",
-    "federated_union_agg",
-    "graph_triangle_count",
-    "grouped_split_no_leakage",
-    "interpolate_timeseries",
-    "ivm_delta_agg",
-    "keyword_search_indexed",
-    "kfold_assignment",
-    "length_bucketing",
-    "mad_outliers",
-    "merge_upsert_cdc",
-    "nearest_event_join",
-    "percent_rank_transform",
-    "phrase_search_positional",
-    "props_map_explode",
-    "retention_cohorts",
-    "rolling_wau",
-    "similarity_ann_indexed",
-    "similarity_ann_pq_recall",
-    "sketch_hll_mergeable",
-    "skew_report",
-    "source_orc_roundtrip",
-    "source_overlap_audit",
-    "stream_error_recovery",
-    "streaming_matview_latest",
-    "table_pruned_scan",
-    "table_time_travel_diff",
-    "text_bigram_logprob",
-    # ROUND-13 WINDOW PLAN: the last 5 r7-vintage rows —
-    # text_unigram_logprob, time_rollup_multigrain,
-    # training_pipeline_v2, variant_props_typed, vocab_coverage_curve
-    # (displaced by this round's 14-entry drift cohort + the new
-    # stream_semantic_gate) — then the
-    # oldest r8 rows alphabetically (chunk_documents,
-    # column_correlations, corpus_novelty_rate, corpus_prep_pipeline,
-    # cusum_changepoints, dedup_exact, dedup_minhash_lsh,
-    # dedup_ngram_jaccard, dedup_simhash_portable,
-    # embedding_dedup_clusters, ... — dedup_jaccard_prefix_filter
-    # re-attests THIS round) to fill 50 after pit_join's slot-0
-    # convention. After r13 executes, the oldest driver row anywhere
-    # is r8's tail and the ~4-round full-fleet refresh cadence holds.
+    # Slots 7-11: the last 5 r7-vintage rows (oldest attestation
+    # cohort — retiring these completes the freshness goal: no driver
+    # row anywhere older than r8).
+    "text_unigram_logprob",
+    "time_rollup_multigrain",
+    "training_pipeline_v2",
+    "variant_props_typed",
+    "vocab_coverage_curve",
+    # Slots 12-49: 38 of the 39 r8-vintage rows, alphabetical (the
+    # tail row, windowed_event_counts, heads the ROUND-14 plan below).
+    "chunk_documents",
+    "column_correlations",
+    "corpus_novelty_rate",
+    "corpus_prep_pipeline",
+    "cusum_changepoints",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_portable",
+    "embedding_dedup_clusters",
+    "event_funnel",
+    "fk_integrity_audit",
+    "group_ols_trend",
+    "hash_split_counts",
+    "interevent_gap_stats",
+    "json_events_daily",
+    "multimodal_audio_stats",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "recursive_chain_walk",
+    "revenue_concentration",
+    "rolling_zscore_anomalies",
+    "sequence_example_roundtrip",
+    "sequence_packing",
+    "sessionization",
+    "sessionization_streaming",
+    "similarity_topk",
+    "text_bpe_token_budget",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "training_dataset_pipeline",
+    "weighted_sample_wor",
+    "window_topk_running",
+    # ROUND-14 WINDOW PLAN: windowed_event_counts (the r8 tail row
+    # displaced by this round's 6-entry drift cohort), then the oldest
+    # r9 rows alphabetically to fill 50 after pit_join's slot-0
+    # convention. After r14 executes, the oldest driver row anywhere
+    # is r9 and the ~4-round full-fleet refresh cadence holds.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -25,6 +25,7 @@ is the Spark-native generalization of that seam.
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -59,6 +60,12 @@ class WarcReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         parts = []
         for fname in sorted(os.listdir(self._dir)):
+            # only committed archives participate; a failed/aborted write
+            # attempt leaves at most a ``*.warc.tmp`` file (see
+            # WarcWriter.write's temp-then-rename protocol), which must
+            # never be parsed as data
+            if not fname.endswith((".warc", ".warc.gz")):
+                continue
             stem = fname.split(".")[0]
             if not stem.lstrip("-").isdigit():
                 raise ValueError(
@@ -101,12 +108,33 @@ class WarcWriter(DataSourceWriter):
 
     Modes: ``overwrite`` clears every existing ``*.warc[.gz]`` under
     the target (driver-side, at write planning) and names files by
-    partition id — a fresh deterministic layout; ``append`` names
-    files by the task ATTEMPT id (unique per write within the
-    application, still the all-digits stem the reader's
-    ``<doc_id>.warc`` contract requires), so successive appends can
-    never clobber an earlier write's archives on a partition-id
-    collision."""
+    partition id — a fresh deterministic layout; ``append`` composes
+    the stem as ``(salt << 22) | partitionId`` where ``salt`` is a
+    per-write token (planning-time epoch micros mod 2**41, captured
+    DRIVER-side when the writer is constructed and shipped to tasks
+    via writer pickling). The result is a positive integer below
+    2**63, so the reader's ``<doc_id>.warc`` digits-parse-to-long
+    contract holds, and it is unique ACROSS application runs, not
+    just within one SparkContext: a bare task-attempt-id stem (the
+    previous scheme) restarts near 0 in a new application and would
+    silently ``open(path, 'wb')`` over the prior run's archives.
+    Two appends to the same directory collide only if planned in the
+    same microsecond modulo ~25 days. Partition ids must fit 22 bits
+    (4.19M tasks per write — far above Spark's practical partition
+    counts); the writer raises past that rather than wrapping.
+
+    Durability protocol: every task writes to ``<stem>.warc.tmp`` and
+    ``os.replace``s to the final name only after the full archive body
+    is on disk. A task attempt that dies mid-write therefore never
+    leaves a readable ``.warc`` beside the committed ones (the reader
+    skips non-``*.warc[.gz]`` names), so a failed attempt that abort()
+    cannot see — it returned no commit message — is inert. Because the
+    stem depends on the PARTITION (not the attempt), a retry or
+    speculative twin of the same task renames identical content onto
+    the same final path: no duplicate archive, no truncated archive,
+    no double-counted records on subsequent reads."""
+
+    _PID_BITS = 22
 
     def __init__(self, options: dict, *, overwrite: bool):
         path = options.get("path")
@@ -114,6 +142,10 @@ class WarcWriter(DataSourceWriter):
             raise ValueError("warc datasource requires a path")
         self._dir = path
         self._overwrite = overwrite
+        # per-write salt, generated once on the DRIVER at planning time
+        # and shipped to every task via writer pickling; 41 bits keeps
+        # (salt << 22 | pid) inside the reader's signed-long doc_id
+        self._write_salt = (time.time_ns() // 1000) % (1 << 41)
         if overwrite and os.path.isdir(path):
             for fname in os.listdir(path):
                 if fname.endswith((".warc", ".warc.gz")):
@@ -131,11 +163,22 @@ class WarcWriter(DataSourceWriter):
         if not recs:
             return _WarcCommit(None, 0)
         ctx = TaskContext.get()
-        stem = ctx.partitionId() if self._overwrite else ctx.taskAttemptId()
+        pid = ctx.partitionId()
+        if self._overwrite:
+            stem = str(pid)
+        else:
+            if pid >= (1 << self._PID_BITS):
+                raise ValueError(
+                    f"warc append supports < 2**{self._PID_BITS} "
+                    f"partitions per write; got partition {pid}"
+                )
+            stem = str((self._write_salt << self._PID_BITS) | pid)
         os.makedirs(self._dir, exist_ok=True)
         path = os.path.join(self._dir, f"{stem}.warc")
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(build_warc(recs, gzip_members=False))
+        os.replace(tmp, path)
         return _WarcCommit(path, len(recs))
 
     def commit(self, messages) -> None:
