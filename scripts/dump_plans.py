@@ -233,6 +233,23 @@ condition — no BroadcastNestedLoopJoin, no CartesianProduct
 (pytest-guarded). Probed 10.7x faster than the BNLJ spelling at
 10M points x 10k intervals; BNLJ cost is points x intervals, this is
 points + matches.""",
+    "graph_hits": """The tree below is the scan of the two final rescaled score frames
+joined on node (same O(1)-lineage checkpoint pinning as pagerank).
+Each HALF-STEP's plan — per job in the UI — is one score-frame ×
+edge-frame equi-join plus one sum keyed on the receiving endpoint;
+the L2 norms are 1-row aggregates attached by broadcast, never a
+collect. Score state is ~|V| rows against an edge frame re-read from
+its pinned materialization; end-only normalization keeps every
+intermediate an exact integer (all-ones init), which is what lets the
+DuckDB oracle reproduce the arithmetic bit-for-bit before the single
+final sqrt+divide.""",
+    "contamination_report": """Graded decontamination with the corpus on the cheap side of every
+edge: benchmark shingles (tiny by the decontaminate premise) broadcast
+into the corpus-shingle probe join, the (doc, bench) overlap count is
+one map-side-combinable hash aggregate, and per-example totals attach
+by a second broadcast. The 100 TB corpus is scanned once and nothing
+shuffles keyed on its size — the exchanges move only surviving pair
+counts.""",
     "bpe_encode": """Tokenizer application as a map: the merge table is rank-ordered plan
 LITERALS driving chained aggregate() folds — the whole encode is one
 Project over the scan, zero exchanges, zero UDFs, zero joins. The

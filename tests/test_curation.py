@@ -301,3 +301,79 @@ def test_fingerprint_samplers_reject_string_keys(spark):
     inter = spark.createDataFrame([Row(u="a", i=1)], "u string, i long")
     with _pytest.raises(TypeError, match="integral key"):
         negative_sample(users, items, inter, user_col="u", item_col="i")
+
+
+def test_contamination_report_hand_computed(spark):
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        contamination_report,
+    )
+
+    # bench example 100: "the capital of france is paris" -> 4 distinct
+    # 3-grams. Doc 0 quotes "the capital of france" (2 of 4 -> 0.5);
+    # doc 1 shares nothing; doc 2 quotes the whole example (4 of 4).
+    corpus = _docs(
+        spark,
+        [
+            "today the capital of france was discussed",
+            "completely unrelated text about spark jobs",
+            "quiz answer the capital of france is paris indeed",
+        ],
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the capital of france is paris")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.bench_id): (r.overlap_ngrams, r.bench_ngrams, r.frac)
+        for r in contamination_report(
+            corpus, bench, n=3, min_frac=0.0
+        ).collect()
+    }
+    assert got == {(0, 100): (2, 4, 0.5), (2, 100): (4, 4, 1.0)}
+
+    # min_frac is a real filter: 0.6 keeps only the full quote
+    flagged = contamination_report(corpus, bench, n=3, min_frac=0.6)
+    assert [r.doc_id for r in flagged.collect()] == [2]
+
+
+def test_contamination_report_hashed_matches_strings(spark):
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        contamination_report,
+    )
+
+    corpus = _docs(
+        spark,
+        ["alpha beta gamma delta epsilon", "beta gamma delta zeta eta"],
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=7, text="beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, min_frac=0.0)
+    via_hash = {
+        tuple(r)
+        for r in contamination_report(corpus, bench, hashed=True, **kw).collect()
+    }
+    via_str = {
+        tuple(r)
+        for r in contamination_report(corpus, bench, hashed=False, **kw).collect()
+    }
+    assert via_hash == via_str and via_hash
+
+
+def test_contamination_report_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        contamination_report,
+    )
+
+    corpus = _docs(spark, ["a b c d"])
+    bench = spark.createDataFrame([Row(doc_id=1, text="a b c")],
+                                  "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_frac"):
+        contamination_report(corpus, bench, min_frac=1.5)
+    # benchmark side broadcasts (the corpus never shuffles as join input)
+    plan = contamination_report(corpus, bench, n=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -162,3 +162,71 @@ def test_bfs_rejects_negative_hops(spark):
     e = spark.createDataFrame([(1, 2)], "src: long, dst: long")
     with pytest.raises(ValueError):
         bfs_levels(e, e.select(F.col("src").alias("node")), max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _hits(spark, edges, **kw):
+    from tfx_addons_feast_examplegen_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    return {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, **kw).collect()
+    }
+
+
+def test_hits_hand_computed_bipartite(spark):
+    # h1,h2 -> a1; h2 -> a2. One iteration by hand (all-ones init):
+    #   auth(a1)=2, auth(a2)=1; hub(h1)=2, hub(h2)=2+1=3.
+    # L2-normalized: auth = (2,1)/sqrt(5), hub = (2,3)/sqrt(13);
+    # pure hubs have authority 0, pure authorities hub 0.
+    import math
+
+    got = _hits(spark, [("h1", "a1"), ("h2", "a1"), ("h2", "a2")],
+                iterations=1)
+    assert got["h1"][0] == pytest.approx(2 / math.sqrt(13))
+    assert got["h2"][0] == pytest.approx(3 / math.sqrt(13))
+    assert got["a1"][1] == pytest.approx(2 / math.sqrt(5))
+    assert got["a2"][1] == pytest.approx(1 / math.sqrt(5))
+    assert got["a1"][0] == got["a2"][0] == 0.0  # dangling: no out-edges
+    assert got["h1"][1] == got["h2"][1] == 0.0  # no in-edges
+
+
+def test_hits_per_iteration_normalization_same_direction(spark):
+    # The updates are linear, so per-iteration rescaling only multiplies
+    # by scalars and the final L2 normalization cancels them: both modes
+    # must return the SAME unit vectors.
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c")]
+    end = _hits(spark, e, iterations=4, normalize="end")
+    per = _hits(spark, e, iterations=4, normalize="per_iteration")
+    assert set(end) == set(per)
+    for n in end:
+        assert end[n][0] == pytest.approx(per[n][0], abs=1e-9)
+        assert end[n][1] == pytest.approx(per[n][1], abs=1e-9)
+
+
+def test_hits_duplicate_edges_collapse_and_nulls_drop(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("x", "y"), ("x", "y"), (None, "y"), ("x", None)],
+        "src: string, dst: string",
+    )
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(e, iterations=2).collect()}
+    assert set(got) == {"x", "y"}
+    assert got["x"] == (1.0, 0.0) and got["y"] == (0.0, 1.0)
+
+
+def test_hits_validation(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import hits
+
+    e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(e, iterations=0)
+    with pytest.raises(ValueError, match="normalize"):
+        hits(e, normalize="never")

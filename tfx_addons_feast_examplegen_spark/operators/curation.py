@@ -81,6 +81,77 @@ def decontaminate(
     return corpus.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_frac: float = 0.5,
+    hashed: bool = True,
+) -> DataFrame:
+    """Graded per-example decontamination (the PaLM/GPT-3 data-card
+    refinement of :func:`decontaminate`): for each (corpus doc,
+    benchmark example) pair, the fraction of the EXAMPLE's distinct
+    word n-grams that also occur in the doc — so a benchmark example
+    substantially quoted by a training document is attributed to that
+    document with a graded score, not just a binary corpus-level flag.
+    Returns ``(id_col, bench_id, overlap_ngrams, bench_ngrams, frac)``
+    for pairs with ``frac >= min_frac``.
+
+    Plan shape: benchmark shingles are tiny next to the corpus (the
+    :func:`decontaminate` premise) — the distinct ``(bench_id,
+    shingle)`` frame is BROADCAST; corpus shingles probe it in one
+    equi-join on the shingle, pair counts are one map-side-combinable
+    aggregate keyed on ``(doc, bench)``, and per-example totals attach
+    by a second broadcast. The 100 TB corpus is touched once, shuffles
+    only the surviving pair counts, and nothing keys on the corpus
+    side's size. ``hashed=True`` folds shingles to xxhash64 longs
+    (8-byte broadcast entries and probe keys; counts identical up to
+    ~|shingles|²/2⁶⁴ collisions, deterministic).
+    """
+    if not 0.0 <= min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in [0, 1]: {min_frac}")
+    from .dedup import _pin
+
+    doc_sh = shingles(corpus, id_col, text_col, n, hashed=hashed)
+    # two consumers below (probe join + totals): pinned so the
+    # benchmark shingling runs once (tiny frame — the pin is cheap
+    # insurance, the corpus side is what must never re-run)
+    bench_sh = _pin(
+        shingles(
+            benchmark.select(
+                F.col(bench_id_col).alias("bench_id"),
+                F.col(bench_text_col).alias("__btext"),
+            ),
+            "bench_id",
+            "__btext",
+            n,
+            hashed=hashed,
+        )
+    )
+    totals = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_ngrams")
+    )
+    overlaps = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        overlaps.join(F.broadcast(totals), "bench_id")
+        .withColumn(
+            "frac",
+            F.round(F.col("overlap_ngrams") / F.col("bench_ngrams"), 6),
+        )
+        .filter(F.col("frac") >= min_frac)
+        .select(id_col, "bench_id", "overlap_ngrams", "bench_ngrams", "frac")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -105,6 +105,110 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    node_col: str = "node",
+    hub_col: str = "hub",
+    auth_col: str = "authority",
+    normalize: str = "end",
+) -> DataFrame:
+    """Kleinberg's HITS (1999): mutually-reinforcing hub and authority
+    scores over the directed graph ``edges[(src, dst)]`` — the link-
+    quality signal web-corpus curation uses beside PageRank (a good hub
+    points at good authorities; a good authority is pointed at by good
+    hubs).
+
+    Update rule per iteration: ``auth(v) = sum_{u->v} hub(u)`` then
+    ``hub(u) = sum_{u->v} auth(v)`` (authorities first, from the
+    just-updated hubs — the standard ordering). Output is one row per
+    distinct node with BOTH scores, each L2-normalized.
+
+    ``normalize="end"`` (default): scores accumulate un-normalized —
+    with the all-ones init every intermediate value is an exact
+    integer (sums of products of integers), so the arithmetic is
+    bit-reproducible across engines — and each vector is divided by
+    its L2 norm once at the end. ``normalize="per_iteration"``
+    re-scales after every half-step instead. The two are the SAME
+    function of the graph: the updates are linear, so per-iteration
+    normalization only multiplies by scalars, and the final L2
+    normalization cancels any scalar — use per-iteration for graphs
+    deep/dense enough that un-normalized integer growth (~lambda_max
+    per round) would leave double's exact-integer range (2**53).
+
+    Shape, per half-step: one equi-join of the O(|V|) score frame
+    against the edge frame + one sum keyed on the receiving endpoint —
+    the Pregel-as-joins shape shared with :func:`pagerank`, edges
+    scanned once per half-step, scores re-materialized via
+    ``localCheckpoint`` (O(1)-deep lineage). Norms are 1-row
+    aggregates attached by broadcast, never a collect. Duplicate
+    edges are collapsed; NULL endpoints are dropped.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    if normalize not in ("end", "per_iteration"):
+        raise ValueError(
+            f"normalize must be 'end' or 'per_iteration': {normalize!r}"
+        )
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("__s").alias(node_col))
+        .union(e.select(F.col("__d").alias(node_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _rescale(scores: DataFrame, col: str) -> DataFrame:
+        norm = scores.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__norm")
+        )
+        return scores.crossJoin(F.broadcast(norm)).select(
+            node_col,
+            F.when(F.col("__norm") > 0, F.col(col) / F.col("__norm"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    def _push(scores: DataFrame, col: str, edge_from: str, edge_to: str,
+              out: str) -> DataFrame:
+        # sum the sending endpoint's score onto the receiving endpoint;
+        # nodes receiving nothing score 0 this half-step
+        summed = (
+            e.join(scores, e[edge_from] == scores[node_col])
+            .groupBy(edge_to)
+            .agg(F.sum(col).alias(out))
+        )
+        return (
+            nodes.join(summed, nodes[node_col] == summed[edge_to], "left")
+            .select(
+                nodes[node_col],
+                F.coalesce(F.col(out), F.lit(0.0)).alias(out),
+            )
+            .localCheckpoint()
+        )
+
+    hubs = nodes.withColumn(hub_col, F.lit(1.0)).localCheckpoint()
+    auths = None
+    for _ in range(iterations):
+        auths = _push(hubs, hub_col, "__s", "__d", auth_col)
+        if normalize == "per_iteration":
+            auths = _rescale(auths, auth_col)
+        hubs = _push(auths, auth_col, "__d", "__s", hub_col)
+        if normalize == "per_iteration":
+            hubs = _rescale(hubs, hub_col)
+    return _rescale(hubs, hub_col).join(
+        _rescale(auths, auth_col), node_col
+    )
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,

@@ -247,6 +247,8 @@ _ENTRY_ORDER = [
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
     "stream_semantic_gate",
+    "graph_hits",
+    "contamination_report",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -308,7 +310,16 @@ _DRIVER_PRIORITY = [
     "source_warc_datasource",
     "source_warc_write_roundtrip",
     "stream_semantic_gate",
-    # Slots 7-11: the last 5 r7-vintage rows (oldest attestation
+    # Slots 7-8: NEW this round (never-attested entries MUST sit in
+    # the window): graph_hits — Kleinberg hubs/authorities over the
+    # directed customer->supplier trade graph, exact-integer
+    # accumulation with one final L2 normalization so the unrolled
+    # DuckDB oracle does identical arithmetic; contamination_report —
+    # graded per-benchmark-example decontamination (overlap fraction
+    # attribution, the data-card refinement of `decontaminate`).
+    "graph_hits",
+    "contamination_report",
+    # Slots 9-13: the last 5 r7-vintage rows (oldest attestation
     # cohort — retiring these completes the freshness goal: no driver
     # row anywhere older than r8).
     "text_unigram_logprob",
@@ -316,8 +327,9 @@ _DRIVER_PRIORITY = [
     "training_pipeline_v2",
     "variant_props_typed",
     "vocab_coverage_curve",
-    # Slots 12-49: 38 of the 39 r8-vintage rows, alphabetical (the
-    # tail row, windowed_event_counts, heads the ROUND-14 plan below).
+    # Slots 14-49: 36 of the 39 r8-vintage rows, alphabetical (the
+    # tail rows — weighted_sample_wor, window_topk_running,
+    # windowed_event_counts — head the ROUND-14 plan below).
     "chunk_documents",
     "column_correlations",
     "corpus_novelty_rate",
@@ -354,13 +366,13 @@ _DRIVER_PRIORITY = [
     "text_tfidf_topterms",
     "text_token_stats",
     "training_dataset_pipeline",
-    "weighted_sample_wor",
-    "window_topk_running",
-    # ROUND-14 WINDOW PLAN: windowed_event_counts (the r8 tail row
-    # displaced by this round's 6-entry drift cohort), then the oldest
+    # ROUND-14 WINDOW PLAN: weighted_sample_wor, window_topk_running,
+    # windowed_event_counts (the r8 tail rows displaced by this
+    # round's 6-entry drift cohort + 2 new entries), then the oldest
     # r9 rows alphabetically to fill 50 after pit_join's slot-0
     # convention. After r14 executes, the oldest driver row anywhere
-    # is r9 and the ~4-round full-fleet refresh cadence holds.
+    # is r8's 3-row tail and the ~4-round full-fleet refresh cadence
+    # holds.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -645,6 +645,53 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Graded per-example decontamination: same corpus/benchmark split
+    # and n=3 shingling as the binary `decontaminate` entry, but each
+    # surviving (doc, benchmark example) pair carries the fraction of
+    # the example's distinct 3-grams the doc covers — the data-card
+    # attribution report, not just the purged corpus. min_frac=0.05
+    # keeps the report to meaningfully-overlapping pairs at every SF.
+    from ..operators.curation import contamination_report
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"]
+    return contamination_report(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=3,
+        min_frac=0.05,
+    )
+
+
+_CONTAMINATION_REPORT_ORACLE = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+cw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM cw, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+bw AS (SELECT doc_id AS bench_id, string_split(lower(text), ' ') AS w FROM bench),
+bsh AS (
+  SELECT DISTINCT bench_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM bw, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),
+tot AS (SELECT bench_id, COUNT(*) AS bench_ngrams FROM bsh GROUP BY bench_id),
+ov AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS overlap_ngrams
+  FROM csh c JOIN bsh b ON b.s = c.s
+  GROUP BY c.doc_id, b.bench_id
+)
+SELECT o.doc_id, o.bench_id,
+       CAST(o.overlap_ngrams AS BIGINT) AS overlap_ngrams,
+       CAST(t.bench_ngrams AS BIGINT) AS bench_ngrams,
+       round(o.overlap_ngrams / CAST(t.bench_ngrams AS DOUBLE), 6) AS frac
+FROM ov o JOIN tot t USING (bench_id)
+WHERE round(o.overlap_ngrams / CAST(t.bench_ngrams AS DOUBLE), 6) >= 0.05
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic domain-mix downsampling: per-status fractions via the
     # portable fingerprint hash (no RNG — identical row set on any
@@ -1159,6 +1206,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "target_encode_loo": (_q_target_encode, _TARGET_ENCODE_ORACLE),
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
+    "contamination_report": (_q_contamination_report, _CONTAMINATION_REPORT_ORACLE),
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
     "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
     "sequence_packing": (_q_sequence_packing, _SEQUENCE_PACKING_ORACLE),

@@ -1047,6 +1047,72 @@ SELECT node, CAST(MIN(level) AS BIGINT) AS level FROM walk GROUP BY node
 """
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs/authorities over the DIRECTED customer->supplier trade
+    # graph (no symmetrization: the bipartite direction is the whole
+    # point — customers are pure hubs, suppliers pure authorities, and
+    # the scores couple through the link structure). iterations=3 keeps
+    # the unrolled oracle readable; normalize="end" makes every
+    # intermediate an exact integer (all-ones init), so both engines
+    # do identical arithmetic until the single final sqrt+divide.
+    from ..operators.graph import hits
+
+    t = register_tables(spark, sf_dir)
+    edges = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    out = hits(edges, iterations=3)
+    return out.select(
+        "node",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
+_QHITS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs
+  )
+),
+h0 AS (SELECT node, 1.0 AS h FROM nodes),
+a1s AS (SELECT e.dst AS node, SUM(x.h) AS a FROM pairs e JOIN h0 x ON x.node = e.src GROUP BY e.dst),
+a1 AS (SELECT n.node, COALESCE(s.a, 0) AS a FROM nodes n LEFT JOIN a1s s USING (node)),
+h1s AS (SELECT e.src AS node, SUM(x.a) AS h FROM pairs e JOIN a1 x ON x.node = e.dst GROUP BY e.src),
+h1 AS (SELECT n.node, COALESCE(s.h, 0) AS h FROM nodes n LEFT JOIN h1s s USING (node)),
+a2s AS (SELECT e.dst AS node, SUM(x.h) AS a FROM pairs e JOIN h1 x ON x.node = e.src GROUP BY e.dst),
+a2 AS (SELECT n.node, COALESCE(s.a, 0) AS a FROM nodes n LEFT JOIN a2s s USING (node)),
+h2s AS (SELECT e.src AS node, SUM(x.a) AS h FROM pairs e JOIN a2 x ON x.node = e.dst GROUP BY e.src),
+h2 AS (SELECT n.node, COALESCE(s.h, 0) AS h FROM nodes n LEFT JOIN h2s s USING (node)),
+a3s AS (SELECT e.dst AS node, SUM(x.h) AS a FROM pairs e JOIN h2 x ON x.node = e.src GROUP BY e.dst),
+a3 AS (SELECT n.node, COALESCE(s.a, 0) AS a FROM nodes n LEFT JOIN a3s s USING (node)),
+h3s AS (SELECT e.src AS node, SUM(x.a) AS h FROM pairs e JOIN a3 x ON x.node = e.dst GROUP BY e.src),
+h3 AS (SELECT n.node, COALESCE(s.h, 0) AS h FROM nodes n LEFT JOIN h3s s USING (node)),
+hn AS (SELECT sqrt(SUM(h * h)) AS v FROM h3),
+an AS (SELECT sqrt(SUM(a * a)) AS v FROM a3)
+SELECT n.node,
+       round(CASE WHEN hn.v > 0 THEN h3.h / hn.v ELSE 0 END, 9) AS hub,
+       round(CASE WHEN an.v > 0 THEN a3.a / an.v ELSE 0 END, 9) AS authority
+FROM nodes n
+JOIN h3 USING (node) JOIN a3 USING (node), hn, an
+"""
+
+
 def _q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyless temporal containment — the range-join shape Spark plans
     # as a nested loop and this engine rewrites as a binned equi-join
@@ -1174,6 +1240,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_triangle_count": (_q_triangles, _QTRIANGLES_ORACLE),
     "graph_pagerank": (_q_pagerank, _QPAGERANK_ORACLE),
     "graph_bfs_levels": (_q_bfs_levels, _QBFS_ORACLE),
+    "graph_hits": (_q_hits, _QHITS_ORACLE),
     "interval_containment_join": (_q_interval_containment, _INTERVAL_CONTAINMENT_ORACLE),
     "interval_overlap_join": (_q_interval_overlap, _INTERVAL_OVERLAP_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
