@@ -204,6 +204,10 @@ def test_png_any_color_type_roundtrip(dims, color_type, rng):
             exp = [tuple(samples[i * 4 : i * 4 + 3]) for i in range(w * h)]
     pay = encode_png_typed(w, h, color_type, samples, palette)
     assert decode_png_rgb8_pixels(pay) == (w, h, exp)
+    # and the Adam7 encoding of the same image is pixel-identical — the
+    # interlace law for any geometry (empty/narrow passes included)
+    inter = encode_png_typed(w, h, color_type, samples, palette, interlace=True)
+    assert decode_png_rgb8_pixels(inter) == (w, h, exp)
 
 
 @settings(max_examples=30, deadline=None)

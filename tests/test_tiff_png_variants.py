@@ -66,17 +66,49 @@ def test_png_palette_roundtrip_and_errors():
         mm.decode_png_rgb8_pixels(bytes(chunks))
 
 
-def test_png_16bit_still_rejected():
-    pay = bytearray(mm.encode_png_typed(4, 4, 0, _pat(16)))
-    # IHDR depth byte lives at sig(8)+len(4)+type(4)+w(4)+h(4)
-    pay[24] = 16
-    # fix the CRC so the depth check, not the CRC check, fires
+def test_png_16bit_decodes_high_byte():
+    # depth-16 gray: big-endian samples (hi, lo); the decoder keeps the
+    # high byte (the spec's recommended 16->8 reduction). Low bytes are
+    # deliberately non-zero so a byte-order slip would corrupt pixels.
+    w, h = 5, 4
+    hi = _pat(w * h)
+    samples = b"".join(bytes((hi[i], (i * 37 + 5) % 256)) for i in range(w * h))
+    pay = mm.encode_png_typed(w, h, 0, samples, depth=16)
+    got = mm.decode_png_rgb8_pixels(pay)
+    assert got == (w, h, [(v, v, v) for v in hi])
+
+    # depth-16 RGB exercises filtering at the true 6-byte bpp offset
+    rgb_hi = _pat(w * h * 3)
+    rgb = b"".join(bytes((rgb_hi[i], 0xAB)) for i in range(w * h * 3))
+    got_w, got_h, px = mm.decode_png_rgb8_pixels(
+        mm.encode_png_typed(w, h, 2, rgb, depth=16)
+    )
+    assert (got_w, got_h) == (w, h)
+    assert px == list(zip(rgb_hi[0::3], rgb_hi[1::3], rgb_hi[2::3]))
+
+
+def test_png_sub8_and_16bit_palette_rejected_by_name():
     import zlib
 
-    ihdr = pay[16:29]
-    struct.pack_into(">I", pay, 29, zlib.crc32(b"IHDR" + bytes(pay[16:29]) ) & 0xFFFFFFFF)
-    with pytest.raises(ValueError, match="depth-8"):
+    pay = bytearray(mm.encode_png_typed(4, 4, 0, _pat(16)))
+    # IHDR depth byte lives at sig(8)+len(4)+type(4)+w(4)+h(4)
+    pay[24] = 4  # sub-8-bit stays out of scope
+    struct.pack_into(
+        ">I", pay, 29, zlib.crc32(b"IHDR" + bytes(pay[16:29])) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="depth-8/16"):
         mm.decode_png_rgb8_pixels(bytes(pay))
+    # 16-bit palette does not exist in the spec; encoder and decoder
+    # both refuse it by name rather than guessing a layout
+    with pytest.raises(ValueError, match="palette depth-8"):
+        mm.encode_png_typed(2, 2, 3, _pat(8), [(0, 0, 0)] * 256, depth=16)
+    pal = bytearray(mm.encode_png_typed(2, 2, 3, _pat(4), [(9, 9, 9)] * 256))
+    pal[24] = 16
+    struct.pack_into(
+        ">I", pal, 29, zlib.crc32(b"IHDR" + bytes(pal[16:29])) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="palette depth-8"):
+        mm.decode_png_rgb8_pixels(bytes(pal))
 
 
 # --------------------------------------------------------------- TIFF
@@ -266,19 +298,49 @@ def test_attach_tiff_payloads_matches_bmp_adapter(spark, sf_dir):
         assert tiff[k] == bmp[k]
 
 
-def test_png_adam7_interlace_rejected_by_name():
-    # Adam7-interlaced PNGs exist in real corpora; the decoder must
-    # reject them with the named reason (quarantine class), never by
-    # decoding garbage scanlines.
-    import zlib
+def test_png_adam7_interlace_decodes_identically():
+    # Adam7-interlaced PNGs exist in real corpora. The interlaced
+    # encoding of an image must decode pixel-identically to the
+    # sequential encoding — pass extraction, per-pass filter-state
+    # reset, and the scatter back to (x0 + i*dx, y0 + j*dy) all have to
+    # be right at once. Dimensions are deliberately NOT multiples of 8
+    # (they exercise the empty/narrow passes), and each image is big
+    # enough that every one of the 7 passes is non-empty.
+    for w, h, ctype in ((13, 9, 2), (9, 10, 0), (8, 8, 6), (5, 3, 2)):
+        n = w * h * {0: 1, 2: 3, 6: 4}[ctype]
+        samples = _pat(n)
+        seq = mm.decode_png_rgb8_pixels(mm.encode_png_typed(w, h, ctype, samples))
+        inter = mm.decode_png_rgb8_pixels(
+            mm.encode_png_typed(w, h, ctype, samples, interlace=True)
+        )
+        assert inter == seq
 
-    pay = bytearray(mm.encode_png_typed(4, 4, 2, _pat(48)))
-    pay[28] = 1  # IHDR interlace byte (sig 8 + len 4 + type 4 + 12)
-    struct.pack_into(
-        ">I", pay, 29, zlib.crc32(b"IHDR" + bytes(pay[16:29])) & 0xFFFFFFFF
+    # 16-bit + Adam7 together (both new paths at once)
+    w, h = 11, 7
+    hi = _pat(w * h)
+    s16 = b"".join(bytes((hi[i], 0x5A)) for i in range(w * h))
+    assert mm.decode_png_rgb8_pixels(
+        mm.encode_png_typed(w, h, 0, s16, depth=16, interlace=True)
+    ) == (w, h, [(v, v, v) for v in hi])
+
+    # a truncated final pass still fails loud, never silently short
+    import zlib as _zlib
+
+    pay = bytearray(mm.encode_png_typed(8, 8, 2, _pat(192), interlace=True))
+    p = pay.find(b"IDAT") - 4
+    ln = struct.unpack_from(">I", pay, p)[0]
+    idat = _zlib.decompress(bytes(pay[p + 8 : p + 8 + ln]))
+    clipped = _zlib.compress(idat[:-25])  # drop the last pass-7 row
+    rebuilt = (
+        bytes(pay[:p])
+        + struct.pack(">I", len(clipped))
+        + b"IDAT"
+        + clipped
+        + struct.pack(">I", _zlib.crc32(b"IDAT" + clipped) & 0xFFFFFFFF)
+        + bytes(pay[p + 12 + ln :])
     )
-    with pytest.raises(ValueError, match="interlace=1"):
-        mm.decode_png_rgb8_pixels(bytes(pay))
+    with pytest.raises(ValueError, match="length mismatch|unfilled"):
+        mm.decode_png_rgb8_pixels(rebuilt)
 
 
 def test_tiff_exif_baggage_tolerated():

@@ -253,16 +253,26 @@ def encode_png_typed(
     color_type: int,
     samples: bytes,
     palette: list[tuple[int, int, int]] | None = None,
+    *,
+    depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
-    """Serialize raw depth-8 samples as a PNG of any supported color
-    type (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA): the encoder
-    twin of the widened :func:`decode_png_rgb8_pixels`. ``samples`` is
-    the row-major channel byte stream at the type's bytes-per-pixel.
-    Filters cycle through all five types per row — same
+    """Serialize raw samples as a PNG of any supported color type
+    (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA): the encoder twin
+    of the widened :func:`decode_png_rgb8_pixels`. ``samples`` is the
+    row-major channel byte stream at the type's bytes-per-pixel
+    (``depth=16``: two big-endian bytes per sample; palette is depth-8
+    only, per spec). ``interlace=True`` writes the Adam7 layout: each
+    pass is an independently filtered mini-image of the pixels at
+    (x0 + i·dx, y0 + j·dy). Filters cycle through all five types per
+    scanline with filter state reset at each pass boundary — same
     meet-in-the-middle honesty as :func:`encode_png_rgb8`."""
     import zlib
 
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    if depth not in (8, 16) or (depth, color_type) == (16, 3):
+        raise ValueError("depth must be 8 or 16 (palette depth-8 only)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels * (depth // 8)
     if len(samples) != width * height * bpp:
         raise ValueError("sample length does not match dimensions")
     if (color_type == 3) != (palette is not None):
@@ -276,31 +286,59 @@ def encode_png_typed(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    def filt_rows(rows: list[bytes]) -> bytes:
+        # filter one independently-filtered image (whole image, or one
+        # Adam7 pass): prev starts at zeros, filters cycle per row
+        out = bytearray()
+        prev = bytes(len(rows[0])) if rows else b""
+        for y, row in enumerate(rows):
+            ft = y % 5
+            filt = bytearray(len(row))
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    filt[i] = row[i]
+                elif ft == 1:
+                    filt[i] = (row[i] - left) & 0xFF
+                elif ft == 2:
+                    filt[i] = (row[i] - up) & 0xFF
+                elif ft == 3:
+                    filt[i] = (row[i] - (left + up) // 2) & 0xFF
+                else:
+                    filt[i] = (row[i] - _paeth(left, up, ul)) & 0xFF
+            out += bytes((ft,)) + bytes(filt)
+            prev = row
+        return bytes(out)
+
     stride = width * bpp
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = samples[y * stride : (y + 1) * stride]
-        ft = y % 5
-        filt = bytearray(stride)
-        for i in range(stride):
-            left = row[i - bpp] if i >= bpp else 0
-            up = prev[i]
-            ul = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                filt[i] = row[i]
-            elif ft == 1:
-                filt[i] = (row[i] - left) & 0xFF
-            elif ft == 2:
-                filt[i] = (row[i] - up) & 0xFF
-            elif ft == 3:
-                filt[i] = (row[i] - (left + up) // 2) & 0xFF
-            else:
-                filt[i] = (row[i] - _paeth(left, up, ul)) & 0xFF
-        raw += bytes((ft,)) + bytes(filt)
-        prev = bytes(row)
+    if not interlace:
+        raw = filt_rows(
+            [samples[y * stride : (y + 1) * stride] for y in range(height)]
+        )
+    else:
+        raw = b""
+        for x0, dx, y0, dy in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            rows = []
+            for y in range(y0, height, dy):
+                rows.append(
+                    b"".join(
+                        samples[(y * width + x) * bpp : (y * width + x + 1) * bpp]
+                        for x in range(x0, width, dx)
+                    )
+                )
+            if rows and rows[0]:
+                raw += filt_rows(rows)
     out = _PNG_SIG + chunk(
-        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        b"IHDR",
+        struct.pack(
+            ">IIBBBBB", width, height, depth, color_type, 0, 0,
+            1 if interlace else 0,
+        ),
     )
     if palette is not None:
         out += chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
@@ -311,20 +349,27 @@ def encode_png_typed(
 def decode_png_rgb8_pixels(
     payload: bytes,
 ) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """Decode a depth-8 non-interlaced PNG into row-major top-down
-    (r, g, b) pixels: (width, height, pixels).
+    """Decode a PNG into row-major top-down (r, g, b) pixels:
+    (width, height, pixels).
 
     Real decoder: verifies the signature and every chunk CRC, parses
     IHDR (+ PLTE for palette images), concatenates multi-chunk IDAT
     streams, inflates, and reconstructs all five scanline filter types
     (None/Sub/Up/Average/Paeth) at the color type's true bytes-per-pixel
     (filtering references the PREVIOUS SAMPLE of the same channel, so a
-    wrong bpp corrupts every non-None row). All five depth-8 color
-    types are supported — 0 grayscale, 2 RGB, 3 palette, 4 gray+alpha,
-    6 RGBA — the variants that dominate real web corpora; alpha is
-    dropped (stats describe the stored color channels, not a composite)
-    and sub-8-bit / 16-bit depths and interlacing raise. Ancillary
-    chunks (tEXt, gAMA, tRNS, ...) are CRC-verified and skipped.
+    wrong bpp corrupts every non-None row). All five color types are
+    supported — 0 grayscale, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA —
+    at depth 8, plus depth 16 for the non-palette types (big-endian
+    samples; the high byte is kept — the spec's recommended 16→8
+    reduction; filtering still runs at the full 16-bit
+    bytes-per-pixel). Adam7 interlacing is decoded for real: each of
+    the 7 passes unfilters as its own mini-image (filter state resets
+    per pass, per spec) and its pixels scatter to (x0 + i·dx,
+    y0 + j·dy) in the output raster — pixel-identical to the
+    sequential decode of the same image. Alpha is dropped (stats
+    describe the stored color channels, not a composite); sub-8-bit
+    depths raise by name. Ancillary chunks (tEXt, gAMA, tRNS, ...)
+    are CRC-verified and skipped.
     """
     import zlib
 
@@ -347,12 +392,14 @@ def decode_png_rgb8_pixels(
                 struct.unpack(">IIBBBBB", data)
             )
             if (
-                depth != 8
+                depth not in (8, 16)
+                or (depth, color_type) == (16, 3)
                 or color_type not in (0, 2, 3, 4, 6)
-                or (comp, filt, interlace) != (0, 0, 0)
+                or (comp, filt) != (0, 0)
+                or interlace not in (0, 1)
             ):
                 raise ValueError(
-                    "only depth-8 non-interlaced PNG supported "
+                    "only depth-8/16 PNG supported (palette depth-8 only) "
                     f"(depth={depth}, color={color_type}, interlace={interlace})"
                 )
         elif ctype == b"PLTE":
@@ -378,48 +425,90 @@ def decode_png_rgb8_pixels(
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = width * bpp
-    if len(inflated) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    pixels: list[tuple[int, int, int]] = []
-    prev = bytes(stride)
-    for y in range(height):
-        off = y * (stride + 1)
-        ft = inflated[off]
-        row = bytearray(inflated[off + 1 : off + 1 + stride])
-        if ft == 1:
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ft == 2:
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ft == 3:
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
-        elif ft == 4:
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown PNG filter type {ft}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    sample = depth // 8  # bytes per sample (1 or 2)
+    bpp = channels * sample  # filter offset runs at the BYTE level
+
+    def _unfilter_rows(off: int, n_rows: int, stride: int):
+        # yields unfiltered scanlines; filter state local to one image
+        # or one Adam7 pass (prev row resets to zeros — per spec)
+        prev = bytes(stride)
+        for y in range(n_rows):
+            base = off + y * (stride + 1)
+            ft = inflated[base]
+            row = bytearray(inflated[base + 1 : base + 1 + stride])
+            if ft == 1:
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ft == 2:
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ft == 3:
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+            elif ft == 4:
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            prev = bytes(row)
+            yield row
+
+    def _row_rgb(row: bytearray) -> list[tuple[int, int, int]]:
+        # 16-bit samples are big-endian; keeping byte 0 of each sample
+        # IS the spec's recommended 16->8 reduction, so row[::sample]
+        # yields the 8-bit channel stream for either depth
+        ch = row[::sample] if sample == 2 else row
         if color_type == 2:
-            pixels.extend(zip(row[0::3], row[1::3], row[2::3]))
-        elif color_type == 0:
-            pixels.extend((v, v, v) for v in row)
-        elif color_type == 3:
+            return list(zip(ch[0::3], ch[1::3], ch[2::3]))
+        if color_type == 0:
+            return [(v, v, v) for v in ch]
+        if color_type == 3:
             try:
-                pixels.extend(palette[v] for v in row)
+                return [palette[v] for v in ch]
             except IndexError:
                 raise ValueError("PNG palette index out of range") from None
-        elif color_type == 4:  # gray + alpha; alpha dropped
-            pixels.extend((v, v, v) for v in row[0::2])
-        else:  # 6: RGBA; alpha dropped
-            pixels.extend(zip(row[0::4], row[1::4], row[2::4]))
-        prev = bytes(row)
-    return width, height, pixels
+        if color_type == 4:  # gray + alpha; alpha dropped
+            return [(v, v, v) for v in ch[0::2]]
+        return list(zip(ch[0::4], ch[1::4], ch[2::4]))  # 6: RGBA
+
+    if interlace == 0:
+        stride = width * bpp
+        if len(inflated) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        pixels: list[tuple[int, int, int]] = []
+        for row in _unfilter_rows(0, height, stride):
+            pixels.extend(_row_rgb(row))
+        return width, height, pixels
+
+    # Adam7: (x0, dx, y0, dy) per pass; empty passes contribute no bytes
+    passes = [
+        (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+        (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+    ]
+    raster: list[tuple[int, int, int] | None] = [None] * (width * height)
+    off = 0
+    for x0, dx, y0, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * bpp
+        if off + ph * (stride + 1) > len(inflated):
+            raise ValueError("PNG pixel data length mismatch")
+        for j, row in enumerate(_unfilter_rows(off, ph, stride)):
+            y = y0 + j * dy
+            for i, px in enumerate(_row_rgb(row)):
+                raster[y * width + x0 + i * dx] = px
+        off += ph * (stride + 1)
+    if off != len(inflated):
+        raise ValueError("PNG pixel data length mismatch")
+    if any(p is None for p in raster):
+        raise ValueError("PNG interlace passes left unfilled pixels")
+    return width, height, raster  # type: ignore[return-value]
 
 
 def decode_png_rgb8(payload: bytes) -> tuple[int, int, int, int, int, int, int]:

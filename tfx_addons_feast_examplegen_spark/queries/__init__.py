@@ -319,7 +319,23 @@ _DRIVER_PRIORITY = [
     # attribution, the data-card refinement of `decontaminate`).
     "graph_hits",
     "contamination_report",
-    # Slots 9-13: the last 5 r7-vintage rows (oldest attestation
+    # Slots 9-17: the PNG-decoder widening (Adam7 interlace decoded
+    # for real via per-pass unfilter + scatter; depth-16 big-endian
+    # samples decoded keeping the high byte — the spec's 16->8
+    # reduction; sub-8-bit and 16-bit-palette still rejected by name)
+    # lives in the shared codec module, so every entry that can reach
+    # it drifts and re-proves. Fixture payloads are depth-8
+    # sequential, so answers are byte-identical.
+    "multimodal_corpus_prep",
+    "multimodal_features",
+    "multimodal_image_dhash_neardup",
+    "multimodal_image_gif",
+    "multimodal_image_jpeg",
+    "multimodal_image_jpeg_progressive",
+    "multimodal_image_png",
+    "multimodal_image_resize",
+    "multimodal_image_tiff",
+    # Slots 18-22: the last 5 r7-vintage rows (oldest attestation
     # cohort — retiring these completes the freshness goal: no driver
     # row anywhere older than r8).
     "text_unigram_logprob",
@@ -327,9 +343,9 @@ _DRIVER_PRIORITY = [
     "training_pipeline_v2",
     "variant_props_typed",
     "vocab_coverage_curve",
-    # Slots 14-49: 36 of the 39 r8-vintage rows, alphabetical (the
-    # tail rows — weighted_sample_wor, window_topk_running,
-    # windowed_event_counts — head the ROUND-14 plan below).
+    # Slots 23-49: 27 of the 39 r8-vintage rows, alphabetical (the
+    # 12-row tail — similarity_topk through windowed_event_counts —
+    # heads the ROUND-14 plan below).
     "chunk_documents",
     "column_correlations",
     "corpus_novelty_rate",
@@ -357,22 +373,15 @@ _DRIVER_PRIORITY = [
     "sequence_packing",
     "sessionization",
     "sessionization_streaming",
-    "similarity_topk",
-    "text_bpe_token_budget",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf_topterms",
-    "text_token_stats",
-    "training_dataset_pipeline",
-    # ROUND-14 WINDOW PLAN: weighted_sample_wor, window_topk_running,
-    # windowed_event_counts (the r8 tail rows displaced by this
-    # round's 6-entry drift cohort + 2 new entries), then the oldest
-    # r9 rows alphabetically to fill 50 after pit_join's slot-0
+    # ROUND-14 WINDOW PLAN: the 12 r8 tail rows displaced by this
+    # round's 15-entry drift cohort + 2 new entries — similarity_topk,
+    # text_bpe_token_budget, text_fingerprint, text_lang_id,
+    # text_quality, text_repetition, text_tfidf_topterms,
+    # text_token_stats, training_dataset_pipeline, weighted_sample_wor,
+    # window_topk_running, windowed_event_counts — then the oldest r9
+    # rows alphabetically to fill 50 after pit_join's slot-0
     # convention. After r14 executes, the oldest driver row anywhere
-    # is r8's 3-row tail and the ~4-round full-fleet refresh cadence
-    # holds.
+    # is r9 and the ~4-round full-fleet refresh cadence holds.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
