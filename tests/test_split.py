@@ -185,3 +185,50 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, ["k"], how="full")
+
+
+def test_neardup_leakage_report_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.split import (
+        _assign,
+        fingerprint_bucket,
+        neardup_leakage_report,
+    )
+
+    # Pick ids whose fingerprint split is KNOWN (derived, not assumed),
+    # then plant near-identical texts across the boundary and an
+    # unrelated text that pairs with nothing.
+    ids = spark.range(200).select(
+        F.col("id"),
+        _assign(fingerprint_bucket(F.col("id"), 3),
+                [("train", 2), ("eval", 1)]).alias("s"),
+    ).collect()
+    train_ids = [r.id for r in ids if r.s == "train"]
+    eval_ids = [r.id for r in ids if r.s == "eval"]
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (train_ids[0], dup),
+        (train_ids[1], dup),                      # train-train pair
+        (eval_ids[0], dup),                       # leaks against both
+        (eval_ids[1], "totally different words about spark physical plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.leaked_eval_docs)
+        for r in neardup_leakage_report(docs).collect()
+    }
+    # exact copies: all three dup docs pair pairwise (hamming 0)
+    assert got[("train", "train")] == (1, 0)
+    assert got[("eval", "train")] == (2, 1)  # one eval doc, two cross pairs
+    assert ("eval", "eval") not in got
+
+    # the cap machinery passes through: error mode trips on a planted
+    # hot chunk (many exact copies share every chunk)
+    import pytest as _pytest
+
+    hot = spark.createDataFrame(
+        [(i, dup) for i in range(12)], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="over cap"):
+        neardup_leakage_report(hot, max_bucket=3, on_over_cap="error").collect()

@@ -136,3 +136,69 @@ def write_splits(
         .format(format)
         .save(out_dir)
     )
+
+
+def neardup_leakage_report(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: list[tuple[str, int]] | None = None,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    on_over_cap: str = "drop",
+) -> DataFrame:
+    """Cross-split near-duplicate LEAKAGE audit: how many near-dup
+    pairs straddle the train/eval boundary, and how many distinct eval
+    documents have a near-dup on the train side (the contamination
+    that silently inflates eval metrics — exact-dup splitting is
+    solved by grouped_split_no_leakage; this measures what the
+    NEAR-dup relation leaks through a plain hash split).
+
+    Pairs come from :func:`..dedup.simhash_pairs` (portable SimHash,
+    capped pigeonhole banding — one shuffle). Each endpoint's split is
+    RE-DERIVED from the same pure fingerprint arithmetic
+    :func:`fingerprint_split` assigns, as a projection on the pair
+    frame — no join attaches it, so the audit costs exactly the pair
+    generation, nothing keyed on corpus size.
+
+    Output: one row per unordered split combination —
+    ``(split_a, split_b, n_pairs, leaked_eval_docs)`` with
+    ``split_a <= split_b`` lexically; ``leaked_eval_docs`` counts
+    distinct ``'eval'``-side documents of eval/non-eval cross pairs
+    (0 on same-split rows, and for split schemes without an 'eval').
+    ``max_bucket``/``on_over_cap`` pass through to the pigeonhole
+    join's no-silent-caps machinery (15-bit portable chunks fill
+    linearly with corpus size — raise the cap for bigger corpora or
+    use ``"error"`` when the audit must be exact, as the oracle-gated
+    registry entry does).
+    """
+    from .dedup import simhash_pairs
+
+    splits = splits or [("train", 2), ("eval", 1)]
+    require_integral_key(docs, id_col, "neardup_leakage_report")
+    total = sum(n for _, n in splits)
+
+    def split_of(col: Column) -> Column:
+        return _assign(fingerprint_bucket(col, total), splits)
+
+    pairs = simhash_pairs(
+        docs, id_col, text_col, max_hamming=max_hamming, portable=True,
+        max_bucket=max_bucket, on_over_cap=on_over_cap,
+    )
+    sa, sb = split_of(F.col("doc_a")), split_of(F.col("doc_b"))
+    eval_side = F.when(
+        (sa == "eval") & (sb != "eval"), F.col("doc_a")
+    ).when((sb == "eval") & (sa != "eval"), F.col("doc_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+            eval_side.alias("__ev"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct(F.col("__ev")).alias("leaked_eval_docs"),
+        )
+    )

@@ -249,6 +249,7 @@ _ENTRY_ORDER = [
     "stream_semantic_gate",
     "graph_hits",
     "contamination_report",
+    "split_leakage_audit",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -319,7 +320,8 @@ _DRIVER_PRIORITY = [
     # attribution, the data-card refinement of `decontaminate`).
     "graph_hits",
     "contamination_report",
-    # Slots 9-17: the PNG-decoder widening (Adam7 interlace decoded
+    "split_leakage_audit",
+    # Slots 10-18: the PNG-decoder widening (Adam7 interlace decoded
     # for real via per-pass unfilter + scatter; depth-16 big-endian
     # samples decoded keeping the high byte — the spec's 16->8
     # reduction; sub-8-bit and 16-bit-palette still rejected by name)
@@ -335,7 +337,7 @@ _DRIVER_PRIORITY = [
     "multimodal_image_png",
     "multimodal_image_resize",
     "multimodal_image_tiff",
-    # Slots 18-22: the last 5 r7-vintage rows (oldest attestation
+    # Slots 19-23: the last 5 r7-vintage rows (oldest attestation
     # cohort — retiring these completes the freshness goal: no driver
     # row anywhere older than r8).
     "text_unigram_logprob",
@@ -343,9 +345,9 @@ _DRIVER_PRIORITY = [
     "training_pipeline_v2",
     "variant_props_typed",
     "vocab_coverage_curve",
-    # Slots 23-49: 27 of the 39 r8-vintage rows, alphabetical (the
-    # 12-row tail — similarity_topk through windowed_event_counts —
-    # heads the ROUND-14 plan below).
+    # Slots 24-49: 26 of the 39 r8-vintage rows, alphabetical (the
+    # 13-row tail — sessionization_streaming through
+    # windowed_event_counts — heads the ROUND-14 plan below).
     "chunk_documents",
     "column_correlations",
     "corpus_novelty_rate",
@@ -372,9 +374,9 @@ _DRIVER_PRIORITY = [
     "sequence_example_roundtrip",
     "sequence_packing",
     "sessionization",
-    "sessionization_streaming",
-    # ROUND-14 WINDOW PLAN: the 12 r8 tail rows displaced by this
-    # round's 15-entry drift cohort + 2 new entries — similarity_topk,
+    # ROUND-14 WINDOW PLAN: the 13 r8 tail rows displaced by this
+    # round's 15-entry drift cohort + 3 new entries —
+    # sessionization_streaming, similarity_topk,
     # text_bpe_token_budget, text_fingerprint, text_lang_id,
     # text_quality, text_repetition, text_tfidf_topterms,
     # text_token_stats, training_dataset_pipeline, weighted_sample_wor,

@@ -41,6 +41,55 @@ FROM orders GROUP BY 1 ORDER BY split
 """
 
 
+def _q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup leakage through a plain hash split: portable-SimHash
+    # pairs (the exact verifier of record) with each endpoint's split
+    # re-derived as pure fingerprint arithmetic — no join attaches the
+    # split, so the audit costs exactly the capped pair shuffle.
+    from ..operators.split import neardup_leakage_report
+
+    t = register_tables(spark, sf_dir)
+    # 15-bit portable chunks fill linearly with corpus size: the sf0.1
+    # sweep measured a >1000-doc chunk bucket (the dedup_simhash_portable
+    # precedent), so the entry raises the cap and keeps fail-fast — the
+    # uncapped brute-force oracle tolerates no silent drops.
+    return neardup_leakage_report(
+        t["documents"], max_bucket=4000, on_over_cap="error"
+    )
+
+
+def _split_leakage_oracle() -> str:
+    # reuses the SAME portable-SimHash CTE generator as the batch pair
+    # oracle and the streaming gate oracle (one derivation, three
+    # replays), plus the hash_split fingerprint arithmetic verbatim.
+    from .dedup import _simhash_sh_cte
+
+    def s(col: str) -> str:
+        return (
+            f"CASE WHEN (({col} * 2654435761) % 2147483648 + 2147483648) "
+            "% 2147483648 % 3 < 2 THEN 'train' ELSE 'eval' END"
+        )
+
+    return f"""
+{_simhash_sh_cte()},
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+lab AS (
+  SELECT da, db, {s('da')} AS sa, {s('db')} AS sb FROM pairs
+)
+SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE
+              WHEN sa = 'eval' AND sb <> 'eval' THEN da
+              WHEN sb = 'eval' AND sa <> 'eval' THEN db
+            END) AS BIGINT) AS leaked_eval_docs
+FROM lab GROUP BY 1, 2
+"""
+
+
 def _q_three_way_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SplitConfig generalizes past the TFX train/eval default: an
     # 8/1/1 train/val/test assignment from the same portable fingerprint
@@ -1223,6 +1272,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_sample_wor": (_q_wsample_wor_df, _QWSAMPLE_WOR),
     "three_way_split_counts": (_q_three_way_split, _THREE_WAY_SPLIT_ORACLE),
     "hash_split_counts": (_q_split_counts, _SPLIT_ORACLE),
+    "split_leakage_audit": (_q_split_leakage_audit, _split_leakage_oracle()),
     "corpus_prep_pipeline": (_q_corpus_prep, _corpus_prep_oracle()),
     "training_dataset_pipeline": (
         _q_training_dataset_pipeline,
