@@ -97,6 +97,12 @@ EXTENDED = [
     # round-11 continuation: winnowing fingerprint near-dup (lead()-
     # assembled grams, packed min-window selection, capped bucket join)
     "dedup_winnowing",
+    # round-13 additions: HITS (6 Pregel-as-joins half-steps), graded
+    # decontamination (broadcast bench shingles), and the cross-split
+    # near-dup leakage audit (capped pigeonhole pairs + arithmetic splits)
+    "graph_hits",
+    "contamination_report",
+    "split_leakage_audit",
 ]
 
 # The two indexed-ANN registry entries are equivalence/recall CONTRACTS
@@ -220,10 +226,16 @@ def _bench_prev_tree(sf_dir: str) -> dict | None:
         print("ab_prev skipped: no prior round commit", file=sys.stderr)
         return None
     wt = tempfile.mkdtemp(prefix="bench_ab_prev_")
+    # the child exists to expose the MACHINE delta, not to re-certify
+    # the old tree's floors: min-of-4 passes tracks min-of-7 within
+    # the ambient noise the A/B is correcting for, at ~60% of the cost
+    ab_passes = os.environ.get("SPARK_GRAFT_AB_PASSES", "4")
     env = dict(os.environ)
     env.update({
         "SPARK_GRAFT_AB": "0",  # the child must not recurse
         "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_BENCH_PASSES": ab_passes,
+        "SPARK_GRAFT_BENCH_EXTRA_PASSES": "2",
     })
     try:
         subprocess.run(
@@ -241,6 +253,7 @@ def _bench_prev_tree(sf_dir: str) -> dict | None:
             "value": parsed["value"],
             "extended_total": parsed.get("extended_total"),
             "queries": parsed.get("queries"),
+            "passes": int(ab_passes),
         }
     except Exception as e:
         print(f"ab_prev skipped: {e}", file=sys.stderr)

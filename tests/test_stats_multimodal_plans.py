@@ -1596,3 +1596,43 @@ def test_g711_spark_stage(spark, sf_dir):
     # PCM payloads quarantine instead of mis-expanding
     pcm = attach_wav_payloads(docs.limit(3))
     assert extract_g711_stats(pcm, on_error="skip").count() == 0
+
+
+def test_calibration_bins_hand_computed(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    # bin 0: scores .05/.05, labels 0/0 -> gap .05
+    # bin 9: scores .95 and the CLAMPED 1.0, labels 1/1 -> mean .975, gap .025
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.05, 0), (0.95, 1), (1.0, 1)], "s double, y int"
+    )
+    got = {r["bin"]: r for r in calibration_bins(df, "s", "y").collect()}
+    assert set(got) == {0, 9}  # 1.0 clamps into the top bin, no bin 10
+    assert got[0]["n"] == 2 and got[0]["mean_score"] == 0.05
+    assert got[0]["pos_rate"] == 0.0 and got[0]["gap"] == 0.05
+    assert got[9]["mean_score"] == 0.975 and got[9]["pos_rate"] == 1.0
+    assert got[9]["gap"] == 0.025
+    # ECE = (2*.05 + 2*.025) / 4 = 0.0375, identical on every row
+    assert {r["ece"] for r in got.values()} == {0.0375}
+
+    # perfectly calibrated input -> every gap 0, ece 0
+    perfect = spark.createDataFrame(
+        [(0.25, y) for y in (1, 0, 0, 0)] + [(0.75, y) for y in (1, 1, 1, 0)],
+        "s double, y int",
+    )
+    rows = calibration_bins(perfect, "s", "y").collect()
+    assert all(r["gap"] == 0.0 for r in rows)
+    assert all(r["ece"] == 0.0 for r in rows)
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "s", "y", n_bins=0)
+
+    # scalar attaches by broadcast — no collect, no extra wide shuffle
+    plan = calibration_bins(df, "s", "y")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

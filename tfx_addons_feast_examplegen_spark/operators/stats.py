@@ -289,3 +289,63 @@ def bootstrap_metric_ci(
         ).alias("ci_hi"),
         F.col("n_replicates").cast("long").alias("n_replicates"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a [0,1]
+    score against a binary label (Naeini et al. 2015's binned ECE —
+    the standard audit before a model/heuristic score is USED as a
+    probability, which :func:`..curation.weighted_sample` literally
+    does when it treats ``quality_score`` as a keep-probability).
+
+    Equal-width bins ``[i/n, (i+1)/n)`` with score 1.0 clamped into
+    the top bin. Output, one row per NON-EMPTY bin: ``(bin, n,
+    mean_score, pos_rate, gap, ece)`` — ``gap = |mean_score -
+    pos_rate|`` is the bin's reliability deviation and ``ece`` (the
+    n-weighted mean gap, identical on every row) rides along so one
+    frame carries both the diagram and the scalar.
+
+    Plan shape: one hash aggregate keyed on the bin (map-side
+    combinable — the shuffle moves ``n_bins`` partials per mapper, not
+    rows), then the 1-row ECE aggregate attaches by broadcast — the
+    same never-collect scalar pattern as the graph operators' norms.
+    100 TB of scored documents costs one scan + one tiny shuffle.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    bin_ = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    per = (
+        df.select(
+            bin_.alias("bin"),
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("__s").alias("__ms"),
+            F.avg("__y").alias("__pr"),
+        )
+    )
+    tot = per.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("__ms") - F.col("__pr")))
+            / F.sum("n")
+        ).alias("__ece")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round("__ms", 6).alias("mean_score"),
+        F.round("__pr", 6).alias("pos_rate"),
+        F.round(F.abs(F.col("__ms") - F.col("__pr")), 6).alias("gap"),
+        F.round("__ece", 6).alias("ece"),
+    )

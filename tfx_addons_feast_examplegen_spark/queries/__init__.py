@@ -250,6 +250,8 @@ _ENTRY_ORDER = [
     "graph_hits",
     "contamination_report",
     "split_leakage_audit",
+    "score_calibration_ece",
+    "score_calibration_ece",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -321,7 +323,8 @@ _DRIVER_PRIORITY = [
     "graph_hits",
     "contamination_report",
     "split_leakage_audit",
-    # Slots 10-18: the PNG-decoder widening (Adam7 interlace decoded
+    "score_calibration_ece",
+    # Slots 11-19: the PNG-decoder widening (Adam7 interlace decoded
     # for real via per-pass unfilter + scatter; depth-16 big-endian
     # samples decoded keeping the high byte — the spec's 16->8
     # reduction; sub-8-bit and 16-bit-palette still rejected by name)
@@ -337,7 +340,7 @@ _DRIVER_PRIORITY = [
     "multimodal_image_png",
     "multimodal_image_resize",
     "multimodal_image_tiff",
-    # Slots 19-23: the last 5 r7-vintage rows (oldest attestation
+    # Slots 20-24: the last 5 r7-vintage rows (oldest attestation
     # cohort — retiring these completes the freshness goal: no driver
     # row anywhere older than r8).
     "text_unigram_logprob",
@@ -345,9 +348,9 @@ _DRIVER_PRIORITY = [
     "training_pipeline_v2",
     "variant_props_typed",
     "vocab_coverage_curve",
-    # Slots 24-49: 26 of the 39 r8-vintage rows, alphabetical (the
-    # 13-row tail — sessionization_streaming through
-    # windowed_event_counts — heads the ROUND-14 plan below).
+    # Slots 25-49: 25 of the 39 r8-vintage rows, alphabetical (the
+    # 14-row tail — sessionization through windowed_event_counts —
+    # heads the ROUND-14 plan below).
     "chunk_documents",
     "column_correlations",
     "corpus_novelty_rate",
@@ -373,9 +376,8 @@ _DRIVER_PRIORITY = [
     "rolling_zscore_anomalies",
     "sequence_example_roundtrip",
     "sequence_packing",
-    "sessionization",
-    # ROUND-14 WINDOW PLAN: the 13 r8 tail rows displaced by this
-    # round's 15-entry drift cohort + 3 new entries —
+    # ROUND-14 WINDOW PLAN: the 14 r8 tail rows displaced by this
+    # round's 15-entry drift cohort + 4 new entries — sessionization,
     # sessionization_streaming, similarity_topk,
     # text_bpe_token_budget, text_fingerprint, text_lang_id,
     # text_quality, text_repetition, text_tfidf_topterms,

@@ -31,6 +31,47 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability diagram + ECE of the quality score against a cheap
+    # reference label (contains the English function word "the" —
+    # quality's stopword/uniq components make the score genuinely
+    # informative for it). The audit that belongs right before
+    # weighted_sample treats quality_score as a keep-probability.
+    from ..operators.stats import calibration_bins
+
+    t = register_tables(spark, sf_dir)
+    labeled = t["documents"].withColumn(
+        "y",
+        F.expr("contains(concat(' ', lower(text), ' '), ' the ')").cast(
+            "int"
+        ),
+    )
+    return calibration_bins(
+        tx.quality_score(labeled), "quality_score", "y", n_bins=10
+    )
+
+
+_SCORE_CALIBRATION_ORACLE = f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+j AS (
+  SELECT tq.quality_score AS s,
+         CASE WHEN contains(' ' || lower(d.text) || ' ', ' the ')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM tq JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT LEAST(CAST(floor(s * 10) AS INT), 9) AS bin,
+         COUNT(*) AS n, avg(s) AS ms, avg(y) AS pr
+  FROM j GROUP BY 1
+),
+tot AS (SELECT SUM(n * abs(ms - pr)) / SUM(n) AS ece FROM b)
+SELECT bin, CAST(n AS BIGINT) AS n, round(ms, 6) AS mean_score,
+       round(pr, 6) AS pos_rate, round(abs(ms - pr), 6) AS gap,
+       round((SELECT ece FROM tot), 6) AS ece
+FROM b
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     return (
@@ -1178,6 +1219,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_bpe_token_budget": (_q_bpe_tokens, _BPE_TOKENS_ORACLE),
     "text_tfidf_topterms": (_q_tfidf, _TFIDF_ORACLE),
     "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
+    "score_calibration_ece": (_q_score_calibration, _SCORE_CALIBRATION_ORACLE),
     "text_lang_id": (_q_lang_id, _langid_case()),
     "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
     "text_fingerprint": (_q_fingerprints, _FINGERPRINT_ORACLE),
