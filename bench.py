@@ -103,6 +103,8 @@ EXTENDED = [
     "graph_hits",
     "contamination_report",
     "split_leakage_audit",
+    "score_calibration_ece",
+    "cdc_chunking",
 ]
 
 # The two indexed-ANN registry entries are equivalence/recall CONTRACTS

@@ -250,6 +250,23 @@ one map-side-combinable hash aggregate, and per-example totals attach
 by a second broadcast. The 100 TB corpus is scanned once and nothing
 shuffles keyed on its size — the exchanges move only surviving pair
 counts.""",
+    "cdc_chunking": """Content-defined chunking in ONE exchange: tokens position-explode
+(narrow), the rolling gram assembles with lag() and the boundary flag +
+running boundary count are windows over the SAME partition-by-document
+ordering, and the final groupBy(doc, chunk_idx) is satisfied by that
+hash partitioning (clustered-distribution subset) — Catalyst plans no
+second exchange for the re-assembly. At 100 TB the cost is the token
+explode plus exactly one shuffle of (doc, pos, tok); chunk hashes are
+then the cross-revision dedup key, which is the whole point of CDC over
+fixed-stride windows.""",
+    "score_calibration_ece": """Calibration audit in one pass: the bin aggregate is map-side
+combinable (n_bins partials per mapper ride the exchange, not rows)
+and the ECE scalar is a global WINDOW over the resulting <= n_bins-row
+bin frame — deliberately not an aggregate-and-join-back, which would
+re-derive the bin aggregate from a second full corpus scan (the
+multi-consumer defect class; the single-partition window is free at
+n_bins rows). Scoring is pure scan-time expression (quality_score), so
+the whole audit consumes the corpus subtree exactly once.""",
     "bpe_encode": """Tokenizer application as a map: the merge table is rank-ordered plan
 LITERALS driving chained aggregate() folds — the whole encode is one
 Project over the scan, zero exchanges, zero UDFs, zero joins. The

@@ -1632,7 +1632,10 @@ def test_calibration_bins_hand_computed(spark):
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "s", "y", n_bins=0)
 
-    # scalar attaches by broadcast — no collect, no extra wide shuffle
+    # the corpus subtree is consumed ONCE: the ECE scalar comes from a
+    # window over the <= n_bins bin frame, never a join-back that would
+    # re-derive the bin aggregate from a second full scan
     plan = calibration_bins(df, "s", "y")._jdf.queryExecution(
     ).executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan ExistingRDD") == 1

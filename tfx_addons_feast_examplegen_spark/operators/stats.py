@@ -313,12 +313,18 @@ def calibration_bins(
 
     Plan shape: one hash aggregate keyed on the bin (map-side
     combinable — the shuffle moves ``n_bins`` partials per mapper, not
-    rows), then the 1-row ECE aggregate attaches by broadcast — the
-    same never-collect scalar pattern as the graph operators' norms.
-    100 TB of scored documents costs one scan + one tiny shuffle.
+    rows); the ECE scalar is a global window over the RESULTING bin
+    frame, which is bounded by ``n_bins`` rows — so the single-
+    partition window is free, and crucially the corpus subtree is
+    consumed ONCE (an aggregate-and-join-back spelling re-derives the
+    bin aggregate from a second full scan — the multi-consumer defect
+    class the r12 pin audit hunts). 100 TB of scored documents costs
+    one scan + one tiny shuffle.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    from pyspark.sql import Window
+
     bin_ = F.least(
         F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
     )
@@ -335,17 +341,16 @@ def calibration_bins(
             F.avg("__y").alias("__pr"),
         )
     )
-    tot = per.agg(
-        (
-            F.sum(F.col("n") * F.abs(F.col("__ms") - F.col("__pr")))
-            / F.sum("n")
-        ).alias("__ece")
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
+    # <= n_bins rows from here on: the global window costs nothing and
+    # keeps the corpus subtree single-consumer
+    w_all = Window.partitionBy()
+    gap = F.abs(F.col("__ms") - F.col("__pr"))
+    ece = F.sum(F.col("n") * gap).over(w_all) / F.sum("n").over(w_all)
+    return per.select(
         "bin",
         "n",
         F.round("__ms", 6).alias("mean_score"),
         F.round("__pr", 6).alias("pos_rate"),
-        F.round(F.abs(F.col("__ms") - F.col("__pr")), 6).alias("gap"),
-        F.round("__ece", 6).alias("ece"),
+        F.round(gap, 6).alias("gap"),
+        F.round(ece, 6).alias("ece"),
     )

@@ -363,6 +363,113 @@ def chunk_documents(
     )
 
 
+def cdc_chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    w: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking — the LBFS/FastCDC boundary rule at
+    token granularity: cut AFTER token position ``p`` when the rolling
+    hash of the ``w``-gram ENDING at ``p`` satisfies ``h % divisor ==
+    0``. Because boundaries depend only on local content, an edit
+    reshapes only the chunk it lands in (plus the ≤ w-1 windows it
+    touches); every later chunk hash is UNCHANGED — unlike the
+    fixed-stride :func:`chunk_documents`, where one insertion shifts
+    every subsequent window and defeats chunk-level dedup across
+    document revisions. Expected chunk length ≈ ``divisor`` tokens.
+
+    Output: ``(id_col, chunk_idx, n_tokens, chunk_hash, chunk_text)``
+    — ``chunk_hash`` (md5) is the cross-revision dedup key.
+
+    Plan shape (scale notes): tokens position-explode once; the gram
+    assembles with ``lag()`` (the linear ``winnow_fingerprints``
+    spelling, not a quadratic slice re-evaluation); boundary flag and
+    running boundary count are windows over the SAME
+    partition-by-document ordering — ONE hash shuffle on the id. The
+    final ``groupBy(id, chunk_idx)`` is satisfied by that same
+    partitioning (clustered-distribution subset), so re-assembly adds
+    no second exchange. The gram hash is the portable 44-bit md5
+    prefix (`dedup._WINNOW_HASH`), so boundaries replay exactly in an
+    ANSI oracle. Tokenization is single-space split with NO empty
+    filtering (the winnowing convention — positions align with the SQL
+    replay engine-for-engine).
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1: {w}")
+    if divisor < 1:
+        raise ValueError(f"divisor must be >= 1: {divisor}")
+    from pyspark.sql import Window
+
+    order = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos0", "tok"
+        ),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), F.col("tok"))
+    # gram ENDING at pos: tokens pos-w+1..pos via lag (linear)
+    parts = [F.lag("tok", j).over(order) for j in range(w - 1, 0, -1)] + [
+        F.col("tok")
+    ]
+    full = parts[0].isNotNull() if w > 1 else F.lit(True)
+    flagged = toks.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.concat_ws(" ", *parts).alias("gram"),
+        full.alias("__full"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        (
+            F.col("__full")
+            & (
+                F.expr(
+                    "CAST(conv(substr(md5(gram), 1, 11), 16, 10) AS BIGINT)"
+                )
+                % divisor
+                == 0
+            )
+        )
+        .cast("int")
+        .alias("__boundary"),
+    )
+    chunked = flagged.select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum("__boundary").over(
+                order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("chunk_idx"),
+    )
+    assembled = chunked.groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return assembled.select(
+        F.col(id_col),
+        "chunk_idx",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+        "chunk_text",
+    )
+
+
 def _toks_sql(text_col: str) -> str:
     """SQL text of the tokens() expression (for use inside F.expr)."""
     return f"filter(split(lower({text_col}), ' '), x -> x != '')"

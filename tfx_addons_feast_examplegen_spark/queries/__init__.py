@@ -251,6 +251,7 @@ _ENTRY_ORDER = [
     "contamination_report",
     "split_leakage_audit",
     "score_calibration_ece",
+    "cdc_chunking",
     "score_calibration_ece",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
@@ -313,18 +314,20 @@ _DRIVER_PRIORITY = [
     "source_warc_datasource",
     "source_warc_write_roundtrip",
     "stream_semantic_gate",
-    # Slots 7-8: NEW this round (never-attested entries MUST sit in
-    # the window): graph_hits — Kleinberg hubs/authorities over the
-    # directed customer->supplier trade graph, exact-integer
-    # accumulation with one final L2 normalization so the unrolled
-    # DuckDB oracle does identical arithmetic; contamination_report —
-    # graded per-benchmark-example decontamination (overlap fraction
-    # attribution, the data-card refinement of `decontaminate`).
+    # Slots 7-11: NEW this round (never-attested entries MUST sit in
+    # the window): graph_hits (Kleinberg hubs/authorities, exact-
+    # integer accumulation + end-only L2 normalization so the unrolled
+    # oracle does identical arithmetic), contamination_report (graded
+    # per-benchmark-example decontamination), split_leakage_audit
+    # (cross-split near-dup leakage), score_calibration_ece
+    # (reliability bins + ECE), cdc_chunking (content-defined
+    # chunking, the LBFS/FastCDC boundary rule at token granularity).
     "graph_hits",
     "contamination_report",
     "split_leakage_audit",
     "score_calibration_ece",
-    # Slots 11-19: the PNG-decoder widening (Adam7 interlace decoded
+    "cdc_chunking",
+    # Slots 12-20: the PNG-decoder widening (Adam7 interlace decoded
     # for real via per-pass unfilter + scatter; depth-16 big-endian
     # samples decoded keeping the high byte — the spec's 16->8
     # reduction; sub-8-bit and 16-bit-palette still rejected by name)
@@ -340,7 +343,7 @@ _DRIVER_PRIORITY = [
     "multimodal_image_png",
     "multimodal_image_resize",
     "multimodal_image_tiff",
-    # Slots 20-24: the last 5 r7-vintage rows (oldest attestation
+    # Slots 21-25: the last 5 r7-vintage rows (oldest attestation
     # cohort — retiring these completes the freshness goal: no driver
     # row anywhere older than r8).
     "text_unigram_logprob",
@@ -348,8 +351,8 @@ _DRIVER_PRIORITY = [
     "training_pipeline_v2",
     "variant_props_typed",
     "vocab_coverage_curve",
-    # Slots 25-49: 25 of the 39 r8-vintage rows, alphabetical (the
-    # 14-row tail — sessionization through windowed_event_counts —
+    # Slots 26-49: 24 of the 39 r8-vintage rows, alphabetical (the
+    # 15-row tail — sequence_packing through windowed_event_counts —
     # heads the ROUND-14 plan below).
     "chunk_documents",
     "column_correlations",
@@ -375,10 +378,9 @@ _DRIVER_PRIORITY = [
     "revenue_concentration",
     "rolling_zscore_anomalies",
     "sequence_example_roundtrip",
-    "sequence_packing",
-    # ROUND-14 WINDOW PLAN: the 14 r8 tail rows displaced by this
-    # round's 15-entry drift cohort + 4 new entries — sessionization,
-    # sessionization_streaming, similarity_topk,
+    # ROUND-14 WINDOW PLAN: the 15 r8 tail rows displaced by this
+    # round's 15-entry drift cohort + 5 new entries — sequence_packing,
+    # sessionization, sessionization_streaming, similarity_topk,
     # text_bpe_token_budget, text_fingerprint, text_lang_id,
     # text_quality, text_repetition, text_tfidf_topterms,
     # text_token_stats, training_dataset_pipeline, weighted_sample_wor,

@@ -31,6 +31,44 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-defined chunking: boundary where the portable 44-bit md5
+    # rolling-gram hash ≡ 0 (mod 8) — chunk hashes stay dedupable
+    # across document revisions because boundaries depend only on
+    # local content. One shuffle (the per-doc window ordering); the
+    # chunk re-assembly reuses it.
+    t = register_tables(spark, sf_dir)
+    return tx.cdc_chunk_documents(t["documents"], w=4, divisor=8)
+
+
+_CDC_CHUNKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tok,
+         CASE WHEN i >= 4 AND
+              CAST(('0x' || substr(md5(array_to_string(w[i-3:i], ' ')),
+                                   1, 11)) AS BIGINT) % 8 = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM tok
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM c GROUP BY 1, 2
+"""
+
+
 def _q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reliability diagram + ECE of the quality score against a cheap
     # reference label (contains the English function word "the" —
@@ -1220,6 +1258,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tfidf_topterms": (_q_tfidf, _TFIDF_ORACLE),
     "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
     "score_calibration_ece": (_q_score_calibration, _SCORE_CALIBRATION_ORACLE),
+    "cdc_chunking": (_q_cdc_chunking, _CDC_CHUNKING_ORACLE),
     "text_lang_id": (_q_lang_id, _langid_case()),
     "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
     "text_fingerprint": (_q_fingerprints, _FINGERPRINT_ORACLE),
