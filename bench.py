@@ -347,14 +347,6 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Same-sitting A/B: the parent session is done timing, so release
-    # its executors before the previous-round child JVM runs (both
-    # trees then see comparable free memory; the shared page cache is
-    # warm for both — min-of-n passes with warm-up makes each tree's
-    # floors steady-state either way).
-    spark.stop()
-    ab_prev = _bench_prev_tree(sf_dir)
-
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -379,10 +371,7 @@ def main() -> None:
         "extended_load_1min_per_pass": ext_loads,
         "extended_load_at_floor": ext_floor_loads,
     }
-    if ab_prev is not None:
-        # previous round's tree, measured at THIS sitting: the code
-        # delta is (value / ab_prev.value); anything else is machine
-        full["ab_prev"] = ab_prev
+
     # The full payload (~2.6 KB) outgrew the driver's 2000-char stdout
     # tail capture and BENCH_r09.json recorded parsed:null, losing the
     # round's headline number (VERDICT r9 item 1). Persist everything to
@@ -392,33 +381,54 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1)
-        f.write("\n")
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": full["sf"],
-        "extended_total": full["extended_total"],
-        "extended": ext_timings,
-        "full": "BENCH_FULL.json",
-    }
-    if ab_prev is not None:
-        compact["ab_prev"] = {
-            "ref": ab_prev["ref"][:12],
-            "value": ab_prev["value"],
-            "extended_total": ab_prev["extended_total"],
+
+    def _emit() -> None:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+        compact = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": full["sf"],
+            "extended_total": full["extended_total"],
+            "extended": ext_timings,
+            "full": "BENCH_FULL.json",
         }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1500:
-        # Degrade gracefully rather than ever overflowing the capture
-        # window again: drop the extended floors (they live in the full
-        # payload) before the headline floors.
-        compact.pop("extended", None)
+        if "ab_prev" in full:
+            compact["ab_prev"] = {
+                "ref": full["ab_prev"]["ref"][:12],
+                "value": full["ab_prev"]["value"],
+                "extended_total": full["ab_prev"]["extended_total"],
+            }
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+        if len(line) > 1500:
+            # Degrade gracefully rather than ever overflowing the
+            # capture window again: drop the extended floors (they live
+            # in the full payload) before the headline floors.
+            compact.pop("extended", None)
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line, flush=True)
+
+    # Emit the round's numbers IMMEDIATELY — if an external deadline
+    # kills the process during the A/B child below, the last stdout
+    # line is still a complete, parseable artifact.
+    _emit()
+
+    # Same-sitting A/B: the parent session is done timing, so release
+    # its executors before the previous-round child JVM runs (both
+    # trees then see comparable free memory; the shared page cache is
+    # warm for both — min-of-n passes with warm-up makes each tree's
+    # floors steady-state either way). Re-emit with ab_prev on success
+    # (the driver records the LAST line).
+    spark.stop()
+    ab_prev = _bench_prev_tree(sf_dir)
+    if ab_prev is not None:
+        # previous round's tree, measured at THIS sitting: the code
+        # delta is (value / ab_prev.value); anything else is machine
+        full["ab_prev"] = ab_prev
+        _emit()
 
 
 if __name__ == "__main__":

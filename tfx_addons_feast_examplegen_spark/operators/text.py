@@ -396,6 +396,16 @@ def cdc_chunk_documents(
     ANSI oracle. Tokenization is single-space split with NO empty
     filtering (the winnowing convention — positions align with the SQL
     replay engine-for-engine).
+
+    Chunk length is geometric with mean ``divisor`` for content whose
+    grams hash uniformly; there is deliberately NO max-length forced
+    cut — FastCDC's max-cut rule depends on the position of the
+    previous cut (a sequential recurrence no window function
+    expresses), so an adversarial document whose gram hashes never hit
+    the boundary residue degenerates to ONE chunk. That worst case
+    equals what :func:`chunk_documents` with ``chunk_tokens=len(doc)``
+    would produce; route adversarial/binary content through the
+    fixed-stride chunker instead.
     """
     if w < 1:
         raise ValueError(f"w must be >= 1: {w}")
