@@ -230,3 +230,72 @@ def test_hits_validation(spark):
         hits(e, iterations=0)
     with pytest.raises(ValueError, match="normalize"):
         hits(e, normalize="never")
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa(spark, edges, **kw):
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    return {
+        r["node"]: r["label"] for r in label_propagation(df, **kw).collect()
+    }
+
+
+def _sym(edges):
+    return edges + [(b, a) for a, b in edges]
+
+
+def test_lpa_two_cliques_stay_separate_communities(spark):
+    # two triangles bridged by one edge: each clique converges to ONE
+    # label and the bridge is too weak to merge them (1 vote vs 2).
+    # The label VALUE is whatever the deterministic tie-breaks flood
+    # (here 'c' crosses the bridge into the second clique in round 1
+    # and then wins inside it) — the community PARTITION is the
+    # contract, not the label identity.
+    k1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    k2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    got = _lpa(spark, _sym(k1 + k2 + [("c", "x")]), iterations=4)
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+    # and the result is a fixed point by round 3 (stable, no oscillation)
+    assert got == _lpa(spark, _sym(k1 + k2 + [("c", "x")]), iterations=3)
+
+
+def test_lpa_synchronous_round_semantics_hand_computed(spark):
+    # path a-b-c, ONE synchronous round, votes use PREVIOUS labels:
+    #   a sees {b} -> b; b sees {a, c} -> a (tie, smallest); c sees {b}
+    got = _lpa(spark, _sym([("a", "b"), ("b", "c")]), iterations=1)
+    assert got == {"a": "b", "b": "a", "c": "b"}
+
+
+def test_lpa_isolated_and_directed_fallback(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # directed-only edge: 'src' has no in-neighbors and must KEEP its
+    # previous label through every round, not drop out or go null
+    got = _lpa(spark, [("s", "t")], iterations=3)
+    assert got["s"] == "s" and got["t"] == "s"
+
+    e = label_propagation(
+        spark.createDataFrame([("a", None)], "src: string, dst: string"),
+        iterations=1,
+    )
+    assert e.collect() == []  # null endpoints drop; no nodes remain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        label_propagation(
+            spark.createDataFrame([("a", "b")], "src: string, dst: string"),
+            iterations=0,
+        )

@@ -209,6 +209,80 @@ def hits(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """SYNCHRONOUS label propagation communities (Raghavan, Albert &
+    Kumara 2007): every node starts with its own id as label; each
+    round every node adopts the most frequent label among its
+    in-neighbors' PREVIOUS labels, smallest label on ties, keeping its
+    previous label when it has no in-neighbors. Pass a symmetrized
+    edge list for the paper's undirected semantics.
+
+    Deliberately the synchronous variant with a total tie-break: the
+    asynchronous one (and random tie-breaks) are order-dependent, and
+    a nondeterministic answer can neither be oracle-checked nor
+    reproduced across retries — the same determinism rule every other
+    operator here follows. Label oscillation on bipartite structure —
+    the known cost of synchronous updates — is bounded by running a
+    fixed iteration count rather than to convergence.
+
+    Shape, per round: one score-frame × edge-frame equi-join, one
+    (node, label) count aggregate, one row_number pick — the
+    Pregel-as-joins shape shared with :func:`pagerank`/:func:`hits`;
+    labels re-materialize via ``localCheckpoint`` (O(1) lineage),
+    nothing reaches the driver. State is O(|V|) rows per round.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("__s").alias(node_col))
+        .union(e.select(F.col("__d").alias(node_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn(label_col, F.col(node_col)).localCheckpoint()
+    w = Window.partitionBy("__d").orderBy(
+        F.desc("__c"), F.asc(label_col)
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["__s"] == labels[node_col])
+            .groupBy("__d", label_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        picked = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__d"), F.col(label_col).alias("__new"))
+        )
+        labels = (
+            labels.join(picked, labels[node_col] == picked["__d"], "left")
+            .select(
+                labels[node_col],
+                F.coalesce(F.col("__new"), labels[label_col]).alias(
+                    label_col
+                ),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,

@@ -252,7 +252,7 @@ _ENTRY_ORDER = [
     "split_leakage_audit",
     "score_calibration_ece",
     "cdc_chunking",
-    "score_calibration_ece",
+    "graph_label_propagation",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -327,7 +327,8 @@ _DRIVER_PRIORITY = [
     "split_leakage_audit",
     "score_calibration_ece",
     "cdc_chunking",
-    # Slots 12-20: the PNG-decoder widening (Adam7 interlace decoded
+    "graph_label_propagation",
+    # Slots 14-22: the PNG-decoder widening (Adam7 interlace decoded
     # for real via per-pass unfilter + scatter; depth-16 big-endian
     # samples decoded keeping the high byte — the spec's 16->8
     # reduction; sub-8-bit and 16-bit-palette still rejected by name)
@@ -343,7 +344,7 @@ _DRIVER_PRIORITY = [
     "multimodal_image_png",
     "multimodal_image_resize",
     "multimodal_image_tiff",
-    # Slots 21-25: the last 5 r7-vintage rows (oldest attestation
+    # Slots 22-26: the last 5 r7-vintage rows (oldest attestation
     # cohort — retiring these completes the freshness goal: no driver
     # row anywhere older than r8).
     "text_unigram_logprob",
@@ -351,9 +352,9 @@ _DRIVER_PRIORITY = [
     "training_pipeline_v2",
     "variant_props_typed",
     "vocab_coverage_curve",
-    # Slots 26-49: 24 of the 39 r8-vintage rows, alphabetical (the
-    # 15-row tail — sequence_packing through windowed_event_counts —
-    # heads the ROUND-14 plan below).
+    # Slots 27-49: 23 of the 39 r8-vintage rows, alphabetical (the
+    # 16-row tail — sequence_example_roundtrip through
+    # windowed_event_counts — heads the ROUND-14 plan below).
     "chunk_documents",
     "column_correlations",
     "corpus_novelty_rate",
@@ -377,9 +378,9 @@ _DRIVER_PRIORITY = [
     "recursive_chain_walk",
     "revenue_concentration",
     "rolling_zscore_anomalies",
-    "sequence_example_roundtrip",
-    # ROUND-14 WINDOW PLAN: the 15 r8 tail rows displaced by this
-    # round's 15-entry drift cohort + 5 new entries — sequence_packing,
+    # ROUND-14 WINDOW PLAN: the 16 r8 tail rows displaced by this
+    # round's 15-entry drift cohort + 6 new entries —
+    # sequence_example_roundtrip, sequence_packing,
     # sessionization, sessionization_streaming, similarity_topk,
     # text_bpe_token_budget, text_fingerprint, text_lang_id,
     # text_quality, text_repetition, text_tfidf_topterms,

@@ -1113,6 +1113,79 @@ JOIN h3 USING (node) JOIN a3 USING (node), hn, an
 """
 
 
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synchronous LPA communities over the SYMMETRIZED trade graph
+    # (same fixture as pagerank/bfs — undirected semantics per the
+    # paper). 2 iterations, smallest-label tie-break: deterministic by
+    # construction, so the unrolled oracle replays it exactly.
+    from ..operators.graph import label_propagation
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return label_propagation(edges, iterations=2)
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    # one synchronous round: in-neighbor label votes -> most frequent,
+    # smallest label on ties, previous label when no in-neighbors
+    return f"""
+v{out} AS (
+  SELECT e.dst AS node, p.label, COUNT(*) AS c
+  FROM edges e JOIN {prev} p ON p.node = e.src
+  GROUP BY 1, 2
+),
+p{out} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label)
+             AS rn
+    FROM v{out}
+  ) WHERE rn = 1
+),
+{out} AS (
+  SELECT q.node, COALESCE(p.label, q.label) AS label
+  FROM {prev} q LEFT JOIN p{out} p USING (node)
+)"""
+
+
+_QLPA_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+  )
+),
+l0 AS (
+  SELECT DISTINCT node, node AS label FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),{_lpa_round_sql('l0', 'l1')},{_lpa_round_sql('l1', 'l2')}
+SELECT node, label FROM l2
+"""
+
+
 def _q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyless temporal containment — the range-join shape Spark plans
     # as a nested loop and this engine rewrites as a binned equi-join
@@ -1241,6 +1314,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_pagerank": (_q_pagerank, _QPAGERANK_ORACLE),
     "graph_bfs_levels": (_q_bfs_levels, _QBFS_ORACLE),
     "graph_hits": (_q_hits, _QHITS_ORACLE),
+    "graph_label_propagation": (_q_label_propagation, _QLPA_ORACLE),
     "interval_containment_join": (_q_interval_containment, _INTERVAL_CONTAINMENT_ORACLE),
     "interval_overlap_join": (_q_interval_overlap, _INTERVAL_OVERLAP_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
