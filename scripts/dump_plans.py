@@ -250,6 +250,16 @@ one map-side-combinable hash aggregate, and per-example totals attach
 by a second broadcast. The 100 TB corpus is scanned once and nothing
 shuffles keyed on its size — the exchanges move only surviving pair
 counts.""",
+    "graph_label_propagation": """The tree below is the scan of the final checkpointed label frame
+(same O(1)-lineage pinning as pagerank/hits/bfs). Each ROUND's plan —
+per job in the UI — is: label×edge equi-join shuffling on the join
+key, the (node, label) vote aggregate reusing that exchange, a
+row_number pick partitioned on the receiving node, and a left join
+back onto the previous labels for the no-in-neighbor fallback. Label
+state is O(|V|) rows; the edge frame is re-read each round from its
+pinned materialization. Synchronous + smallest-label tie-break is what
+makes the answer a pure function of the graph — the property the
+unrolled oracle depends on.""",
     "cdc_chunking": """Content-defined chunking in ONE exchange: tokens position-explode
 (narrow), the rolling gram assembles with lag() and the boundary flag +
 running boundary count are windows over the SAME partition-by-document
