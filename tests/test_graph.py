@@ -299,3 +299,53 @@ def test_lpa_isolated_and_directed_fallback(spark):
             spark.createDataFrame([("a", "b")], "src: string, dst: string"),
             iterations=0,
         )
+
+
+def test_lpa_matches_python_model_on_random_graphs(spark):
+    # Independent Python model of the synchronous update rule, checked
+    # over deterministic pseudo-random digraphs (same house style as
+    # the BFS random-graph test): most-frequent in-neighbor previous
+    # label, smallest label on ties, keep previous with no in-neighbors.
+    import random
+    from collections import Counter
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(1311)
+    for trial in range(4):
+        n = rng.randint(4, 12)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        edges = sorted(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b] or [(nodes[0], nodes[1])]
+        iters = rng.randint(1, 3)
+
+        in_nbrs: dict[str, list[str]] = {}
+        present = set()
+        for a, b in edges:
+            in_nbrs.setdefault(b, []).append(a)
+            present.update((a, b))
+        labels = {v: v for v in present}
+        for _ in range(iters):
+            nxt = {}
+            for v in present:
+                votes = Counter(labels[u] for u in in_nbrs.get(v, []))
+                if votes:
+                    top = max(votes.values())
+                    nxt[v] = min(l for l, c in votes.items() if c == top)
+                else:
+                    nxt[v] = labels[v]
+            labels = nxt
+
+        df = spark.createDataFrame(edges, "src: string, dst: string")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == labels, (trial, iters, edges)
