@@ -378,9 +378,25 @@ def main() -> None:
     # a committed file and keep the FINAL stdout line a compact summary
     # (headline + per-query floors only, well under the capture window)
     # so the driver artifact always parses.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    #
+    # VERDICT r13 nit 2: a verification re-run (judge or builder)
+    # writing BENCH_FULL.json in place clobbers the uncommitted
+    # artifact of record. The in-place write is now opt-in
+    # (SPARK_GRAFT_BENCH_ARTIFACT=1, set by the builder's round-end
+    # artifact run before committing); default runs land the full
+    # payload at a temp path, printed in the compact line's "full"
+    # field so it is still inspectable.
+    artifact_mode = os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT", "0") == "1"
+    if artifact_mode:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+    else:
+        import tempfile
+
+        full_path = os.path.join(
+            tempfile.gettempdir(), f"BENCH_FULL.{os.getpid()}.json"
+        )
 
     def _emit() -> None:
         with open(full_path, "w") as f:
@@ -394,7 +410,7 @@ def main() -> None:
             "sf": full["sf"],
             "extended_total": full["extended_total"],
             "extended": ext_timings,
-            "full": "BENCH_FULL.json",
+            "full": "BENCH_FULL.json" if artifact_mode else full_path,
         }
         if "ab_prev" in full:
             compact["ab_prev"] = {

@@ -260,6 +260,28 @@ state is O(|V|) rows; the edge frame is re-read each round from its
 pinned materialization. Synchronous + smallest-label tie-break is what
 makes the answer a pure function of the graph — the property the
 unrolled oracle depends on.""",
+    "graph_label_propagation_weighted": """Weighted LPA: identical round shape to graph_label_propagation —
+label×edge equi-join, (node, label) vote aggregate reusing the join
+exchange, row_number pick, fallback left join — with the vote tally a
+SUM of the edge weight instead of a COUNT. Parallel (src, dst) edges
+pre-accumulate in the one-time edge normalization aggregate (also where
+unweighted dedups), so per-round cost is byte-identical to the
+unweighted entry: the weight rides the pinned edge frame as one extra
+long column. Integral weights keep the sums exact, preserving the
+determinism the unrolled oracle replays.""",
+    "graph_sssp": """The tree below is the scan of the final checkpointed best-distance
+frame (O(1)-lineage pinning, the pagerank rationale). Each ROUND —
+one job in the UI — is bounded Bellman-Ford relaxation: the CURRENT
+improvement frontier equi-joins the pinned edge frame, the candidate
+distances pre-combine in a map-side min() keyed on the destination
+(the round's relaxations shrink to one row per touched node BEFORE the
+shuffle), and a join against the running best keeps strict
+improvements only — a settled region generates no frontier rows and
+costs nothing in later rounds. State is O(|V|); parallel edges
+collapsed to min weight once, up front. The hop-limited semantics
+(min cost over paths of <= max_rounds edges) is exactly what the
+oracle's unrolled relaxation computes, so the answer is
+oracle-checkable without convergence assumptions.""",
     "cdc_chunking": """Content-defined chunking in ONE exchange: tokens position-explode
 (narrow), the rolling gram assembles with lag() and the boundary flag +
 running boundary count are windows over the SAME partition-by-document

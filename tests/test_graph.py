@@ -349,3 +349,217 @@ def test_lpa_matches_python_model_on_random_graphs(spark):
             for r in label_propagation(df, iterations=iters).collect()
         }
         assert got == labels, (trial, iters, edges)
+
+
+def test_lpa_weighted_hand_computed_and_accumulation(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # path a-b-c with a HEAVY a->b edge: b's vote is a:5 vs c:1, so
+    # weight outvotes the unweighted tie (which picked 'a' only via
+    # the smallest-label break); c still adopts b's previous label.
+    edges = [("a", "b", 5), ("b", "a", 5), ("b", "c", 1), ("c", "b", 1)]
+    df = spark.createDataFrame(edges, "src: string, dst: string, w: long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, weight_col="w", iterations=1).collect()
+    }
+    assert got == {"a": "b", "b": "a", "c": "b"}
+
+    # heavier minority beats numerous light votes: z sees x:1+1 vs y:3
+    edges2 = [("x1", "z", 1), ("x2", "z", 1), ("y", "z", 3)]
+    # make label sources stable: x1/x2/y keep their own labels (no
+    # in-edges), z adopts the heaviest total = y
+    df2 = spark.createDataFrame(edges2, "src: string, dst: string, w: long")
+    got2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            df2, weight_col="w", iterations=1
+        ).collect()
+    }
+    assert got2["z"] == "y"
+
+    # parallel (src, dst) edges ACCUMULATE: two w=2 edges x->z total 4,
+    # outvoting y's 3
+    edges3 = edges2 + [("x1", "z", 3)]
+    df3 = spark.createDataFrame(edges3, "src: string, dst: string, w: long")
+    got3 = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            df3, weight_col="w", iterations=1
+        ).collect()
+    }
+    assert got3["z"] == "x1"
+
+    # weight_col=None with all-1 weights == unweighted
+    u = spark.createDataFrame(
+        [(a, b) for a, b, _ in edges], "src: string, dst: string"
+    )
+    uw = spark.createDataFrame(
+        [(a, b, 1) for a, b, _ in edges], "src: string, dst: string, w: long"
+    )
+    assert sorted(
+        map(tuple, label_propagation(u, iterations=2).collect())
+    ) == sorted(
+        map(
+            tuple,
+            label_propagation(uw, weight_col="w", iterations=2).collect(),
+        )
+    )
+
+
+def test_lpa_weighted_matches_python_model_on_random_graphs(spark):
+    # Independent model: votes sum integer edge weights (parallel
+    # edges pre-accumulated), max total then smallest label.
+    import random
+    from collections import defaultdict
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(1407)
+    for trial in range(4):
+        n = rng.randint(4, 12)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        raw = [
+            (rng.choice(nodes), rng.choice(nodes), rng.randint(1, 5))
+            for _ in range(rng.randint(n, 3 * n))
+        ]
+        raw = [(a, b, w) for a, b, w in raw if a != b] or [
+            (nodes[0], nodes[1], 2)
+        ]
+        iters = rng.randint(1, 3)
+
+        acc: dict[tuple[str, str], int] = defaultdict(int)
+        for a, b, w in raw:
+            acc[(a, b)] += w
+        in_nbrs: dict[str, list[tuple[str, int]]] = defaultdict(list)
+        present = set()
+        for (a, b), w in acc.items():
+            in_nbrs[b].append((a, w))
+            present.update((a, b))
+        labels = {v: v for v in present}
+        for _ in range(iters):
+            nxt = {}
+            for v in present:
+                votes: dict[str, int] = defaultdict(int)
+                for u, w in in_nbrs.get(v, []):
+                    votes[labels[u]] += w
+                if votes:
+                    top = max(votes.values())
+                    nxt[v] = min(l for l, c in votes.items() if c == top)
+                else:
+                    nxt[v] = labels[v]
+            labels = nxt
+
+        df = spark.createDataFrame(raw, "src: string, dst: string, w: long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                df, weight_col="w", iterations=iters
+            ).collect()
+        }
+        assert got == labels, (trial, iters, raw)
+
+
+# ---------------------------------------------------------------------------
+# weighted shortest paths (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+
+def _sssp(spark, edges, seeds, **kw):
+    from tfx_addons_feast_examplegen_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(edges, "src: string, dst: string, w: double")
+    s = spark.createDataFrame([(x,) for x in seeds], "node: string")
+    return {r["node"]: r["dist"] for r in sssp(e, s, weight_col="w", **kw).collect()}
+
+
+def test_sssp_hand_computed_relaxation(spark):
+    # a -1-> b -1-> c plus a direct a -5-> c: the cheap 2-hop path
+    # must undercut the expensive direct edge (strict improvement in
+    # round 2 over round 1's dist)
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0)]
+    got = _sssp(spark, edges, ["a"], max_rounds=3)
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+    # hop bound binds: max_rounds=1 sees only the direct edge
+    got1 = _sssp(spark, edges, ["a"], max_rounds=1)
+    assert got1 == {"a": 0.0, "b": 1.0, "c": 5.0}
+
+    # parallel edges collapse to their MIN
+    got2 = _sssp(
+        spark, edges + [("a", "b", 0.5)], ["a"], max_rounds=2
+    )
+    assert got2["b"] == 0.5 and got2["c"] == 1.5
+
+    # multi-seed: min over seeds; seeds stay 0 even when re-reached
+    got3 = _sssp(spark, edges, ["a", "c"], max_rounds=3)
+    assert got3 == {"a": 0.0, "b": 1.0, "c": 0.0}
+
+    # unreachable-within-bound nodes absent; max_rounds=0 -> seeds only
+    got4 = _sssp(spark, edges, ["a"], max_rounds=0)
+    assert got4 == {"a": 0.0}
+
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import sssp
+
+    with _pytest.raises(ValueError, match="max_rounds"):
+        sssp(
+            spark.createDataFrame(
+                [("a", "b", 1.0)], "src: string, dst: string, w: double"
+            ),
+            spark.createDataFrame([("a",)], "node: string"),
+            weight_col="w",
+            max_rounds=-1,
+        )
+
+
+def test_sssp_matches_python_dijkstra_on_random_graphs(spark):
+    # Independent Dijkstra (non-negative integral weights) over
+    # deterministic pseudo-random digraphs. max_rounds = n guarantees
+    # the hop-limited relaxation has converged to true shortest paths,
+    # so the two algorithms must agree exactly.
+    import heapq
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(1499)
+    for trial in range(4):
+        n = rng.randint(4, 12)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        raw = {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randint(n, 4 * n))
+        }
+        edges = [
+            (a, b, float(rng.randint(1, 9))) for a, b in sorted(raw) if a != b
+        ] or [(nodes[0], nodes[1], 2.0)]
+        seeds = sorted(rng.sample(nodes, rng.randint(1, 2)))
+
+        adj: dict[str, list[tuple[str, float]]] = defaultdict(list)
+        best_edge: dict[tuple[str, str], float] = {}
+        for a, b, w in edges:
+            k = (a, b)
+            if k not in best_edge or w < best_edge[k]:
+                best_edge[k] = w
+        for (a, b), w in best_edge.items():
+            adj[a].append((b, w))
+        dist = {s: 0.0 for s in seeds}
+        pq = [(0.0, s) for s in seeds]
+        heapq.heapify(pq)
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj[u]:
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+
+        got = _sssp(spark, edges, seeds, max_rounds=n)
+        assert got == dist, (trial, seeds, edges)

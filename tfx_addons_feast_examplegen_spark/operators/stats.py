@@ -305,7 +305,14 @@ def calibration_bins(
     does when it treats ``quality_score`` as a keep-probability).
 
     Equal-width bins ``[i/n, (i+1)/n)`` with score 1.0 clamped into
-    the top bin. Output, one row per NON-EMPTY bin: ``(bin, n,
+    the top bin. Input contract, enforced LOUD: scores must be
+    non-NULL and inside [0,1], labels non-NULL — a mis-scaled score
+    (logit instead of probability, a stray -1 sentinel, NULLs from an
+    outer join) raises at execution via a JVM-side ``raise_error``
+    branch instead of quietly landing in a phantom bin and biasing the
+    n-weighted ECE scalar. The guard is a ``when`` over the same
+    projection — no extra scan, no UDF. Output, one row per NON-EMPTY
+    bin: ``(bin, n,
     mean_score, pos_rate, gap, ece)`` — ``gap = |mean_score -
     pos_rate|`` is the bin's reliability deviation and ``ece`` (the
     n-weighted mean gap, identical on every row) rides along so one
@@ -325,14 +332,31 @@ def calibration_bins(
         raise ValueError(f"n_bins must be >= 1: {n_bins}")
     from pyspark.sql import Window
 
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    bad = s.isNull() | y.isNull() | (s < 0.0) | (s > 1.0)
+    checked = F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "calibration_bins: out-of-contract input "
+                "(%s must be a non-NULL probability in [0,1], "
+                "%s non-NULL): score=%s label=%s",
+                F.lit(score_col),
+                F.lit(label_col),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+                F.coalesce(y.cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(s)
     bin_ = F.least(
-        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+        F.floor(checked * n_bins).cast("int"), F.lit(n_bins - 1)
     )
     per = (
         df.select(
             bin_.alias("bin"),
-            F.col(score_col).cast("double").alias("__s"),
-            F.col(label_col).cast("double").alias("__y"),
+            checked.alias("__s"),
+            y.alias("__y"),
         )
         .groupBy("bin")
         .agg(

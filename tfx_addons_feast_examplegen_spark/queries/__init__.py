@@ -253,6 +253,8 @@ _ENTRY_ORDER = [
     "score_calibration_ece",
     "cdc_chunking",
     "graph_label_propagation",
+    "graph_label_propagation_weighted",
+    "graph_sssp",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -283,112 +285,100 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # ROUND-13 ROTATION (VERDICT r12 item 2 executes the plan recorded
-    # in the r12 comment block below). Slot 0: pit_join (entry()
-    # smoke, convention since r7).
+    # ROUND-14 ROTATION (VERDICT r13 items 1-2 + the r13 comment
+    # block's recorded plan). Slot 0: pit_join (entry() smoke,
+    # convention since r7).
     #
-    # Slots 1-6: the entries whose fingerprints drift with this
-    # round's hardening (all driver-green r12 on the pre-edit tree):
-    # - similarity_ann_exhaustive/_ivf/_ivf_recall: ivf_topk's
-    #   assign_via_index="auto" now re-resolves on the TRAINED
-    #   centroid count after training (a corpus shorter than n_cells
-    #   clamps; the measured rule prescribes the flat scan for a
-    #   small trained set even when the request was large — ADVICE
-    #   r12); non-clamped inputs, including these entries, plan
-    #   byte-identically.
-    # - source_warc_datasource / source_warc_write_roundtrip: append
-    #   stems are now (planning-time-salt << 22 | partitionId) — a
-    #   63-bit all-digits stem unique ACROSS application runs (bare
-    #   attempt ids restart near 0 in a new app and clobbered), and
-    #   every task writes temp-then-rename so a failed attempt never
-    #   leaves a readable archive (ADVICE r12 medium); the reader
-    #   considers only *.warc[.gz] names so leftover temps are inert.
-    # - stream_semantic_gate: semantic_cell_index records its resolved
-    #   flat/indexed routing in the cell column's metadata and
-    #   semantic_gate_stream validates it at probe time (ADVICE r12 —
-    #   the co-assignment guarantee requires build and probe to
-    #   assign identically); matching-route runs are byte-identical.
-    "similarity_ann_exhaustive",
-    "similarity_ann_ivf",
-    "similarity_ann_ivf_recall",
+    # Slots 1-2: NEW this round (never-attested entries MUST sit in
+    # the window): graph_sssp (weighted shortest paths — bounded
+    # Bellman-Ford as joins, min-combine before the shuffle,
+    # strict-improvement frontier) and graph_label_propagation_weighted
+    # (votes SUM edge weights — evidence-strength communities; same
+    # round shape as unweighted LPA).
+    "graph_sssp",
+    "graph_label_propagation_weighted",
+    # Slots 3-7: the entries whose fingerprints drift with this
+    # round's hardening (all driver-green r13 on the pre-edit tree):
+    # - contamination_report: corpus-side shingle distinct deferred to
+    #   count(DISTINCT) AFTER the broadcast probe, so the dedup
+    #   shuffle keys on probe survivors, never the full corpus shingle
+    #   stream (VERDICT r13 nit 1; 1.21x at sf0.1, identical results).
+    # - graph_label_propagation: label_propagation() gained the
+    #   weight_col parameter (None = the attested unweighted path,
+    #   votes now SUM a literal-1 long — same tallies, same answer).
+    # - score_calibration_ece: calibration_bins now fails LOUD
+    #   (JVM-side raise_error in the same projection) on NULL
+    #   score/label or score outside [0,1] instead of silently binning
+    #   them (ADVICE r13); in-contract inputs plan identically.
+    # - source_warc_datasource / source_warc_write_roundtrip: temp
+    #   files are attempt-unique (<stem>.warc.<taskAttemptId>.tmp) so
+    #   racing attempts never interleave one handle (ADVICE r13
+    #   medium), and the append salt folds in driver pid + random bits
+    #   against the 25-day epoch-micros wrap (ADVICE r13 low).
+    "contamination_report",
+    "graph_label_propagation",
+    "score_calibration_ece",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    "stream_semantic_gate",
-    # Slots 7-11: NEW this round (never-attested entries MUST sit in
-    # the window): graph_hits (Kleinberg hubs/authorities, exact-
-    # integer accumulation + end-only L2 normalization so the unrolled
-    # oracle does identical arithmetic), contamination_report (graded
-    # per-benchmark-example decontamination), split_leakage_audit
-    # (cross-split near-dup leakage), score_calibration_ece
-    # (reliability bins + ECE), cdc_chunking (content-defined
-    # chunking, the LBFS/FastCDC boundary rule at token granularity).
-    "graph_hits",
-    "contamination_report",
-    "split_leakage_audit",
-    "score_calibration_ece",
-    "cdc_chunking",
-    "graph_label_propagation",
-    # Slots 14-22: the PNG-decoder widening (Adam7 interlace decoded
-    # for real via per-pass unfilter + scatter; depth-16 big-endian
-    # samples decoded keeping the high byte — the spec's 16->8
-    # reduction; sub-8-bit and 16-bit-palette still rejected by name)
-    # lives in the shared codec module, so every entry that can reach
-    # it drifts and re-proves. Fixture payloads are depth-8
-    # sequential, so answers are byte-identical.
-    "multimodal_corpus_prep",
-    "multimodal_features",
-    "multimodal_image_dhash_neardup",
-    "multimodal_image_gif",
-    "multimodal_image_jpeg",
-    "multimodal_image_jpeg_progressive",
-    "multimodal_image_png",
-    "multimodal_image_resize",
-    "multimodal_image_tiff",
-    # Slots 22-26: the last 5 r7-vintage rows (oldest attestation
-    # cohort — retiring these completes the freshness goal: no driver
-    # row anywhere older than r8).
-    "text_unigram_logprob",
-    "time_rollup_multigrain",
-    "training_pipeline_v2",
-    "variant_props_typed",
-    "vocab_coverage_curve",
-    # Slots 27-49: 23 of the 39 r8-vintage rows, alphabetical (the
-    # 16-row tail — sequence_example_roundtrip through
-    # windowed_event_counts — heads the ROUND-14 plan below).
-    "chunk_documents",
-    "column_correlations",
-    "corpus_novelty_rate",
-    "corpus_prep_pipeline",
-    "cusum_changepoints",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_portable",
-    "embedding_dedup_clusters",
-    "event_funnel",
-    "fk_integrity_audit",
-    "group_ols_trend",
-    "hash_split_counts",
-    "interevent_gap_stats",
-    "json_events_daily",
-    "multimodal_audio_stats",
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "recursive_chain_walk",
-    "revenue_concentration",
-    "rolling_zscore_anomalies",
-    # ROUND-14 WINDOW PLAN: the 16 r8 tail rows displaced by this
-    # round's 15-entry drift cohort + 6 new entries —
-    # sequence_example_roundtrip, sequence_packing,
-    # sessionization, sessionization_streaming, similarity_topk,
-    # text_bpe_token_budget, text_fingerprint, text_lang_id,
-    # text_quality, text_repetition, text_tfidf_topterms,
-    # text_token_stats, training_dataset_pipeline, weighted_sample_wor,
-    # window_topk_running, windowed_event_counts — then the oldest r9
-    # rows alphabetically to fill 50 after pit_join's slot-0
-    # convention. After r14 executes, the oldest driver row anywhere
-    # is r9 and the ~4-round full-fleet refresh cadence holds.
+    # Slots 8-23: the 16 r8-vintage rows (oldest driver attestation
+    # anywhere — re-proving these completes VERDICT r14 item 2: no
+    # driver row older than r9), alphabetical.
+    "sequence_example_roundtrip",
+    "sequence_packing",
+    "sessionization",
+    "sessionization_streaming",
+    "similarity_topk",
+    "text_bpe_token_budget",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "training_dataset_pipeline",
+    "weighted_sample_wor",
+    "window_topk_running",
+    "windowed_event_counts",
+    # Slots 24-49: 26 of the 41 r9-vintage rows, alphabetical (the
+    # 15-row tail — percentiles' successors q10_returned_items through
+    # zorder_layout — heads the ROUND-15 plan below).
+    "anti_join_exists",
+    "array_agg_sorted",
+    "bucketed_join",
+    "case_pivot",
+    "correlated_subquery",
+    "cube_lattice",
+    "dataset_stats",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_incremental_indexed",
+    "embedding_linear_scorer",
+    "embedding_neardup",
+    "embedding_quantization",
+    "feature_histogram",
+    "forward_fill_timeseries",
+    "gap_fill_timeseries",
+    "group_quota",
+    "grouping_sets_filter",
+    "having_subquery",
+    "lateral_topk_per_key",
+    "monthly_order_delta",
+    "multimodal_audio_mp3_stats",
+    "percentiles",
+    "pit_join_time_bucketed",
+    # ROUND-15 WINDOW PLAN: the 15 r9 rows displaced by this round's
+    # 7-entry debt cohort (2 new + 5 drifted) —
+    # q10_returned_items, q18_large_orders, q7_nation_volume,
+    # similarity_ann_lsh_recall, sketch_distinct_counts,
+    # sketch_quantiles, skew_salted_join, snapshot_diff,
+    # source_tfrecord_roundtrip, stream_dedup, string_funcs_parts,
+    # three_way_split_counts, weighted_sample, window_lead_lag_ntile,
+    # zorder_layout — then the oldest r10 rows alphabetically to fill
+    # 50 after pit_join's slot-0 convention. After r15 executes, the
+    # oldest driver row anywhere is r10 and the ~4-round full-fleet
+    # refresh cadence holds.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

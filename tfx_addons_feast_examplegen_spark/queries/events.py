@@ -1141,12 +1141,14 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iterations=2)
 
 
-def _lpa_round_sql(prev: str, out: str) -> str:
+def _lpa_round_sql(prev: str, out: str, vote: str = "COUNT(*)") -> str:
     # one synchronous round: in-neighbor label votes -> most frequent,
-    # smallest label on ties, previous label when no in-neighbors
+    # smallest label on ties, previous label when no in-neighbors.
+    # `vote` is the per-(node,label) tally expression — COUNT(*) for
+    # the unweighted entry, SUM(e.w) for the weighted one.
     return f"""
 v{out} AS (
-  SELECT e.dst AS node, p.label, COUNT(*) AS c
+  SELECT e.dst AS node, p.label, {vote} AS c
   FROM edges e JOIN {prev} p ON p.node = e.src
   GROUP BY 1, 2
 ),
@@ -1183,6 +1185,140 @@ l0 AS (
   )
 ),{_lpa_round_sql('l0', 'l1')},{_lpa_round_sql('l1', 'l2')}
 SELECT node, label FROM l2
+"""
+
+
+def _q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted LPA over the symmetrized trade graph: each (customer,
+    # supplier) edge carries its distinct-order count — evidence
+    # strength, the shared-shingle-count analogue for dedup-cluster
+    # graphs. Votes SUM the weight (exact long arithmetic), same
+    # smallest-label tie-break, so the unrolled oracle replays it
+    # exactly. Same iterations=2 as the unweighted entry — the two
+    # differ where a heavier minority label outvotes a more numerous
+    # one.
+    from ..operators.graph import label_propagation
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    return label_propagation(edges, weight_col="w", iterations=2)
+
+
+_QLPA_WEIGHTED_ORACLE = f"""
+WITH pairs AS (
+  SELECT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b,
+         COUNT(DISTINCT o.o_orderkey) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+l0 AS (
+  SELECT DISTINCT node, node AS label FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),{_lpa_round_sql('l0', 'l1', vote='SUM(e.w)')},{
+    _lpa_round_sql('l1', 'l2', vote='SUM(e.w)')}
+SELECT node, label FROM l2
+"""
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted shortest paths (bounded Bellman-Ford) over the
+    # symmetrized trade graph: edge weight = MIN l_quantity linking
+    # the pair (integral-valued doubles, so both engines' sums are
+    # exact). Seeds = high-balance customers, max_rounds=3 — enough to
+    # reach suppliers (1 hop), second-tier customers (2) and their
+    # suppliers (3), with strict-improvement pruning exercised where a
+    # cheap 2-hop path undercuts an expensive 1-hop edge.
+    from ..operators.graph import sssp
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey", "l_quantity"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.min("l_quantity").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    seeds = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 9000)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    out = sssp(edges, seeds, weight_col="w", max_rounds=3)
+    return out.select("node", F.round("dist", 6).alias("dist"))
+
+
+def _sssp_round_sql(prev: str, out: str) -> str:
+    # one hop-limited Bellman-Ford relaxation: candidate distances
+    # through `prev`'s frontier, min-merged with the running best
+    return f"""
+r{out} AS (
+  SELECT e.dst AS node, MIN(w.d + e.w) AS d
+  FROM {prev} w JOIN edges e ON e.src = w.node
+  GROUP BY e.dst
+),
+{out} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM {prev} UNION ALL SELECT node, d FROM r{out}
+  ) GROUP BY node
+)"""
+
+
+_QSSSP_ORACLE = f"""
+WITH pairs AS (
+  SELECT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b,
+         MIN(l.l_quantity) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+d0 AS (
+  SELECT DISTINCT 'c' || c_custkey AS node, CAST(0 AS DOUBLE) AS d
+  FROM customer WHERE c_acctbal > 9000
+),{_sssp_round_sql('d0', 'd1')},{_sssp_round_sql('d1', 'd2')},{
+    _sssp_round_sql('d2', 'd3')}
+SELECT node, round(d, 6) AS dist FROM d3
 """
 
 
@@ -1315,6 +1451,11 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_bfs_levels": (_q_bfs_levels, _QBFS_ORACLE),
     "graph_hits": (_q_hits, _QHITS_ORACLE),
     "graph_label_propagation": (_q_label_propagation, _QLPA_ORACLE),
+    "graph_label_propagation_weighted": (
+        _q_label_propagation_weighted,
+        _QLPA_WEIGHTED_ORACLE,
+    ),
+    "graph_sssp": (_q_sssp, _QSSSP_ORACLE),
     "interval_containment_join": (_q_interval_containment, _INTERVAL_CONTAINMENT_ORACLE),
     "interval_overlap_join": (_q_interval_overlap, _INTERVAL_OVERLAP_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),

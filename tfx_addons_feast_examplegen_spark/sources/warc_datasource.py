@@ -25,6 +25,7 @@ is the Spark-native generalization of that seam.
 from __future__ import annotations
 
 import os
+import random
 import time
 from collections.abc import Iterator, Sequence
 
@@ -110,29 +111,38 @@ class WarcWriter(DataSourceWriter):
     the target (driver-side, at write planning) and names files by
     partition id — a fresh deterministic layout; ``append`` composes
     the stem as ``(salt << 22) | partitionId`` where ``salt`` is a
-    per-write token (planning-time epoch micros mod 2**41, captured
-    DRIVER-side when the writer is constructed and shipped to tasks
-    via writer pickling). The result is a positive integer below
+    per-write token (planning-time epoch micros XOR driver pid XOR 21
+    fresh random bits, folded into 41 bits, captured DRIVER-side when
+    the writer is constructed and shipped to tasks via writer
+    pickling). The result is a positive integer below
     2**63, so the reader's ``<doc_id>.warc`` digits-parse-to-long
     contract holds, and it is unique ACROSS application runs, not
     just within one SparkContext: a bare task-attempt-id stem (the
     previous scheme) restarts near 0 in a new application and would
     silently ``open(path, 'wb')`` over the prior run's archives.
-    Two appends to the same directory collide only if planned in the
-    same microsecond modulo ~25 days. Partition ids must fit 22 bits
+    Two appends to the same directory collide only if their planning
+    micros agree under the 41-bit fold AND the driver pids and random
+    draws cancel — practically impossible rather than time-dependent
+    (the pure-timestamp salt wrapped every ~25 days). Partition ids
+    must fit 22 bits
     (4.19M tasks per write — far above Spark's practical partition
     counts); the writer raises past that rather than wrapping.
 
-    Durability protocol: every task writes to ``<stem>.warc.tmp`` and
-    ``os.replace``s to the final name only after the full archive body
-    is on disk. A task attempt that dies mid-write therefore never
-    leaves a readable ``.warc`` beside the committed ones (the reader
-    skips non-``*.warc[.gz]`` names), so a failed attempt that abort()
-    cannot see — it returned no commit message — is inert. Because the
-    stem depends on the PARTITION (not the attempt), a retry or
-    speculative twin of the same task renames identical content onto
-    the same final path: no duplicate archive, no truncated archive,
-    no double-counted records on subsequent reads."""
+    Durability protocol: every task attempt writes to its OWN
+    ``<stem>.warc.<taskAttemptId>.tmp`` and ``os.replace``s to the
+    final name only after the full archive body is on disk. The temp
+    name is attempt-unique, so a speculative twin or a zombie attempt
+    racing its retry never shares a file handle with another attempt —
+    each builds its complete archive privately and the last finished
+    rename wins with COMPLETE content (interleaved writes through one
+    shared temp path were the failure mode this closes). A task
+    attempt that dies mid-write never leaves a readable ``.warc``
+    beside the committed ones (the reader skips non-``*.warc[.gz]``
+    names), so a failed attempt that abort() cannot see — it returned
+    no commit message — is inert. Because the stem depends on the
+    PARTITION (not the attempt), concurrent attempts rename identical
+    content onto the same final path: no duplicate archive, no
+    truncated archive, no double-counted records on subsequent reads."""
 
     _PID_BITS = 22
 
@@ -144,8 +154,15 @@ class WarcWriter(DataSourceWriter):
         self._overwrite = overwrite
         # per-write salt, generated once on the DRIVER at planning time
         # and shipped to every task via writer pickling; 41 bits keeps
-        # (salt << 22 | pid) inside the reader's signed-long doc_id
-        self._write_salt = (time.time_ns() // 1000) % (1 << 41)
+        # (salt << 22 | pid) inside the reader's signed-long doc_id.
+        # Epoch micros alone wrap mod 2**41 every ~25 days; XOR-ing in
+        # the driver pid and fresh random bits (each < 2**41, so the
+        # fold stays in range) makes a cross-run stem collision require
+        # three independent coincidences at once.
+        salt = (time.time_ns() // 1000) % (1 << 41)
+        salt ^= (os.getpid() & 0xFFFFF) << 21
+        salt ^= random.getrandbits(21)
+        self._write_salt = salt
         if overwrite and os.path.isdir(path):
             for fname in os.listdir(path):
                 if fname.endswith((".warc", ".warc.gz")):
@@ -175,7 +192,9 @@ class WarcWriter(DataSourceWriter):
             stem = str((self._write_salt << self._PID_BITS) | pid)
         os.makedirs(self._dir, exist_ok=True)
         path = os.path.join(self._dir, f"{stem}.warc")
-        tmp = path + ".tmp"
+        # attempt-unique temp: a speculative twin / zombie retry must
+        # never interleave writes through a shared handle on one path
+        tmp = f"{path}.{ctx.taskAttemptId()}.tmp"
         with open(tmp, "wb") as f:
             f.write(build_warc(recs, gzip_members=False))
         os.replace(tmp, path)
