@@ -282,6 +282,39 @@ collapsed to min weight once, up front. The hop-limited semantics
 (min cost over paths of <= max_rounds edges) is exactly what the
 oracle's unrolled relaxation computes, so the answer is
 oracle-checkable without convergence assumptions.""",
+    "graph_kcore": """The tree below is the scan of the final degree frame. Each PEEL —
+one job — is a map-side-combinable degree aggregate plus two
+semi-joins filtering the edge frame to surviving endpoints; the edge
+frame re-materializes via localCheckpoint (O(1) lineage) and SHRINKS
+monotonically, so later rounds cost less. The only driver value per
+round is the dropped-node count (early exit at the fixed point, where
+further peels are provably no-ops — which is why the bounded-round
+answer is oracle-checkable). The 100 TB story: degree aggregates
+pre-combine per mapper; nothing holds a neighborhood in memory.""",
+    "graph_pagerank_personalized": """Identical per-iteration plan to graph_pagerank — one contributions
+shuffle keyed on the receiving node + a 1-row dangling-mass broadcast
+— with the teleport vector concentrated on the seed set: the seed
+indicator rides the pinned node frame as one boolean column, so
+personalization costs NOTHING over the uniform operator. Seeds
+outside the edge list stay in the node universe holding their
+teleport share (isolated = pure dangling recirculation), which is
+what makes sum(rank) == 1 an invariant the oracle can replay.""",
+    "text_char_ngram_entropy": """One corpus scan: the gram stream position-explodes (narrow,
+whole-stage codegen), the (doc, gram) count aggregate is the single
+wide shuffle (repeated grams pre-collapse map-side), and the per-doc
+entropy reduce runs over one row per DISTINCT gram — bounded by
+alphabet^n, far below token volume. The algebraic entropy form
+(log2 T - sum c*log2 c / T) keeps the inner sum a plain aggregate;
+no per-doc probability vector ever materializes, no UDF.""",
+    "score_drift_ks": """Drift audit in one corpus pass: the snapped (value, group) count
+aggregate is the only corpus-sized job (map-side combinable — at most
+2 x 10^decimals partials per mapper ride the exchange); the
+group-name bookkeeping, the 2-group contract guard (in-plan
+raise_error gating the statistic itself, so it cannot be pruned), and
+the cumulative-ECDF window all run on the grid frame, provably
+bounded by 2 x 10^decimals rows — the calibration_bins
+single-partition-window contract. Nothing data-sized reaches the
+driver.""",
     "cdc_chunking": """Content-defined chunking in ONE exchange: tokens position-explode
 (narrow), the rolling gram assembles with lag() and the boundary flag +
 running boundary count are windows over the SAME partition-by-document

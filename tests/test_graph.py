@@ -563,3 +563,163 @@ def test_sssp_matches_python_dijkstra_on_random_graphs(spark):
 
         got = _sssp(spark, edges, seeds, max_rounds=n)
         assert got == dist, (trial, seeds, edges)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def _kcore(spark, edges, **kw):
+    from tfx_addons_feast_examplegen_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    return {
+        r["node"]: r["degree"] for r in kcore(df, **kw).collect()
+    }
+
+
+def test_kcore_hand_computed_peel_and_cascade(spark):
+    # triangle a-b-c with pendant d hanging off c, then e off d:
+    # 2-core = the triangle (e peels first, then d CASCADES — its only
+    # other neighbor was e); every survivor has degree 2
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    tail = [("c", "d"), ("d", "e")]
+    got = _kcore(spark, _sym(tri + tail), k=2, max_rounds=5)
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+    # k above the max degree -> empty core
+    assert _kcore(spark, _sym(tri), k=3, max_rounds=3) == {}
+
+    # 1-core of a connected graph = everything, degrees intact
+    got1 = _kcore(spark, _sym(tri + tail), k=1, max_rounds=3)
+    assert got1 == {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
+
+    # self-loops are discarded (a node must not certify itself)
+    loop = _sym([("a", "b")]) + [("a", "a")]
+    assert _kcore(spark, loop, k=2, max_rounds=3) == {}
+
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    with _pytest.raises(ValueError, match="k must"):
+        kcore(e, k=0)
+    with _pytest.raises(ValueError, match="max_rounds"):
+        kcore(e, k=1, max_rounds=0)
+
+
+def test_kcore_matches_python_model_on_random_graphs(spark):
+    # Independent peel-to-fixpoint model; max_rounds = n guarantees
+    # convergence, so the exact k-core must come back.
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(1601)
+    for trial in range(3):
+        n = rng.randint(5, 14)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        und = {
+            tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+            for _ in range(rng.randint(n, 4 * n))
+        }
+        und = {(a, b) for a, b in und if a != b} or {(nodes[0], nodes[1])}
+        k = rng.randint(2, 3)
+
+        adj = defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = set(adj)
+        while True:
+            drop = {v for v in alive if len(adj[v] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        expect = {v: len(adj[v] & alive) for v in alive}
+
+        edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        got = _kcore(spark, edges, k=k, max_rounds=n)
+        assert got == expect, (trial, k, sorted(und))
+
+
+# ---------------------------------------------------------------------------
+# personalized pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_mass_conservation_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two triangles bridged by one edge; seed inside the first
+    k1 = _sym([("a", "b"), ("b", "c"), ("a", "c")])
+    k2 = _sym([("x", "y"), ("y", "z"), ("x", "z")])
+    bridge = _sym([("c", "x")])
+    e = spark.createDataFrame(k1 + k2 + bridge, "src: string, dst: string")
+    s = spark.createDataFrame([("a",)], "node: string")
+    r = personalized_pagerank(e, s, iterations=8)
+    got = {row["node"]: row["rank"] for row in r.collect()}
+    # sum(rank) == 1 invariant (no dangling nodes here)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # rank decays with distance from the seed: the seed tops its
+    # clique-mates (b and c differ — c carries the bridge, so the two
+    # are NOT symmetric), and the whole seed clique outranks the far
+    # clique's interior nodes
+    assert got["a"] > got["b"] > 0 and got["a"] > got["c"] > 0
+    assert min(got["b"], got["c"]) > max(got["y"], got["z"])
+
+
+def test_ppr_all_seeds_equals_uniform_pagerank(spark):
+    # with S = V the teleport vector is uniform, so PPR must reproduce
+    # standard PageRank exactly (same arithmetic, same iterations)
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    edges = _sym([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")])
+    e = spark.createDataFrame(edges, "src: string, dst: string")
+    allnodes = spark.createDataFrame(
+        [(x,) for x in "abcd"], "node: string"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    ppr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, allnodes, iterations=5).collect()
+    }
+    assert set(pr) == set(ppr)
+    for v in pr:
+        assert abs(pr[v] - ppr[v]) < 1e-12, v
+
+
+def test_ppr_isolated_seed_and_dangling_recirculation(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # seed 's' has no edges at all: it is pure dangling — its mass
+    # recirculates to itself each round, so rank(s) stays positive and
+    # the total stays 1 with the other component's teleport share 0
+    e = spark.createDataFrame(_sym([("a", "b")]), "src: string, dst: string")
+    seeds = spark.createDataFrame([("s",)], "node: string")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, seeds, iterations=4).collect()
+    }
+    assert set(got) == {"a", "b", "s"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["s"] == 1.0 and got["a"] == 0.0 and got["b"] == 0.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(
+            e,
+            seeds.where("node = 'zzz'"),
+            iterations=2,
+        )

@@ -603,3 +603,123 @@ def test_similarity_requires_query_source(spark, sf_dir):
         hard_negatives(emb)
     with _pytest.raises(ValueError, match="non-empty corpus"):
         pq_train(emb.filter("vec_id < 0"))
+
+
+def test_char_ngram_entropy_hand_computed(spark):
+    import math
+
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.text import (
+        char_ngram_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),   # 2-grams: aa x3 -> H = 0
+            (2, "abab"),   # 2-grams: ab,ba,ab -> H = log2(3) - 2/3
+            (3, "x"),      # shorter than n -> absent
+            (4, "abcd"),   # all distinct -> H = log2(3)
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in char_ngram_entropy(df, n=2).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1]["n_grams"] == 3 and got[1]["distinct_grams"] == 1
+    assert got[1]["entropy"] == 0.0
+    assert got[2]["n_grams"] == 3 and got[2]["distinct_grams"] == 2
+    assert got[2]["entropy"] == round(math.log2(3) - 2.0 / 3.0, 6)
+    assert got[4]["entropy"] == round(math.log2(3), 6)
+
+    with _pytest.raises(ValueError, match="n must"):
+        char_ngram_entropy(df, n=0)
+
+    # the docstring's scale claim is checkable: exactly ONE wide
+    # shuffle keyed (doc, gram); the per-doc reduce is over distinct
+    # grams only
+    plan = (
+        char_ngram_entropy(df, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
+def test_ks_two_sample_hand_computed(spark):
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    # identical samples -> D = 0
+    rows = [(v, g) for v in (0.1, 0.2, 0.3) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = ks_two_sample(df, "v", "g").collect()[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["n_a"] == 3 and r["n_b"] == 3 and r["ks_stat"] == 0.0
+
+    # disjoint supports -> D = 1
+    dj = spark.createDataFrame(
+        [(0.1, "a"), (0.2, "a"), (0.8, "b"), (0.9, "b")], "v double, g string"
+    )
+    assert ks_two_sample(dj, "v", "g").collect()[0]["ks_stat"] == 1.0
+
+    # hand case: a = {1,2}, b = {2,3} -> ECDFs diverge most at v=1
+    # (1/2 vs 0) and v=2 (1 vs 1/2): D = 0.5
+    h = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b")], "v double, g string"
+    )
+    assert ks_two_sample(h, "v", "g").collect()[0]["ks_stat"] == 0.5
+
+    # NULLs drop silently (value or group)
+    withnull = spark.createDataFrame(
+        [(None, "a"), (0.5, None), (0.1, "a"), (0.9, "b")],
+        "v double, g string",
+    )
+    r2 = ks_two_sample(withnull, "v", "g").collect()[0]
+    assert r2["n_a"] == 1 and r2["n_b"] == 1 and r2["ks_stat"] == 1.0
+
+    # != 2 groups fails LOUD in-plan
+    for bad_rows in ([(0.1, "a")], [(0.1, "a"), (0.2, "b"), (0.3, "c")]):
+        bad = spark.createDataFrame(bad_rows, "v double, g string")
+        with _pytest.raises(SparkRuntimeException, match="exactly 2 groups"):
+            ks_two_sample(bad, "v", "g").collect()
+
+    with _pytest.raises(ValueError, match="decimals"):
+        ks_two_sample(df, "v", "g", decimals=0)
+
+
+def test_ks_two_sample_matches_scipy_free_model(spark):
+    # Independent pure-Python two-sample KS over random grids.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    rng = random.Random(1703)
+    for trial in range(3):
+        na, nb = rng.randint(5, 40), rng.randint(5, 40)
+        a = [round(rng.random(), 4) for _ in range(na)]
+        b = [round(rng.random() ** 2, 4) for _ in range(nb)]
+        xs = sorted(set(a) | set(b))
+        d = max(
+            abs(
+                sum(1 for v in a if v <= x) / na
+                - sum(1 for v in b if v <= x) / nb
+            )
+            for x in xs
+        )
+        df = spark.createDataFrame(
+            [(v, "a") for v in a] + [(v, "b") for v in b],
+            "v double, g string",
+        )
+        got = ks_two_sample(df, "v", "g").collect()[0]
+        assert got["n_a"] == na and got["n_b"] == nb
+        assert got["ks_stat"] == round(d, 6), (trial, a, b)

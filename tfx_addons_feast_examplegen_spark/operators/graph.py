@@ -477,3 +477,168 @@ def sssp(
         )
         frontier = improved
     return best
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 6,
+    damping: float = 0.85,
+    node_col: str = "node",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6's personalized
+    teleport; the crawl-seeding / topic-affinity workhorse): identical
+    recurrence to :func:`pagerank` except the teleport vector — and
+    the dangling-mass redistribution — concentrate on the SEED set
+    instead of spreading uniformly::
+
+        rank'(v) = (1-d) * p(v) + d * ( sum_{u->v} rank(u)/outdeg(u)
+                                        + dangling_mass * p(v) )
+
+    with ``p(v) = 1/|S|`` for seeds, else 0, and ``rank0 = p`` — so
+    ``sum(rank) == 1`` stays invariant and rank mass decays with
+    distance from the seeds (the "relevance to these trusted domains"
+    signal a curation pipeline ranks crawl hosts by).
+
+    Same physical shape as :func:`pagerank`: the per-iteration plan is
+    one contributions shuffle keyed on the receiving node plus a 1-row
+    dangling-mass broadcast; the seed indicator rides the pinned node
+    frame as one extra column, so personalization costs NOTHING over
+    the uniform operator. Nodes mentioned only in ``seeds`` (isolated
+    from the edge list) still hold their teleport share — they join
+    the node universe rather than silently dropping.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations}")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1]: {damping}")
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        .distinct()
+    )
+    s = (
+        seeds.select(F.col(seed_col).alias(node_col))
+        .where(F.col(seed_col).isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("__s").alias(node_col))
+        .union(e.select(F.col("__d").alias(node_col)))
+        .union(s.select(node_col))
+        .distinct()
+        .join(s.withColumn("__is_seed", F.lit(True)), node_col, "left")
+        .select(
+            F.col(node_col), F.coalesce("__is_seed", F.lit(False)).alias("__seed")
+        )
+        .localCheckpoint()
+    )
+    ns = nodes.where(F.col("__seed")).count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank requires >= 1 seed")
+    p = F.when(F.col("__seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_deg = e.join(deg, "__s").localCheckpoint()
+
+    ranks = nodes.select(
+        node_col, "__seed", p.alias(rank_col)
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            edges_deg.join(ranks, edges_deg["__s"] == ranks[node_col])
+            .groupBy("__d")
+            .agg(F.sum(F.col(rank_col) / F.col("__deg")).alias("__contrib"))
+        )
+        dangling = (
+            ranks.join(deg, ranks[node_col] == deg["__s"], "left_anti")
+            .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dmass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes[node_col] == contribs["__d"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                nodes[node_col],
+                nodes["__seed"],
+                (
+                    F.lit(1.0 - damping) * p
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__contrib"), F.lit(0.0))
+                        + F.col("__dmass") * p
+                    )
+                ).alias(rank_col),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(node_col, rank_col)
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 10,
+    node_col: str = "node",
+    degree_col: str = "degree",
+) -> DataFrame:
+    """K-core decomposition by iterative peeling (Seidman 1983; the
+    link-graph quality filter: the k-core is the maximal subgraph
+    where every node keeps >= k neighbors AFTER all weaker nodes are
+    removed — spam farms and orphan pages peel away, densely
+    interlinked hubs survive). Pass a symmetrized edge list for the
+    standard undirected semantics; out-degree then equals degree.
+
+    Returns ``(node_col, degree_col)``: the nodes surviving
+    ``max_rounds`` peels with their degree in the surviving subgraph.
+    With enough rounds this is the exact k-core (peeling is monotone:
+    once no node falls below k the subgraph is a fixed point, so extra
+    rounds are no-ops and the early exit below is semantics-free).
+
+    Shape, per round: one map-side-combinable degree aggregate + two
+    semi-joins filtering edges to surviving endpoints; the edge frame
+    re-materializes via ``localCheckpoint`` (O(1) lineage) and SHRINKS
+    monotonically, so later rounds cost less, not more. The only
+    driver-side value per round is the dropped-node count used for
+    early exit. NULL endpoints drop; duplicate and self edges are
+    discarded (a self-loop would let a node certify itself into the
+    core).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1: {max_rounds}")
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & (F.col("__s") != F.col("__d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy(F.col("__s").alias(node_col)).agg(
+        F.count(F.lit(1)).alias(degree_col)
+    )
+    for _ in range(max_rounds):
+        dropped = deg.where(F.col(degree_col) < k).count()
+        if dropped == 0:
+            break
+        alive = deg.where(F.col(degree_col) >= k).select(node_col)
+        e = (
+            e.join(alive, e["__s"] == alive[node_col], "left_semi")
+            .join(alive, F.col("__d") == alive[node_col], "left_semi")
+            .localCheckpoint()
+        )
+        deg = e.groupBy(F.col("__s").alias(node_col)).agg(
+            F.count(F.lit(1)).alias(degree_col)
+        )
+    return deg.where(F.col(degree_col) >= k)

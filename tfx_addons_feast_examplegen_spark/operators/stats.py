@@ -378,3 +378,100 @@ def calibration_bins(
         F.round(gap, 6).alias("gap"),
         F.round(ece, 6).alias("ece"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    decimals: int = 4,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of exactly two groups - the drift audit that
+    complements :func:`feature_drift_psi`'s binned divergence with the
+    sup-norm ECDF distance (no binning choice to defend; PSI can
+    under-read when drift concentrates between bin edges). Typical
+    use: quality-score distribution of this week's crawl vs last
+    week's, or train split vs eval split.
+
+    Values are snapped to a ``decimals`` grid first (engine-portable:
+    the ECDF is evaluated at grid points; with ties counted - which
+    snapping does - the sup over grid points equals the sup over the
+    snapped sample). NULL values/groups are dropped. Returns ONE row:
+    ``(group_a, group_b, n_a, n_b, ks_stat)`` with groups in
+    lexicographic order; raises LOUD (in-plan ``raise_error``, the
+    :func:`calibration_bins` contract style) if the column holds a
+    number of distinct groups other than 2.
+
+    Plan shape: ONE corpus scan - a map-side-combinable count
+    aggregate keyed on the snapped ``(value, group)`` pair (repeated
+    values pre-collapse per mapper; the shuffle moves at most
+    2 x 10^decimals partials per mapper, not rows). Everything after
+    operates on that grid frame, bounded by 2 x 10^decimals rows: the
+    group-name/window bookkeeping and the cumulative-ECDF window are
+    the same "single-partition window over a provably tiny frame"
+    contract as :func:`calibration_bins`. Nothing data-sized reaches
+    the driver.
+    """
+    if decimals < 1:
+        raise ValueError(f"decimals must be >= 1: {decimals}")
+    from pyspark.sql import Window
+
+    snapped = df.select(
+        F.round(F.col(value_col).cast("double"), decimals).alias("__v"),
+        F.col(group_col).cast("string").alias("__grp"),
+    ).where(F.col("__v").isNotNull() & F.col("__grp").isNotNull())
+    # the ONLY corpus-sized job: everything below runs on <= 2*10^d rows
+    per = snapped.groupBy("__v", "__grp").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_all = Window.partitionBy()
+    named = per.select(
+        "__v",
+        "__grp",
+        "__c",
+        F.min("__grp").over(w_all).alias("__ga"),
+        F.max("__grp").over(w_all).alias("__gb"),
+        F.size(F.collect_set("__grp").over(w_all)).alias("__ngrp"),
+    )
+    wide = named.groupBy("__v", "__ga", "__gb", "__ngrp").agg(
+        F.sum(
+            F.when(F.col("__grp") == F.col("__ga"), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__ca"),
+        F.sum(
+            F.when(F.col("__grp") == F.col("__gb"), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__cb"),
+    )
+    w_cum = Window.partitionBy().orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the 2-group contract gates the statistic itself, so Catalyst can
+    # never prune the guard away as an unused column
+    diff = F.abs(
+        F.sum("__ca").over(w_cum) / F.sum("__ca").over(w_all)
+        - F.sum("__cb").over(w_cum) / F.sum("__cb").over(w_all)
+    )
+    guarded = F.when(F.col("__ngrp") == 2, diff).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ks_two_sample: %s must hold exactly 2 groups, got %s",
+                F.lit(group_col),
+                F.col("__ngrp").cast("string"),
+            )
+        ).cast("double")
+    )
+    scored = wide.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        F.sum("__ca").over(w_all).alias("n_a"),
+        F.sum("__cb").over(w_all).alias("n_b"),
+        guarded.alias("__d"),
+    )
+    return scored.groupBy("group_a", "group_b", "n_a", "n_b").agg(
+        F.round(F.max("__d"), 6).alias("ks_stat")
+    )

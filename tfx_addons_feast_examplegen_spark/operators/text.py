@@ -1089,3 +1089,71 @@ def naive_bayes_fit_score(
             F.col("__best.__total").cast("long").alias("cost_micronats"),
         )
     )
+
+
+def char_ngram_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the character n-gram
+    distribution — the compressibility proxy quality filters use where
+    a real compressor is unavailable: boilerplate, keyword-stuffed and
+    looping text has a peaked n-gram distribution (low entropy), while
+    natural prose sits in a characteristic band (the Gopher/C4 family
+    of heuristics gates on exactly this kind of signal). Returns
+    ``(id_col, n_grams, distinct_grams, entropy)``; documents shorter
+    than ``n`` characters emit no grams and are absent.
+
+    ``H = log2(T) - (sum_g c_g * log2(c_g)) / T`` over gram counts
+    ``c_g`` with total ``T`` — the algebraic form whose inner sum is a
+    plain aggregate, so no per-doc probability vector ever
+    materializes.
+
+    Plan shape: position-explode the gram stream (narrow), then ONE
+    shuffle keyed ``(doc, gram)`` for the count aggregate (map-side
+    combinable — repeated grams pre-collapse per mapper) and a second
+    tiny aggregate keyed on the doc over one row per DISTINCT gram
+    (bounded by alphabet^n, far below token volume). All expression
+    work (substring slicing, log2 arithmetic) stays in whole-stage
+    codegen; no UDF.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    from ..session import rebalance_for_compute
+
+    # CASE guard, not greatest(..., 0): Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) instead of being empty, which would fabricate grams for
+    # docs shorter than n
+    grams = rebalance_for_compute(df).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) >= {n} THEN "
+                f"transform(sequence(1, length({text_col}) - {n - 1}), "
+                f"i -> substring({text_col}, i, {n})) "
+                f"ELSE array() END"
+            )
+        ).alias("__g"),
+    )
+    counts = grams.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum(F.col("__c") * F.log2("__c")).alias("__clog"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "distinct_grams",
+            F.round(
+                F.log2("n_grams") - F.col("__clog") / F.col("n_grams"), 6
+            ).alias("entropy"),
+        )
+    )

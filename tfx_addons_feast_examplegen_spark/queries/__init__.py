@@ -255,6 +255,10 @@ _ENTRY_ORDER = [
     "graph_label_propagation",
     "graph_label_propagation_weighted",
     "graph_sssp",
+    "graph_kcore",
+    "graph_pagerank_personalized",
+    "text_char_ngram_entropy",
+    "score_drift_ks",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -289,15 +293,24 @@ _DRIVER_PRIORITY = [
     # block's recorded plan). Slot 0: pit_join (entry() smoke,
     # convention since r7).
     #
-    # Slots 1-2: NEW this round (never-attested entries MUST sit in
+    # Slots 1-6: NEW this round (never-attested entries MUST sit in
     # the window): graph_sssp (weighted shortest paths — bounded
     # Bellman-Ford as joins, min-combine before the shuffle,
-    # strict-improvement frontier) and graph_label_propagation_weighted
+    # strict-improvement frontier), graph_label_propagation_weighted
     # (votes SUM edge weights — evidence-strength communities; same
-    # round shape as unweighted LPA).
+    # round shape as unweighted LPA), graph_kcore (iterative peeling —
+    # the link-graph quality filter), graph_pagerank_personalized
+    # (seed-concentrated teleport + dangling recirculation — crawl
+    # frontier prioritization), text_char_ngram_entropy (per-doc
+    # character-trigram Shannon entropy — the compressibility quality
+    # proxy), score_drift_ks (two-sample KS drift audit, no binning).
     "graph_sssp",
     "graph_label_propagation_weighted",
-    # Slots 3-7: the entries whose fingerprints drift with this
+    "graph_kcore",
+    "graph_pagerank_personalized",
+    "text_char_ngram_entropy",
+    "score_drift_ks",
+    # Slots 7-11: the entries whose fingerprints drift with this
     # round's hardening (all driver-green r13 on the pre-edit tree):
     # - contamination_report: corpus-side shingle distinct deferred to
     #   count(DISTINCT) AFTER the broadcast probe, so the dedup
@@ -320,7 +333,7 @@ _DRIVER_PRIORITY = [
     "score_calibration_ece",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    # Slots 8-23: the 16 r8-vintage rows (oldest driver attestation
+    # Slots 12-27: the 16 r8-vintage rows (oldest driver attestation
     # anywhere — re-proving these completes VERDICT r14 item 2: no
     # driver row older than r9), alphabetical.
     "sequence_example_roundtrip",
@@ -339,9 +352,9 @@ _DRIVER_PRIORITY = [
     "weighted_sample_wor",
     "window_topk_running",
     "windowed_event_counts",
-    # Slots 24-49: 26 of the 41 r9-vintage rows, alphabetical (the
-    # 15-row tail — percentiles' successors q10_returned_items through
-    # zorder_layout — heads the ROUND-15 plan below).
+    # Slots 28-49: 22 of the 41 r9-vintage rows, alphabetical (the
+    # 19-row tail — monthly_order_delta through zorder_layout minus the
+    # 22 below — heads the ROUND-15 plan below).
     "anti_join_exists",
     "array_agg_sorted",
     "bucketed_join",
@@ -364,18 +377,16 @@ _DRIVER_PRIORITY = [
     "grouping_sets_filter",
     "having_subquery",
     "lateral_topk_per_key",
-    "monthly_order_delta",
-    "multimodal_audio_mp3_stats",
-    "percentiles",
-    "pit_join_time_bucketed",
-    # ROUND-15 WINDOW PLAN: the 15 r9 rows displaced by this round's
-    # 7-entry debt cohort (2 new + 5 drifted) —
-    # q10_returned_items, q18_large_orders, q7_nation_volume,
-    # similarity_ann_lsh_recall, sketch_distinct_counts,
-    # sketch_quantiles, skew_salted_join, snapshot_diff,
-    # source_tfrecord_roundtrip, stream_dedup, string_funcs_parts,
-    # three_way_split_counts, weighted_sample, window_lead_lag_ntile,
-    # zorder_layout — then the oldest r10 rows alphabetically to fill
+    # ROUND-15 WINDOW PLAN: the 19 r9 rows displaced by this round's
+    # 11-entry debt cohort (6 new + 5 drifted) —
+    # monthly_order_delta, multimodal_audio_mp3_stats, percentiles,
+    # pit_join_time_bucketed, q10_returned_items, q18_large_orders,
+    # q7_nation_volume, similarity_ann_lsh_recall,
+    # sketch_distinct_counts, sketch_quantiles, skew_salted_join,
+    # snapshot_diff, source_tfrecord_roundtrip, stream_dedup,
+    # string_funcs_parts, three_way_split_counts, weighted_sample,
+    # window_lead_lag_ntile, zorder_layout — then the oldest r10 rows
+    # alphabetically to fill
     # 50 after pit_join's slot-0 convention. After r15 executes, the
     # oldest driver row anywhere is r10 and the ~4-round full-fleet
     # refresh cadence holds.

@@ -1322,6 +1322,171 @@ SELECT node, round(d, 6) AS dist FROM d3
 """
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K-core of the symmetrized trade graph (k=3): the link-graph
+    # quality filter — customers/suppliers that keep >= 3 trading
+    # partners AFTER all weaker nodes peel away. max_rounds=4 is
+    # enough for the peeling cascade at every SF (extra rounds are
+    # no-ops at the fixed point, so the bound is not load-bearing for
+    # correctness — the oracle replays the same 4 peels).
+    from ..operators.graph import kcore
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return kcore(edges, k=3, max_rounds=4)
+
+
+def _kcore_round_sql(prev: str, out: str, k: int) -> str:
+    # one peel: degree over the surviving subgraph, drop nodes < k,
+    # keep only edges with both endpoints surviving
+    return f"""
+d{out} AS (SELECT src AS node, COUNT(*) AS degree FROM {prev} GROUP BY 1),
+a{out} AS (SELECT node FROM d{out} WHERE degree >= {k}),
+{out} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN a{out} s ON e.src = s.node
+  JOIN a{out} t ON e.dst = t.node
+)"""
+
+
+_QKCORE_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+  )
+),{_kcore_round_sql('e0', 'e1', 3)},{_kcore_round_sql('e1', 'e2', 3)},{
+    _kcore_round_sql('e2', 'e3', 3)},{_kcore_round_sql('e3', 'e4', 3)}
+SELECT src AS node, COUNT(*) AS degree FROM e4
+GROUP BY 1 HAVING COUNT(*) >= 3
+"""
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Personalized PageRank from the high-balance customer seeds over
+    # the symmetrized trade graph — rank mass decays with distance
+    # from the seeds (crawl-frontier prioritization / topic affinity).
+    # Seeds OUTSIDE the trade graph stay in the universe holding their
+    # teleport share (isolated -> pure dangling recirculation).
+    from ..operators.graph import personalized_pagerank
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 9000)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    r = personalized_pagerank(edges, seeds, iterations=6)
+    return r.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _ppr_round_sql(prev: str, out: str) -> str:
+    # one iteration: contributions keyed on the receiver, dangling mass
+    # (nodes with no out-edges) recirculated to the seeds, teleport on
+    # the seeds — rank' = 0.15*p + 0.85*(contrib + dmass*p)
+    return f"""
+c{out} AS (
+  SELECT e.dst AS node, SUM(p.rank / dg.d) AS contrib
+  FROM edges e JOIN {prev} p ON p.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY 1
+),
+dm{out} AS (
+  SELECT COALESCE(SUM(p.rank), 0) AS m FROM {prev} p
+  WHERE p.node NOT IN (SELECT src FROM deg)
+),
+{out} AS (
+  SELECT n.node, n.seed,
+         0.15 * (CASE WHEN n.seed THEN 1.0 / (SELECT ns FROM nsc)
+                      ELSE 0 END)
+         + 0.85 * (COALESCE(c.contrib, 0)
+                   + (SELECT m FROM dm{out})
+                     * (CASE WHEN n.seed THEN 1.0 / (SELECT ns FROM nsc)
+                             ELSE 0 END)) AS rank
+  FROM nodes n LEFT JOIN c{out} c USING (node)
+)"""
+
+
+_QPPR_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+  )
+),
+seeds AS (
+  SELECT DISTINCT 'c' || c_custkey AS node
+  FROM customer WHERE c_acctbal > 9000
+),
+nodes AS (
+  SELECT node, MAX(is_seed) AS seed FROM (
+    SELECT src AS node, FALSE AS is_seed FROM edges
+    UNION ALL SELECT dst, FALSE FROM edges
+    UNION ALL SELECT node, TRUE FROM seeds
+  ) GROUP BY 1
+),
+nsc AS (SELECT COUNT(*) AS ns FROM seeds),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node, seed,
+         CASE WHEN seed THEN 1.0 / (SELECT ns FROM nsc) ELSE 0 END AS rank
+  FROM nodes
+),{_ppr_round_sql('r0', 'r1')},{_ppr_round_sql('r1', 'r2')},{
+    _ppr_round_sql('r2', 'r3')},{_ppr_round_sql('r3', 'r4')},{
+    _ppr_round_sql('r4', 'r5')},{_ppr_round_sql('r5', 'r6')}
+SELECT node, round(rank, 9) AS rank FROM r6
+"""
+
+
 def _q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyless temporal containment — the range-join shape Spark plans
     # as a nested loop and this engine rewrites as a binned equi-join
@@ -1456,6 +1621,8 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _QLPA_WEIGHTED_ORACLE,
     ),
     "graph_sssp": (_q_sssp, _QSSSP_ORACLE),
+    "graph_kcore": (_q_kcore, _QKCORE_ORACLE),
+    "graph_pagerank_personalized": (_q_ppr, _QPPR_ORACLE),
     "interval_containment_join": (_q_interval_containment, _INTERVAL_CONTAINMENT_ORACLE),
     "interval_overlap_join": (_q_interval_overlap, _INTERVAL_OVERLAP_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),

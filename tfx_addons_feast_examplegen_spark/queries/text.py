@@ -110,6 +110,76 @@ FROM b
 """
 
 
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Character-trigram Shannon entropy per document: the
+    # compressibility proxy (boilerplate/looping text scores low,
+    # natural prose sits in a band). n=3 keeps the gram space bounded
+    # by |alphabet|^3 while still catching phrase-level repetition.
+    from ..operators.text import char_ngram_entropy
+
+    t = register_tables(spark, sf_dir)
+    return char_ngram_entropy(t["documents"], n=3)
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH g AS (
+  SELECT doc_id, substr(text, i, 3) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 2)) AS i)
+  WHERE length(text) >= 3
+),
+c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
+FROM c GROUP BY 1
+"""
+
+
+def _q_score_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample KS between the quality-score distributions of the
+    # even/odd doc halves — the no-binning drift audit beside
+    # feature_drift_psi. The halves are near-identically distributed,
+    # so the statistic is small but nonzero: exactly the regime a
+    # drift monitor must resolve.
+    from ..operators.stats import ks_two_sample
+
+    t = register_tables(spark, sf_dir)
+    scored = tx.quality_score(t["documents"]).select(
+        "quality_score", (F.col("doc_id") % 2).cast("string").alias("half")
+    )
+    return ks_two_sample(scored, "quality_score", "half", decimals=4)
+
+
+_SCORE_DRIFT_KS_ORACLE = f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+s AS (
+  SELECT round(quality_score, 4) AS v, CAST(doc_id % 2 AS VARCHAR) AS grp
+  FROM tq
+),
+per AS (SELECT v, grp, COUNT(*) AS c FROM s GROUP BY 1, 2),
+wide AS (
+  SELECT v,
+         SUM(CASE WHEN grp = '0' THEN c ELSE 0 END) AS ca,
+         SUM(CASE WHEN grp = '1' THEN c ELSE 0 END) AS cb
+  FROM per GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cca,
+         SUM(cb) OVER (ORDER BY v) AS ccb,
+         SUM(ca) OVER () AS na,
+         SUM(cb) OVER () AS nb
+  FROM wide
+)
+SELECT '0' AS group_a, '1' AS group_b,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       round(MAX(ABS(cca / na - ccb / nb)), 6) AS ks_stat
+FROM cum
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     return (
@@ -1258,6 +1328,8 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_tfidf_topterms": (_q_tfidf, _TFIDF_ORACLE),
     "text_quality": (_q_text_quality, _TEXT_QUALITY_ORACLE),
     "score_calibration_ece": (_q_score_calibration, _SCORE_CALIBRATION_ORACLE),
+    "text_char_ngram_entropy": (_q_char_entropy, _CHAR_ENTROPY_ORACLE),
+    "score_drift_ks": (_q_score_drift_ks, _SCORE_DRIFT_KS_ORACLE),
     "cdc_chunking": (_q_cdc_chunking, _CDC_CHUNKING_ORACLE),
     "text_lang_id": (_q_lang_id, _langid_case()),
     "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
