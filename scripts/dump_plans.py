@@ -315,6 +315,21 @@ the cumulative-ECDF window all run on the grid frame, provably
 bounded by 2 x 10^decimals rows — the calibration_bins
 single-partition-window contract. Nothing data-sized reaches the
 driver.""",
+    "lang_quality_mi": """All four statistics (MI, both entropies, NMI) off ONE corpus scan:
+the joint (a, b) count aggregate is the only corpus-sized job
+(map-side combinable); the marginal counts attach as windows over the
+JOINT frame — bounded by |A| x |B| rows for categorical columns —
+using the identity sum_pairs c*log2(c_a) = sum_a c_a*log2(c_a), so no
+second aggregate or join-back ever touches the corpus. The final
+1-row reduce is driver-free arithmetic.""",
+    "subset_max_coverage": """Greedy facility-location selection: the distinct (doc, shingle)
+frame below is built once and PINNED (the k rounds reuse it); each
+round is one broadcast ANTI-join against the covered set (at most k
+documents' shingles — tiny), one map-side-combinable gain aggregate,
+and a 1-ROW argmax collect. Driver traffic is k single-row
+parameters, never data. The tree shown is the k-row result frame
+(the operator is eager by construction — each round's pick feeds the
+next round's anti-join).""",
     "cdc_chunking": """Content-defined chunking in ONE exchange: tokens position-explode
 (narrow), the rolling gram assembles with lag() and the boundary flag +
 running boundary count are windows over the SAME partition-by-document

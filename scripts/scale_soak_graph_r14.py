@@ -34,7 +34,9 @@ import time  # noqa: E402
 from tfx_addons_feast_examplegen_spark.operators.graph import (  # noqa: E402
     bfs_levels,
     hits,
+    kcore,
     label_propagation,
+    personalized_pagerank,
     sssp,
 )
 from tfx_addons_feast_examplegen_spark.session import (  # noqa: E402
@@ -145,6 +147,13 @@ def main() -> None:
         r["graph_sssp"] = timeit_build(
             "graph_sssp",
             lambda: sssp(edges, seeds, weight_col="w", max_rounds=3),
+        )
+        r["graph_kcore"] = timeit_build(
+            "graph_kcore", lambda: kcore(edges, k=3, max_rounds=4)
+        )
+        r["graph_pagerank_personalized"] = timeit_build(
+            "graph_pagerank_personalized",
+            lambda: personalized_pagerank(edges, seeds, iterations=6),
         )
         results[scale] = r
 

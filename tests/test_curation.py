@@ -377,3 +377,127 @@ def test_contamination_report_validation_and_plan(spark):
     plan = contamination_report(corpus, bench, n=3)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_categorical_mi_hand_computed(spark):
+    import math
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        categorical_mutual_information,
+    )
+
+    # independent, balanced 2x2 -> MI exactly 0, H = 1 bit each side
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv"], "a string, b string"
+    )
+    r = categorical_mutual_information(ind, "a", "b").collect()[0]
+    assert r["n"] == 4 and r["mi"] == 0.0
+    assert r["h_a"] == 1.0 and r["h_b"] == 1.0 and r["nmi"] == 0.0
+
+    # perfectly dependent -> MI = H = 1 bit, NMI = 1
+    dep = spark.createDataFrame(
+        [("x", "u"), ("y", "v")], "a string, b string"
+    )
+    r2 = categorical_mutual_information(dep, "a", "b").collect()[0]
+    assert r2["mi"] == 1.0 and r2["nmi"] == 1.0
+
+    # hand 2x2 with skew: counts xu=2, xv=1, yu=1 (n=4)
+    sk = spark.createDataFrame(
+        [("x", "u"), ("x", "u"), ("x", "v"), ("y", "u")],
+        "a string, b string",
+    )
+    r3 = categorical_mutual_information(sk, "a", "b").collect()[0]
+    n = 4.0
+    mi = sum(
+        (c / n) * math.log2(c * n / (ca * cb))
+        for c, ca, cb in [(2, 3, 3), (1, 3, 1), (1, 1, 3)]
+    )
+    assert r3["mi"] == round(mi, 6)
+
+    # a constant column has H=0 -> NMI is NULL, MI 0
+    const = spark.createDataFrame(
+        [("x", "u"), ("x", "v")], "a string, b string"
+    )
+    r4 = categorical_mutual_information(const, "a", "b").collect()[0]
+    assert r4["mi"] == 0.0 and r4["h_a"] == 0.0 and r4["nmi"] is None
+
+    # NULLs in either column drop the row
+    withnull = spark.createDataFrame(
+        [("x", None), (None, "u"), ("x", "u"), ("y", "v")],
+        "a string, b string",
+    )
+    assert categorical_mutual_information(
+        withnull, "a", "b"
+    ).collect()[0]["n"] == 2
+
+
+def test_greedy_max_coverage_hand_and_model(spark):
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        greedy_max_coverage,
+    )
+
+    # doc 1 covers {a b c, b c d} (2 shingles), doc 2 duplicates doc 1,
+    # doc 3 adds one new shingle, doc 4 is pure repetition of doc 3
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d"
+            (2, "a b c d"),        # duplicate -> never adds coverage
+            (3, "x y z"),          # "x y z"
+            (4, "x y z x y z"),    # adds "y z x", "z x y"
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in greedy_max_coverage(docs, k=4, n=3).collect()
+    ]
+    # round 1: doc 4 has 3 distinct shingles (x y z, y z x, z x y).
+    # round 2: doc 1 adds 2. round 3: nothing adds coverage -> stop.
+    assert got == [(1, 4, 3, 3), (2, 1, 2, 5)]
+
+    # tie-break: two equal-coverage docs -> smallest id first
+    tie = spark.createDataFrame(
+        [(7, "p q r"), (5, "s t u")], "doc_id long, text string"
+    )
+    first = greedy_max_coverage(tie, k=1, n=3).collect()[0]
+    assert first["doc_id"] == 5
+
+    with _pytest.raises(ValueError, match="k must"):
+        greedy_max_coverage(docs, k=0)
+
+    # random-graph property: matches an independent Python greedy
+    import random
+
+    rng = random.Random(1807)
+    for trial in range(2):
+        nd = rng.randint(4, 8)
+        vocab = [f"w{i}" for i in range(10)]
+        texts = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            for i in range(nd)
+        ]
+        sh = {
+            i: {
+                " ".join(t.split()[j : j + 3])
+                for j in range(len(t.split()) - 2)
+            }
+            for i, t in texts
+        }
+        covered: set = set()
+        expect = []
+        for rank in range(1, 4):
+            best = max(
+                sh, key=lambda d: (len(sh[d] - covered), -d), default=None
+            )
+            gain = len(sh[best] - covered)
+            if gain == 0:
+                break
+            covered |= sh[best]
+            expect.append((rank, best, gain, len(covered)))
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = [
+            tuple(r) for r in greedy_max_coverage(df, k=3, n=3).collect()
+        ]
+        assert got == expect, (trial, texts)

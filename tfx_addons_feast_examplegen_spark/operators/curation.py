@@ -733,3 +733,76 @@ def target_encode_loo(
         F.col("fold"),
         F.round(te, 4).alias(out_col),
     )
+
+
+def greedy_max_coverage(
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """Greedy maximum-coverage subset selection (the facility-location
+    greedy of Wolsey 1982 / the coreset-style "pick the k most
+    representative documents" step in data-subset-selection pipelines):
+    round r picks the document adding the MOST not-yet-covered distinct
+    word n-gram shingles, smallest id on ties — the classic (1 - 1/e)
+    approximation, and deterministic, which is what makes it
+    oracle-checkable. Stops early when no document adds coverage.
+
+    Returns ``(rank, id_col, gain, covered_total)``: selection order
+    (1-based), the marginal shingles each pick added, and the running
+    covered-shingle total.
+
+    Plan shape: the distinct ``(doc, shingle)`` frame is built ONCE and
+    pinned (k rounds reuse it — the :mod:`.dedup` ``_pin`` contract);
+    each round is one broadcast ANTI-join against the covered set
+    (tiny: at most k documents' shingles), one map-side-combinable
+    gain aggregate, and a 1-ROW argmax collect — the only driver
+    traffic is k single-row parameters. ``hashed=True`` folds shingles
+    to xxhash64 longs for the 100 TB path (8-byte anti-join keys;
+    picks identical up to vanishing hash collisions).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from .dedup import _pin
+
+    dsh = _pin(shingles(corpus, id_col, text_col, n, hashed=hashed))
+    spark = corpus.sparkSession
+    covered = None  # DataFrame["shingle"] of covered shingles
+    picks = []
+    for rank in range(1, k + 1):
+        cand = dsh
+        if covered is not None:
+            cand = dsh.join(
+                F.broadcast(covered), "shingle", "left_anti"
+            )
+        top = (
+            cand.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["gain"] == 0:
+            break
+        doc, gain = top[0][id_col], top[0]["gain"]
+        new_cov = dsh.where(F.col(id_col) == doc).select("shingle")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.union(new_cov).distinct()
+        ).localCheckpoint()
+        picks.append((rank, doc, gain))
+    total = 0
+    rows = []
+    for rank, doc, gain in picks:
+        total += gain
+        rows.append((rank, doc, gain, total))
+    id_type = dict(corpus.dtypes)[id_col]
+    return spark.createDataFrame(
+        rows,
+        f"rank int, {id_col} {id_type}, gain bigint, covered_total bigint",
+    )

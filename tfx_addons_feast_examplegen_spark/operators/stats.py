@@ -475,3 +475,89 @@ def ks_two_sample(
     return scored.groupBy("group_a", "group_b", "n_a", "n_b").agg(
         F.round(F.max("__d"), 6).alias("ks_stat")
     )
+
+
+def categorical_mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, with
+    both marginal entropies and the normalized MI — the feature-
+    selection / leakage audit ("does the split correlate with the
+    label?", "how much does language predict the quality bucket?")
+    that belongs beside :func:`~.stats.ks_two_sample` in a dataset
+    card. NULL in either column drops the row (MI is defined over the
+    joint support).
+
+    Returns ONE row ``(n, mi, h_a, h_b, nmi)``; ``nmi = mi /
+    sqrt(h_a * h_b)`` (NULL when either entropy is 0 — a constant
+    column carries no information to normalize by).
+
+    All four statistics come off ONE corpus scan: the joint ``(a, b)``
+    count aggregate is the only corpus-sized job (map-side
+    combinable); marginals attach as windows over the JOINT frame
+    (bounded by |A| x |B| rows — this operator is for categorical
+    columns, where that product is small by definition), using the
+    identity ``sum_pairs c * log2(c_a) = sum_a c_a * log2(c_a)``
+    (the inner sum over b of c is c_a), so no second aggregate or
+    join-back ever touches the corpus::
+
+        MI  = sum_pairs (c/n) * (log2 c + log2 n - log2 c_a - log2 c_b)
+        H_a = log2 n - (sum_pairs c * log2 c_a) / n
+    """
+    from pyspark.sql import Window
+
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("__a"),
+            F.col(col_b).cast("string").alias("__b"),
+        )
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("__a")
+    w_b = Window.partitionBy("__b")
+    scored = joint.select(
+        F.col("__c"),
+        F.sum("__c").over(w_all).alias("__n"),
+        F.sum("__c").over(w_a).alias("__ca"),
+        F.sum("__c").over(w_b).alias("__cb"),
+    )
+    agg = scored.agg(
+        F.max("__n").alias("n"),
+        (
+            F.sum(
+                F.col("__c")
+                * (
+                    F.log2("__c")
+                    + F.log2("__n")
+                    - F.log2("__ca")
+                    - F.log2("__cb")
+                )
+            )
+            / F.max("__n")
+        ).alias("__mi"),
+        (
+            F.log2(F.max("__n"))
+            - F.sum(F.col("__c") * F.log2("__ca")) / F.max("__n")
+        ).alias("__ha"),
+        (
+            F.log2(F.max("__n"))
+            - F.sum(F.col("__c") * F.log2("__cb")) / F.max("__n")
+        ).alias("__hb"),
+    )
+    return agg.select(
+        "n",
+        F.round("__mi", 6).alias("mi"),
+        F.round("__ha", 6).alias("h_a"),
+        F.round("__hb", 6).alias("h_b"),
+        F.when(
+            (F.col("__ha") > 0) & (F.col("__hb") > 0),
+            F.round(
+                F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")), 6
+            ),
+        ).alias("nmi"),
+    )

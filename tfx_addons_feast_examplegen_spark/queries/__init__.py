@@ -259,6 +259,8 @@ _ENTRY_ORDER = [
     "graph_pagerank_personalized",
     "text_char_ngram_entropy",
     "score_drift_ks",
+    "lang_quality_mi",
+    "subset_max_coverage",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -293,7 +295,7 @@ _DRIVER_PRIORITY = [
     # block's recorded plan). Slot 0: pit_join (entry() smoke,
     # convention since r7).
     #
-    # Slots 1-6: NEW this round (never-attested entries MUST sit in
+    # Slots 1-8: NEW this round (never-attested entries MUST sit in
     # the window): graph_sssp (weighted shortest paths — bounded
     # Bellman-Ford as joins, min-combine before the shuffle,
     # strict-improvement frontier), graph_label_propagation_weighted
@@ -303,14 +305,19 @@ _DRIVER_PRIORITY = [
     # (seed-concentrated teleport + dangling recirculation — crawl
     # frontier prioritization), text_char_ngram_entropy (per-doc
     # character-trigram Shannon entropy — the compressibility quality
-    # proxy), score_drift_ks (two-sample KS drift audit, no binning).
+    # proxy), score_drift_ks (two-sample KS drift audit, no binning),
+    # lang_quality_mi (categorical mutual information — the
+    # leakage/feature-selection audit), subset_max_coverage (greedy
+    # facility-location subset selection, deterministic tie-break).
     "graph_sssp",
     "graph_label_propagation_weighted",
     "graph_kcore",
     "graph_pagerank_personalized",
     "text_char_ngram_entropy",
     "score_drift_ks",
-    # Slots 7-11: the entries whose fingerprints drift with this
+    "lang_quality_mi",
+    "subset_max_coverage",
+    # Slots 9-13: the entries whose fingerprints drift with this
     # round's hardening (all driver-green r13 on the pre-edit tree):
     # - contamination_report: corpus-side shingle distinct deferred to
     #   count(DISTINCT) AFTER the broadcast probe, so the dedup
@@ -333,7 +340,7 @@ _DRIVER_PRIORITY = [
     "score_calibration_ece",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    # Slots 12-27: the 16 r8-vintage rows (oldest driver attestation
+    # Slots 14-29: the 16 r8-vintage rows (oldest driver attestation
     # anywhere — re-proving these completes VERDICT r14 item 2: no
     # driver row older than r9), alphabetical.
     "sequence_example_roundtrip",
@@ -352,9 +359,9 @@ _DRIVER_PRIORITY = [
     "weighted_sample_wor",
     "window_topk_running",
     "windowed_event_counts",
-    # Slots 28-49: 22 of the 41 r9-vintage rows, alphabetical (the
-    # 19-row tail — monthly_order_delta through zorder_layout minus the
-    # 22 below — heads the ROUND-15 plan below).
+    # Slots 30-49: 20 of the 41 r9-vintage rows, alphabetical (the
+    # 21-row tail — having_subquery through zorder_layout minus the
+    # 20 below — heads the ROUND-15 plan below).
     "anti_join_exists",
     "array_agg_sorted",
     "bucketed_join",
@@ -375,17 +382,16 @@ _DRIVER_PRIORITY = [
     "gap_fill_timeseries",
     "group_quota",
     "grouping_sets_filter",
-    "having_subquery",
-    "lateral_topk_per_key",
-    # ROUND-15 WINDOW PLAN: the 19 r9 rows displaced by this round's
-    # 11-entry debt cohort (6 new + 5 drifted) —
-    # monthly_order_delta, multimodal_audio_mp3_stats, percentiles,
-    # pit_join_time_bucketed, q10_returned_items, q18_large_orders,
-    # q7_nation_volume, similarity_ann_lsh_recall,
-    # sketch_distinct_counts, sketch_quantiles, skew_salted_join,
-    # snapshot_diff, source_tfrecord_roundtrip, stream_dedup,
-    # string_funcs_parts, three_way_split_counts, weighted_sample,
-    # window_lead_lag_ntile, zorder_layout — then the oldest r10 rows
+    # ROUND-15 WINDOW PLAN: the 21 r9 rows displaced by this round's
+    # 13-entry debt cohort (8 new + 5 drifted) —
+    # having_subquery, lateral_topk_per_key, monthly_order_delta,
+    # multimodal_audio_mp3_stats, percentiles, pit_join_time_bucketed,
+    # q10_returned_items, q18_large_orders, q7_nation_volume,
+    # similarity_ann_lsh_recall, sketch_distinct_counts,
+    # sketch_quantiles, skew_salted_join, snapshot_diff,
+    # source_tfrecord_roundtrip, stream_dedup, string_funcs_parts,
+    # three_way_split_counts, weighted_sample, window_lead_lag_ntile,
+    # zorder_layout — then the oldest r10 rows
     # alphabetically to fill
     # 50 after pit_join's slot-0 convention. After r15 executes, the
     # oldest driver row anywhere is r10 and the ~4-round full-fleet

@@ -741,6 +741,57 @@ WHERE round(o.overlap_ngrams / CAST(t.bench_ngrams AS DOUBLE), 6) >= 0.05
 """
 
 
+def _q_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy facility-location subset selection: the 4 documents whose
+    # distinct 3-gram shingles greedily maximize corpus coverage —
+    # selection order, marginal gain, and the running covered total.
+    # Deterministic (smallest doc_id on gain ties), so the 4 greedy
+    # rounds unroll exactly in the oracle.
+    from ..operators.curation import greedy_max_coverage
+
+    t = register_tables(spark, sf_dir)
+    return greedy_max_coverage(t["documents"], k=4, n=3, hashed=False)
+
+
+def _maxcov_round_sql(prev_cov: str, rank: int) -> str:
+    # one greedy round: gains over not-yet-covered shingles, argmax
+    # with smallest-id tie-break, covered set extended by the pick
+    cov_pred = (
+        f"WHERE d.s NOT IN (SELECT s FROM {prev_cov})" if prev_cov else ""
+    )
+    prev_union = (
+        f"SELECT s FROM {prev_cov} UNION " if prev_cov else ""
+    )
+    return f"""
+g{rank} AS (
+  SELECT d.doc_id, COUNT(*) AS gain FROM dsh d {cov_pred} GROUP BY 1
+),
+sel{rank} AS (
+  SELECT {rank} AS rank, doc_id, gain FROM g{rank}
+  ORDER BY gain DESC, doc_id LIMIT 1
+),
+cov{rank} AS (
+  {prev_union}SELECT s FROM dsh WHERE doc_id = (SELECT doc_id FROM sel{rank})
+)"""
+
+
+_MAX_COVERAGE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i)
+),{_maxcov_round_sql('', 1)},{_maxcov_round_sql('cov1', 2)},{
+    _maxcov_round_sql('cov2', 3)},{_maxcov_round_sql('cov3', 4)},
+sel AS (
+  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, CAST(gain AS BIGINT) AS gain,
+       CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS covered_total
+FROM sel WHERE gain > 0
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic domain-mix downsampling: per-status fractions via the
     # portable fingerprint hash (no RNG — identical row set on any
@@ -1256,6 +1307,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "contamination_report": (_q_contamination_report, _CONTAMINATION_REPORT_ORACLE),
+    "subset_max_coverage": (_q_max_coverage, _MAX_COVERAGE_ORACLE),
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
     "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
     "sequence_packing": (_q_sequence_packing, _SEQUENCE_PACKING_ORACLE),

@@ -180,6 +180,57 @@ FROM cum
 """
 
 
+def _q_lang_quality_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mutual information between document language and the quality-
+    # score quartile: the leakage/feature-selection audit — "how much
+    # does language predict the quality bucket?" (a nonzero MI here
+    # means a language-blind quality threshold shifts the language
+    # mix, the classic silent-filtering bias).
+    from ..operators.stats import categorical_mutual_information
+
+    t = register_tables(spark, sf_dir)
+    scored = tx.quality_score(t["documents"]).select(
+        "lang",
+        F.least(F.floor(F.col("quality_score") * 4).cast("int"), F.lit(3))
+        .cast("string")
+        .alias("q4"),
+    )
+    return categorical_mutual_information(scored, "lang", "q4")
+
+
+_LANG_QUALITY_MI_ORACLE = f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+j AS (
+  SELECT d.lang AS a,
+         CAST(LEAST(CAST(floor(tq.quality_score * 4) AS INT), 3)
+              AS VARCHAR) AS b
+  FROM tq JOIN documents d USING (doc_id)
+),
+joint AS (SELECT a, b, COUNT(*) AS c FROM j GROUP BY 1, 2),
+sc AS (
+  SELECT c,
+         SUM(c) OVER () AS n,
+         SUM(c) OVER (PARTITION BY a) AS ca,
+         SUM(c) OVER (PARTITION BY b) AS cb
+  FROM joint
+),
+agg AS (
+  SELECT MAX(n) AS n,
+         SUM(c * (log2(c) + log2(n) - log2(ca) - log2(cb))) / MAX(n) AS mi,
+         log2(MAX(n)) - SUM(c * log2(ca)) / MAX(n) AS ha,
+         log2(MAX(n)) - SUM(c * log2(cb)) / MAX(n) AS hb
+  FROM sc
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(mi, 6) AS mi,
+       round(ha, 6) AS h_a,
+       round(hb, 6) AS h_b,
+       CASE WHEN ha > 0 AND hb > 0
+            THEN round(mi / sqrt(ha * hb), 6) END AS nmi
+FROM agg
+"""
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir)
     return (
@@ -1330,6 +1381,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "score_calibration_ece": (_q_score_calibration, _SCORE_CALIBRATION_ORACLE),
     "text_char_ngram_entropy": (_q_char_entropy, _CHAR_ENTROPY_ORACLE),
     "score_drift_ks": (_q_score_drift_ks, _SCORE_DRIFT_KS_ORACLE),
+    "lang_quality_mi": (_q_lang_quality_mi, _LANG_QUALITY_MI_ORACLE),
     "cdc_chunking": (_q_cdc_chunking, _CDC_CHUNKING_ORACLE),
     "text_lang_id": (_q_lang_id, _langid_case()),
     "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
