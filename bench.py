@@ -105,6 +105,20 @@ EXTENDED = [
     "split_leakage_audit",
     "score_calibration_ece",
     "cdc_chunking",
+    # round-14 additions, one representative per new plan shape:
+    # bounded Bellman-Ford (sssp), iterative peeling (kcore), the wide
+    # char-gram shuffle (entropy), the grid-bounded drift audits
+    # (ks, mi), and the k-round greedy anti-join (max coverage). The
+    # weighted LPA/PageRank/personalized variants share their
+    # unweighted entries' plan shapes, so benching them would double-
+    # count the same physics — soak tables in BENCH_NOTES_r14 carry
+    # their numbers instead.
+    "graph_sssp",
+    "graph_kcore",
+    "text_char_ngram_entropy",
+    "score_drift_ks",
+    "lang_quality_mi",
+    "subset_max_coverage",
 ]
 
 # The two indexed-ANN registry entries are equivalence/recall CONTRACTS

@@ -315,6 +315,19 @@ the cumulative-ECDF window all run on the grid frame, provably
 bounded by 2 x 10^decimals rows — the calibration_bins
 single-partition-window contract. Nothing data-sized reaches the
 driver.""",
+    "graph_pagerank_weighted": """Same per-iteration plan as graph_pagerank — one contributions
+shuffle keyed on the receiving node + a 1-row dangling-mass broadcast
+— with outflow split proportional to edge weight: the weight and the
+out-weight-sum ride the pinned edge frame, so the weighted variant
+costs NOTHING over uniform. Parallel edges pre-accumulate in the
+one-time edge normalization; non-positive weights drop there too (a
+zero-weight edge must not count toward the split).""",
+    "graph_degree_assortativity": """One-pass structural QA: a distinct + combinable degree aggregate,
+then the edge frame re-joins the degree frame on each endpoint (two
+AQE-balanced equi-joins) into a single guarded co-moment aggregate —
+covar_pop/(stddev_pop*stddev_pop), NULL-guarded because ANSI corr()
+raises DIVIDE_BY_ZERO on a constant degree side (perfect cycle).
+Nothing iterative, nothing on the driver beyond the node count.""",
     "lang_quality_mi": """All four statistics (MI, both entropies, NMI) off ONE corpus scan:
 the joint (a, b) count aggregate is the only corpus-sized job
 (map-side combinable); the marginal counts attach as windows over the

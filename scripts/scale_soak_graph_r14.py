@@ -2,10 +2,11 @@
 """Round-14 soak: the GRAPH family together at 1x and 10x sf0.1.
 
 VERDICT r13 item 7: the r13 soak covered the audit operators; this one
-puts graph_hits / graph_label_propagation (both variants) /
-graph_bfs_levels / graph_sssp through the same 1x-vs-10x protocol in
-ONE table, so the per-round join-count scaling is on record beside the
-standing scale_probe_hits numbers.
+puts the WHOLE graph family — hits, label propagation (both variants),
+bfs_levels, sssp, kcore, personalized + weighted pagerank, degree
+assortativity — through the same 1x-vs-10x protocol in ONE table, so
+the per-round join-count scaling is on record beside the standing
+scale_probe_hits numbers.
 
 Fixture: the entries' sf0.1 trade graph (orders x lineitem,
 o_totalprice > 150000), replicated k times with DISJOINT node
@@ -33,9 +34,11 @@ from pyspark.sql import functions as F  # noqa: E402
 import time  # noqa: E402
 from tfx_addons_feast_examplegen_spark.operators.graph import (  # noqa: E402
     bfs_levels,
+    degree_assortativity,
     hits,
     kcore,
     label_propagation,
+    pagerank,
     personalized_pagerank,
     sssp,
 )
@@ -154,6 +157,14 @@ def main() -> None:
         r["graph_pagerank_personalized"] = timeit_build(
             "graph_pagerank_personalized",
             lambda: personalized_pagerank(edges, seeds, iterations=6),
+        )
+        r["graph_pagerank_weighted"] = timeit_build(
+            "graph_pagerank_weighted",
+            lambda: pagerank(edges, weight_col="votes", iterations=6),
+        )
+        r["graph_degree_assortativity"] = timeit_build(
+            "graph_degree_assortativity",
+            lambda: degree_assortativity(edges),
         )
         results[scale] = r
 

@@ -723,3 +723,86 @@ def test_ppr_isolated_seed_and_dangling_recirculation(spark):
             seeds.where("node = 'zzz'"),
             iterations=2,
         )
+
+
+def test_pagerank_weighted_hand_and_equivalences(spark):
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import pagerank
+
+    # all-1 weights == unweighted, bit-identically — on a
+    # duplicate-free edge list (duplicates COLLAPSE unweighted but
+    # ACCUMULATE weighted, by design)
+    edges = _sym([("a", "b"), ("b", "c"), ("c", "a")])
+    u = spark.createDataFrame(edges, "src: string, dst: string")
+    w1 = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges], "src: string, dst: string, w: long"
+    )
+    pu = {r["node"]: r["rank"] for r in pagerank(u, iterations=4).collect()}
+    pw = {
+        r["node"]: r["rank"]
+        for r in pagerank(w1, weight_col="w", iterations=4).collect()
+    }
+    assert pu == pw
+
+    # outflow splits proportionally: a sends 3/4 of its damped mass to
+    # b and 1/4 to c (weights 3 vs 1); with one iteration from uniform
+    # init the difference is exactly visible
+    wd = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src: string, dst: string, w: long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(wd, weight_col="w", iterations=1).collect()
+    }
+    # n=3, rank0=1/3; b,c dangling -> dmass = 2/3
+    # rank(b) = 0.15/3 + 0.85*((1/3)*(3/4) + (2/3)/3)
+    exp_b = 0.05 + 0.85 * ((1 / 3) * 0.75 + (2 / 3) / 3)
+    exp_c = 0.05 + 0.85 * ((1 / 3) * 0.25 + (2 / 3) / 3)
+    assert abs(got["b"] - exp_b) < 1e-12
+    assert abs(got["c"] - exp_c) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+    # parallel edges accumulate; zero/negative/NULL weights drop
+    acc = spark.createDataFrame(
+        [("a", "b", 2), ("a", "b", 1), ("a", "c", 3), ("a", "d", 0),
+         ("a", "e", None)],
+        "src: string, dst: string, w: int",
+    )
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(acc, weight_col="w", iterations=1).collect()
+    }
+    assert set(got2) == {"a", "b", "c"}  # d, e dropped with their edges
+    assert abs(got2["b"] - got2["c"]) < 1e-12  # 2+1 == 3
+
+
+def test_degree_assortativity_hand_computed(spark):
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star K1,3 symmetrized: every edge pairs degree 3 with degree 1 ->
+    # both endpoint-degree series are constant per side but the pooled
+    # directed representation has x in {3,1,1,1,...}: the correlation
+    # is exactly -1 for a star
+    star = _sym([("h", "a"), ("h", "b"), ("h", "c")])
+    df = spark.createDataFrame(star, "src: string, dst: string")
+    r = degree_assortativity(df).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 6
+    assert r["assortativity"] == -1.0
+
+    # perfect cycle: every degree 2 -> correlation undefined -> NULL
+    cyc = _sym([("a", "b"), ("b", "c"), ("c", "a")])
+    rc = degree_assortativity(
+        spark.createDataFrame(cyc, "src: string, dst: string")
+    ).collect()[0]
+    assert rc["assortativity"] is None
+    assert rc["n_nodes"] == 3 and rc["n_edges"] == 6
+
+    # self-loops and duplicates drop before degree counting
+    messy = star + [("h", "h"), ("h", "a")]
+    rm = degree_assortativity(
+        spark.createDataFrame(messy, "src: string, dst: string")
+    ).collect()[0]
+    assert rm["n_edges"] == 6 and rm["assortativity"] == -1.0

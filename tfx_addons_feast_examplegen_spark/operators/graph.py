@@ -36,6 +36,7 @@ def pagerank(
     *,
     src: str = "src",
     dst: str = "dst",
+    weight_col: str | None = None,
     iterations: int = 10,
     damping: float = 0.85,
     node_col: str = "node",
@@ -47,17 +48,44 @@ def pagerank(
     of its source's outflow); NULL endpoints are dropped; dangling
     nodes (no out-edges) redistribute their mass uniformly. Returns
     ``(node_col, rank_col)`` with one row per distinct node.
+
+    ``weight_col`` selects the weighted variant (the link-count /
+    trust-score edition crawl graphs need): a source's outflow splits
+    PROPORTIONALLY to edge weight — ``rank(u) * w(u,v) /
+    sum_w(u)`` — instead of uniformly, parallel ``(src, dst)`` edges
+    ACCUMULATE their weights, and NULL/non-positive weights drop with
+    NULL endpoints (a zero-weight edge carries no outflow and must not
+    count toward the split). With all-1 weights the arithmetic is
+    bit-identical to the unweighted path (multiply by 1.0, divide by
+    the same count), so the two variants are one code path.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0: {iterations}")
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0, 1]: {damping}")
 
-    e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
-        .distinct()
-    )
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+            .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+            .distinct()
+            .withColumn("__w", F.lit(1.0))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("__s"),
+                F.col(dst).alias("__d"),
+                F.col(weight_col).cast("double").alias("__w"),
+            )
+            .where(
+                F.col("__s").isNotNull()
+                & F.col("__d").isNotNull()
+                & (F.col("__w") > 0.0)
+            )
+            .groupBy("__s", "__d")
+            .agg(F.sum("__w").alias("__w"))
+        )
     nodes = (
         e.select(F.col("__s").alias(node_col))
         .union(e.select(F.col("__d").alias(node_col)))
@@ -68,9 +96,9 @@ def pagerank(
     if n == 0:
         return nodes.withColumn(rank_col, F.lit(0.0))
 
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
-    # (src, dst, outdeg) pinned once; every iteration re-reads this
-    # materialized frame instead of re-running the distinct+degree jobs
+    deg = e.groupBy("__s").agg(F.sum("__w").alias("__deg"))
+    # (src, dst, w, out-weight-sum) pinned once; every iteration re-reads
+    # this materialized frame instead of re-running the distinct+degree jobs
     edges_deg = e.join(deg, "__s").localCheckpoint()
 
     ranks = nodes.withColumn(rank_col, F.lit(1.0 / n)).localCheckpoint()
@@ -78,7 +106,11 @@ def pagerank(
         contribs = (
             edges_deg.join(ranks, edges_deg["__s"] == ranks[node_col])
             .groupBy("__d")
-            .agg(F.sum(F.col(rank_col) / F.col("__deg")).alias("__contrib"))
+            .agg(
+                F.sum(
+                    F.col(rank_col) * F.col("__w") / F.col("__deg")
+                ).alias("__contrib")
+            )
         )
         # mass parked on dangling nodes (rank rows with no out-edges);
         # a 1-row aggregate attached by broadcast — never a collect
@@ -642,3 +674,77 @@ def kcore(
             F.count(F.lit(1)).alias(degree_col)
         )
     return deg.where(F.col(degree_col) >= k)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, the
+    networkx-convention Pearson correlation of the degrees at either
+    end of each directed edge) — the one-number structural QA a crawl
+    graph gets before link-based curation: strongly negative values
+    flag hub-and-spoke (bipartite/spammy) structure, positive values
+    social-network-like degree mixing. Pass a symmetrized edge list
+    for undirected semantics; degree is then out-degree.
+
+    Returns ONE row ``(n_nodes, n_edges, assortativity)``;
+    ``assortativity`` is NULL when a degree side is constant (the
+    correlation is undefined — e.g. a perfect cycle). Duplicate edges
+    collapse; NULL endpoints and self-loops drop.
+
+    Plan shape: one distinct + one map-side-combinable degree
+    aggregate, then the edge frame re-joins the degree frame on each
+    endpoint (two shuffle equi-joins — both sides keyed on a node id,
+    AQE-balanced) feeding a single ``corr`` aggregate: corpus-sized
+    work is two joins and one pass, nothing iterative, nothing on the
+    driver.
+    """
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & (F.col("__s") != F.col("__d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy(F.col("__s").alias("__n")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    joined = (
+        e.join(deg.withColumnRenamed("__n", "__s"), "__s")
+        .withColumnRenamed("__deg", "__ds")
+        .join(
+            deg.withColumnRenamed("__n", "__d").withColumnRenamed(
+                "__deg", "__dd"
+            ),
+            "__d",
+            "left",
+        )
+        .select(
+            F.col("__ds").cast("double").alias("__x"),
+            F.coalesce(F.col("__dd"), F.lit(0)).cast("double").alias("__y"),
+        )
+    )
+    nodes = e.select(F.col("__s").alias("n")).union(
+        e.select(F.col("__d").alias("n"))
+    )
+    n_nodes = nodes.distinct().count()
+    # guarded co-moment spelling, not corr(): under ANSI mode corr()
+    # raises DIVIDE_BY_ZERO on a constant side (e.g. a perfect cycle,
+    # where every degree is equal); the contract is NULL there. The
+    # (n-1) sample factors cancel in the ratio, so this equals corr().
+    cov = F.covar_pop("__x", "__y")
+    sx = F.stddev_pop("__x")
+    sy = F.stddev_pop("__y")
+    return joined.agg(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(
+            F.when((sx > 0) & (sy > 0), cov / (sx * sy)), 6
+        ).alias("assortativity"),
+    )

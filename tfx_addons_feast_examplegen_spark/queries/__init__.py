@@ -261,6 +261,8 @@ _ENTRY_ORDER = [
     "score_drift_ks",
     "lang_quality_mi",
     "subset_max_coverage",
+    "graph_pagerank_weighted",
+    "graph_degree_assortativity",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -295,7 +297,7 @@ _DRIVER_PRIORITY = [
     # block's recorded plan). Slot 0: pit_join (entry() smoke,
     # convention since r7).
     #
-    # Slots 1-8: NEW this round (never-attested entries MUST sit in
+    # Slots 1-10: NEW this round (never-attested entries MUST sit in
     # the window): graph_sssp (weighted shortest paths — bounded
     # Bellman-Ford as joins, min-combine before the shuffle,
     # strict-improvement frontier), graph_label_propagation_weighted
@@ -308,7 +310,9 @@ _DRIVER_PRIORITY = [
     # proxy), score_drift_ks (two-sample KS drift audit, no binning),
     # lang_quality_mi (categorical mutual information — the
     # leakage/feature-selection audit), subset_max_coverage (greedy
-    # facility-location subset selection, deterministic tie-break).
+    # facility-location subset selection, deterministic tie-break),
+    # graph_pagerank_weighted (outflow split proportional to edge
+    # weight), graph_degree_assortativity (Newman degree-mixing QA).
     "graph_sssp",
     "graph_label_propagation_weighted",
     "graph_kcore",
@@ -317,7 +321,9 @@ _DRIVER_PRIORITY = [
     "score_drift_ks",
     "lang_quality_mi",
     "subset_max_coverage",
-    # Slots 9-13: the entries whose fingerprints drift with this
+    "graph_pagerank_weighted",
+    "graph_degree_assortativity",
+    # Slots 11-16: the entries whose fingerprints drift with this
     # round's hardening (all driver-green r13 on the pre-edit tree):
     # - contamination_report: corpus-side shingle distinct deferred to
     #   count(DISTINCT) AFTER the broadcast probe, so the dedup
@@ -335,12 +341,16 @@ _DRIVER_PRIORITY = [
     #   racing attempts never interleave one handle (ADVICE r13
     #   medium), and the append salt folds in driver pid + random bits
     #   against the 25-day epoch-micros wrap (ADVICE r13 low).
+    # - graph_pagerank: pagerank() gained the weight_col parameter
+    #   (None = the attested path — literal-1.0 weights make deg a
+    #   double SUM equal to the old COUNT, arithmetic bit-identical).
+    "graph_pagerank",
     "contamination_report",
     "graph_label_propagation",
     "score_calibration_ece",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    # Slots 14-29: the 16 r8-vintage rows (oldest driver attestation
+    # Slots 17-32: the 16 r8-vintage rows (oldest driver attestation
     # anywhere — re-proving these completes VERDICT r14 item 2: no
     # driver row older than r9), alphabetical.
     "sequence_example_roundtrip",
@@ -359,9 +369,9 @@ _DRIVER_PRIORITY = [
     "weighted_sample_wor",
     "window_topk_running",
     "windowed_event_counts",
-    # Slots 30-49: 20 of the 41 r9-vintage rows, alphabetical (the
-    # 21-row tail — having_subquery through zorder_layout minus the
-    # 20 below — heads the ROUND-15 plan below).
+    # Slots 33-49: 17 of the 41 r9-vintage rows, alphabetical (the
+    # 24-row tail — gap_fill_timeseries through zorder_layout minus
+    # the 17 below — heads the ROUND-15 plan below).
     "anti_join_exists",
     "array_agg_sorted",
     "bucketed_join",
@@ -379,11 +389,9 @@ _DRIVER_PRIORITY = [
     "embedding_quantization",
     "feature_histogram",
     "forward_fill_timeseries",
-    "gap_fill_timeseries",
-    "group_quota",
-    "grouping_sets_filter",
-    # ROUND-15 WINDOW PLAN: the 21 r9 rows displaced by this round's
-    # 13-entry debt cohort (8 new + 5 drifted) —
+    # ROUND-15 WINDOW PLAN: the 24 r9 rows displaced by this round's
+    # 16-entry debt cohort (10 new + 6 drifted) —
+    # gap_fill_timeseries, group_quota, grouping_sets_filter,
     # having_subquery, lateral_topk_per_key, monthly_order_delta,
     # multimodal_audio_mp3_stats, percentiles, pit_join_time_bucketed,
     # q10_returned_items, q18_large_orders, q7_nation_volume,

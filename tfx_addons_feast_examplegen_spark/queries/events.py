@@ -1487,6 +1487,130 @@ SELECT node, round(rank, 9) AS rank FROM r6
 """
 
 
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted PageRank over the distinct-order-count-weighted
+    # symmetrized trade graph: a node's outflow splits proportionally
+    # to trading volume instead of uniformly — the link-count edition
+    # crawl graphs rank with. Same 6 iterations as the unweighted
+    # entry; integral weights keep deg sums exact.
+    from ..operators.graph import pagerank
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    r = pagerank(edges, weight_col="w", iterations=6)
+    return r.select("node", F.round("rank", 9).alias("rank"))
+
+
+_QPAGERANK_WEIGHTED_ORACLE = """
+WITH RECURSIVE
+pairs AS (
+  SELECT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b,
+         COUNT(DISTINCT o.o_orderkey) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+deg AS (SELECT src, SUM(w) AS d FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+pr AS (
+  SELECT 0 AS iter, node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, e.dst AS node,
+         0.15 / (SELECT n FROM cnt) + 0.85 * SUM(p.rank * e.w / dg.d)
+  FROM pr p
+  JOIN edges e ON e.src = p.node
+  JOIN deg dg ON dg.src = p.node
+  WHERE p.iter < 6
+  GROUP BY p.iter, e.dst
+)
+SELECT node, round(rank, 9) AS rank FROM pr WHERE iter = 6
+"""
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree assortativity of the symmetrized trade graph: the
+    # bipartite customer-supplier structure should read strongly
+    # NEGATIVE (hubs attach to leaves) — the one-number structural QA
+    # before link-based curation trusts the graph.
+    from ..operators.graph import degree_assortativity
+
+    t = register_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return degree_assortativity(edges)
+
+
+_QASSORTATIVITY_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_totalprice > 150000
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pairs
+  )
+),
+deg AS (SELECT src AS n, COUNT(*) AS d FROM edges GROUP BY 1),
+j AS (
+  SELECT CAST(ds.d AS DOUBLE) AS x, CAST(dd.d AS DOUBLE) AS y
+  FROM edges e JOIN deg ds ON ds.n = e.src JOIN deg dd ON dd.n = e.dst
+),
+nn AS (
+  SELECT COUNT(DISTINCT node) AS c FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+)
+SELECT CAST((SELECT c FROM nn) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       round(corr(x, y), 6) AS assortativity
+FROM j
+"""
+
+
 def _q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyless temporal containment — the range-join shape Spark plans
     # as a nested loop and this engine rewrites as a binned equi-join
@@ -1623,6 +1747,8 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "graph_sssp": (_q_sssp, _QSSSP_ORACLE),
     "graph_kcore": (_q_kcore, _QKCORE_ORACLE),
     "graph_pagerank_personalized": (_q_ppr, _QPPR_ORACLE),
+    "graph_pagerank_weighted": (_q_pagerank_weighted, _QPAGERANK_WEIGHTED_ORACLE),
+    "graph_degree_assortativity": (_q_assortativity, _QASSORTATIVITY_ORACLE),
     "interval_containment_join": (_q_interval_containment, _INTERVAL_CONTAINMENT_ORACLE),
     "interval_overlap_join": (_q_interval_overlap, _INTERVAL_OVERLAP_ORACLE),
     "props_map_explode": (_q_props_map, _PROPS_MAP_ORACLE),
