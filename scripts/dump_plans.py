@@ -328,6 +328,22 @@ AQE-balanced equi-joins) into a single guarded co-moment aggregate —
 covar_pop/(stddev_pop*stddev_pop), NULL-guarded because ANSI corr()
 raises DIVIDE_BY_ZERO on a constant degree side (perfect cycle).
 Nothing iterative, nothing on the driver beyond the node count.""",
+    "score_drift_qq": """Same corpus economics as score_drift_ks — ONE map-side-combinable
+(value, group) count aggregate is the only corpus-sized job — then
+the cumulative ECDFs, the broadcast 5-row quantile frame, and the
+min-over-threshold quantile picks all run on the grid frame (bounded
+by 2 x 10^decimals rows). Type-1 quantiles with a plain >= compare:
+both engines derive the ECDF fraction from the same exact-long
+division, so no epsilon is needed for the oracle to replay it.""",
+    "curriculum_interleave": """Stride-scheduled epoch order with NO global Window: per-source
+ranks come from the grouped row-id decomposition (frozen global
+quantile boundaries as literals, per-(source, bucket) offsets
+collected as O(groups x buckets) scalars, one hash exchange on
+(source, bucket) + a DISTRIBUTED in-bucket sort), then the position
+is codegen arithmetic on the rate literals. The output carries the
+sort KEY — consumers ORDER BY pos as a distributed range sort — so a
+source holding 90% of a 100 TB corpus never funnels through one
+task at any step.""",
     "lang_quality_mi": """All four statistics (MI, both entropies, NMI) off ONE corpus scan:
 the joint (a, b) count aggregate is the only corpus-sized job
 (map-side combinable); the marginal counts attach as windows over the

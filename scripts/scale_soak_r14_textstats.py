@@ -21,10 +21,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from scale_soak_sf1 import scale_docs, timeit  # noqa: E402
 from tfx_addons_feast_examplegen_spark.operators.curation import (  # noqa: E402
     greedy_max_coverage,
+    interleave_by_rate,
 )
 from tfx_addons_feast_examplegen_spark.operators.stats import (  # noqa: E402
     categorical_mutual_information,
     ks_two_sample,
+    quantile_shift,
 )
 from tfx_addons_feast_examplegen_spark.operators.text import (  # noqa: E402
     char_ngram_entropy,
@@ -66,6 +68,33 @@ def main() -> None:
             "score_drift_ks",
             ks_two_sample(scored, "quality_score", "half", decimals=4),
         )
+        r["score_drift_qq"] = timeit(
+            "score_drift_qq",
+            quantile_shift(scored, "quality_score", "half", decimals=4),
+        )
+        # interleave needs a source column: doc_id % 5 as five synthetic
+        # sources at mixed rates; the grouped-rank machinery is what's
+        # under soak (build is eager via the two driver passes, so time
+        # the construction too)
+        import time as _t2
+
+        src = dc.select(
+            "doc_id",
+            F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")).alias(
+                "source"
+            ),
+        )
+        best_i = float("inf")
+        for _ in range(2):
+            t0 = _t2.time()
+            interleave_by_rate(
+                src,
+                "source",
+                {"s0": 4.0, "s1": 2.0, "s2": 1.0, "s3": 1.0},
+            ).write.mode("overwrite").format("noop").save()
+            best_i = min(best_i, _t2.time() - t0)
+        print(f"  curriculum_interleave: {best_i:.2f}s", flush=True)
+        r["curriculum_interleave"] = best_i
         import time as _t
 
         from tfx_addons_feast_examplegen_spark.operators.text import (

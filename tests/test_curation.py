@@ -501,3 +501,123 @@ def test_greedy_max_coverage_hand_and_model(spark):
             tuple(r) for r in greedy_max_coverage(df, k=3, n=3).collect()
         ]
         assert got == expect, (trial, texts)
+
+
+def test_assign_grouped_row_ids_matches_naive_window(spark):
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        assign_grouped_row_ids,
+    )
+
+    rng = random.Random(1901)
+    rows = [
+        (rng.randrange(10_000), f"g{rng.randrange(5)}")
+        for _ in range(400)
+    ]
+    rows = list({(k, g) for k, g in rows})  # unique keys per group
+    df = spark.createDataFrame(rows, "key long, grp string")
+    got = {
+        (r["grp"], r["key"]): r["k"]
+        for r in assign_grouped_row_ids(
+            df, ["grp"], "key", id_col="k", num_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("key")
+    want = {
+        (r["grp"], r["key"]): r["k"]
+        for r in df.withColumn("k", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    # validation: non-numeric order col, duplicate id col, cap
+    sdf = spark.createDataFrame([("a", "g")], "key string, grp string")
+    with _pytest.raises(ValueError, match="numeric"):
+        assign_grouped_row_ids(sdf, ["grp"], "key")
+    with _pytest.raises(ValueError, match="already present"):
+        assign_grouped_row_ids(df, ["grp"], "key", id_col="grp")
+    with _pytest.raises(ValueError, match="max_offset_entries"):
+        assign_grouped_row_ids(
+            df, ["grp"], "key", num_buckets=8, max_offset_entries=2
+        )
+
+
+def test_interleave_by_rate_stride_invariant(spark):
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.curation import (
+        interleave_by_rate,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]  # 30 per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"s0": 3.0, "s1": 1.0}  # s2 unrated -> dropped
+    out = interleave_by_rate(df, "source", rates).collect()
+    assert {r["source"] for r in out} == {"s0", "s1"}
+    # pos ordering realizes the 3:1 mix: in every prefix of the pos
+    # order, source counts match the rates within +-1 (the stride
+    # scheduling invariant)
+    ordered = sorted(out, key=lambda r: (r["pos"], r["source"]))
+    seen = {"s0": 0, "s1": 0}
+    total_rate = 4.0
+    # the stride invariant holds while every source still has items:
+    # s0 (30 rows at rate 3/4) exhausts at global prefix 30*4/3 = 40
+    sustainable = 40
+    for i, r in enumerate(ordered, start=1):
+        seen[r["source"]] += 1
+        if i <= sustainable:
+            assert abs(seen["s0"] - i * 3.0 / total_rate) <= 1.0, i
+            assert abs(seen["s1"] - i * 1.0 / total_rate) <= 1.0, i
+    # positions are the stride arithmetic exactly
+    by = {(r["source"], r["k"]): r["pos"] for r in out}
+    assert by[("s0", 1)] == round(0.5 / 3.0, 6)
+    assert by[("s1", 2)] == 1.5
+
+    with _pytest.raises(ValueError, match="rate"):
+        interleave_by_rate(df, "source", {"s0": 0.0})
+    with _pytest.raises(ValueError, match="non-empty"):
+        interleave_by_rate(df, "source", {})
+
+
+def test_quantile_shift_hand_computed(spark):
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        quantile_shift,
+    )
+
+    # group a = {1..10}/10, group b = a + 0.2: every quantile shifts
+    # by exactly +0.2
+    rows = [(i / 10.0, "a") for i in range(1, 11)] + [
+        (i / 10.0 + 0.2, "b") for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = {r["q"]: r for r in quantile_shift(df, "v", "g").collect()}
+    assert set(out) == {0.1, 0.25, 0.5, 0.75, 0.9}
+    for q, r in out.items():
+        assert r["shift"] == 0.2, q
+    # type-1 quantile: v_a(0.25) = min v with F >= 0.25 = 0.3
+    assert out[0.25]["v_a"] == 0.3 and out[0.5]["v_a"] == 0.5
+
+    # identical groups -> zero shift everywhere
+    same = spark.createDataFrame(
+        [(v, g) for v in (0.2, 0.4, 0.9) for g in ("a", "b")],
+        "v double, g string",
+    )
+    assert all(
+        r["shift"] == 0.0 for r in quantile_shift(same, "v", "g").collect()
+    )
+
+    # != 2 groups fails loud; bad params fail fast
+    one = spark.createDataFrame([(0.5, "a")], "v double, g string")
+    with _pytest.raises(SparkRuntimeException, match="exactly 2 groups"):
+        quantile_shift(one, "v", "g").collect()
+    with _pytest.raises(ValueError, match="quantiles"):
+        quantile_shift(df, "v", "g", quantiles=())
+    with _pytest.raises(ValueError, match="quantiles must be in"):
+        quantile_shift(df, "v", "g", quantiles=(0.0,))

@@ -806,3 +806,64 @@ def greedy_max_coverage(
         rows,
         f"rank int, {id_col} {id_type}, gain bigint, covered_total bigint",
     )
+
+
+def interleave_by_rate(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic training-epoch interleave order mixing sources at
+    fixed relative rates — stride scheduling (Waldspurger & Weihl
+    1995, the lottery/stride scheduler; also the Pachinko-style
+    source-mixing step trainers run instead of shuffling the whole
+    corpus): the ``k``-th document of source ``s`` (1-based, ordered
+    by ``id_col``) gets virtual position ``pos = (k - 0.5) /
+    rates[s]``, and consuming rows in ``pos`` order yields every
+    prefix with source proportions matching the rates (exact to ±1
+    per source — the stride invariant). Sources absent from ``rates``
+    are dropped (quota semantics, the :func:`stratified_sample`
+    convention); rates must be positive.
+
+    Returns ``(id_col, source_col, k, pos)`` — ``pos`` is the sort
+    key; consumers ``ORDER BY pos`` (a distributed range sort), and no
+    global row_number is ever materialized here, because a global
+    Window would funnel 100 TB through one task.
+
+    Plan shape: the per-source rank comes from
+    :func:`..rowid.assign_grouped_row_ids` — frozen global quantile
+    boundaries + per-(source, bucket) literal offsets + one hash
+    exchange with a DISTRIBUTED in-bucket sort — so a source holding
+    90% of the corpus still ranks in parallel. Everything after the
+    rank is a pure projection (codegen arithmetic on the rate
+    literals).
+    """
+    if not rates:
+        raise ValueError("rates must be non-empty")
+    for s, w in rates.items():
+        if not w > 0:
+            raise ValueError(f"rate for {s!r} must be > 0: {w}")
+    from .rowid import assign_grouped_row_ids
+
+    kept = df.where(
+        F.col(source_col).isin(*rates.keys()) & F.col(id_col).isNotNull()
+    ).select(id_col, source_col)
+    ranked = assign_grouped_row_ids(
+        kept, [source_col], id_col, id_col="k", num_buckets=num_buckets
+    )
+    rate_map = F.map_from_arrays(
+        F.array(*[F.lit(s) for s in rates]),
+        F.array(*[F.lit(float(w)) for w in rates.values()]),
+    )
+    return ranked.select(
+        id_col,
+        source_col,
+        "k",
+        F.round(
+            (F.col("k") - 0.5) / F.element_at(rate_map, F.col(source_col)),
+            6,
+        ).alias("pos"),
+    )

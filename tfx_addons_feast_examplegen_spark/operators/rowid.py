@@ -136,3 +136,123 @@ def assign_global_row_ids(
         )
         .drop("__bucket")
     )
+
+
+def assign_grouped_row_ids(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    *,
+    id_col: str = "group_rank",
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+    max_offset_entries: int = 65_536,
+) -> DataFrame:
+    """Per-GROUP dense 1-based rank of ``order_col`` without a
+    per-group single-partition Window — the grouped edition of
+    :func:`assign_global_row_ids`, for when one group holds an
+    arbitrary share of the corpus (the naive ``row_number() OVER
+    (PARTITION BY group ORDER BY key)`` funnels each whole group
+    through ONE task; a 90%-of-100 TB source never finishes).
+
+    Same three-pass decomposition: frozen GLOBAL quantile boundaries
+    over the order key (boundary quality only affects balance, never
+    correctness), one map-side-combined count per ``(group, bucket)``
+    whose driver-side exclusive prefix sums (within each group, in
+    bucket order) embed as a literal map, then one hash exchange on
+    ``(group, bucket)`` + a distributed in-bucket sort. Driver state
+    is ``O(groups x num_buckets)`` scalars, capped loud at
+    ``max_offset_entries`` — this operator is for a BOUNDED set of
+    groups (sources, shards, languages), not high-cardinality keys.
+
+    ``order_col`` must be numeric and a total order within each group;
+    NULL keys rank first. Output adds ``id_col`` (1-based — ranks, not
+    the global edition's 0-based ids).
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    dtype = dict(df.dtypes).get(order_col)
+    if dtype is None:
+        raise ValueError(f"order_col {order_col!r} not in {df.columns}")
+    if dtype not in {"tinyint", "smallint", "int", "bigint", "float",
+                     "double"} and not dtype.startswith("decimal"):
+        raise ValueError(
+            f"order_col must be numeric for the quantile sampler: "
+            f"{order_col}:{dtype}"
+        )
+    if id_col in df.columns:
+        raise ValueError(f"id_col {id_col!r} already present")
+    key = F.col(order_col)
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    sampled = df.select(order_col).where(key.isNotNull())
+    if sample_fraction < 1.0:
+        sampled = sampled.sample(fraction=sample_fraction, seed=8)
+    row = sampled.agg(
+        F.percentile_approx(key, probs, 10_000).alias("bounds")
+    ).collect()[0]
+    bounds = [b for b in (row["bounds"] or []) if b is not None]
+    if bounds:
+        lit_bounds = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.when(key.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(lit_bounds, lambda b: b < key))
+        )
+    else:
+        bucket = F.lit(0)
+    with_bucket = df.withColumn("__bucket", bucket)
+
+    # group key as one string (groups are categorical by contract);
+    # \x1f (unit separator) keeps composite keys collision-free for
+    # any values not containing the separator themselves
+    gkey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    counts_rows = (
+        with_bucket.groupBy(gkey.alias("__g"), "__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if len(counts_rows) > max_offset_entries:
+        raise ValueError(
+            f"assign_grouped_row_ids: {len(counts_rows)} (group, bucket) "
+            f"cells exceed max_offset_entries={max_offset_entries}; this "
+            f"operator is for a bounded group set — reduce num_buckets or "
+            f"use fewer groups"
+        )
+    per_group: dict[str, dict[int, int]] = {}
+    for r in counts_rows:
+        per_group.setdefault(r["__g"], {})[r["__bucket"]] = r["n"]
+    okeys, ovals = [], []
+    for g, bc in per_group.items():
+        acc = 0
+        for b in sorted(bc):
+            okeys.append(f"{g}\x1f{b}")
+            ovals.append(acc)
+            acc += bc[b]
+    if okeys:
+        lit_offsets = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in okeys]),
+            F.array(*[F.lit(v).cast("long") for v in ovals]),
+        )
+    else:
+        lit_offsets = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<long>")
+        )
+
+    w = Window.partitionBy(*group_cols, "__bucket").orderBy(
+        key.asc_nulls_first()
+    )
+    return (
+        with_bucket.withColumn(
+            id_col,
+            (
+                F.element_at(
+                    lit_offsets,
+                    F.concat(gkey, F.lit("\x1f"),
+                             F.col("__bucket").cast("string")),
+                )
+                + F.row_number().over(w)
+            ).cast("long"),
+        )
+        .drop("__bucket")
+    )

@@ -561,3 +561,115 @@ def categorical_mutual_information(
             ),
         ).alias("nmi"),
     )
+
+
+def quantile_shift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    decimals: int = 4,
+) -> DataFrame:
+    """Quantile-quantile drift table between exactly two groups: for
+    each requested quantile, the value at that ECDF level in each
+    group and the shift between them — the WHERE-did-it-move
+    companion to :func:`ks_two_sample`'s single sup-norm number (a
+    monitor wants both: KS says drift exists, the QQ table says "the
+    median moved +0.04 but the tails are stable").
+
+    Quantile convention: ``v_g(q) = min { v : F_g(v) >= q }`` on the
+    ``decimals``-snapped grid (the inverse-ECDF / type-1 quantile —
+    exact, no interpolation, so both engines agree bit-for-bit).
+    Returns one row per quantile: ``(q, group_a, group_b, v_a, v_b,
+    shift)`` with groups lexicographic and ``shift = v_b - v_a``;
+    raises LOUD in-plan on != 2 groups (the
+    :func:`ks_two_sample` contract).
+
+    Plan shape: identical to :func:`ks_two_sample` — ONE corpus scan
+    into a map-side-combinable ``(value, group)`` count aggregate,
+    then everything (cumulative ECDFs, the broadcast quantile frame,
+    the min-over-threshold picks) runs on the grid frame bounded by
+    2 x 10^decimals rows.
+    """
+    if decimals < 1:
+        raise ValueError(f"decimals must be >= 1: {decimals}")
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1]: {q}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    snapped = df.select(
+        F.round(F.col(value_col).cast("double"), decimals).alias("__v"),
+        F.col(group_col).cast("string").alias("__grp"),
+    ).where(F.col("__v").isNotNull() & F.col("__grp").isNotNull())
+    per = snapped.groupBy("__v", "__grp").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_all = Window.partitionBy()
+    named = per.select(
+        "__v",
+        "__grp",
+        "__c",
+        F.min("__grp").over(w_all).alias("__ga"),
+        F.max("__grp").over(w_all).alias("__gb"),
+        F.size(F.collect_set("__grp").over(w_all)).alias("__ngrp"),
+    )
+    wide = named.groupBy("__v", "__ga", "__gb", "__ngrp").agg(
+        F.sum(
+            F.when(F.col("__grp") == F.col("__ga"), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__ca"),
+        F.sum(
+            F.when(F.col("__grp") == F.col("__gb"), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__cb"),
+    )
+    w_cum = Window.partitionBy().orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fa = F.sum("__ca").over(w_cum) / F.sum("__ca").over(w_all)
+    fb = F.sum("__cb").over(w_cum) / F.sum("__cb").over(w_all)
+    guarded_fa = F.when(F.col("__ngrp") == 2, fa).otherwise(
+        F.raise_error(
+            F.format_string(
+                "quantile_shift: %s must hold exactly 2 groups, got %s",
+                F.lit(group_col),
+                F.col("__ngrp").cast("string"),
+            )
+        ).cast("double")
+    )
+    fracs = wide.select(
+        "__v",
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        guarded_fa.alias("__fa"),
+        fb.alias("__fb"),
+    )
+    qf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    return (
+        fracs.crossJoin(F.broadcast(qf))
+        .groupBy("q", "group_a", "group_b")
+        .agg(
+            # plain >=, no epsilon: both engines compute the fraction
+            # as the SAME exact-long division, so the doubles agree
+            # bit-for-bit and the oracle replays the comparison as-is
+            F.min(F.when(F.col("__fa") >= F.col("q"), F.col("__v")))
+            .alias("v_a"),
+            F.min(F.when(F.col("__fb") >= F.col("q"), F.col("__v")))
+            .alias("v_b"),
+        )
+        .select(
+            "q",
+            "group_a",
+            "group_b",
+            "v_a",
+            "v_b",
+            F.round(F.col("v_b") - F.col("v_a"), decimals).alias("shift"),
+        )
+    )

@@ -263,6 +263,8 @@ _ENTRY_ORDER = [
     "subset_max_coverage",
     "graph_pagerank_weighted",
     "graph_degree_assortativity",
+    "score_drift_qq",
+    "curriculum_interleave",
     "sketch_corpus_overlap",
     "multimodal_image_dhash_neardup",
     "multimodal_audio_fingerprint_neardup",
@@ -297,7 +299,7 @@ _DRIVER_PRIORITY = [
     # block's recorded plan). Slot 0: pit_join (entry() smoke,
     # convention since r7).
     #
-    # Slots 1-10: NEW this round (never-attested entries MUST sit in
+    # Slots 1-12: NEW this round (never-attested entries MUST sit in
     # the window): graph_sssp (weighted shortest paths — bounded
     # Bellman-Ford as joins, min-combine before the shuffle,
     # strict-improvement frontier), graph_label_propagation_weighted
@@ -312,7 +314,10 @@ _DRIVER_PRIORITY = [
     # leakage/feature-selection audit), subset_max_coverage (greedy
     # facility-location subset selection, deterministic tie-break),
     # graph_pagerank_weighted (outflow split proportional to edge
-    # weight), graph_degree_assortativity (Newman degree-mixing QA).
+    # weight), graph_degree_assortativity (Newman degree-mixing QA),
+    # score_drift_qq (QQ drift table — WHERE the distribution moved),
+    # curriculum_interleave (stride-scheduled epoch-order source
+    # mixing on the grouped-row-id machinery).
     "graph_sssp",
     "graph_label_propagation_weighted",
     "graph_kcore",
@@ -323,7 +328,9 @@ _DRIVER_PRIORITY = [
     "subset_max_coverage",
     "graph_pagerank_weighted",
     "graph_degree_assortativity",
-    # Slots 11-16: the entries whose fingerprints drift with this
+    "score_drift_qq",
+    "curriculum_interleave",
+    # Slots 13-18: the entries whose fingerprints drift with this
     # round's hardening (all driver-green r13 on the pre-edit tree):
     # - contamination_report: corpus-side shingle distinct deferred to
     #   count(DISTINCT) AFTER the broadcast probe, so the dedup
@@ -350,7 +357,7 @@ _DRIVER_PRIORITY = [
     "score_calibration_ece",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    # Slots 17-32: the 16 r8-vintage rows (oldest driver attestation
+    # Slots 19-34: the 16 r8-vintage rows (oldest driver attestation
     # anywhere — re-proving these completes VERDICT r14 item 2: no
     # driver row older than r9), alphabetical.
     "sequence_example_roundtrip",
@@ -369,9 +376,9 @@ _DRIVER_PRIORITY = [
     "weighted_sample_wor",
     "window_topk_running",
     "windowed_event_counts",
-    # Slots 33-49: 17 of the 41 r9-vintage rows, alphabetical (the
-    # 24-row tail — gap_fill_timeseries through zorder_layout minus
-    # the 17 below — heads the ROUND-15 plan below).
+    # Slots 35-49: 15 of the 41 r9-vintage rows, alphabetical (the
+    # 26-row tail — feature_histogram through zorder_layout minus the
+    # 15 below — heads the ROUND-15 plan below).
     "anti_join_exists",
     "array_agg_sorted",
     "bucketed_join",
@@ -387,10 +394,9 @@ _DRIVER_PRIORITY = [
     "embedding_linear_scorer",
     "embedding_neardup",
     "embedding_quantization",
-    "feature_histogram",
-    "forward_fill_timeseries",
-    # ROUND-15 WINDOW PLAN: the 24 r9 rows displaced by this round's
-    # 16-entry debt cohort (10 new + 6 drifted) —
+    # ROUND-15 WINDOW PLAN: the 26 r9 rows displaced by this round's
+    # 18-entry debt cohort (12 new + 6 drifted) —
+    # feature_histogram, forward_fill_timeseries,
     # gap_fill_timeseries, group_quota, grouping_sets_filter,
     # having_subquery, lateral_topk_per_key, monthly_order_delta,
     # multimodal_audio_mp3_stats, percentiles, pit_join_time_bucketed,

@@ -792,6 +792,38 @@ FROM sel WHERE gain > 0
 """
 
 
+def _q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic epoch-order mixing: four sources at 4:2:1:1
+    # relative rates via stride scheduling — consuming rows by `pos`
+    # yields every prefix at those proportions (±1 per source) without
+    # shuffling the corpus. Per-source ranks come from the
+    # grouped-row-id machinery (no single-partition Window anywhere).
+    from ..operators.curation import interleave_by_rate
+
+    t = register_tables(spark, sf_dir)
+    return interleave_by_rate(
+        t["documents"],
+        "source",
+        {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0},
+    )
+
+
+_CURRICULUM_INTERLEAVE_ORACLE = """
+WITH rates(source, w) AS (
+  VALUES ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 1.0)
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS k
+  FROM documents d JOIN rates r USING (source)
+  WHERE d.doc_id IS NOT NULL
+)
+SELECT doc_id, source, CAST(k AS BIGINT) AS k,
+       round((k - 0.5) / r.w, 6) AS pos
+FROM ranked JOIN rates r USING (source)
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic domain-mix downsampling: per-status fractions via the
     # portable fingerprint hash (no RNG — identical row set on any
@@ -1308,6 +1340,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "contamination_report": (_q_contamination_report, _CONTAMINATION_REPORT_ORACLE),
     "subset_max_coverage": (_q_max_coverage, _MAX_COVERAGE_ORACLE),
+    "curriculum_interleave": (_q_curriculum_interleave, _CURRICULUM_INTERLEAVE_ORACLE),
     "stratified_sample": (_q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
     "group_quota": (_q_group_quota, _GROUP_QUOTA_ORACLE),
     "sequence_packing": (_q_sequence_packing, _SEQUENCE_PACKING_ORACLE),

@@ -180,6 +180,52 @@ FROM cum
 """
 
 
+def _q_score_drift_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # QQ drift table for the same even/odd quality-score split as
+    # score_drift_ks: KS says whether the distributions differ, this
+    # says WHERE — the value at each ECDF level per half and the
+    # shift. Type-1 (inverse-ECDF) quantiles on the 1e-4 grid, exact
+    # in both engines.
+    from ..operators.stats import quantile_shift
+
+    t = register_tables(spark, sf_dir)
+    scored = tx.quality_score(t["documents"]).select(
+        "quality_score", (F.col("doc_id") % 2).cast("string").alias("half")
+    )
+    return quantile_shift(scored, "quality_score", "half", decimals=4)
+
+
+_SCORE_DRIFT_QQ_ORACLE = f"""
+WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+s AS (
+  SELECT round(quality_score, 4) AS v, CAST(doc_id % 2 AS VARCHAR) AS grp
+  FROM tq
+),
+per AS (SELECT v, grp, COUNT(*) AS c FROM s GROUP BY 1, 2),
+wide AS (
+  SELECT v,
+         SUM(CASE WHEN grp = '0' THEN c ELSE 0 END) AS ca,
+         SUM(CASE WHEN grp = '1' THEN c ELSE 0 END) AS cb
+  FROM per GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) / (SUM(ca) OVER ()) AS fa,
+         SUM(cb) OVER (ORDER BY v) / (SUM(cb) OVER ()) AS fb
+  FROM wide
+),
+qs(q) AS (
+  SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q
+)
+SELECT q, '0' AS group_a, '1' AS group_b,
+       MIN(CASE WHEN fa >= q THEN v END) AS v_a,
+       MIN(CASE WHEN fb >= q THEN v END) AS v_b,
+       round(MIN(CASE WHEN fb >= q THEN v END)
+             - MIN(CASE WHEN fa >= q THEN v END), 4) AS shift
+FROM cum, qs GROUP BY q
+"""
+
+
 def _q_lang_quality_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mutual information between document language and the quality-
     # score quartile: the leakage/feature-selection audit — "how much
@@ -1382,6 +1428,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_char_ngram_entropy": (_q_char_entropy, _CHAR_ENTROPY_ORACLE),
     "score_drift_ks": (_q_score_drift_ks, _SCORE_DRIFT_KS_ORACLE),
     "lang_quality_mi": (_q_lang_quality_mi, _LANG_QUALITY_MI_ORACLE),
+    "score_drift_qq": (_q_score_drift_qq, _SCORE_DRIFT_QQ_ORACLE),
     "cdc_chunking": (_q_cdc_chunking, _CDC_CHUNKING_ORACLE),
     "text_lang_id": (_q_lang_id, _langid_case()),
     "text_token_stats": (_q_token_stats, _TOKEN_STATS_ORACLE),
