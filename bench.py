@@ -117,8 +117,10 @@ EXTENDED = [
     "graph_kcore",
     "text_char_ngram_entropy",
     "score_drift_ks",
+    "score_drift_qq",
     "lang_quality_mi",
     "subset_max_coverage",
+    "curriculum_interleave",
 ]
 
 # The two indexed-ANN registry entries are equivalence/recall CONTRACTS
