@@ -695,6 +695,63 @@ def test_ks_two_sample_hand_computed(spark):
         ks_two_sample(df, "v", "g", decimals=0)
 
 
+def test_ks_qq_bounded_grid_contract_fails_loud(spark):
+    # ADVICE r14 medium: round(v, decimals) only bounds the grid frame
+    # for bounded-range values. A high-cardinality unbounded column
+    # must raise LOUD in the distributed pre-window stage, never
+    # funnel every distinct value through the single-partition ECDF
+    # window. The guard counts OCCUPIED (value, group) cells, so a
+    # wide-range but low-cardinality column stays in contract.
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        ks_two_sample,
+        quantile_shift,
+    )
+
+    # a latency-like column: 400 distinct values spanning [0, 4e5) —
+    # snapping at decimals=4 reduces nothing; 400 cells > cap 100
+    lat = spark.createDataFrame(
+        [(float(i * 1000 + (i % 2)), "ab"[i % 2]) for i in range(400)],
+        "v double, g string",
+    )
+    with _pytest.raises(SparkRuntimeException, match="bounded-grid"):
+        ks_two_sample(lat, "v", "g", max_grid_cells=100).collect()
+    with _pytest.raises(SparkRuntimeException, match="bounded-grid"):
+        quantile_shift(lat, "v", "g", max_grid_cells=100).collect()
+
+    # raising the cap re-admits the same data: configurable contract,
+    # not a silent truncation (exactly-at-cap stays in contract)
+    assert (
+        ks_two_sample(lat, "v", "g", max_grid_cells=400)
+        .collect()[0]["ks_stat"]
+        is not None
+    )
+    with _pytest.raises(SparkRuntimeException, match="bounded-grid"):
+        ks_two_sample(lat, "v", "g", max_grid_cells=399).collect()
+
+    # lowering decimals collapses the grid back into contract: at
+    # decimals=1 the (i %% 2) jitter snaps away, halving distinct
+    # values per group and keeping the i*1000 grid — 400 cells of
+    # (value, group) but the same count... use a real collapse: at
+    # decimals=1, i*1000 + (i%2) rounds to i*1000.0, one cell per i.
+    assert (
+        ks_two_sample(lat, "v", "g", decimals=1, max_grid_cells=400)
+        .collect()[0]["ks_stat"]
+        is not None
+    )
+
+    # wide-range but LOW-cardinality stays in contract at the default
+    # cap (the span-based contract would have rejected this)
+    sparse = spark.createDataFrame(
+        [(0.0, "a"), (1.0e9, "a"), (2.5, "b"), (7.0, "b")],
+        "v double, g string",
+    )
+    assert ks_two_sample(sparse, "v", "g").collect()[0]["ks_stat"] == 0.5
+    assert quantile_shift(sparse, "v", "g").count() == 5
+
+
 def test_ks_two_sample_matches_scipy_free_model(spark):
     # Independent pure-Python two-sample KS over random grids.
     import random

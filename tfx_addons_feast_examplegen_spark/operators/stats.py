@@ -380,12 +380,76 @@ def calibration_bins(
     )
 
 
+def _grid_range_guard(
+    per: DataFrame,
+    *,
+    decimals: int,
+    max_grid_cells: int,
+    op: str,
+) -> DataFrame:
+    """Enforce the bounded-grid contract shared by :func:`ks_two_sample`
+    and :func:`quantile_shift` (ADVICE r14 medium): ``round(v, decimals)``
+    only bounds the grid frame for values in a bounded range — for
+    general numeric columns (latencies, counts, doc lengths) snapping
+    reduces nothing and the unkeyed cumulative-ECDF windows downstream
+    would funnel every distinct value through ONE task. This guard makes
+    the window input STRUCTURALLY bounded: the OCCUPIED grid-cell count
+    (exact — counted off the grid frame itself, so wide-range but
+    low-cardinality columns stay in contract) must be at most
+    ``max_grid_cells``, else every row raises LOUD with a rescale hint
+    naming the observed value range.
+
+    Plan shape: the 1-row ``(cells, min, max)`` bounds frame is a
+    map-side-combinable global aggregate over the SAME grid-groupBy
+    exchange the main path consumes (the count forces it to read the
+    grouped frame, so Catalyst cannot collapse it onto a second corpus
+    scan and ReuseExchange dedupes — still ONE corpus scan),
+    broadcast-cross-joined back; the ``raise_error`` gates ``__v``
+    itself (never prunable) and fires in the DISTRIBUTED pre-window
+    stage, before any single-partition exchange exists. Out-of-contract
+    input costs one distributed grid shuffle before raising — never a
+    one-task funnel.
+    """
+    # summing __c (not just counting cells) keeps the grid groupBy —
+    # with its count aggregate — in this branch's plan, so its shuffle
+    # exchange is byte-identical to the main path's and ReuseExchange
+    # collapses the two into ONE corpus scan
+    bounds = per.agg(
+        F.count(F.lit(1)).alias("__cells"),
+        F.min("__v").alias("__vmin"),
+        F.max("__v").alias("__vmax"),
+        F.sum("__c").alias("__nrows"),
+    )
+    guarded_v = F.when(
+        F.col("__cells") <= F.lit(max_grid_cells), F.col("__v")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                op + ": %s occupied (value, group) grid cells over range"
+                " [%s, %s] (%s rows) at decimals=" + str(decimals)
+                + ", past the max_grid_cells=" + str(max_grid_cells)
+                + " bounded-grid contract — rescale the column to a"
+                " bounded domain (e.g. a [0, 1] score), lower decimals,"
+                " or raise max_grid_cells",
+                F.col("__cells").cast("string"),
+                F.col("__vmin").cast("string"),
+                F.col("__vmax").cast("string"),
+                F.col("__nrows").cast("string"),
+            )
+        ).cast("double")
+    )
+    return per.crossJoin(F.broadcast(bounds)).select(
+        guarded_v.alias("__v"), "__grp", "__c"
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
     group_col: str,
     *,
     decimals: int = 4,
+    max_grid_cells: int = 2_000_000,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic between the value
     distributions of exactly two groups - the drift audit that
@@ -404,15 +468,25 @@ def ks_two_sample(
     :func:`calibration_bins` contract style) if the column holds a
     number of distinct groups other than 2.
 
+    Bounded-grid contract: snapping bounds the grid frame ONLY when
+    the value range is bounded (a [0, 1] score at ``decimals=4`` means
+    <= 10^4 + 1 distinct snapped values per group). For an unbounded
+    high-cardinality column the cumulative-ECDF window below would
+    funnel every distinct value through one task, so the plan raises
+    LOUD (in the distributed pre-window stage, via
+    :func:`_grid_range_guard`) when the occupied ``(value, group)``
+    grid-cell count exceeds ``max_grid_cells`` — rescale to a bounded
+    domain or lower ``decimals`` instead.
+
     Plan shape: ONE corpus scan - a map-side-combinable count
     aggregate keyed on the snapped ``(value, group)`` pair (repeated
-    values pre-collapse per mapper; the shuffle moves at most
-    2 x 10^decimals partials per mapper, not rows). Everything after
-    operates on that grid frame, bounded by 2 x 10^decimals rows: the
-    group-name/window bookkeeping and the cumulative-ECDF window are
-    the same "single-partition window over a provably tiny frame"
-    contract as :func:`calibration_bins`. Nothing data-sized reaches
-    the driver.
+    values pre-collapse per mapper; the shuffle moves at most one
+    partial per grid cell per mapper, not rows). Everything after
+    operates on that grid frame, structurally bounded by
+    ``max_grid_cells`` rows: the group-name/window bookkeeping and the
+    cumulative-ECDF window are the same "single-partition window over
+    a provably tiny frame" contract as :func:`calibration_bins`.
+    Nothing data-sized reaches the driver.
     """
     if decimals < 1:
         raise ValueError(f"decimals must be >= 1: {decimals}")
@@ -422,9 +496,13 @@ def ks_two_sample(
         F.round(F.col(value_col).cast("double"), decimals).alias("__v"),
         F.col(group_col).cast("string").alias("__grp"),
     ).where(F.col("__v").isNotNull() & F.col("__grp").isNotNull())
-    # the ONLY corpus-sized job: everything below runs on <= 2*10^d rows
-    per = snapped.groupBy("__v", "__grp").agg(
-        F.count(F.lit(1)).alias("__c")
+    # the ONLY corpus-sized job: everything below runs on the guarded
+    # grid frame, structurally <= max_grid_cells rows
+    per = _grid_range_guard(
+        snapped.groupBy("__v", "__grp").agg(F.count(F.lit(1)).alias("__c")),
+        decimals=decimals,
+        max_grid_cells=max_grid_cells,
+        op="ks_two_sample",
     )
     w_all = Window.partitionBy()
     named = per.select(
@@ -570,6 +648,7 @@ def quantile_shift(
     *,
     quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
     decimals: int = 4,
+    max_grid_cells: int = 2_000_000,
 ) -> DataFrame:
     """Quantile-quantile drift table between exactly two groups: for
     each requested quantile, the value at that ECDF level in each
@@ -589,8 +668,10 @@ def quantile_shift(
     Plan shape: identical to :func:`ks_two_sample` — ONE corpus scan
     into a map-side-combinable ``(value, group)`` count aggregate,
     then everything (cumulative ECDFs, the broadcast quantile frame,
-    the min-over-threshold picks) runs on the grid frame bounded by
-    2 x 10^decimals rows.
+    the min-over-threshold picks) runs on the grid frame, structurally
+    bounded by ``max_grid_cells`` rows under the same bounded-grid
+    contract (:func:`_grid_range_guard` raises LOUD, pre-window and
+    distributed, when occupied grid cells exceed the cap).
     """
     if decimals < 1:
         raise ValueError(f"decimals must be >= 1: {decimals}")
@@ -606,8 +687,11 @@ def quantile_shift(
         F.round(F.col(value_col).cast("double"), decimals).alias("__v"),
         F.col(group_col).cast("string").alias("__grp"),
     ).where(F.col("__v").isNotNull() & F.col("__grp").isNotNull())
-    per = snapped.groupBy("__v", "__grp").agg(
-        F.count(F.lit(1)).alias("__c")
+    per = _grid_range_guard(
+        snapped.groupBy("__v", "__grp").agg(F.count(F.lit(1)).alias("__c")),
+        decimals=decimals,
+        max_grid_cells=max_grid_cells,
+        op="quantile_shift",
     )
     w_all = Window.partitionBy()
     named = per.select(
