@@ -546,6 +546,56 @@ def test_assign_grouped_row_ids_matches_naive_window(spark):
         )
 
 
+def test_assign_grouped_row_ids_null_groups_do_not_collide(spark):
+    # ADVICE r14: a bare concat_ws offset key silently skips NULLs, so
+    # NULL collided with '' and ('a', NULL) with (NULL, 'a') — the
+    # offset table merged those cells while the rank window kept them
+    # apart, yielding overlapping ranks. NULL group values are now
+    # encoded distinctly and must rank exactly like the naive window.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        assign_grouped_row_ids,
+    )
+
+    rows = []
+    k = 0
+    for ga, gb in [
+        (None, None), ("", ""), (None, ""), ("", None),
+        ("a", None), (None, "a"), ("a", "a"),
+    ]:
+        for _ in range(5):
+            rows.append((k, ga, gb))
+            k += 1
+    df = spark.createDataFrame(rows, "key long, ga string, gb string")
+    got = {
+        (r["ga"], r["gb"], r["key"]): r["k"]
+        for r in assign_grouped_row_ids(
+            df, ["ga", "gb"], "key", id_col="k", num_buckets=4
+        ).collect()
+    }
+    w = Window.partitionBy("ga", "gb").orderBy("key")
+    want = {
+        (r["ga"], r["gb"], r["key"]): r["k"]
+        for r in df.withColumn("k", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # single NULL group alone also ranks 1..n (the NULL-vs-'' case)
+    one = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None), (4, "")], "key long, g string"
+    )
+    ranks = {
+        (r["g"], r["key"]): r["k"]
+        for r in assign_grouped_row_ids(
+            one, ["g"], "key", id_col="k", num_buckets=2
+        ).collect()
+    }
+    assert ranks == {
+        (None, 1): 1, (None, 3): 2, ("", 2): 1, ("", 4): 2,
+    }
+
+
 def test_interleave_by_rate_stride_invariant(spark):
     import pytest as _pytest
 
@@ -572,10 +622,25 @@ def test_interleave_by_rate_stride_invariant(spark):
         if i <= sustainable:
             assert abs(seen["s0"] - i * 3.0 / total_rate) <= 1.0, i
             assert abs(seen["s1"] - i * 1.0 / total_rate) <= 1.0, i
-    # positions are the stride arithmetic exactly
+    # positions are the stride arithmetic exactly — UNROUNDED (ADVICE
+    # r14: a 1e-6 grid tied large ranks/rates and broke the order)
     by = {(r["source"], r["k"]): r["pos"] for r in out}
-    assert by[("s0", 1)] == round(0.5 / 3.0, 6)
+    assert by[("s0", 1)] == 0.5 / 3.0
     assert by[("s1", 2)] == 1.5
+
+    # large ranks at a large rate stay strictly increasing (on the old
+    # 1e-6 grid, rank steps of 1/rate = 1e-7 collided into ties)
+    big = spark.createDataFrame(
+        [(i, "s") for i in range(10_000_000, 10_000_050)],
+        "doc_id long, source string",
+    )
+    pos = [
+        r["pos"]
+        for r in interleave_by_rate(big, "source", {"s": 1.0e7})
+        .orderBy("k")
+        .collect()
+    ]
+    assert all(a < b for a, b in zip(pos, pos[1:]))
 
     with _pytest.raises(ValueError, match="rate"):
         interleave_by_rate(df, "source", {"s0": 0.0})

@@ -831,7 +831,13 @@ def interleave_by_rate(
     Returns ``(id_col, source_col, k, pos)`` — ``pos`` is the sort
     key; consumers ``ORDER BY pos`` (a distributed range sort), and no
     global row_number is ever materialized here, because a global
-    Window would funnel 100 TB through one task.
+    Window would funnel 100 TB through one task. ``pos`` is emitted
+    UNROUNDED (ADVICE r14: a fixed 1e-6 grid made large ranks or
+    rates collide into ties, breaking the deterministic order and the
+    ±1 prefix invariant — display layers may round, the sort key must
+    not). ``id_col`` must be numeric (the
+    :func:`..rowid.assign_grouped_row_ids` quantile-sampler contract;
+    non-numeric ids raise there).
 
     Plan shape: the per-source rank comes from
     :func:`..rowid.assign_grouped_row_ids` — frozen global quantile
@@ -862,8 +868,7 @@ def interleave_by_rate(
         id_col,
         source_col,
         "k",
-        F.round(
-            (F.col("k") - 0.5) / F.element_at(rate_map, F.col(source_col)),
-            6,
+        (
+            (F.col("k") - 0.5) / F.element_at(rate_map, F.col(source_col))
         ).alias("pos"),
     )

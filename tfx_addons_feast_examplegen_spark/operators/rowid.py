@@ -205,8 +205,23 @@ def assign_grouped_row_ids(
 
     # group key as one string (groups are categorical by contract);
     # \x1f (unit separator) keeps composite keys collision-free for
-    # any values not containing the separator themselves
-    gkey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    # any values not containing the separator themselves. NULL is
+    # encoded DISTINCTLY per column (ADVICE r14: concat_ws silently
+    # skips NULL parts, so a bare cast would collide NULL with the
+    # empty string and ('a', NULL) with (NULL, 'a') — merging offset
+    # cells the row_number window still keeps apart): every part is
+    # non-null by construction — "\x00N" for NULL, "\x00V" + value
+    # otherwise — so concat_ws drops nothing and the value prefix
+    # keeps a literal "\x00N" string from impersonating NULL.
+    gkey = F.concat_ws(
+        "\x1f",
+        *[
+            F.when(F.col(c).isNull(), F.lit("\x00N")).otherwise(
+                F.concat(F.lit("\x00V"), F.col(c).cast("string"))
+            )
+            for c in group_cols
+        ],
+    )
     counts_rows = (
         with_bucket.groupBy(gkey.alias("__g"), "__bucket")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -801,11 +801,15 @@ def _q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import interleave_by_rate
 
     t = register_tables(spark, sf_dir)
-    return interleave_by_rate(
+    out = interleave_by_rate(
         t["documents"],
         "source",
         {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0},
     )
+    # the operator emits pos unrounded (it's the sort key — a fixed
+    # grid would tie large ranks); round HERE, in the display/oracle
+    # layer only, for the engine-portable value compare
+    return out.withColumn("pos", F.round("pos", 6))
 
 
 _CURRICULUM_INTERLEAVE_ORACLE = """
