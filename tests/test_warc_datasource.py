@@ -250,3 +250,41 @@ def test_append_never_clobbers_prior_write(spark, tmp_path):
 
     stems = [f.split(".")[0] for f in os.listdir(base)]
     assert len(stems) == 2 and all(s.isdigit() for s in stems)
+
+
+def test_tmp_litter_swept_on_overwrite_and_abort(monkeypatch, tmp_path):
+    # ADVICE r14: attempt-unique temp names no longer self-overwrite,
+    # so dead attempts would accumulate *.tmp litter unboundedly.
+    # Overwrite sweeps ALL prior litter; abort sweeps THIS write's own
+    # orphaned temps while leaving a concurrent append's temps alone.
+    import os
+
+    import pyspark
+
+    from tfx_addons_feast_examplegen_spark.sources.warc_datasource import (
+        WarcWriter,
+    )
+
+    base = tmp_path / "litter"
+    base.mkdir()
+    (base / "7.warc.123.tmp").write_bytes(b"dead attempt")
+    (base / "900000000.warc.55.tmp").write_bytes(b"older dead attempt")
+    (base / "3.warc").write_bytes(b"stale archive")
+    WarcWriter({"path": str(base)}, overwrite=True)
+    assert os.listdir(str(base)) == []  # archives AND litter gone
+
+    # abort(): only this write's salted temps are removed
+    monkeypatch.setattr(
+        pyspark.TaskContext, "get", staticmethod(lambda: _FakeTaskCtx(0, 9))
+    )
+    w = WarcWriter({"path": str(base)}, overwrite=False)
+    own_stem = str(w._write_salt << w._PID_BITS)
+    (base / f"{own_stem}.warc.9.tmp").write_bytes(b"our zombie")
+    other_stem = str(((w._write_salt ^ 1) << w._PID_BITS) | 1)
+    (base / f"{other_stem}.warc.4.tmp").write_bytes(b"concurrent write")
+    row = type("R", (), {"uri": "http://e/1", "rec_type": "resource",
+                         "payload": b"one", "rec_id": "r1"})()
+    m = w.write(iter([row]))
+    w.abort([m])
+    left = sorted(os.listdir(str(base)))
+    assert left == [f"{other_stem}.warc.4.tmp"]  # ours + committed gone

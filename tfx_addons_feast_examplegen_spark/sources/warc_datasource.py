@@ -107,9 +107,10 @@ class WarcWriter(DataSourceWriter):
     :func:`..sources.warc.build_warc` framer the tests and fixture
     generator use. Empty partitions write no file.
 
-    Modes: ``overwrite`` clears every existing ``*.warc[.gz]`` under
-    the target (driver-side, at write planning) and names files by
-    partition id — a fresh deterministic layout; ``append`` composes
+    Modes: ``overwrite`` clears every existing ``*.warc[.gz]`` — plus
+    any ``*.warc.*.tmp`` litter dead attempts of prior runs left —
+    under the target (driver-side, at write planning) and names files
+    by partition id — a fresh deterministic layout; ``append`` composes
     the stem as ``(salt << 22) | partitionId`` where ``salt`` is a
     per-write token (planning-time epoch micros XOR driver pid XOR 21
     fresh random bits, folded into 41 bits, captured DRIVER-side when
@@ -165,7 +166,13 @@ class WarcWriter(DataSourceWriter):
         self._write_salt = salt
         if overwrite and os.path.isdir(path):
             for fname in os.listdir(path):
-                if fname.endswith((".warc", ".warc.gz")):
+                # also sweep `<stem>.warc.<attemptId>.tmp` litter from
+                # failed/zombie attempts of ANY prior run (ADVICE r14:
+                # attempt-unique temp names no longer self-overwrite,
+                # so dead attempts accumulate unboundedly otherwise)
+                if fname.endswith((".warc", ".warc.gz")) or (
+                    ".warc." in fname and fname.endswith(".tmp")
+                ):
                     os.remove(os.path.join(path, fname))
 
     def write(self, iterator) -> WriterCommitMessage:
@@ -208,6 +215,32 @@ class WarcWriter(DataSourceWriter):
             if m is not None and getattr(m, "path", None):
                 try:
                     os.remove(m.path)
+                except OSError:
+                    pass
+        # sweep THIS write's orphaned attempt temps (attempts that died
+        # mid-write returned no commit message, so the loop above never
+        # sees them). Scoped to this write's own stems — overwrite mode
+        # owns the directory outright; append stems embed our salt in
+        # the bits above _PID_BITS — so a concurrent append's live
+        # temps are never touched.
+        try:
+            fnames = os.listdir(self._dir)
+        except OSError:
+            return
+        for fname in fnames:
+            if ".warc." not in fname or not fname.endswith(".tmp"):
+                continue
+            stem = fname.split(".warc.", 1)[0]
+            if not stem.isdigit():
+                continue
+            ours = (
+                True
+                if self._overwrite
+                else (int(stem) >> self._PID_BITS) == self._write_salt
+            )
+            if ours:
+                try:
+                    os.remove(os.path.join(self._dir, fname))
                 except OSError:
                     pass
 
