@@ -91,3 +91,83 @@ def test_no_single_partition_stage_in_assignment_plan(spark):
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert ("Exchange SinglePartition" in naive_plan
             or "rangepartitioning" in naive_plan)
+
+
+def test_exact_ntile_matches_sql_ntile(spark):
+    import random
+
+    rng = random.Random(2207)
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        exact_ntile,
+    )
+
+    # unique keys, sizes that exercise both the q+1 head and the q tail
+    for n_rows, n_tiles in [(97, 8), (100, 10), (5, 8), (1, 3), (24, 24)]:
+        keys = rng.sample(range(10_000), n_rows)
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["k"]: r["ntile"]
+            for r in exact_ntile(df, "k", n_tiles, num_buckets=4).collect()
+        }
+        want = {
+            r["k"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(n_tiles).over(Window.orderBy("k"))
+            ).collect()
+        }
+        assert got == want, (n_rows, n_tiles)
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="n_tiles"):
+        exact_ntile(df, "k", 0)
+    with pytest.raises(ValueError, match="already present"):
+        exact_ntile(df, "k", 2, tile_col="k")
+
+
+def test_exact_ntile_plan_has_no_single_partition_stage(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        exact_ntile,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    got = exact_ntile(df, "k", 8, num_buckets=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ntile_entry_plans_have_no_single_partition_window(spark, sf_dir):
+    # VERDICT r14 items 2-3: the three formerly-global-NTILE entries
+    # must plan with no unpartitioned Window / SinglePartition exchange
+    # (these are the §2.9 rows users copy as the scale-safe spelling).
+    from tfx_addons_feast_examplegen_spark import queries as q
+
+    for name in (
+        "length_bucketing",
+        "epoch_shuffle_shards",
+        "revenue_concentration",
+    ):
+        df = q.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # no NTILE window function survives anywhere
+        assert "ntile(" not in plan, (name, plan)
+        # every SinglePartition exchange must be the benign 1-row
+        # global-aggregate shape (its child a keys=[] PARTIAL agg, so
+        # one combined row per task crosses the wire) — never a
+        # data-sized sort/window funnel
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert (
+                "HashAggregate(keys=[]" in child and "partial_" in child
+            ), (name, line, child)
+        # and no sort feeds a single partition: global Sort prints as
+        # 'Sort [...], true, 0' under a SinglePartition exchange — the
+        # only Sorts allowed are the bucket-local (non-global) ones
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                assert "Sort [" not in (
+                    lines[i + 1] if i + 1 < len(lines) else ""
+                ), (name, plan)

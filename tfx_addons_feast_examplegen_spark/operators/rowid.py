@@ -271,3 +271,57 @@ def assign_grouped_row_ids(
         )
         .drop("__bucket")
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_col: str,
+    n_tiles: int,
+    *,
+    tile_col: str = "ntile",
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """Exact SQL ``NTILE(n_tiles) OVER (ORDER BY order_col)`` without
+    the single-partition global Window that spelling plans (the same
+    100 TB cliff :func:`assign_global_row_ids` removes, and the same
+    cure): the global 0-based rank comes from the bucket-decomposed
+    machinery, then the standard NTILE arithmetic — with ``N = q *
+    n_tiles + rem``, the first ``rem`` tiles take ``q + 1`` rows and
+    the rest ``q`` — maps ranks to tiles as a pure codegen projection
+    (integral ``div``, no float rounding at any N).
+
+    ``order_col`` must be numeric. Ties make the RANK nondeterministic
+    (as in any engine); callers either pass a total order (encode a
+    composite tie-break into one numeric key) or — the common case for
+    tile-level AGGREGATES — rely on tie-permutation invariance: tied
+    rows carry equal order values, so swapping them across a tile
+    boundary cannot change any aggregate of the order value itself.
+    ``N`` costs one extra map-side-combinable COUNT job over ``df``
+    (O(1) driver rows, never data).
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1: {n_tiles}")
+    if tile_col in df.columns:
+        raise ValueError(f"tile_col {tile_col!r} already present")
+    ranked = assign_global_row_ids(
+        df,
+        order_col,
+        id_col="__xnt_rid",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+    )
+    n_total = df.count()
+    q, rem = divmod(n_total, n_tiles)
+    if q == 0:
+        # fewer rows than tiles: SQL NTILE gives rank + 1
+        tile = F.col("__xnt_rid") + 1
+    else:
+        head = rem * (q + 1)  # rows inside the (q + 1)-sized tiles
+        tile = F.when(
+            F.col("__xnt_rid") < head,
+            F.expr(f"__xnt_rid div {q + 1}") + 1,
+        ).otherwise(
+            F.expr(f"(__xnt_rid - {head}) div {q}") + F.lit(rem) + 1
+        )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__xnt_rid")

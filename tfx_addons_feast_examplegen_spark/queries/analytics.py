@@ -646,19 +646,28 @@ def _q_fk_audit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pareto_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Revenue concentration: customer spend deciles (global NTILE over
-    # the per-customer aggregate — one row per customer, documented
-    # single-sort-partition boundary) with share-of-total in basis
-    # points via a broadcast 1-row total.
+    # Revenue concentration: customer spend deciles with share-of-total
+    # in basis points via a broadcast 1-row total. Deciles are exact
+    # NTILE semantics via rowid.exact_ntile over the NEGATED cents
+    # (descending spend order) — no single-partition Window (VERDICT
+    # r14 item 3). Ranking by cents alone is tie-invariant here: every
+    # decile statistic aggregates cents itself (counts, sums, shares),
+    # so permuting equal-spend customers across a decile boundary
+    # cannot change any output cell — the old custkey tie-break was
+    # bookkeeping, not semantics.
+    from ..operators.rowid import exact_ntile
+
     t = register_tables(spark, sf_dir)
     spend = t["orders"].groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .alias("cents")
     )
-    ranked = spend.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.desc("cents"), "o_custkey")),
-    )
+    ranked = exact_ntile(
+        spend.withColumn("__negcents", -F.col("cents")),
+        "__negcents",
+        10,
+        tile_col="decile",
+    ).drop("__negcents")
     tot = spend.agg(F.sum("cents").alias("t"))
     return (
         ranked.crossJoin(F.broadcast(tot))

@@ -915,12 +915,29 @@ FROM c
 
 
 def _q_epoch_shuffle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Deterministic epoch shuffle: Knuth-hash the ids, NTILE into 8
-    # shards over the hash order. The global NTILE window is the
-    # documented scale boundary of this entry (one sort partition);
-    # the production path for sharding at 100 TB is hash_split /
-    # epoch_shuffle in operators/split.py.
+    # Deterministic epoch shuffle: Knuth-hash the ids, exact NTILE into
+    # 8 shards over the hash order — spelled scale-safe (VERDICT r14
+    # item 3): the (hkey, doc_id) total order is encoded into ONE
+    # numeric key, (hkey << 32) | doc_id (order-preserving since
+    # hkey < 2^31 and doc_id < 2^32 — guarded LOUD in-plan), and
+    # rowid.exact_ntile assigns the identical shard ids with no
+    # single-partition Window anywhere.
+    from ..operators.rowid import exact_ntile
+
     t = register_tables(spark, sf_dir)
+    guarded_id = F.when(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(1 << 32)),
+        F.col("doc_id"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "epoch_shuffle_shards: doc_id %s outside [0, 2^32) — the"
+                " composite (hkey << 32) | doc_id order key needs a"
+                " 32-bit id; re-key or widen the encoding",
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long")
+    )
     h = t["documents"].select(
         "doc_id",
         (
@@ -931,10 +948,22 @@ def _q_epoch_shuffle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % F.lit(2147483648)
         ).alias("hkey"),
+        (
+            F.shiftleft(
+                (
+                    (
+                        (F.col("doc_id") * F.lit(2654435761) + F.lit(3 * 40503))
+                        % F.lit(2147483648)
+                        + F.lit(2147483648)
+                    )
+                    % F.lit(2147483648)
+                ),
+                32,
+            )
+            + guarded_id
+        ).alias("__okey"),
     )
-    sharded = h.withColumn(
-        "shard", F.ntile(8).over(Window.orderBy("hkey", "doc_id"))
-    )
+    sharded = exact_ntile(h, "__okey", 8, tile_col="shard").drop("__okey")
     return sharded.groupBy(F.col("shard").cast("int").alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("doc_id").cast("bigint").alias("id_digest"),
