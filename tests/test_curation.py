@@ -467,6 +467,18 @@ def test_greedy_max_coverage_hand_and_model(spark):
     with _pytest.raises(ValueError, match="k must"):
         greedy_max_coverage(docs, k=0)
 
+    # VERDICT r14 item 6 red-proof: the covered set is counted each
+    # round and a cap breach fails LOUD before the next broadcast
+    # (doc 4 contributes 3 shingles > cap 2 after round 1)
+    with _pytest.raises(ValueError, match="max_covered_broadcast"):
+        greedy_max_coverage(docs, k=4, n=3, max_covered_broadcast=2)
+    # at-cap passes: the same data under a sufficient cap completes
+    assert (
+        greedy_max_coverage(docs, k=4, n=3, max_covered_broadcast=5)
+        .count()
+        == 2
+    )
+
     # random-graph property: matches an independent Python greedy
     import random
 

@@ -806,3 +806,23 @@ def test_degree_assortativity_hand_computed(spark):
         spark.createDataFrame(messy, "src: string, dst: string")
     ).collect()[0]
     assert rm["n_edges"] == 6 and rm["assortativity"] == -1.0
+
+
+def test_degree_assortativity_directed_misuse_fails_loud(spark):
+    # ADVICE r14: a destination with no out-edges exists only on
+    # DIRECTED input — the old coalesce correlated against a fabricated
+    # 0 degree, producing a plausible but wrong coefficient. The
+    # symmetrized-input contract now fails LOUD in-plan instead.
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    directed = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")],  # c is a sink
+        "src: string, dst: string",
+    )
+    with _pytest.raises(SparkRuntimeException, match="SYMMETRIZED"):
+        degree_assortativity(directed).collect()

@@ -687,8 +687,11 @@ def degree_assortativity(
     end of each directed edge) — the one-number structural QA a crawl
     graph gets before link-based curation: strongly negative values
     flag hub-and-spoke (bipartite/spammy) structure, positive values
-    social-network-like degree mixing. Pass a symmetrized edge list
-    for undirected semantics; degree is then out-degree.
+    social-network-like degree mixing. The input CONTRACT is a
+    symmetrized edge list (undirected semantics; degree is then
+    out-degree): a destination node with no out-edges — impossible
+    after symmetrization — fails LOUD in-plan rather than skewing the
+    statistic with a fabricated degree (ADVICE r14).
 
     Returns ONE row ``(n_nodes, n_edges, assortativity)``;
     ``assortativity`` is NULL when a degree side is constant (the
@@ -727,7 +730,27 @@ def degree_assortativity(
         )
         .select(
             F.col("__ds").cast("double").alias("__x"),
-            F.coalesce(F.col("__dd"), F.lit(0)).cast("double").alias("__y"),
+            # symmetrized-input contract, enforced LOUD (ADVICE r14): a
+            # destination with no out-edges only exists on DIRECTED
+            # input, where correlating against a fabricated 0 (or
+            # silently dropping the edge) yields a plausible-looking
+            # but wrong coefficient — networkx's directed default is
+            # out-in, a different statistic. Fail in-plan instead.
+            F.when(F.col("__dd").isNotNull(), F.col("__dd"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "degree_assortativity: destination node %s has no"
+                        " out-edges — the input is directed, but this"
+                        " operator's contract is a SYMMETRIZED"
+                        " (undirected) edge list; symmetrize first or"
+                        " use a directed out-in variant",
+                        F.col("__d").cast("string"),
+                    )
+                ).cast("long")
+            )
+            .cast("double")
+            .alias("__y"),
         )
     )
     nodes = e.select(F.col("__s").alias("n")).union(
