@@ -906,6 +906,30 @@ def phrase_search_indexed(
     )
 
 
+def _bpe_merge_pass(arr: Column, left: str, right: str) -> Column:
+    """One exhaustive left-to-right non-overlapping merge pass of the
+    literal rule ``(left, right)`` over a token array — the shared
+    fold of :func:`bpe_apply_merges` (encode) and :func:`bpe_train`
+    (the per-round apply step). A fresh merge can never re-match its
+    own rule (``left || right`` is strictly longer than ``left`` and
+    tokens are non-empty), so the fold equals "repeatedly merge the
+    leftmost occurrence" — the recursive-CTE form the SQL oracles
+    replay."""
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(arr, F.array().cast("array<string>"), step)
+
+
 def bpe_apply_merges(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -944,27 +968,87 @@ def bpe_apply_merges(
         left, right = pair
         if not left or not right:
             raise ValueError(f"empty token in merge rule {pair!r}")
-    def _pass(arr: Column, left: str, right: str) -> Column:
-        def step(acc: Column, x: Column) -> Column:
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(left + right)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return F.aggregate(arr, F.array().cast("array<string>"), step)
-
     toks = F.expr(_toks_sql(text_col))
     for left, right in merges:
-        toks = _pass(toks, left, right)
+        toks = _bpe_merge_pass(toks, left, right)
     return df.select(
         F.col(id_col),
         toks.alias("tokens"),
         F.size(toks).alias("n_tokens"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_merges: int = 5,
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016, the
+    full loop): round ``r`` counts every adjacent token pair over the
+    corpus WITH the first ``r - 1`` merge rules already applied, picks
+    the single most frequent pair (ties: lexicographic on
+    ``(left, right)`` — deterministic, engine-portable), and appends
+    it to the merge table. This is what :func:`bpe_pair_merges` (one
+    count step) and :func:`bpe_apply_merges` (the encode) compose
+    into: unlike the one-shot "top-k pairs of the RAW corpus", true
+    training re-counts after each merge, so rule ``r`` can merge
+    tokens rule ``r - 1`` created.
+
+    Returns the learned merge table — ``(rank, left_tok, right_tok,
+    merged_tok, pair_count)``, ``rank`` 1-based in learn order — a
+    tokenizer model (parameter-sized), ready to feed
+    :func:`bpe_apply_merges` as plan literals. Stops early when no
+    adjacent pair remains.
+
+    Plan shape (bounded rounds, the graph-loop discipline): per round,
+    ONE distributed projection applies the newest rule via the shared
+    :func:`_bpe_merge_pass` fold and is ``localCheckpoint``-pinned
+    (O(1) lineage — round ``r`` never replays folds ``1..r-1``), then
+    ONE map-side-combinable pair-count aggregate whose shuffle carries
+    a partial per distinct pair per partition, then a 1-ROW argmax
+    collect (TakeOrdered). Driver traffic is ``n_merges`` single-row
+    parameters; nothing data-sized leaves the executors.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.expr(_toks_sql(text_col)).alias("ts")
+    ).localCheckpoint()
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            toks.filter(F.size("ts") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1), "
+                        "i -> struct(ts[i-1] AS l, ts[i] AS r))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["c"]
+        rules.append((rank, left, right, left + right, cnt))
+        if rank < n_merges:
+            toks = toks.withColumn(
+                "ts", _bpe_merge_pass(F.col("ts"), left, right)
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        rules,
+        "rank int, left_tok string, right_tok string, "
+        "merged_tok string, pair_count bigint",
     )
 
 

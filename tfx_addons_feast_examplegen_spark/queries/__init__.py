@@ -236,6 +236,7 @@ _ENTRY_ORDER = [
     "token_budget_select",
     "dsir_select",
     "bpe_encode",
+    "bpe_train",
     "sketch_countmin",
     "sketch_countmin_join",
     "graph_bfs_levels",
@@ -295,121 +296,113 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
     "pit_join",
-    # ROUND-14 ROTATION (VERDICT r13 items 1-2 + the r13 comment
-    # block's recorded plan). Slot 0: pit_join (entry() smoke,
+    # ROUND-15 ROTATION (executes the plan recorded in the r14 window
+    # comment + VERDICT r14 item 1). Slot 0: pit_join (entry() smoke,
     # convention since r7).
     #
-    # Slots 1-12: NEW this round (never-attested entries MUST sit in
-    # the window): graph_sssp (weighted shortest paths — bounded
-    # Bellman-Ford as joins, min-combine before the shuffle,
-    # strict-improvement frontier), graph_label_propagation_weighted
-    # (votes SUM edge weights — evidence-strength communities; same
-    # round shape as unweighted LPA), graph_kcore (iterative peeling —
-    # the link-graph quality filter), graph_pagerank_personalized
-    # (seed-concentrated teleport + dangling recirculation — crawl
-    # frontier prioritization), text_char_ngram_entropy (per-doc
-    # character-trigram Shannon entropy — the compressibility quality
-    # proxy), score_drift_ks (two-sample KS drift audit, no binning),
-    # lang_quality_mi (categorical mutual information — the
-    # leakage/feature-selection audit), subset_max_coverage (greedy
-    # facility-location subset selection, deterministic tie-break),
-    # graph_pagerank_weighted (outflow split proportional to edge
-    # weight), graph_degree_assortativity (Newman degree-mixing QA),
-    # score_drift_qq (QQ drift table — WHERE the distribution moved),
-    # curriculum_interleave (stride-scheduled epoch-order source
-    # mixing on the grouped-row-id machinery).
-    "graph_sssp",
-    "graph_label_propagation_weighted",
-    "graph_kcore",
-    "graph_pagerank_personalized",
-    "text_char_ngram_entropy",
+    # Slot 1: NEW this round (never-attested entries MUST sit in the
+    # window): bpe_train — the full iterative BPE tokenizer training
+    # loop (count pairs -> top-1 rule -> apply merge -> re-count;
+    # rule r can merge tokens rule r-1 created, which the one-shot
+    # bpe_pair_merges step cannot), per-round localCheckpoint-pinned
+    # fold + map-side-combinable count + 1-row argmax; oracle unrolls
+    # all five rounds as per-round recursive-CTE leftmost-merge
+    # replays (VERDICT r14 item 5).
+    "bpe_train",
+    # Slots 2-12: entries whose fingerprints drift with this round's
+    # hardening (all driver-green on the pre-edit tree):
+    # - score_drift_ks / score_drift_qq: the bounded-grid contract
+    #   (ADVICE r14 medium) — occupied (value, group) grid cells are
+    #   counted off the SAME grid exchange (ReuseExchange keeps one
+    #   corpus scan) and gate __v through an in-plan raise_error in
+    #   the DISTRIBUTED pre-window stage; in-contract inputs compute
+    #   identically.
+    # - curriculum_interleave: pos emitted UNROUNDED (the 1e-6 grid
+    #   tied large ranks; display rounding moved to the query layer)
+    #   and the grouped-row-id offset key now encodes NULL group
+    #   values distinctly (ADVICE r14: concat_ws silently skipped
+    #   NULL parts, colliding NULL with '' and ('a',NULL) with
+    #   (NULL,'a')).
+    # - length_bucketing / epoch_shuffle_shards /
+    #   revenue_concentration: the three global-NTILE windows retired
+    #   onto rowid.exact_ntile — bucket-decomposed global rank + the
+    #   standard NTILE arithmetic — no single-partition Window
+    #   anywhere (VERDICT r14 items 2-3); epoch_shuffle encodes the
+    #   (hkey, doc_id) order into one guarded composite long.
+    # - graph_degree_assortativity: directed misuse now fails LOUD
+    #   in-plan instead of correlating a fabricated 0 out-degree for
+    #   sink nodes (ADVICE r14).
+    # - subset_max_coverage: the covered-set broadcast is counted per
+    #   round (O(1) on the checkpoint) and raises past
+    #   max_covered_broadcast instead of silently OOM-ing an executor
+    #   (VERDICT r14 item 6).
+    # - source_warc_datasource / source_warc_write_roundtrip: dead
+    #   attempts' *.warc.*.tmp litter is swept — all litter on
+    #   overwrite, this write's own salted temps on abort (ADVICE
+    #   r14).
+    # - bpe_encode: the merge-pass fold hoisted to the shared
+    #   _bpe_merge_pass helper bpe_train composes (same expression,
+    #   byte-identical plan).
     "score_drift_ks",
-    "lang_quality_mi",
-    "subset_max_coverage",
-    "graph_pagerank_weighted",
-    "graph_degree_assortativity",
     "score_drift_qq",
     "curriculum_interleave",
-    # Slots 13-18: the entries whose fingerprints drift with this
-    # round's hardening (all driver-green r13 on the pre-edit tree):
-    # - contamination_report: corpus-side shingle distinct deferred to
-    #   count(DISTINCT) AFTER the broadcast probe, so the dedup
-    #   shuffle keys on probe survivors, never the full corpus shingle
-    #   stream (VERDICT r13 nit 1; 1.21x at sf0.1, identical results).
-    # - graph_label_propagation: label_propagation() gained the
-    #   weight_col parameter (None = the attested unweighted path,
-    #   votes now SUM a literal-1 long — same tallies, same answer).
-    # - score_calibration_ece: calibration_bins now fails LOUD
-    #   (JVM-side raise_error in the same projection) on NULL
-    #   score/label or score outside [0,1] instead of silently binning
-    #   them (ADVICE r13); in-contract inputs plan identically.
-    # - source_warc_datasource / source_warc_write_roundtrip: temp
-    #   files are attempt-unique (<stem>.warc.<taskAttemptId>.tmp) so
-    #   racing attempts never interleave one handle (ADVICE r13
-    #   medium), and the append salt folds in driver pid + random bits
-    #   against the 25-day epoch-micros wrap (ADVICE r13 low).
-    # - graph_pagerank: pagerank() gained the weight_col parameter
-    #   (None = the attested path — literal-1.0 weights make deg a
-    #   double SUM equal to the old COUNT, arithmetic bit-identical).
-    "graph_pagerank",
-    "contamination_report",
-    "graph_label_propagation",
-    "score_calibration_ece",
+    "length_bucketing",
+    "epoch_shuffle_shards",
+    "revenue_concentration",
+    "graph_degree_assortativity",
+    "subset_max_coverage",
     "source_warc_datasource",
     "source_warc_write_roundtrip",
-    # Slots 19-34: the 16 r8-vintage rows (oldest driver attestation
-    # anywhere — re-proving these completes VERDICT r14 item 2: no
-    # driver row older than r9), alphabetical.
-    "sequence_example_roundtrip",
-    "sequence_packing",
-    "sessionization",
-    "sessionization_streaming",
-    "similarity_topk",
-    "text_bpe_token_budget",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_tfidf_topterms",
-    "text_token_stats",
-    "training_dataset_pipeline",
-    "weighted_sample_wor",
-    "window_topk_running",
-    "windowed_event_counts",
-    # Slots 35-49: 15 of the 41 r9-vintage rows, alphabetical (the
-    # 26-row tail — feature_histogram through zorder_layout minus the
-    # 15 below — heads the ROUND-15 plan below).
-    "anti_join_exists",
-    "array_agg_sorted",
-    "bucketed_join",
-    "case_pivot",
-    "correlated_subquery",
-    "cube_lattice",
-    "dataset_stats",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_incremental_indexed",
-    "embedding_linear_scorer",
-    "embedding_neardup",
-    "embedding_quantization",
-    # ROUND-15 WINDOW PLAN: the 26 r9 rows displaced by this round's
-    # 18-entry debt cohort (12 new + 6 drifted) —
-    # feature_histogram, forward_fill_timeseries,
-    # gap_fill_timeseries, group_quota, grouping_sets_filter,
-    # having_subquery, lateral_topk_per_key, monthly_order_delta,
-    # multimodal_audio_mp3_stats, percentiles, pit_join_time_bucketed,
-    # q10_returned_items, q18_large_orders, q7_nation_volume,
-    # similarity_ann_lsh_recall, sketch_distinct_counts,
-    # sketch_quantiles, skew_salted_join, snapshot_diff,
-    # source_tfrecord_roundtrip, stream_dedup, string_funcs_parts,
-    # three_way_split_counts, weighted_sample, window_lead_lag_ntile,
-    # zorder_layout — then the oldest r10 rows
-    # alphabetically to fill
-    # 50 after pit_join's slot-0 convention. After r15 executes, the
-    # oldest driver row anywhere is r10 and the ~4-round full-fleet
-    # refresh cadence holds.
+    "bpe_encode",
+    # Slots 13-38: the 26 r9-vintage rows — the oldest driver
+    # attestation anywhere; re-proving these completes the r14 plan
+    # ("after r15 executes, the oldest driver row anywhere is r10"),
+    # alphabetical.
+    "feature_histogram",
+    "forward_fill_timeseries",
+    "gap_fill_timeseries",
+    "group_quota",
+    "grouping_sets_filter",
+    "having_subquery",
+    "lateral_topk_per_key",
+    "monthly_order_delta",
+    "multimodal_audio_mp3_stats",
+    "percentiles",
+    "pit_join_time_bucketed",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "similarity_ann_lsh_recall",
+    "sketch_distinct_counts",
+    "sketch_quantiles",
+    "skew_salted_join",
+    "snapshot_diff",
+    "source_tfrecord_roundtrip",
+    "stream_dedup",
+    "string_funcs_parts",
+    "three_way_split_counts",
+    "weighted_sample",
+    "window_lead_lag_ntile",
+    "zorder_layout",
+    # Slots 39-49: rotation fill — the oldest r10-vintage rows not
+    # already above, alphabetical. ROUND-16 WINDOW PLAN: the remaining
+    # 21 r10 rows (param_substitution through url_robots_filter,
+    # alphabetically after multimodal_video_mp4_stats, minus any that
+    # drift in r16) head the next window after pit_join and any new /
+    # drifted entries; then the oldest r11 rows fill to 50. That keeps
+    # the ~4-round full-fleet refresh cadence: after r16 the vintage
+    # floor sits at r11.
+    "bloom_prejoin_filter",
+    "feature_service",
+    "fuzzy_editdist_pairs",
+    "global_row_ids",
+    "graph_bfs_levels",
+    "html_text_extract",
+    "interval_overlap_join",
+    "multimodal_audio_flac_stats",
+    "multimodal_audio_g711_stats",
+    "multimodal_audio_ogg_stats",
+    "multimodal_video_mp4_stats",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -851,6 +851,71 @@ WHERE c.cnt * 50 > n.n_g
 """
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full iterative BPE training loop (VERDICT r14 item 5): five
+    # rounds of count-pairs -> pick top-1 -> apply-merge, where round r
+    # counts over the corpus with rules 1..r-1 already applied (so a
+    # rule can merge tokens an earlier rule created — the property the
+    # one-shot top-k step lacks). Per round: one localCheckpoint-pinned
+    # fold projection + one map-side-combinable count + a 1-row argmax.
+    t = register_tables(spark, sf_dir)
+    return tx.bpe_train(t["documents"], "doc_id", "text", n_merges=5)
+
+
+def _bpe_train_round_sql(r: int) -> str:
+    # one unrolled training round: count pairs over toks{r-1}, pick the
+    # deterministic top-1 rule, then (for non-final rounds) replay the
+    # exhaustive left-to-right merge as repeated leftmost single merges
+    # with a recursive CTE (equal by the bpe_apply_merges argument: a
+    # fresh merge can never re-match its own rule)
+    prev = f"toks{r - 1}" if r > 1 else "toks0"
+    return f"""
+cnt{r} AS (
+  SELECT w[i] AS l, w[i+1] AS r, count(*) AS c
+  FROM (SELECT doc_id, ts AS w FROM {prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+  GROUP BY 1, 2
+),
+rule{r} AS (
+  SELECT l, r, c FROM cnt{r} ORDER BY c DESC, l, r LIMIT 1
+),
+apply{r} AS (
+  SELECT t.doc_id, t.ts, 0 AS done FROM {prev} t
+  UNION ALL
+  SELECT a.doc_id,
+         CASE WHEN x.pos IS NOT NULL
+              THEN a.ts[1:x.pos-1] || [m.l || m.r] || a.ts[x.pos+2:]
+              ELSE a.ts END,
+         CASE WHEN x.pos IS NOT NULL THEN 0 ELSE 1 END
+  FROM apply{r} a JOIN rule{r} m ON true,
+       LATERAL (SELECT (list_filter(range(1, len(a.ts)),
+                        i -> a.ts[i] = m.l AND a.ts[i+1] = m.r))[1] AS pos) x
+  WHERE a.done = 0
+),
+toks{r} AS (SELECT doc_id, ts FROM apply{r} WHERE done = 1)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    """
+WITH RECURSIVE
+toks0 AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS ts
+  FROM documents
+),"""
+    + ",".join(_bpe_train_round_sql(r) for r in range(1, 6))
+    + """
+SELECT CAST(rank AS INT) AS rank, l AS left_tok, r AS right_tok,
+       l || r AS merged_tok, CAST(c AS BIGINT) AS pair_count
+FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT {r} AS rank, l, r, c FROM rule{r}" for r in range(1, 6)
+    )
+    + ")"
+)
+
+
 def _q_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One distributed BPE merge step (Sennrich et al. 2016): corpus-wide
     # adjacent-token-pair counts, top-20 merge candidates. Map-side
@@ -1413,6 +1478,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_unigram_logprob": (_q_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE),
     "bpe_pair_merges": (_q_bpe_pair_merges, _BPE_PAIR_MERGES_ORACLE),
     "bpe_encode": (_q_bpe_encode, _BPE_ENCODE_ORACLE),
+    "bpe_train": (_q_bpe_train, _BPE_TRAIN_ORACLE),
     "text_bigram_logprob": (_q_bigram_logprob, _BIGRAM_LOGPROB_ORACLE),
     "corpus_report": (_q_corpus_report, _CORPUS_REPORT_ORACLE),
     "source_overlap_audit": (_q_source_overlap, _SOURCE_OVERLAP_ORACLE),
