@@ -177,10 +177,17 @@ EXTENDED_IMPLS = {
 }
 
 
-def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus):
+def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus, stepper=None):
     """min-of-n_passes round-robin floors with the load gate (see the
     comment in main's history: round-robin confines a host-load spike
-    to one pass; the gate waits out severe contention, bounded)."""
+    to one pass; the gate waits out severe contention, bounded).
+
+    When ``stepper`` is given (the previous-round tree's per-query run
+    server), every parent timing is IMMEDIATELY followed by the child
+    running the same query — A,B,A,B — so both trees' floors sample
+    the same ambient load within seconds of each other (VERDICT r14
+    item 7: tree-at-a-time A/B runs measured the machine ~10 minutes
+    apart and burned three artifact runs bracketing the drift)."""
     load_gate = 2.0 * cpus
     timings = {name: float("inf") for name in names}
     maxima = {name: 0.0 for name in names}
@@ -202,6 +209,8 @@ def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus):
                 timings[name] = dt
                 floor_loads[name] = round(q_load, 1)
             maxima[name] = max(maxima[name], dt)
+            if stepper is not None:
+                stepper.run(name)
     return (
         {name: round(v, 3) for name, v in timings.items()},
         {name: round(maxima[name] - timings[name], 3) for name in names},
@@ -210,23 +219,98 @@ def _floor_timings(qs, names, spark, sf_dir, n_passes, cpus):
     )
 
 
-def _bench_prev_tree(sf_dir: str) -> dict | None:
-    """Same-sitting A/B (round-13 protocol): re-run the PREVIOUS
-    round's tree with this round's ambient load, so artifact-to-
-    artifact deltas separate code delta from machine delta without
-    archaeology (round 12 measured 10.66 vs 13.04 s for the SAME tree
-    at different sittings — pure load).
+class _AbStepper:
+    """Handle to the previous-round tree's per-query run server (see
+    scripts/ab_stepper.py). ``run(name)`` sends one query to the child
+    and blocks for its timing — the parent calls it right after timing
+    the same query itself, so the two trees' samples interleave
+    A,B,A,B under the same instantaneous load. Any child failure marks
+    the stepper dead and is reported once; the primary bench never
+    breaks."""
 
-    The previous tree is the last driver round-artifact commit
-    (message ``round N: verdict/advice/...``), checked out into a
-    throwaway git worktree; its own ``bench.py`` runs as a child
-    process with the same SF dir and the recursion guard set. Any
-    failure (no git history, worktree or child error, timeout) is
-    reported on stderr and skipped — the primary bench never breaks.
-    """
+    def __init__(self, proc, wt, repo, ref, avail):
+        self.proc, self.wt, self.repo, self.ref = proc, wt, repo, ref
+        self.avail = set(avail)
+        self.floors: dict[str, float] = {}
+        self.maxima: dict[str, float] = {}
+        self.dead = False
+        self.closed = False
+
+    def run(self, name: str, timeout_s: float = 600.0) -> None:
+        if self.dead or name not in self.avail:
+            return
+        import select
+
+        try:
+            self.proc.stdin.write(name + "\n")
+            self.proc.stdin.flush()
+            end = time.time() + timeout_s
+            while True:
+                budget = end - time.time()
+                if budget <= 0:
+                    raise TimeoutError(f"stepper timeout on {name}")
+                r, _, _ = select.select(
+                    [self.proc.stdout], [], [], budget
+                )
+                if not r:
+                    raise TimeoutError(f"stepper timeout on {name}")
+                line = self.proc.stdout.readline()
+                if not line:
+                    raise RuntimeError("stepper EOF")
+                if line.startswith("T "):
+                    _, n, dt = line.split()
+                    if n == name:
+                        v = float(dt)
+                        self.floors[n] = min(
+                            self.floors.get(n, float("inf")), v
+                        )
+                        self.maxima[n] = max(self.maxima.get(n, 0.0), v)
+                        return
+                elif line.startswith("SKIP "):
+                    self.avail.discard(line.split()[1])
+                    return
+        except Exception as e:
+            print(f"ab stepper died: {e}", file=sys.stderr)
+            self.dead = True
+            try:  # a hung child would pollute the parent's floors
+                self.proc.kill()
+            except Exception:
+                pass
+            self.close()
+
+    def close(self) -> None:
+        import shutil
+        import subprocess
+
+        if self.closed:
+            return
+        self.closed = True
+        try:
+            if not self.dead:
+                self.proc.stdin.write("EXIT\n")
+                self.proc.stdin.flush()
+            self.proc.wait(timeout=120)
+        except Exception:
+            self.proc.kill()
+        subprocess.run(
+            ["git", "-C", self.repo, "worktree", "remove", "--force",
+             self.wt],
+            capture_output=True, timeout=120,
+        )
+        shutil.rmtree(self.wt, ignore_errors=True)
+
+
+def _spawn_ab_stepper(sf_dir: str, names: list[str]) -> _AbStepper | None:
+    """Same-sitting A/B, interleaved protocol (round-15; VERDICT r14
+    item 7): check the last driver round-artifact commit out into a
+    throwaway worktree and start scripts/ab_stepper.py against it as a
+    line-protocol run server (the script comes from the CURRENT tree —
+    old trees predate it — but every import inside resolves against
+    the worktree). The child warms its queries while the parent warms
+    its own; callers block on READY before the timed region. Any
+    failure is reported on stderr and skipped."""
     if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
         return None
-    import shutil
     import subprocess
     import tempfile
 
@@ -244,44 +328,53 @@ def _bench_prev_tree(sf_dir: str) -> dict | None:
         print("ab_prev skipped: no prior round commit", file=sys.stderr)
         return None
     wt = tempfile.mkdtemp(prefix="bench_ab_prev_")
-    # the child exists to expose the MACHINE delta, not to re-certify
-    # the old tree's floors: min-of-4 passes tracks min-of-7 within
-    # the ambient noise the A/B is correcting for, at ~60% of the cost
-    ab_passes = os.environ.get("SPARK_GRAFT_AB_PASSES", "4")
     env = dict(os.environ)
     env.update({
-        "SPARK_GRAFT_AB": "0",  # the child must not recurse
         "SPARK_GRAFT_SF_DIR": sf_dir,
-        "SPARK_GRAFT_BENCH_PASSES": ab_passes,
-        "SPARK_GRAFT_BENCH_EXTRA_PASSES": "2",
+        "SPARK_GRAFT_AB_NAMES": json.dumps(names),
     })
     try:
         subprocess.run(
             ["git", "-C", repo, "worktree", "add", "--detach", wt, ref],
             capture_output=True, text=True, timeout=120, check=True,
         )
-        out = subprocess.run(
-            [sys.executable, os.path.join(wt, "bench.py")],
-            capture_output=True, text=True, timeout=5400, env=env, cwd=wt,
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "scripts", "ab_stepper.py")],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, env=env, cwd=wt,
         )
-        last = out.stdout.strip().rsplit("\n", 1)[-1]
-        parsed = json.loads(last)
-        return {
-            "ref": ref,
-            "value": parsed["value"],
-            "extended_total": parsed.get("extended_total"),
-            "queries": parsed.get("queries"),
-            "passes": int(ab_passes),
-        }
+        return _AbStepper(proc, wt, repo, ref, avail=[])
     except Exception as e:
         print(f"ab_prev skipped: {e}", file=sys.stderr)
         return None
-    finally:
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "remove", "--force", wt],
-            capture_output=True, timeout=120,
-        )
-        shutil.rmtree(wt, ignore_errors=True)
+
+
+def _await_ab_ready(stepper: _AbStepper | None, deadline_s: int = 2400):
+    """Block until the stepper's warm-up finishes (READY line) and
+    record which queries the old tree can serve; kill on timeout."""
+    if stepper is None:
+        return
+    import select
+
+    end = time.time() + deadline_s
+    try:
+        while True:
+            budget = end - time.time()
+            if budget <= 0:
+                raise TimeoutError("stepper warm-up deadline")
+            r, _, _ = select.select([stepper.proc.stdout], [], [], budget)
+            if not r:
+                raise TimeoutError("stepper warm-up deadline")
+            line = stepper.proc.stdout.readline()
+            if not line:
+                raise RuntimeError("stepper exited during warm-up")
+            if line.startswith("READY "):
+                stepper.avail = set(json.loads(line[6:]))
+                return
+    except Exception as e:
+        print(f"ab_prev skipped: {e}", file=sys.stderr)
+        stepper.dead = True
+        stepper.close()
 
 
 def main() -> None:
@@ -292,6 +385,13 @@ def main() -> None:
     qs = qmod.queries()
     qs.update(BENCH_IMPLS)
     names = [n for n in HEADLINE if n in qs]
+    ext_name_plan = [n for n in EXTENDED if n in qs or n in EXTENDED_IMPLS]
+
+    # Spawn the previous-round tree's run server FIRST: its warm-up
+    # overlaps ours (both untimed), and from then on every timed parent
+    # query is immediately replayed by the child — the interleaved A/B
+    # (VERDICT r14 item 7).
+    stepper = _spawn_ab_stepper(sf_dir, names + ext_name_plan)
 
     # Warm-up: run every headline query once at the smallest scale so JVM
     # JIT / codegen / parquet reader init don't pollute the timed runs.
@@ -303,6 +403,9 @@ def main() -> None:
     # Re-register the benchmark-scale tables outside the timed region
     # (footer reads + schema inference are one-time catalog setup).
     register_tables(spark, sf_dir)
+    # block until the child is warm too — timed passes must not overlap
+    # the child's warm-up load
+    _await_ab_ready(stepper)
 
     # min over seven timed passes per query, ROUND-ROBIN (pass 1 runs
     # every query, then pass 2, ...): the first pass pays one-time costs
@@ -319,7 +422,7 @@ def main() -> None:
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "7"))
     cpus = os.cpu_count() or 1
     timings, spread, pass_loads, floor_loads = _floor_timings(
-        qs, names, spark, sf_dir, n_passes, cpus
+        qs, names, spark, sf_dir, n_passes, cpus, stepper=stepper
     )
 
     # Noise hardening (round 9): the three dedup entries have shown
@@ -336,7 +439,8 @@ def main() -> None:
     extra_passes = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_PASSES", "4"))
     if high_spread and extra_passes > 0:
         hs_t, hs_spread, hs_loads, hs_floor_loads = _floor_timings(
-            qs, high_spread, spark, sf_dir, extra_passes, cpus
+            qs, high_spread, spark, sf_dir, extra_passes, cpus,
+            stepper=stepper,
         )
         for n in high_spread:
             overall_max = max(spread[n] + timings[n], hs_spread[n] + hs_t[n])
@@ -358,7 +462,7 @@ def main() -> None:
         # entries warm at the small scale above)
         _run(ext_qs[name](spark, sf_dir))
     ext_timings, ext_spread, ext_loads, ext_floor_loads = _floor_timings(
-        ext_qs, ext_names, spark, sf_dir, n_passes, cpus
+        ext_qs, ext_names, spark, sf_dir, n_passes, cpus, stepper=stepper
     )
 
     total = round(sum(timings.values()), 3)
@@ -443,24 +547,41 @@ def main() -> None:
             line = json.dumps(compact, separators=(",", ":"))
         print(line, flush=True)
 
-    # Emit the round's numbers IMMEDIATELY — if an external deadline
-    # kills the process during the A/B child below, the last stdout
-    # line is still a complete, parseable artifact.
-    _emit()
+    # Same-sitting interleaved A/B: the child's floors were collected
+    # DURING the timed region (each query A,B,A,B against the parent's
+    # samples), so ab_prev is ready at emit time — no tree-at-a-time
+    # re-run, no ten-minute load drift between the two measurements.
+    if stepper is not None:
+        stepper.close()
+        if stepper.floors:
+            abf = {n: round(v, 3) for n, v in stepper.floors.items()}
+            head_present = [n for n in names if n in abf]
+            ext_present = [n for n in ext_names if n in abf]
+            full["ab_prev"] = {
+                "ref": stepper.ref,
+                "value": round(sum(abf[n] for n in head_present), 3),
+                "extended_total": round(
+                    sum(abf[n] for n in ext_present), 3
+                ),
+                "queries": abf,
+                "spread": {
+                    n: round(stepper.maxima[n] - stepper.floors[n], 3)
+                    for n in abf
+                },
+                "passes": n_passes,
+                "interleaved": True,
+                # the child died mid-run: floors exist but may carry
+                # fewer samples than `passes` claims
+                "partial": stepper.dead,
+                # names the old tree could not serve — when non-empty,
+                # value/extended_total cover only the shared subset
+                "missing": [
+                    n for n in names + ext_names if n not in abf
+                ],
+            }
 
-    # Same-sitting A/B: the parent session is done timing, so release
-    # its executors before the previous-round child JVM runs (both
-    # trees then see comparable free memory; the shared page cache is
-    # warm for both — min-of-n passes with warm-up makes each tree's
-    # floors steady-state either way). Re-emit with ab_prev on success
-    # (the driver records the LAST line).
+    _emit()
     spark.stop()
-    ab_prev = _bench_prev_tree(sf_dir)
-    if ab_prev is not None:
-        # previous round's tree, measured at THIS sitting: the code
-        # delta is (value / ab_prev.value); anything else is machine
-        full["ab_prev"] = ab_prev
-        _emit()
 
 
 if __name__ == "__main__":

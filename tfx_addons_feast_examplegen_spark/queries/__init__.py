@@ -216,6 +216,7 @@ _ENTRY_ORDER = [
     "similarity_ann_ivf",
     "bloom_prejoin_filter",
     "global_row_ids",
+    "global_exact_ntile",
     "html_text_extract",
     "url_canonicalize",
     "graph_pagerank",
@@ -300,15 +301,19 @@ _DRIVER_PRIORITY = [
     # comment + VERDICT r14 item 1). Slot 0: pit_join (entry() smoke,
     # convention since r7).
     #
-    # Slot 1: NEW this round (never-attested entries MUST sit in the
-    # window): bpe_train — the full iterative BPE tokenizer training
-    # loop (count pairs -> top-1 rule -> apply merge -> re-count;
-    # rule r can merge tokens rule r-1 created, which the one-shot
-    # bpe_pair_merges step cannot), per-round localCheckpoint-pinned
-    # fold + map-side-combinable count + 1-row argmax; oracle unrolls
-    # all five rounds as per-round recursive-CTE leftmost-merge
-    # replays (VERDICT r14 item 5).
+    # Slots 1-2: NEW this round (never-attested entries MUST sit in
+    # the window): bpe_train — the full iterative BPE tokenizer
+    # training loop (count pairs -> top-1 rule -> apply merge ->
+    # re-count; rule r can merge tokens rule r-1 created, which the
+    # one-shot bpe_pair_merges step cannot), per-round
+    # localCheckpoint-pinned fold + map-side-combinable count + 1-row
+    # argmax; oracle unrolls all five rounds as per-round
+    # recursive-CTE leftmost-merge replays (VERDICT r14 item 5). And
+    # global_exact_ntile — direct driver evidence for the exact_ntile
+    # primitive the three NTILE conversions below stand on (oracle IS
+    # the naive global-Window NTILE; equivalence is the contract).
     "bpe_train",
+    "global_exact_ntile",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -384,10 +389,10 @@ _DRIVER_PRIORITY = [
     "weighted_sample",
     "window_lead_lag_ntile",
     "zorder_layout",
-    # Slots 39-49: rotation fill — the oldest r10-vintage rows not
+    # Slots 40-49: rotation fill — the oldest r10-vintage rows not
     # already above, alphabetical. ROUND-16 WINDOW PLAN: the remaining
-    # 21 r10 rows (param_substitution through url_robots_filter,
-    # alphabetically after multimodal_video_mp4_stats, minus any that
+    # 22 r10 rows (multimodal_video_mp4_stats through url_robots_filter,
+    # alphabetically after multimodal_audio_ogg_stats, minus any that
     # drift in r16) head the next window after pit_join and any new /
     # drifted entries; then the oldest r11 rows fill to 50. That keeps
     # the ~4-round full-fleet refresh cadence: after r16 the vintage
@@ -402,7 +407,6 @@ _DRIVER_PRIORITY = [
     "multimodal_audio_flac_stats",
     "multimodal_audio_g711_stats",
     "multimodal_audio_ogg_stats",
-    "multimodal_video_mp4_stats",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -1048,6 +1048,31 @@ FROM documents
 """
 
 
+def _q_global_exact_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact SQL NTILE semantics with no single-partition Window: the
+    # bucket-decomposed global rank + the standard NTILE arithmetic
+    # (first N % n tiles take one extra row), from rowid.exact_ntile —
+    # the primitive the r15 conversions (length_bucketing,
+    # epoch_shuffle_shards, revenue_concentration) stand on. 7 tiles
+    # over the documents keyspace exercises the uneven q+1/q split.
+    # The oracle IS the naive global-Window spelling: bit-for-bit
+    # equivalence is the contract.
+    from ..operators.rowid import exact_ntile
+
+    t = register_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+    return exact_ntile(docs, "doc_id", 7, num_buckets=8).select(
+        "doc_id", F.col("ntile").cast("int").alias("tile")
+    )
+
+
+_GLOBAL_EXACT_NTILE_ORACLE = """
+SELECT doc_id,
+       CAST(NTILE(7) OVER (ORDER BY doc_id) AS INT) AS tile
+FROM documents
+"""
+
+
 def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact greedy budget selection (best docs by distinct-word ratio
     # until the 15k-token budget fills) decomposed over frozen score
@@ -1370,6 +1395,7 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dp_noisy_counts": (_q_dp_noisy_counts, _DP_NOISY_COUNTS_ORACLE),
     "target_encode_loo": (_q_target_encode, _TARGET_ENCODE_ORACLE),
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
+    "global_exact_ntile": (_q_global_exact_ntile, _GLOBAL_EXACT_NTILE_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "contamination_report": (_q_contamination_report, _CONTAMINATION_REPORT_ORACLE),
     "subset_max_coverage": (_q_max_coverage, _MAX_COVERAGE_ORACLE),
