@@ -547,10 +547,16 @@ def main() -> None:
             line = json.dumps(compact, separators=(",", ":"))
         print(line, flush=True)
 
+    # Emit the round's numbers IMMEDIATELY — if anything below (the
+    # A/B assembly or stepper teardown) fails, the last stdout line is
+    # still a complete, parseable artifact.
+    _emit()
+
     # Same-sitting interleaved A/B: the child's floors were collected
     # DURING the timed region (each query A,B,A,B against the parent's
     # samples), so ab_prev is ready at emit time — no tree-at-a-time
     # re-run, no ten-minute load drift between the two measurements.
+    # Re-emit with ab_prev attached (the driver records the LAST line).
     if stepper is not None:
         stepper.close()
         if stepper.floors:
