@@ -171,3 +171,86 @@ def test_ntile_entry_plans_have_no_single_partition_window(spark, sf_dir):
                 assert "Sort [" not in (
                     lines[i + 1] if i + 1 < len(lines) else ""
                 ), (name, plan)
+
+
+def test_exact_quantiles_matches_sorted_model(spark):
+    import math
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        exact_quantiles,
+    )
+
+    rng = random.Random(2311)
+    for trial in range(3):
+        vals = [rng.randrange(1000) for _ in range(rng.randint(1, 200))]
+        rows = [(v,) for v in vals] + [(None,)] * 3
+        df = spark.createDataFrame(rows, "v long")
+        qs = (0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+        got = {r["q"]: r["value"] for r in exact_quantiles(df, "v", qs).collect()}
+        s = sorted(vals)
+        want = {q: s[math.ceil(q * len(s)) - 1] for q in qs}
+        assert got == want, (trial, vals)
+
+    # two quantiles landing on the same rank both come back
+    one = spark.createDataFrame([(7,)], "v long")
+    out = exact_quantiles(one, "v", (0.5, 1.0)).collect()
+    assert [(r["q"], r["value"]) for r in out] == [(0.5, 7), (1.0, 7)]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_quantiles(one, "v", ())
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        exact_quantiles(one, "v", (0.0,))
+    empty = spark.createDataFrame([(None,)], "v long")
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_quantiles(empty, "v")
+
+
+def test_exact_quantiles_plan_has_no_single_partition_stage(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        exact_quantiles,
+    )
+
+    df = spark.range(0, 5000).select(F.col("id").alias("v"))
+    got = exact_quantiles(df, "v", (0.5, 0.9), num_buckets=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the final orderBy("q") sorts <= len(quantiles) rows — range
+    # partitioning over a frame that tiny is not a funnel; what must
+    # NOT appear is a SinglePartition exchange over the data
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_grouped_exact_ntile_matches_sql_ntile(spark):
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        grouped_exact_ntile,
+    )
+
+    rng = random.Random(2313)
+    rows = []
+    k = 0
+    # uneven groups incl. a NULL group and sizes below/above n_tiles
+    for g, size in [("a", 23), ("b", 4), (None, 9), ("c", 1)]:
+        for _ in range(size):
+            rows.append((k, g))
+            k += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "key long, grp string")
+    got = {
+        (r["grp"], r["key"]): r["ntile"]
+        for r in grouped_exact_ntile(
+            df, ["grp"], "key", 5, num_buckets=4
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("key")
+    want = {
+        (r["grp"], r["key"]): r["t"]
+        for r in df.withColumn("t", F.ntile(5).over(w)).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        grouped_exact_ntile(df, ["grp"], "key", 0)
+    with pytest.raises(ValueError, match="already present"):
+        grouped_exact_ntile(df, ["grp"], "key", 2, tile_col="grp")

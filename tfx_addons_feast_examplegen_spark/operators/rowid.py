@@ -325,3 +325,157 @@ def exact_ntile(
             F.expr(f"(__xnt_rid - {head}) div {q}") + F.lit(rem) + 1
         )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("__xnt_rid")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """EXACT type-1 quantiles (``v(q) = min { v : F(v) >= q }``, the
+    inverse ECDF — no interpolation, engine-portable) of a numeric
+    column WITHOUT a global sort: the complement of the approximate
+    ``percentile_approx``/KLL path (`sketch_quantiles`) for when the
+    report needs the true order statistic, not an epsilon-bound.
+
+    Decomposition: the bucket-decomposed global rank
+    (:func:`assign_global_row_ids`) makes value-at-rank addressable —
+    the q-th quantile is the value at 0-based rank ``ceil(q * N) - 1``
+    — so the plan FILTERS the ranked frame down to ``len(quantiles)``
+    rows instead of sorting anything globally. Value-at-rank is
+    deterministic even under ties: tied keys share one bucket and one
+    value, so whichever tied row takes the rank carries the same
+    value.
+
+    NULL values are dropped (quantiles are over the observed sample).
+    Returns one row per requested quantile: ``(q, value)``. Driver
+    state: the ``O(num_buckets)`` scalars the rank machinery already
+    holds, plus one COUNT.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1]: {q}")
+    vals = df.select(F.col(value_col).alias("__v")).where(
+        F.col(value_col).isNotNull()
+    )
+    ranked = assign_global_row_ids(
+        vals,
+        "__v",
+        id_col="__xq_rid",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+    )
+    n_total = vals.count()
+    if n_total == 0:
+        raise ValueError(f"exact_quantiles: no non-null {value_col!r} rows")
+    # 0-based target rank per quantile; math.ceil on exact integers
+    # only (q * N can hit an integer exactly — ceil is the contract)
+    import math
+
+    targets = {}
+    for q in quantiles:
+        r = math.ceil(q * n_total) - 1
+        targets.setdefault(r, []).append(float(q))
+    hit = ranked.where(
+        F.col("__xq_rid").isin(*[int(r) for r in targets])
+    )
+    # one rank can serve several quantiles: explode the q list per rank
+    qlists = F.map_from_arrays(
+        F.array(*[F.lit(int(r)) for r in targets]),
+        F.array(*[
+            F.array(*[F.lit(q) for q in qs]) for qs in targets.values()
+        ]),
+    )
+    return (
+        hit.select(
+            F.explode(F.element_at(qlists, F.col("__xq_rid"))).alias("q"),
+            F.col("__v").alias("value"),
+        )
+        .orderBy("q")
+    )
+
+
+def grouped_exact_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n_tiles: int,
+    *,
+    tile_col: str = "ntile",
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+    max_offset_entries: int = 65_536,
+) -> DataFrame:
+    """Exact per-group ``NTILE(n_tiles) OVER (PARTITION BY group ORDER
+    BY order_col)`` without a per-group single-partition Window — the
+    grouped edition of :func:`exact_ntile`, for when one group holds an
+    arbitrary share of the corpus (per-source/per-language
+    equal-population buckets feeding stratified curricula).
+
+    The per-group 1-based rank comes from
+    :func:`assign_grouped_row_ids` (same bounded-group-set contract:
+    sources, shards, languages — capped LOUD at
+    ``max_offset_entries``), the per-group row count attaches as a
+    map-side-combinable broadcast aggregate, and the standard NTILE
+    arithmetic — the first ``N % n`` tiles take one extra row — runs
+    as a pure projection with in-plan integral ``div`` (no float
+    rounding at any N, and per-group counts ride the plan, never the
+    driver). Tie caveat as :func:`exact_ntile`: tied order values make
+    the rank nondeterministic; tile-level aggregates of the order
+    value itself are tie-permutation invariant.
+    """
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1: {n_tiles}")
+    if tile_col in df.columns:
+        raise ValueError(f"tile_col {tile_col!r} already present")
+    ranked = assign_grouped_row_ids(
+        df,
+        group_cols,
+        order_col,
+        id_col="__xgt_rank",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+        max_offset_entries=max_offset_entries,
+    )
+    # per-group sizes, null-safe keyed (NULL is a group, same as the
+    # rank machinery and SQL NTILE's PARTITION BY)
+    counts = df.groupBy(
+        *[F.col(c).alias(f"__xgt_g{i}") for i, c in enumerate(group_cols)]
+    ).agg(F.count(F.lit(1)).alias("__xgt_n"))
+    join_cond = None
+    for i, c in enumerate(group_cols):
+        term = F.col(c).eqNullSafe(F.col(f"__xgt_g{i}"))
+        join_cond = term if join_cond is None else (join_cond & term)
+    rid0 = F.col("__xgt_rank") - 1  # 0-based within the group
+    q = F.expr(f"__xgt_n div {n_tiles}")
+    rem = F.col("__xgt_n") % n_tiles
+    head = rem * (q + 1)
+    tile = F.when(q == 0, rid0 + 1).otherwise(
+        F.when(
+            rid0 < head,
+            F.expr(f"(__xgt_rank - 1) div ((__xgt_n div {n_tiles}) + 1)")
+            + 1,
+        ).otherwise(
+            rem
+            + F.expr(
+                f"(__xgt_rank - 1 - (__xgt_n % {n_tiles})"
+                f" * ((__xgt_n div {n_tiles}) + 1))"
+                f" div (__xgt_n div {n_tiles})"
+            )
+            + 1
+        )
+    )
+    return (
+        ranked.join(F.broadcast(counts), join_cond)
+        .withColumn(tile_col, tile.cast("int"))
+        .drop(
+            "__xgt_rank",
+            "__xgt_n",
+            *[f"__xgt_g{i}" for i in range(len(group_cols))],
+        )
+    )

@@ -217,6 +217,8 @@ _ENTRY_ORDER = [
     "bloom_prejoin_filter",
     "global_row_ids",
     "global_exact_ntile",
+    "global_exact_quantiles",
+    "grouped_exact_ntile",
     "html_text_extract",
     "url_canonicalize",
     "graph_pagerank",
@@ -301,7 +303,7 @@ _DRIVER_PRIORITY = [
     # comment + VERDICT r14 item 1). Slot 0: pit_join (entry() smoke,
     # convention since r7).
     #
-    # Slots 1-2: NEW this round (never-attested entries MUST sit in
+    # Slots 1-4: NEW this round (never-attested entries MUST sit in
     # the window): bpe_train — the full iterative BPE tokenizer
     # training loop (count pairs -> top-1 rule -> apply merge ->
     # re-count; rule r can merge tokens rule r-1 created, which the
@@ -312,8 +314,20 @@ _DRIVER_PRIORITY = [
     # global_exact_ntile — direct driver evidence for the exact_ntile
     # primitive the three NTILE conversions below stand on (oracle IS
     # the naive global-Window NTILE; equivalence is the contract).
+    # Plus the family completions on the same rank machinery:
+    # global_exact_quantiles (exact type-1 value-at-rank quantiles —
+    # filter the ranked frame to five rows, no global sort; the exact
+    # complement of the sketch_quantiles epsilon path) and
+    # grouped_exact_ntile (per-group NTILE with per-group counts as a
+    # broadcast join and in-plan integral-div tile arithmetic — no
+    # per-group single-partition Window). Oracles are the naive
+    # window spellings each operator refuses to plan.
     "bpe_train",
     "global_exact_ntile",
+    "global_exact_quantiles",
+    "grouped_exact_ntile",
+    "global_exact_quantiles",
+    "grouped_exact_ntile",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -359,7 +373,7 @@ _DRIVER_PRIORITY = [
     "source_warc_datasource",
     "source_warc_write_roundtrip",
     "bpe_encode",
-    # Slots 13-38: the 26 r9-vintage rows — the oldest driver
+    # Slots 15-40: the 26 r9-vintage rows — the oldest driver
     # attestation anywhere; re-proving these completes the r14 plan
     # ("after r15 executes, the oldest driver row anywhere is r10"),
     # alphabetical.
@@ -389,14 +403,14 @@ _DRIVER_PRIORITY = [
     "weighted_sample",
     "window_lead_lag_ntile",
     "zorder_layout",
-    # Slots 40-49: rotation fill — the oldest r10-vintage rows not
+    # Slots 41-49: rotation fill — the oldest r10-vintage rows not
     # already above, alphabetical. ROUND-16 WINDOW PLAN: the remaining
-    # 22 r10 rows (multimodal_video_mp4_stats through url_robots_filter,
-    # alphabetically after multimodal_audio_ogg_stats, minus any that
-    # drift in r16) head the next window after pit_join and any new /
-    # drifted entries; then the oldest r11 rows fill to 50. That keeps
-    # the ~4-round full-fleet refresh cadence: after r16 the vintage
-    # floor sits at r11.
+    # 24 r10 rows (multimodal_audio_g711_stats through
+    # url_robots_filter, alphabetically after multimodal_audio_flac_stats,
+    # minus any that drift in r16) head the next window after pit_join
+    # and any new / drifted entries; then the oldest r11 rows fill to
+    # 50. That keeps the ~4-round full-fleet refresh cadence: after
+    # r16 the vintage floor sits at r11.
     "bloom_prejoin_filter",
     "feature_service",
     "fuzzy_editdist_pairs",
@@ -405,8 +419,6 @@ _DRIVER_PRIORITY = [
     "html_text_extract",
     "interval_overlap_join",
     "multimodal_audio_flac_stats",
-    "multimodal_audio_g711_stats",
-    "multimodal_audio_ogg_stats",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -1073,6 +1073,61 @@ FROM documents
 """
 
 
+def _q_global_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT type-1 quantiles (min { v : F(v) >= q }) with no global
+    # sort: the bucket-decomposed rank makes value-at-rank addressable,
+    # so the plan filters the ranked frame to five rows — the exact
+    # complement of the epsilon-bound sketch_quantiles path. n_chars
+    # carries duplicates, exercising the tie-determinism argument
+    # (tied keys share one bucket and one value).
+    from ..operators.rowid import exact_quantiles
+
+    t = register_tables(spark, sf_dir)
+    return exact_quantiles(
+        t["documents"], "n_chars", (0.1, 0.25, 0.5, 0.75, 0.9),
+        num_buckets=8,
+    )
+
+
+_GLOBAL_EXACT_QUANTILES_ORACLE = """
+WITH v AS (SELECT n_chars AS val FROM documents WHERE n_chars IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rn FROM v),
+qs(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9))
+SELECT CAST(qs.q AS DOUBLE) AS q, r.val AS value
+FROM qs JOIN n ON true
+JOIN r ON r.rn = CAST(ceil(qs.q * n.n) AS BIGINT)
+"""
+
+
+def _q_grouped_exact_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-SOURCE equal-population quartiles with no per-group
+    # single-partition Window — the grouped edition of exact_ntile,
+    # for when one source holds an arbitrary share of the corpus.
+    # Row-level output: the oracle is the naive partitioned NTILE;
+    # bit-for-bit equivalence is the contract (doc_id is unique, so
+    # the per-group order is total).
+    from ..operators.rowid import grouped_exact_ntile
+
+    t = register_tables(spark, sf_dir)
+    out = grouped_exact_ntile(
+        t["documents"].select("doc_id", "source"),
+        ["source"],
+        "doc_id",
+        4,
+        num_buckets=8,
+    )
+    return out.select("doc_id", "source", F.col("ntile").alias("tile"))
+
+
+_GROUPED_EXACT_NTILE_ORACLE = """
+SELECT doc_id, source,
+       CAST(NTILE(4) OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+         AS tile
+FROM documents
+"""
+
+
 def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact greedy budget selection (best docs by distinct-word ratio
     # until the 15k-token budget fills) decomposed over frozen score
@@ -1396,6 +1451,11 @@ ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "target_encode_loo": (_q_target_encode, _TARGET_ENCODE_ORACLE),
     "global_row_ids": (_q_global_row_ids, _GLOBAL_ROW_IDS_ORACLE),
     "global_exact_ntile": (_q_global_exact_ntile, _GLOBAL_EXACT_NTILE_ORACLE),
+    "global_exact_quantiles": (
+        _q_global_exact_quantiles,
+        _GLOBAL_EXACT_QUANTILES_ORACLE,
+    ),
+    "grouped_exact_ntile": (_q_grouped_exact_ntile, _GROUPED_EXACT_NTILE_ORACLE),
     "decontaminate": (_q_decontaminate, _DECONTAMINATE_ORACLE),
     "contamination_report": (_q_contamination_report, _CONTAMINATION_REPORT_ORACLE),
     "subset_max_coverage": (_q_max_coverage, _MAX_COVERAGE_ORACLE),
