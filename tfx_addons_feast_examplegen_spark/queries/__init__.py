@@ -326,8 +326,6 @@ _DRIVER_PRIORITY = [
     "global_exact_ntile",
     "global_exact_quantiles",
     "grouped_exact_ntile",
-    "global_exact_quantiles",
-    "grouped_exact_ntile",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -362,6 +360,10 @@ _DRIVER_PRIORITY = [
     # - bpe_encode: the merge-pass fold hoisted to the shared
     #   _bpe_merge_pass helper bpe_train composes (same expression,
     #   byte-identical plan).
+    # - vocab_coverage_curve: the token-type rank window's input is
+    #   now STRUCTURALLY bounded by a TakeOrdered limit(1000) (only
+    #   ranks <= 1000 are consumed) — the full-vocabulary one-task
+    #   sort is gone; same three output rows.
     "score_drift_ks",
     "score_drift_qq",
     "curriculum_interleave",
@@ -373,7 +375,8 @@ _DRIVER_PRIORITY = [
     "source_warc_datasource",
     "source_warc_write_roundtrip",
     "bpe_encode",
-    # Slots 15-40: the 26 r9-vintage rows — the oldest driver
+    "vocab_coverage_curve",
+    # Slots 16-41: the 26 r9-vintage rows — the oldest driver
     # attestation anywhere; re-proving these completes the r14 plan
     # ("after r15 executes, the oldest driver row anywhere is r10"),
     # alphabetical.
@@ -403,7 +406,7 @@ _DRIVER_PRIORITY = [
     "weighted_sample",
     "window_lead_lag_ntile",
     "zorder_layout",
-    # Slots 41-49: rotation fill — the oldest r10-vintage rows not
+    # Slots 42-49: rotation fill — the oldest r10-vintage rows not
     # already above, alphabetical. ROUND-16 WINDOW PLAN: the remaining
     # 24 r10 rows (multimodal_audio_g711_stats through
     # url_robots_filter, alphabetically after multimodal_audio_flac_stats,
@@ -418,7 +421,6 @@ _DRIVER_PRIORITY = [
     "graph_bfs_levels",
     "html_text_extract",
     "interval_overlap_join",
-    "multimodal_audio_flac_stats",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

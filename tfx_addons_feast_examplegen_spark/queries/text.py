@@ -533,9 +533,20 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = c.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+    # only ranks <= 1000 are consumed, so bound the rank window's input
+    # STRUCTURALLY with a TakeOrdered limit (per-partition top-k +
+    # driverless merge — distributed at any vocabulary size) instead of
+    # ranking the full token-type table through one task; the window
+    # then sorts <= 1000 rows
+    ranked = (
+        c.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(1000)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("token"))
+            ),
+        )
     )
     tot = c.agg(
         F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_types")
