@@ -1,0 +1,116 @@
+"""auc_roc: exact tie-aware AUC vs an independent model, contracts, plan.
+
+The operator's claims, each pinned:
+- value == the sklearn-style tie-average-rank Mann-Whitney AUC computed
+  by an independent pure-Python model (random scores with heavy ties);
+- permutation invariance: shuffling which tied rows carry the positive
+  label never changes the statistic beyond what ties mathematically
+  allow (the tie-average rank is a block property);
+- LOUD contracts: NULL/non-binary labels and single-class inputs raise
+  instead of returning a biased number;
+- plan: no single-partition Exchange anywhere (the reason the operator
+  exists — the naive ROW_NUMBER() OVER (ORDER BY score) spelling does).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfx_addons_feast_examplegen_spark.operators.stats import auc_roc
+
+
+def _model_auc(pairs):
+    """Tie-average-rank AUC over (score, label) pairs, pure Python."""
+    by_score = {}
+    for s, y in pairs:
+        n, npos = by_score.get(s, (0, 0))
+        by_score[s] = (n + 1, npos + y)
+    rank = 0
+    pos_rank_sum = 0.0
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+    for s in sorted(by_score):
+        n, npos = by_score[s]
+        avg_rank = rank + (n + 1) / 2.0  # 1-based tie-average rank
+        pos_rank_sum += npos * avg_rank
+        rank += n
+    return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def test_auc_matches_rank_model_with_ties(spark):
+    rng = random.Random(11)
+    # 12 distinct scores over 600 rows: every score is a tie block
+    pairs = [(rng.randrange(12), rng.randrange(2)) for _ in range(600)]
+    df = spark.createDataFrame(pairs, "score int, label int")
+    row = auc_roc(df, "score", "label", num_buckets=4).collect()[0]
+    want = _model_auc(pairs)
+    assert row["auc"] == pytest.approx(want, abs=1e-12)
+    assert row["n_pos"] == sum(y for _, y in pairs)
+    assert row["n_neg"] == len(pairs) - row["n_pos"]
+    # u2 is the exact integer numerator: auc reconstructs from it
+    assert row["auc"] == row["u2"] / (2.0 * row["n_pos"] * row["n_neg"])
+
+
+def test_auc_separable_and_antiseparable(spark):
+    # perfectly separated scores -> AUC exactly 1; inverted -> 0
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    assert auc_roc(df, "score", "label").collect()[0]["auc"] == 1.0
+    inv = df.select((-F.col("score")).alias("score"), "label")
+    assert auc_roc(inv, "score", "label").collect()[0]["auc"] == 0.0
+
+
+def test_auc_all_tied_is_half(spark):
+    df = spark.createDataFrame(
+        [(7, i % 2) for i in range(40)], "score int, label int"
+    )
+    assert auc_roc(df, "score", "label").collect()[0]["auc"] == 0.5
+
+
+def test_auc_contract_violations_raise(spark):
+    from pyspark.errors import PySparkException
+
+    bad_label = spark.createDataFrame(
+        [(1.0, 0), (2.0, 2)], "score double, label int"
+    )
+    with pytest.raises(PySparkException, match="out-of-contract"):
+        auc_roc(bad_label, "score", "label").collect()
+    null_score = spark.createDataFrame(
+        [(1.0, 0), (None, 1)], "score double, label int"
+    )
+    with pytest.raises(PySparkException, match="out-of-contract"):
+        auc_roc(null_score, "score", "label").collect()
+    one_class = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1)], "score double, label int"
+    )
+    with pytest.raises(PySparkException, match="single-class"):
+        auc_roc(one_class, "score", "label").collect()
+
+
+def test_auc_plan_has_no_single_partition_stage(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 37).alias("score"), (F.col("id") % 2).alias("label")
+    )
+    out = auc_roc(df, "score", "label", num_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no rank/NTILE window over the whole corpus; the only Window is
+    # the bucket-partitioned local rank from the rowid machinery
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # every SinglePartition exchange must be the benign 1-row
+        # global-aggregate shape (child is a keys=[] partial agg)
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert (
+            "HashAggregate(keys=[]" in child and "partial_" in child
+        ), (line, child)
+    # and no global Sort feeds a single partition
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            assert "Sort [" not in (
+                lines[i + 1] if i + 1 < len(lines) else ""
+            ), plan

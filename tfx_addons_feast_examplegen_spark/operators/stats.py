@@ -757,3 +757,115 @@ def quantile_shift(
             F.round(F.col("v_b") - F.col("v_a"), decimals).alias("shift"),
         )
     )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    num_buckets: int = 64,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """EXACT tie-aware ROC-AUC (the Mann-Whitney U statistic) of a
+    numeric score against a binary label — the classifier-quality
+    audit a curation pipeline runs before trusting a learned quality /
+    toxicity / contamination score at corpus scale.
+
+    The textbook spelling ranks every row through ``row_number() OVER
+    (ORDER BY score)`` — a single-partition global Window that never
+    finishes at 100 TB. Here the global rank comes from the
+    bucket-decomposed machinery (:func:`..rowid.assign_global_row_ids`),
+    which is safe under ties for THIS statistic: the bucket function is
+    value-based, so a tied score group is a contiguous rank block, and
+    the tie-average rank used by the U statistic is
+    ``(min_rank + max_rank) / 2`` of that block — permutation-invariant
+    even though individual tied rows get arbitrary ranks.
+
+    Exact-integer portability: with ``S2 = sum over scores of
+    n_pos(score) * (min_rank + max_rank)`` (twice the positive rank
+    sum, an INTEGER), ``AUC = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg)``
+    — every term is an exact integer (summed in ``decimal(38,0)`` so
+    100 TB rank sums cannot overflow long) and the ONE double division
+    at the end is the same IEEE op in any engine; no float aggregation
+    order anywhere.
+
+    Input contract, enforced LOUD in-plan: labels must be non-NULL 0/1
+    and scores non-NULL (a NULL or stray label value raises instead of
+    silently shrinking a class); a single-class input (``n_pos`` or
+    ``n_neg`` zero) raises at the final projection — AUC is undefined.
+
+    Plan: rank assignment (two passes over the (score,label)
+    projection), one map-side-combinable per-score aggregate, one 1-row
+    global aggregate. Output: one row ``(n_pos, n_neg, u2, auc)`` where
+    ``u2`` is the exact integer numerator ``2*U``.
+
+    Reference scope: the reference delegates execution to BigQuery and
+    has no evaluation surface (feast_component/executor.py:87-163);
+    part of the SURVEY.md §2.9 scale extension inventory.
+    """
+    from .rowid import assign_global_row_ids
+
+    s = F.col(score_col)
+    y = F.col(label_col).cast("bigint")
+    bad = s.isNull() | y.isNull() | ~y.isin(0, 1)
+    checked_y = F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "auc_roc: out-of-contract input (%s must be non-NULL, "
+                "%s a non-NULL 0/1 label): score=%s label=%s",
+                F.lit(score_col),
+                F.lit(label_col),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+                F.coalesce(y.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(y)
+    vals = df.select(s.alias("__v"), checked_y.alias("__y"))
+    ranked = assign_global_row_ids(
+        vals,
+        "__v",
+        id_col="__rid",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+    )
+    per_score = ranked.groupBy("__v").agg(
+        F.sum("__y").alias("__npos"),
+        (F.min("__rid") + 1).alias("__rmin"),  # ranks are 1-based
+        (F.max("__rid") + 1).alias("__rmax"),
+    )
+    totals = per_score.agg(
+        F.sum(
+            (F.col("__npos") * (F.col("__rmin") + F.col("__rmax"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__s2"),
+        F.sum("__npos").alias("__np"),
+        F.sum(F.col("__rmax") - F.col("__rmin") + 1).alias("__n"),
+    )
+    np_ = F.col("__np")
+    nn = F.col("__n") - F.col("__np")
+    u2 = (F.col("__s2") - (np_ * (np_ + 1)).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    degenerate = (np_ == 0) | (nn == 0)
+    auc = F.when(
+        degenerate,
+        F.raise_error(
+            F.format_string(
+                "auc_roc: AUC undefined for a single-class input "
+                "(n_pos=%s n_neg=%s)",
+                np_.cast("string"),
+                nn.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(
+        u2.cast("double") / (2.0 * np_.cast("double") * nn.cast("double"))
+    )
+    return totals.select(
+        np_.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u2"),
+        auc.alias("auc"),
+    )

@@ -275,6 +275,7 @@ _ENTRY_ORDER = [
     "url_robots_filter",
     "multimodal_corpus_prep",
     "stream_neardup_gate",
+    "eval_auc",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -326,6 +327,11 @@ _DRIVER_PRIORITY = [
     "global_exact_ntile",
     "global_exact_quantiles",
     "grouped_exact_ntile",
+    # Mid-round additions (never-attested entries MUST sit in the
+    # window): eval_auc — exact tie-aware ROC-AUC (Mann-Whitney U) on
+    # the bucket-decomposed rank machinery, integer-exact to the final
+    # IEEE division; oracle is the naive global-Window ranking.
+    "eval_auc",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -420,7 +426,6 @@ _DRIVER_PRIORITY = [
     "global_row_ids",
     "graph_bfs_levels",
     "html_text_extract",
-    "interval_overlap_join",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

@@ -1476,7 +1476,55 @@ WHERE r.rn = 1
 """
 
 
+def _q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact tie-aware ROC-AUC of document length against the even/odd
+    # doc-id label — the classifier-quality audit (Mann-Whitney U)
+    # with NO single-partition rank Window: the global rank comes from
+    # the bucket-decomposed rowid machinery, tie-average ranks from
+    # the per-score (min, max) block, and the statistic is exact
+    # integers until one final IEEE division. n_chars is heavily tied,
+    # exercising the tie-block contiguity argument; the halves are
+    # near-exchangeable so AUC sits near 0.5 — the regime where a
+    # tie-careless implementation visibly drifts. The oracle IS the
+    # naive global-Window ranking; bit-for-bit equivalence on
+    # (n_pos, n_neg, u2) and the single division is the contract.
+    from ..operators.stats import auc_roc
+
+    t = register_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        F.col("n_chars").alias("score"),
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    return auc_roc(scored, "score", "label", num_buckets=8)
+
+
+_EVAL_AUC_ORACLE = """
+WITH s AS (
+  SELECT n_chars AS score, doc_id % 2 AS label FROM documents
+),
+r AS (
+  SELECT score, label, ROW_NUMBER() OVER (ORDER BY score) AS rn FROM s
+),
+g AS (
+  SELECT score, SUM(label) AS npos, MIN(rn) AS rmin, MAX(rn) AS rmax
+  FROM r GROUP BY 1
+),
+a AS (
+  SELECT SUM(npos * (rmin + rmax)) AS s2, SUM(npos) AS np,
+         SUM(rmax - rmin + 1) AS n
+  FROM g
+)
+SELECT CAST(np AS BIGINT) AS n_pos,
+       CAST(n - np AS BIGINT) AS n_neg,
+       CAST(s2 - np * (np + 1) AS BIGINT) AS u2,
+       CAST(s2 - np * (np + 1) AS DOUBLE)
+         / (2.0 * CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE)) AS auc
+FROM a
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
     "nb_distill_classifier": (_q_nb_distill, _nb_distill_oracle()),
     "html_text_extract": (_q_html_text_extract, _HTML_TEXT_EXTRACT_ORACLE),
     "url_robots_filter": (_q_url_robots_filter, _URL_ROBOTS_FILTER_ORACLE),
