@@ -276,6 +276,7 @@ _ENTRY_ORDER = [
     "multimodal_corpus_prep",
     "stream_neardup_gate",
     "eval_auc",
+    "linreg_train_gd",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -330,8 +331,13 @@ _DRIVER_PRIORITY = [
     # Mid-round additions (never-attested entries MUST sit in the
     # window): eval_auc — exact tie-aware ROC-AUC (Mann-Whitney U) on
     # the bucket-decomposed rank machinery, integer-exact to the final
-    # IEEE division; oracle is the naive global-Window ranking.
+    # IEEE division; oracle is the naive global-Window ranking. And
+    # linreg_train_gd — distributed batch-GD linear training (one
+    # d-column combinable aggregate per round, weights re-enter as
+    # literals), integer-portable to the bit; oracle unrolls the
+    # rounds as CTEs and must land on the SAME integer weights.
     "eval_auc",
+    "linreg_train_gd",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -425,7 +431,6 @@ _DRIVER_PRIORITY = [
     "fuzzy_editdist_pairs",
     "global_row_ids",
     "graph_bfs_levels",
-    "html_text_extract",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

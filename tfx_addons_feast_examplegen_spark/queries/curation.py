@@ -1443,7 +1443,85 @@ GROUP BY 1
 """
 
 
+def _q_linreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed batch-GD linear fit of chars-per-document against
+    # token count (+ intercept): three rounds, each ONE map-side-
+    # combinable d-column aggregate with the weights re-entering as
+    # literals — the iterative-optimizer shape a learned quality
+    # scorer trains with at corpus scale. Exact-integer portability:
+    # integer features/target, weights as integer numerators over 1e9,
+    # and the update's double sequence (int->double, /n, *lr,
+    # subtract, floor-half-up) mirrored verbatim by the oracle's
+    # unrolled CTE rounds — the integer weights match bit-for-bit,
+    # so the contract is equality, not tolerance.
+    from ..operators.linmodel import linreg_train_gd
+
+    t = register_tables(spark, sf_dir)
+    feats = t["documents"].select(
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ntok"),
+        F.col("n_chars").alias("y"),
+    )
+    return linreg_train_gd(
+        feats, ["ntok"], "y", rounds=3, lr=5e-4, scale=10**9
+    )
+
+
+_LINREG_TRAIN_ORACLE = """
+WITH src AS (
+  SELECT CAST(1 AS BIGINT) AS x0,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+g1 AS (
+  SELECT SUM(x0 * (0 - y * 1000000000)) AS g0,
+         SUM(x1 * (0 - y * 1000000000)) AS g1
+  FROM src
+),
+w1 AS (
+  SELECT CAST(floor(0.0 - 5e-4 * (CAST(g0 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w0,
+         CAST(floor(0.0 - 5e-4 * (CAST(g1 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w1
+  FROM g1, nn
+),
+g2 AS (
+  SELECT SUM(x0 * (w1.w0 * x0 + w1.w1 * x1 - y * 1000000000)) AS g0,
+         SUM(x1 * (w1.w0 * x0 + w1.w1 * x1 - y * 1000000000)) AS g1
+  FROM src, w1
+),
+w2 AS (
+  SELECT CAST(floor(CAST(w1.w0 AS DOUBLE) - 5e-4 * (CAST(g2.g0 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w0,
+         CAST(floor(CAST(w1.w1 AS DOUBLE) - 5e-4 * (CAST(g2.g1 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w1
+  FROM g2, w1, nn
+),
+g3 AS (
+  SELECT SUM(x0 * (w2.w0 * x0 + w2.w1 * x1 - y * 1000000000)) AS g0,
+         SUM(x1 * (w2.w0 * x0 + w2.w1 * x1 - y * 1000000000)) AS g1
+  FROM src, w2
+),
+w3 AS (
+  SELECT CAST(floor(CAST(w2.w0 AS DOUBLE) - 5e-4 * (CAST(g3.g0 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w0,
+         CAST(floor(CAST(w2.w1 AS DOUBLE) - 5e-4 * (CAST(g3.g1 AS DOUBLE) / n) + 0.5) AS BIGINT) AS w1
+  FROM g3, w2, nn
+),
+fin AS (
+  SELECT SUM(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT w3.w0 * x0 + w3.w1 * x1 - y * 1000000000 AS r
+        FROM src, w3)
+)
+SELECT w3.w0 AS wnum_intercept,
+       CAST(w3.w0 AS DOUBLE) / 1e9 AS w_intercept,
+       w3.w1 AS wnum_ntok,
+       CAST(w3.w1 AS DOUBLE) / 1e9 AS w_ntok,
+       CAST(fin.ss AS DOUBLE) / (CAST(fin.cnt AS DOUBLE) * 1e18) AS mse,
+       fin.cnt AS n_rows
+FROM w3, fin
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "linreg_train_gd": (_q_linreg_train, _LINREG_TRAIN_ORACLE),
     "dsir_select": (_q_dsir_select, _DSIR_SELECT_ORACLE),
     "pseudonymize_fk_audit": (_q_pseudonymize, _PSEUDONYMIZE_ORACLE),
     "k_anonymity_audit": (_q_k_anonymity, _K_ANONYMITY_ORACLE),
