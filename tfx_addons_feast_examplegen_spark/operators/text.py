@@ -1241,3 +1241,98 @@ def char_ngram_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def perplexity_bucket_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 3,
+    keep_buckets: tuple[int, ...] = (1, 2),
+    scale: int = 10**6,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document by its average bigram NLL under the corpus's OWN
+    language model, cut the corpus into ``n_buckets`` equal-population
+    perplexity buckets (head = most natural), and flag the buckets a
+    pretraining pipeline keeps — the classic head+middle gate that
+    drops the most-perplex tail.
+
+    Composition of two already-scale-audited primitives, no new
+    machinery: per-doc NLL from :func:`bigram_logprob` (map-side-
+    combinable count aggregates; integer micro-nats), equal-population
+    buckets from :func:`..rowid.exact_ntile` — the bucket-decomposed
+    rank, NOT ``ntile() OVER (ORDER BY ...)``'s single-partition
+    global Window.
+
+    Determinism: the bucket order key is the exact integer
+    ``(avg_micro_nats << 32) | doc_id`` — average cost, id tie-break —
+    guarded LOUD on both fields' ranges (id in ``[0, 2^32)``, average
+    in ``[0, 2^31)``; re-key or widen past those). Docs with fewer
+    than 2 tokens have no bigrams, hence no perplexity, and are absent
+    from the output (the caller routes them by length policy, not
+    perplexity).
+
+    Output: ``(id_col, n_bigrams, nll_micro_nats, avg_micro_nats,
+    bucket, keep)``.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    bad = [b for b in keep_buckets if not 1 <= b <= n_buckets]
+    if bad or not keep_buckets:
+        raise ValueError(
+            f"keep_buckets must be non-empty values in [1, {n_buckets}]: "
+            f"{keep_buckets}"
+        )
+    from .rowid import exact_ntile
+
+    nll = bigram_logprob(df, id_col, text_col, scale=scale)
+    avg = F.expr("nll_micro_nats div n_bigrams")
+    guarded_id = F.when(
+        (F.col(id_col) >= 0) & (F.col(id_col) < F.lit(1 << 32)),
+        F.col(id_col),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "perplexity_bucket_filter: %s %s outside [0, 2^32) — "
+                "the (avg << 32) | id order key needs a 32-bit id; "
+                "re-key or widen the encoding",
+                F.lit(id_col),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    guarded_avg = F.when(
+        (avg >= 0) & (avg < F.lit(1 << 31)),
+        avg,
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "perplexity_bucket_filter: avg_micro_nats %s outside "
+                "[0, 2^31) — widen the order-key encoding",
+                avg.cast("string"),
+            )
+        ).cast("long")
+    )
+    keyed = nll.select(
+        id_col,
+        "n_bigrams",
+        "nll_micro_nats",
+        avg.alias("avg_micro_nats"),
+        (F.shiftleft(guarded_avg, 32) + guarded_id).alias("__pkey"),
+    )
+    bucketed = exact_ntile(
+        keyed, "__pkey", n_buckets, tile_col="bucket",
+        num_buckets=num_buckets,
+    ).drop("__pkey")
+    keep = F.col("bucket").isin(*[int(b) for b in keep_buckets])
+    return bucketed.select(
+        id_col,
+        "n_bigrams",
+        "nll_micro_nats",
+        "avg_micro_nats",
+        F.col("bucket").cast("int").alias("bucket"),
+        keep.alias("keep"),
+    )

@@ -277,6 +277,7 @@ _ENTRY_ORDER = [
     "stream_neardup_gate",
     "eval_auc",
     "linreg_train_gd",
+    "perplexity_bucket_filter",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -338,6 +339,10 @@ _DRIVER_PRIORITY = [
     # rounds as CTEs and must land on the SAME integer weights.
     "eval_auc",
     "linreg_train_gd",
+    # perplexity_bucket_filter — CCNet head/middle/tail gate composing
+    # bigram_logprob + exact_ntile on a guarded integer order key;
+    # oracle is the naive NTILE window over the same key.
+    "perplexity_bucket_filter",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract

@@ -1523,8 +1523,44 @@ FROM a
 """
 
 
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity gate: average bigram NLL under the
+    # corpus's own LM, equal-population head/middle/tail buckets via
+    # the bucket-decomposed exact_ntile (no single-partition Window),
+    # keep = head+middle. The order key is the exact integer
+    # (avg << 32) | doc_id, so the oracle's naive NTILE window over
+    # the same key is a bit-for-bit contract.
+    from ..operators.text import perplexity_bucket_filter
+
+    t = register_tables(spark, sf_dir)
+    return perplexity_bucket_filter(
+        t["documents"], n_buckets=3, keep_buckets=(1, 2), num_buckets=8
+    )
+
+
+_PERPLEXITY_BUCKETS_ORACLE = f"""
+WITH nl AS ({_BIGRAM_LOGPROB_ORACLE}),
+k AS (
+  SELECT doc_id, n_bigrams, nll_micro_nats,
+         nll_micro_nats // n_bigrams AS avg_micro_nats
+  FROM nl
+),
+b AS (
+  SELECT *,
+         CAST(NTILE(3) OVER (
+           ORDER BY avg_micro_nats * 4294967296 + doc_id
+         ) AS INT) AS bucket
+  FROM k
+)
+SELECT doc_id, n_bigrams, nll_micro_nats, avg_micro_nats, bucket,
+       bucket IN (1, 2) AS keep
+FROM b
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
+    "perplexity_bucket_filter": (_q_perplexity_buckets, _PERPLEXITY_BUCKETS_ORACLE),
     "nb_distill_classifier": (_q_nb_distill, _nb_distill_oracle()),
     "html_text_extract": (_q_html_text_extract, _HTML_TEXT_EXTRACT_ORACLE),
     "url_robots_filter": (_q_url_robots_filter, _URL_ROBOTS_FILTER_ORACLE),
