@@ -254,3 +254,54 @@ def test_grouped_exact_ntile_matches_sql_ntile(spark):
         grouped_exact_ntile(df, ["grp"], "key", 0)
     with pytest.raises(ValueError, match="already present"):
         grouped_exact_ntile(df, ["grp"], "key", 2, tile_col="grp")
+
+
+def test_sorted_neighborhood_pairs_match_window_model(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        sorted_neighborhood_pairs,
+    )
+
+    # gappy shuffled keyspace; window 4 => pairs at rank distance 1-3
+    df = spark.range(0, 300).select(
+        ((F.col("id") * 2654435761) % 9973).alias("k")
+    ).distinct()
+    got = sorted_neighborhood_pairs(df, "k", window=4, num_buckets=8)
+    rows = got.collect()
+    keys = sorted(r["k"] for r in df.collect())
+    want = {
+        (keys[i], keys[j])
+        for i in range(len(keys))
+        for j in range(i + 1, min(i + 4, len(keys)))
+    }
+    gotset = {(r["k_a"], r["k_b"]) for r in rows}
+    assert gotset == want
+    # no duplicate pair rows (the banded join must not double-emit)
+    assert len(rows) == len(gotset)
+    # ranks consistent with order: rank_b - rank_a in [1, 3]
+    assert all(1 <= r["rank_b"] - r["rank_a"] <= 3 for r in rows)
+
+
+def test_sorted_neighborhood_window_two_is_adjacent_only(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    got = sorted_neighborhood_pairs(df, "k", window=2, num_buckets=4)
+    assert {(r["k_a"], r["k_b"]) for r in got.collect()} == {
+        (i, i + 1) for i in range(49)
+    }
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "k", window=1)
+
+
+def test_sorted_neighborhood_plan_no_single_partition(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    got = sorted_neighborhood_pairs(df, "k", window=5, num_buckets=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

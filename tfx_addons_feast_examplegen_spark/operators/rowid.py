@@ -479,3 +479,70 @@ def grouped_exact_ntile(
             *[f"__xgt_g{i}" for i in range(len(group_cols))],
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    order_col: str,
+    *,
+    window: int = 3,
+    id_col: str = "row_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995) — the
+    classic entity-resolution candidate generator: order records by a
+    blocking key and emit every pair within a sliding ``window``, so a
+    downstream matcher (edit distance, field compare) only scores
+    near-neighbors instead of the quadratic cross join.
+
+    The textbook spelling sorts the whole relation (a single-partition
+    ``row_number`` Window). Here the global rank comes from
+    :func:`assign_global_row_ids`, and the within-``window`` pairing
+    becomes a BANDED self-equi-join: with ``block = rank div
+    (window - 1)``, any pair at rank distance ``<= window - 1`` sits
+    in the same block or adjacent blocks, so the right side is
+    duplicated onto keys ``(block, block + 1)`` (one ``explode`` of a
+    2-array) and the join is a plain hash equi-join on the block id —
+    one shuffle per side, no range join, no single-partition stage.
+    The rank-distance filter then trims the superset exactly.
+
+    ``order_col`` must be numeric with a TOTAL order (compose a
+    tie-break into the key — the same contract as every rank-machinery
+    caller); ``window >= 2``. Output: one row per candidate pair,
+    ``(<id>_a, <id>_b, rank_a, rank_b)`` with ``rank_a < rank_b``,
+    where ``<id>`` columns are every non-key column of ``df`` suffixed
+    ``_a`` / ``_b``. Pair count is exactly
+    ``sum over i of min(window - 1, n - 1 - rank_i)`` — linear in the
+    corpus for fixed ``window``, never quadratic.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2: {window}")
+    span = window - 1
+    ranked = assign_global_row_ids(
+        df,
+        order_col,
+        id_col="__snm_rank",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+    )
+    block = F.expr(f"__snm_rank div {span}")
+    payload = [c for c in df.columns]
+    left = ranked.select(
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+        F.col("__snm_rank").alias("rank_a"),
+        block.alias("__blk"),
+    )
+    right = ranked.select(
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+        F.col("__snm_rank").alias("rank_b"),
+        F.explode(F.array(block, block - 1)).alias("__blk"),
+    )
+    return (
+        left.join(right, "__blk")
+        .where(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") - F.col("rank_a") <= span)
+        )
+        .drop("__blk")
+    )

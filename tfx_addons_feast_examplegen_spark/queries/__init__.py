@@ -278,6 +278,7 @@ _ENTRY_ORDER = [
     "eval_auc",
     "linreg_train_gd",
     "perplexity_bucket_filter",
+    "sorted_neighborhood_pairs",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -343,6 +344,10 @@ _DRIVER_PRIORITY = [
     # bigram_logprob + exact_ntile on a guarded integer order key;
     # oracle is the naive NTILE window over the same key.
     "perplexity_bucket_filter",
+    # sorted_neighborhood_pairs — Hernandez-Stolfo ER blocking as a
+    # banded block self-equi-join on the bucket-decomposed rank;
+    # oracle is the naive ROW_NUMBER self-join.
+    "sorted_neighborhood_pairs",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -432,9 +437,7 @@ _DRIVER_PRIORITY = [
     # 50. That keeps the ~4-round full-fleet refresh cadence: after
     # r16 the vintage floor sits at r11.
     "bloom_prejoin_filter",
-    "feature_service",
     "fuzzy_editdist_pairs",
-    "global_row_ids",
     "graph_bfs_levels",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):

@@ -837,7 +837,65 @@ def _q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_incremental(labels, new_pairs)
 
 
+def _q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-neighborhood blocking over the customer balance space:
+    # candidate pairs within a 4-record sliding window of the
+    # (acctbal_cents, custkey) order — the Hernandez-Stolfo entity-
+    # resolution generator, as a banded block self-equi-join on the
+    # bucket-decomposed global rank (no global sort, no range join).
+    # The oracle IS the naive ROW_NUMBER self-join; exact pair-set
+    # equality is the contract. The order key is the exact integer
+    # cents * 2^32 + custkey (monotone in (cents, custkey) even for
+    # negative balances), custkey range-guarded LOUD.
+    from ..operators.rowid import sorted_neighborhood_pairs
+
+    t = register_tables(spark, sf_dir)
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    guarded_key = F.when(
+        (F.col("c_custkey") >= 0) & (F.col("c_custkey") < F.lit(1 << 32)),
+        F.col("c_custkey"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "sorted_neighborhood_pairs: c_custkey %s outside "
+                "[0, 2^32) — the cents * 2^32 + custkey order key "
+                "needs a 32-bit id",
+                F.col("c_custkey").cast("string"),
+            )
+        ).cast("long")
+    )
+    s = t["customer"].select(
+        F.col("c_custkey").alias("custkey"),
+        (cents * F.lit(4294967296) + guarded_key).alias("k"),
+    )
+    p = sorted_neighborhood_pairs(s, "k", window=4, num_buckets=8)
+    return p.select(
+        "custkey_a",
+        "custkey_b",
+        F.col("rank_a").cast("bigint").alias("rank_a"),
+        F.col("rank_b").cast("bigint").alias("rank_b"),
+    )
+
+
+_SNM_PAIRS_ORACLE = """
+WITH s AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 4294967296
+           + c_custkey AS k
+  FROM customer
+),
+r AS (
+  SELECT c_custkey, CAST(ROW_NUMBER() OVER (ORDER BY k) - 1 AS BIGINT) AS rn
+  FROM s
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.rn AS rank_a, b.rn AS rank_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 3
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "sorted_neighborhood_pairs": (_q_snm_pairs, _SNM_PAIRS_ORACLE),
     # oracle shared with dedup_clusters BY DESIGN: the incremental
     # maintenance must equal the from-scratch closure exactly
     "cc_incremental": (_q_cc_incremental, _DEDUP_CLUSTERS_ORACLE),
