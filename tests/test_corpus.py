@@ -158,3 +158,75 @@ def test_connected_components_telemetry(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
     assert tel["converged"] is True
     assert 1 <= tel["rounds"] <= 5, tel
+
+
+def test_word_cooccurrence_pmi_matches_counting_model(spark):
+    from math import floor, log
+
+    from tfx_addons_feast_examplegen_spark.operators.text import (
+        word_cooccurrence_pmi,
+    )
+
+    docs = [
+        (0, "big data big model big data"),
+        (1, "small data big model"),
+        (2, "big model small data big data"),
+        (3, "big data small model"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = word_cooccurrence_pmi(
+        df, window=2, min_count=2, top_n=100
+    ).collect()
+
+    # independent pure-Python model
+    from collections import Counter
+
+    cp = Counter()
+    for _, text in docs:
+        ts = [w for w in text.lower().split(" ") if w]
+        for i in range(len(ts) - 1):
+            for j in range(i + 1, min(i + 3, len(ts))):
+                a, b = sorted((ts[i], ts[j]))
+                cp[(a, b)] += 1
+    n = sum(cp.values())
+    slots = Counter()
+    for (a, b), c in cp.items():
+        slots[a] += c
+        slots[b] += c
+    want = {}
+    for (a, b), c in cp.items():
+        if c >= 2:
+            pmi = floor(log(c * n / (slots[a] * slots[b])) * 10**6)
+            want[(a, b)] = (c, slots[a], slots[b], pmi)
+    gotmap = {
+        (r["w1"], r["w2"]): (
+            r["n_pair"], r["n_w1"], r["n_w2"], r["pmi_micro_nats"]
+        )
+        for r in got
+    }
+    assert gotmap == want
+    # canonical unordered pairs: w1 <= w2 everywhere
+    assert all(r["w1"] <= r["w2"] for r in got)
+
+
+def test_word_cooccurrence_pmi_top_n_and_validation(spark):
+    import pytest as _pytest
+
+    from tfx_addons_feast_examplegen_spark.operators.text import (
+        word_cooccurrence_pmi,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    out = word_cooccurrence_pmi(df, window=3, min_count=1, top_n=5).collect()
+    assert len(out) == 5
+    # descending PMI with (w1, w2) tie-break
+    keys = [(-r["pmi_micro_nats"], r["w1"], r["w2"]) for r in out]
+    assert keys == sorted(keys)
+    for bad in (
+        dict(window=0), dict(min_count=0), dict(top_n=0)
+    ):
+        with _pytest.raises(ValueError):
+            word_cooccurrence_pmi(df, **bad)

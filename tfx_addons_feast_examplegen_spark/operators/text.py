@@ -1336,3 +1336,98 @@ def perplexity_bucket_filter(
         F.col("bucket").cast("int").alias("bucket"),
         keep.alias("keep"),
     )
+
+
+def word_cooccurrence_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 2,
+    min_count: int = 5,
+    top_n: int = 50,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Windowed word co-occurrence PMI (Church & Hanks 1990) — the
+    distributional-association table behind embedding training data,
+    collocation mining, and phrase induction: for every unordered word
+    pair within ``window`` token positions, ``pmi = ln(c12 * N /
+    (c1 * c2))`` where the marginals count WINDOW SLOTS (each pair
+    occurrence contributes one slot to each side), so the estimator is
+    a proper joint/marginal ratio over the pair space.
+
+    Spark shape, zero UDF: pair enumeration is a nested
+    ``transform(sequence(...))`` expression over the token array (the
+    bigram machinery generalized to offsets ``1..window``), exploded
+    once; pairs are canonicalized unordered via ``least/greatest``
+    BEFORE the count, so the count aggregate is one map-side-combinable
+    shuffle keyed on the pair. Marginals derive from the SAME pair
+    frame (sum over both sides via an explode of the 2-array), never a
+    second corpus scan. PMI lands as integer micro-nats
+    (``floor(pmi * scale)``) — the repo's portable-float idiom. Top-n
+    selection is ``orderBy + limit`` (TakeOrdered, no global sort
+    materialization) with a full (pmi, w1, w2) tie-break.
+
+    ``min_count`` filters rare pairs BEFORE the join against marginals
+    (rare-pair PMI is noise and dominates otherwise). Output:
+    ``(w1, w2, n_pair, n_w1, n_w2, pmi_micro_nats)``, ``w1 < w2``.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1: {top_n}")
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.expr(_toks_sql(text_col)).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    # offsets 1..window per position: flatten(transform(i, transform(d)))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, size(ts) - 2),
+                   i -> transform(
+                     sequence(i + 1, least(i + {int(window)}, size(ts) - 1)),
+                     j -> struct(least(ts[i], ts[j]) AS w1,
+                                 greatest(ts[i], ts[j]) AS w2))))"""
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cp = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # slot marginals + total from the pair counts themselves (tiny
+    # frame relative to the corpus; no second corpus scan)
+    slots = cp.select(
+        F.explode(F.array("w1", "w2")).alias("w"), F.col("n_pair")
+    ).groupBy("w").agg(F.sum("n_pair").alias("n_w"))
+    total = cp.agg(F.sum("n_pair").alias("__n"))
+    kept = cp.filter(F.col("n_pair") >= min_count)
+    out = (
+        kept.join(slots.withColumnRenamed("w", "w1")
+                  .withColumnRenamed("n_w", "n_w1"), "w1")
+        .join(slots.withColumnRenamed("w", "w2")
+              .withColumnRenamed("n_w", "n_w2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.floor(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("__n").cast("double")
+                    / (
+                        F.col("n_w1").cast("double")
+                        * F.col("n_w2").cast("double")
+                    )
+                )
+                * F.lit(int(scale))
+            )
+            .cast("long")
+            .alias("pmi_micro_nats"),
+        )
+    )
+    return out.orderBy(
+        F.col("pmi_micro_nats").desc(), "w1", "w2"
+    ).limit(int(top_n))

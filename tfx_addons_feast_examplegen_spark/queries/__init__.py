@@ -279,6 +279,7 @@ _ENTRY_ORDER = [
     "linreg_train_gd",
     "perplexity_bucket_filter",
     "sorted_neighborhood_pairs",
+    "word_cooccurrence_pmi",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -348,6 +349,10 @@ _DRIVER_PRIORITY = [
     # banded block self-equi-join on the bucket-decomposed rank;
     # oracle is the naive ROW_NUMBER self-join.
     "sorted_neighborhood_pairs",
+    # word_cooccurrence_pmi — windowed unordered-pair PMI (integer
+    # micro-nats, slot marginals off the pair counts, TakeOrdered
+    # top-n); oracle is the LATERAL generate_series respelling.
+    "word_cooccurrence_pmi",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -436,7 +441,6 @@ _DRIVER_PRIORITY = [
     # and any new / drifted entries; then the oldest r11 rows fill to
     # 50. That keeps the ~4-round full-fleet refresh cadence: after
     # r16 the vintage floor sits at r11.
-    "bloom_prejoin_filter",
     "fuzzy_editdist_pairs",
     "graph_bfs_levels",
 ]

@@ -1558,8 +1558,57 @@ FROM b
 """
 
 
+def _q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Windowed word co-occurrence PMI top-50 (window 2, min pair count
+    # 5): the collocation/association table embedding pipelines train
+    # against. One pair-keyed combinable shuffle; marginals derive
+    # from the pair counts (no second corpus scan); PMI as integer
+    # micro-nats; TakeOrdered top-n with a full tie-break.
+    from ..operators.text import word_cooccurrence_pmi
+
+    t = register_tables(spark, sf_dir)
+    return word_cooccurrence_pmi(
+        t["documents"], window=2, min_count=5, top_n=50
+    )
+
+
+_WORD_PMI_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+p AS (
+  SELECT least(w[i], w[j]) AS w1, greatest(w[i], w[j]) AS w2
+  FROM t,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i),
+       LATERAL (SELECT unnest(generate_series(i + 1,
+                                              least(i + 2, len(w)))) AS j)
+  WHERE len(w) >= 2
+),
+cp AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY 1, 2),
+sl AS (
+  SELECT w, SUM(n_pair) AS n_w
+  FROM (SELECT w1 AS w, n_pair FROM cp
+        UNION ALL SELECT w2 AS w, n_pair FROM cp)
+  GROUP BY w
+),
+n AS (SELECT SUM(n_pair) AS n FROM cp)
+SELECT cp.w1, cp.w2, CAST(cp.n_pair AS BIGINT) AS n_pair,
+       CAST(a.n_w AS BIGINT) AS n_w1, CAST(b.n_w AS BIGINT) AS n_w2,
+       CAST(floor(ln(CAST(cp.n_pair AS DOUBLE) * n.n
+                     / (CAST(a.n_w AS DOUBLE) * b.n_w)) * 1000000)
+            AS BIGINT) AS pmi_micro_nats
+FROM cp JOIN sl a ON a.w = cp.w1 JOIN sl b ON b.w = cp.w2, n
+WHERE cp.n_pair >= 5
+ORDER BY pmi_micro_nats DESC, cp.w1, cp.w2
+LIMIT 50
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
+    "word_cooccurrence_pmi": (_q_word_pmi, _WORD_PMI_ORACLE),
     "perplexity_bucket_filter": (_q_perplexity_buckets, _PERPLEXITY_BUCKETS_ORACLE),
     "nb_distill_classifier": (_q_nb_distill, _nb_distill_oracle()),
     "html_text_extract": (_q_html_text_extract, _HTML_TEXT_EXTRACT_ORACLE),
