@@ -114,3 +114,67 @@ def test_auc_plan_has_no_single_partition_stage(spark):
             assert "Sort [" not in (
                 lines[i + 1] if i + 1 < len(lines) else ""
             ), plan
+
+
+def test_random_projection_matches_md5_closed_form(spark):
+    import hashlib
+    import math
+
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        random_projection,
+    )
+
+    vecs = [
+        (0, [0.5, -1.25, 2.0, 0.000001]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [-0.75, 0.25, -0.5, 3.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    got = {
+        (r["vec_id"], r["dim"]): r["val_micro"]
+        for r in random_projection(df, 3, seed="t").collect()
+    }
+
+    def sign(i, j):
+        h = hashlib.md5(f"t|{i}|{j}".encode()).hexdigest()[:15]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    want = {}
+    for vid, v in vecs:
+        xm = [int(math.floor(float(x) * 10**6 + 0.5)) for x in v]
+        for j in range(3):
+            want[(vid, j)] = sum(
+                xm[i] * sign(i, j) for i in range(len(xm))
+            )
+    assert got == want
+
+
+def test_random_projection_is_linear_and_seeded(spark):
+    from tfx_addons_feast_examplegen_spark.operators.similarity import (
+        random_projection,
+    )
+
+    # micro-grid inputs => integerization is exact => projection is
+    # exactly linear: proj(a + b) == proj(a) + proj(b)
+    a = [0.25, -0.5, 1.75]
+    b = [1.5, 2.25, -0.75]
+    ab = [x + y for x, y in zip(a, b)]
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, ab)], "vec_id bigint, embedding array<float>"
+    )
+    vals = {
+        (r["vec_id"], r["dim"]): r["val_micro"]
+        for r in random_projection(df, 4).collect()
+    }
+    for j in range(4):
+        assert vals[(2, j)] == vals[(0, j)] + vals[(1, j)]
+    # a different seed draws a different matrix (almost surely)
+    other = {
+        (r["vec_id"], r["dim"]): r["val_micro"]
+        for r in random_projection(df, 4, seed="other").collect()
+    }
+    assert other != vals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(df, 0)

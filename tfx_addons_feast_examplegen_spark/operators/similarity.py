@@ -1533,3 +1533,60 @@ def embedding_outliers(
             (cos_e4 < F.lit(int(threshold_e4))).alias("is_outlier"),
         )
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl",
+    micro: int = 10**6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random sign projection (Achlioptas 2001):
+    reduce an embedding column to ``out_dim`` dimensions with a
+    DETERMINISTIC pseudo-random ±1 matrix — the cheap pre-ANN
+    dimensionality reduction (shrink vectors before LSH/IVF indexing)
+    that preserves pairwise distances within the JL bound.
+
+    Engine-portable by construction (the ``embedding_outliers``
+    idiom): coordinates are integer-ized to micro-units first
+    (``floor(x * micro + 0.5)`` — the projection is linear, so scaling
+    commutes), and the sign matrix entry ``R[i][j] = ±1`` derives from
+    the md5 parity of ``'<seed>|i|j'`` — a closed form any engine
+    replays. Each output coordinate ``sum_i xm_i * R[i][j]`` is then
+    an EXACT integer (order-free, no float fold anywhere). Consumers
+    apply the JL scale ``1/sqrt(out_dim)`` (and ``1/micro``) when they
+    need calibrated distances; cosine consumers need neither (scale
+    invariance).
+
+    Plan: one pure projection — a nested ``transform/aggregate``
+    expression chain per row, zero UDF, zero shuffle, zero driver
+    state; the matrix never materializes anywhere. Output:
+    ``(id_col, dim, val_micro)`` via ``posexplode`` — row-per-
+    coordinate keeps the frame canonicalizer-friendly and lets
+    downstream pivot or re-assemble as needed.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1: {out_dim}")
+    xm = (
+        f"transform({vec_col}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {int(micro)} + 0.5) AS BIGINT))"
+    )
+    sign = (
+        f"(CASE WHEN CAST(conv(substr(md5(concat('{seed}', '|', "
+        f"CAST(i AS STRING), '|', CAST(j AS STRING))), 1, 15), 16, 10) "
+        f"AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+    # integerize ONCE per row, then fold from the materialized array
+    keyed = df.select(F.col(id_col), F.expr(xm).alias("__xm"))
+    proj = (
+        f"transform(sequence(0, {int(out_dim) - 1}), j -> "
+        f"aggregate(sequence(0, size(__xm) - 1), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + element_at(__xm, i + 1) * {sign}))"
+    )
+    return keyed.select(
+        F.col(id_col),
+        F.posexplode(F.expr(proj)).alias("dim", "val_micro"),
+    )

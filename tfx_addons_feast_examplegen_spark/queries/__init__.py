@@ -280,6 +280,7 @@ _ENTRY_ORDER = [
     "perplexity_bucket_filter",
     "sorted_neighborhood_pairs",
     "word_cooccurrence_pmi",
+    "embedding_random_projection",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -353,6 +354,10 @@ _DRIVER_PRIORITY = [
     # micro-nats, slot marginals off the pair counts, TakeOrdered
     # top-n); oracle is the LATERAL generate_series respelling.
     "word_cooccurrence_pmi",
+    # embedding_random_projection — JL sign projection as one pure
+    # integer projection (md5-parity matrix, never materialized);
+    # oracle replays the closed form cell-for-cell.
+    "embedding_random_projection",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -441,7 +446,6 @@ _DRIVER_PRIORITY = [
     # and any new / drifted entries; then the oldest r11 rows fill to
     # 50. That keeps the ~4-round full-fleet refresh cadence: after
     # r16 the vintage floor sits at r11.
-    "fuzzy_editdist_pairs",
     "graph_bfs_levels",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):

@@ -530,7 +530,43 @@ FROM planted p LEFT JOIN sup s ON s.vec_id = p.vec_id
 """
 
 
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JL sign projection 64 -> 8 dims over the embeddings table: the
+    # pre-ANN dimensionality reduction, as one pure zero-UDF
+    # projection (integer micro-unit coordinates x an md5-parity +/-1
+    # matrix that never materializes). Exact integer output, so the
+    # oracle replays the closed form cell-for-cell.
+    from ..operators.similarity import random_projection
+
+    t = register_tables(spark, sf_dir)
+    return random_projection(t["embeddings"], 8, seed="jl")
+
+
+_RANDOM_PROJECTION_ORACLE = """
+WITH xm AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+jd AS (SELECT unnest(generate_series(0, 7)) AS j)
+SELECT vec_id, CAST(j AS INT) AS dim,
+       CAST(SUM(v[i + 1] *
+                (CASE WHEN CAST(('0x' || substr(md5('jl' || '|' || i
+                                                 || '|' || j), 1, 15))
+                           AS BIGINT) % 2 = 0
+                      THEN 1 ELSE -1 END)) AS BIGINT) AS val_micro
+FROM xm, jd,
+     LATERAL (SELECT unnest(generate_series(0, len(v) - 1)) AS i)
+GROUP BY vec_id, j
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "embedding_random_projection": (
+        _q_random_projection,
+        _RANDOM_PROJECTION_ORACLE,
+    ),
     "semantic_dedup": (_q_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
     "similarity_ann_exhaustive": (_q_ann_exhaustive, _SIM_TOPK_ORACLE),
     "embedding_quantization": (_q_embedding_quantization, _EMB_QUANT_ORACLE),
