@@ -36,8 +36,12 @@ from tfx_addons_feast_examplegen_spark.operators.rowid import (  # noqa: E402
 from tfx_addons_feast_examplegen_spark.operators.stats import (  # noqa: E402
     auc_roc,
 )
+from tfx_addons_feast_examplegen_spark.operators.similarity import (  # noqa: E402
+    random_projection,
+)
 from tfx_addons_feast_examplegen_spark.operators.text import (  # noqa: E402
     perplexity_bucket_filter,
+    word_cooccurrence_pmi,
 )
 from tfx_addons_feast_examplegen_spark.session import (  # noqa: E402
     get_spark,
@@ -109,6 +113,12 @@ def main() -> None:
             "snm_pairs",
             lambda: sorted_neighborhood_pairs(keyed, "k", window=4),
         )
+        r["word_pmi"] = _eager(
+            "word_pmi",
+            lambda: word_cooccurrence_pmi(
+                dc.select("doc_id", "text"), window=2, min_count=5, top_n=50
+            ),
+        )
         results[scale] = r
         print(f"scale={scale}: " + ", ".join(
             f"{n}={v:.2f}s" for n, v in r.items()
@@ -120,5 +130,34 @@ def main() -> None:
         print(f"  {name}: {a:.2f}s -> {b:.2f}s  ratio {b / max(a, 1e-9):.1f}x")
 
 
+def soak_projection(k: int = 10) -> None:
+    """Separate embeddings-table soak for random_projection (the docs
+    scaler doesn't apply): scale via scale_embeddings."""
+    from scale_soak_sf1 import scale_embeddings
+
+    spark = get_spark("scale-soak-r15b-proj")
+    t = register_tables(spark, SF_DIR)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    res = {}
+    for scale in (1, k):
+        e = emb
+        if scale != 1:
+            base = tempfile.mkdtemp(prefix="r15b_proj_")
+            scale_embeddings(spark, emb, k).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(base)
+            e = spark.read.parquet(base)
+        e.write.mode("overwrite").format("noop").save()
+        res[scale] = _eager(
+            f"random_projection@{scale}x",
+            lambda: random_projection(e, 8),
+        )
+    print(
+        f"  random_projection: {res[1]:.2f}s -> {res[k]:.2f}s "
+        f"ratio {res[k] / max(res[1], 1e-9):.1f}x"
+    )
+
+
 if __name__ == "__main__":
     main()
+    soak_projection()
