@@ -305,3 +305,51 @@ def test_sorted_neighborhood_plan_no_single_partition(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_prefix_sum_matches_global_window(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import prefix_sum
+
+    df = spark.range(0, 3000).select(
+        ((F.col("id") * 2654435761) % 97003).alias("k"),
+        ((F.col("id") % 17) - 8).alias("v"),
+    ).withColumn("v", F.col("v").cast("int")).dropDuplicates(["k"])
+    got = prefix_sum(df, "k", "v", out_col="cum", num_buckets=8)
+    w = Window.orderBy(F.col("k").asc_nulls_first()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w).cast("long"))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_prefix_sum_contracts(spark):
+    from pyspark.errors import PySparkException
+
+    from tfx_addons_feast_examplegen_spark.operators.rowid import prefix_sum
+
+    df = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError, match="integer-typed"):
+        prefix_sum(
+            df.select("k", F.col("v").cast("double").alias("v")), "k", "v"
+        )
+    with pytest.raises(ValueError, match="not in"):
+        prefix_sum(df, "k", "zz")
+    with pytest.raises(ValueError, match="already present"):
+        prefix_sum(df.withColumn("cum", F.lit(1)), "k", "v")
+    nulls = spark.createDataFrame([(1, 2), (2, None)], "k int, v int")
+    with pytest.raises(PySparkException, match="NULL"):
+        prefix_sum(nulls, "k", "v").collect()
+
+
+def test_prefix_sum_plan_no_single_partition(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import prefix_sum
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("int").alias("v")
+    )
+    got = prefix_sum(df, "k", "v", num_buckets=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -546,3 +546,124 @@ def sorted_neighborhood_pairs(
         )
         .drop("__blk")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """Distributed running total — exact ``SUM(value) OVER (ORDER BY
+    order_col ROWS UNBOUNDED PRECEDING)`` with NO single-partition
+    global Window: the SUM sibling of :func:`assign_global_row_ids`,
+    and the primitive behind every "cumulative X by rank" report
+    (running revenue, Lorenz/concentration curves, ECDFs, budget
+    prefixes) that otherwise funnels 100 TB through one task.
+
+    Same two-pass decomposition: frozen sample-quantile bucket
+    boundaries embedded as literals, per-bucket ``SUM(value)``
+    aggregated map-side (``O(buckets)`` driver scalars), exclusive
+    prefix-sum offsets re-embedded as a literal map, then ONE hash
+    exchange on the bucket id + a bucket-local cumulative Window —
+    each partition sums ~``N/num_buckets`` rows, nothing global
+    anywhere. Boundary quality affects only balance, never values.
+
+    ``order_col`` must be numeric and a TOTAL order (ties would make
+    the intermediate running sum nondeterministic in ANY engine —
+    compose a tie-break into the key, as every rank-machinery caller
+    does); ``value_col`` must be integer-typed — integer running sums
+    are order-free and engine-exact, which is what makes the oracle
+    contract equality rather than tolerance (fixed-point encode
+    doubles first, the repo-wide idiom). NULL values raise LOUD
+    in-plan (a NULL silently poisons every suffix after it).
+    """
+    dtypes = dict(df.dtypes)
+    vt = dtypes.get(value_col)
+    if vt is None:
+        raise ValueError(f"value_col {value_col!r} not in {df.columns}")
+    if vt not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            f"value_col must be integer-typed for an exact running sum "
+            f"(fixed-point encode first): {value_col}:{vt}"
+        )
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already present")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
+    ot = dtypes.get(order_col)
+    if ot is None:
+        raise ValueError(f"order_col {order_col!r} not in {df.columns}")
+    if ot not in {"tinyint", "smallint", "int", "bigint", "float",
+                  "double"} and not ot.startswith("decimal"):
+        raise ValueError(
+            f"order_col must be numeric for the quantile sampler: "
+            f"{order_col}:{ot}"
+        )
+    key = F.col(order_col)
+    val = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.format_string(
+                "prefix_sum: NULL %s (a NULL poisons every running "
+                "total after it) at %s=%s",
+                F.lit(value_col),
+                F.lit(order_col),
+                F.coalesce(key.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(value_col).cast("long"))
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    sampled = df.select(order_col).where(key.isNotNull())
+    if sample_fraction < 1.0:
+        sampled = sampled.sample(fraction=sample_fraction, seed=8)
+    row = sampled.agg(
+        F.percentile_approx(key, probs, 10_000).alias("bounds")
+    ).collect()[0]
+    bounds = [b for b in (row["bounds"] or []) if b is not None]
+    if bounds:
+        lit_bounds = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.when(key.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(lit_bounds, lambda b: b < key))
+        )
+    else:
+        bucket = F.lit(0)
+    with_bucket = df.withColumn("__psv", val).withColumn("__bucket", bucket)
+
+    sums = {
+        r["__bucket"]: r["s"]
+        for r in with_bucket.groupBy("__bucket").agg(
+            F.sum("__psv").alias("s")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    if offsets:
+        lit_offsets = F.map_from_arrays(
+            F.array(*[F.lit(b) for b in offsets]),
+            F.array(*[F.lit(int(v)).cast("long") for v in offsets.values()]),
+        )
+    else:
+        lit_offsets = F.map_from_arrays(F.array().cast("array<int>"),
+                                        F.array().cast("array<long>"))
+
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(key.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_bucket
+        .withColumn(
+            out_col,
+            (F.element_at(lit_offsets, F.col("__bucket"))
+             + F.sum("__psv").over(w)).cast("long"),
+        )
+        .drop("__bucket", "__psv")
+    )

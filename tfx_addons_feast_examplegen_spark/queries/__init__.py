@@ -281,6 +281,7 @@ _ENTRY_ORDER = [
     "sorted_neighborhood_pairs",
     "word_cooccurrence_pmi",
     "embedding_random_projection",
+    "global_running_total",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -358,6 +359,10 @@ _DRIVER_PRIORITY = [
     # integer projection (md5-parity matrix, never materialized);
     # oracle replays the closed form cell-for-cell.
     "embedding_random_projection",
+    # global_running_total — the prefix_sum primitive (bucket-
+    # decomposed exact running total, the SUM sibling of the row-id
+    # machinery); oracle is the naive SUM OVER (ORDER BY).
+    "global_running_total",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -446,7 +451,6 @@ _DRIVER_PRIORITY = [
     # and any new / drifted entries; then the oldest r11 rows fill to
     # 50. That keeps the ~4-round full-fleet refresh cadence: after
     # r16 the vintage floor sits at r11.
-    "graph_bfs_levels",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))

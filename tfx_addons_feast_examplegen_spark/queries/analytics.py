@@ -1036,7 +1036,39 @@ FROM pg JOIN pt ON pg.prio = pt.prio
 """
 
 
+def _q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact global running revenue in order-key order with NO
+    # single-partition Window: the prefix_sum primitive (bucket-
+    # decomposed running total — per-bucket integer sums + literal
+    # offsets + bucket-local cumulative Window). Cents fixed-point so
+    # the running sum is integer-exact; the oracle IS the naive
+    # SUM OVER (ORDER BY) the operator refuses to plan.
+    from ..operators.rowid import prefix_sum
+
+    t = register_tables(spark, sf_dir)
+    o = t["orders"].select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return prefix_sum(
+        o, "o_orderkey", "cents", out_col="cum_cents", num_buckets=16
+    )
+
+
+_RUNNING_TOTAL_ORACLE = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              OVER (ORDER BY o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM orders
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "global_running_total": (_q_running_total, _RUNNING_TOTAL_ORACLE),
     "bootstrap_metric_ci": (_q_bootstrap_ci, _BOOTSTRAP_CI_ORACLE),
     "grouping_sets_filter": (_sql_query(_QGROUPING_SETS), _QGROUPING_SETS),
     "correlated_subquery": (_sql_query(_QCORRELATED), _QCORRELATED),
