@@ -178,3 +178,78 @@ def test_random_projection_is_linear_and_seeded(spark):
 
     with _pytest.raises(ValueError, match="out_dim"):
         random_projection(df, 0)
+
+
+def _model_ap(pairs):
+    """Threshold-granular AP, pure Python: sum over descending distinct
+    scores of (npos_t/n_pos) * (cumTP_t/cumN_t), with each term floored
+    to nano-units exactly as the operator does."""
+    import math
+
+    by_score = {}
+    for s, y in pairs:
+        n, npos = by_score.get(s, (0, 0))
+        by_score[s] = (n + 1, npos + y)
+    n_pos = sum(y for _, y in pairs)
+    cn = ctp = 0
+    nano = 0
+    for s in sorted(by_score, reverse=True):
+        n, npos = by_score[s]
+        cn += n
+        ctp += npos
+        nano += int(math.floor(
+            float(npos) * float(ctp) * 1e9 / (float(n_pos) * float(cn))
+            + 0.5
+        ))
+    return nano
+
+
+def test_average_precision_matches_threshold_model(spark):
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        average_precision,
+    )
+
+    rng = random.Random(23)
+    pairs = [(rng.randrange(15), rng.randrange(2)) for _ in range(500)]
+    df = spark.createDataFrame(pairs, "score int, label int")
+    row = average_precision(df, "score", "label", num_buckets=4).collect()[0]
+    assert row["ap_nano"] == _model_ap(pairs)
+    assert row["n_pos"] == sum(y for _, y in pairs)
+    assert row["n_neg"] == 500 - row["n_pos"]
+    assert row["ap"] == row["ap_nano"] / 1e9
+
+
+def test_average_precision_perfect_and_random(spark):
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        average_precision,
+    )
+
+    # perfect ranking: all positives above all negatives -> AP = 1
+    rows = [(float(i), 1 if i >= 80 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    assert average_precision(df, "score", "label").collect()[0]["ap"] == 1.0
+    # all scores tied -> one threshold -> AP = prevalence
+    tied = spark.createDataFrame(
+        [(5, 1 if i < 30 else 0) for i in range(100)], "score int, label int"
+    )
+    row = tied and average_precision(tied, "score", "label").collect()[0]
+    assert row["ap"] == pytest.approx(0.3, abs=1e-9)
+
+
+def test_average_precision_contracts(spark):
+    from pyspark.errors import PySparkException
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        average_precision,
+    )
+
+    no_pos = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0)], "score double, label int"
+    )
+    with pytest.raises(PySparkException, match="without positives"):
+        average_precision(no_pos, "score", "label").collect()
+    bad = spark.createDataFrame(
+        [(1.0, 3)], "score double, label int"
+    )
+    with pytest.raises(PySparkException, match="out-of-contract"):
+        average_precision(bad, "score", "label").collect()

@@ -869,3 +869,112 @@ def auc_roc(
         u2.cast("bigint").alias("u2"),
         auc.alias("auc"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    num_buckets: int = 64,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """Average Precision (the PR-AUC finite sum: ``AP = sum over
+    descending score thresholds t of (npos_t / n_pos) * (cumTP_t /
+    cumN_t)``) — :func:`auc_roc`'s companion for the imbalanced-class
+    regime every filter-gate audit lives in (precision against the
+    rare positive class, not ranking against the majority).
+
+    Ties handled at THRESHOLD granularity (the deterministic
+    convention): scores collapse to one per-score row first, so which
+    tied row is "first" never matters. The cumulative TP / cumulative
+    N columns come from :func:`..rowid.prefix_sum` over the per-score
+    frame ordered by DESCENDING score (negated key) — no
+    single-partition Window even when the score is continuous and the
+    per-score frame is corpus-sized. Each threshold's term is floored
+    to integer nano-units from EXACT integer inputs (one fixed IEEE
+    double sequence, so any engine lands on the same integer), and the
+    final AP is the exact long sum of terms over 1e9 — summation-order
+    free. Same LOUD contracts as :func:`auc_roc`: non-0/1 or NULL
+    labels, NULL scores, and a positive-free input all raise.
+
+    Output: one row ``(n_pos, n_neg, ap_nano, ap)``.
+
+    Reference scope: no evaluation surface in the reference
+    (feast_component/executor.py:87-163); SURVEY.md §2.9 extension.
+    """
+    from .rowid import prefix_sum
+
+    s = F.col(score_col)
+    y = F.col(label_col).cast("bigint")
+    bad = s.isNull() | y.isNull() | ~y.isin(0, 1)
+    checked_y = F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "average_precision: out-of-contract input (%s must be "
+                "non-NULL, %s a non-NULL 0/1 label): score=%s label=%s",
+                F.lit(score_col),
+                F.lit(label_col),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+                F.coalesce(y.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(y)
+    per_score = (
+        df.select((-s).alias("__negs"), checked_y.alias("__y"))
+        .groupBy("__negs")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("__n"),
+            F.sum("__y").cast("int").alias("__npos"),
+        )
+    )
+    cum_n = prefix_sum(
+        per_score,
+        "__negs",
+        "__n",
+        out_col="__cn",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+    )
+    cum = prefix_sum(
+        cum_n,
+        "__negs",
+        "__npos",
+        out_col="__ctp",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+    )
+    totals = cum.agg(
+        F.max("__cn").alias("__ntot"), F.max("__ctp").alias("__np")
+    )
+    np_d = F.col("__np").cast("double")
+    term = F.when(
+        F.col("__np") == 0,
+        F.raise_error(
+            F.lit("average_precision: undefined without positives (n_pos=0)")
+        ).cast("long"),
+    ).otherwise(
+        F.floor(
+            F.col("__npos").cast("double")
+            * F.col("__ctp").cast("double")
+            * F.lit(1e9)
+            / (np_d * F.col("__cn").cast("double"))
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    out = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(term).alias("ap_nano"),
+            F.max("__np").alias("__np2"),
+            F.max("__ntot").alias("__nt2"),
+        )
+    )
+    np2 = F.col("__np2")
+    return out.select(
+        np2.cast("bigint").alias("n_pos"),
+        (F.col("__nt2") - np2).cast("bigint").alias("n_neg"),
+        F.col("ap_nano").alias("ap_nano"),
+        (F.col("ap_nano").cast("double") / F.lit(1e9)).alias("ap"),
+    )

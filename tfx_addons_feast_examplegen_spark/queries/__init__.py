@@ -282,6 +282,7 @@ _ENTRY_ORDER = [
     "word_cooccurrence_pmi",
     "embedding_random_projection",
     "global_running_total",
+    "eval_average_precision",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -363,6 +364,10 @@ _DRIVER_PRIORITY = [
     # decomposed exact running total, the SUM sibling of the row-id
     # machinery); oracle is the naive SUM OVER (ORDER BY).
     "global_running_total",
+    # eval_average_precision — PR-AUC finite sum on prefix_sum
+    # cumulative thresholds; per-term integer nano-units make the
+    # final sum order-free; oracle is the naive cumulative windows.
+    "eval_average_precision",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -442,7 +447,6 @@ _DRIVER_PRIORITY = [
     "three_way_split_counts",
     "weighted_sample",
     "window_lead_lag_ntile",
-    "zorder_layout",
     # Slots 42-49: rotation fill — the oldest r10-vintage rows not
     # already above, alphabetical. ROUND-16 WINDOW PLAN: the remaining
     # 24 r10 rows (multimodal_audio_g711_stats through

@@ -1606,8 +1606,59 @@ LIMIT 50
 """
 
 
+def _q_eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Average Precision for the same (n_chars, even/odd) audit as
+    # eval_auc — the imbalance-honest PR companion. Cumulative TP /
+    # cumulative N over descending thresholds via the prefix_sum
+    # primitive (no single-partition Window on the per-score frame);
+    # per-threshold terms floored to nano-units from exact integers,
+    # so the long sum is order-free and the oracle's naive cumulative
+    # windows land on the identical ap_nano.
+    from ..operators.stats import average_precision
+
+    t = register_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        F.col("n_chars").alias("score"),
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    return average_precision(scored, "score", "label", num_buckets=8)
+
+
+_EVAL_AVG_PRECISION_ORACLE = """
+WITH s AS (
+  SELECT n_chars AS score, doc_id % 2 AS label FROM documents
+),
+g AS (
+  SELECT score, count(*) AS n, SUM(label) AS npos FROM s GROUP BY 1
+),
+c AS (
+  SELECT score, n, npos,
+         SUM(n) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cn,
+         SUM(npos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+           AS ctp
+  FROM g
+),
+tot AS (SELECT SUM(npos) AS np, SUM(n) AS nt FROM g),
+terms AS (
+  SELECT CAST(floor(CAST(c.npos AS DOUBLE) * c.ctp * 1e9
+                    / (CAST(tot.np AS DOUBLE) * c.cn) + 0.5) AS BIGINT)
+           AS term
+  FROM c, tot
+)
+SELECT CAST(tot.np AS BIGINT) AS n_pos,
+       CAST(tot.nt - tot.np AS BIGINT) AS n_neg,
+       CAST((SELECT SUM(term) FROM terms) AS BIGINT) AS ap_nano,
+       CAST((SELECT SUM(term) FROM terms) AS DOUBLE) / 1e9 AS ap
+FROM tot
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
+    "eval_average_precision": (
+        _q_eval_avg_precision,
+        _EVAL_AVG_PRECISION_ORACLE,
+    ),
     "word_cooccurrence_pmi": (_q_word_pmi, _WORD_PMI_ORACLE),
     "perplexity_bucket_filter": (_q_perplexity_buckets, _PERPLEXITY_BUCKETS_ORACLE),
     "nb_distill_classifier": (_q_nb_distill, _nb_distill_oracle()),
