@@ -447,14 +447,18 @@ _DRIVER_PRIORITY = [
     "three_way_split_counts",
     "weighted_sample",
     "window_lead_lag_ntile",
-    # Slots 42-49: rotation fill — the oldest r10-vintage rows not
-    # already above, alphabetical. ROUND-16 WINDOW PLAN: the remaining
-    # 24 r10 rows (multimodal_audio_g711_stats through
-    # url_robots_filter, alphabetically after multimodal_audio_flac_stats,
-    # minus any that drift in r16) head the next window after pit_join
-    # and any new / drifted entries; then the oldest r11 rows fill to
-    # 50. That keeps the ~4-round full-fleet refresh cadence: after
-    # r16 the vintage floor sits at r11.
+    # (The r10 rotation-fill slots and one r9 row — bloom_prejoin_filter,
+    # feature_service, fuzzy_editdist_pairs, global_row_ids,
+    # graph_bfs_levels, html_text_extract, interval_overlap_join,
+    # zorder_layout — were displaced by the 8 never-attested mid-round
+    # additions above; they keep their attested vintage.)
+    #
+    # ROUND-16 WINDOW PLAN: after pit_join and any new/drifted entries,
+    # head with the 8 displaced rows above, then the remaining r10 rows
+    # (multimodal_audio_g711_stats through url_robots_filter,
+    # alphabetical, minus any that drift in r16), then the oldest r11
+    # rows fill to 50. That keeps the ~4-round full-fleet refresh
+    # cadence: after r16 the vintage floor sits at r10-going-on-r11.
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
