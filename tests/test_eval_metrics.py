@@ -253,3 +253,65 @@ def test_average_precision_contracts(spark):
     )
     with pytest.raises(PySparkException, match="out-of-contract"):
         average_precision(bad, "score", "label").collect()
+
+
+def test_roc_curve_matches_threshold_model_and_auc(spark):
+    from tfx_addons_feast_examplegen_spark.operators.stats import (
+        auc_roc,
+        roc_curve,
+    )
+
+    rng = random.Random(31)
+    pairs = [(rng.randrange(10), rng.randrange(2)) for _ in range(400)]
+    df = spark.createDataFrame(pairs, "score int, label int")
+    rows = roc_curve(df, "score", "label", num_buckets=4).collect()
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+
+    # independent model: cumulative counts over descending thresholds
+    from collections import Counter
+
+    per = Counter()
+    pos = Counter()
+    for s, y in pairs:
+        per[s] += 1
+        pos[s] += y
+    cn = ctp = 0
+    want = {}
+    for s in sorted(per, reverse=True):
+        cn += per[s]
+        ctp += pos[s]
+        want[s] = (per[s], pos[s], cn, ctp, ctp / n_pos,
+                   (cn - ctp) / n_neg)
+    got = {
+        r["threshold"]: (r["n_at"], r["pos_at"], r["cum_n"], r["cum_tp"],
+                         r["tpr"], r["fpr"])
+        for r in rows
+    }
+    assert got == want
+    # the curve ends at (1, 1) and trapezoid-integrates to the exact
+    # tie-aware AUC the scalar operator reports
+    assert want[min(per)][4] == 1.0 and want[min(per)][5] == 1.0
+    pts = sorted((v[5], v[4]) for v in want.values())
+    pts = [(0.0, 0.0)] + pts
+    area = sum(
+        (x2 - x1) * (y1 + y2) / 2.0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    )
+    auc = auc_roc(df, "score", "label", num_buckets=4).collect()[0]["auc"]
+    assert area == pytest.approx(auc, abs=1e-12)
+
+
+def test_roc_curve_contracts(spark):
+    from pyspark.errors import PySparkException
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import roc_curve
+
+    one_class = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1)], "score double, label int"
+    )
+    with pytest.raises(PySparkException, match="single-class"):
+        roc_curve(one_class, "score", "label").collect()
+    bad = spark.createDataFrame([(None, 1)], "score double, label int")
+    with pytest.raises(PySparkException, match="out-of-contract"):
+        roc_curve(bad, "score", "label").collect()

@@ -978,3 +978,102 @@ def average_precision(
         F.col("ap_nano").alias("ap_nano"),
         (F.col("ap_nano").cast("double") / F.lit(1e9)).alias("ap"),
     )
+
+
+def roc_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    num_buckets: int = 64,
+    sample_fraction: float = 0.1,
+) -> DataFrame:
+    """The full ROC curve table — one row per distinct score threshold
+    with ``(tpr, fpr)`` at "predict positive when score >= threshold"
+    — completing the evaluation trio beside :func:`auc_roc` (the
+    scalar) and :func:`average_precision` (the PR scalar). A monitor
+    plots it, a threshold-picker scans it; at corpus scale with
+    continuous scores the threshold frame is itself corpus-sized,
+    which is exactly why the cumulative columns ride
+    :func:`..rowid.prefix_sum` (descending threshold order via the
+    negated key) instead of a single-partition cumulative Window.
+
+    ``tpr = cum_tp / n_pos`` and ``fpr = (cum_n - cum_tp) / n_neg``
+    are each ONE IEEE division of exact integers — deterministic in
+    any engine, no float aggregation anywhere. Contracts as
+    :func:`auc_roc`, enforced LOUD in-plan: non-0/1 or NULL labels,
+    NULL scores, single-class inputs.
+
+    Output: ``(threshold, n_at, pos_at, cum_n, cum_tp, tpr, fpr)``
+    ordered meaning-free (consumers sort by threshold).
+    """
+    from .rowid import prefix_sum
+
+    s = F.col(score_col)
+    y = F.col(label_col).cast("bigint")
+    bad = s.isNull() | y.isNull() | ~y.isin(0, 1)
+    checked_y = F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "roc_curve: out-of-contract input (%s must be non-NULL, "
+                "%s a non-NULL 0/1 label): score=%s label=%s",
+                F.lit(score_col),
+                F.lit(label_col),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+                F.coalesce(y.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(y)
+    per_score = (
+        df.select((-s).alias("__negs"), checked_y.alias("__y"))
+        .groupBy("__negs")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_at"),
+            F.sum("__y").cast("int").alias("pos_at"),
+        )
+    )
+    cum = prefix_sum(
+        prefix_sum(
+            per_score,
+            "__negs",
+            "n_at",
+            out_col="cum_n",
+            num_buckets=num_buckets,
+            sample_fraction=sample_fraction,
+        ),
+        "__negs",
+        "pos_at",
+        out_col="cum_tp",
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+    )
+    totals = cum.agg(
+        F.max("cum_n").alias("__nt"), F.max("cum_tp").alias("__np")
+    )
+    np_ = F.col("__np")
+    nn = F.col("__nt") - np_
+    guard = (np_ == 0) | (nn == 0)
+    tpr = F.when(
+        guard,
+        F.raise_error(
+            F.format_string(
+                "roc_curve: undefined for a single-class input "
+                "(n_pos=%s n_neg=%s)",
+                np_.cast("string"),
+                nn.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("cum_tp").cast("double") / np_.cast("double"))
+    fpr = (F.col("cum_n") - F.col("cum_tp")).cast("double") / nn.cast(
+        "double"
+    )
+    return cum.crossJoin(F.broadcast(totals)).select(
+        (-F.col("__negs")).alias("threshold"),
+        F.col("n_at").cast("bigint").alias("n_at"),
+        F.col("pos_at").cast("bigint").alias("pos_at"),
+        F.col("cum_n").alias("cum_n"),
+        F.col("cum_tp").alias("cum_tp"),
+        tpr.alias("tpr"),
+        fpr.alias("fpr"),
+    )

@@ -283,6 +283,7 @@ _ENTRY_ORDER = [
     "embedding_random_projection",
     "global_running_total",
     "eval_average_precision",
+    "eval_roc_curve",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -368,6 +369,9 @@ _DRIVER_PRIORITY = [
     # cumulative thresholds; per-term integer nano-units make the
     # final sum order-free; oracle is the naive cumulative windows.
     "eval_average_precision",
+    # eval_roc_curve — the full ROC table on the same prefix_sum
+    # cumulatives; single-division tpr/fpr; naive-window oracle.
+    "eval_roc_curve",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -446,7 +450,6 @@ _DRIVER_PRIORITY = [
     "string_funcs_parts",
     "three_way_split_counts",
     "weighted_sample",
-    "window_lead_lag_ntile",
     # (The r10 rotation-fill slots and one r9 row — bloom_prejoin_filter,
     # feature_service, fuzzy_editdist_pairs, global_row_ids,
     # graph_bfs_levels, html_text_extract, interval_overlap_join,

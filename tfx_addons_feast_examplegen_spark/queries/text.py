@@ -1653,8 +1653,53 @@ FROM tot
 """
 
 
+def _q_eval_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full ROC curve table for the (n_chars, even/odd) audit —
+    # one row per distinct threshold with tpr/fpr at score >=
+    # threshold. Cumulatives via prefix_sum (descending thresholds
+    # through the negated key); tpr/fpr are single IEEE divisions of
+    # exact integers. Completes the eval trio with eval_auc and
+    # eval_average_precision.
+    from ..operators.stats import roc_curve
+
+    t = register_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        F.col("n_chars").alias("score"),
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    return roc_curve(scored, "score", "label", num_buckets=8)
+
+
+_EVAL_ROC_CURVE_ORACLE = """
+WITH s AS (
+  SELECT n_chars AS score, doc_id % 2 AS label FROM documents
+),
+g AS (
+  SELECT score, count(*) AS n, SUM(label) AS npos FROM s GROUP BY 1
+),
+c AS (
+  SELECT score, n, npos,
+         SUM(n) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cn,
+         SUM(npos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+           AS ctp
+  FROM g
+),
+tot AS (SELECT SUM(npos) AS np, SUM(n) AS nt FROM g)
+SELECT c.score AS threshold,
+       CAST(c.n AS BIGINT) AS n_at,
+       CAST(c.npos AS BIGINT) AS pos_at,
+       CAST(c.cn AS BIGINT) AS cum_n,
+       CAST(c.ctp AS BIGINT) AS cum_tp,
+       CAST(c.ctp AS DOUBLE) / CAST(tot.np AS DOUBLE) AS tpr,
+       CAST(c.cn - c.ctp AS DOUBLE) / CAST(tot.nt - tot.np AS DOUBLE)
+         AS fpr
+FROM c, tot
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
+    "eval_roc_curve": (_q_eval_roc_curve, _EVAL_ROC_CURVE_ORACLE),
     "eval_average_precision": (
         _q_eval_avg_precision,
         _EVAL_AVG_PRECISION_ORACLE,
