@@ -35,6 +35,8 @@ from tfx_addons_feast_examplegen_spark.operators.rowid import (  # noqa: E402
 )
 from tfx_addons_feast_examplegen_spark.operators.stats import (  # noqa: E402
     auc_roc,
+    average_precision,
+    roc_curve,
 )
 from tfx_addons_feast_examplegen_spark.operators.similarity import (  # noqa: E402
     random_projection,
@@ -112,6 +114,26 @@ def main() -> None:
         r["snm_pairs"] = _eager(
             "snm_pairs",
             lambda: sorted_neighborhood_pairs(keyed, "k", window=4),
+        )
+        r["eval_avg_precision"] = _eager(
+            "eval_avg_precision",
+            lambda: average_precision(
+                scored, "score", "label", num_buckets=64
+            ),
+        )
+        r["eval_roc_curve"] = _eager(
+            "eval_roc_curve",
+            lambda: roc_curve(scored, "score", "label", num_buckets=64),
+        )
+        from tfx_addons_feast_examplegen_spark.operators.rowid import (
+            prefix_sum,
+        )
+        r["prefix_sum"] = _eager(
+            "prefix_sum",
+            lambda: prefix_sum(
+                dc.select("doc_id", F.col("n_chars").alias("v")),
+                "doc_id", "v", num_buckets=64,
+            ),
         )
         r["word_pmi"] = _eager(
             "word_pmi",

@@ -353,3 +353,60 @@ def test_prefix_sum_plan_no_single_partition(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_grouped_prefix_sum_matches_partitioned_window(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        grouped_prefix_sum,
+    )
+
+    # skewed groups (one holds ~70%) + a NULL group
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 < 7, F.lit("big"))
+        .when(F.col("id") % 10 < 9, F.lit("small"))
+        .otherwise(F.lit(None))
+        .alias("g"),
+        ((F.col("id") % 13) + 1).cast("int").alias("v"),
+    )
+    got = grouped_prefix_sum(df, ["g"], "k", "v", num_buckets=8)
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("k").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w).cast("long"))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_grouped_prefix_sum_contracts(spark):
+    from pyspark.errors import PySparkException
+
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        grouped_prefix_sum,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2)], "k int, g string, v int")
+    with pytest.raises(ValueError, match="group_cols"):
+        grouped_prefix_sum(df, [], "k", "v")
+    with pytest.raises(ValueError, match="integer-typed"):
+        grouped_prefix_sum(
+            df.select("k", "g", F.col("v").cast("double").alias("v")),
+            ["g"], "k", "v",
+        )
+    nulls = spark.createDataFrame(
+        [(1, "a", 2), (2, "a", None)], "k int, g string, v int"
+    )
+    with pytest.raises(PySparkException, match="NULL"):
+        grouped_prefix_sum(nulls, ["g"], "k", "v").collect()
+    wide = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("g"),
+        F.lit(1).cast("int").alias("v"),
+    )
+    with pytest.raises(ValueError, match="max_offset_entries"):
+        grouped_prefix_sum(
+            wide, ["g"], "k", "v", num_buckets=4, max_offset_entries=10
+        )

@@ -667,3 +667,153 @@ def prefix_sum(
         )
         .drop("__bucket", "__psv")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+    max_offset_entries: int = 65_536,
+) -> DataFrame:
+    """Per-GROUP exact running total — ``SUM(value) OVER (PARTITION BY
+    group ORDER BY order_col ROWS UNBOUNDED PRECEDING)`` without the
+    per-group single-partition Window: the grouped edition of
+    :func:`prefix_sum` for when one group holds an arbitrary share of
+    the corpus (per-source token budgets, per-language running
+    quotas — a 90%-of-100 TB source would funnel through one task in
+    the naive spelling).
+
+    Same decomposition as :func:`assign_grouped_row_ids` with SUM in
+    place of COUNT: frozen GLOBAL boundaries over the order key, one
+    map-side-combined ``SUM(value)`` per ``(group, bucket)`` whose
+    driver-side exclusive prefix sums (within each group, bucket
+    order) embed as a literal map — capped LOUD at
+    ``max_offset_entries`` (bounded group set, not high-cardinality
+    keys) — then ONE hash exchange on ``(group, bucket)`` + a
+    bucket-local cumulative Window. NULL group values are first-class
+    (the same collision-free ``\\x00N``/``\\x00V`` key encoding).
+
+    Contracts as :func:`prefix_sum`: integer ``value_col`` (exact,
+    order-free — fixed-point encode first) with a LOUD in-plan NULL
+    guard; numeric total-order ``order_col`` per group.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1: {num_buckets}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    dtypes = dict(df.dtypes)
+    vt = dtypes.get(value_col)
+    if vt is None:
+        raise ValueError(f"value_col {value_col!r} not in {df.columns}")
+    if vt not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            f"value_col must be integer-typed for an exact running sum "
+            f"(fixed-point encode first): {value_col}:{vt}"
+        )
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already present")
+    ot = dtypes.get(order_col)
+    if ot is None:
+        raise ValueError(f"order_col {order_col!r} not in {df.columns}")
+    if ot not in {"tinyint", "smallint", "int", "bigint", "float",
+                  "double"} and not ot.startswith("decimal"):
+        raise ValueError(
+            f"order_col must be numeric for the quantile sampler: "
+            f"{order_col}:{ot}"
+        )
+    key = F.col(order_col)
+    val = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.format_string(
+                "grouped_prefix_sum: NULL %s (a NULL poisons every "
+                "running total after it) at %s=%s",
+                F.lit(value_col),
+                F.lit(order_col),
+                F.coalesce(key.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(value_col).cast("long"))
+
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    sampled = df.select(order_col).where(key.isNotNull())
+    if sample_fraction < 1.0:
+        sampled = sampled.sample(fraction=sample_fraction, seed=8)
+    row = sampled.agg(
+        F.percentile_approx(key, probs, 10_000).alias("bounds")
+    ).collect()[0]
+    bounds = [b for b in (row["bounds"] or []) if b is not None]
+    if bounds:
+        lit_bounds = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.when(key.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(lit_bounds, lambda b: b < key))
+        )
+    else:
+        bucket = F.lit(0)
+    with_bucket = df.withColumn("__psv", val).withColumn("__bucket", bucket)
+
+    gkey = F.concat_ws(
+        "\x1f",
+        *[
+            F.when(F.col(c).isNull(), F.lit("\x00N")).otherwise(
+                F.concat(F.lit("\x00V"), F.col(c).cast("string"))
+            )
+            for c in group_cols
+        ],
+    )
+    sums_rows = (
+        with_bucket.groupBy(gkey.alias("__g"), "__bucket")
+        .agg(F.sum("__psv").alias("s"))
+        .collect()
+    )
+    if len(sums_rows) > max_offset_entries:
+        raise ValueError(
+            f"grouped_prefix_sum: {len(sums_rows)} (group, bucket) cells "
+            f"exceed max_offset_entries={max_offset_entries}; this "
+            f"operator is for a bounded group set — reduce num_buckets "
+            f"or use fewer groups"
+        )
+    per_group: dict[str, dict[int, int]] = {}
+    for r in sums_rows:
+        per_group.setdefault(r["__g"], {})[r["__bucket"]] = r["s"]
+    okeys, ovals = [], []
+    for g, bs in per_group.items():
+        acc = 0
+        for b in sorted(bs):
+            okeys.append(f"{g}\x1f{b}")
+            ovals.append(acc)
+            acc += bs[b]
+    if okeys:
+        lit_offsets = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in okeys]),
+            F.array(*[F.lit(int(v)).cast("long") for v in ovals]),
+        )
+    else:
+        lit_offsets = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<long>")
+        )
+
+    w = (
+        Window.partitionBy(*group_cols, "__bucket")
+        .orderBy(key.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_bucket.withColumn(
+            out_col,
+            (
+                F.element_at(
+                    lit_offsets,
+                    F.concat(gkey, F.lit("\x1f"),
+                             F.col("__bucket").cast("string")),
+                )
+                + F.sum("__psv").over(w)
+            ).cast("long"),
+        )
+        .drop("__bucket", "__psv")
+    )

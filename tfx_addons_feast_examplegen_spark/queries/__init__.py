@@ -284,6 +284,7 @@ _ENTRY_ORDER = [
     "global_running_total",
     "eval_average_precision",
     "eval_roc_curve",
+    "grouped_running_total",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -372,6 +373,10 @@ _DRIVER_PRIORITY = [
     # eval_roc_curve — the full ROC table on the same prefix_sum
     # cumulatives; single-division tpr/fpr; naive-window oracle.
     "eval_roc_curve",
+    # grouped_running_total — grouped_prefix_sum (per-group exact
+    # running totals, per-(group,bucket) literal offsets); oracle is
+    # the naive partitioned SUM OVER.
+    "grouped_running_total",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -449,7 +454,6 @@ _DRIVER_PRIORITY = [
     "stream_dedup",
     "string_funcs_parts",
     "three_way_split_counts",
-    "weighted_sample",
     # (The r10 rotation-fill slots and one r9 row — bloom_prejoin_filter,
     # feature_service, fuzzy_editdist_pairs, global_row_ids,
     # graph_bfs_levels, html_text_extract, interval_overlap_join,

@@ -1520,8 +1520,38 @@ FROM w3, fin
 """
 
 
+def _q_grouped_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-SOURCE running character budget in doc-id order with NO
+    # per-group single-partition Window: grouped_prefix_sum (frozen
+    # global boundaries + per-(group,bucket) literal offsets + a
+    # bucket-local cumulative Window) — the running-quota spelling
+    # that survives one source holding 90% of the corpus. Oracle IS
+    # the naive partitioned SUM OVER the operator refuses to plan.
+    from ..operators.rowid import grouped_prefix_sum
+
+    t = register_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "source", "n_chars")
+    return grouped_prefix_sum(
+        d, ["source"], "doc_id", "n_chars",
+        out_col="cum_chars", num_buckets=8,
+    )
+
+
+_GROUPED_RUNNING_TOTAL_ORACLE = """
+SELECT doc_id, source, n_chars,
+       CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_chars
+FROM documents
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "linreg_train_gd": (_q_linreg_train, _LINREG_TRAIN_ORACLE),
+    "grouped_running_total": (
+        _q_grouped_running_total,
+        _GROUPED_RUNNING_TOTAL_ORACLE,
+    ),
     "dsir_select": (_q_dsir_select, _DSIR_SELECT_ORACLE),
     "pseudonymize_fk_audit": (_q_pseudonymize, _PSEUDONYMIZE_ORACLE),
     "k_anonymity_audit": (_q_k_anonymity, _K_ANONYMITY_ORACLE),
