@@ -454,11 +454,13 @@ _DRIVER_PRIORITY = [
     "stream_dedup",
     "string_funcs_parts",
     "three_way_split_counts",
-    # (The r10 rotation-fill slots and one r9 row — bloom_prejoin_filter,
-    # feature_service, fuzzy_editdist_pairs, global_row_ids,
-    # graph_bfs_levels, html_text_extract, interval_overlap_join,
-    # zorder_layout — were displaced by the 8 never-attested mid-round
-    # additions above; they keep their attested vintage.)
+    # (The r10 rotation-fill slots and three r9 rows —
+    # bloom_prejoin_filter, feature_service, fuzzy_editdist_pairs,
+    # global_row_ids, graph_bfs_levels, html_text_extract,
+    # interval_overlap_join, zorder_layout, weighted_sample,
+    # window_lead_lag_ntile — were displaced by the 11 never-attested
+    # mid-round additions above; they keep their attested vintage and
+    # head the r16 window plan.)
     #
     # ROUND-16 WINDOW PLAN: after pit_join and any new/drifted entries,
     # head with the 8 displaced rows above, then the remaining r10 rows
