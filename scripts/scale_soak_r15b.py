@@ -126,6 +126,7 @@ def main() -> None:
             lambda: roc_curve(scored, "score", "label", num_buckets=64),
         )
         from tfx_addons_feast_examplegen_spark.operators.rowid import (
+            grouped_prefix_sum,
             prefix_sum,
         )
         r["prefix_sum"] = _eager(
@@ -133,6 +134,17 @@ def main() -> None:
             lambda: prefix_sum(
                 dc.select("doc_id", F.col("n_chars").alias("v")),
                 "doc_id", "v", num_buckets=64,
+            ),
+        )
+        grouped_src = dc.select(
+            "doc_id",
+            (F.col("doc_id") % 4).cast("string").alias("src"),
+            F.col("n_chars").alias("v"),
+        )
+        r["grouped_prefix_sum"] = _eager(
+            "grouped_prefix_sum",
+            lambda: grouped_prefix_sum(
+                grouped_src, ["src"], "doc_id", "v", num_buckets=64
             ),
         )
         r["word_pmi"] = _eager(
