@@ -315,3 +315,39 @@ def test_roc_curve_contracts(spark):
     bad = spark.createDataFrame([(None, 1)], "score double, label int")
     with pytest.raises(PySparkException, match="out-of-contract"):
         roc_curve(bad, "score", "label").collect()
+
+
+def test_grouped_auc_matches_per_group_model(spark):
+    from tfx_addons_feast_examplegen_spark.operators.stats import grouped_auc
+
+    rng = random.Random(41)
+    rows = []
+    for g in ("en", "de", "th"):
+        for _ in range(200):
+            rows.append((g, rng.randrange(8), rng.randrange(2)))
+    # a single-class group: AUC must be NULL, not an error
+    rows += [("xx", 1, 1), ("xx", 2, 1)]
+    df = spark.createDataFrame(rows, "g string, score int, label int")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["u2"], r["auc"])
+        for r in grouped_auc(df, ["g"], "score", "label",
+                             num_buckets=4).collect()
+    }
+    for g in ("en", "de", "th"):
+        pairs = [(s, y) for gg, s, y in rows if gg == g]
+        want = _model_auc(pairs)
+        assert got[g][3] == pytest.approx(want, abs=1e-12)
+        assert got[g][0] == sum(y for _, y in pairs)
+    assert got["xx"] == (2, 0, None, None)
+
+
+def test_grouped_auc_contracts(spark):
+    from pyspark.errors import PySparkException
+
+    from tfx_addons_feast_examplegen_spark.operators.stats import grouped_auc
+
+    df = spark.createDataFrame([("a", 1.0, 5)], "g string, score double, label int")
+    with pytest.raises(ValueError, match="group_cols"):
+        grouped_auc(df, [], "score", "label")
+    with pytest.raises(PySparkException, match="out-of-contract"):
+        grouped_auc(df, ["g"], "score", "label").collect()

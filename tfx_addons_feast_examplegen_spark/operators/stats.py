@@ -1077,3 +1077,98 @@ def roc_curve(
         tpr.alias("tpr"),
         fpr.alias("fpr"),
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    *,
+    num_buckets: int = 64,
+    sample_fraction: float = 0.1,
+    max_offset_entries: int = 65_536,
+) -> DataFrame:
+    """Per-GROUP exact tie-aware ROC-AUC — the per-language /
+    per-source edition of :func:`auc_roc`, for the audit a curation
+    pipeline actually runs ("is the quality score as discriminative on
+    Thai as on English?"). One row per group.
+
+    The per-group rank comes from
+    :func:`..rowid.assign_grouped_row_ids` (global frozen boundaries,
+    per-(group, bucket) literal offsets — bounded group set, capped
+    LOUD), so no group ever funnels through one task; the tie-block
+    contiguity argument of :func:`auc_roc` holds within each group
+    because the bucket function is value-based. Same integer-exact U
+    arithmetic up to ONE IEEE division per group.
+
+    A single-class group (all-positive or all-negative — plausible in
+    real per-language slices, not a caller error) yields ``auc = NULL``
+    rather than raising; the exact integer ``u2`` is NULL there too.
+    Label contract stays LOUD as in :func:`auc_roc`.
+
+    Output: ``(group_cols..., n_pos, n_neg, u2, auc)``.
+    """
+    from .rowid import assign_grouped_row_ids
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    s = F.col(score_col)
+    y = F.col(label_col).cast("bigint")
+    bad = s.isNull() | y.isNull() | ~y.isin(0, 1)
+    checked_y = F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "grouped_auc: out-of-contract input (%s must be "
+                "non-NULL, %s a non-NULL 0/1 label): score=%s label=%s",
+                F.lit(score_col),
+                F.lit(label_col),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+                F.coalesce(y.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(y)
+    vals = df.select(
+        *group_cols, s.alias("__v"), checked_y.alias("__y")
+    )
+    ranked = assign_grouped_row_ids(
+        vals,
+        list(group_cols),
+        "__v",
+        id_col="__grk",  # 1-based within the group
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+        max_offset_entries=max_offset_entries,
+    )
+    per_score = ranked.groupBy(*group_cols, "__v").agg(
+        F.sum("__y").alias("__npos"),
+        F.min("__grk").alias("__rmin"),
+        F.max("__grk").alias("__rmax"),
+    )
+    totals = per_score.groupBy(*group_cols).agg(
+        F.sum(
+            (F.col("__npos") * (F.col("__rmin") + F.col("__rmax"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__s2"),
+        F.sum("__npos").alias("__np"),
+        F.sum(F.col("__rmax") - F.col("__rmin") + 1).alias("__n"),
+    )
+    np_ = F.col("__np")
+    nn = F.col("__n") - np_
+    u2 = (F.col("__s2") - (np_ * (np_ + 1)).cast("decimal(38,0)")).cast(
+        "decimal(38,0)"
+    )
+    defined = (np_ > 0) & (nn > 0)
+    return totals.select(
+        *group_cols,
+        np_.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        F.when(defined, u2.cast("bigint")).alias("u2"),
+        F.when(
+            defined,
+            u2.cast("double")
+            / (2.0 * np_.cast("double") * nn.cast("double")),
+        ).alias("auc"),
+    )

@@ -285,6 +285,7 @@ _ENTRY_ORDER = [
     "eval_average_precision",
     "eval_roc_curve",
     "grouped_running_total",
+    "eval_auc_by_group",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -377,6 +378,10 @@ _DRIVER_PRIORITY = [
     # running totals, per-(group,bucket) literal offsets); oracle is
     # the naive partitioned SUM OVER.
     "grouped_running_total",
+    # eval_auc_by_group — per-group exact AUC on the grouped rank
+    # machinery; NULL for single-class groups; naive partitioned
+    # ROW_NUMBER oracle.
+    "eval_auc_by_group",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -453,7 +458,6 @@ _DRIVER_PRIORITY = [
     "source_tfrecord_roundtrip",
     "stream_dedup",
     "string_funcs_parts",
-    "three_way_split_counts",
     # (The r10 rotation-fill slots and three r9 rows —
     # bloom_prejoin_filter, feature_service, fuzzy_editdist_pairs,
     # global_row_ids, graph_bfs_levels, html_text_extract,

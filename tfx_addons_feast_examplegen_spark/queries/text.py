@@ -1697,8 +1697,61 @@ FROM c, tot
 """
 
 
+def _q_eval_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-LANGUAGE exact tie-aware AUC for the (n_chars, even/odd)
+    # audit — the slice-level discriminativeness check. Per-group
+    # ranks via the grouped rank machinery (no per-group
+    # single-partition Window); same integer U arithmetic per group;
+    # single-class groups yield NULL (not an error). Oracle is the
+    # naive partitioned ROW_NUMBER ranking.
+    from ..operators.stats import grouped_auc
+
+    t = register_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    return grouped_auc(
+        scored, ["lang"], "score", "label", num_buckets=8
+    )
+
+
+_EVAL_AUC_BY_LANG_ORACLE = """
+WITH s AS (
+  SELECT lang, n_chars AS score, doc_id % 2 AS label FROM documents
+),
+r AS (
+  SELECT lang, score, label,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score) AS rn
+  FROM s
+),
+g AS (
+  SELECT lang, score, SUM(label) AS npos,
+         MIN(rn) AS rmin, MAX(rn) AS rmax
+  FROM r GROUP BY 1, 2
+),
+a AS (
+  SELECT lang, SUM(npos * (rmin + rmax)) AS s2, SUM(npos) AS np,
+         SUM(rmax - rmin + 1) AS n
+  FROM g GROUP BY 1
+)
+SELECT lang,
+       CAST(np AS BIGINT) AS n_pos,
+       CAST(n - np AS BIGINT) AS n_neg,
+       CASE WHEN np > 0 AND n - np > 0
+            THEN CAST(s2 - np * (np + 1) AS BIGINT) END AS u2,
+       CASE WHEN np > 0 AND n - np > 0
+            THEN CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / (2.0 * CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE))
+       END AS auc
+FROM a
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
+    "eval_auc_by_group": (_q_eval_auc_by_lang, _EVAL_AUC_BY_LANG_ORACLE),
     "eval_roc_curve": (_q_eval_roc_curve, _EVAL_ROC_CURVE_ORACLE),
     "eval_average_precision": (
         _q_eval_avg_precision,
