@@ -36,6 +36,7 @@ from tfx_addons_feast_examplegen_spark.operators.rowid import (  # noqa: E402
 from tfx_addons_feast_examplegen_spark.operators.stats import (  # noqa: E402
     auc_roc,
     average_precision,
+    grouped_auc,
     roc_curve,
 )
 from tfx_addons_feast_examplegen_spark.operators.similarity import (  # noqa: E402
@@ -146,6 +147,16 @@ def main() -> None:
             lambda: grouped_prefix_sum(
                 grouped_src, ["src"], "doc_id", "v", num_buckets=64
             ),
+        )
+        gsc = dc.select(
+            (F.col("doc_id") % 5).cast("string").alias("g"),
+            F.col("n_chars").alias("score"),
+            (F.col("doc_id") % 2).alias("label"),
+        )
+        r["grouped_auc"] = _eager(
+            "grouped_auc",
+            lambda: grouped_auc(gsc, ["g"], "score", "label",
+                                num_buckets=64),
         )
         r["word_pmi"] = _eager(
             "word_pmi",
