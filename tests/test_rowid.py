@@ -410,3 +410,46 @@ def test_grouped_prefix_sum_contracts(spark):
         grouped_prefix_sum(
             wide, ["g"], "k", "v", num_buckets=4, max_offset_entries=10
         )
+
+
+def test_grouped_exact_quantiles_match_sorted_model(spark):
+    import math
+    import random as _random
+
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        grouped_exact_quantiles,
+    )
+
+    rng = _random.Random(17)
+    rows = []
+    for g, size in (("a", 400), ("b", 37), (None, 11)):
+        rows += [(g, rng.randrange(50)) for _ in range(size)]
+    rows.append(("c", None))  # NULL value drops; group c vanishes
+    df = spark.createDataFrame(rows, "g string, v int")
+    qs = (0.1, 0.25, 0.5, 0.75, 1.0)
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", qs, num_buckets=4
+        ).collect()
+    }
+    want = {}
+    for g in ("a", "b", None):
+        vals = sorted(v for gg, v in rows if gg == g and v is not None)
+        for q in qs:
+            want[(g, q)] = vals[math.ceil(q * len(vals)) - 1]
+    assert got == want
+
+
+def test_grouped_exact_quantiles_validation(spark):
+    from tfx_addons_feast_examplegen_spark.operators.rowid import (
+        grouped_exact_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_exact_quantiles(df, ["g"], "v", ())
+    with pytest.raises(ValueError, match="quantiles"):
+        grouped_exact_quantiles(df, ["g"], "v", (0.0,))
+    with pytest.raises(ValueError, match="quantiles"):
+        grouped_exact_quantiles(df, ["g"], "v", (1.5,))

@@ -817,3 +817,78 @@ def grouped_prefix_sum(
         )
         .drop("__bucket", "__psv")
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    *,
+    num_buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.1,
+    max_offset_entries: int = 65_536,
+) -> DataFrame:
+    """Per-GROUP exact type-1 quantiles (``min { v : F_g(v) >= q }``)
+    — the grouped edition of :func:`exact_quantiles`, completing the
+    rank-machinery family (ids / ntile / quantiles / prefix-sum, each
+    global + grouped): per-language length medians, per-source score
+    quartiles, with NO per-group sort and no per-group single-partition
+    Window even when one group holds the corpus.
+
+    The per-group rank comes from :func:`assign_grouped_row_ids`
+    (bounded group set, capped LOUD); the per-group count attaches as
+    a null-safe broadcast aggregate join (the
+    :func:`grouped_exact_ntile` pattern); and the q-th quantile is the
+    value at 1-based rank ``ceil(q * n_g)`` — computed IN-PLAN per
+    group with the quantiles as one exploded literal array, so driver
+    state stays ``O(groups x buckets)`` scalars regardless of how many
+    groups exist. Both engines evaluate ``ceil`` on the SAME double
+    product (the oracle casts ``q`` to DOUBLE), so binary-vs-decimal
+    literal drift cannot split the rank at an exact-integer boundary.
+    Value-at-rank is tie-deterministic (tied keys share one bucket and
+    one value). NULL values are dropped; NULL GROUPS are first-class.
+
+    Output: one row per (group, quantile): ``(group_cols..., q,
+    value)``.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1]: {q}")
+    vals = df.select(
+        *group_cols, F.col(value_col).alias("__v")
+    ).where(F.col(value_col).isNotNull())
+    ranked = assign_grouped_row_ids(
+        vals,
+        list(group_cols),
+        "__v",
+        id_col="__gqr",  # 1-based rank within the group
+        num_buckets=num_buckets,
+        sample_fraction=sample_fraction,
+        max_offset_entries=max_offset_entries,
+    )
+    counts = vals.groupBy(
+        *[F.col(c).alias(f"__gqg{i}") for i, c in enumerate(group_cols)]
+    ).agg(F.count(F.lit(1)).alias("__gqn"))
+    join_cond = None
+    for i, c in enumerate(group_cols):
+        term = F.col(c).eqNullSafe(F.col(f"__gqg{i}"))
+        join_cond = term if join_cond is None else (join_cond & term)
+    qarr = F.array(*[F.lit(float(q)).cast("double") for q in quantiles])
+    # evaluate the tiny literal array per row and keep only the
+    # quantiles this row's rank serves — the corpus is FILTERED before
+    # the explode, so no |quantiles|-fold row amplification anywhere
+    qs_here = F.filter(
+        qarr,
+        lambda q: F.ceil(q * F.col("__gqn")).cast("long")
+        == F.col("__gqr"),
+    )
+    hit = (
+        ranked.join(F.broadcast(counts), join_cond)
+        .withColumn("__qs", qs_here)
+        .where(F.size("__qs") > 0)
+        .select(*group_cols, F.col("__v"), F.explode("__qs").alias("q"))
+    )
+    return hit.select(*group_cols, "q", F.col("__v").alias("value"))

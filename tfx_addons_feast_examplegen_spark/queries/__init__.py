@@ -286,6 +286,7 @@ _ENTRY_ORDER = [
     "eval_roc_curve",
     "grouped_running_total",
     "eval_auc_by_group",
+    "grouped_exact_quantiles",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -382,6 +383,10 @@ _DRIVER_PRIORITY = [
     # machinery; NULL for single-class groups; naive partitioned
     # ROW_NUMBER oracle.
     "eval_auc_by_group",
+    # grouped_exact_quantiles — per-group value-at-rank quantiles,
+    # targets in-plan as a filtered literal array; naive partitioned
+    # ROW_NUMBER oracle.
+    "grouped_exact_quantiles",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -457,7 +462,6 @@ _DRIVER_PRIORITY = [
     "snapshot_diff",
     "source_tfrecord_roundtrip",
     "stream_dedup",
-    "string_funcs_parts",
     # (The r10 rotation-fill slots and three r9 rows —
     # bloom_prejoin_filter, feature_service, fuzzy_editdist_pairs,
     # global_row_ids, graph_bfs_levels, html_text_extract,

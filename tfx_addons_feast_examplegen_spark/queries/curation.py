@@ -1546,8 +1546,50 @@ FROM documents
 """
 
 
+def _q_grouped_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-LANGUAGE exact length quartiles + median with no per-group
+    # sort: grouped rank machinery + in-plan value-at-rank (the
+    # quantile targets ride the plan as one literal array filtered per
+    # row, so driver state never grows with the group count). Both
+    # engines evaluate ceil on the SAME double product (oracle casts q
+    # to DOUBLE), so exact-integer rank boundaries cannot split.
+    from ..operators.rowid import grouped_exact_quantiles
+
+    t = register_tables(spark, sf_dir)
+    return grouped_exact_quantiles(
+        t["documents"].select("lang", "n_chars"),
+        ["lang"],
+        "n_chars",
+        (0.25, 0.5, 0.75),
+        num_buckets=8,
+    )
+
+
+_GROUPED_EXACT_QUANTILES_ORACLE = """
+WITH v AS (
+  SELECT lang, n_chars AS val FROM documents WHERE n_chars IS NOT NULL
+),
+n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1),
+r AS (
+  SELECT lang, val,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY val) AS rn
+  FROM v
+),
+qs(q) AS (VALUES (0.25), (0.5), (0.75))
+SELECT r.lang, CAST(qs.q AS DOUBLE) AS q, r.val AS value
+FROM qs
+JOIN n ON true
+JOIN r ON r.lang = n.lang
+      AND r.rn = CAST(ceil(CAST(qs.q AS DOUBLE) * n.n) AS BIGINT)
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "linreg_train_gd": (_q_linreg_train, _LINREG_TRAIN_ORACLE),
+    "grouped_exact_quantiles": (
+        _q_grouped_exact_quantiles,
+        _GROUPED_EXACT_QUANTILES_ORACLE,
+    ),
     "grouped_running_total": (
         _q_grouped_running_total,
         _GROUPED_RUNNING_TOTAL_ORACLE,
