@@ -351,3 +351,64 @@ def test_grouped_auc_contracts(spark):
         grouped_auc(df, [], "score", "label")
     with pytest.raises(PySparkException, match="out-of-contract"):
         grouped_auc(df, ["g"], "score", "label").collect()
+
+
+def test_ndcg_matches_python_model(spark):
+    import math
+
+    from tfx_addons_feast_examplegen_spark.operators.text import ndcg_at_k
+
+    rng = random.Random(53)
+    rows = []
+    for q in ("q1", "q2"):
+        for i in range(30):
+            rows.append((q, float(rng.randrange(100)), i, rng.randrange(4)))
+    # an all-zero-relevance query: idcg = 0 -> ndcg NULL
+    rows += [("q0", 1.0, 0, 0), ("q0", 2.0, 1, 0)]
+    df = spark.createDataFrame(
+        rows, "q string, score double, doc_id int, rel int"
+    )
+    got = {
+        r["q"]: (r["dcg_micro"], r["idcg_micro"], r["ndcg"])
+        for r in ndcg_at_k(df, "q", "score", "rel", 10).collect()
+    }
+
+    def model(q):
+        items = [(s, i, rel) for qq, s, i, rel in rows if qq == q]
+        by_score = sorted(items, key=lambda t: (-t[0], t[1]))
+        by_rel = sorted(items, key=lambda t: (-t[2], t[1]))
+        def dcg(seq):
+            return sum(
+                int(math.floor(
+                    float((1 << rel) - 1) / math.log2(float(rk) + 1.0)
+                    * 10**6
+                ))
+                for rk, (_, _, rel) in enumerate(seq[:10], start=1)
+            )
+        return dcg(by_score), dcg(by_rel)
+
+    for q in ("q1", "q2"):
+        d, i = model(q)
+        assert got[q] == (d, i, d / i)
+    assert got["q0"] == (0, 0, None)
+    # perfect ranking: score == rel ordering -> ndcg exactly 1
+    perfect = spark.createDataFrame(
+        [("p", float(r), i, r) for i, r in enumerate([3, 2, 2, 1, 0])],
+        "q string, score double, doc_id int, rel int",
+    )
+    row = ndcg_at_k(perfect, "q", "score", "rel", 5).collect()[0]
+    assert row["ndcg"] == 1.0
+
+
+def test_ndcg_contracts(spark):
+    from pyspark.errors import PySparkException
+
+    from tfx_addons_feast_examplegen_spark.operators.text import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [("q", 1.0, 0, 31)], "q string, score double, doc_id int, rel int"
+    )
+    with pytest.raises(PySparkException, match="\\[0, 30\\]"):
+        ndcg_at_k(df, "q", "score", "rel", 5).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(df, "q", "score", "rel", 0)

@@ -1431,3 +1431,97 @@ def word_cooccurrence_pmi(
     return out.orderBy(
         F.col("pmi_micro_nats").desc(), "w1", "w2"
     ).limit(int(top_n))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """NDCG@k per query (Järvelin & Kekäläinen 2002, the exponential
+    gain form ``(2^rel - 1) / log2(rank + 1)``) — the search-quality
+    eval for the retrieval legs (BM25 / ANN): how close each query's
+    score ranking is to its ideal relevance ordering.
+
+    Scale shape: rankings are per-QUERY windows (a query's candidate
+    list is a retrieved result set, bounded by construction — this is
+    an eval over retrievals, not a corpus sort), so the two
+    ``row_number`` windows partition by the query key and distribute
+    across queries. Ties break on ``id_col`` in BOTH orderings, making
+    every rank — and therefore the statistic — fully deterministic.
+
+    Portability: each term is floored to integer ``1/scale`` units
+    from deterministic inputs (integer gain, ``log2`` of an integer
+    rank — the corpus-proven transcendental idiom), so the per-query
+    DCG and ideal-DCG are order-free LONG sums and ``ndcg`` is ONE
+    final division. Relevance must be a non-NULL integer in [0, 30]
+    (``2^rel`` stays in long) — enforced LOUD in-plan. A query whose
+    judged relevance is all-zero has ``idcg = 0`` and yields ``ndcg =
+    NULL`` (a data condition, not an error).
+
+    Output: one row per query: ``(query_col, dcg_micro, idcg_micro,
+    ndcg)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window as W
+
+    rel = F.col(rel_col).cast("bigint")
+    bad = rel.isNull() | (rel < 0) | (rel > 30)
+    checked_rel = F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "ndcg_at_k: %s must be a non-NULL integer in [0, 30]: %s",
+                F.lit(rel_col),
+                F.coalesce(rel.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(rel)
+    base = df.select(
+        F.col(query_col).alias("__q"),
+        F.col(score_col).alias("__s"),
+        F.col(id_col).alias("__id"),
+        checked_rel.alias("__rel"),
+    )
+    w_rank = W.partitionBy("__q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    w_ideal = W.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    gain = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__rel AS INT)) - 1")
+
+    def dcg(rank_col):
+        term = F.floor(
+            gain.cast("double")
+            / F.log2(rank_col.cast("double") + 1.0)
+            * F.lit(int(scale))
+        ).cast("long")
+        return F.sum(F.when(rank_col <= k, term).otherwise(F.lit(0)))
+
+    ranked = base.select(
+        "__q",
+        "__rel",
+        F.row_number().over(w_rank).alias("__r"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    )
+    per_q = ranked.groupBy(F.col("__q").alias(query_col)).agg(
+        dcg(F.col("__r")).alias("dcg_micro"),
+        dcg(F.col("__ri")).alias("idcg_micro"),
+    )
+    return per_q.select(
+        query_col,
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.col("dcg_micro").cast("double")
+            / F.col("idcg_micro").cast("double"),
+        ).alias("ndcg"),
+    )

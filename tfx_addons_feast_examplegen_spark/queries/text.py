@@ -1749,8 +1749,64 @@ FROM a
 """
 
 
+def _q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDCG@10 per language for a deterministic synthetic judgment set
+    # (score = n_chars ranking, graded relevance = doc_id % 3): the
+    # retrieval-quality eval for the BM25/ANN legs. Per-query windows
+    # with full (score, id) tie-breaks; per-term integer micro-units
+    # so the DCG sums are order-free; one final division. The oracle
+    # replays rank-for-rank.
+    from ..operators.text import ndcg_at_k
+
+    t = register_tables(spark, sf_dir)
+    judged = t["documents"].select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        "doc_id",
+        (F.col("doc_id") % 3).alias("rel"),
+    )
+    return ndcg_at_k(judged, "lang", "score", "rel", 10)
+
+
+_EVAL_NDCG_ORACLE = """
+WITH b AS (
+  SELECT lang AS q, n_chars AS s, doc_id AS id, doc_id % 3 AS rel
+  FROM documents
+),
+r AS (
+  SELECT q, rel,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, id ASC)
+           AS rk,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, id ASC)
+           AS rki
+  FROM b
+),
+t AS (
+  SELECT q,
+         SUM(CASE WHEN rk <= 10 THEN
+               CAST(floor(CAST((CAST(1 AS BIGINT) << rel) - 1 AS DOUBLE)
+                          / log2(CAST(rk AS DOUBLE) + 1.0)
+                          * 1000000) AS BIGINT)
+             ELSE 0 END) AS dcg,
+         SUM(CASE WHEN rki <= 10 THEN
+               CAST(floor(CAST((CAST(1 AS BIGINT) << rel) - 1 AS DOUBLE)
+                          / log2(CAST(rki AS DOUBLE) + 1.0)
+                          * 1000000) AS BIGINT)
+             ELSE 0 END) AS idcg
+  FROM r GROUP BY q
+)
+SELECT q AS lang,
+       CAST(dcg AS BIGINT) AS dcg_micro,
+       CAST(idcg AS BIGINT) AS idcg_micro,
+       CASE WHEN idcg > 0
+            THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END AS ndcg
+FROM t
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
+    "eval_ndcg_at_k": (_q_eval_ndcg, _EVAL_NDCG_ORACLE),
     "eval_auc_by_group": (_q_eval_auc_by_lang, _EVAL_AUC_BY_LANG_ORACLE),
     "eval_roc_curve": (_q_eval_roc_curve, _EVAL_ROC_CURVE_ORACLE),
     "eval_average_precision": (
