@@ -412,3 +412,60 @@ def test_ndcg_contracts(spark):
         ndcg_at_k(df, "q", "score", "rel", 5).collect()
     with pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(df, "q", "score", "rel", 0)
+
+
+def test_mrr_matches_python_model(spark):
+    from tfx_addons_feast_examplegen_spark.operators.text import mrr_at_k
+
+    rng = random.Random(61)
+    rows = []
+    for qi in range(6):
+        for i in range(20):
+            rows.append((f"q{qi}", float(rng.randrange(50)), i,
+                         1 if rng.random() < 0.2 else 0))
+    df = spark.createDataFrame(
+        rows, "q string, score double, doc_id int, rel int"
+    )
+    row = mrr_at_k(df, "q", "score", "rel", 10).collect()[0]
+
+    per_q = {}
+    for q, s, i, rel in rows:
+        per_q.setdefault(q, []).append((s, i, rel))
+    total = 0
+    hits = 0
+    for q, items in per_q.items():
+        ranked = sorted(items, key=lambda t: (-t[0], t[1]))
+        first = next(
+            (rk for rk, (_, _, rel) in enumerate(ranked[:10], 1) if rel > 0),
+            None,
+        )
+        if first is not None:
+            hits += 1
+            total += 10**6 // first
+    assert row["n_queries"] == 6
+    assert row["n_hit"] == hits
+    assert row["sum_rr_micro"] == total
+    assert row["mrr"] == total / (6 * 1e6)
+
+
+def test_mrr_contracts_and_edges(spark):
+    from pyspark.errors import PySparkException
+
+    from tfx_addons_feast_examplegen_spark.operators.text import mrr_at_k
+
+    # relevant result at rank 1 in one query, none in the other
+    df = spark.createDataFrame(
+        [("a", 9.0, 0, 1), ("a", 5.0, 1, 0), ("b", 9.0, 0, 0)],
+        "q string, score double, doc_id int, rel int",
+    )
+    row = mrr_at_k(df, "q", "score", "rel", 10).collect()[0]
+    assert (row["n_queries"], row["n_hit"], row["sum_rr_micro"]) == (
+        2, 1, 10**6
+    )
+    nulls = spark.createDataFrame(
+        [("a", 1.0, 0, None)], "q string, score double, doc_id int, rel int"
+    )
+    with pytest.raises(PySparkException, match="non-NULL"):
+        mrr_at_k(nulls, "q", "score", "rel", 5).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        mrr_at_k(df, "q", "score", "rel", 0)

@@ -1525,3 +1525,79 @@ def ndcg_at_k(
             / F.col("idcg_micro").cast("double"),
         ).alias("ndcg"),
     )
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Mean Reciprocal Rank @ k — the first-relevant-hit eval beside
+    :func:`ndcg_at_k` (NDCG grades the whole list, MRR asks "how fast
+    does the first relevant result appear?" — the navigational-query
+    metric). Relevance is binary here: ``rel > 0`` counts as relevant
+    (non-NULL enforced LOUD).
+
+    Fully integer until one division: the per-query reciprocal rank is
+    ``scale div rank`` (exact integer division — no float anywhere),
+    queries whose first relevant result ranks past ``k`` (or who have
+    none) contribute 0, and MRR is the exact long sum over queries
+    divided once by the query count. Per-QUERY windows with the full
+    (score desc, id asc) tie-break, same bounded-result-list shape as
+    NDCG.
+
+    Output: one row ``(n_queries, n_hit, sum_rr_micro, mrr)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window as W
+
+    rel = F.col(rel_col).cast("bigint")
+    checked_rel = F.when(
+        rel.isNull(),
+        F.raise_error(
+            F.format_string(
+                "mrr_at_k: %s must be non-NULL", F.lit(rel_col)
+            )
+        ).cast("bigint"),
+    ).otherwise(rel)
+    base = df.select(
+        F.col(query_col).alias("__q"),
+        F.col(score_col).alias("__s"),
+        F.col(id_col).alias("__id"),
+        checked_rel.alias("__rel"),
+    )
+    w = W.partitionBy("__q").orderBy(F.col("__s").desc(), F.col("__id").asc())
+    ranked = base.select(
+        "__q", "__rel", F.row_number().over(w).alias("__r")
+    )
+    per_q = ranked.groupBy("__q").agg(
+        F.min(
+            F.when((F.col("__rel") > 0) & (F.col("__r") <= k), F.col("__r"))
+        ).alias("__first")
+    )
+    rr = F.when(
+        F.col("__first").isNotNull(),
+        F.expr(f"CAST({int(scale)} AS BIGINT) div __first"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    out = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("__first").isNotNull(), 1).otherwise(0)).alias(
+            "n_hit"
+        ),
+        F.sum(rr).alias("sum_rr_micro"),
+    )
+    return out.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("n_hit").cast("bigint").alias("n_hit"),
+        F.col("sum_rr_micro").cast("bigint").alias("sum_rr_micro"),
+        (
+            F.col("sum_rr_micro").cast("double")
+            / (F.col("n_queries").cast("double") * F.lit(float(scale)))
+        ).alias("mrr"),
+    )

@@ -288,6 +288,7 @@ _ENTRY_ORDER = [
     "eval_auc_by_group",
     "grouped_exact_quantiles",
     "eval_ndcg_at_k",
+    "eval_mrr_at_k",
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
@@ -391,6 +392,9 @@ _DRIVER_PRIORITY = [
     # eval_ndcg_at_k — per-query NDCG@k with order-free integer
     # micro-unit DCG terms; rank-for-rank oracle replay.
     "eval_ndcg_at_k",
+    # eval_mrr_at_k — first-relevant-hit eval, integer reciprocal
+    # ranks (scale div rank), one final division.
+    "eval_mrr_at_k",
     # Slots 2-12: entries whose fingerprints drift with this round's
     # hardening (all driver-green on the pre-edit tree):
     # - score_drift_ks / score_drift_qq: the bounded-grid contract
@@ -464,7 +468,6 @@ _DRIVER_PRIORITY = [
     "sketch_quantiles",
     "skew_salted_join",
     "snapshot_diff",
-    "source_tfrecord_roundtrip",
     # (The r10 rotation-fill slots and three r9 rows —
     # bloom_prejoin_filter, feature_service, fuzzy_editdist_pairs,
     # global_row_ids, graph_bfs_levels, html_text_extract,

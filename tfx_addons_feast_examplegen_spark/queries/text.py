@@ -1804,8 +1804,57 @@ FROM t
 """
 
 
+def _q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MRR@10 over the same per-language synthetic judgment set as
+    # eval_ndcg_at_k (binary relevance: doc_id % 3 > 0). Integer
+    # reciprocal ranks (scale div rank — no float anywhere), one
+    # final division; the oracle replays rank-for-rank.
+    from ..operators.text import mrr_at_k
+
+    t = register_tables(spark, sf_dir)
+    judged = t["documents"].select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        "doc_id",
+        (F.col("doc_id") % 3).alias("rel"),
+    )
+    return mrr_at_k(judged, "lang", "score", "rel", 10)
+
+
+_EVAL_MRR_ORACLE = """
+WITH b AS (
+  SELECT lang AS q, n_chars AS s, doc_id AS id, doc_id % 3 AS rel
+  FROM documents
+),
+r AS (
+  SELECT q, rel,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, id ASC)
+           AS rk
+  FROM b
+),
+f AS (
+  SELECT q, MIN(CASE WHEN rel > 0 AND rk <= 10 THEN rk END) AS first
+  FROM r GROUP BY q
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(CASE WHEN first IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+         CAST(SUM(CASE WHEN first IS NOT NULL
+                       THEN 1000000 // first ELSE 0 END) AS BIGINT)
+           AS sum_rr_micro
+  FROM f
+)
+SELECT n_queries, n_hit, sum_rr_micro,
+       CAST(sum_rr_micro AS DOUBLE)
+         / (CAST(n_queries AS DOUBLE) * 1000000.0) AS mrr
+FROM a
+"""
+
+
 ENTRIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "eval_auc": (_q_eval_auc, _EVAL_AUC_ORACLE),
+    "eval_mrr_at_k": (_q_eval_mrr, _EVAL_MRR_ORACLE),
     "eval_ndcg_at_k": (_q_eval_ndcg, _EVAL_NDCG_ORACLE),
     "eval_auc_by_group": (_q_eval_auc_by_lang, _EVAL_AUC_BY_LANG_ORACLE),
     "eval_roc_curve": (_q_eval_roc_curve, _EVAL_ROC_CURVE_ORACLE),
