@@ -210,34 +210,58 @@ def hits(
         )
 
     def _push(scores: DataFrame, col: str, edge_from: str, edge_to: str,
-              out: str) -> DataFrame:
-        # sum the sending endpoint's score onto the receiving endpoint;
-        # nodes receiving nothing score 0 this half-step
+              out: str, pin: bool) -> DataFrame:
+        # Sum the sending endpoint's score onto the receiving endpoint.
+        # SPARSE frames throughout the loop: a node receiving nothing
+        # is simply ABSENT instead of carrying an explicit 0 — absent
+        # rows contribute exactly nothing to the next half-step's sums
+        # (inner join drops them) and to any L2 norm, so every score
+        # that IS computed is bit-identical to the dense spelling; the
+        # zeros are reattached once at the end. This removes the
+        # per-half-step left join back onto the node frame (one join +
+        # its exchange per half-step, 2x iterations of them).
+        #
+        # ``pin`` checkpoints the half-step result. Mid-loop frames
+        # with a SINGLE consumer (the next half-step, in "end" mode)
+        # stay lazy: the next checkpoint computes both half-steps in
+        # one job, halving job-launch and materialization count while
+        # lineage stays bounded at two joins per checkpoint.
+        # "per_iteration" mode pins every half-step as before — its
+        # rescale reads the frame twice (norm + values), and an
+        # unpinned frame would recompute the push per consumer.
         summed = (
             e.join(scores, e[edge_from] == scores[node_col])
             .groupBy(edge_to)
             .agg(F.sum(col).alias(out))
+            .withColumnRenamed(edge_to, node_col)
         )
-        return (
-            nodes.join(summed, nodes[node_col] == summed[edge_to], "left")
-            .select(
-                nodes[node_col],
-                F.coalesce(F.col(out), F.lit(0.0)).alias(out),
-            )
-            .localCheckpoint()
-        )
+        return summed.localCheckpoint() if pin else summed
 
     hubs = nodes.withColumn(hub_col, F.lit(1.0)).localCheckpoint()
     auths = None
-    for _ in range(iterations):
-        auths = _push(hubs, hub_col, "__s", "__d", auth_col)
+    every = normalize == "per_iteration"
+    for i in range(iterations):
+        last = i == iterations - 1
+        auths = _push(hubs, hub_col, "__s", "__d", auth_col,
+                      pin=every or last)
         if normalize == "per_iteration":
             auths = _rescale(auths, auth_col)
-        hubs = _push(auths, auth_col, "__d", "__s", hub_col)
+        hubs = _push(auths, auth_col, "__d", "__s", hub_col, pin=True)
         if normalize == "per_iteration":
             hubs = _rescale(hubs, hub_col)
-    return _rescale(hubs, hub_col).join(
-        _rescale(auths, auth_col), node_col
+    # reattach the implicit zeros (nodes never reached by a push) and
+    # L2-normalize once — same arithmetic as the dense loop: absent
+    # rows never contributed to sums or norms there either.
+    out_h = _rescale(hubs, hub_col)
+    out_a = _rescale(auths, auth_col)
+    return (
+        nodes.join(out_h, node_col, "left")
+        .join(out_a, node_col, "left")
+        .select(
+            node_col,
+            F.coalesce(F.col(hub_col), F.lit(0.0)).alias(hub_col),
+            F.coalesce(F.col(auth_col), F.lit(0.0)).alias(auth_col),
+        )
     )
 
 
@@ -420,6 +444,7 @@ def sssp(
     max_rounds: int = 10,
     node_col: str = "node",
     dist_col: str = "dist",
+    pre_collapsed: bool = False,
 ) -> DataFrame:
     """Weighted single-source (multi-seed) shortest paths by
     bounded-round Bellman-Ford — the weighted half of the distance leg
@@ -449,21 +474,24 @@ def sssp(
     """
     if max_rounds < 0:
         raise ValueError(f"max_rounds must be >= 0: {max_rounds}")
-    e = (
-        edges.select(
-            F.col(src).alias("__s"),
-            F.col(dst).alias("__d"),
-            F.col(weight_col).cast("double").alias("__w"),
-        )
-        .where(
-            F.col("__s").isNotNull()
-            & F.col("__d").isNotNull()
-            & F.col("__w").isNotNull()
-        )
-        .groupBy("__s", "__d")
-        .agg(F.min("__w").alias("__w"))
-        .localCheckpoint()
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight_col).cast("double").alias("__w"),
+    ).where(
+        F.col("__s").isNotNull()
+        & F.col("__d").isNotNull()
+        & F.col("__w").isNotNull()
     )
+    if not pre_collapsed:
+        # ``pre_collapsed=True`` is the caller's certificate that
+        # parallel (src, dst) edges are already collapsed to their
+        # minimum weight (e.g. the feeding query just ran the same
+        # groupBy) — min over singleton groups is the identity, so
+        # skipping the re-aggregation removes one full exchange of the
+        # edge frame without changing a single distance.
+        e = e.groupBy("__s", "__d").agg(F.min("__w").alias("__w"))
+    e = e.localCheckpoint()
     best = (
         seeds.select(F.col(seed_col).alias(node_col))
         .where(F.col(seed_col).isNotNull())
@@ -482,32 +510,38 @@ def sssp(
             .groupBy(node_col)
             .agg(F.min("__nd").alias("__nd"))
         )
-        improved = (
-            cand.join(best, node_col, "left")
-            .where(F.col(dist_col).isNull() | (F.col("__nd") < F.col(dist_col)))
-            .select(F.col(node_col), F.col("__nd").alias(dist_col))
-            .localCheckpoint()
-        )
-        if improved.count() == 0:
-            break
-        best = (
-            best.join(
-                improved.select(
-                    F.col(node_col), F.col(dist_col).alias("__imp")
-                ),
-                node_col,
-                "full_outer",
-            )
+        # ONE checkpoint per round (was two: improved, then the best
+        # merge): the full-outer merge carries an __imp flag marking
+        # strict improvements, so the merged frame serves all three
+        # per-round consumers — the early-exit count (a cheap scan of
+        # the just-materialized blocks), the next round's frontier
+        # (filter on the flag), and the running best (drop the flag).
+        # Values are identical to the two-step spelling: the least/
+        # coalesce merge of a non-improving candidate keeps the old
+        # dist, exactly what excluding it from `improved` produced.
+        merged = (
+            best.join(cand, node_col, "full_outer")
             .select(
                 F.col(node_col),
                 F.least(
-                    F.coalesce(F.col(dist_col), F.col("__imp")),
-                    F.coalesce(F.col("__imp"), F.col(dist_col)),
+                    F.coalesce(F.col(dist_col), F.col("__nd")),
+                    F.coalesce(F.col("__nd"), F.col(dist_col)),
                 ).alias(dist_col),
+                (
+                    F.col("__nd").isNotNull()
+                    & (
+                        F.col(dist_col).isNull()
+                        | (F.col("__nd") < F.col(dist_col))
+                    )
+                ).alias("__imp"),
             )
             .localCheckpoint()
         )
-        frontier = improved
+        if merged.where(F.col("__imp")).count() == 0:
+            best = merged.drop("__imp")
+            break
+        best = merged.drop("__imp")
+        frontier = merged.where(F.col("__imp")).select(node_col, dist_col)
     return best
 
 
@@ -620,6 +654,7 @@ def kcore(
     max_rounds: int = 10,
     node_col: str = "node",
     degree_col: str = "degree",
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """K-core decomposition by iterative peeling (Seidman 1983; the
     link-graph quality filter: the k-core is the maximal subgraph
@@ -647,20 +682,30 @@ def kcore(
         raise ValueError(f"k must be >= 1: {k}")
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1: {max_rounds}")
-    e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .where(
-            F.col("__s").isNotNull()
-            & F.col("__d").isNotNull()
-            & (F.col("__s") != F.col("__d"))
-        )
-        .distinct()
-        .localCheckpoint()
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
+        F.col("__s").isNotNull()
+        & F.col("__d").isNotNull()
+        & (F.col("__s") != F.col("__d"))
     )
+    if not pre_distinct:
+        # ``pre_distinct=True``: the caller certifies the (src, dst)
+        # pairs are already distinct (e.g. the feeding query just ran
+        # DISTINCT before symmetrizing with disjoint key spaces), so
+        # the re-dedup exchange is a provable no-op and is skipped.
+        # Degrees and the peeling fixpoint are unchanged.
+        e = e.distinct()
+    e = e.localCheckpoint()
     deg = e.groupBy(F.col("__s").alias(node_col)).agg(
         F.count(F.lit(1)).alias(degree_col)
     )
     for _ in range(max_rounds):
+        # Pin the O(|V|) degree frame once per round: it feeds the
+        # early-exit count, the alive filter AND (on the last peel)
+        # the returned frame — unpinned, the count job and the
+        # semi-join job each re-ran the full degree aggregate over the
+        # edge frame (two identical shuffles per round for one
+        # result). The count now scans the just-materialized blocks.
+        deg = deg.localCheckpoint()
         dropped = deg.where(F.col(degree_col) < k).count()
         if dropped == 0:
             break

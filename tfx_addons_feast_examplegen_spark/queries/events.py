@@ -1280,7 +1280,11 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = sssp(edges, seeds, weight_col="w", max_rounds=3)
+    # pre_collapsed: the groupBy above already collapsed parallel edges
+    # to MIN weight, and the two union branches have disjoint key
+    # spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's re-collapse
+    # would be an identity exchange over the whole edge frame.
+    out = sssp(edges, seeds, weight_col="w", max_rounds=3, pre_collapsed=True)
     return out.select("node", F.round("dist", 6).alias("dist"))
 
 
@@ -1349,7 +1353,10 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    return kcore(edges, k=3, max_rounds=4)
+    # pre_distinct: pairs is DISTINCT above and the union branches have
+    # disjoint key spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's
+    # re-dedup would be an identity exchange over the edge frame.
+    return kcore(edges, k=3, max_rounds=4, pre_distinct=True)
 
 
 def _kcore_round_sql(prev: str, out: str, k: int) -> str:
