@@ -445,10 +445,23 @@ _DRIVER_PRIORITY = [
     "source_warc_write_roundtrip",
     "bpe_encode",
     "vocab_coverage_curve",
-    # Slots 16-41: the 26 r9-vintage rows — the oldest driver
-    # attestation anywhere; re-proving these completes the r14 plan
-    # ("after r15 executes, the oldest driver row anywhere is r10"),
-    # alphabetical.
+    # Optimization-round drift (r15 opt 1/2): the four operators whose
+    # internals the shuffle-count work rewired — HITS sparse-frame
+    # push, SSSP single-checkpoint merge + pre_collapsed edge prep,
+    # k-core degree pin + pre_distinct, semantic-dedup per-row norm
+    # hoist. Oracle-identical results (proven at sf0.01 + sf0.1), but
+    # the AST fingerprints moved, so they MUST re-enter the window.
+    "graph_hits",
+    "graph_kcore",
+    "graph_sssp",
+    "semantic_dedup",
+    # The r9-vintage rows — the oldest driver attestation anywhere;
+    # re-proving these completes the r14 plan ("after r15 executes,
+    # the oldest driver row anywhere is r10"), alphabetical. (The
+    # last four — sketch_distinct_counts, sketch_quantiles,
+    # skew_salted_join, snapshot_diff — were displaced past slot 50
+    # by the four drifted optimization entries above; they keep their
+    # attested vintage and head the r16 window plan.)
     "feature_histogram",
     "forward_fill_timeseries",
     "gap_fill_timeseries",
@@ -464,6 +477,8 @@ _DRIVER_PRIORITY = [
     "q18_large_orders",
     "q7_nation_volume",
     "similarity_ann_lsh_recall",
+    # --- slot 50 boundary: everything below is ordering preference,
+    # not window membership ---
     "sketch_distinct_counts",
     "sketch_quantiles",
     "skew_salted_join",
