@@ -3216,6 +3216,23 @@ def encode_jpeg_color(
 # oracle re-derives them from the formulas — meeting in the middle.
 
 
+def _fixture_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Project the id column and rebalance it across the session's
+    compute parallelism before the per-row Python encode.
+
+    The attach adapters and the decode stage behind them form ONE
+    narrow chain from the scan, so their task count is the SCAN's
+    split count — a compacted id file scans as a single split and the
+    whole codec pipeline (encode fixture + full entropy decode) runs
+    on one core while the rest idle. The repartition shuffles only the
+    8-byte ids (upstream of the payloads entirely), and at real scale,
+    where the scan already yields thousands of splits, the helper's
+    file-size estimate makes it a no-op."""
+    from ..session import rebalance_for_compute
+
+    return rebalance_for_compute(df.select(F.col(id_col)))
+
+
 def attach_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture adapter: one real 24-bit BMP payload per row, content
     derived from the id by the closed-form formula above."""
@@ -3245,7 +3262,7 @@ def attach_bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+    return _fixture_ids(df, id_col).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
 def attach_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -3278,7 +3295,7 @@ def attach_png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+    return _fixture_ids(df, id_col).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
 def attach_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -3316,7 +3333,7 @@ def attach_gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+    return _fixture_ids(df, id_col).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
 def attach_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -3367,7 +3384,7 @@ def attach_tiff_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+    return _fixture_ids(df, id_col).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
 def attach_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -3410,7 +3427,7 @@ def attach_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+    return _fixture_ids(df, id_col).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
 def attach_jpeg_progressive_payloads(
@@ -3458,7 +3475,7 @@ def attach_jpeg_progressive_payloads(
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
+    return _fixture_ids(df, id_col).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3772,7 +3789,7 @@ def attach_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _gen, schema="doc_id long, payload binary, format string"
     )
 
@@ -3808,7 +3825,7 @@ def attach_ogg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _gen, schema="doc_id long, payload binary, format string"
     )
 
@@ -3881,7 +3898,7 @@ def attach_g711_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _gen, schema="doc_id long, payload binary, format string"
     )
 
@@ -3909,7 +3926,7 @@ def attach_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _gen, schema="doc_id long, payload binary, format string, n_samples int"
     )
 
@@ -4160,7 +4177,7 @@ def attach_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _gen, schema="doc_id long, payload binary, format string"
     )
 
@@ -4198,7 +4215,7 @@ def attach_mp3_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col)).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _gen, schema="doc_id long, payload binary, format string, n_frames int"
     )
 
@@ -4438,6 +4455,13 @@ def attach_bmp_neardup_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 }
             )
 
+    # Measured exception to the _fixture_ids rebalance (r15): this
+    # adapter's Python work is tiny (a few hundred md5-derived
+    # bytes in a tiny container per row), so the extra exchange +
+    # 32-task scheduling costs more than the parallelism returns
+    # (sf0.1 floors WITH the rebalance: dhash 1.36 s -> 1.85 s, audio
+    # fingerprint 1.02 s -> 1.49 s). The heavy-codec adapters keep it; at real scale the scan
+    # itself supplies the splits either way.
     return df.select(F.col(id_col)).mapInPandas(_gen, schema=IMAGE_SCHEMA)
 
 
@@ -4772,6 +4796,13 @@ def attach_wav_neardup_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 }
             )
 
+    # Measured exception to the _fixture_ids rebalance (r15): this
+    # adapter's Python work is tiny (a few hundred md5-derived
+    # bytes in a tiny container per row), so the extra exchange +
+    # 32-task scheduling costs more than the parallelism returns
+    # (sf0.1 floors WITH the rebalance: dhash 1.36 s -> 1.85 s, audio
+    # fingerprint 1.02 s -> 1.49 s). The heavy-codec adapters keep it; at real scale the scan
+    # itself supplies the splits either way.
     return df.select(F.col(id_col)).mapInPandas(
         _gen,
         schema="doc_id long, payload binary, format string, n_samples int",

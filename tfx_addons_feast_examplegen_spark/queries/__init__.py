@@ -455,30 +455,49 @@ _DRIVER_PRIORITY = [
     "graph_kcore",
     "graph_sssp",
     "semantic_dedup",
-    # The r9-vintage rows — the oldest driver attestation anywhere;
-    # re-proving these completes the r14 plan ("after r15 executes,
-    # the oldest driver row anywhere is r10"), alphabetical. (The
-    # last four — sketch_distinct_counts, sketch_quantiles,
-    # skew_salted_join, snapshot_diff — were displaced past slot 50
-    # by the four drifted optimization entries above; they keep their
-    # attested vintage and head the r16 window plan.)
+    # ... and the multimodal family, whose fixture adapters now route
+    # their id projection through the rebalance_for_compute split-
+    # estimate (one-task codec pipelines on compacted inputs ran the
+    # whole Python encode+decode on one core; measured 4x on the JPEG
+    # entry). Same per-row bytes and stats — only task placement
+    # moved — but the module fingerprint covers the adapters, so the
+    # family re-enters the window. multimodal_audio_mp3_stats below
+    # doubles as its r9-vintage rotation slot.
+    "multimodal_audio_flac_stats",
+    "multimodal_audio_g711_stats",
+    "multimodal_audio_ogg_stats",
+    "multimodal_audio_stats",
+    "multimodal_features",
+    "multimodal_image_gif",
+    "multimodal_image_jpeg",
+    "multimodal_image_jpeg_progressive",
+    "multimodal_image_png",
+    "multimodal_image_resize",
+    "multimodal_image_tiff",
+    "multimodal_video_mp4_stats",
+    "multimodal_audio_mp3_stats",
+    # The r9-vintage rotation — the oldest driver attestation
+    # anywhere. The optimization-drift entries above squeezed this
+    # round's rotation quota to two rows (alphabetical); the
+    # remaining r9 rows (gap_fill_timeseries through snapshot_diff,
+    # listed below the boundary) keep their attested vintage and head
+    # the r16 window plan.
     "feature_histogram",
     "forward_fill_timeseries",
+    # --- slot 50 boundary: everything below is ordering preference,
+    # not window membership ---
     "gap_fill_timeseries",
     "group_quota",
     "grouping_sets_filter",
     "having_subquery",
     "lateral_topk_per_key",
     "monthly_order_delta",
-    "multimodal_audio_mp3_stats",
     "percentiles",
     "pit_join_time_bucketed",
     "q10_returned_items",
     "q18_large_orders",
     "q7_nation_volume",
     "similarity_ann_lsh_recall",
-    # --- slot 50 boundary: everything below is ordering preference,
-    # not window membership ---
     "sketch_distinct_counts",
     "sketch_quantiles",
     "skew_salted_join",
