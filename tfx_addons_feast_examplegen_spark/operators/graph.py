@@ -31,6 +31,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin_aqe(df: DataFrame, n_parts: int) -> DataFrame:
+    """Eagerly pin ``df`` (localCheckpoint) with its physical layout
+    VISIBLE to downstream plans, at the loop's common partition count.
+
+    ``localCheckpoint`` records the executed plan's partitioning/
+    ordering in its ``LogicalRDD`` — but an ``AdaptiveSparkPlan``
+    reports them as unknown, so under AQE every checkpointed loop frame
+    silently re-exchanges at each consumer (measured on the graph
+    loops: the FULL edge frame re-shuffled once per round, and every
+    O(|V|) state frame once per consumer). The checkpoint is EAGER, so
+    disabling AQE for just this one materialization job is bounded and
+    local; with it off, the pinned frame keeps the hash layout its own
+    aggregates/joins already established, and each loop round's
+    equi-joins become exchange-free co-partitioned merges.
+
+    ``n_parts`` is the loop's shared partition count, derived ONCE per
+    operator call from the edge frame's own AQE-sized materialization
+    (see :func:`_pin_part`) — data-adaptive (a couple of partitions at
+    test scale, thousands at corpus scale), never a constant. It is
+    applied as ``spark.sql.shuffle.partitions`` for the pin job so that
+    every frame in the loop lands on the SAME modulus and co-partitioning
+    holds. What the loop gives up is AQE's runtime skew-splitting INSIDE
+    the pinned jobs — which it could not apply against a fixed RDD
+    layout on the other join side anyway.
+    """
+    spark = df.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _pin_part(df: DataFrame, key: str) -> tuple[DataFrame, int]:
+    """Pin a loop's EDGE frame hash-clustered + sorted on ``key`` and
+    derive the loop's shared partition count from its actual size.
+
+    Two-step: first a plain AQE-on checkpoint — AQE's partition
+    coalescing sizes the materialization to the data, so its partition
+    count IS the data-adaptive answer ("how many ~advisory-sized
+    partitions does this frame occupy") — then a keyed repartition to
+    that count + in-partition sort + :func:`_pin_aqe`. Downstream
+    sort-merge joins on ``key`` then skip both the exchange AND the
+    sort on this side, every round. Returns ``(pinned, n_parts)``.
+    """
+    pre = df.localCheckpoint()
+    n_parts = max(1, pre.rdd.getNumPartitions())
+    pinned = _pin_aqe(
+        pre.repartition(n_parts, F.col(key)).sortWithinPartitions(key),
+        n_parts,
+    )
+    return pinned, n_parts
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -86,22 +144,42 @@ def pagerank(
             .groupBy("__s", "__d")
             .agg(F.sum("__w").alias("__w"))
         )
-    nodes = (
-        e.select(F.col("__s").alias(node_col))
-        .union(e.select(F.col("__d").alias(node_col)))
-        .distinct()
-        .localCheckpoint()
+    deg = e.groupBy("__s").agg(F.sum("__w").alias("__deg"))
+    # (src, dst, w, out-weight-sum) pinned once, hash-clustered + sorted
+    # on the per-iteration join key (see _pin_part); every iteration
+    # re-reads this materialized frame instead of re-running the
+    # distinct+degree jobs, and never re-exchanges it.
+    edges_deg, n_parts = _pin_part(e.join(deg, "__s"), "__s")
+    # Node universe derived from the PINNED frame (the edge pipeline
+    # used to run twice more just to list nodes), co-partitioned with
+    # the loop's rank frames.
+    nodes = _pin_aqe(
+        edges_deg.select(F.col("__s").alias(node_col))
+        .union(edges_deg.select(F.col("__d").alias(node_col)))
+        .distinct(),
+        n_parts,
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn(rank_col, F.lit(0.0))
 
-    deg = e.groupBy("__s").agg(F.sum("__w").alias("__deg"))
-    # (src, dst, w, out-weight-sum) pinned once; every iteration re-reads
-    # this materialized frame instead of re-running the distinct+degree jobs
-    edges_deg = e.join(deg, "__s").localCheckpoint()
+    # The DANGLING-NODE SET is static (nodes with no out-edges don't
+    # change as ranks do), so pin it once off the already-materialized
+    # frames. The previous spelling anti-joined ranks against `deg`
+    # inside the loop, and since neither `deg` nor `e` is pinned, every
+    # iteration re-ran the full edge pipeline (scan + distinct +
+    # aggregate) just to rebuild the same set — at corpus scale, one
+    # full input scan per iteration for a constant.
+    dang = _pin_aqe(
+        nodes.join(
+            edges_deg.select("__s"),
+            nodes[node_col] == F.col("__s"),
+            "left_anti",
+        ),
+        n_parts,
+    )
 
-    ranks = nodes.withColumn(rank_col, F.lit(1.0 / n)).localCheckpoint()
+    ranks = _pin_aqe(nodes.withColumn(rank_col, F.lit(1.0 / n)), n_parts)
     for _ in range(iterations):
         contribs = (
             edges_deg.join(ranks, edges_deg["__s"] == ranks[node_col])
@@ -113,12 +191,13 @@ def pagerank(
             )
         )
         # mass parked on dangling nodes (rank rows with no out-edges);
-        # a 1-row aggregate attached by broadcast — never a collect
+        # a 1-row aggregate attached by broadcast — never a collect.
+        # Same row set as the old anti-join spelling, via the pinned set.
         dangling = (
-            ranks.join(deg, ranks[node_col] == deg["__s"], "left_anti")
+            ranks.join(dang, node_col, "left_semi")
             .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dmass"))
         )
-        ranks = (
+        ranks = _pin_aqe(
             nodes.join(contribs, nodes[node_col] == contribs["__d"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -131,8 +210,8 @@ def pagerank(
                         + F.col("__dmass") / F.lit(float(n))
                     )
                 ).alias(rank_col),
-            )
-            .localCheckpoint()
+            ),
+            n_parts,
         )
     return ranks
 
@@ -185,17 +264,28 @@ def hits(
         raise ValueError(
             f"normalize must be 'end' or 'per_iteration': {normalize!r}"
         )
-    e = (
+    base = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("__s").alias(node_col))
-        .union(e.select(F.col("__d").alias(node_col)))
-        .distinct()
-        .localCheckpoint()
+    # TWO directional pinned copies of the edge frame (see _pin_part),
+    # exchanged + sorted once each: the loop alternates its join key
+    # between __s and __d, so with the layout pinned per direction the
+    # O(|E|) frame is never re-exchanged OR re-sorted inside the loop —
+    # every half-step moves only the O(|V|) score frame (2 x iterations
+    # edge exchanges removed). All loop frames share n_parts, so the
+    # score-frame joins are co-partitioned merges too.
+    e_s, n_parts = _pin_part(base, "__s")
+    e_d = _pin_aqe(
+        e_s.repartition(n_parts, F.col("__d")).sortWithinPartitions("__d"),
+        n_parts,
+    )
+    nodes = _pin_aqe(
+        e_s.select(F.col("__s").alias(node_col))
+        .union(e_s.select(F.col("__d").alias(node_col)))
+        .distinct(),
+        n_parts,
     )
 
     def _rescale(scores: DataFrame, col: str) -> DataFrame:
@@ -209,8 +299,8 @@ def hits(
             .alias(col),
         )
 
-    def _push(scores: DataFrame, col: str, edge_from: str, edge_to: str,
-              out: str, pin: bool) -> DataFrame:
+    def _push(scores: DataFrame, col: str, ef: DataFrame, edge_from: str,
+              edge_to: str, out: str, pin: bool) -> DataFrame:
         # Sum the sending endpoint's score onto the receiving endpoint.
         # SPARSE frames throughout the loop: a node receiving nothing
         # is simply ABSENT instead of carrying an explicit 0 — absent
@@ -230,23 +320,23 @@ def hits(
         # rescale reads the frame twice (norm + values), and an
         # unpinned frame would recompute the push per consumer.
         summed = (
-            e.join(scores, e[edge_from] == scores[node_col])
+            ef.join(scores, ef[edge_from] == scores[node_col])
             .groupBy(edge_to)
             .agg(F.sum(col).alias(out))
             .withColumnRenamed(edge_to, node_col)
         )
-        return summed.localCheckpoint() if pin else summed
+        return _pin_aqe(summed, n_parts) if pin else summed
 
-    hubs = nodes.withColumn(hub_col, F.lit(1.0)).localCheckpoint()
+    hubs = _pin_aqe(nodes.withColumn(hub_col, F.lit(1.0)), n_parts)
     auths = None
     every = normalize == "per_iteration"
     for i in range(iterations):
         last = i == iterations - 1
-        auths = _push(hubs, hub_col, "__s", "__d", auth_col,
+        auths = _push(hubs, hub_col, e_s, "__s", "__d", auth_col,
                       pin=every or last)
         if normalize == "per_iteration":
             auths = _rescale(auths, auth_col)
-        hubs = _push(auths, auth_col, "__d", "__s", hub_col, pin=True)
+        hubs = _push(auths, auth_col, e_d, "__d", "__s", hub_col, pin=True)
         if normalize == "per_iteration":
             hubs = _rescale(hubs, hub_col)
     # reattach the implicit zeros (nodes never reached by a push) and
@@ -491,13 +581,19 @@ def sssp(
         # skipping the re-aggregation removes one full exchange of the
         # edge frame without changing a single distance.
         e = e.groupBy("__s", "__d").agg(F.min("__w").alias("__w"))
-    e = e.localCheckpoint()
-    best = (
+    # Pin the edge frame hash-clustered + sorted on the frontier join
+    # key (see _pin_part): the O(|E|) frame is exchanged once here
+    # instead of once per round, and every loop frame shares n_parts so
+    # the frontier join and the best/cand merge are co-partitioned,
+    # exchange-free merges — each round's only exchange is the small
+    # candidate min-aggregate.
+    e, n_parts = _pin_part(e, "__s")
+    best = _pin_aqe(
         seeds.select(F.col(seed_col).alias(node_col))
         .where(F.col(seed_col).isNotNull())
         .distinct()
-        .withColumn(dist_col, F.lit(0.0))
-        .localCheckpoint()
+        .withColumn(dist_col, F.lit(0.0)),
+        n_parts,
     )
     frontier = best
     for _ in range(max_rounds):
@@ -535,8 +631,8 @@ def sssp(
                     )
                 ).alias("__imp"),
             )
-            .localCheckpoint()
         )
+        merged = _pin_aqe(merged, n_parts)
         if merged.where(F.col("__imp")).count() == 0:
             best = merged.drop("__imp")
             break
@@ -694,7 +790,11 @@ def kcore(
         # the re-dedup exchange is a provable no-op and is skipped.
         # Degrees and the peeling fixpoint are unchanged.
         e = e.distinct()
-    e = e.localCheckpoint()
+    # Pin the edge frame hash-clustered + sorted on __s (see _pin_part):
+    # the initial degree aggregate and the first peel's __s semi-join
+    # cluster on it with no exchange of their own, and every loop frame
+    # shares n_parts so the alive semi-joins stay co-partitioned.
+    e, n_parts = _pin_part(e, "__s")
     deg = e.groupBy(F.col("__s").alias(node_col)).agg(
         F.count(F.lit(1)).alias(degree_col)
     )
@@ -705,15 +805,19 @@ def kcore(
         # semi-join job each re-ran the full degree aggregate over the
         # edge frame (two identical shuffles per round for one
         # result). The count now scans the just-materialized blocks.
-        deg = deg.localCheckpoint()
+        deg = _pin_aqe(deg, n_parts)
         dropped = deg.where(F.col(degree_col) < k).count()
         if dropped == 0:
             break
         alive = deg.where(F.col(degree_col) >= k).select(node_col)
-        e = (
-            e.join(alive, e["__s"] == alive[node_col], "left_semi")
-            .join(alive, F.col("__d") == alive[node_col], "left_semi")
-            .localCheckpoint()
+        # __d semi first, __s semi last: the surviving frame then pins
+        # hash-clustered on __s, so the rebuilt degree aggregate below
+        # needs no exchange at all (and the alive side is already
+        # clustered on node from the pinned deg frame).
+        e = _pin_aqe(
+            e.join(alive, e["__d"] == alive[node_col], "left_semi")
+            .join(alive, F.col("__s") == alive[node_col], "left_semi"),
+            n_parts,
         )
         deg = e.groupBy(F.col("__s").alias(node_col)).agg(
             F.count(F.lit(1)).alias(degree_col)

@@ -476,16 +476,23 @@ _DRIVER_PRIORITY = [
     "multimodal_image_tiff",
     "multimodal_video_mp4_stats",
     "multimodal_audio_mp3_stats",
-    # The r9-vintage rotation — the oldest driver attestation
-    # anywhere. The optimization-drift entries above squeezed this
-    # round's rotation quota to two rows (alphabetical); the
-    # remaining r9 rows (gap_fill_timeseries through snapshot_diff,
-    # listed below the boundary) keep their attested vintage and head
-    # the r16 window plan.
-    "feature_histogram",
-    "forward_fill_timeseries",
+    # ... and the pagerank pair: the static dangling-node set is now
+    # pinned once (the in-loop anti-join used to re-run the whole edge
+    # pipeline every iteration) and the edge frame pinned hash-clustered
+    # on the contribution join key. The weighted entry shares the
+    # function. (The same pins for bfs_levels / label_propagation /
+    # personalized_pagerank were DEFERRED to r16: the window cannot
+    # hold their drift this round — see OPTIMIZATION_r15.md.)
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+    # The r9-vintage rotation was fully displaced this round by
+    # optimization drift (the window holds exactly the 49 debt entries
+    # + pit_join); the r9 rows below the boundary keep their attested
+    # vintage and head the r16 window plan.
     # --- slot 50 boundary: everything below is ordering preference,
     # not window membership ---
+    "feature_histogram",
+    "forward_fill_timeseries",
     "gap_fill_timeseries",
     "group_quota",
     "grouping_sets_filter",
