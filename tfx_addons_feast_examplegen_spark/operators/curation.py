@@ -762,11 +762,12 @@ def greedy_max_coverage(
     covered-shingle total.
 
     Plan shape: the distinct ``(doc, shingle)`` frame is built ONCE and
-    pinned (k rounds reuse it — the :mod:`.dedup` ``_pin`` contract);
-    each round is one broadcast ANTI-join against the covered set
-    (tiny: at most k documents' shingles), one map-side-combinable
-    gain aggregate, and a 1-ROW argmax collect — the only driver
-    traffic is k single-row parameters. ``hashed=True`` folds shingles
+    pinned hash-clustered on the doc id (:func:`.graph._pin_part` — the
+    k rounds reuse both the materialization AND the layout); each round
+    is one broadcast ANTI-join against the covered set (tiny: at most k
+    documents' shingles), one exchange-free in-place gain aggregate,
+    and a 1-ROW argmax collect — the only driver traffic is k
+    single-row parameters. ``hashed=True`` folds shingles
     to xxhash64 longs for the 100 TB path (8-byte anti-join keys;
     picks identical up to vanishing hash collisions).
 
@@ -781,9 +782,17 @@ def greedy_max_coverage(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    from .dedup import _pin
+    from .graph import _pin_part
 
-    dsh = _pin(shingles(corpus, id_col, text_col, n, hashed=hashed))
+    # Pinned hash-clustered on the DOC id (see graph._pin_part): the
+    # per-round gain aggregate groups by id, and with the layout visible
+    # (plain localCheckpoint under AQE hides it) each of the k argmax
+    # jobs runs as one exchange-free in-place aggregate — the broadcast
+    # anti-join above it preserves the layout. The covered-set distinct
+    # is the only per-round shuffle left, and it is bounded by the
+    # broadcast cap below.
+    dsh, _ = _pin_part(shingles(corpus, id_col, text_col, n, hashed=hashed),
+                       id_col)
     spark = corpus.sparkSession
     covered = None  # DataFrame["shingle"] of covered shingles
     picks = []

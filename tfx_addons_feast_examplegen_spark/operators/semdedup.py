@@ -212,6 +212,20 @@ def semantic_dedup(
         F.col("__vnorm").alias("vn"),
     ).alias("__sd")
     banded = scored.select(F.col("cluster"), payload)
+    # Guard the pair stage's PARALLELISM: AQE sizes the banded exchange
+    # by its input bytes (a few MB of vectors), blind to the quadratic
+    # within-cluster pair explode and the per-pair cosine that run in
+    # the join's OUTPUT stage — measured at sf0.1 it coalesced the
+    # whole verdict pipeline to ONE task and serialized ~2 s of cosine
+    # CPU on one core of 32. An explicit partition count (the session's
+    # shuffle-partitions scale knob, never a constant) is not
+    # AQE-coalescible, and the single exchange is still shared by both
+    # join sides (ReusedExchange), so no extra bytes move; parallelism
+    # is bounded by the distinct cluster count either way.
+    n_pair = int(
+        scored.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    banded = banded.repartition(n_pair, "cluster")
     cand = _bucket_pairs(
         banded,
         ["cluster"],
