@@ -41,6 +41,22 @@ def get_spark(app_name: str = "tfx_addons_feast_examplegen_spark") -> SparkSessi
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by their BYTES, blind to
+        # downstream compute density: with the default 1 MB floor, a
+        # few-MB shuffle feeding a quadratic pair explode + per-pair
+        # cosine/hamming work coalesces to 1-2 tasks and serializes
+        # seconds of CPU on one core (measured on the dedup/semdedup
+        # pair stages at sf0.1: simhash 2.1 -> 1.4 s, split_leakage
+        # 2.6 -> 2.3 s, ann_lsh 2.1 -> 1.5 s with a 64k floor). At
+        # corpus scale partitions are far above 1 MB, so the lower
+        # floor is inert there — it only stops over-coalescing of
+        # small-bytes/heavy-compute stages; the partition-count CAP is
+        # still spark.sql.shuffle.partitions (the scale knob above).
+        # Env-overridable for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
