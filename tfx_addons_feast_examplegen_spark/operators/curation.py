@@ -761,47 +761,74 @@ def greedy_max_coverage(
     (1-based), the marginal shingles each pick added, and the running
     covered-shingle total.
 
-    Plan shape: the distinct ``(doc, shingle)`` frame is built ONCE and
-    pinned hash-clustered on the doc id (:func:`.graph._pin_part` — the
-    k rounds reuse both the materialization AND the layout); each round
-    is one broadcast ANTI-join against the covered set (tiny: at most k
-    documents' shingles), one exchange-free in-place gain aggregate,
-    and a 1-ROW argmax collect — the only driver traffic is k
-    single-row parameters. ``hashed=True`` folds shingles
-    to xxhash64 longs for the 100 TB path (8-byte anti-join keys;
-    picks identical up to vanishing hash collisions).
+    Plan shape (r15): the distinct ``(doc, shingle)`` frame is built
+    and pinned in ONE shingle-sized shuffle — the explode (parallelized
+    by the usual tiny id rebalance) repartitions on the doc id and the
+    distinct aggregate runs IN PLACE on that exchange (hash(id)
+    clustering satisfies the (id, shingle) dedup requirement), with the
+    layout kept visible through the eager pin (:func:`.graph._pin_aqe`)
+    — where the previous spelling shuffled the exploded shingles twice
+    (``shingles()``'s own distinct, then the keyed re-pin) and paid a
+    sort no consumer needed (the loop runs hash aggregates and
+    broadcast joins, never a sort-merge join). Each greedy round is
+    then: the covered-shingle set rebuilt from the picked ids as one
+    broadcast subquery over the pinned frame (constant plan depth — no
+    growing union chain, no per-round checkpoint), one broadcast
+    ANTI-join + exchange-free in-place gain aggregate, and a 1-ROW
+    argmax collect. The old per-round covered count job is driver-side
+    arithmetic now: the covered total IS the running sum of gains
+    (each gain counts exactly the distinct shingles newly covered).
+    The only driver traffic is k single-row parameters.
+    ``hashed=True`` folds shingles to xxhash64 longs for the 100 TB
+    path (8-byte anti-join keys; picks identical up to vanishing hash
+    collisions).
 
     The covered set is "tiny" by construction, not by proof — k
     pathological documents could each carry millions of shingles — so
-    each round counts the checkpointed covered frame (O(1), it was
-    just materialized) and raises LOUD past ``max_covered_broadcast``
-    rows instead of silently broadcasting an executor-OOM (VERDICT r14
-    item 6; the repo's no-silent-caps convention). The default admits
-    ~40 MB of hashed keys; raise it, use ``hashed=True``, or shrink
-    ``k`` when tripped.
+    the loop raises LOUD once the running covered total passes
+    ``max_covered_broadcast`` rows instead of silently broadcasting
+    toward an executor OOM (VERDICT r14 item 6; the repo's
+    no-silent-caps convention). The default admits ~40 MB of hashed
+    keys; raise it, use ``hashed=True``, or shrink ``k`` when tripped.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    from .graph import _pin_part
+    from ..session import rebalance_for_compute
+    from .dedup import _grams_expr
+    from .graph import _pin_aqe
 
-    # Pinned hash-clustered on the DOC id (see graph._pin_part): the
-    # per-round gain aggregate groups by id, and with the layout visible
-    # (plain localCheckpoint under AQE hides it) each of the k argmax
-    # jobs runs as one exchange-free in-place aggregate — the broadcast
-    # anti-join above it preserves the layout. The covered-set distinct
-    # is the only per-round shuffle left, and it is bounded by the
-    # broadcast cap below.
-    dsh, _ = _pin_part(shingles(corpus, id_col, text_col, n, hashed=hashed),
-                       id_col)
     spark = corpus.sparkSession
-    covered = None  # DataFrame["shingle"] of covered shingles
+    # Same tokenization/fold as dedup.shingles (via the shared
+    # _grams_expr), re-spelled here so the DISTINCT and the keyed
+    # clustering share one exchange instead of shuffling the exploded
+    # shingles twice. The partition count is the session's shuffle-
+    # partitions scale knob (the semdedup pair-stage precedent): an
+    # explicit count is not AQE-coalescible, which is what keeps the
+    # pinned layout exact for the k rounds.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = rebalance_for_compute(corpus.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_grams_expr(text_col, n)).alias("shingle")
+    )
+    if hashed:
+        raw = raw.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    dsh = _pin_aqe(
+        raw.repartition(n_parts, F.col(id_col)).distinct(), n_parts
+    )
+    covered_total = 0
     picks = []
     for rank in range(1, k + 1):
         cand = dsh
-        if covered is not None:
-            cand = dsh.join(
-                F.broadcast(covered), "shingle", "left_anti"
+        if picks:
+            # covered = distinct shingles of every picked doc, rebuilt
+            # per round from the pinned frame (one cheap filtered scan
+            # + a small distinct bounded by the cap below): constant
+            # plan depth, no growing broadcast-union lineage.
+            covered = (
+                dsh.where(F.col(id_col).isin([p[1] for p in picks]))
+                .select("shingle")
+                .distinct()
             )
+            cand = dsh.join(F.broadcast(covered), "shingle", "left_anti")
         top = (
             cand.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("gain"))
@@ -812,16 +839,13 @@ def greedy_max_coverage(
         if not top or top[0]["gain"] == 0:
             break
         doc, gain = top[0][id_col], top[0]["gain"]
-        new_cov = dsh.where(F.col(id_col) == doc).select("shingle")
-        covered = (
-            new_cov
-            if covered is None
-            else covered.union(new_cov).distinct()
-        ).localCheckpoint()
-        n_covered = covered.count()  # O(1): counts the checkpoint blocks
-        if n_covered > max_covered_broadcast:
+        # gain counts exactly the distinct shingles this pick newly
+        # covers, so the running sum IS the covered-set size — the cap
+        # check needs no count job.
+        covered_total += gain
+        if covered_total > max_covered_broadcast:
             raise ValueError(
-                f"greedy_max_coverage: covered set reached {n_covered} "
+                f"greedy_max_coverage: covered set reached {covered_total} "
                 f"shingles after {rank} picks, past max_covered_broadcast="
                 f"{max_covered_broadcast} — broadcasting it would risk "
                 f"executor OOM; raise the cap, use hashed=True, or lower k"
