@@ -313,9 +313,15 @@ def hits(
         #
         # ``pin`` checkpoints the half-step result. Mid-loop frames
         # with a SINGLE consumer (the next half-step, in "end" mode)
-        # stay lazy: the next checkpoint computes both half-steps in
-        # one job, halving job-launch and materialization count while
-        # lineage stays bounded at two joins per checkpoint.
+        # stay lazy: the loop has NO driver-side decisions (fixed
+        # iteration count, unlike sssp/kcore's early-exit counts), so
+        # in "end" mode every mid-loop half-step is single-consumer
+        # and the whole 2x`iterations` join chain materializes in the
+        # two END pins — one job each, no per-iteration checkpoint
+        # writes of the O(|V|) score frame. Lineage stays bounded by
+        # the iteration parameter, and the per-half-step exchanges are
+        # unchanged (each groupBy still shuffles once; only the
+        # materializations between them are gone).
         # "per_iteration" mode pins every half-step as before — its
         # rescale reads the frame twice (norm + values), and an
         # unpinned frame would recompute the push per consumer.
@@ -336,7 +342,8 @@ def hits(
                       pin=every or last)
         if normalize == "per_iteration":
             auths = _rescale(auths, auth_col)
-        hubs = _push(auths, auth_col, e_d, "__d", "__s", hub_col, pin=True)
+        hubs = _push(auths, auth_col, e_d, "__d", "__s", hub_col,
+                     pin=every or last)
         if normalize == "per_iteration":
             hubs = _rescale(hubs, hub_col)
     # reattach the implicit zeros (nodes never reached by a push) and
