@@ -27,7 +27,7 @@ SURVEY.md §2.9 alongside graph_triangle_count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -616,12 +616,18 @@ def sssp(
         # ONE checkpoint per round (was two: improved, then the best
         # merge): the full-outer merge carries an __imp flag marking
         # strict improvements, so the merged frame serves all three
-        # per-round consumers — the early-exit count (a cheap scan of
-        # the just-materialized blocks), the next round's frontier
-        # (filter on the flag), and the running best (drop the flag).
-        # Values are identical to the two-step spelling: the least/
-        # coalesce merge of a non-improving candidate keeps the old
-        # dist, exactly what excluding it from `improved` produced.
+        # per-round consumers — the early-exit count, the next round's
+        # frontier (filter on the flag), and the running best (drop
+        # the flag). Values are identical to the two-step spelling:
+        # the least/coalesce merge of a non-improving candidate keeps
+        # the old dist, exactly what excluding it from `improved`
+        # produced. The early-exit count rides the checkpoint job
+        # itself as an Observation metric (one map-side sum collected
+        # by the materialization's listener) instead of a second
+        # per-round count job over the materialized blocks — with AQE
+        # off inside the pin job the CollectMetrics node cannot be
+        # pruned, and it passes partitioning through, so the loop's
+        # co-partitioned merges are unchanged.
         merged = (
             best.join(cand, node_col, "full_outer")
             .select(
@@ -639,8 +645,17 @@ def sssp(
                 ).alias("__imp"),
             )
         )
-        merged = _pin_aqe(merged, n_parts)
-        if merged.where(F.col("__imp")).count() == 0:
+        obs = Observation()
+        merged = _pin_aqe(
+            merged.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("__imp").cast("long")), F.lit(0)
+                ).alias("__n_imp"),
+            ),
+            n_parts,
+        )
+        if obs.get["__n_imp"] == 0:
             best = merged.drop("__imp")
             break
         best = merged.drop("__imp")
@@ -811,9 +826,21 @@ def kcore(
         # the returned frame — unpinned, the count job and the
         # semi-join job each re-ran the full degree aggregate over the
         # edge frame (two identical shuffles per round for one
-        # result). The count now scans the just-materialized blocks.
-        deg = _pin_aqe(deg, n_parts)
-        dropped = deg.where(F.col(degree_col) < k).count()
+        # result). The dropped count rides the pin job itself as an
+        # Observation metric (the sssp pattern: AQE is off inside the
+        # pin, so the CollectMetrics node cannot be pruned, and it
+        # passes partitioning through) — no separate count job.
+        obs = Observation()
+        deg = _pin_aqe(
+            deg.observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col(degree_col) < k).cast("long")), F.lit(0)
+                ).alias("__n_dropped"),
+            ),
+            n_parts,
+        )
+        dropped = obs.get["__n_dropped"]
         if dropped == 0:
             break
         alive = deg.where(F.col(degree_col) >= k).select(node_col)
