@@ -333,7 +333,11 @@ def hits(
         )
         return _pin_aqe(summed, n_parts) if pin else summed
 
-    hubs = _pin_aqe(nodes.withColumn(hub_col, F.lit(1.0)), n_parts)
+    # The all-ones init is a pure projection over the pinned node
+    # frame: it has ONE consumer (the first push) and Project passes
+    # the hash(node) layout through, so pinning it was a wasted
+    # materialization job — stay lazy.
+    hubs = nodes.withColumn(hub_col, F.lit(1.0))
     auths = None
     every = normalize == "per_iteration"
     for i in range(iterations):
