@@ -826,3 +826,24 @@ def test_degree_assortativity_directed_misuse_fails_loud(spark):
     )
     with _pytest.raises(SparkRuntimeException, match="SYMMETRIZED"):
         degree_assortativity(directed).collect()
+
+
+def test_observation_early_exit_identical_under_oversized_round_budget(spark):
+    # r15: the sssp/kcore early-exit counts ride their pin jobs as
+    # Observation metrics instead of separate count jobs. The exits
+    # must still fire at the true fixed point: a huge round budget
+    # must return exactly the converged answer (a broken metric would
+    # either spin extra no-op rounds — harmless but slow — or, worse,
+    # exit EARLY with unconverged distances/degrees).
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0)]
+    assert _sssp(spark, edges, ["a"], max_rounds=40) == _sssp(
+        spark, edges, ["a"], max_rounds=3
+    )
+
+    # triangle + pendant: one peel drops the pendant, the triangle is
+    # the fixed point — identical at the minimal and oversized budgets
+    tri = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+           ("a", "c"), ("c", "a"), ("c", "d"), ("d", "c")]
+    assert _kcore(spark, tri, k=2, max_rounds=40) == _kcore(
+        spark, tri, k=2, max_rounds=2
+    )
