@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf string ("10485760b", "10MB", "-1")
+    to bytes; bare numbers are bytes (Spark's own convention for these
+    confs)."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+    return int(s)
+
+
 def _pin_aqe(df: DataFrame, n_parts: int) -> DataFrame:
     """Eagerly pin ``df`` (localCheckpoint) with its physical layout
     VISIBLE to downstream plans, at the loop's common partition count.
@@ -68,9 +81,24 @@ def _pin_aqe(df: DataFrame, n_parts: int) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
-def _pin_part(df: DataFrame, key: str) -> tuple[DataFrame, int]:
+def _pin_part(
+    df: DataFrame, key: str, *, compute_dense: bool = False
+) -> tuple[DataFrame, int]:
     """Pin a loop's EDGE frame hash-clustered + sorted on ``key`` and
     derive the loop's shared partition count from its actual size.
+
+    ``compute_dense=True`` additionally floors the count at the
+    session's shuffle-partitions scale knob, for loops whose per-round
+    jobs re-PROCESS the whole pinned O(|E|) frame (kcore's semi-join
+    peels: every round filters and re-aggregates the full edge frame,
+    so a bytes-sized narrow layout serializes that compute — measured
+    at sf0.1, counterbalanced: kcore 2.91 s narrow vs 2.57 s floored).
+    Loops that move only O(|V|)/frontier state per round (sssp,
+    pagerank, hits) keep the default narrow layout — for them the
+    floor only multiplies per-stage task overhead (sssp measured
+    2.48 s narrow vs 3.19 s floored). At corpus scale the AQE-derived
+    count is far above the knob either way, so the flag is inert
+    there.
 
     Two-step: first a plain AQE-on checkpoint — AQE's partition
     coalescing sizes the materialization to the data, so its partition
@@ -79,9 +107,37 @@ def _pin_part(df: DataFrame, key: str) -> tuple[DataFrame, int]:
     that count + in-partition sort + :func:`_pin_aqe`. Downstream
     sort-merge joins on ``key`` then skip both the exchange AND the
     sort on this side, every round. Returns ``(pinned, n_parts)``.
+
+    The pre-checkpoint job scopes the session's
+    ``coalescePartitions.minPartitionSize`` back up to the ADVISORY
+    partition size: the session lowers that floor to 64k so that
+    small-bytes/compute-DENSE SQL stages (the dedup pair explodes)
+    keep their cores, but deriving a loop's layout count from a
+    floor-inflated materialization hands every pinned round tens of
+    near-empty partitions — measured on graph_hits at sf0.1 the loop
+    ran 4.5 s with the floored count vs 2.6 s with the advisory-sized
+    one (the ~20 loop stages pay per-task scheduling, and with AQE off
+    inside the pin jobs nothing re-coalesces them). Loop rounds are
+    shuffle-dominated, not per-row-compute-dominated, so the advisory
+    target is the right sizing; at corpus scale both derivations give
+    thousands of partitions and the scoping is inert.
     """
-    pre = df.localCheckpoint()
+    spark = df.sparkSession
+    floor_key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    advisory = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    prev_floor = spark.conf.get(floor_key)
+    spark.conf.set(floor_key, advisory)
+    try:
+        pre = df.localCheckpoint()
+    finally:
+        spark.conf.set(floor_key, prev_floor)
     n_parts = max(1, pre.rdd.getNumPartitions())
+    if compute_dense:
+        n_parts = max(
+            n_parts, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
     pinned = _pin_aqe(
         pre.repartition(n_parts, F.col(key)).sortWithinPartitions(key),
         n_parts,
@@ -269,23 +325,45 @@ def hits(
         .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
         .distinct()
     )
-    # TWO directional pinned copies of the edge frame (see _pin_part),
-    # exchanged + sorted once each: the loop alternates its join key
-    # between __s and __d, so with the layout pinned per direction the
-    # O(|E|) frame is never re-exchanged OR re-sorted inside the loop —
-    # every half-step moves only the O(|V|) score frame (2 x iterations
-    # edge exchanges removed). All loop frames share n_parts, so the
-    # score-frame joins are co-partitioned merges too.
+    # The edge frame is pinned ONCE, hash-clustered + sorted on __s
+    # (see _pin_part) — every half-step re-reads this materialization.
     e_s, n_parts = _pin_part(base, "__s")
-    e_d = _pin_aqe(
-        e_s.repartition(n_parts, F.col("__d")).sortWithinPartitions("__d"),
-        n_parts,
-    )
     nodes = _pin_aqe(
         e_s.select(F.col("__s").alias(node_col))
         .union(e_s.select(F.col("__d").alias(node_col)))
         .distinct(),
         n_parts,
+    )
+    # Measured auto-strategy for the half-step join (the pit_join
+    # precedent; guide §3 "broadcast the side that fits"): the score
+    # frame is O(|V|) rows of (id, double). When that provably fits
+    # the session's broadcast threshold, each half-step joins the edge
+    # frame against a BROADCAST of the scores — no sort, no exchange
+    # on either side, and the second directional edge copy is never
+    # built (its only purpose is giving the __d-keyed sort-merge join
+    # a pinned layout). Past the threshold — the 100 TB regime, where
+    # an O(|V|) broadcast would OOM the executors — the loop uses the
+    # co-partitioned SMJ shape: a second pinned copy sorted on __d, so
+    # the O(|E|) frame is never re-exchanged OR re-sorted inside the
+    # loop and every half-step moves only the score frame. Strategy
+    # changes the physical join only; the summed scores are identical.
+    # 64 bytes/row is a deliberate over-estimate of (id + double +
+    # row overhead), and the count is a 1-row scalar off the pinned
+    # frame (parameters, not data).
+    n_nodes = nodes.count()
+    bcast_thresh = _size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    bcast_scores = bcast_thresh > 0 and n_nodes * 64 <= bcast_thresh
+    e_d = (
+        e_s
+        if bcast_scores
+        else _pin_aqe(
+            e_s.repartition(n_parts, F.col("__d")).sortWithinPartitions(
+                "__d"
+            ),
+            n_parts,
+        )
     )
 
     def _rescale(scores: DataFrame, col: str) -> DataFrame:
@@ -325,8 +403,9 @@ def hits(
         # "per_iteration" mode pins every half-step as before — its
         # rescale reads the frame twice (norm + values), and an
         # unpinned frame would recompute the push per consumer.
+        s = F.broadcast(scores) if bcast_scores else scores
         summed = (
-            ef.join(scores, ef[edge_from] == scores[node_col])
+            ef.join(s, ef[edge_from] == s[node_col])
             .groupBy(edge_to)
             .agg(F.sum(col).alias(out))
             .withColumnRenamed(edge_to, node_col)
@@ -820,7 +899,10 @@ def kcore(
     # the initial degree aggregate and the first peel's __s semi-join
     # cluster on it with no exchange of their own, and every loop frame
     # shares n_parts so the alive semi-joins stay co-partitioned.
-    e, n_parts = _pin_part(e, "__s")
+    # compute_dense: every peel round re-filters and re-aggregates the
+    # FULL pinned edge frame, so the loop keeps the session's
+    # parallelism floor (see _pin_part; measured 2.91 -> 2.57 s).
+    e, n_parts = _pin_part(e, "__s", compute_dense=True)
     deg = e.groupBy(F.col("__s").alias(node_col)).agg(
         F.count(F.lit(1)).alias(degree_col)
     )
