@@ -686,9 +686,31 @@ def sssp(
         n_parts,
     )
     frontier = best
+    # Measured broadcast rule for the frontier side (the hits phase-4
+    # auto-strategy): the previous round's Observation improvement
+    # count IS the next frontier's exact row count, so the size test
+    # is free — a frontier provably under the session broadcast
+    # threshold is broadcast (the edge frame then streams in place:
+    # no exchange, no sorts on either side), anything bigger keeps the
+    # co-partitioned merge. Round 1's frontier (the seed set) has no
+    # prior count and uses the merge path. Physical strategy only —
+    # the relaxed distances are identical.
+    bcast_thresh = _size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    frontier_rows = None
     for _ in range(max_rounds):
+        f = (
+            F.broadcast(frontier)
+            if (
+                frontier_rows is not None
+                and bcast_thresh > 0
+                and frontier_rows * 64 <= bcast_thresh
+            )
+            else frontier
+        )
         cand = (
-            frontier.join(e, frontier[node_col] == e["__s"])
+            f.join(e, f[node_col] == e["__s"])
             .select(
                 F.col("__d").alias(node_col),
                 (F.col(dist_col) + F.col("__w")).alias("__nd"),
@@ -738,11 +760,13 @@ def sssp(
             ),
             n_parts,
         )
-        if obs.get["__n_imp"] == 0:
+        n_imp = obs.get["__n_imp"]
+        if n_imp == 0:
             best = merged.drop("__imp")
             break
         best = merged.drop("__imp")
         frontier = merged.where(F.col("__imp")).select(node_col, dist_col)
+        frontier_rows = n_imp  # exact: the flag filter keeps n_imp rows
     return best
 
 
@@ -903,6 +927,9 @@ def kcore(
     # FULL pinned edge frame, so the loop keeps the session's
     # parallelism floor (see _pin_part; measured 2.91 -> 2.57 s).
     e, n_parts = _pin_part(e, "__s", compute_dense=True)
+    bcast_thresh = _size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
     deg = e.groupBy(F.col("__s").alias(node_col)).agg(
         F.count(F.lit(1)).alias(degree_col)
     )
@@ -923,20 +950,36 @@ def kcore(
                 F.coalesce(
                     F.sum((F.col(degree_col) < k).cast("long")), F.lit(0)
                 ).alias("__n_dropped"),
+                F.count(F.lit(1)).alias("__n_total"),
             ),
             n_parts,
         )
-        dropped = obs.get["__n_dropped"]
+        metrics = obs.get
+        dropped = metrics["__n_dropped"]
         if dropped == 0:
             break
         alive = deg.where(F.col(degree_col) >= k).select(node_col)
+        # The alive set's exact row count is free off the same
+        # Observation (total - dropped), so the semi-joins take the
+        # measured broadcast rule (the hits phase-4 auto-strategy): an
+        # alive set provably under the session broadcast threshold is
+        # broadcast into BOTH semi-joins — the edge frame then streams
+        # in place with no exchange on either side (the __d semi would
+        # otherwise re-key it every peel). Past the threshold the
+        # merge path stands. Survivors are identical either way.
+        alive_rows = metrics["__n_total"] - dropped
+        a = (
+            F.broadcast(alive)
+            if bcast_thresh > 0 and alive_rows * 64 <= bcast_thresh
+            else alive
+        )
         # __d semi first, __s semi last: the surviving frame then pins
         # hash-clustered on __s, so the rebuilt degree aggregate below
         # needs no exchange at all (and the alive side is already
         # clustered on node from the pinned deg frame).
         e = _pin_aqe(
-            e.join(alive, e["__d"] == alive[node_col], "left_semi")
-            .join(alive, F.col("__s") == alive[node_col], "left_semi"),
+            e.join(a, e["__d"] == a[node_col], "left_semi")
+            .join(a, F.col("__s") == a[node_col], "left_semi"),
             n_parts,
         )
         deg = e.groupBy(F.col("__s").alias(node_col)).agg(
