@@ -420,7 +420,12 @@ def main() -> None:
     # ambient load; the recorded per-pass load averages make the floors
     # auditable from the JSON alone.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "7"))
-    cpus = os.cpu_count() or 1
+    # The EFFECTIVE core count: the driver re-runs the bench at a lower
+    # $SPARK_GRAFT_CPUS (master local[N]) to measure scaling, and both
+    # the reported "cpus" field and the load gate must reflect that
+    # setting — reporting os.cpu_count() here made the driver's scaling
+    # check misfire (VERDICT r15 item 2: suspect_cpus_ignored).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
     timings, spread, pass_loads, floor_loads = _floor_timings(
         qs, names, spark, sf_dir, n_passes, cpus, stepper=stepper
     )
