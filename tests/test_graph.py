@@ -847,3 +847,194 @@ def test_observation_early_exit_identical_under_oversized_round_budget(spark):
     assert _kcore(spark, tri, k=2, max_rounds=40) == _kcore(
         spark, tri, k=2, max_rounds=2
     )
+
+
+def test_smj_path_equals_broadcast_path(spark):
+    # ADVICE r15 (low): the non-broadcast (100 TB / co-partitioned SMJ)
+    # loop branches were dead at test scale — every score/frontier/
+    # alive/label/rank frame fits the 10 MB default threshold. Disable
+    # auto-broadcast (the test_bucketing precedent) so the measured
+    # gates all take the merge path, and assert outputs are identical
+    # to the broadcast-path outputs for every loop operator.
+    import random
+
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        bfs_levels,
+        hits,
+        kcore,
+        label_propagation,
+        personalized_pagerank,
+        sssp,
+    )
+
+    rng = random.Random(7)
+    edges = list({
+        (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+        for _ in range(120)
+    })
+    e = spark.createDataFrame(edges, "src: string, dst: string")
+    ew = spark.createDataFrame(
+        [(a, b, float((i % 5) + 1)) for i, (a, b) in enumerate(edges)],
+        "src: string, dst: string, weight: double",
+    )
+    seeds = spark.createDataFrame([("n1",), ("n2",)], "node: string")
+
+    def run_all():
+        return {
+            "pagerank": sorted(
+                (r["node"], round(r["rank"], 9))
+                for r in pagerank(e, iterations=3).collect()
+            ),
+            "hits": sorted(
+                (r["node"], round(r["hub"], 9), round(r["authority"], 9))
+                for r in hits(e, iterations=2).collect()
+            ),
+            "sssp": sorted(
+                (r["node"], r["dist"])
+                for r in sssp(ew, seeds, max_rounds=4).collect()
+            ),
+            "kcore": sorted(
+                (r["node"], r["degree"])
+                for r in kcore(e, k=2, max_rounds=4).collect()
+            ),
+            "bfs": sorted(
+                (r["node"], r["level"])
+                for r in bfs_levels(e, seeds, max_hops=4).collect()
+            ),
+            "lpa": sorted(
+                (r["node"], r["label"])
+                for r in label_propagation(e, iterations=2).collect()
+            ),
+            "ppr": sorted(
+                (r["node"], round(r["rank"], 9))
+                for r in personalized_pagerank(
+                    e, seeds, iterations=3
+                ).collect()
+            ),
+        }
+
+    broadcast_out = run_all()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merge_out = run_all()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert merge_out == broadcast_out
+
+
+def test_wide_string_ids_disable_broadcast_gate(spark):
+    # ADVICE r15 (medium): F.broadcast is an unconditional hint, so the
+    # measured gate must incorporate the OBSERVED id width — with wide
+    # string ids, a row count that would fit at 64 B/row must refuse to
+    # broadcast once the measured width pushes it past the threshold.
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        _bcast_fits,
+        _count_and_width,
+        _id_width_static,
+        _WIDTH_MEASURE,
+    )
+
+    wide = spark.createDataFrame(
+        [("x" * 5000, 1.0), ("y" * 5000, 2.0)], "node: string, rank: double"
+    )
+    assert _id_width_static(wide, "node") == _WIDTH_MEASURE
+    n, w = _count_and_width(wide, "node")
+    assert n == 2 and w == 5000
+    # 2 rows * 64 B would "fit" a 1 KB threshold; 2 * (64 + 5000) must not
+    assert _bcast_fits(2, 1024, 0)
+    assert not _bcast_fits(2, 1024, w)
+    # un-sizable id types and unknown counts never broadcast
+    assert not _bcast_fits(2, 1024, None)
+    assert not _bcast_fits(None, 1 << 30, 0)
+    # numeric ids stay covered by the 64 B/row over-estimate, no extra job
+    nums = spark.createDataFrame([(1, 1.0)], "node: bigint, rank: double")
+    assert _id_width_static(nums, "node") == 0
+
+
+def test_size_bytes_suffixes_and_unparseable():
+    # ADVICE r15 (low): petabyte suffix parses; garbage degrades to
+    # "broadcast disabled" (0) instead of crashing the operator.
+    from tfx_addons_feast_examplegen_spark.operators.graph import _size_bytes
+
+    assert _size_bytes("10485760b") == 10 << 20
+    assert _size_bytes("10MB") == 10 << 20
+    assert _size_bytes("1pb") == 1 << 50
+    assert _size_bytes("1p") == 1 << 50
+    assert _size_bytes("-1") == -1
+    assert _size_bytes("not-a-size") == 0
+    assert _size_bytes("") == 0
+
+
+def test_reliable_loop_checkpoints_flag(spark, tmp_path):
+    # VERDICT r15 item 10: the escape hatch routes loop pins to
+    # reliable checkpoint() storage (fault-tolerant at 100 TB) without
+    # changing a single result; default off keeps localCheckpoint.
+    from tfx_addons_feast_examplegen_spark.operators.graph import sssp
+
+    ew = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0)],
+        "src: string, dst: string, weight: double",
+    )
+    seeds = spark.createDataFrame([("a",)], "node: string")
+    base = sorted(
+        (r["node"], r["dist"]) for r in sssp(ew, seeds, max_rounds=3).collect()
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        spark.conf.set("spark.graft.graph.reliableLoopCheckpoints", "true")
+        reliable = sorted(
+            (r["node"], r["dist"])
+            for r in sssp(ew, seeds, max_rounds=3).collect()
+        )
+    finally:
+        spark.conf.unset("spark.graft.graph.reliableLoopCheckpoints")
+    assert reliable == base == [("a", 0.0), ("b", 1.0), ("c", 3.0)]
+
+
+def test_pre_collapsed_certificates_identity(spark):
+    # r16 certificates: on already-collapsed inputs the certified call
+    # must return exactly what the uncertified call returns.
+    from tfx_addons_feast_examplegen_spark.operators.graph import (
+        bfs_levels,
+        label_propagation,
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")],
+        "src: string, dst: string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node: string")
+    assert sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(e, iterations=3, pre_collapsed=True).collect()
+    ) == sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(e, iterations=3).collect()
+    )
+    assert sorted(
+        (r["node"], r["level"])
+        for r in bfs_levels(e, seeds, max_hops=3, pre_distinct=True).collect()
+    ) == sorted(
+        (r["node"], r["level"])
+        for r in bfs_levels(e, seeds, max_hops=3).collect()
+    )
+    assert sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(
+            e, iterations=2, pre_collapsed=True
+        ).collect()
+    ) == sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(e, iterations=2).collect()
+    )
+    assert sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in personalized_pagerank(
+            e, seeds, iterations=3, pre_distinct=True
+        ).collect()
+    ) == sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in personalized_pagerank(e, seeds, iterations=3).collect()
+    )

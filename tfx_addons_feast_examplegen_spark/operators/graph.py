@@ -27,21 +27,116 @@ SURVEY.md §2.9 alongside graph_triangle_count.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_SIZE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10,
+    "m": 1 << 20,
+    "g": 1 << 30,
+    "t": 1 << 40,
+    "p": 1 << 50,
+}
 
 
 def _size_bytes(v: str) -> int:
     """Parse a Spark byte-size conf string ("10485760b", "10MB", "-1")
     to bytes; bare numbers are bytes (Spark's own convention for these
-    confs)."""
-    s = str(v).strip().lower().removesuffix("b")
-    if s and s[-1] in _SIZE_SUFFIX:
-        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
-    return int(s)
+    confs). Unparseable values return 0 — callers treat <= 0 as
+    "broadcast disabled", so a conf this parser doesn't understand
+    degrades to the always-correct merge path instead of crashing the
+    operator (ADVICE r15)."""
+    try:
+        s = str(v).strip().lower().removesuffix("b")
+        if s and s[-1] in _SIZE_SUFFIX:
+            return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+        return int(s)
+    except ValueError:
+        return 0
+
+
+# Per-row OVERHEAD over-estimate for the measured broadcast rule: row
+# object + an id of up to 8 fixed-width bytes + a numeric payload
+# (double score / int level) + broadcast hash-relation slack.
+_BCAST_ROW_BYTES = 64
+
+
+_WIDTH_MEASURE = -1
+
+
+def _id_width_static(df: DataFrame, col: str) -> int | None:
+    """Classify an id column for the measured broadcast rule's
+    width-aware sizing (ADVICE r15 medium).
+
+    Node ids are caller data: fixed-width numerics are covered by the
+    ``_BCAST_ROW_BYTES`` over-estimate (returns 0), but string ids
+    (web-graph URLs in this domain) are arbitrary-width, and assuming
+    a constant would UNDER-estimate — ``F.broadcast`` is an
+    unconditional hint Spark honors regardless of actual size, so with
+    wide ids and a raised threshold a multi-GB frame could be
+    force-broadcast into an OOM. String/binary ids return
+    ``_WIDTH_MEASURE``: the caller rides ``max(octet_length(id))`` on
+    an aggregate it ALREADY runs (the node-count job, or a loop pin's
+    Observation) — never a dedicated scan, which at corpus scale would
+    be a full O(|E|) pass. Exotic id types (structs, arrays) return
+    ``None``: the broadcast gate is disabled and the always-correct
+    co-partitioned merge stands.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (NumericType, BooleanType, DateType, TimestampType)):
+        return 0
+    if isinstance(dt, (StringType, BinaryType)):
+        return _WIDTH_MEASURE
+    return None
+
+
+def _count_and_width(df: DataFrame, col: str) -> tuple[int, int | None]:
+    """Row count of ``df`` plus the broadcast-sizing width of ``col``
+    in ONE job: for variable-width id types the max octet width rides
+    the same aggregate as the count (a measured over-estimate, per the
+    "provably fits" convention); fixed-width types keep the plain
+    ``count()``. Width ``None`` = un-sizable type, broadcast disabled.
+    """
+    w = _id_width_static(df, col)
+    if w != _WIDTH_MEASURE:
+        return df.count(), w
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.octet_length(F.col(col))).alias("__w"),
+    ).first()
+    return int(row["__n"]), int(row["__w"] or 0)
+
+
+def _bcast_fits(n_rows: int | None, threshold: int, width: int | None) -> bool:
+    """The measured broadcast gate: ``n_rows`` provably under the
+    session broadcast threshold at ``_BCAST_ROW_BYTES + width`` bytes
+    per row. ``None`` rows (no count yet) or ``None`` width (un-sized
+    id type) never broadcast — the merge path is always correct."""
+    return (
+        n_rows is not None
+        and width is not None
+        and threshold > 0
+        and n_rows * (_BCAST_ROW_BYTES + width) <= threshold
+    )
+
+
+# Serializes concurrent pins from multiple driver threads (the conf
+# flips below are session-global). See _pin_aqe's docstring for the
+# single-writer constraint this cannot lift.
+_PIN_CONF_LOCK = threading.RLock()
 
 
 def _pin_aqe(df: DataFrame, n_parts: int) -> DataFrame:
@@ -68,17 +163,49 @@ def _pin_aqe(df: DataFrame, n_parts: int) -> DataFrame:
     holds. What the loop gives up is AQE's runtime skew-splitting INSIDE
     the pinned jobs — which it could not apply against a fixed RDD
     layout on the other join side anyway.
+
+    CONCURRENCY (VERDICT r15 item 8): the conf flips are SESSION-global
+    runtime confs — there is no narrower scope Spark offers for them
+    (``localCheckpoint`` plans against the DataFrame's own session, so
+    a cloned session cannot carry the flip). ``_PIN_CONF_LOCK``
+    serializes pins from multiple driver threads, but an UNRELATED
+    query planned on the same session while a pin job runs still
+    observes AQE off and the loop's partition count. Single-writer
+    constraint: do not plan other queries on a session while a graph
+    loop is running on it — at cluster scale give iterative graph jobs
+    their own session/application (standard practice for Pregel-style
+    workloads).
+
+    FAULT TOLERANCE (VERDICT r15 item 10): ``localCheckpoint`` stores
+    the pinned blocks on executors — an executor loss mid-loop kills
+    the lineage-truncated frame (guide §5). For fault-tolerant runs set
+    ``spark.graft.graph.reliableLoopCheckpoints=true`` AND a
+    ``SparkContext.setCheckpointDir`` path on reliable storage: pins
+    then route to reliable ``checkpoint()`` (same LogicalRDD layout
+    recording, same plan shapes — blocks live in the checkpoint dir and
+    survive executor loss, at the cost of writing each pin to storage).
+    Default off: the local harness and non-critical runs keep the
+    cheaper executor-memory pins.
     """
     spark = df.sparkSession
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
-        return df.localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    reliable = (
+        str(
+            spark.conf.get(
+                "spark.graft.graph.reliableLoopCheckpoints", "false"
+            )
+        ).lower()
+        == "true"
+    )
+    with _PIN_CONF_LOCK:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            return df.checkpoint() if reliable else df.localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def _pin_part(
@@ -122,27 +249,47 @@ def _pin_part(
     target is the right sizing; at corpus scale both derivations give
     thousands of partitions and the scoping is inert.
     """
-    spark = df.sparkSession
-    floor_key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    advisory = spark.conf.get(
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
-    )
-    prev_floor = spark.conf.get(floor_key)
-    spark.conf.set(floor_key, advisory)
-    try:
-        pre = df.localCheckpoint()
-    finally:
-        spark.conf.set(floor_key, prev_floor)
-    n_parts = max(1, pre.rdd.getNumPartitions())
-    if compute_dense:
-        n_parts = max(
-            n_parts, int(spark.conf.get("spark.sql.shuffle.partitions"))
-        )
+    pre, n_parts = _presize(df, compute_dense=compute_dense)
     pinned = _pin_aqe(
         pre.repartition(n_parts, F.col(key)).sortWithinPartitions(key),
         n_parts,
     )
     return pinned, n_parts
+
+
+def _presize(
+    df: DataFrame, *, compute_dense: bool = False
+) -> tuple[DataFrame, int]:
+    """The sizing half of :func:`_pin_part`: a plain AQE-on checkpoint
+    whose coalesced partition count is the loop's data-adaptive
+    partition count. Returns ``(pre, n_parts)`` — callers that need a
+    custom keyed layout (e.g. pagerank's shared edge+degree exchange)
+    build it over ``pre`` themselves."""
+    spark = df.sparkSession
+    floor_key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    advisory = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    with _PIN_CONF_LOCK:
+        prev_floor = spark.conf.get(floor_key)
+        spark.conf.set(floor_key, advisory)
+        try:
+            pre = df.localCheckpoint()
+        finally:
+            spark.conf.set(floor_key, prev_floor)
+    # Floor 2, not 1 (r16 probe): a 1-partition keyed repartition is
+    # recorded as SinglePartition, not HashPartitioning(key, 1), and
+    # Spark 4.1's AQE-off planner re-exchanges SinglePartition join
+    # sides to hashpartitioning(key, 1) in outer-join rounds — tiny
+    # frames, but one needless exchange+sort per loop round. Two
+    # partitions always record a real hash layout; inert at any scale
+    # where the frame occupies >= 2 advisory-sized partitions.
+    n_parts = max(2, pre.rdd.getNumPartitions())
+    if compute_dense:
+        n_parts = max(
+            n_parts, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+    return pre, n_parts
 
 
 def pagerank(
@@ -155,6 +302,7 @@ def pagerank(
     damping: float = 0.85,
     node_col: str = "node",
     rank_col: str = "rank",
+    pre_collapsed: bool = False,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges[(src, dst)]``.
 
@@ -172,6 +320,14 @@ def pagerank(
     count toward the split). With all-1 weights the arithmetic is
     bit-identical to the unweighted path (multiply by 1.0, divide by
     the same count), so the two variants are one code path.
+
+    ``pre_collapsed=True`` is the caller's certificate that parallel
+    ``(src, dst)`` edges are already collapsed or absent (e.g. the
+    feeding query unioned DISTINCT/pre-aggregated pairs over disjoint
+    key spaces — the :func:`sssp`/:func:`kcore` certificate, ported
+    r16): distinct of a distinct frame — and sum over singleton
+    groups — are identities, so skipping the re-collapse removes one
+    full exchange of the edge frame without changing a single rank.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0: {iterations}")
@@ -179,33 +335,39 @@ def pagerank(
         raise ValueError(f"damping must be in [0, 1]: {damping}")
 
     if weight_col is None:
-        e = (
-            edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-            .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
-            .distinct()
-            .withColumn("__w", F.lit(1.0))
-        )
+        e = edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d")
+        ).where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        if not pre_collapsed:
+            e = e.distinct()
+        e = e.withColumn("__w", F.lit(1.0))
     else:
-        e = (
-            edges.select(
-                F.col(src).alias("__s"),
-                F.col(dst).alias("__d"),
-                F.col(weight_col).cast("double").alias("__w"),
-            )
-            .where(
-                F.col("__s").isNotNull()
-                & F.col("__d").isNotNull()
-                & (F.col("__w") > 0.0)
-            )
-            .groupBy("__s", "__d")
-            .agg(F.sum("__w").alias("__w"))
+        e = edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            F.col(weight_col).cast("double").alias("__w"),
+        ).where(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & (F.col("__w") > 0.0)
         )
-    deg = e.groupBy("__s").agg(F.sum("__w").alias("__deg"))
-    # (src, dst, w, out-weight-sum) pinned once, hash-clustered + sorted
-    # on the per-iteration join key (see _pin_part); every iteration
-    # re-reads this materialized frame instead of re-running the
-    # distinct+degree jobs, and never re-exchanges it.
-    edges_deg, n_parts = _pin_part(e.join(deg, "__s"), "__s")
+        if not pre_collapsed:
+            e = e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w"))
+    # (src, dst, w, out-weight-sum) pinned once, hash-clustered +
+    # sorted on the per-iteration join key; every iteration re-reads
+    # this materialized frame and never re-exchanges it. Build shape
+    # (r16): the degree aggregate and the deg-attach join both consume
+    # ONE keyed repartition of the presized frame — the old
+    # `_pin_part(e.join(e.groupBy(...)))` spelling computed the lazy
+    # edge pipeline TWICE (the two consumers project different columns,
+    # so their exchanges don't canonicalize equal and nothing is
+    # reused) and then re-exchanged the joined frame a third time.
+    pre, n_parts = _presize(e)
+    keyed = pre.repartition(n_parts, F.col("__s"))
+    deg = keyed.groupBy("__s").agg(F.sum("__w").alias("__deg"))
+    edges_deg = _pin_aqe(
+        keyed.join(deg, "__s").sortWithinPartitions("__s"), n_parts
+    )
     # Node universe derived from the PINNED frame (the edge pipeline
     # used to run twice more just to list nodes), co-partitioned with
     # the loop's rank frames.
@@ -215,7 +377,8 @@ def pagerank(
         .distinct(),
         n_parts,
     )
-    n = nodes.count()
+    # node count + measured id width in ONE job (see _count_and_width)
+    n, id_w = _count_and_width(nodes, node_col)
     if n == 0:
         return nodes.withColumn(rank_col, F.lit(0.0))
 
@@ -225,20 +388,62 @@ def pagerank(
     # inside the loop, and since neither `deg` nor `e` is pinned, every
     # iteration re-ran the full edge pipeline (scan + distinct +
     # aggregate) just to rebuild the same set — at corpus scale, one
-    # full input scan per iteration for a constant.
-    dang = _pin_aqe(
-        nodes.join(
-            edges_deg.select("__s"),
-            nodes[node_col] == F.col("__s"),
-            "left_anti",
-        ),
-        n_parts,
-    )
+    # full input scan per iteration for a constant. The set rides the
+    # rank frames as a boolean column (r16): the per-iteration dangling
+    # MASS is then a map-side Observation sum on the pin job that
+    # materializes each rank frame anyway — the separate per-iteration
+    # dangling-aggregate job (a broadcast build scanning the O(|V|)
+    # rank frame) is gone, and the mass reaches the next update as a
+    # plan literal (a parameter, not data; the sssp early-exit
+    # pattern). Same double arithmetic: one two-level sum of the same
+    # rank values either way.
+    # distinct sources run IN PLACE on the pinned hash(__s) layout (no
+    # exchange); the left join is co-partitioned with the pinned nodes
+    # and matches at most once per node — no row duplication.
+    has_out = edges_deg.select("__s").distinct()
+    flagged = nodes.join(
+        has_out, nodes[node_col] == has_out["__s"], "left"
+    ).select(nodes[node_col], has_out["__s"].isNull().alias("__dang"))
 
-    ranks = _pin_aqe(nodes.withColumn(rank_col, F.lit(1.0 / n)), n_parts)
+    # Measured broadcast rule for the contribs join (VERDICT r15 item
+    # 6, the hits phase-4 precedent): the rank frame is O(|V|) rows of
+    # (id, double). When it provably fits the session broadcast
+    # threshold (width-aware — see _bcast_fits), each iteration joins
+    # the pinned edge frame against a BROADCAST of the ranks: no sort,
+    # no exchange on either side. Past the threshold — the 100 TB
+    # regime, where an O(|V|) broadcast would OOM — the co-partitioned
+    # merge stands. Physical strategy only; the summed contributions
+    # are identical.
+    bcast_thresh = _size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    bcast_ranks = _bcast_fits(n, bcast_thresh, id_w)
+
+    def _pin_with_dmass(df: DataFrame) -> tuple[DataFrame, float]:
+        obs = Observation()
+        pinned = _pin_aqe(
+            df.observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__dang"), F.col(rank_col)).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias("__dmass"),
+            ),
+            n_parts,
+        )
+        return pinned, float(obs.get["__dmass"])
+
+    ranks, dmass = _pin_with_dmass(
+        flagged.withColumn(rank_col, F.lit(1.0 / n))
+    )
     for _ in range(iterations):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = (
-            edges_deg.join(ranks, edges_deg["__s"] == ranks[node_col])
+            edges_deg.join(r, edges_deg["__s"] == r[node_col])
             .groupBy("__d")
             .agg(
                 F.sum(
@@ -246,30 +451,23 @@ def pagerank(
                 ).alias("__contrib")
             )
         )
-        # mass parked on dangling nodes (rank rows with no out-edges);
-        # a 1-row aggregate attached by broadcast — never a collect.
-        # Same row set as the old anti-join spelling, via the pinned set.
-        dangling = (
-            ranks.join(dang, node_col, "left_semi")
-            .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dmass"))
-        )
-        ranks = _pin_aqe(
-            nodes.join(contribs, nodes[node_col] == contribs["__d"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                nodes[node_col],
+        ranks, dmass = _pin_with_dmass(
+            ranks.join(
+                contribs, ranks[node_col] == contribs["__d"], "left"
+            ).select(
+                ranks[node_col],
+                ranks["__dang"],
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__contrib"), F.lit(0.0))
-                        + F.col("__dmass") / F.lit(float(n))
+                        + F.lit(dmass) / F.lit(float(n))
                     )
                 ).alias(rank_col),
-            ),
-            n_parts,
+            )
         )
-    return ranks
+    return ranks.select(node_col, rank_col)
 
 
 def hits(
@@ -347,14 +545,16 @@ def hits(
     # the O(|E|) frame is never re-exchanged OR re-sorted inside the
     # loop and every half-step moves only the score frame. Strategy
     # changes the physical join only; the summed scores are identical.
-    # 64 bytes/row is a deliberate over-estimate of (id + double +
-    # row overhead), and the count is a 1-row scalar off the pinned
-    # frame (parameters, not data).
-    n_nodes = nodes.count()
+    # Row sizing is width-aware (see _count_and_width/_bcast_fits):
+    # 64 B/row over-estimates (fixed-width id + double + row overhead),
+    # and variable-width ids add their observed max octet width, riding
+    # the SAME 1-row count job off the pinned frame (parameters, not
+    # data — no extra job, no extra pass).
+    n_nodes, id_w = _count_and_width(nodes, node_col)
     bcast_thresh = _size_bytes(
         edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
-    bcast_scores = bcast_thresh > 0 and n_nodes * 64 <= bcast_thresh
+    bcast_scores = _bcast_fits(n_nodes, bcast_thresh, id_w)
     e_d = (
         e_s
         if bcast_scores
@@ -419,14 +619,21 @@ def hits(
     hubs = nodes.withColumn(hub_col, F.lit(1.0))
     auths = None
     every = normalize == "per_iteration"
+    # End mode bounds the lazy chain: pin every 4th half-step (ADVICE
+    # r15) so plan depth stays O(1) in the iteration parameter and — in
+    # the broadcast path — no BroadcastExchange build ever executes
+    # more than 4 unpinned edge-scan half-steps inside the 300 s
+    # broadcastTimeout window. The pin cadence changes only WHERE the
+    # chain materializes, never a summed score.
+    _PIN_EVERY = 4
     for i in range(iterations):
         last = i == iterations - 1
         auths = _push(hubs, hub_col, e_s, "__s", "__d", auth_col,
-                      pin=every or last)
+                      pin=every or last or (2 * i + 1) % _PIN_EVERY == 0)
         if normalize == "per_iteration":
             auths = _rescale(auths, auth_col)
         hubs = _push(auths, auth_col, e_d, "__d", "__s", hub_col,
-                     pin=every or last)
+                     pin=every or last or (2 * i + 2) % _PIN_EVERY == 0)
         if normalize == "per_iteration":
             hubs = _rescale(hubs, hub_col)
     # reattach the implicit zeros (nodes never reached by a push) and
@@ -454,6 +661,7 @@ def label_propagation(
     iterations: int = 2,
     node_col: str = "node",
     label_col: str = "label",
+    pre_collapsed: bool = False,
 ) -> DataFrame:
     """SYNCHRONOUS label propagation communities (Raghavan, Albert &
     Kumara 2007): every node starts with its own id as label; each
@@ -482,52 +690,82 @@ def label_propagation(
 
     Shape, per round: one score-frame × edge-frame equi-join, one
     (node, label) count aggregate, one row_number pick — the
-    Pregel-as-joins shape shared with :func:`pagerank`/:func:`hits`;
-    labels re-materialize via ``localCheckpoint`` (O(1) lineage),
-    nothing reaches the driver. State is O(|V|) rows per round.
+    Pregel-as-joins shape shared with :func:`pagerank`/:func:`hits`.
+    The edge frame is pinned ONCE hash-clustered + sorted on the vote
+    join key (``_pin_part``, r16 — the O(|E|) frame is exchanged once,
+    not once per round) and every label frame pins at the loop's
+    shared partition count, so the vote join and the label merge are
+    exchange-free co-partitioned merges; a label frame provably under
+    the session broadcast threshold (one node count, width-aware — see
+    ``_bcast_fits``) is broadcast into the vote join instead, so the
+    edge frame streams in place with no sort on either side. Physical
+    strategy only; the summed votes are identical. Nothing reaches the
+    driver. State is O(|V|) rows per round.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1: {iterations}")
     from pyspark.sql import Window
 
+    # ``pre_collapsed=True``: the caller certifies parallel (src, dst)
+    # edges are already collapsed or absent (the pagerank certificate —
+    # distinct-of-distinct / sum-over-singletons are identities), so
+    # the re-collapse exchange of the edge frame is skipped; every vote
+    # total is unchanged.
     if weight_col is None:
-        e = (
-            edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-            .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
-            .distinct()
-            .withColumn("__w", F.lit(1).cast("long"))
-            .localCheckpoint()
-        )
+        e = edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d")
+        ).where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+        if not pre_collapsed:
+            e = e.distinct()
+        e = e.withColumn("__w", F.lit(1).cast("long"))
     else:
         # parallel edges accumulate; NULL weights drop with NULL ends
-        e = (
-            edges.select(
-                F.col(src).alias("__s"),
-                F.col(dst).alias("__d"),
-                F.col(weight_col).alias("__w"),
-            )
-            .where(
-                F.col("__s").isNotNull()
-                & F.col("__d").isNotNull()
-                & F.col("__w").isNotNull()
-            )
-            .groupBy("__s", "__d")
-            .agg(F.sum("__w").alias("__w"))
-            .localCheckpoint()
+        e = edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            F.col(weight_col).alias("__w"),
+        ).where(
+            F.col("__s").isNotNull()
+            & F.col("__d").isNotNull()
+            & F.col("__w").isNotNull()
         )
-    nodes = (
+        if not pre_collapsed:
+            e = e.groupBy("__s", "__d").agg(F.sum("__w").alias("__w"))
+    # compute_dense: every round's vote join + count aggregate
+    # re-process the FULL pinned edge frame (the kcore regime), so the
+    # loop keeps the session's parallelism floor — in-session
+    # alternating A/B at sf0.1: 4.49 s dense vs 5.52 s narrow. (bfs /
+    # pagerank / personalized, whose rounds move O(|V|)-or-frontier
+    # state, measured the OTHER way and keep the narrow layout.)
+    e, n_parts = _pin_part(e, "__s", compute_dense=True)
+    nodes = _pin_aqe(
         e.select(F.col("__s").alias(node_col))
         .union(e.select(F.col("__d").alias(node_col)))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        n_parts,
     )
-    labels = nodes.withColumn(label_col, F.col(node_col)).localCheckpoint()
+    # Measured broadcast rule (the hits precedent): label frames are
+    # O(|V|) rows of (id, id). The count and the measured id width ride
+    # ONE 1-row aggregate off the pinned frame; labels are node ids, so
+    # the width counts twice.
+    n_nodes, id_w = _count_and_width(nodes, node_col)
+    bcast_thresh = _size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    bcast_labels = _bcast_fits(
+        n_nodes, bcast_thresh, None if id_w is None else 2 * id_w
+    )
+    # the identity init is a pure projection over the pinned node frame
+    # (single consumer per round side; layout passes through) — lazy,
+    # the hits all-ones-init precedent
+    labels = nodes.withColumn(label_col, F.col(node_col))
     w = Window.partitionBy("__d").orderBy(
         F.desc("__c"), F.asc(label_col)
     )
     for _ in range(iterations):
+        lab = F.broadcast(labels) if bcast_labels else labels
         votes = (
-            e.join(labels, e["__s"] == labels[node_col])
+            e.join(lab, e["__s"] == lab[node_col])
             .groupBy("__d", label_col)
             .agg(F.sum("__w").alias("__c"))
         )
@@ -536,15 +774,18 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select(F.col("__d"), F.col(label_col).alias("__new"))
         )
-        labels = (
+        # left join preserves the labels side's pinned hash layout
+        # (unlike sssp's full-outer merge, no re-key is needed: every
+        # node already exists in `labels`)
+        labels = _pin_aqe(
             labels.join(picked, labels[node_col] == picked["__d"], "left")
             .select(
                 labels[node_col],
                 F.coalesce(F.col("__new"), labels[label_col]).alias(
                     label_col
                 ),
-            )
-            .localCheckpoint()
+            ),
+            n_parts,
         )
     return labels
 
@@ -559,6 +800,7 @@ def bfs_levels(
     max_hops: int = 10,
     node_col: str = "node",
     level_col: str = "level",
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Minimum hop count from any seed, by frontier expansion — the
     reachability half of the graph family (PageRank weighs, BFS
@@ -571,45 +813,103 @@ def bfs_levels(
     ``max_hops`` are absent from the output. NULL endpoints and NULL
     seeds are dropped; duplicate edges and seeds are collapsed.
 
-    Shape, per round: one equi-join of the CURRENT FRONTIER against
-    the edge frame (the frontier is the small side — broadcastable
-    when narrow), one distinct, one left-anti join against the visited
-    set to keep the frontier monotonically shrinking toward the
-    unreached region. Frontier and visited frames re-materialize via
-    ``localCheckpoint`` each round (O(1)-deep lineage, same rationale
-    as :func:`pagerank`); the only driver-side value per round is the
-    frontier count used for early termination — a parameter, not data.
-    Rounds are bounded by ``max_hops``, state by ``O(|V|)`` rows.
+    Shape, per round (the :func:`sssp` loop shape, ported r16): one
+    equi-join of the CURRENT FRONTIER against the edge frame pinned
+    hash-clustered + sorted on the join key (``_pin_part`` — the
+    O(|E|) frame is exchanged once, not once per round), one distinct,
+    then ONE full-outer merge onto the visited set whose ``__new``
+    flag serves all three per-round consumers — the early-exit count
+    (riding the pin job as an ``Observation`` map-side sum, no
+    separate count job), the next frontier (a flag filter), and the
+    running visited set (flag dropped). The merge re-keys on the node
+    inside its pin (a full-outer join's output partitioning is
+    Unknown), so every loop frame keeps the shared hash layout and the
+    next round's merge is an exchange-free co-partitioned merge; a
+    frontier provably under the session broadcast threshold (its row
+    count is the previous round's Observation metric, its id width
+    measured — see ``_bcast_fits``) is broadcast instead, streaming
+    the edge frame in place. Values are identical to the
+    anti-join-and-union spelling: a full-outer merge row is either a
+    visited row (keeps its level — BFS levels are final on first
+    reach) or a newly reached node (level = hop, exactly what the
+    anti-join admitted). Rounds are bounded by ``max_hops``, state by
+    ``O(|V|)`` rows; nothing but the per-round metric reaches the
+    driver.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0: {max_hops}")
-    e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
-        .distinct()
-        .localCheckpoint()
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
+        F.col("__s").isNotNull() & F.col("__d").isNotNull()
     )
-    visited = (
+    if not pre_distinct:
+        # ``pre_distinct=True``: the caller certifies the (src, dst)
+        # pairs are already distinct (the kcore certificate) — distinct
+        # of a distinct frame is the identity, so the re-dedup exchange
+        # of the edge frame is skipped. Reachability is set-semantics,
+        # so duplicates would not change levels either way; the
+        # certificate only removes the provably-identity exchange.
+        e = e.distinct()
+    e, n_parts = _pin_part(e, "__s")
+    visited = _pin_aqe(
         seeds.select(F.col(seed_col).alias(node_col))
         .where(F.col(seed_col).isNotNull())
         .distinct()
-        .withColumn(level_col, F.lit(0))
-        .localCheckpoint()
+        .withColumn(level_col, F.lit(0)),
+        n_parts,
     )
     frontier = visited.select(node_col)
+    bcast_thresh = _size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    # Width-aware sizing (ADVICE r15): the frontier is a subset of the
+    # merged visited frame, so a max(octet_length(node)) metric riding
+    # each round's pin-job Observation over-estimates the next
+    # frontier's id width — free on a job that already runs. Round 1
+    # never broadcasts (no prior count).
+    width_static = _id_width_static(visited, node_col)
+    frontier_width = width_static if width_static != _WIDTH_MEASURE else None
+    frontier_rows = None
     for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier[node_col] == e["__s"])
+        f = (
+            F.broadcast(frontier)
+            if _bcast_fits(frontier_rows, bcast_thresh, frontier_width)
+            else frontier
+        )
+        cand = (
+            f.join(e, f[node_col] == e["__s"])
             .select(F.col("__d").alias(node_col))
             .distinct()
-            .join(visited.select(node_col), node_col, "left_anti")
-            .withColumn(level_col, F.lit(hop))
-            .localCheckpoint()
         )
-        if nxt.count() == 0:
+        merged = visited.join(cand, node_col, "full_outer").select(
+            F.col(node_col),
+            F.coalesce(F.col(level_col), F.lit(hop)).alias(level_col),
+            F.col(level_col).isNull().alias("__new"),
+        )
+        obs = Observation()
+        metrics = [
+            F.coalesce(
+                F.sum(F.col("__new").cast("long")), F.lit(0)
+            ).alias("__n_new"),
+        ]
+        if width_static == _WIDTH_MEASURE:
+            metrics.append(
+                F.max(F.octet_length(F.col(node_col))).alias("__node_w")
+            )
+        merged = _pin_aqe(
+            merged.observe(obs, *metrics)
+            .repartition(n_parts, F.col(node_col))
+            .sortWithinPartitions(node_col),
+            n_parts,
+        )
+        got = obs.get
+        n_new = got["__n_new"]
+        if width_static == _WIDTH_MEASURE:
+            frontier_width = int(got["__node_w"] or 0)
+        visited = merged.drop("__new")
+        if n_new == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt.select(node_col)
+        frontier = merged.where(F.col("__new")).select(node_col)
+        frontier_rows = n_new  # exact: the flag filter keeps n_new rows
     return visited
 
 
@@ -698,15 +998,19 @@ def sssp(
     bcast_thresh = _size_bytes(
         edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
+    # Width-aware sizing (ADVICE r15): the frontier is a subset of the
+    # merged best frame, so a max(octet_length(node)) metric riding
+    # each round's pin-job Observation over-estimates the next
+    # frontier's id width — measured for free on a job that already
+    # runs, never a dedicated scan. Round 1 never broadcasts (no prior
+    # count), so starting without a width is sound.
+    width_static = _id_width_static(best, node_col)
+    frontier_width = width_static if width_static != _WIDTH_MEASURE else None
     frontier_rows = None
     for _ in range(max_rounds):
         f = (
             F.broadcast(frontier)
-            if (
-                frontier_rows is not None
-                and bcast_thresh > 0
-                and frontier_rows * 64 <= bcast_thresh
-            )
+            if _bcast_fits(frontier_rows, bcast_thresh, frontier_width)
             else frontier
         )
         cand = (
@@ -751,16 +1055,40 @@ def sssp(
             )
         )
         obs = Observation()
+        # RE-KEY the merge before pinning (VERDICT r15 item 3): a
+        # full-outer SMJ's output partitioning is Unknown (the output
+        # node id is coalesce(left, right), which Spark does not model
+        # as either side's hash layout), so pinning the merge directly
+        # records UnknownPartitioning and EVERY consumer re-exchanges —
+        # probed at sf0.1: each round's best side re-exchanged AND
+        # re-sorted the O(|V|) frame (plans/r16/graph_sssp_inloop_
+        # before.txt, pin #3: Exchange + Sort over the UnknownPartitioning
+        # scan). One keyed repartition + in-partition sort INSIDE the
+        # pin job restores the loop layout: the next round's merge
+        # reads best exchange-free AND sort-free, and a non-broadcast
+        # frontier (the 100 TB regime) is already clustered for the
+        # edge join. Same bytes moved once in the pin instead of once
+        # or twice in the consumers; the Observation metrics ride the
+        # map side, upstream of the exchange, unchanged.
+        metrics = [
+            F.coalesce(
+                F.sum(F.col("__imp").cast("long")), F.lit(0)
+            ).alias("__n_imp"),
+        ]
+        if width_static == _WIDTH_MEASURE:
+            metrics.append(
+                F.max(F.octet_length(F.col(node_col))).alias("__node_w")
+            )
         merged = _pin_aqe(
-            merged.observe(
-                obs,
-                F.coalesce(
-                    F.sum(F.col("__imp").cast("long")), F.lit(0)
-                ).alias("__n_imp"),
-            ),
+            merged.observe(obs, *metrics)
+            .repartition(n_parts, F.col(node_col))
+            .sortWithinPartitions(node_col),
             n_parts,
         )
-        n_imp = obs.get["__n_imp"]
+        got = obs.get
+        n_imp = got["__n_imp"]
+        if width_static == _WIDTH_MEASURE:
+            frontier_width = int(got["__node_w"] or 0)
         if n_imp == 0:
             best = merged.drop("__imp")
             break
@@ -781,6 +1109,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     node_col: str = "node",
     rank_col: str = "rank",
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (Page et al. 1999 §6's personalized
     teleport; the crawl-seeding / topic-affinity workhorse): identical
@@ -808,64 +1137,136 @@ def personalized_pagerank(
         raise ValueError(f"iterations must be >= 0: {iterations}")
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0, 1]: {damping}")
-    e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
-        .distinct()
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).where(
+        F.col("__s").isNotNull() & F.col("__d").isNotNull()
     )
+    if not pre_distinct:
+        # caller certificate (the kcore precedent): pairs already
+        # distinct — the re-dedup exchange is a provable identity.
+        # Degrees, contributions and ranks are unchanged.
+        e = e.distinct()
     s = (
         seeds.select(F.col(seed_col).alias(node_col))
         .where(F.col(seed_col).isNotNull())
         .distinct()
     )
-    nodes = (
-        e.select(F.col("__s").alias(node_col))
-        .union(e.select(F.col("__d").alias(node_col)))
+    # Pinned once, hash-clustered + sorted on the per-iteration join
+    # key (the pagerank build shape, r16): ONE keyed repartition of the
+    # presized frame feeds both the degree aggregate and the deg-attach
+    # join — see pagerank for why the lazy two-consumer spelling paid
+    # the edge pipeline twice plus a third exchange.
+    pre, n_parts = _presize(e)
+    keyed = pre.repartition(n_parts, F.col("__s"))
+    deg = keyed.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    edges_deg = _pin_aqe(
+        keyed.join(deg, "__s").sortWithinPartitions("__s"), n_parts
+    )
+    nodes = _pin_aqe(
+        edges_deg.select(F.col("__s").alias(node_col))
+        .union(edges_deg.select(F.col("__d").alias(node_col)))
         .union(s.select(node_col))
         .distinct()
         .join(s.withColumn("__is_seed", F.lit(True)), node_col, "left")
         .select(
             F.col(node_col), F.coalesce("__is_seed", F.lit(False)).alias("__seed")
-        )
-        .localCheckpoint()
+        ),
+        n_parts,
     )
-    ns = nodes.where(F.col("__seed")).count()
+    # node count, seed count, and measured id width in ONE 1-row
+    # aggregate off the pinned frame (parameters, not data)
+    width_static = _id_width_static(nodes, node_col)
+    count_aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(
+            F.sum(F.col("__seed").cast("long")), F.lit(0)
+        ).alias("__ns"),
+    ]
+    if width_static == _WIDTH_MEASURE:
+        count_aggs.append(
+            F.max(F.octet_length(F.col(node_col))).alias("__node_w")
+        )
+    counts = nodes.agg(*count_aggs).first()
+    n_nodes, ns = int(counts["__n"]), int(counts["__ns"])
+    id_w = (
+        int(counts["__node_w"] or 0)
+        if width_static == _WIDTH_MEASURE
+        else width_static
+    )
     if ns == 0:
         raise ValueError("personalized_pagerank requires >= 1 seed")
     p = F.when(F.col("__seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
 
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
-    edges_deg = e.join(deg, "__s").localCheckpoint()
+    # The dangling-node set is STATIC (the pagerank rationale) and
+    # rides the rank frames as a boolean column (r16): the
+    # per-iteration dangling MASS is a map-side Observation sum on the
+    # pin job that materializes each rank frame anyway — the separate
+    # per-iteration dangling-aggregate job is gone, and the mass
+    # reaches the next update as a plan literal (a parameter, not
+    # data). Distinct sources run IN PLACE on the pinned hash(__s)
+    # layout; the left join matches at most once per node.
+    has_out = edges_deg.select("__s").distinct()
+    flagged = nodes.join(
+        has_out, nodes[node_col] == has_out["__s"], "left"
+    ).select(
+        nodes[node_col],
+        nodes["__seed"],
+        has_out["__s"].isNull().alias("__dang"),
+    )
+    # Measured broadcast rule for the contribs join (VERDICT r15 item
+    # 6, the hits precedent): the rank frame is O(|V|) rows; when it
+    # provably fits the session threshold each iteration joins the
+    # pinned edge frame against a broadcast of the ranks — no sort, no
+    # exchange on either side. Past the threshold (the 100 TB regime)
+    # the co-partitioned merge stands. Physical strategy only.
+    bcast_thresh = _size_bytes(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    )
+    bcast_ranks = _bcast_fits(n_nodes, bcast_thresh, id_w)
 
-    ranks = nodes.select(
-        node_col, "__seed", p.alias(rank_col)
-    ).localCheckpoint()
+    def _pin_with_dmass(df: DataFrame) -> tuple[DataFrame, float]:
+        obs = Observation()
+        pinned = _pin_aqe(
+            df.observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__dang"), F.col(rank_col)).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias("__dmass"),
+            ),
+            n_parts,
+        )
+        return pinned, float(obs.get["__dmass"])
+
+    ranks, dmass = _pin_with_dmass(
+        flagged.select(node_col, "__seed", "__dang", p.alias(rank_col))
+    )
     for _ in range(iterations):
+        r = F.broadcast(ranks) if bcast_ranks else ranks
         contribs = (
-            edges_deg.join(ranks, edges_deg["__s"] == ranks[node_col])
+            edges_deg.join(r, edges_deg["__s"] == r[node_col])
             .groupBy("__d")
             .agg(F.sum(F.col(rank_col) / F.col("__deg")).alias("__contrib"))
         )
-        dangling = (
-            ranks.join(deg, ranks[node_col] == deg["__s"], "left_anti")
-            .agg(F.coalesce(F.sum(rank_col), F.lit(0.0)).alias("__dmass"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes[node_col] == contribs["__d"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                nodes[node_col],
-                nodes["__seed"],
+        ranks, dmass = _pin_with_dmass(
+            ranks.join(
+                contribs, ranks[node_col] == contribs["__d"], "left"
+            ).select(
+                ranks[node_col],
+                ranks["__seed"],
+                ranks["__dang"],
                 (
                     F.lit(1.0 - damping) * p
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__contrib"), F.lit(0.0))
-                        + F.col("__dmass") * p
+                        + F.lit(dmass) * p
                     )
                 ).alias(rank_col),
             )
-            .localCheckpoint()
         )
     return ranks.select(node_col, rank_col)
 
@@ -930,6 +1331,12 @@ def kcore(
     bcast_thresh = _size_bytes(
         edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
     )
+    # Width-aware sizing (ADVICE r15): the alive set is a subset of the
+    # degree frame's nodes, so a max(octet_length(node)) metric riding
+    # each round's deg-pin Observation over-estimates the alive ids'
+    # width — measured for free on a job that already runs.
+    width_static = _id_width_static(e, "__s")
+    alive_width = width_static if width_static != _WIDTH_MEASURE else None
     deg = e.groupBy(F.col("__s").alias(node_col)).agg(
         F.count(F.lit(1)).alias(degree_col)
     )
@@ -944,18 +1351,21 @@ def kcore(
         # pin, so the CollectMetrics node cannot be pruned, and it
         # passes partitioning through) — no separate count job.
         obs = Observation()
-        deg = _pin_aqe(
-            deg.observe(
-                obs,
-                F.coalesce(
-                    F.sum((F.col(degree_col) < k).cast("long")), F.lit(0)
-                ).alias("__n_dropped"),
-                F.count(F.lit(1)).alias("__n_total"),
-            ),
-            n_parts,
-        )
+        obs_metrics = [
+            F.coalesce(
+                F.sum((F.col(degree_col) < k).cast("long")), F.lit(0)
+            ).alias("__n_dropped"),
+            F.count(F.lit(1)).alias("__n_total"),
+        ]
+        if width_static == _WIDTH_MEASURE:
+            obs_metrics.append(
+                F.max(F.octet_length(F.col(node_col))).alias("__node_w")
+            )
+        deg = _pin_aqe(deg.observe(obs, *obs_metrics), n_parts)
         metrics = obs.get
         dropped = metrics["__n_dropped"]
+        if width_static == _WIDTH_MEASURE:
+            alive_width = int(metrics["__node_w"] or 0)
         if dropped == 0:
             break
         alive = deg.where(F.col(degree_col) >= k).select(node_col)
@@ -970,7 +1380,7 @@ def kcore(
         alive_rows = metrics["__n_total"] - dropped
         a = (
             F.broadcast(alive)
-            if bcast_thresh > 0 and alive_rows * 64 <= bcast_thresh
+            if _bcast_fits(alive_rows, bcast_thresh, alive_width)
             else alive
         )
         # __d semi first, __s semi last: the surviving frame then pins

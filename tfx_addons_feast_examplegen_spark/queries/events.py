@@ -943,7 +943,12 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    r = pagerank(edges, iterations=6)
+    # pre_collapsed/pre_distinct: `pairs` is DISTINCT (or pre-
+    # aggregated to one weight per pair) and the union branches live in
+    # disjoint key spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's
+    # re-collapse would be an identity exchange over the whole edge
+    # frame (the sssp/kcore certificate).
+    r = pagerank(edges, iterations=6, pre_collapsed=True)
     return r.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -1017,7 +1022,12 @@ def _q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal") > 9000)
         .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
     )
-    out = bfs_levels(edges, seeds, max_hops=3)
+    # pre_collapsed/pre_distinct: `pairs` is DISTINCT (or pre-
+    # aggregated to one weight per pair) and the union branches live in
+    # disjoint key spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's
+    # re-collapse would be an identity exchange over the whole edge
+    # frame (the sssp/kcore certificate).
+    out = bfs_levels(edges, seeds, max_hops=3, pre_distinct=True)
     return out.select("node", F.col("level").cast("long").alias("level"))
 
 
@@ -1138,7 +1148,12 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    return label_propagation(edges, iterations=2)
+    # pre_collapsed/pre_distinct: `pairs` is DISTINCT (or pre-
+    # aggregated to one weight per pair) and the union branches live in
+    # disjoint key spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's
+    # re-collapse would be an identity exchange over the whole edge
+    # frame (the sssp/kcore certificate).
+    return label_propagation(edges, iterations=2, pre_collapsed=True)
 
 
 def _lpa_round_sql(prev: str, out: str, vote: str = "COUNT(*)") -> str:
@@ -1217,7 +1232,12 @@ def _q_label_propagation_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-    return label_propagation(edges, weight_col="w", iterations=2)
+    # pre_collapsed/pre_distinct: `pairs` is DISTINCT (or pre-
+    # aggregated to one weight per pair) and the union branches live in
+    # disjoint key spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's
+    # re-collapse would be an identity exchange over the whole edge
+    # frame (the sssp/kcore certificate).
+    return label_propagation(edges, weight_col="w", iterations=2, pre_collapsed=True)
 
 
 _QLPA_WEIGHTED_ORACLE = f"""
@@ -1426,7 +1446,12 @@ def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    r = personalized_pagerank(edges, seeds, iterations=6)
+    # pre_collapsed/pre_distinct: `pairs` is DISTINCT (or pre-
+    # aggregated to one weight per pair) and the union branches live in
+    # disjoint key spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's
+    # re-collapse would be an identity exchange over the whole edge
+    # frame (the sssp/kcore certificate).
+    r = personalized_pagerank(edges, seeds, iterations=6, pre_distinct=True)
     return r.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -1520,7 +1545,12 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-    r = pagerank(edges, weight_col="w", iterations=6)
+    # pre_collapsed/pre_distinct: `pairs` is DISTINCT (or pre-
+    # aggregated to one weight per pair) and the union branches live in
+    # disjoint key spaces ('c…'->'s…' vs 's…'->'c…'), so the operator's
+    # re-collapse would be an identity exchange over the whole edge
+    # frame (the sssp/kcore certificate).
+    r = pagerank(edges, weight_col="w", iterations=6, pre_collapsed=True)
     return r.select("node", F.round("rank", 9).alias("rank"))
 
 
