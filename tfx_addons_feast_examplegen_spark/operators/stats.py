@@ -386,6 +386,7 @@ def _grid_range_guard(
     decimals: int,
     max_grid_cells: int,
     op: str,
+    with_groups: bool = False,
 ) -> DataFrame:
     """Enforce the bounded-grid contract shared by :func:`ks_two_sample`
     and :func:`quantile_shift` (ADVICE r14 medium): ``round(v, decimals)``
@@ -409,17 +410,36 @@ def _grid_range_guard(
     stage, before any single-partition exchange exists. Out-of-contract
     input costs one distributed grid shuffle before raising — never a
     one-task funnel.
+
+    ``with_groups=True`` (r16, VERDICT r15 item 7) additionally rides
+    the lexicographic group names and the distinct-group count on the
+    SAME 1-row bounds aggregate and passes them through as ``__ga`` /
+    ``__gb`` / ``__ngrp`` columns: the callers previously re-derived
+    them with three unkeyed window functions over the grid frame — one
+    more single-partition exchange + sort per query for values the
+    broadcast bounds row already visits. Same values by construction
+    (both spellings aggregate the same grid frame).
     """
     # summing __c (not just counting cells) keeps the grid groupBy —
     # with its count aggregate — in this branch's plan, so its shuffle
     # exchange is byte-identical to the main path's and ReuseExchange
     # collapses the two into ONE corpus scan
-    bounds = per.agg(
+    bound_aggs = [
         F.count(F.lit(1)).alias("__cells"),
         F.min("__v").alias("__vmin"),
         F.max("__v").alias("__vmax"),
         F.sum("__c").alias("__nrows"),
-    )
+    ]
+    if with_groups:
+        # size(collect_set) — the same spelling the removed windows
+        # used — stays a single-pass aggregate; count_distinct would
+        # trigger the Expand rewrite and cost an extra exchange
+        bound_aggs += [
+            F.min("__grp").alias("__ga"),
+            F.max("__grp").alias("__gb"),
+            F.size(F.collect_set("__grp")).alias("__ngrp"),
+        ]
+    bounds = per.agg(*bound_aggs)
     guarded_v = F.when(
         F.col("__cells") <= F.lit(max_grid_cells), F.col("__v")
     ).otherwise(
@@ -438,8 +458,9 @@ def _grid_range_guard(
             )
         ).cast("double")
     )
+    passthrough = ["__ga", "__gb", "__ngrp"] if with_groups else []
     return per.crossJoin(F.broadcast(bounds)).select(
-        guarded_v.alias("__v"), "__grp", "__c"
+        guarded_v.alias("__v"), "__grp", "__c", *passthrough
     )
 
 
@@ -498,22 +519,27 @@ def ks_two_sample(
     ).where(F.col("__v").isNotNull() & F.col("__grp").isNotNull())
     # the ONLY corpus-sized job: everything below runs on the guarded
     # grid frame, structurally <= max_grid_cells rows
+    # group names + distinct-group count ride the guard's 1-row bounds
+    # aggregate (with_groups) instead of three unkeyed windows over the
+    # grid frame (r16): the window bookkeeping pass over the grid frame
+    # is gone. The explicit repartition(1) keeps the OLD plan's
+    # post-grid shape — one single-partition exchange that the wide
+    # pivot, the cumulative-ECDF window and the final aggregate all run
+    # on in place (the removed windows' exchange used to play that
+    # role; without it the pivot would pay a distributed exchange AND
+    # the window its own gather — two exchanges of the grid frame
+    # instead of one, measured +0.3 s at sf0.1). Bounded by the
+    # max_grid_cells contract, so the single partition is the designed
+    # shape, not a funnel.
     per = _grid_range_guard(
         snapped.groupBy("__v", "__grp").agg(F.count(F.lit(1)).alias("__c")),
         decimals=decimals,
         max_grid_cells=max_grid_cells,
         op="ks_two_sample",
+        with_groups=True,
     )
     w_all = Window.partitionBy()
-    named = per.select(
-        "__v",
-        "__grp",
-        "__c",
-        F.min("__grp").over(w_all).alias("__ga"),
-        F.max("__grp").over(w_all).alias("__gb"),
-        F.size(F.collect_set("__grp").over(w_all)).alias("__ngrp"),
-    )
-    wide = named.groupBy("__v", "__ga", "__gb", "__ngrp").agg(
+    wide = per.repartition(1).groupBy("__v", "__ga", "__gb", "__ngrp").agg(
         F.sum(
             F.when(F.col("__grp") == F.col("__ga"), F.col("__c")).otherwise(
                 F.lit(0)
@@ -687,22 +713,18 @@ def quantile_shift(
         F.round(F.col(value_col).cast("double"), decimals).alias("__v"),
         F.col(group_col).cast("string").alias("__grp"),
     ).where(F.col("__v").isNotNull() & F.col("__grp").isNotNull())
+    # group bookkeeping rides the guard's bounds aggregate; the
+    # repartition(1) keeps the one-exchange post-grid shape — see
+    # ks_two_sample (r16)
     per = _grid_range_guard(
         snapped.groupBy("__v", "__grp").agg(F.count(F.lit(1)).alias("__c")),
         decimals=decimals,
         max_grid_cells=max_grid_cells,
         op="quantile_shift",
+        with_groups=True,
     )
     w_all = Window.partitionBy()
-    named = per.select(
-        "__v",
-        "__grp",
-        "__c",
-        F.min("__grp").over(w_all).alias("__ga"),
-        F.max("__grp").over(w_all).alias("__gb"),
-        F.size(F.collect_set("__grp").over(w_all)).alias("__ngrp"),
-    )
-    wide = named.groupBy("__v", "__ga", "__gb", "__ngrp").agg(
+    wide = per.repartition(1).groupBy("__v", "__ga", "__gb", "__ngrp").agg(
         F.sum(
             F.when(F.col("__grp") == F.col("__ga"), F.col("__c")).otherwise(
                 F.lit(0)
