@@ -312,185 +312,34 @@ _REGISTRY = {_k: _REGISTRY[_k] for _k in _ENTRY_ORDER}
 # any reachable code outside the window fails pytest until the window
 # is rotated or the change reverted.
 _DRIVER_PRIORITY = [
+    # ROUND-16 WINDOW (optimization round 2/2). Slot 0: pit_join
+    # (entry() smoke, convention since r7).
     "pit_join",
-    # ROUND-15 ROTATION (executes the plan recorded in the r14 window
-    # comment + VERDICT r14 item 1). Slot 0: pit_join (entry() smoke,
-    # convention since r7).
-    #
-    # Slots 1-4: NEW this round (never-attested entries MUST sit in
-    # the window): bpe_train — the full iterative BPE tokenizer
-    # training loop (count pairs -> top-1 rule -> apply merge ->
-    # re-count; rule r can merge tokens rule r-1 created, which the
-    # one-shot bpe_pair_merges step cannot), per-round
-    # localCheckpoint-pinned fold + map-side-combinable count + 1-row
-    # argmax; oracle unrolls all five rounds as per-round
-    # recursive-CTE leftmost-merge replays (VERDICT r14 item 5). And
-    # global_exact_ntile — direct driver evidence for the exact_ntile
-    # primitive the three NTILE conversions below stand on (oracle IS
-    # the naive global-Window NTILE; equivalence is the contract).
-    # Plus the family completions on the same rank machinery:
-    # global_exact_quantiles (exact type-1 value-at-rank quantiles —
-    # filter the ranked frame to five rows, no global sort; the exact
-    # complement of the sketch_quantiles epsilon path) and
-    # grouped_exact_ntile (per-group NTILE with per-group counts as a
-    # broadcast join and in-plan integral-div tile arithmetic — no
-    # per-group single-partition Window). Oracles are the naive
-    # window spellings each operator refuses to plan.
-    "bpe_train",
-    "global_exact_ntile",
-    "global_exact_quantiles",
-    "grouped_exact_ntile",
-    # Mid-round additions (never-attested entries MUST sit in the
-    # window): eval_auc — exact tie-aware ROC-AUC (Mann-Whitney U) on
-    # the bucket-decomposed rank machinery, integer-exact to the final
-    # IEEE division; oracle is the naive global-Window ranking. And
-    # linreg_train_gd — distributed batch-GD linear training (one
-    # d-column combinable aggregate per round, weights re-enter as
-    # literals), integer-portable to the bit; oracle unrolls the
-    # rounds as CTEs and must land on the SAME integer weights.
-    "eval_auc",
-    "linreg_train_gd",
-    # perplexity_bucket_filter — CCNet head/middle/tail gate composing
-    # bigram_logprob + exact_ntile on a guarded integer order key;
-    # oracle is the naive NTILE window over the same key.
-    "perplexity_bucket_filter",
-    # sorted_neighborhood_pairs — Hernandez-Stolfo ER blocking as a
-    # banded block self-equi-join on the bucket-decomposed rank;
-    # oracle is the naive ROW_NUMBER self-join.
-    "sorted_neighborhood_pairs",
-    # word_cooccurrence_pmi — windowed unordered-pair PMI (integer
-    # micro-nats, slot marginals off the pair counts, TakeOrdered
-    # top-n); oracle is the LATERAL generate_series respelling.
-    "word_cooccurrence_pmi",
-    # embedding_random_projection — JL sign projection as one pure
-    # integer projection (md5-parity matrix, never materialized);
-    # oracle replays the closed form cell-for-cell.
-    "embedding_random_projection",
-    # global_running_total — the prefix_sum primitive (bucket-
-    # decomposed exact running total, the SUM sibling of the row-id
-    # machinery); oracle is the naive SUM OVER (ORDER BY).
-    "global_running_total",
-    # eval_average_precision — PR-AUC finite sum on prefix_sum
-    # cumulative thresholds; per-term integer nano-units make the
-    # final sum order-free; oracle is the naive cumulative windows.
-    "eval_average_precision",
-    # eval_roc_curve — the full ROC table on the same prefix_sum
-    # cumulatives; single-division tpr/fpr; naive-window oracle.
-    "eval_roc_curve",
-    # grouped_running_total — grouped_prefix_sum (per-group exact
-    # running totals, per-(group,bucket) literal offsets); oracle is
-    # the naive partitioned SUM OVER.
-    "grouped_running_total",
-    # eval_auc_by_group — per-group exact AUC on the grouped rank
-    # machinery; NULL for single-class groups; naive partitioned
-    # ROW_NUMBER oracle.
-    "eval_auc_by_group",
-    # grouped_exact_quantiles — per-group value-at-rank quantiles,
-    # targets in-plan as a filtered literal array; naive partitioned
-    # ROW_NUMBER oracle.
-    "grouped_exact_quantiles",
-    # eval_ndcg_at_k — per-query NDCG@k with order-free integer
-    # micro-unit DCG terms; rank-for-rank oracle replay.
-    "eval_ndcg_at_k",
-    # eval_mrr_at_k — first-relevant-hit eval, integer reciprocal
-    # ranks (scale div rank), one final division.
-    "eval_mrr_at_k",
-    # Slots 2-12: entries whose fingerprints drift with this round's
-    # hardening (all driver-green on the pre-edit tree):
-    # - score_drift_ks / score_drift_qq: the bounded-grid contract
-    #   (ADVICE r14 medium) — occupied (value, group) grid cells are
-    #   counted off the SAME grid exchange (ReuseExchange keeps one
-    #   corpus scan) and gate __v through an in-plan raise_error in
-    #   the DISTRIBUTED pre-window stage; in-contract inputs compute
-    #   identically.
-    # - curriculum_interleave: pos emitted UNROUNDED (the 1e-6 grid
-    #   tied large ranks; display rounding moved to the query layer)
-    #   and the grouped-row-id offset key now encodes NULL group
-    #   values distinctly (ADVICE r14: concat_ws silently skipped
-    #   NULL parts, colliding NULL with '' and ('a',NULL) with
-    #   (NULL,'a')).
-    # - length_bucketing / epoch_shuffle_shards /
-    #   revenue_concentration: the three global-NTILE windows retired
-    #   onto rowid.exact_ntile — bucket-decomposed global rank + the
-    #   standard NTILE arithmetic — no single-partition Window
-    #   anywhere (VERDICT r14 items 2-3); epoch_shuffle encodes the
-    #   (hkey, doc_id) order into one guarded composite long.
-    # - graph_degree_assortativity: directed misuse now fails LOUD
-    #   in-plan instead of correlating a fabricated 0 out-degree for
-    #   sink nodes (ADVICE r14).
-    # - subset_max_coverage: the covered-set broadcast is counted per
-    #   round (O(1) on the checkpoint) and raises past
-    #   max_covered_broadcast instead of silently OOM-ing an executor
-    #   (VERDICT r14 item 6).
-    # - source_warc_datasource / source_warc_write_roundtrip: dead
-    #   attempts' *.warc.*.tmp litter is swept — all litter on
-    #   overwrite, this write's own salted temps on abort (ADVICE
-    #   r14).
-    # - bpe_encode: the merge-pass fold hoisted to the shared
-    #   _bpe_merge_pass helper bpe_train composes (same expression,
-    #   byte-identical plan).
-    # - vocab_coverage_curve: the token-type rank window's input is
-    #   now STRUCTURALLY bounded by a TakeOrdered limit(1000) (only
-    #   ranks <= 1000 are consumed) — the full-vocabulary one-task
-    #   sort is gone; same three output rows.
-    "score_drift_ks",
-    "score_drift_qq",
-    "curriculum_interleave",
-    "length_bucketing",
-    "epoch_shuffle_shards",
-    "revenue_concentration",
-    "graph_degree_assortativity",
-    "subset_max_coverage",
-    "source_warc_datasource",
-    "source_warc_write_roundtrip",
-    "bpe_encode",
-    "vocab_coverage_curve",
-    # Optimization-round drift (r15 opt 1/2): the four operators whose
-    # internals the shuffle-count work rewired — HITS sparse-frame
-    # push, SSSP single-checkpoint merge + pre_collapsed edge prep,
-    # k-core degree pin + pre_distinct, semantic-dedup per-row norm
-    # hoist. Oracle-identical results (proven at sf0.01 + sf0.1), but
-    # the AST fingerprints moved, so they MUST re-enter the window.
+    # Optimization-round drift (r16): the graph-loop ports (bfs/lpa/
+    # lpa_weighted/personalized pins + pre_collapsed certificates on
+    # all six trade-graph queries), the sssp full-outer re-key, the
+    # pagerank-family build-shape/broadcast/dangling-observation work,
+    # the width-aware broadcast gates (hits/sssp/kcore reach the
+    # shared helpers), subset_max_coverage (imports _pin_aqe), and the
+    # score-drift group-bookkeeping fusion. Oracle-identical results
+    # (proven at sf0.01 + sf0.1), but the AST fingerprints moved, so
+    # they MUST re-enter the window (tests/test_attestation.py).
     "graph_hits",
     "graph_kcore",
     "graph_sssp",
-    "semantic_dedup",
-    # ... and the multimodal family, whose fixture adapters now route
-    # their id projection through the rebalance_for_compute split-
-    # estimate (one-task codec pipelines on compacted inputs ran the
-    # whole Python encode+decode on one core; measured 4x on the JPEG
-    # entry). Same per-row bytes and stats — only task placement
-    # moved — but the module fingerprint covers the adapters, so the
-    # family re-enters the window. multimodal_audio_mp3_stats below
-    # doubles as its r9-vintage rotation slot.
-    "multimodal_audio_flac_stats",
-    "multimodal_audio_g711_stats",
-    "multimodal_audio_ogg_stats",
-    "multimodal_audio_stats",
-    "multimodal_features",
-    "multimodal_image_gif",
-    "multimodal_image_jpeg",
-    "multimodal_image_jpeg_progressive",
-    "multimodal_image_png",
-    "multimodal_image_resize",
-    "multimodal_image_tiff",
-    "multimodal_video_mp4_stats",
-    "multimodal_audio_mp3_stats",
-    # ... and the pagerank pair: the static dangling-node set is now
-    # pinned once (the in-loop anti-join used to re-run the whole edge
-    # pipeline every iteration) and the edge frame pinned hash-clustered
-    # on the contribution join key. The weighted entry shares the
-    # function. (The same pins for bfs_levels / label_propagation /
-    # personalized_pagerank were DEFERRED to r16: the window cannot
-    # hold their drift this round — see OPTIMIZATION_r15.md.)
     "graph_pagerank",
     "graph_pagerank_weighted",
-    # The r9-vintage rotation was fully displaced this round by
-    # optimization drift (the window holds exactly the 49 debt entries
-    # + pit_join); the r9 rows below the boundary keep their attested
-    # vintage and head the r16 window plan.
-    # --- slot 50 boundary: everything below is ordering preference,
-    # not window membership ---
+    "graph_pagerank_personalized",
+    "graph_bfs_levels",
+    "graph_label_propagation",
+    "graph_label_propagation_weighted",
+    "score_drift_ks",
+    "score_drift_qq",
+    "subset_max_coverage",
+    # Rotation fill to slot 50: oldest driver-green vintage first
+    # (r9 rows displaced since r14, then the r10 head) — executes the
+    # r15 window-plan comment. Everything past slot 50 follows the
+    # registry order via _ordered().
     "feature_histogram",
     "forward_fill_timeseries",
     "gap_fill_timeseries",
@@ -509,20 +358,26 @@ _DRIVER_PRIORITY = [
     "sketch_quantiles",
     "skew_salted_join",
     "snapshot_diff",
-    # (The r10 rotation-fill slots and three r9 rows —
-    # bloom_prejoin_filter, feature_service, fuzzy_editdist_pairs,
-    # global_row_ids, graph_bfs_levels, html_text_extract,
-    # interval_overlap_join, zorder_layout, weighted_sample,
-    # window_lead_lag_ntile — were displaced by the 11 never-attested
-    # mid-round additions above; they keep their attested vintage and
-    # head the r16 window plan.)
-    #
-    # ROUND-16 WINDOW PLAN: after pit_join and any new/drifted entries,
-    # head with the 8 displaced rows above, then the remaining r10 rows
-    # (multimodal_audio_g711_stats through url_robots_filter,
-    # alphabetical, minus any that drift in r16), then the oldest r11
-    # rows fill to 50. That keeps the ~4-round full-fleet refresh
-    # cadence: after r16 the vintage floor sits at r10-going-on-r11.
+    "source_tfrecord_roundtrip",
+    "stream_dedup",
+    "string_funcs_parts",
+    "three_way_split_counts",
+    "weighted_sample",
+    "window_lead_lag_ntile",
+    "zorder_layout",
+    "bloom_prejoin_filter",
+    "feature_service",
+    "fuzzy_editdist_pairs",
+    "global_row_ids",
+    "html_text_extract",
+    "interval_overlap_join",
+    "param_substitution",
+    "pii_redaction",
+    "pit_join_composite_key",
+    "pit_join_field_mapping",
+    "pit_join_multiview",
+    "pit_join_prefixed",
+    # --- slot 50 boundary ---
 ]
 if set(_ENTRY_ORDER) != set(_REGISTRY):
     raise AssertionError("registry/order drift: " + repr(set(_ENTRY_ORDER) ^ set(_REGISTRY)))
