@@ -619,13 +619,18 @@ def hits(
     hubs = nodes.withColumn(hub_col, F.lit(1.0))
     auths = None
     every = normalize == "per_iteration"
-    # End mode bounds the lazy chain: pin every 4th half-step (ADVICE
+    # End mode bounds the lazy chain: pin every 6th half-step (ADVICE
     # r15) so plan depth stays O(1) in the iteration parameter and — in
     # the broadcast path — no BroadcastExchange build ever executes
-    # more than 4 unpinned edge-scan half-steps inside the 300 s
-    # broadcastTimeout window. The pin cadence changes only WHERE the
-    # chain materializes, never a summed score.
-    _PIN_EVERY = 4
+    # more than 6 unpinned edge-scan half-steps inside the 300 s
+    # broadcastTimeout window. Cadence 6, not 4: a mid-loop pin
+    # measured 0.77 s at sf0.1 (it materializes the O(|V|) score frame
+    # and breaks half-step pipelining), and at the default iteration
+    # counts (<= 3 iterations = 6 half-steps) cadence 6 coincides with
+    # the end pin, so the bound costs nothing until a caller actually
+    # raises iterations. The pin cadence changes only WHERE the chain
+    # materializes, never a summed score.
+    _PIN_EVERY = 6
     for i in range(iterations):
         last = i == iterations - 1
         auths = _push(hubs, hub_col, e_s, "__s", "__d", auth_col,
